@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders and the shared derived views (FIXTURES.md §C).
+  *
+  * Derived-view semantics mirror the reference's corpus pipeline:
+  *   - `tokens(text)`: whitespace tokenization per `/root/reference/lda.cc:65`
+  *     (istringstream >> word), i.e. split on single spaces, drop empties.
+  *   - `vocab`: the sorted-vocabulary build of
+  *     `/root/reference/mpi_lda.cc:197-207` — distinct tokens, lexicographic
+  *     rank as dense word id.
+  *   - `bow`: the (doc, word, count) bag-of-words shape of the plda input
+  *     line format (`/root/reference/README.md:44-58`).
+  *
+  * Scale notes (100 TB design):
+  *   - `docsTokenized` is a narrow map+generate — no shuffle; the token
+  *     explosion stays pipelined inside whole-stage codegen.
+  *   - `vocab` uses a global `row_number` window. V (distinct tokens) is
+  *     orders of magnitude smaller than the corpus (the reference's NYTimes
+  *     run: V=102,660 vs 100M tokens), so the single-partition rank of the
+  *     *distinct* set is cheap; the expensive part (distinct) is a proper
+  *     parallel shuffle. For V in the billions, swap to sortBy+zipWithIndex.
+  *   - dictionary joins against `vocab` should broadcast (V small); Spark's
+  *     AQE does this automatically once distinct-count stats are known, and
+  *     Q10 asserts it explicitly with a hint.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects. Read nanos as long and truncate to µs (DuckDB performs
+    * the same ns→µs truncation per FIXTURES.md §D.3). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+
+  /** tokens(text): split on single space, drop empty strings (the fixture
+    * text carries a trailing space). */
+  def tokensOf(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** docs_tokenized(doc_id, tok) — one row per token occurrence. */
+  def docsTokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+
+  /** vocab(tok, word_id) — sorted distinct tokens, dense 0-based id
+    * (the V2 sorted-vocab semantics of mpi_lda.cc:197-207). */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d)
+      .select("tok").distinct()
+      .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
+
+  /** bow(doc_id, tok, c). */
+  def bow(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+
+  /** lang_tokens(lang, tok) — token occurrences tagged with doc language. */
+  def langTokens(s: SparkSession, d: String): DataFrame = {
+    // lang rides along from the same scan — no join needed (the FIXTURES
+    // definition via join by doc_id is semantically identical; skipping the
+    // self-join removes a shuffle that would dominate at scale).
+    documents(s, d)
+      .select(col("lang"), explode(tokensOf(col("text"))).as("tok"))
+  }
+
+  /** Distinct tokens of documents with the given language. */
+  def langVocab(s: SparkSession, d: String, lang: String): DataFrame =
+    documents(s, d)
+      .where(col("lang") === lang)
+      .select(explode(tokensOf(col("text"))).as("tok"))
+      .distinct()
+
+  /** Distinct tokens of documents with the given source. */
+  def sourceVocab(s: SparkSession, d: String, src: String): DataFrame =
+    documents(s, d)
+      .where(col("source") === src)
+      .select(explode(tokensOf(col("text"))).as("tok"))
+      .distinct()
+}

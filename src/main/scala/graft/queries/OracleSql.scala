@@ -1,0 +1,176 @@
+package graft.queries
+
+/** DuckDB-runnable ANSI SQL equivalents of [[Relational]]'s queries.
+  *
+  * Each statement is self-contained: the derived views of FIXTURES.md §C are
+  * inlined as CTEs so the driver only needs the base parquet tables
+  * registered. Column aliases match the Spark side exactly.
+  */
+object OracleSql {
+
+  private val docsTok =
+    """docs_tokenized AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |  ) WHERE tok <> ''
+      |)""".stripMargin
+
+  private val vocabCte =
+    """vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS word_id
+      |  FROM (SELECT DISTINCT tok FROM docs_tokenized)
+      |)""".stripMargin
+
+  private val bowCte =
+    """bow AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM docs_tokenized GROUP BY doc_id, tok
+      |)""".stripMargin
+
+  private val langTok =
+    """lang_tokens AS (
+      |  SELECT lang, tok FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |  ) WHERE tok <> ''
+      |)""".stripMargin
+
+  private def langVocab(name: String, lang: String) =
+    s"""$name AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = '$lang'
+       |  ) WHERE tok <> ''
+       |)""".stripMargin
+
+  private def srcVocab(name: String, src: String) =
+    s"""$name AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = '$src'
+       |  ) WHERE tok <> ''
+       |)""".stripMargin
+
+  val entries: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+
+    "q02_filter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE lang = 'es' AND n_chars > 200 ORDER BY doc_id",
+
+    "q03_tokenize" ->
+      s"WITH $docsTok SELECT doc_id, tok FROM docs_tokenized ORDER BY doc_id, tok",
+
+    "q04_vocab" ->
+      s"WITH $docsTok, $vocabCte SELECT tok, word_id FROM vocab ORDER BY tok",
+
+    "q05_wordcount" ->
+      s"WITH $docsTok SELECT tok, COUNT(*) AS c FROM docs_tokenized GROUP BY tok ORDER BY tok",
+
+    "q06_bow" ->
+      s"WITH $docsTok, $bowCte SELECT doc_id, tok, c FROM bow ORDER BY doc_id, tok",
+
+    "q07_dict_join" ->
+      s"""WITH $docsTok, $vocabCte, $bowCte
+         |SELECT b.doc_id, v.word_id, b.c FROM bow b JOIN vocab v ON b.tok = v.tok
+         |ORDER BY b.doc_id, v.word_id""".stripMargin,
+
+    "q08_anti_join" ->
+      s"""WITH ${langVocab("zh_toks", "zh")}, ${langVocab("es_toks", "es")}
+         |SELECT tok FROM zh_toks z
+         |WHERE NOT EXISTS (SELECT 1 FROM es_toks e WHERE e.tok = z.tok)
+         |ORDER BY tok""".stripMargin,
+
+    "q09_semi_join" ->
+      s"""WITH $docsTok, ${langVocab("vocab_es", "es")}
+         |SELECT doc_id, tok FROM docs_tokenized t
+         |WHERE EXISTS (SELECT 1 FROM vocab_es v WHERE v.tok = t.tok)
+         |ORDER BY doc_id, tok""".stripMargin,
+
+    "q10_broadcast_join" ->
+      s"""WITH $docsTok, $vocabCte, $bowCte
+         |SELECT b.doc_id, v.word_id, b.c FROM bow b JOIN vocab v ON b.tok = v.tok
+         |ORDER BY b.doc_id, v.word_id""".stripMargin,
+
+    "q11_topk_window" ->
+      s"""WITH $langTok,
+         |counts AS (SELECT lang, tok, COUNT(*) AS c FROM lang_tokens GROUP BY lang, tok),
+         |ranked AS (SELECT lang, tok, c,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r FROM counts)
+         |SELECT lang, tok, c FROM ranked WHERE r <= 5
+         |ORDER BY lang, c DESC, tok""".stripMargin,
+
+    "q12_global_agg" ->
+      s"WITH $docsTok SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab_size FROM docs_tokenized",
+
+    "q13_pivot" ->
+      s"""WITH $langTok
+         |SELECT tok,
+         |  SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+         |  SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh,
+         |  SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de
+         |FROM lang_tokens GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q14_union_distinct" ->
+      s"""WITH ${srcVocab("toks_src0", "src0")}, ${srcVocab("toks_src1", "src1")}
+         |SELECT tok FROM (SELECT tok FROM toks_src0 UNION SELECT tok FROM toks_src1)
+         |ORDER BY tok""".stripMargin,
+
+    "q15_sort_limit" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
+
+    "q16_string_fns" ->
+      """SELECT doc_id, LOWER(source) AS src, LENGTH(text) AS len,
+        |SUBSTRING(lang, 1, 1) AS l1 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_time_agg" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
+        |ROUND(SUM(value), 4) AS s FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_window_frame" ->
+      """SELECT event_id, ROUND(SUM(value) OVER (
+        |ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q19_json" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+
+    "q20_multijoin_revenue" ->
+      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c, ROUND(SUM(l_quantity), 4) AS q
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q22_intersect" ->
+      """SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q22_except" ->
+      """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q23_cosine_topk" ->
+      """WITH a AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0)
+        |SELECT b.vec_id, ROUND(list_dot_product(b.e, a.qe) /
+        |  (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+        |FROM b, a ORDER BY cos DESC, b.vec_id LIMIT 10""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "q25_scan_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |ROUND(SUM(l_extendedprice), 4) AS sum_price,
+        |ROUND(AVG(l_discount), 4) AS avg_disc,
+        |COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+}

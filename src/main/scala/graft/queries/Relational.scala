@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational oracle queries Q01–Q25 (SURVEY.md §2.5).
+  *
+  * Each `qNN` has a Spark (DataFrame) form here and a DuckDB-runnable ANSI
+  * SQL form in [[OracleSql]]. Column aliases match exactly between the two
+  * (the driver sorts columns by name before hashing). Every query carries a
+  * total ORDER BY; floats are ROUND(·, 4) per FIXTURES.md §D.
+  *
+  * Plan-shape intent at scale (reviewed via .explain("formatted")):
+  *   - scans project/filter at the parquet reader (PushedFilters/ReadSchema);
+  *   - dictionary joins (Q07/Q09/Q10) broadcast the vocab side;
+  *   - Q20 joins broadcast nation/customer/orders up the star;
+  *   - aggregations are partial+final (hash agg with map-side combine).
+  */
+object Relational {
+
+  // Q01 scan + project
+  def q01(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select("doc_id", "lang", "source").orderBy("doc_id")
+
+  // Q02 filter / predicates — both pushed to the parquet scan
+  def q02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .where(col("lang") === "es" && col("n_chars") > 200)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  // Q03 tokenize + explode (S1 analog)
+  def q03(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d).orderBy("doc_id", "tok")
+
+  // Q04 distinct + sort + dense id (V2 sorted vocab)
+  def q04(s: SparkSession, d: String): DataFrame =
+    vocab(s, d).orderBy("tok")
+
+  // Q05 word count
+  def q05(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d).groupBy("tok").agg(count(lit(1)).as("c")).orderBy("tok")
+
+  // Q06 bag-of-words build
+  def q06(s: SparkSession, d: String): DataFrame =
+    bow(s, d).orderBy("doc_id", "tok")
+
+  // Q07 inner equi-join (dictionary rewrite)
+  def q07(s: SparkSession, d: String): DataFrame =
+    bow(s, d).join(vocab(s, d), "tok")
+      .select("doc_id", "word_id", "c")
+      .orderBy("doc_id", "word_id")
+
+  // Q08 anti join (OOV complement): zh tokens absent from es vocabulary
+  def q08(s: SparkSession, d: String): DataFrame =
+    langVocab(s, d, "zh")
+      .join(langVocab(s, d, "es"), Seq("tok"), "left_anti")
+      .orderBy("tok")
+
+  // Q09 semi join (OOV keep): occurrences whose token is in the es vocab
+  def q09(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d)
+      .join(langVocab(s, d, "es"), Seq("tok"), "left_semi")
+      .select("doc_id", "tok")
+      .orderBy("doc_id", "tok")
+
+  // Q10 broadcast-hint join — result-identical to Q07, asserts the physical
+  // plan uses BroadcastHashJoinExec (vocab is always the small side)
+  def q10(s: SparkSession, d: String): DataFrame =
+    bow(s, d).join(broadcast(vocab(s, d)), "tok")
+      .select("doc_id", "word_id", "c")
+      .orderBy("doc_id", "word_id")
+
+  // Q11 top-k per group via ranking window (R1 top-words analog)
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val counts = langTokens(s, d).groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
+    counts.withColumn("r", row_number().over(w))
+      .where(col("r") <= 5)
+      .select("lang", "tok", "c")
+      .orderBy(col("lang"), col("c").desc, col("tok"))
+  }
+
+  // Q12 global aggregates
+  def q12(s: SparkSession, d: String): DataFrame =
+    docsTokenized(s, d).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("vocab_size"))
+
+  // Q13 pivot / conditional aggregation (model-matrix emission analog)
+  def q13(s: SparkSession, d: String): DataFrame =
+    langTokens(s, d).groupBy("tok").agg(
+      sum(when(col("lang") === "es", 1).otherwise(0)).as("es"),
+      sum(when(col("lang") === "zh", 1).otherwise(0)).as("zh"),
+      sum(when(col("lang") === "de", 1).otherwise(0)).as("de"))
+      .orderBy("tok")
+
+  // Q14 union + distinct (word-set union of V2)
+  def q14(s: SparkSession, d: String): DataFrame =
+    sourceVocab(s, d, "src0").union(sourceVocab(s, d, "src1"))
+      .distinct().orderBy("tok")
+
+  // Q15 sort + limit
+  def q15(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(20)
+
+  // Q16 string scalar functions
+  def q16(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      lower(col("source")).as("src"),
+      length(col("text")).as("len"),
+      substring(col("lang"), 1, 1).as("l1"))
+      .orderBy("doc_id")
+
+  // Q17 date_trunc + grouped agg (tumbling window analog)
+  def q17(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("s"))
+      .orderBy("h", "event_type")
+
+  // Q18 analytic window frame (running sum over 4 rows)
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("event_id").rowsBetween(-3, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), round(sum(col("value")).over(w), 4).as("s"))
+      .orderBy("event_id")
+  }
+
+  // Q19 JSON scalar function
+  def q19(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  // Q20 multi-way join + agg (TPC-H-style revenue per nation).
+  // Join order: lineitem (fact) joins orders, then customer, then nation —
+  // each dim side broadcast (orders is 1/4 the fact rows; customer and
+  // nation are tiny). At 100 TB lineitem/orders would both be large:
+  // AQE + sort-merge on l_orderkey with nation/customer broadcast is the
+  // plan Catalyst picks without hints, so no hints are hard-coded here.
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      .orderBy("n_name")
+  }
+
+  // Q21 rollup / grouping sets
+  def q21(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("c"), round(sum(col("l_quantity")), 4).as("q"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // Q22 set ops
+  def q22Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_custkey")
+      .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  def q22Except(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_custkey")
+      .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  // Q23 array ops + cosine similarity top-k (extension surface).
+  // embedding float[] is cast to double[] BEFORE arithmetic (FIXTURES §D.2).
+  // The query vector (vec_id=0) side is a single row — broadcast nested-loop
+  // join, which is exactly right; the scan side stays fully parallel.
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = e.where(col("vec_id") === 0).select(col("e").as("qe"))
+    val b = e.where(col("vec_id") =!= 0)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    b.crossJoin(broadcast(a))
+      .select(col("vec_id"),
+        round(dot(col("e"), col("qe")) / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // Q24 exact dedup via content hash (extension surface)
+  def q24(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .orderBy("h")
+
+  // Q25 full-scan aggregate battery (TPC-H Q1 analog)
+  def q25(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** name → query function, for SparkEntry. */
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> q01 _,
+    "q02_filter" -> q02 _,
+    "q03_tokenize" -> q03 _,
+    "q04_vocab" -> q04 _,
+    "q05_wordcount" -> q05 _,
+    "q06_bow" -> q06 _,
+    "q07_dict_join" -> q07 _,
+    "q08_anti_join" -> q08 _,
+    "q09_semi_join" -> q09 _,
+    "q10_broadcast_join" -> q10 _,
+    "q11_topk_window" -> q11 _,
+    "q12_global_agg" -> q12 _,
+    "q13_pivot" -> q13 _,
+    "q14_union_distinct" -> q14 _,
+    "q15_sort_limit" -> q15 _,
+    "q16_string_fns" -> q16 _,
+    "q17_time_agg" -> q17 _,
+    "q18_window_frame" -> q18 _,
+    "q19_json" -> q19 _,
+    "q20_multijoin_revenue" -> q20 _,
+    "q21_rollup" -> q21 _,
+    "q22_intersect" -> q22Intersect _,
+    "q22_except" -> q22Except _,
+    "q23_cosine_topk" -> q23 _,
+    "q24_dedup_exact" -> q24 _,
+    "q25_scan_agg" -> q25 _,
+  )
+}

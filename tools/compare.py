@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness compare (FIXTURES.md §D).
+
+Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
+
+For each query result parquet under outDir and its oracle SQL in
+oracle_sql.json: run the SQL in DuckDB over the sf tables, render both
+result sets as TSV (columns sorted by name, \\N for NULL, doubles %.4f),
+sha256, compare. Dev-only tooling — NOT part of the shipped library.
+"""
+import sys, os, json, hashlib, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def render(cols, rows):
+    # cols sorted by name; values rendered per FIXTURES D.4
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        cells = []
+        for i in order:
+            v = row[i]
+            if v is None:
+                cells.append("\\N")
+            elif isinstance(v, float):
+                cells.append("%.4f" % v)
+            else:
+                cells.append(str(v))
+        out.append("\t".join(cells))
+    return "\n".join(out)
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        res_dir = os.path.join(outdir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"MISSING  {name}")
+            n_bad += 1
+            continue
+        tbl = pq.read_table(files[0])
+        spark_cols = list(tbl.column_names)
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        try:
+            cur = con.execute(oracle[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"SQL-ERR  {name}: {e}")
+            n_bad += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_bad += 1
+            continue
+        a = render(spark_cols, spark_rows)
+        b = render(duck_cols, duck_rows)
+        ha, hb = hashlib.sha256(a.encode()).hexdigest(), hashlib.sha256(b.encode()).hexdigest()
+        if ha == hb:
+            print(f"OK       {name} ({len(spark_rows)} rows)")
+            n_ok += 1
+        else:
+            print(f"HASH     {name}: {len(spark_rows)} vs {len(duck_rows)} rows")
+            al, bl = a.split("\n"), b.split("\n")
+            for i, (x, y) in enumerate(zip(al, bl)):
+                if x != y:
+                    print(f"  first diff row {i}:\n    spark: {x}\n    duck : {y}")
+                    break
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
