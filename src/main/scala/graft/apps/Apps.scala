@@ -1,0 +1,156 @@
+package graft.apps
+
+import graft.lda._
+import org.apache.spark.sql.SparkSession
+
+/** CLI parity layer (C1, cmd_flags.cc:22-170): the reference's `--flag
+  * value` pairs with the same three validity profiles. */
+final case class Flags(
+    numTopics: Int = 0,
+    alpha: Double = 0.0,
+    beta: Double = 0.01,
+    trainingDataFile: String = "",
+    modelFile: String = "",
+    inferenceDataFile: String = "",
+    inferenceResultFile: String = "",
+    burnInIterations: Int = -1,
+    totalIterations: Int = 0,
+    computeLikelihood: Boolean = false,
+    seed: Long = 42L,
+    outputMode: String = "averaged" // averaged | final_counts (quirk #1)
+)
+
+object Flags {
+  def parse(args: Array[String]): Flags = {
+    var f = Flags()
+    var i = 0
+    while (i < args.length - 1) {
+      val v = args(i + 1)
+      args(i) match {
+        case "--num_topics" => f = f.copy(numTopics = v.toInt)
+        case "--alpha" => f = f.copy(alpha = v.toDouble)
+        case "--beta" => f = f.copy(beta = v.toDouble)
+        case "--training_data_file" => f = f.copy(trainingDataFile = v)
+        case "--model_file" => f = f.copy(modelFile = v)
+        case "--inference_data_file" => f = f.copy(inferenceDataFile = v)
+        case "--inference_result_file" => f = f.copy(inferenceResultFile = v)
+        case "--burn_in_iterations" => f = f.copy(burnInIterations = v.toInt)
+        case "--total_iterations" => f = f.copy(totalIterations = v.toInt)
+        case "--compute_likelihood" => f = f.copy(computeLikelihood = v == "true")
+        case "--seed" => f = f.copy(seed = v.toLong)
+        case "--output_mode" => f = f.copy(outputMode = v)
+        case other => sys.error(s"unknown flag: $other")
+      }
+      i += 2
+    }
+    f
+  }
+
+  /** cmd_flags.cc:74-105 (single-node train: requires burn_in). */
+  def checkTraining(f: Flags): Unit = {
+    require(f.numTopics > 1 && f.alpha > 0 && f.beta > 0, "bad hyperparameters")
+    require(f.trainingDataFile.nonEmpty && f.modelFile.nonEmpty, "missing files")
+    require(f.totalIterations > 0, "bad total_iterations")
+    require(f.burnInIterations >= 0 && f.burnInIterations < f.totalIterations, "bad burn_in")
+  }
+
+  /** cmd_flags.cc:139-170 (infer). */
+  def checkInferring(f: Flags): Unit = {
+    require(f.numTopics > 1 && f.alpha > 0 && f.beta > 0, "bad hyperparameters")
+    require(f.modelFile.nonEmpty && f.inferenceDataFile.nonEmpty &&
+      f.inferenceResultFile.nonEmpty, "missing files")
+    require(f.totalIterations > 0 && f.burnInIterations >= 0 &&
+      f.burnInIterations < f.totalIterations, "bad iterations")
+  }
+
+  def session(name: String): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName(name)
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}
+
+/** Train a topic model from a plda-format text corpus (parity with the
+  * `lda` / `mpi_lda` binaries, lda.cc:99-148 / mpi_lda.cc:171-245) or from
+  * a parquet documents table (path ending in .parquet with doc_id, text).
+  * `--output_mode averaged` writes the burn-in-averaged double model
+  * (single-node kind); `final_counts` writes last-iteration raw counts
+  * (mpi kind) — SURVEY quirk #1. */
+object TrainApp {
+  def main(args: Array[String]): Unit = {
+    val f = Flags.parse(args)
+    Flags.checkTraining(f)
+    val spark = Flags.session("graft-train")
+    val cfg = LdaConfig(f.numTopics, f.alpha, f.beta, f.totalIterations,
+      f.burnInIterations, f.computeLikelihood, f.seed)
+    val bowOrDocs = f.trainingDataFile
+    val model =
+      if (bowOrDocs.endsWith(".parquet")) {
+        Lda(cfg).fit(spark.read.parquet(bowOrDocs).select("doc_id", "text"))
+      } else {
+        val bowTok = Corpus.readPldaText(spark, bowOrDocs)
+        val vocab = Corpus.sortedVocab(bowTok.select("tok")).cache()
+        val numWords = vocab.count().toInt
+        val bow = bowTok.join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+          .select("doc_id", "word_id", "c")
+        val corpus = Corpus.fromBow(bow, cfg.numTopics, cfg.seed)
+        val r = LdaTrainer.train(corpus, numWords, cfg)
+        LdaModel(r.model, r.averaged, r.likelihoods, vocab, numWords, cfg)
+      }
+    if (f.computeLikelihood)
+      model.likelihoods.zipWithIndex.foreach { case (ll, i) =>
+        println(s"Iteration $i log-likelihood: $ll")
+      }
+    if (f.outputMode == "final_counts")
+      ModelIO.writeCounts(model.counts, cfg.numTopics, model.indexToWord, f.modelFile)
+    else
+      ModelIO.writeAveraged(model.averaged, cfg.numTopics, model.indexToWord, f.modelFile)
+    spark.stop()
+  }
+}
+
+/** Fold-in inference with a frozen model file (parity with `infer`,
+  * infer.cc:37-101): reads a plda-format corpus, drops OOV words, writes
+  * one line of K space-separated averaged topic counts per input doc. */
+object InferApp {
+  def main(args: Array[String]): Unit = {
+    val f = Flags.parse(args)
+    Flags.checkInferring(f)
+    val spark = Flags.session("graft-infer")
+    val (model, words) = ModelIO.readModel(f.modelFile)
+    val numWords = words.length
+    val k = (model.length / (numWords + 1))
+    import spark.implicits._
+    val vocab = words.zipWithIndex.toSeq.toDF("tok", "word_id")
+    val bow = Corpus.readPldaText(spark, f.inferenceDataFile)
+      .join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+      .select("doc_id", "word_id", "c")
+    val cfg = LdaConfig(k, f.alpha, f.beta, f.totalIterations, f.burnInIterations, seed = f.seed)
+    val corpus = Corpus.fromBow(bow, k, f.seed)
+    val result = LdaInfer.infer(corpus, model, numWords, cfg)
+      .collect().sortBy(_.docId)
+    val out = new java.io.PrintWriter(f.inferenceResultFile)
+    try result.foreach { dt =>
+      out.println(dt.topics.map(ModelIO.formatDouble).mkString(" "))
+    } finally out.close()
+    spark.stop()
+  }
+}
+
+/** Top-words report (parity with view_model.py): count>1 filter, per-topic
+  * descending sort. Usage: ViewModelApp <model_file> [topN]. */
+object ViewModelApp {
+  def main(args: Array[String]): Unit = {
+    val spark = Flags.session("graft-view-model")
+    val (model, words) = ModelIO.readModel(args(0))
+    val topN = if (args.length > 1) args(1).toInt else 10
+    val k = model.length / (words.length + 1)
+    val df = ModelIO.toDataFrame(spark, model, k, words)
+    val lda = LdaModel(model, Array.empty, Array.empty,
+      df.select(org.apache.spark.sql.functions.col("word").as("tok"), df("word_id")),
+      words.length, LdaConfig(k, 0.1, 0.01, 1))
+    lda.topWords(topN).show(k * topN, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.lda
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus construction: sources → `Dataset[DocState]` (S1/S2/S3 + V1/V2 of
+  * SURVEY.md §2.2).
+  *
+  * Scale notes: tokenize/explode is shuffle-free; the bag-of-words groupBy
+  * shuffles once on (doc_id); the dictionary rewrite broadcasts the vocab
+  * (V ≪ corpus — the reference's NYTimes run has V=102,660 against 100M
+  * tokens). Random topic init is seeded per docId, so the built corpus is
+  * identical under any partitioning.
+  */
+object Corpus {
+
+  /** Sorted-vocabulary build (V2, mpi_lda.cc:197-207): distinct tokens,
+    * lexicographic rank as dense id. Default vocabulary semantics (the
+    * deterministic one — SURVEY §2.2 quirk #3). */
+  def sortedVocab(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokens.select("tok").distinct()
+      .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
+  }
+
+  /** First-seen-order vocabulary (V1, lda.cc:70-77) — parity mode for the
+    * reference's single-node binary. Requires (doc_id, pos)-ordered input;
+    * id = rank of first (doc_id, pos) appearance. */
+  def firstSeenVocab(tokensWithPos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokensWithPos
+      .groupBy("tok")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .withColumn("word_id",
+        row_number().over(Window.orderBy(col("first"))) - 1)
+      .select("tok", "word_id")
+  }
+
+  /** documents(doc_id, text) → token occurrences (doc_id, pos, tok). */
+  def tokenize(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), t => t =!= "")).as(Seq("pos", "tok")))
+
+  /** Bag-of-words with dense word ids: tokens ⋈ vocab (broadcast), grouped.
+    * Drops OOV tokens (the semi-join semantics of infer.cc:77-80 when the
+    * vocab comes from a frozen model). */
+  def bagOfWords(tokens: DataFrame, vocab: DataFrame): DataFrame =
+    tokens.join(broadcast(vocab), "tok")
+      .groupBy("doc_id", "word_id").agg(count(lit(1)).as("c"))
+
+  /** (doc_id, word_id, c) → Dataset[DocState] with seeded random topics.
+    * Empty docs vanish naturally (no rows), matching mpi_lda.cc:142-144. */
+  def fromBow(bow: DataFrame, numTopics: Int, seed: Long): Dataset[DocState] = {
+    val spark = bow.sparkSession
+    import spark.implicits._
+    bow.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("word_id").cast("int").as("w"),
+        col("c").cast("int").as("c")))).as("wcs"))
+      .select(col("doc_id"), col("wcs.w").as("ws"), col("wcs.c").as("cs"))
+      .as[(Long, Array[Int], Array[Int])]
+      .map { case (docId, ws, cs) => DocState.init(docId, ws, cs, numTopics, seed) }
+  }
+
+  /** Full pipeline: documents(doc_id, text) → (corpus, vocab). */
+  def fromDocuments(documents: DataFrame, numTopics: Int, seed: Long): (Dataset[DocState], DataFrame) = {
+    val toks = tokenize(documents)
+    val vocab = sortedVocab(toks)
+    (fromBow(bagOfWords(toks, vocab), numTopics, seed), vocab)
+  }
+
+  /** plda text-line corpus (A1 grammar: `word1 cnt1 word2 cnt2 …`; skip
+    * empty/#/CR lines — lda.cc:56-84). doc_id = line number in file order. */
+  def readPldaText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .filter { case (line, _) =>
+        line.nonEmpty && line(0) != '#' && line(0) != '\r' && line(0) != '\n'
+      }
+      .flatMap { case (line, docId) =>
+        val parts = line.trim.split("\\s+")
+        // word count pairs; a trailing unpaired token is ignored like
+        // `ss >> word >> count` stopping at EOF
+        (0 until parts.length / 2 * 2 by 2).flatMap { i =>
+          val cnt = try parts(i + 1).toInt catch { case _: NumberFormatException => 0 }
+          if (cnt > 0) Some((docId, parts(i), cnt)) else None
+        }
+      }
+      .toDF("doc_id", "tok", "c")
+  }
+
+  /** UCI bag-of-words (A4, testdata/format.py:5-31): docword triples joined
+    * with 1-based vocab line numbers. Returns (doc_id, tok, c). */
+  def readUci(spark: SparkSession, docwordPath: String, vocabPath: String): DataFrame = {
+    import spark.implicits._
+    val triples = spark.read.textFile(docwordPath).rdd
+      .zipWithIndex()
+      .filter(_._2 >= 3) // skip D, W, NNZ header lines
+      .map { case (line, _) =>
+        val p = line.trim.split("\\s+")
+        (p(0).toLong, p(1).toInt, p(2).toInt)
+      }
+      .toDF("doc_id", "uci_id", "c")
+    val vocab = spark.read.textFile(vocabPath).rdd
+      .zipWithIndex()
+      .map { case (w, i) => (i.toInt + 1, w) }
+      .toDF("uci_id", "tok")
+    triples.join(broadcast(vocab), "uci_id").select("doc_id", "tok", "c")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.lda
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training iteration driver (SURVEY §3.4).
+  *
+  * Per iteration — exactly the reference's MPI communication profile
+  * (mpi_lda.cc:213-235), re-expressed as Spark's aggregate/broadcast:
+  *   1. broadcast the model (allreduce "down");
+  *   2. optional pre-sweep corpus log-likelihood (quirk #6: the reported LL
+  *      describes the previous iteration's model);
+  *   3. `mapPartitions` Gibbs sweep — each task samples against its cloned
+  *      replica (AD-LDA staleness, quirk #2);
+  *   4. recount the model from the swept corpus via treeReduce (allreduce
+  *      "up"; = ParallelLDAModel::ComputeAndAllReduce, mpi_lda.cc:94-111);
+  *   5. post-burn-in: accumulate into the driver-side averaged model
+  *      (A1/A2, accumulative_model.cc:38-68) — the single-node `lda`
+  *      binary's semantics.
+  *
+  * Lineage is cut with an eager localCheckpoint every 10 iterations; the
+  * superseded generation is unpersisted.
+  */
+object LdaTrainer {
+
+  final case class Result(
+      /** last-iteration raw counts, (V+1)×K flat (the `mpi_lda` output kind) */
+      model: Array[Long],
+      /** burn-in-averaged model, (V+1)×K flat (the `lda` output kind) */
+      averaged: Array[Double],
+      /** pre-sweep corpus log-likelihood per iteration (if requested) */
+      likelihoods: Array[Double],
+      /** final doc states (persisted) */
+      docs: Dataset[DocState],
+      numWords: Int)
+
+  def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result = {
+    val sc = corpus.sparkSession.sparkContext
+    val k = cfg.numTopics
+    var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    var model = Gibbs.countModel(docs, numWords, k)
+    val accum = new Array[Double]((numWords + 1) * k)
+    var nAccum = 0
+    val lls = Array.newBuilder[Double]
+
+    var iter = 0
+    while (iter < cfg.totalIterations) {
+      val bc = sc.broadcast(model)
+      if (cfg.computeLikelihood)
+        lls += Gibbs.corpusLikelihood(docs, bc, numWords, k, cfg.alpha, cfg.beta)
+      val prev = docs
+      docs = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
+        train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
+      if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
+      model = Gibbs.countModel(docs, numWords, k) // materializes the sweep
+      prev.unpersist(blocking = false)
+      bc.unpersist(blocking = false)
+      if (iter >= cfg.burnInIterations) {
+        var i = 0
+        while (i < accum.length) { accum(i) += model(i); i += 1 }
+        nAccum += 1
+      }
+      iter += 1
+    }
+    if (nAccum > 0) {
+      var i = 0
+      while (i < accum.length) { accum(i) /= nAccum; i += 1 }
+    }
+    Result(model, accum, lls.result(), docs, numWords)
+  }
+}
+
+/** Fold-in inference for unseen documents with a frozen model (I1,
+  * infer.cc:37-101). Each document's chain is independent given the frozen
+  * model, so ALL its iterations run inside one `mapPartitions` pass — one
+  * Spark job total, embarrassingly parallel, no per-iteration barrier. */
+object LdaInfer {
+
+  final case class DocTopics(docId: Long, topics: Array[Double])
+
+  /** corpus must be built against the model's vocabulary (OOV dropped at
+    * the dictionary join — the semi-join of infer.cc:77-80). Output: per
+    * doc, averaged post-burn-in topic counts (NOT normalized to 1),
+    * averaged over (total − burnIn) iterations like infer.cc:94-98. */
+  def infer(corpus: Dataset[DocState], model: Array[Long], numWords: Int, cfg: LdaConfig): Dataset[DocTopics] = {
+    import corpus.sparkSession.implicits._
+    val sc = corpus.sparkSession.sparkContext
+    val bc = sc.broadcast(model)
+    val k = cfg.numTopics
+    val (alpha, beta, total, burnIn, seed) =
+      (cfg.alpha, cfg.beta, cfg.totalIterations, cfg.burnInIterations, cfg.seed)
+    corpus.mapPartitions { it =>
+      val m = bc.value
+      val dist = new Array[Double](k)
+      it.map { doc =>
+        val topics = doc.topics.clone()
+        val docTopics = new Array[Long](k)
+        var j = 0
+        while (j < topics.length) { docTopics(topics(j)) += 1; j += 1 }
+        val acc = new Array[Double](k)
+        val rng = new SplitMix64(Rng.mix(seed, doc.docId, 0x1FE2L))
+        var iter = 0
+        while (iter < total) {
+          Gibbs.sweepDocument(doc.wordIds, doc.offsets, topics, docTopics, m,
+            numWords, alpha, beta, train = false, rng, dist)
+          if (iter >= burnIn) {
+            var t = 0
+            while (t < k) { acc(t) += docTopics(t); t += 1 }
+          }
+          iter += 1
+        }
+        val n = total - burnIn
+        var t = 0
+        while (t < k) { acc(t) /= n; t += 1 }
+        DocTopics(doc.docId, acc)
+      }
+    }
+  }
+}
+
+/** User-facing estimator/model pair (the north-star surface of SURVEY
+  * §2.4): `Lda(cfg).fit(documents)` → [[LdaModel]] → `.transform(docs)` /
+  * `.topWords(n)` / `.describeTopics`. */
+final case class Lda(cfg: LdaConfig) {
+
+  /** documents: DataFrame(doc_id, text). */
+  def fit(documents: DataFrame): LdaModel = {
+    val toks = Corpus.tokenize(documents)
+    val vocab = Corpus.sortedVocab(toks).cache()
+    val numWords = vocab.count().toInt
+    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), cfg.numTopics, cfg.seed)
+    val result = LdaTrainer.train(corpus, numWords, cfg)
+    LdaModel(result.model, result.averaged, result.likelihoods, vocab, numWords, cfg)
+  }
+}
+
+final case class LdaModel(
+    counts: Array[Long],
+    averaged: Array[Double],
+    likelihoods: Array[Double],
+    vocab: DataFrame,
+    numWords: Int,
+    cfg: LdaConfig) {
+
+  /** Fold-in topic mixtures for (doc_id, text) docs; OOV words dropped. */
+  def transform(documents: DataFrame, inferCfg: LdaConfig): Dataset[LdaInfer.DocTopics] = {
+    val toks = Corpus.tokenize(documents)
+    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), inferCfg.numTopics, inferCfg.seed)
+    LdaInfer.infer(corpus, counts, numWords, inferCfg)
+  }
+
+  /** Model as DataFrame(word, word_id, counts). */
+  def toDataFrame: DataFrame = {
+    val spark = vocab.sparkSession
+    ModelIO.toDataFrame(spark, counts, cfg.numTopics, indexToWord)
+  }
+
+  /** Words in id order (collected; V ≪ corpus). */
+  lazy val indexToWord: Array[String] =
+    vocab.orderBy("word_id").select("tok").collect().map(_.getString(0))
+
+  /** Top-n words per topic (R1, view_model.py): count>1 filter, per-topic
+    * ranking window, deterministic tie-break by word. */
+  def topWords(n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val long = ModelIO.toLongForm(toDataFrame)
+    val w = Window.partitionBy("topic").orderBy(col("cnt").desc, col("word").asc)
+    long.where(col("cnt") > 1)
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= n)
+      .select("topic", "word", "cnt")
+      .orderBy(col("topic"), col("cnt").desc, col("word"))
+  }
+}

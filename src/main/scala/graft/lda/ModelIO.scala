@@ -1,0 +1,131 @@
+package graft.lda
+
+import java.io.{BufferedWriter, FileWriter}
+import java.util.Locale
+import scala.io.Source
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model (de)serialization with byte parity to the reference's text format
+  * (A2 in FIXTURES.md): one word per line, `word<TAB>c1 c2 … cK\n`.
+  *
+  * Two writers, matching the reference's two output kinds (SURVEY quirk #1):
+  *  - raw int64 counts — the mpi_lda path (model.cc:98-111);
+  *  - burn-in-averaged doubles — the single-node lda path
+  *    (accumulative_model.cc:80-94), doubles rendered with C++
+  *    `ostream<<double` defaultfloat precision-6 semantics.
+  *
+  * The reader accepts both and truncates doubles to int64, reproducing
+  * model.cc:126-127 (quirk #4). Word order in the file defines word ids on
+  * reload (V3 vocabulary semantics).
+  *
+  * The text model file is a driver-side artifact (V×K longs — ~8 MB at the
+  * reference's NYTimes scale). For the huge-V regime the parquet form
+  * below keeps the model distributed.
+  */
+object ModelIO {
+
+  /** C++ `ostream << double` (defaultfloat, precision 6): like %.6g with
+    * trailing zeros (and a bare trailing '.') stripped. */
+  def formatDouble(d: Double): String = {
+    val s = String.format(Locale.ROOT, "%.6g", java.lang.Double.valueOf(d))
+    val (mant, exp) = s.indexOf('e') match {
+      case -1 => (s, "")
+      case i  => (s.substring(0, i), s.substring(i))
+    }
+    val stripped =
+      if (mant.contains('.')) {
+        val m = mant.reverse.dropWhile(_ == '0').reverse
+        if (m.endsWith(".")) m.dropRight(1) else m
+      } else mant
+    stripped + exp
+  }
+
+  /** Write raw counts (model.cc:98-111). `indexToWord(i)` = word with id i;
+    * `model` is the flat (V+1)×K array (global row excluded from output). */
+  def writeCounts(model: Array[Long], numTopics: Int, indexToWord: Array[String], path: String): Unit =
+    writeLines(indexToWord, path) { (sb, w) =>
+      val off = w * numTopics
+      var k = 0
+      while (k < numTopics) {
+        sb.append(model(off + k))
+        sb.append(if (k < numTopics - 1) ' ' else '\n')
+        k += 1
+      }
+    }
+
+  /** Write averaged doubles (accumulative_model.cc:80-94). */
+  def writeAveraged(model: Array[Double], numTopics: Int, indexToWord: Array[String], path: String): Unit =
+    writeLines(indexToWord, path) { (sb, w) =>
+      val off = w * numTopics
+      var k = 0
+      while (k < numTopics) {
+        sb.append(formatDouble(model(off + k)))
+        sb.append(if (k < numTopics - 1) ' ' else '\n')
+        k += 1
+      }
+    }
+
+  private def writeLines(indexToWord: Array[String], path: String)(row: (StringBuilder, Int) => Unit): Unit = {
+    val out = new BufferedWriter(new FileWriter(path))
+    try {
+      val sb = new StringBuilder
+      var w = 0
+      while (w < indexToWord.length) {
+        sb.setLength(0)
+        sb.append(indexToWord(w)).append('\t')
+        row(sb, w)
+        out.write(sb.toString)
+        w += 1
+      }
+    } finally out.close()
+  }
+
+  /** Read a model file (model.cc:113-153): word order defines ids (V3);
+    * double values truncated to long (quirk #4); global row rebuilt by
+    * column sums (model.cc:147-151). Returns (flat (V+1)×K counts, words
+    * in id order). */
+  def readModel(path: String): (Array[Long], Array[String]) = {
+    val src = Source.fromFile(path)
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer[(String, Array[Long])]()
+      for (line <- src.getLines()) {
+        if (line.nonEmpty && line(0) != '#' && line(0) != '\r' && line(0) != '\n') {
+          val parts = line.trim.split("\\s+")
+          rows += ((parts(0), parts.drop(1).map(_.toDouble.toLong)))
+        }
+      }
+      val v = rows.length
+      val k = rows.head._2.length
+      val model = new Array[Long]((v + 1) * k)
+      val words = new Array[String](v)
+      var w = 0
+      while (w < v) {
+        words(w) = rows(w)._1
+        val cs = rows(w)._2
+        var t = 0
+        while (t < k) {
+          model(w * k + t) = cs(t)
+          model(v * k + t) += cs(t)
+          t += 1
+        }
+        w += 1
+      }
+      (model, words)
+    } finally src.close()
+  }
+
+  /** Distributed model form: DataFrame(word, word_id, counts array) —
+    * the scale path (parquet at rest; never collected to the driver). */
+  def toDataFrame(spark: SparkSession, model: Array[Long], numTopics: Int, indexToWord: Array[String]): DataFrame = {
+    import spark.implicits._
+    indexToWord.indices.map { w =>
+      (indexToWord(w), w, (0 until numTopics).map(k => model(w * numTopics + k)).toArray)
+    }.toDF("word", "word_id", "counts")
+  }
+
+  /** Long-form (word, topic, cnt) for relational reporting (R1 top-words). */
+  def toLongForm(modelDf: DataFrame): DataFrame =
+    modelDf.select(col("word"),
+        posexplode(col("counts")).as(Seq("topic", "cnt")))
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.Tables
+import graft.lda._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LDA surface exposed as driver-checkable queries. Stochastic outputs are
+  * excluded from the DuckDB hash oracle (FIXTURES.md §D.5) — these entries
+  * get the weaker rows-only check; the real verification is the seeded
+  * determinism + invariant + planted-topic statistical specs. */
+object LdaQueries {
+
+  private val cache = scala.collection.concurrent.TrieMap[String, LdaModel]()
+
+  private def fitted(s: SparkSession, dir: String): LdaModel =
+    cache.getOrElseUpdate(dir, {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Lda(LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
+        totalIterations = 10, burnInIterations = 5,
+        computeLikelihood = true, seed = 42L)).fit(docs)
+    })
+
+  /** Top-10 words per topic from a 10-iteration K=4 fit on `documents`. */
+  def trainTopWords(s: SparkSession, dir: String): DataFrame =
+    fitted(s, dir).topWords(10)
+
+  /** Fold-in topic mixtures for the training docs (I1 surface). */
+  def inferTopics(s: SparkSession, dir: String): DataFrame = {
+    val m = fitted(s, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    m.transform(docs, m.cfg.copy(totalIterations = 15, burnInIterations = 10))
+      .toDF("doc_id", "topics")
+      .select(col("doc_id"), transform(col("topics"), t => round(t, 4)).as("topics"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-iteration pre-sweep corpus log-likelihood (L1 surface; quirk #6). */
+  def likelihoods(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fitted(s, dir).likelihoods.zipWithIndex
+      .map { case (ll, i) => (i, math.round(ll * 10000.0) / 10000.0) }.toSeq
+      .toDF("iteration", "log_likelihood")
+      .orderBy("iteration")
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lda_train_topwords" -> trainTopWords _,
+    "lda_infer_topics" -> inferTopics _,
+    "lda_likelihood" -> likelihoods _,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.lda
+
+import graft.SparkSpec
+
+class TrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic corpus with two planted topics: docs draw words from either
+    * {w0..w4} or {w5..w9} (SURVEY §5.2(5) statistical golden). */
+  private def plantedDocs(n: Int): Seq[(Long, String)] = {
+    val rng = new SplitMix64(2024L)
+    (0L until n.toLong).map { id =>
+      val base = if (id % 2 == 0) 0 else 5
+      val words = (0 until 30).map(_ => s"w${base + rng.nextInt(5)}")
+      (id, words.mkString(" "))
+    }
+  }
+
+  private val cfg = LdaConfig(numTopics = 2, alpha = 0.1, beta = 0.01,
+    totalIterations = 20, burnInIterations = 10, computeLikelihood = true, seed = 11L)
+
+  private lazy val fitted: LdaModel = Lda(cfg).fit(plantedDocs(60).toDF("doc_id", "text"))
+
+  test("training is deterministic: same seed ⇒ identical model") {
+    val m2 = Lda(cfg).fit(plantedDocs(60).toDF("doc_id", "text"))
+    assert(fitted.counts.sameElements(m2.counts))
+    assert(fitted.averaged.sameElements(m2.averaged))
+  }
+
+  test("model invariants hold after training") {
+    val k = cfg.numTopics
+    val v = fitted.numWords
+    assert(v == 10)
+    for (t <- 0 until k) {
+      val colSum = (0 until v).map(w => fitted.counts(w * k + t)).sum
+      assert(colSum == fitted.counts(v * k + t))
+    }
+    assert((0 until k).map(t => fitted.counts(v * k + t)).sum == 60 * 30)
+  }
+
+  test("log-likelihood improves from the random initialization") {
+    val lls = fitted.likelihoods
+    assert(lls.length == cfg.totalIterations)
+    // pre-sweep LL of iteration 0 is the random-init state; it must improve
+    assert(lls.last > lls.head)
+    // and the back half should be better than the first half on average
+    val (front, back) = lls.splitAt(lls.length / 2)
+    assert(back.sum / back.length > front.sum / front.length)
+  }
+
+  test("planted topics are recovered: each topic concentrates on one word block") {
+    val k = cfg.numTopics
+    val v = fitted.numWords
+    for (t <- 0 until k) {
+      val block0 = (0 until 5).map(w => fitted.counts(w * k + t)).sum.toDouble
+      val block5 = (5 until 10).map(w => fitted.counts(w * k + t)).sum.toDouble
+      val purity = math.max(block0, block5) / (block0 + block5)
+      assert(purity > 0.9, s"topic $t purity $purity")
+    }
+  }
+
+  test("infer assigns held-out docs to the right planted topic") {
+    val holdout = Seq((100L, "w0 w1 w2 w3 w4 w0 w1 w2"), (101L, "w5 w6 w7 w8 w9 w5 w6 w7"))
+      .toDF("doc_id", "text")
+    val inferCfg = cfg.copy(totalIterations = 15, burnInIterations = 10)
+    val topics = fitted.transform(holdout, inferCfg).collect().sortBy(_.docId)
+    assert(topics.length == 2)
+    // the two docs must put their mass on different topics
+    val t0 = topics(0).topics.indexOf(topics(0).topics.max)
+    val t1 = topics(1).topics.indexOf(topics(1).topics.max)
+    assert(t0 != t1)
+    // averaged counts sum to doc length
+    assert(math.abs(topics(0).topics.sum - 8.0) < 1e-9)
+  }
+
+  test("topWords surfaces the planted vocabulary blocks") {
+    val tw = fitted.topWords(5).collect()
+    assert(tw.nonEmpty)
+    val byTopic = tw.groupBy(_.getInt(0))
+    for ((_, rows) <- byTopic) {
+      val words = rows.map(_.getString(1)).toSet
+      val inBlock0 = words.count(w => w.stripPrefix("w").toInt < 5)
+      assert(inBlock0 == 0 || inBlock0 == words.size, s"mixed topic: $words")
+    }
+  }
+
+  test("averaged model reflects burn-in accumulation (quirk #1 single-node kind)") {
+    // averaged counts should be close to final counts in scale (same corpus)
+    val totalAvg = fitted.averaged.slice(fitted.numWords * 2, fitted.numWords * 2 + 2).sum
+    assert(math.abs(totalAvg - 60 * 30) < 1e-6) // global row sums to corpus size
+  }
+}
