@@ -10,10 +10,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.entries ++ graft.queries.LdaQueries.entries
+    graft.queries.Relational.entries ++ graft.queries.LdaQueries.entries ++
+      graft.queries.ExtQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.OracleSql.entries
+    graft.queries.OracleSql.entries ++ graft.queries.ExtQueries.oracles
 }

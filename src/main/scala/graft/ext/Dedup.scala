@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (extension surface,
+  * SURVEY.md §2.4): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * All hashing is md5-based and therefore engine-portable: every operator
+  * here is deterministic and has a DuckDB-expressible oracle. Everything is
+  * built from codegen'd `org.apache.spark.sql.functions` higher-order
+  * functions — no UDFs anywhere, so the whole pipeline stays inside
+  * whole-stage codegen.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy — one shuffle on the 32-hex digest.
+  *  - MinHash+LSH: per-doc signature (narrow), explode to (band, key) and
+  *    shuffle on band key — candidate pairs are generated per bucket, never
+  *    all-pairs. This is the 100 TB path.
+  *  - n-gram Jaccard: exact pairwise similarity via a shared-shingle join —
+  *    quadratic in bucket size; use AFTER LSH banding at scale (here also
+  *    exposed standalone as the small-data oracle).
+  *  - SimHash: 60-bit signature (BIGINT-safe in both engines); near-dup =
+  *    hamming distance via xor+bit_count, banded by prefix for scale.
+  */
+object Dedup {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column = filter(split(text, "\\s+"), t => t =!= "")
+
+  /** n-token shingles (contiguous, space-joined). Empty array if the doc
+    * has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + (j + 1))): _*)))
+      .otherwise(array())
+  }
+
+  /** MinHash signature: numHashes md5-min strings. Hash family i is
+    * s ↦ md5(i || ':' || s) — portable across engines, deterministic. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /** docs(doc_id, text) → (doc_id, band, key): LSH banding of the MinHash
+    * signature, `bands` bands of rows-per-band = numHashes/bands. Docs
+    * sharing a (band, key) are candidate near-duplicates. */
+  def minhashBands(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val sig = docs
+      .select(col("doc_id"), shingles(tokens(col("text")), shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
+    * The join is per-bucket — never all-pairs. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val b = minhashBands(docs, numHashes, bands, shingleLen)
+    val l = b.toDF("doc_a", "band", "key")
+    val r = b.toDF("doc_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard top-k most-similar pairs, via a shared-shingle
+    * join (pairs with zero overlap never materialize). Ordering is on
+    * ROUND(jaccard, 4) — a single IEEE division is bit-identical across
+    * engines, but the round keeps near-tie order stable — then ids. */
+  def jaccardTopPairs(docs: DataFrame, k: Int, shingleLen: Int = 3): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("sh"))
+      .distinct()
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = docSh.toDF("doc_a", "sh")
+      .join(docSh.toDF("doc_b", "sh"), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
+    * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
+    * votes ±1 per bit; bit j of the result is set iff the vote sum is
+    * positive. Pure integer arithmetic — engine-portable. */
+  val simhash60Sql: String =
+    """aggregate(
+      |  transform(sequence(0, 59), j ->
+      |    CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, h) ->
+      |      acc + 2 * (((instr('0123456789abcdef', substring(h, CAST(j DIV 4 AS INT) + 1, 1)) - 1)
+      |                 DIV CAST(pow(2, 3 - j % 4) AS INT)) % 2) - 1) > 0
+      |    THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+
+  /** docs(doc_id, text) → (doc_id, simhash) with the 60-bit signature. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), transform(col("ts"), t => md5(t)).as("hs"))
+      .select(col("doc_id"), expr(simhash60Sql).as("simhash"))
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist. All-pairs form
+    * (small data / post-banding); at scale, band by signature prefix first:
+    * two signatures within d bits share at least one of d+1 equal-width
+    * prefix blocks (pigeonhole). */
+  def simhashNearPairs(sims: DataFrame, maxDist: Int): DataFrame = {
+    val l = sims.toDF("doc_a", "ha")
+    val r = sims.toDF("doc_b", "hb")
+    l.join(r, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact duplicate groups by content hash (hash-groupBy; one shuffle). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .where(col("c") > 1)
+      .orderBy("h")
+}

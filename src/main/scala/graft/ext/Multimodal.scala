@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.4): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches.
+  *
+  * The actual codecs are NOT in this container, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`StubCodec`): it derives plausible
+  * metadata/features from the bytes alone, so the Spark-side plumbing —
+  * schema, batch shape, partitioning, the mapPartitions seam where a real
+  * decoder (JNI/FFI or a Python worker via ArrowEvalPython in PySpark)
+  * would slot in — is real and tested end-to-end.
+  *
+  * Scale notes: media bytes never pass through a shuffle — all transforms
+  * below are narrow (mapPartitions). Feature vectors (small) are what
+  * flows into joins/aggregations downstream. Batch size is bounded by rows
+  * not bytes here; a production decoder would cap batches by byte size.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      mime: String,
+      width: Int, // -1 when unknown/not applicable
+      height: Int,
+      duration_ms: Long)
+
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_intensity: Double,
+      phash: Long)
+
+  final case class FrameSample(media_id: Long, frame_index: Int, frame_hash: Long)
+
+  /** ======== STUB ========
+    * Deterministic fake decoder. A real implementation would call an image
+    * library here; everything OUTSIDE this object is production plumbing. */
+  object StubCodec {
+    /** "Decode" image dims/channels/intensity from bytes, deterministically. */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val h = bytesHash(payload)
+      val width = 64 + (math.abs(h) % 1024).toInt
+      val height = 64 + (math.abs(h >>> 17) % 1024).toInt
+      val channels = 1 + (math.abs(h >>> 34) % 4).toInt
+      val mean = (math.abs(h >>> 40) % 256).toDouble
+      (width, height, channels, mean)
+    }
+
+    /** Perceptual-hash stand-in: stable 64-bit digest of the payload. */
+    def phash(payload: Array[Byte]): Long = bytesHash(payload)
+
+    /** Number of "frames" a video payload decodes to. */
+    def frameCount(payload: Array[Byte]): Int = 8 + (math.abs(bytesHash(payload)) % 56).toInt
+
+    def frameHash(payload: Array[Byte], idx: Int): Long = bytesHash(payload) * 31 + idx
+
+    private def bytesHash(b: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < b.length) { h = 31 * h + b(i); i += 1 }
+      h
+    }
+  }
+  /** ======== END STUB ======== */
+
+  /** Decode + feature-extract images: one narrow mapPartitions pass, rows
+    * streamed in partition-local batches. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "image").map { m =>
+        val (w, h, c, mean) = StubCodec.decodeImage(m.payload)
+        // prefer declared metadata when present, decode otherwise
+        ImageFeatures(m.media_id,
+          if (m.width > 0) m.width else w,
+          if (m.height > 0) m.height else h,
+          c, mean, StubCodec.phash(m.payload))
+      }
+    }
+  }
+
+  /** Sample every `stride`-th frame of each video (flatMap — output can be
+    * larger than input; still shuffle-free). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.kind != "video") Iterator.empty
+      else {
+        val n = StubCodec.frameCount(m.payload)
+        (0 until n by stride).iterator.map(i => FrameSample(m.media_id, i, StubCodec.frameHash(m.payload, i)))
+      }
+    }
+  }
+
+  /** "Resize": re-emit metadata with new dims; payload untouched (a real
+    * impl would transcode in the same mapPartitions seam). */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.width <= maxDim && m.height <= maxDim) m
+      else {
+        val scale = maxDim.toDouble / math.max(m.width, m.height)
+        m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt)
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents fixture (payload =
+    * UTF-8 of text): exercises the binary-column path with real data. */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(id, kind, text.getBytes("UTF-8"),
+          s"application/x-fake-$kind", -1, -1, nChars * 10)
+      }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.lda.SplitMix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`), extension
+  * surface of SURVEY.md §2.4.
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the query side).
+  * Scale path: random-hyperplane LSH — seeded, deterministic planes;
+  * candidates only within matching buckets. Both UDF-free: the dot product
+  * is `zip_with` + `aggregate` (codegen'd higher-order functions).
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  def cosine(x: Column, y: Column): Column = dot(x, y) / (norm(x) * norm(y))
+
+  /** Cast float embeddings to double before arithmetic (FIXTURES §D.2). */
+  def asDouble(e: Column): Column = e.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query side, scan the corpus once, per-query ranking window. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("e"), col("qe")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Top-k most-similar pairs among all embeddings (exact, all-pairs —
+    * the small-data oracle; at scale use [[lshBuckets]] first). */
+  def cosinePairsTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val l = e.toDF("vec_a", "ea")
+    val r = e.toDF("vec_b", "eb")
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim, components from a
+    * seeded SplitMix64 mapped to {−1, +1} (sign-random projections). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new SplitMix64(seed)
+    Array.fill(nBits)(Array.fill(dim)(if (rng.nextLong() < 0) -1.0 else 1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id per vector: bit i = sign(v · plane_i).
+    * Vectors in the same bucket are cosine-similar candidates. */
+  def lshBuckets(embeddings: DataFrame, nBits: Int, dim: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val e = asDouble(col("embedding"))
+    val bits = (0 until nBits).map { i =>
+      val plane = array(planes(i).map(lit): _*)
+      when(dot(e, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    embeddings.select(col("vec_id"), e.as("e"),
+      bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Candidate pairs under multi-table LSH: `tables` independent
+    * hyperplane sets (seeds derived from `seed`); a pair is a candidate if
+    * it collides in ANY table. Collision prob per table for angle θ is
+    * (1 − θ/π)^nBits, so L tables lift recall to 1 − (1 − p)^L — the
+    * standard recall/cost dial. Per-table joins are bucket-local; the
+    * all-pairs cross join never materializes. */
+  def lshCandidatePairs(embeddings: DataFrame, nBits: Int, tables: Int, dim: Int, seed: Long): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val perTable = (0 until tables).map { t =>
+      val b = lshBuckets(embeddings, nBits, dim, seed + 0x9E3779B9L * (t + 1))
+        .select("vec_id", "bucket")
+      b.toDF("vec_a", "bucket")
+        .join(b.toDF("vec_b", "bucket"), Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+    }
+    perTable.reduce(_ union _).distinct()
+      .join(e.toDF("vec_a", "ea"), "vec_a")
+      .join(e.toDF("vec_b", "eb"), "vec_b")
+  }
+
+  /** Approximate top-k pairs: exact cosine over multi-table LSH candidates
+    * only — the 100 TB shape. Recall vs [[cosinePairsTopK]] is spec-tested. */
+  def lshPairsTopK(embeddings: DataFrame, k: Int, nBits: Int, dim: Int, seed: Long, tables: Int = 8): DataFrame = {
+    lshCandidatePairs(embeddings, nBits, tables, dim, seed)
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
+    * all-pairs form; compose with [[lshBuckets]] at scale. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val l = e.toDF("vec_a", "ea")
+    val r = e.toDF("vec_b", "eb")
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.4): language
+  * ID, quality scoring, token counting, document fingerprinting. All
+  * deterministic, UDF-free, engine-portable (DuckDB oracles). */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (public, standard lists). The
+    * n-gram-free heuristic: score = stopword hits per language, argmax;
+    * 'und' (undetermined) when every score is zero. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"),
+  )
+
+  private def hits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** docs(doc_id, text) → (doc_id, lang_pred). Ties broken by language
+    * code ascending (the scores array is lang-ordered and the fold keeps
+    * the first maximum); all-zero → 'und'. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        array(stopwords.map { case (lang, ws) =>
+          struct(hits(toks, ws).as("s"), lit(lang).as("lang"))
+        }: _*).as("scores"))
+      .select(col("doc_id"),
+        aggregate(col("scores"),
+          struct(lit(-1).as("s"), lit("und").as("lang")),
+          (best, x) => when(x("s") > best("s"), x).otherwise(best)).as("best"))
+      .select(col("doc_id"),
+        when(col("best.s") === 0, "und").otherwise(col("best.lang")).as("lang_pred"))
+  }
+
+  /** Quality metrics + composite score. Pure arithmetic (no
+    * transcendentals — keeps the DuckDB oracle bit-exact):
+    * score = 0.3·min(n_tokens/100, 1) + 0.4·stopword_ratio
+    *       + 0.3·min(avg_tok_len/10, 1). */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val en = stopwords.toMap.apply("en")
+    docs.select(col("doc_id"), toks.as("ts"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        round(aggregate(col("ts"), lit(0), (acc, t) => acc + length(t)).cast("double")
+          / size(col("ts")), 4).as("avg_tok_len"),
+        round(hits(col("ts"), en).cast("double") / size(col("ts")), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("double") / length(col("text")), 4).as("digit_ratio"))
+      // no final ROUND: the weighted sum can land exactly on a .00005
+      // boundary where Spark (decimal HALF_UP) and DuckDB (binary) round
+      // differently; the doubles themselves are bit-identical, so the
+      // driver's %.4f rendering normalizes them
+      .withColumn("quality_score",
+        lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0))
+          + lit(0.4) * col("stopword_ratio")
+          + lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0)))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex pass
+    * (alnum runs vs single non-space symbols — a cheap proxy for subword
+    * token counts). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    docs.select(
+      col("doc_id"),
+      size(Dedup.tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("re_tokens"))
+  }
+
+  /** Winnowing-style document fingerprint: min md5 over 5-token shingles
+    * (falls back to md5(text) for very short docs). Portable analogue of a
+    * Karp–Rabin rolling-hash fingerprint — the true rolling hash is
+    * [[rollingFingerprint]] below for library use. */
+  def fingerprints(docs: DataFrame, shingleLen: Int = 5): DataFrame = {
+    val sh = Dedup.shingles(Dedup.tokens(col("text")), shingleLen)
+    docs.select(col("doc_id"),
+      when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+        .otherwise(md5(col("text"))).as("fp"))
+  }
+
+  /** True Karp–Rabin rolling hash over the token stream: polynomial hash
+    * with base B and modulus M, O(n) via Horner. Driver/library utility
+    * (sequential by definition); the distributed fingerprint surface is
+    * [[fingerprints]]. */
+  def rollingFingerprint(tokens: Seq[String], base: Long = 1000003L, mod: Long = (1L << 61) - 1): Long = {
+    var h = 0L
+    for (t <- tokens) {
+      val th = t.foldLeft(0L)((a, c) => (a * 131 + c) % mod)
+      h = (mulMod(h, base, mod) + th) % mod
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("minhashCandidates surfaces planted near-duplicates, not unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val nearDup = base.replace("theta", "thetaX") // one token changed
+    val unrelated = "one two three four five six seven eight nine ten " * 3
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccardTopPairs ranks the planted near-dup first with jac close to 1") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val d = docs((1L, base), (2L, base.replace("kappa", "kappaX")),
+      (3L, "completely different tokens here nothing shared at all padded words"))
+    val top = Dedup.jaccardTopPairs(d, 3).as[(Long, Long, Double)].collect()
+    assert(top.head._1 == 1L && top.head._2 == 2L)
+    assert(top.head._3 > 0.5)
+  }
+
+  test("simhash of identical docs is identical; near-dup docs are hamming-close") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
+      (4L, "unrelated totally different words everywhere padded out to length " * 5))
+    val sims = Dedup.simhashes(d).as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)))
+    // near-pairs finds the exact-dup pair at distance 0
+    val near = Dedup.simhashNearPairs(Dedup.simhashes(d), maxDist = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(near.contains((1L, 2L)))
+  }
+
+  test("exactDupGroups groups identical texts with sorted member ids") {
+    val d = docs((5L, "x y z"), (1L, "x y z"), (2L, "a b c"))
+    val g = Dedup.exactDupGroups(d).select("c", "doc_ids").as[(Long, Seq[Long])].collect()
+    assert(g.length == 1 && g.head._1 == 2 && g.head._2 == Seq(1L, 5L))
+  }
+
+  test("lshPairsTopK achieves high recall of the true top pairs (multi-table)") {
+    val emb = Tables.embeddingsFixture(spark)
+    val exact = Similarity.cosinePairsTopK(emb, 10).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.lshPairsTopK(emb, 10, nBits = 4, dim = 64, seed = 42L, tables = 16)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // random fixture vectors: top pair cos ≈0.46 (θ≈62°) → per-table
+    // collision (1-θ/π)^4 ≈ 0.19; 16 tables → ≈0.97 per pair
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("lsh candidates catch planted near-identical vectors with few tables") {
+    val rng = new graft.lda.SplitMix64(3L)
+    def vec() = Array.fill(16)(rng.nextDouble().toFloat * 2 - 1)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    val planted = base.take(3).map { case (id, v) =>
+      (id + 100L, v.map(x => x + (rng.nextDouble().toFloat - 0.5f) * 0.01f))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val cand = Similarity.lshCandidatePairs(emb, nBits = 8, tables = 4, dim = 16, seed = 1L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    for (i <- 0 until 3) assert(cand.contains((i.toLong, i + 100L)), s"missing planted pair $i")
+  }
+
+  test("lsh buckets are deterministic for a fixed seed") {
+    val emb = Tables.embeddingsFixture(spark)
+    val a = Similarity.lshBuckets(emb, 8, 64, 7L).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b = Similarity.lshBuckets(emb, 8, 64, 7L).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val c = Similarity.lshBuckets(emb, 8, 64, 8L).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a != c) // different planes
+  }
+
+  test("languageId picks the profile language and falls back to 'und'") {
+    val d = docs(
+      (1L, "the cat is of the hill and the dog"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "zzz qqq www unknown tokens only"))
+    val got = TextAnalysis.languageId(d).as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("qualityMetrics computes ratios on a hand-checked doc") {
+    val d = docs((1L, "the aaa bb1 c ")) // 4 tokens, lens 3,3,3,1; 1 en-stopword; 1 digit of 14 chars
+    val r = TextAnalysis.qualityMetrics(d).collect().head
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(math.abs(r.getAs[Double]("avg_tok_len") - 2.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("digit_ratio") - 1.0 / 14) < 1e-4)
+  }
+
+  test("tokenStats: regex tokens split punctuation that whitespace tokens keep") {
+    val d = docs((1L, "abc de2f g,h "))
+    val r = TextAnalysis.tokenStats(d).as[(Long, Int, Int)].collect().head
+    assert(r._2 == 3) // ws: abc, de2f, "g,h"
+    assert(r._3 == 5) // re: abc, de2f, g, ",", h
+  }
+
+  test("fingerprints stable across runs; rollingFingerprint order-sensitive") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+    val fp = TextAnalysis.fingerprints(d).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val h1 = TextAnalysis.rollingFingerprint(Seq("a", "b", "c"))
+    val h2 = TextAnalysis.rollingFingerprint(Seq("c", "b", "a"))
+    assert(h1 != h2)
+    assert(h1 == TextAnalysis.rollingFingerprint(Seq("a", "b", "c")))
+  }
+
+  test("multimodal pipeline: schema, determinism, frame sampling stride") {
+    val media = Multimodal.syntheticMedia(spark, docs((0L, "image doc"), (1L, "audio doc"), (2L, "video doc"))
+      .withColumn("n_chars", length(col("text"))))
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length == 1 && feats.head.media_id == 0L)
+    assert(feats.head.width > 0 && feats.head.channels >= 1)
+    val again = Multimodal.imageFeatures(media).collect()
+    assert(feats.head == again.head) // deterministic stub
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    assert(frames.nonEmpty && frames.forall(_.media_id == 2L))
+    assert(frames.forall(_.frame_index % 4 == 0))
+    // resize clamps the max dimension, preserves aspect
+    val sized = Multimodal.resize(media.map(_.copy(width = 2000, height = 1000)), 512).collect()
+    assert(sized.forall(m => m.width == 512 && m.height == 256))
+  }
+
+  private object Tables {
+    def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+}
