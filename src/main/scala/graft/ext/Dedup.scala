@@ -28,6 +28,14 @@ object Dedup {
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column = filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Repartition a compute-heavy input to full parallelism. Small parquet
+    * files arrive as ONE split (partitioning is byte-based), which serializes
+    * hash-dense per-row work onto a single core; the tiny shuffle is
+    * negligible next to the compute it parallelizes. No-op effect at real
+    * scale where inputs already have many splits. */
+  def spreadForCompute(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** n-token shingles (contiguous, space-joined). Empty array if the doc
     * has fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column = {
@@ -49,13 +57,17 @@ object Dedup {
     * sharing a (band, key) are candidate near-duplicates. */
   def minhashBands(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val sig = docs
-      .select(col("doc_id"), shingles(tokens(col("text")), shingleLen).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // explode + per-hash min aggregates instead of array lambdas: the md5s
+    // run in whole-stage codegen row-wise (array HOF lambdas are
+    // interpreted per element — ~10× slower measured), and the groupBy is
+    // a cheap partial+final min of 8 small strings per doc.
+    val exploded = spreadForCompute(docs)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("s"))
+    val aggs = (0 until numHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*)).as("key"))
+        md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)).as("key"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
@@ -64,7 +76,11 @@ object Dedup {
   /** Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
     * The join is per-bucket — never all-pairs. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    // persist: both sides of the self-join read the signatures — without it
+    // the shingle+8×md5 pipeline runs twice (Spark reuses no exchange
+    // across different join keys). LRU-evicted, safe to leave cached.
     val b = minhashBands(docs, numHashes, bands, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.toDF("doc_a", "band", "key")
     val r = b.toDF("doc_b", "band", "key")
     l.join(r, Seq("band", "key"))
@@ -77,9 +93,11 @@ object Dedup {
     * ROUND(jaccard, 4) — a single IEEE division is bit-identical across
     * engines, but the round keeps near-tie order stable — then ids. */
   def jaccardTopPairs(docs: DataFrame, k: Int, shingleLen: Int = 3): DataFrame = {
-    val docSh = docs
+    // persisted: read three times (both join sides + per-doc sizes)
+    val docSh = spreadForCompute(docs)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = docSh.toDF("doc_a", "sh")
       .join(docSh.toDF("doc_b", "sh"), "sh")
@@ -109,7 +127,7 @@ object Dedup {
 
   /** docs(doc_id, text) → (doc_id, simhash) with the 60-bit signature. */
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    spreadForCompute(docs).select(col("doc_id"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), transform(col("ts"), t => md5(t)).as("hs"))
       .select(col("doc_id"), expr(simhash60Sql).as("simhash"))
 

@@ -25,16 +25,27 @@ object Similarity {
   /** Cast float embeddings to double before arithmetic (FIXTURES §D.2). */
   def asDouble(e: Column): Column = e.cast("array<double>")
 
+  /** (vec_id, e, n): embeddings as doubles with the norm precomputed ONCE
+    * per vector — pair ops then do a single dot product instead of three.
+    * cos = dot(a,b)/(na·nb) is the same IEEE expression as the oracle's
+    * dot/(sqrt(dot aa)·sqrt(dot bb)), just with the sqrt hoisted, so the
+    * values stay bit-identical. */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    Dedup.spreadForCompute(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("n", norm(col("e")))
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query side, scan the corpus once, per-query ranking window. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val c = withNorm(corpus)
+    val q = withNorm(queries).toDF("query_id", "qe", "qn")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), round(cosine(col("e"), col("qe")), 4).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("e"), col("qe")) / (col("qn") * col("n")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .orderBy("query_id", "rnk")
@@ -43,12 +54,12 @@ object Similarity {
   /** Top-k most-similar pairs among all embeddings (exact, all-pairs —
     * the small-data oracle; at scale use [[lshBuckets]] first). */
   def cosinePairsTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val l = e.toDF("vec_a", "ea")
-    val r = e.toDF("vec_b", "eb")
+    val e = withNorm(embeddings)
+    val l = e.toDF("vec_a", "ea", "na")
+    val r = e.toDF("vec_b", "eb", "nb")
     l.join(r, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
@@ -80,7 +91,7 @@ object Similarity {
     * standard recall/cost dial. Per-table joins are bucket-local; the
     * all-pairs cross join never materializes. */
   def lshCandidatePairs(embeddings: DataFrame, nBits: Int, tables: Int, dim: Int, seed: Long): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val e = withNorm(embeddings)
     val perTable = (0 until tables).map { t =>
       val b = lshBuckets(embeddings, nBits, dim, seed + 0x9E3779B9L * (t + 1))
         .select("vec_id", "bucket")
@@ -90,8 +101,8 @@ object Similarity {
         .select("vec_a", "vec_b")
     }
     perTable.reduce(_ union _).distinct()
-      .join(e.toDF("vec_a", "ea"), "vec_a")
-      .join(e.toDF("vec_b", "eb"), "vec_b")
+      .join(e.toDF("vec_a", "ea", "na"), "vec_a")
+      .join(e.toDF("vec_b", "eb", "nb"), "vec_b")
   }
 
   /** Approximate top-k pairs: exact cosine over multi-table LSH candidates
@@ -99,7 +110,7 @@ object Similarity {
   def lshPairsTopK(embeddings: DataFrame, k: Int, nBits: Int, dim: Int, seed: Long, tables: Int = 8): DataFrame = {
     lshCandidatePairs(embeddings, nBits, tables, dim, seed)
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
@@ -107,11 +118,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val l = e.toDF("vec_a", "ea")
-    val r = e.toDF("vec_b", "eb")
+    val e = withNorm(embeddings)
+    val l = e.toDF("vec_a", "ea", "na")
+    val r = e.toDF("vec_b", "eb", "nb")
     l.join(r, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -47,13 +47,13 @@ object LdaTrainer {
     var iter = 0
     while (iter < cfg.totalIterations) {
       val bc = sc.broadcast(model)
-      if (cfg.computeLikelihood)
-        lls += Gibbs.corpusLikelihood(docs, bc, numWords, k, cfg.alpha, cfg.beta)
+      val llAcc = if (cfg.computeLikelihood) Some(sc.doubleAccumulator(s"ll_$iter")) else None
       val prev = docs
       docs = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
-        train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
+        train = true, cfg.seed, iter, llAcc).persist(StorageLevel.MEMORY_AND_DISK)
       if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
       model = Gibbs.countModel(docs, numWords, k) // materializes the sweep
+      llAcc.foreach(a => lls += a.value)
       prev.unpersist(blocking = false)
       bc.unpersist(blocking = false)
       if (iter >= cfg.burnInIterations) {

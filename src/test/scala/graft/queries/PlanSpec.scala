@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan hygiene (the 100 TB checklist): filters reach the parquet
+  * scan, projections prune columns, small join sides broadcast. These are
+  * the properties that decide whether a plan survives a 1000× scale-up,
+  * asserted so a regression fails CI rather than a production run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntryPlans.formatted(spark, name)
+
+  private object SparkEntryPlans {
+    def formatted(s: org.apache.spark.sql.SparkSession, name: String): String = {
+      val df = graft.SparkEntry.queries(name)(s, sf())
+      df.collect() // AQE finalizes (and codegen appears) only after execution
+      df.queryExecution.executedPlan.toString()
+    }
+  }
+
+  test("q02: both predicates are pushed to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("IsNotNull(lang)") || p.contains("EqualTo(lang,es)"), p.take(2000))
+    assert(p.contains("GreaterThan(n_chars,200)"), p.take(2000))
+  }
+
+  test("q01: column pruning — text is not read for a 3-column projection") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") && readSchema.contains("source"))
+  }
+
+  test("q10: dictionary join executes as a broadcast hash join") {
+    val p = plan("q10_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q20: nation (tiny dim) joins via broadcast; shipdate filter pushed in q25") {
+    assert(plan("q20_multijoin_revenue").contains("BroadcastHashJoin"))
+    val p25 = plan("q25_scan_agg")
+    assert(p25.contains("LessThanOrEqual(l_shipdate"), p25.take(2000))
+  }
+
+  test("q25: whole-stage codegen covers the scan+filter+partial-agg pipeline") {
+    val p = plan("q25_scan_agg")
+    // codegen'd stages render as "*(n) Operator" in the executed plan
+    assert(p.contains("*(1)"), p.take(2000))
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("q05: aggregation is partial+final (map-side combine before shuffle)") {
+    val p = plan("q05_wordcount")
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+}
