@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Per-user session emission from [[Streams.userSessions]]. Top-level:
+  * encoder codegen requires state/output classes be directly instantiable. */
+final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+/** Keyed session state for [[Streams.userSessions]] (top-level for codegen). */
+final case class SessionState(n: Long, total: Double)
+
+/** Structured Streaming surface (SURVEY §2.3 row "Streaming"): the events
+  * fixture as a stream — tumbling/sliding windowed aggregation with
+  * watermarks, late-data handling, streaming dedup, and custom session
+  * state via flatMapGroupsWithState.
+  *
+  * The reference is batch-iterative (no streaming); this is north-star
+  * extension surface. Design notes for scale: state is keyed and bounded
+  * by watermark eviction; all aggregations are partial+final over the
+  * shuffle on (window, key); `maxFilesPerTrigger` paces backfill.
+  */
+object Streams {
+
+  /** Batch-identical schema for the events stream (ts already micro-second
+    * truncated like Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (as read with nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream the events parquet path (file or directory) as a file source.
+    *
+    * Single-file paths (the fixtures ship one parquet file per table) need
+    * two adjustments: FileStreamSource force-sets `basePath` to the literal
+    * path unless the path is a glob — and a file basePath is rejected — so
+    * the first character of the filename is bracket-wrapped (`[e]vents…`),
+    * an equivalent glob; `basePath` is then pinned to the parent dir. */
+  def eventStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (globPath, base) = if (path.endsWith(".parquet")) {
+      val slash = path.lastIndexOf('/')
+      val dir = path.substring(0, slash)
+      val name = path.substring(slash + 1)
+      (s"$dir/[${name.head}]${name.tail}", dir)
+    } else (path, path)
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", base)
+      .parquet(globPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window count/sum per event type with a watermark: the
+    * streaming form of Q17. Late rows beyond the watermark are dropped;
+    * window state is evicted once the watermark passes. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
+      .select(col("window.start").as("h"), col("event_type"), col("c"), col("s"))
+
+  /** Sliding-window average value per user. */
+  def slidingUserValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("user_id"))
+      .agg(avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("w"), col("user_id"), col("avg_value"))
+
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** Custom keyed state: per-user session aggregation with processing-time
+    * timeout — the `flatMapGroupsWithState` surface. Emits a running
+    * update per batch and a closing record when the session times out. */
+  def userSessions(events: Dataset[(Long, Double)], timeoutMs: Long = 30000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(user, s.n, s.total, closed = true))
+          } else {
+            val old = state.getOption.getOrElse(SessionState(0L, 0.0))
+            var n = old.n
+            var total = old.total
+            rows.foreach { case (_, v) => n += 1; total += v }
+            state.update(SessionState(n, total))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.single(SessionUpdate(user, n, total, closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), s"query $name did not terminate")
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Poll until `cond` holds (bounded): `processAllAvailable` never wakes
+    * under ProcessingTimeTimeout's continuous no-data batches. */
+  private def eventually(cond: => Boolean, timeoutMs: Long = 60000): Unit = {
+    val end = System.currentTimeMillis + timeoutMs
+    while (!cond && System.currentTimeMillis < end) Thread.sleep(200)
+    assert(cond, "condition not met within timeout")
+  }
+
+  test("streaming tumbling counts equal the batch Q17 aggregation") {
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    // complete mode: append would hold back windows newer than the final
+    // watermark (max ts − 2h), which never finalize on a finite stream
+    val got = runToCompletion(
+      Streams.tumblingCounts(stream), "t_counts", mode = "complete")
+      .select(col("h"), col("event_type"), col("c"),
+        round(col("s"), 4).as("s"))
+      .orderBy("h", "event_type")
+      .collect()
+    val want = graft.queries.Relational.q17(spark, sf()).collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    val deduped = runToCompletion(Streams.dedupEvents(stream), "t_dedup")
+    val n = deduped.count()
+    val distinct = graft.Tables.events(spark, sf()).select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+
+  test("sliding windows produce two windows per event hour") {
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    val got = runToCompletion(Streams.slidingUserValue(stream), "t_slide")
+    assert(got.count() > 0)
+    // every (user, window) average is finite
+    assert(got.where(col("avg_value").isNull).count() == 0)
+  }
+
+  test("flatMapGroupsWithState sessionizes per user with running totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData((1L, 2.0), (1L, 3.0), (2L, 5.0))
+    // long session timeout: the test asserts running totals, not closes
+    val q = Streams.userSessions(ms.toDS(), timeoutMs = 600000)
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+    try {
+      def live = spark.table("t_sessions").as[SessionUpdate].collect().filter(!_.closed)
+      eventually(live.length >= 2)
+      ms.addData((1L, 4.0))
+      eventually(live.exists(u => u.user_id == 1L && u.n_events == 3L))
+      val rows = live
+      // user 1: first batch n=2 total=5, second batch n=3 total=9 (state kept)
+      val u1 = rows.filter(_.user_id == 1L).sortBy(_.n_events)
+      assert(u1.map(u => (u.n_events, u.total_value)).toSeq == Seq((2L, 5.0), (3L, 9.0)))
+      assert(rows.exists(u => u.user_id == 2L && u.n_events == 1L && u.total_value == 5.0))
+    } finally q.stop()
+  }
+}
