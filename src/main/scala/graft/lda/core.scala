@@ -88,6 +88,29 @@ final class SplitMix64(private var state: Long) {
   def nextInt(bound: Int): Int = (nextDouble() * bound).toInt
 }
 
+object Prob {
+  /** L2 (common.cc:21-29): a probability distribution sums to 1 ± eps. */
+  def isValidDistribution(dist: Array[Double], eps: Double = 1e-5): Boolean = {
+    var s = 0.0
+    var i = 0
+    while (i < dist.length) {
+      if (dist(i) < 0) return false
+      s += dist(i)
+      i += 1
+    }
+    math.abs(s - 1.0) < eps
+  }
+
+  /** Normalize non-negative weights to a distribution (sum 1). */
+  def normalize(weights: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < weights.length) { s += weights(i); i += 1 }
+    require(s > 0, "degenerate weight vector")
+    weights.map(_ / s)
+  }
+}
+
 object Rng {
   /** Mix (seed, a, b) into an independent stream seed. */
   def mix(seed: Long, a: Long, b: Long): Long = {
