@@ -1,0 +1,259 @@
+package graft.lda
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/** One model row: n(w,·) for a single word. */
+final case class WordTopics(wordId: Int, counts: Array[Long])
+
+/** Word-sharded training path for models too large to broadcast whole
+  * (SURVEY §7.4 risk 2, mitigation (b)/(c); the data-placement idea of the
+  * PLDA+ paper cited at reference README.md:232).
+  *
+  * The flat-array path ([[LdaTrainer]]) broadcasts (V+1)×K longs per
+  * iteration — ~8 MB at NYTimes scale (V=102,660, K=10) but 8 GB at
+  * V=1M, K=1000, which breaks both the driver collect and the broadcast.
+  * Here the model lives as a distributed `Dataset[WordTopics]`; each
+  * iteration sweeps the vocabulary in `numShards` ranges, collecting and
+  * broadcasting only one shard's rows — (V/S)×K — at a time, so driver
+  * and executor peak memory are bounded by the shard size, never the
+  * full model.
+  *
+  * Trade-offs, stated explicitly:
+  *  - S jobs per iteration instead of 1 (each materialized before its
+  *    shard broadcast is released). Job overhead amortizes at the corpus
+  *    sizes that force sharding in the first place.
+  *  - Within an iteration every shard samples against counts that are
+  *    stale from the iteration start (the global row n(k) too). This is
+  *    the same one-iteration-staleness class as AD-LDA across partitions
+  *    (reference mpi_lda.cc:213-218) — statistically equivalent, verified
+  *    by the likelihood-trend tests, not by hash equality.
+  *  - Visit order differs from the full sweep (shard-major instead of
+  *    doc-major), so chains are NOT bit-identical to [[LdaTrainer]];
+  *    determinism for a fixed (seed, numShards, partitioning) still holds.
+  */
+object ShardedLda {
+
+  /** Recount model rows from assignments, distributed end-to-end: the
+    * sharded analog of Gibbs.countModel. Per-partition open-hash tally,
+    * then a key-shuffled array-add reduce. Output partitioned by wordId
+    * hash — collectShard prunes with a filter. */
+  def countModelRows(docs: Dataset[DocState], numTopics: Int): Dataset[WordTopics] = {
+    import docs.sparkSession.implicits._
+    val k = numTopics
+    docs.mapPartitions { it =>
+      val tally = mutable.LongMap.empty[Array[Long]]
+      it.foreach { doc =>
+        var i = 0
+        while (i < doc.wordIds.length) {
+          val row = tally.getOrElseUpdate(doc.wordIds(i).toLong, new Array[Long](k))
+          var j = doc.offsets(i)
+          val end = doc.offsets(i + 1)
+          while (j < end) { row(doc.topics(j)) += 1; j += 1 }
+          i += 1
+        }
+      }
+      tally.iterator.map { case (w, counts) => WordTopics(w.toInt, counts) }
+    }
+    .groupByKey(_.wordId)
+    .reduceGroups { (a, b) =>
+      var i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      a
+    }
+    .map(_._2)
+  }
+
+  /** Global topic row n(k) = column sums of the model rows (length K —
+    * always small enough to collect). */
+  def globalRow(modelRows: Dataset[WordTopics], numTopics: Int): Array[Long] =
+    modelRows.rdd.mapPartitions { it =>
+      val acc = new Array[Long](numTopics)
+      it.foreach { r =>
+        var i = 0
+        while (i < numTopics) { acc(i) += r.counts(i); i += 1 }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
+
+  /** Shard s of S owns word ids in [lo, hi). Range (not hash) sharding:
+    * a shard's rows form one contiguous array slice on the executors. */
+  private def shardBounds(numWords: Int, numShards: Int, s: Int): (Int, Int) = {
+    val per = (numWords + numShards - 1) / numShards
+    (s * per, math.min((s + 1) * per, numWords))
+  }
+
+  /** Collect one shard's rows into a dense (hi−lo)×K flat array. Driver
+    * memory: (V/S)×K×8 bytes — the whole point. */
+  private def collectShard(
+      modelRows: Dataset[WordTopics], lo: Int, hi: Int, k: Int): Array[Long] = {
+    val flat = new Array[Long]((hi - lo) * k)
+    modelRows.filter(r => r.wordId >= lo && r.wordId < hi).collect().foreach { r =>
+      System.arraycopy(r.counts, 0, flat, (r.wordId - lo) * k, k)
+    }
+    flat
+  }
+
+  /** One training iteration: for each shard, broadcast its rows + the
+    * iteration-start global row, sweep only that shard's occurrences.
+    * Returns the swept corpus (persisted, materialized). */
+  def sweepIteration(
+      docs: Dataset[DocState], modelRows: Dataset[WordTopics],
+      numWords: Int, numTopics: Int, numShards: Int,
+      alpha: Double, beta: Double, seed: Long, iter: Int): Dataset[DocState] = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val k = numTopics
+    val vBeta = numWords * beta
+    val global0 = globalRow(modelRows, k) // stale for the whole iteration
+    var current = docs
+    var s = 0
+    while (s < numShards) {
+      val (lo, hi) = shardBounds(numWords, numShards, s)
+      val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
+      val bcGlobal = sc.broadcast(global0)
+      val prev = current
+      current = current.mapPartitions { it =>
+        val shard = bcShard.value.clone() // task-local AD-LDA replica
+        val global = bcGlobal.value.clone()
+        val dist = new Array[Double](k)
+        it.map { doc =>
+          val topics = doc.topics.clone()
+          val docTopics = doc.topicHistogram(k)
+          val rng = new SplitMix64(Rng.mix(seed, doc.docId, iter.toLong << 16 | s))
+          var i = 0
+          while (i < doc.wordIds.length) {
+            val w = doc.wordIds(i)
+            if (w >= lo && w < hi) {
+              val wOff = (w - lo) * k
+              var j = doc.offsets(i)
+              val end = doc.offsets(i + 1)
+              while (j < end) {
+                val cur = topics(j)
+                var t = 0
+                while (t < k) {
+                  val adj = if (t == cur) -1 else 0
+                  dist(t) = (shard(wOff + t) + adj + beta) *
+                    (docTopics(t) + adj + alpha) / (global(t) + adj + vBeta)
+                  t += 1
+                }
+                val next = Gibbs.sampleFromCdf(dist, rng.nextDouble())
+                if (next != cur) {
+                  shard(wOff + cur) -= 1; shard(wOff + next) += 1
+                  global(cur) -= 1; global(next) += 1
+                  docTopics(cur) -= 1; docTopics(next) += 1
+                  topics(j) = next
+                }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          DocState(doc.docId, doc.wordIds, doc.offsets, topics)
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      current.count() // materialize before releasing this shard's broadcast
+      if (prev ne docs) prev.unpersist(blocking = false)
+      bcShard.unpersist(blocking = false)
+      bcGlobal.unpersist(blocking = false)
+      s += 1
+    }
+    current
+  }
+
+  final case class Result(
+      modelRows: Dataset[WordTopics],
+      docs: Dataset[DocState],
+      likelihoods: Array[Double])
+
+  /** Full training loop on the sharded path. The model is never collected
+    * whole anywhere. */
+  def train(
+      corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
+      numShards: Int): Result = {
+    require(numShards >= 1 && numShards <= numWords, "1 <= numShards <= V")
+    var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    var modelRows = countModelRows(docs, cfg.numTopics)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    modelRows.count()
+    val lls = Array.newBuilder[Double]
+    var iter = 0
+    while (iter < cfg.totalIterations) {
+      if (cfg.computeLikelihood)
+        lls += shardedLikelihood(docs, modelRows, numWords, cfg)
+      val prevDocs = docs
+      val prevModel = modelRows
+      docs = sweepIteration(docs, modelRows, numWords, cfg.numTopics,
+        numShards, cfg.alpha, cfg.beta, cfg.seed, iter)
+      // truncate lineage every iteration: the sharded sweep chains S
+      // mapPartitions per iteration, and the compounded logical plan
+      // otherwise grows to explain-string-OOM depth within ~10 iterations
+      docs = docs.localCheckpoint()
+      modelRows = countModelRows(docs, cfg.numTopics)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      modelRows.count()
+      prevDocs.unpersist(blocking = false)
+      prevModel.unpersist(blocking = false)
+      iter += 1
+    }
+    Result(modelRows, docs, lls.result())
+  }
+
+  /** Corpus log-likelihood on the sharded model: per-word log p(w|z)
+    * terms need the word's own row, so compute word-major — join model
+    * rows to per-doc word slices? Cheaper: docs carry everything except
+    * n(w,·); ship p(z|d) per doc-word via an exploded join on wordId.
+    * For bounded shards we reuse the shard-at-a-time broadcast instead:
+    * Σ over shards of the shard's occurrences' contributions. */
+  def shardedLikelihood(
+      docs: Dataset[DocState], modelRows: Dataset[WordTopics],
+      numWords: Int, cfg: LdaConfig): Double = {
+    val k = cfg.numTopics
+    val (alpha, beta) = (cfg.alpha, cfg.beta)
+    val global = globalRow(modelRows, k)
+    val sc = docs.sparkSession.sparkContext
+    val numShards = math.max(1, math.min(8, numWords / 1024))
+    var total = 0.0
+    var s = 0
+    while (s < numShards) {
+      val (lo, hi) = shardBounds(numWords, numShards, s)
+      val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
+      val bcGlobal = sc.broadcast(global)
+      total += docs.rdd.mapPartitions { it =>
+        val shard = bcShard.value
+        val g = bcGlobal.value
+        var acc = 0.0
+        it.foreach { doc =>
+          val hist = doc.topicHistogram(k)
+          val len = doc.numOccurrences
+          var i = 0
+          while (i < doc.wordIds.length) {
+            val w = doc.wordIds(i)
+            if (w >= lo && w < hi) {
+              val wOff = (w - lo) * k
+              var pw = 0.0
+              var t = 0
+              while (t < k) {
+                pw += (shard(wOff + t) + beta) / (g(t) + numWords * beta) *
+                  ((hist(t) + alpha) / (len + alpha * k))
+                t += 1
+              }
+              acc += (doc.offsets(i + 1) - doc.offsets(i)) * math.log(pw)
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.treeReduce(_ + _, depth = 2)
+      bcShard.unpersist(blocking = false)
+      bcGlobal.unpersist(blocking = false)
+      s += 1
+    }
+    total
+  }
+}

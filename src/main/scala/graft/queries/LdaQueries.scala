@@ -44,9 +44,32 @@ object LdaQueries {
       .orderBy("iteration")
   }
 
+  /** Word-sharded training path (SURVEY §7.4 risk 2 — the huge-V×K
+    * regime where the model can't broadcast whole): model as distributed
+    * rows, swept shard-at-a-time. Output: n(w,·) totals per word id,
+    * deterministic invariant view (row sum = word occurrence count, which
+    * IS oracle-checkable — it equals the corpus word frequency). */
+  def shardedWordTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = Corpus.tokenize(docs)
+    val vocab = Corpus.sortedVocab(toks).cache()
+    val numWords = vocab.count().toInt
+    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), 4, 42L)
+    val res = ShardedLda.train(corpus, numWords,
+      LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
+        totalIterations = 3, seed = 42L), numShards = 4)
+    res.modelRows.map(r => (r.wordId, r.counts.sum))
+      .toDF("word_id", "total")
+      .join(vocab, "word_id")
+      .select(col("tok"), col("total"))
+      .orderBy("tok")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lda_train_topwords" -> trainTopWords _,
     "lda_infer_topics" -> inferTopics _,
     "lda_likelihood" -> likelihoods _,
+    "lda_sharded_word_totals" -> shardedWordTotals _,
   )
 }

@@ -163,6 +163,12 @@ object OracleSql {
       """SELECT md5(text) AS h, COUNT(*) AS c FROM documents
         |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
+    // the sharded trainer conserves per-word totals through every topic
+    // flip, so its word totals must equal plain corpus word frequencies —
+    // a deterministic oracle over a stochastic training path
+    "lda_sharded_word_totals" ->
+      s"WITH $docsTok SELECT tok, COUNT(*) AS total FROM docs_tokenized GROUP BY tok ORDER BY tok",
+
     "q25_scan_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,98 @@
+package graft.lda
+
+import graft.SparkSpec
+
+class ShardedLdaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 4
+  private val v = 12
+
+  private def corpus(n: Int): org.apache.spark.sql.Dataset[DocState] = {
+    val docs = (0L until n.toLong).map { id =>
+      // overlapping word ranges so every shard sees most docs
+      val ids = Array((id % 4).toInt, 4 + (id % 5).toInt, 9 + (id % 3).toInt)
+      DocState.init(id, ids, Array(3, 2, 4), k, seed = 11L)
+    }
+    spark.createDataset(docs).repartition(3)
+  }
+
+  test("countModelRows matches the flat-array countModel exactly") {
+    val docs = corpus(30)
+    val flat = Gibbs.countModel(docs, v, k)
+    val rows = ShardedLda.countModelRows(docs, k).collect()
+    assert(rows.length == rows.map(_.wordId).distinct.length)
+    rows.foreach { r =>
+      (0 until k).foreach { t =>
+        assert(r.counts(t) == flat(r.wordId * k + t),
+          s"word ${r.wordId} topic $t")
+      }
+    }
+    // rows cover every nonzero flat entry
+    val covered = rows.map(_.wordId).toSet
+    (0 until v).foreach { w =>
+      val nonzero = (0 until k).exists(t => flat(w * k + t) != 0)
+      assert(!nonzero || covered(w))
+    }
+    val g = ShardedLda.globalRow(ShardedLda.countModelRows(docs, k), k)
+    (0 until k).foreach(t => assert(g(t) == flat(v * k + t)))
+  }
+
+  test("sweepIteration conserves per-word and total counts across shards") {
+    val docs = corpus(30)
+    val before = ShardedLda.countModelRows(docs, k).collect()
+      .map(r => r.wordId -> r.counts.sum).toMap
+    val swept = ShardedLda.sweepIteration(docs,
+      ShardedLda.countModelRows(docs, k), v, k, numShards = 3,
+      alpha = 0.1, beta = 0.01, seed = 5L, iter = 0)
+    val after = ShardedLda.countModelRows(swept, k).collect()
+      .map(r => r.wordId -> r.counts.sum).toMap
+    assert(before == after) // topic flips never change word totals
+    val g = ShardedLda.globalRow(ShardedLda.countModelRows(swept, k), k)
+    assert(g.sum == 30 * 9) // 9 occurrences per doc
+    swept.collect().foreach(d => assert(d.topics.forall(t => t >= 0 && t < k)))
+  }
+
+  test("sharded training is deterministic for fixed seed and shards") {
+    val a = ShardedLda.train(corpus(20), v,
+      LdaConfig(k, 0.1, 0.01, totalIterations = 3, seed = 77L), numShards = 3)
+    val b = ShardedLda.train(corpus(20), v,
+      LdaConfig(k, 0.1, 0.01, totalIterations = 3, seed = 77L), numShards = 3)
+    val ta = a.docs.collect().sortBy(_.docId).map(_.topics.toSeq)
+    val tb = b.docs.collect().sortBy(_.docId).map(_.topics.toSeq)
+    assert(ta.toSeq == tb.toSeq)
+    // different shard count → different (but valid) chain
+    val c = ShardedLda.train(corpus(20), v,
+      LdaConfig(k, 0.1, 0.01, totalIterations = 3, seed = 77L), numShards = 2)
+    assert(c.docs.collect().forall(_.topics.forall(t => t >= 0 && t < k)))
+  }
+
+  test("sharded likelihood matches the flat-model likelihood") {
+    val docs = corpus(25)
+    val rows = ShardedLda.countModelRows(docs, k)
+    val cfg = LdaConfig(k, 0.1, 0.01, totalIterations = 1)
+    val sharded = ShardedLda.shardedLikelihood(docs, rows, v, cfg)
+    val flat = Gibbs.countModel(docs, v, k)
+    val bc = spark.sparkContext.broadcast(flat)
+    val full = Gibbs.corpusLikelihood(docs, bc, v, k, 0.1, 0.01)
+    assert(math.abs(sharded - full) < 1e-8 * math.abs(full),
+      s"sharded=$sharded full=$full")
+  }
+
+  test("sharded training improves likelihood on a planted-topic corpus") {
+    // two disjoint topic vocabularies; docs draw from exactly one
+    val docs = (0L until 60L).map { id =>
+      val base = if (id % 2 == 0) 0 else 6
+      DocState.init(id, Array(base, base + 1, base + 2), Array(4, 3, 3), 2, seed = id)
+    }
+    val ds = spark.createDataset(docs).repartition(2)
+    val res = ShardedLda.train(ds, v,
+      LdaConfig(2, 0.1, 0.01, totalIterations = 12,
+        computeLikelihood = true, seed = 3L), numShards = 3)
+    val lls = res.likelihoods
+    assert(lls.length == 12)
+    // pre-sweep LL of late iterations should beat the random-init LL
+    assert(lls.takeRight(3).max > lls.head,
+      s"no improvement: first=${lls.head} last=${lls.last}")
+  }
+}
