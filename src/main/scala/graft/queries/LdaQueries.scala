@@ -56,9 +56,11 @@ object LdaQueries {
     val vocab = Corpus.sortedVocab(toks).cache()
     val numWords = vocab.count().toInt
     val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), 4, 42L)
+    // 2 iters × 2 shards exercises the full path (sweep, recount, shard
+    // broadcast); the conserved-totals oracle is iteration-count-invariant
     val res = ShardedLda.train(corpus, numWords,
       LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
-        totalIterations = 3, seed = 42L), numShards = 4)
+        totalIterations = 2, seed = 42L), numShards = 2)
     res.modelRows.map(r => (r.wordId, r.counts.sum))
       .toDF("word_id", "total")
       .join(vocab, "word_id")
