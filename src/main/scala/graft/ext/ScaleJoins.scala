@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the 100 TB regime (SURVEY §2.3 "Joins" row; the
+  * scale checklist: broadcast small dims, bucketing for co-located joins,
+  * salting for skew, AQE for runtime re-plan).
+  *
+  * - Broadcast: use `broadcast(dim)` (exercised by Q10/Q20 and
+  *   `Corpus.bagOfWords`).
+  * - AQE: `spark.sql.adaptive.enabled=true` (Bench/Verify sessions) gives
+  *   runtime broadcast-downgrade and automatic skew-split of sort-merge
+  *   partitions — prefer it when stats exist at runtime.
+  * - Salting (here): for the case AQE can't save — a hot key whose rows
+  *   must meet a NON-broadcastable build side. Spreads each hot key over
+  *   `saltFactor` reducers at the cost of replicating the small side
+  *   `saltFactor`×.
+  * - Bucketing (here): co-locate repeated large⋈large joins on a stable
+  *   key by pre-hashing at write time — every subsequent join on that key
+  *   is exchange-free.
+  */
+object ScaleJoins {
+
+  /** Salted inner equi-join `large ⋈ small` on `key`. Each large row gets
+    * a uniform salt in [0, saltFactor); the small side is replicated once
+    * per salt value, so every (key, salt) cell joins exactly as the
+    * unsalted (key) would — the result multiset is identical to
+    * `large.join(small, key)` for any salt assignment (duplicate keys on
+    * either side included). Salt is seeded `rand` (uniform spread is the
+    * point; values need not be reproducible for correctness). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, seed: Long = 42L): DataFrame = {
+    require(saltFactor >= 1, "saltFactor >= 1")
+    val salted = large.withColumn("_salt",
+      floor(rand(seed) * saltFactor).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write `df` as a bucketed+sorted table: `n` hash buckets on `key`,
+    * rows sorted by `key` within each bucket. Joins and aggregations on
+    * `key` between tables bucketed with the same `n` then plan with NO
+    * shuffle exchange (asserted in ScaleJoinsSpec). At 100 TB this is the
+    * difference between re-shuffling the fact table per query and never
+    * shuffling it again. */
+  def writeBucketed(df: DataFrame, table: String, key: String, n: Int): Unit =
+    df.write.mode("overwrite").bucketBy(n, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}

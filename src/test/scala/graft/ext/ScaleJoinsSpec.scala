@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain join result (incl. duplicate keys)") {
+    import spark.implicits._
+    // skewed large side: key 1 is hot; small side has a duplicate key
+    val large = (Seq.fill(500)(1) ++ (2 to 50)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1, "a"), (1, "a2"), (2, "b"), (99, "z")).toDF("k", "v")
+    val plain = large.join(small, Seq("k")).collect()
+      .map(_.toString).sorted
+    val salted = ScaleJoins.saltedJoin(large, small, "k", saltFactor = 8).collect()
+      .map(_.toString).sorted
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("saltedJoin spreads a hot key over multiple partitions") {
+    import spark.implicits._
+    val large = Seq.fill(1000)(1).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1, "a")).toDF("k", "v")
+    val joined = ScaleJoins.saltedJoin(large, small, "k", saltFactor = 4)
+    val parts = joined
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").count().collect()
+    // without salting every row of key 1 lands in ONE reduce partition
+    assert(parts.length > 1, s"hot key not spread: ${parts.mkString(",")}")
+  }
+
+  test("joins between co-bucketed tables plan without a shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val li = graft.Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+      val ord = graft.Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      ScaleJoins.writeBucketed(li, "li_b", "l_orderkey", 8)
+      ScaleJoins.writeBucketed(ord, "ord_b", "l_orderkey", 8)
+      val joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the result matches the plain join
+      val expect = li.join(ord, "l_orderkey").count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
