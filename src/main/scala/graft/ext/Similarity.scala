@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns. */
+  /** Dot product of two double-array columns — the native codegen'd
+    * expression ([[graft.functions.DotProduct]]). Bit-identical to the
+    * previous `aggregate(zip_with(...))` HOF form (same summation order)
+    * but runs inside whole-stage codegen instead of the interpreted
+    * per-element lambda evaluator. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotNative(x, y)
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  test("native dot is bit-identical to the HOF formulation on fixture embeddings") {
+    val e = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .limit(200).cache()
+    val l = e.toDF("a", "ea")
+    val r = e.toDF("b", "eb")
+    val both = l.crossJoin(r).limit(5000)
+      .select(DotProduct.dotNative(col("ea"), col("eb")).as("native"),
+        hofDot(col("ea"), col("eb")).as("hof"))
+    // bit-identical, not approximately equal: same IEEE summation order
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.where(col("native").isNull).count() == 0)
+  }
+
+  test("null array gives null, hand vectors give exact values") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0)), None)
+    ).toDF("x", "y")
+    val got = df.select(DotProduct.dotNative(col("x"), col("y"))).collect()
+    assert(got(0).getDouble(0) == 32.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("the native dot participates in whole-stage codegen") {
+    val e = graft.Tables.embeddings(spark, sf())
+      .select(col("embedding").cast("array<double>").as("e"))
+    val q = e.select(DotProduct.dotNative(col("e"), col("e")).as("d"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no WSCG stage in:\n$plan")
+    // and the interpreted-HOF marker is absent
+    assert(!plan.toLowerCase.contains("zip_with"))
+  }
+}
