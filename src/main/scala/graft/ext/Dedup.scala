@@ -37,12 +37,37 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** n-token shingles (contiguous, space-joined). Empty array if the doc
-    * has fewer than n tokens. */
+    * has fewer than n tokens.
+    *
+    * NOTE: array-HOF form (`transform` + `element_at`) — its lambda is
+    * interpreted per element. Fine for per-doc outputs (fingerprints);
+    * for exploded (doc, shingle) streams use [[explodedShingles]], which
+    * stays in whole-stage codegen (measured 5× on the shingle stage). */
   def shingles(toks: Column, n: Int): Column = {
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + (j + 1))): _*)))
       .otherwise(array())
+  }
+
+  /** docs(doc_id, text) → (doc_id, sh): one row per shingle occurrence,
+    * computed row-wise via posexplode + window `lead` so tokenize, lead,
+    * and concat all run inside whole-stage codegen (the HOF form
+    * interprets its lambda per element — the dominant cost of the whole
+    * jaccard pipeline before this). One shuffle on doc_id (the window),
+    * which downstream groupBys on doc_id then reuse. */
+  def explodedShingles(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spreadForCompute(docs).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    withLeads
+      .where((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("sh"))
   }
 
   /** MinHash signature: numHashes md5-min strings. Hash family i is
@@ -61,8 +86,7 @@ object Dedup {
     // run in whole-stage codegen row-wise (array HOF lambdas are
     // interpreted per element — ~10× slower measured), and the groupBy is
     // a cheap partial+final min of 8 small strings per doc.
-    val exploded = spreadForCompute(docs)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("s"))
+    val exploded = explodedShingles(docs, shingleLen).withColumnRenamed("sh", "s")
     val aggs = (0 until numHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
     val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -94,8 +118,7 @@ object Dedup {
     * engines, but the round keeps near-tie order stable — then ids. */
   def jaccardTopPairs(docs: DataFrame, k: Int, shingleLen: Int = 3): DataFrame = {
     // persisted: read three times (both join sides + per-doc sizes)
-    val docSh = spreadForCompute(docs)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("sh"))
+    val docSh = explodedShingles(docs, shingleLen)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
