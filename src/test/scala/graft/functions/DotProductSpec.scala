@@ -34,6 +34,23 @@ class DotProductSpec extends SparkSpec {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .createOrReplaceTempView("emb_sql")
+    val got = spark.sql(
+      "SELECT vec_id, graft_dot(e, e) AS d FROM emb_sql ORDER BY vec_id LIMIT 5")
+      .collect()
+    val want = spark.table("emb_sql")
+      .select(col("vec_id"), DotProduct.dotNative(col("e"), col("e")).as("d"))
+      .orderBy("vec_id").limit(5).collect()
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+    // wrong arity through SQL gets a clean error
+    val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())
+    assert(err.getMessage.contains("2 arguments"))
+  }
+
   test("the native dot participates in whole-stage codegen") {
     val e = graft.Tables.embeddings(spark, sf())
       .select(col("embedding").cast("array<double>").as("e"))
