@@ -81,6 +81,20 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Fault-tolerant parquet sink: append-only with a write-ahead
+    * checkpoint. Restarting with the same checkpointLocation resumes from
+    * the committed source offsets — already-processed input produces no
+    * duplicate output (exactly-once to the file sink via the offset log +
+    * file-manifest commit protocol). */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Custom keyed state: per-user session aggregation with processing-time
     * timeout — the `flatMapGroupsWithState` surface. Emits a running
     * update per batch and a closing record when the session times out. */

@@ -55,6 +55,26 @@ class StreamsSpec extends SparkSpec {
     assert(got.where(col("avg_value").isNull).count() == 0)
   }
 
+  test("parquet sink with checkpoint is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def run(): Unit = {
+      val q = Streams.parquetSink(
+        Streams.dedupEvents(Streams.eventStream(spark, sf() + "/events.parquet")),
+        out, ckpt)
+      assert(q.awaitTermination(120000), "sink query did not terminate")
+      q.stop()
+    }
+    run()
+    val first = spark.read.parquet(out).count()
+    assert(first == graft.Tables.events(spark, sf()).select("event_id").distinct().count())
+    // restart with the same checkpoint: offsets are committed, the same
+    // input file must NOT be reprocessed
+    run()
+    assert(spark.read.parquet(out).count() == first, "duplicates after restart")
+  }
+
   test("flatMapGroupsWithState sessionizes per user with running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
