@@ -128,4 +128,23 @@ object ModelIO {
   def toLongForm(modelDf: DataFrame): DataFrame =
     modelDf.select(col("word"),
         posexplode(col("counts")).as(Seq("topic", "cnt")))
+
+  /** Distributed plda-format text export for models too large to collect
+    * (the [[ShardedLda]] path): formats each `word\tc1 … cK` line on the
+    * executors and writes with a global sort on word_id — Spark's range
+    * partitioning makes part-file lexicographic order equal global word
+    * order, so `cat part-*` (or any in-order reader) reproduces the exact
+    * byte stream [[writeCounts]] would emit. Every vocab word must have a
+    * model row (true by construction — the vocabulary is built from the
+    * corpus). Reload at scale via the parquet form; the text form is for
+    * interop with the reference's tooling. */
+  def writeCountsDistributed(modelRows: org.apache.spark.sql.Dataset[WordTopics],
+      vocab: DataFrame, path: String): Unit = {
+    modelRows.toDF("word_id", "counts")
+      .join(vocab, "word_id")
+      .orderBy("word_id")
+      .select(concat(col("tok"), lit("\t"),
+        array_join(col("counts"), " ")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

@@ -79,6 +79,37 @@ class ShardedLdaSpec extends SparkSpec {
       s"sharded=$sharded full=$full")
   }
 
+  test("distributed text export equals the flat writer byte-for-byte") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = corpus(20)
+    val rows = ShardedLda.countModelRows(docs, k)
+    // vocab: word ids 0..v-1 as "w<id>" names
+    val vocab = spark.createDataset(0 until v).toDF("word_id")
+      .select(col("word_id"), org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("w"), col("word_id")).as("tok"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    ModelIO.writeCountsDistributed(rows, vocab, s"$dir/dist")
+    // flat reference bytes
+    val flat = Gibbs.countModel(docs, v, k)
+    val words = (0 until v).map(w => s"w$w").toArray
+    ModelIO.writeCounts(flat, k, words, s"$dir/flat.txt")
+    val distBytes = {
+      val parts = new java.io.File(s"$dir/dist").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    val flatBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/flat.txt"))
+    assert(distBytes.sameElements(flatBytes))
+    // and it round-trips through the reference reader
+    val cat = new String(distBytes, "UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cat.txt"), cat.getBytes)
+    val (reload, reWords) = ModelIO.readModel(s"$dir/cat.txt")
+    assert(reWords.sameElements(words))
+    (0 until v * k).foreach(i => assert(reload(i) == flat(i)))
+  }
+
   test("sharded training improves likelihood on a planted-topic corpus") {
     // two disjoint topic vocabularies; docs draw from exactly one
     val docs = (0L until 60L).map { id =>
