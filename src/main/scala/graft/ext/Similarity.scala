@@ -55,6 +55,24 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: every pair with cosine ≥
+    * `threshold` (the dedup semantic — SURVEY §2.4's "embedding-cosine
+    * near-dup"). Exact all-pairs form for the oracle; the scale path runs
+    * the same predicate over [[lshPairsTopK]]'s bucket candidates instead
+    * of the cross join. Production near-dup thresholds sit around
+    * 0.9–0.97; the synthetic fixtures are random vectors (max observed
+    * cosine ≈ 0.51 at sf0.01), so demos use a lower cut. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(embeddings)
+    val l = e.toDF("vec_a", "ea", "na")
+    val r = e.toDF("vec_b", "eb", "nb")
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Top-k most-similar pairs among all embeddings (exact, all-pairs —
     * the small-data oracle; at scale use [[lshBuckets]] first). */
   def cosinePairsTopK(embeddings: DataFrame, k: Int): DataFrame = {

@@ -25,6 +25,9 @@ object ExtQueries {
   def cosinePairs(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsTopK(Tables.embeddings(s, d), 10)
 
+  def nearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Similarity.annTopK(e, e.where(col("vec_id") < 5), 5)
@@ -61,6 +64,7 @@ object ExtQueries {
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
     "ext_cosine_pairs_top10" -> cosinePairs _,
+    "ext_embedding_neardup" -> nearDup _,
     "ext_ann_topk" -> annTopK _,
     "ext_langid" -> langId _,
     "ext_quality" -> quality _,
@@ -140,6 +144,13 @@ object ExtQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.e", "b.e")} AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |ORDER BY cos DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+
+    "ext_embedding_neardup" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.e", "b.e")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.e", "b.e")} >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ext_ann_topk" ->
       s"""WITH $embCte,
