@@ -128,11 +128,17 @@ object InferApp {
       .select("doc_id", "word_id", "c")
     val cfg = LdaConfig(k, f.alpha, f.beta, f.totalIterations, f.burnInIterations, seed = f.seed)
     val corpus = Corpus.fromBow(bow, k, f.seed)
-    val result = LdaInfer.infer(corpus, model, numWords, cfg)
-      .collect().sortBy(_.docId)
+    val byId = LdaInfer.infer(corpus, model, numWords, cfg)
+      .collect().map(dt => dt.docId -> dt.topics).toMap
+    // output is positional: one line per kept input line, in input order —
+    // docs whose words are ALL out-of-vocabulary (dropped by the dictionary
+    // join) still get a K-zeros line, exactly like infer.cc:82-98 where the
+    // empty document's prob_dist stays zero
+    val keptIds = Corpus.pldaKeptDocIds(spark, f.inferenceDataFile)
+    val zeros = new Array[Double](k)
     val out = new java.io.PrintWriter(f.inferenceResultFile)
-    try result.foreach { dt =>
-      out.println(dt.topics.map(ModelIO.formatDouble).mkString(" "))
+    try keptIds.foreach { id =>
+      out.println(byId.getOrElse(id, zeros).map(ModelIO.formatDouble).mkString(" "))
     } finally out.close()
     spark.stop()
   }

@@ -43,32 +43,45 @@ object Multimodal {
 
   /** ======== STUB ========
     * Deterministic fake decoder. A real implementation would call an image
-    * library here; everything OUTSIDE this object is production plumbing. */
+    * library here; everything OUTSIDE this object is production plumbing.
+    *
+    * All values derive from the md5 hex digest of the payload, sliced into
+    * non-negative sub-64-bit integers — deliberately replicable in plain
+    * SQL (`CAST('0x' || substr(md5(text), a, n) AS BIGINT)`), which is what
+    * lets the multimodal queries carry a DuckDB hash oracle instead of the
+    * weaker rows-only check. */
   object StubCodec {
+    private def md5Hex(b: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      val sb = new StringBuilder(32)
+      var i = 0
+      while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+      sb.toString
+    }
+
+    /** hex[from, from+len) as an unsigned long (len ≤ 15 → always ≥ 0). */
+    private def slice(hex: String, from: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+
     /** "Decode" image dims/channels/intensity from bytes, deterministically. */
     def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      val h = bytesHash(payload)
-      val width = 64 + (math.abs(h) % 1024).toInt
-      val height = 64 + (math.abs(h >>> 17) % 1024).toInt
-      val channels = 1 + (math.abs(h >>> 34) % 4).toInt
-      val mean = (math.abs(h >>> 40) % 256).toDouble
+      val h = md5Hex(payload)
+      val width = (64 + slice(h, 0, 8) % 1024).toInt
+      val height = (64 + slice(h, 8, 8) % 1024).toInt
+      val channels = (1 + slice(h, 16, 2) % 4).toInt
+      val mean = (slice(h, 18, 4) % 256).toDouble
       (width, height, channels, mean)
     }
 
-    /** Perceptual-hash stand-in: stable 64-bit digest of the payload. */
-    def phash(payload: Array[Byte]): Long = bytesHash(payload)
+    /** Perceptual-hash stand-in: top 60 bits of the digest (positive). */
+    def phash(payload: Array[Byte]): Long = slice(md5Hex(payload), 0, 15)
 
     /** Number of "frames" a video payload decodes to. */
-    def frameCount(payload: Array[Byte]): Int = 8 + (math.abs(bytesHash(payload)) % 56).toInt
+    def frameCount(payload: Array[Byte]): Int =
+      (8 + slice(md5Hex(payload), 22, 4) % 56).toInt
 
-    def frameHash(payload: Array[Byte], idx: Int): Long = bytesHash(payload) * 31 + idx
-
-    private def bytesHash(b: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < b.length) { h = 31 * h + b(i); i += 1 }
-      h
-    }
+    def frameHash(payload: Array[Byte], idx: Int): Long =
+      slice(md5Hex(payload), 8, 15) + idx.toLong * 1000003L
   }
   /** ======== END STUB ======== */
 

@@ -1,6 +1,5 @@
 package graft.ext
 
-import graft.lda.SplitMix64
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -86,11 +85,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic random hyperplanes: nBits × dim, components from a
-    * seeded SplitMix64 mapped to {−1, +1} (sign-random projections). */
+  /** Deterministic random hyperplanes: nBits × dim sign-random projections
+    * in {−1, +1}. Component (i, j) is addressed (not sequential): its sign
+    * is the top bit of md5("seed:i:j") — replicable in plain SQL
+    * (`substr(md5(...), 1, 1) < '8'`), which is what lets the LSH queries
+    * carry a DuckDB hash oracle. Driver-side, nBits×dim md5 calls, ~µs. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new SplitMix64(seed)
-    Array.fill(nBits)(Array.fill(dim)(if (rng.nextLong() < 0) -1.0 else 1.0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { j =>
+        val d = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        if (((d(0) >> 7) & 1) == 0) 1.0 else -1.0 // top bit clear ⇔ hex[0] < '8'
+      }
+    }
   }
 
   /** Random-hyperplane LSH bucket id per vector: bit i = sign(v · plane_i).

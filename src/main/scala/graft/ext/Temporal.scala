@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators the reference lacks entirely (its data model has no
+  * time — SURVEY §1.1) but a large-scale event/training-data pipeline
+  * needs: as-of (point-in-time) join and batch sessionization.
+  *
+  * Both are built the merge-scan way — ONE shuffle on the partition key,
+  * then a sorted window pass — never a non-equi join. A naive
+  * `l JOIN r ON l.key = r.key AND r.ts <= l.ts` + argmax is quadratic in
+  * rows-per-key and re-shuffles twice; the union+window form below is
+  * linear and holds at 100 TB (each user's timeline streams through one
+  * task in ts order, state is O(1) per key).
+  */
+object Temporal {
+
+  /** Point-in-time (as-of) join: for each left row, attach `payloadCols`
+    * of the LATEST right row with the same `key` and `r.ts <= l.ts`
+    * (nulls when no prior right row exists — left-outer semantics).
+    *
+    * Implementation: tag both sides, union on (key, ts, side), window
+    * `last(payload, ignoreNulls)` over rows unbounded-preceding..current
+    * ordered by (ts, side) with right rows first at equal ts — so a right
+    * row at exactly l.ts IS eligible, matching `ASOF JOIN ... ON l.ts >=
+    * r.ts`. Deterministic when the right side is unique per (key, ts);
+    * pre-aggregate it otherwise.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String], prefix: String = "matched_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val payT = StructType(payloadCols.map(c => StructField(c, right.schema(c).dataType)))
+    val lrowT = StructType(left.schema.fields)
+    val r = right.select(col(key), col(ts), lit(0).as("_side"),
+      struct(payloadCols.map(col): _*).as("_pay"),
+      lit(null).cast(lrowT).as("_lrow"))
+    val l = left.select(col(key), col(ts), lit(1).as("_side"),
+      lit(null).cast(payT).as("_pay"),
+      struct(left.columns.map(col): _*).as("_lrow"))
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_lrow.*") +: payloadCols.map(c => col(s"_m.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Batch sessionization: assign each row a per-`key` session index that
+    * increments whenever the gap to the previous row (ordered by ts, with
+    * `tieBreak` making the order total) exceeds `gapSeconds`. 1-based.
+    * One shuffle on `key`; the running sum is a sorted in-partition scan. */
+  def sessionize(events: DataFrame, key: String = "user_id", ts: String = "ts",
+      tieBreak: String = "event_id", gapSeconds: Long = 1800L): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val prev = lag(col(ts), 1).over(order)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(ts)) - unix_micros(prev) > gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("_new", isNew)
+      .withColumn("session_idx",
+        sum(col("_new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+  }
+
+  /** Per-session rollup: start/end/count/value-total per (key, session). */
+  def sessionAgg(events: DataFrame, key: String = "user_id", ts: String = "ts",
+      valueCol: String = "value", gapSeconds: Long = 1800L): DataFrame =
+    sessionize(events, key, ts, gapSeconds = gapSeconds)
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("total_value"))
+}

@@ -89,6 +89,38 @@ object TextAnalysis {
         .otherwise(md5(col("text"))).as("fp"))
   }
 
+  /** TF-IDF per (doc, token): tf = in-doc count, idf = ln(N / df) with
+    * N = docs containing ≥1 token, df = docs containing the token. The
+    * df side is a token-level aggregate (V rows — broadcast back onto the
+    * bow); N is a scalar. Two shuffles total (bow group-by + df group-by),
+    * both map-side-combined; no shuffle for the join (broadcast). */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val bow = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = toks.select(countDistinct(col("doc_id")).as("n"))
+    bow.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      // no final ROUND (same rationale as quality_score: the doubles are
+      // bit-identical across engines; %.4f rendering normalizes them)
+      .select(col("doc_id"), col("tok"), col("tf"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+  }
+
+  /** Deterministic train/val/test split by content hash: bucket =
+    * md5(text)[0,4) as int mod 100 → <80 train, <90 val, else test.
+    * Content-keyed (not doc-id-keyed) so re-ingested duplicates land in
+    * the same split — the property that prevents train/test leakage in
+    * dedup'd training pipelines. Pure map, no shuffle. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

@@ -53,13 +53,20 @@ final case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName per instance: with two non-nullable children the code is
+      // emitted unbraced at method scope, so fixed local names collide when
+      // two DotProducts share one codegen stage (Janino error → interpreted
+      // fallback, silently losing WSCG)
+      val n = ctx.freshName("dpN")
+      val s = ctx.freshName("dpS")
+      val i = ctx.freshName("dpI")
       s"""
-         |int dp_n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dp_s = 0.0;
-         |for (int dp_i = 0; dp_i < dp_n; dp_i++) {
-         |  dp_s += $x.getDouble(dp_i) * $y.getDouble(dp_i);
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = dp_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

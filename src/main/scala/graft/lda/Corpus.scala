@@ -89,6 +89,19 @@ object Corpus {
       .toDF("doc_id", "tok", "c")
   }
 
+  /** doc_id (file line number) of every KEPT line — non-empty, non-comment —
+    * regardless of whether any `word cnt` pair parses. The inference output
+    * format is purely positional (infer.cc:63-99 writes one result line per
+    * kept input line, even when every word is OOV or zero-count), so callers
+    * need this pre-join id set to emit all-zeros lines for such docs. */
+  def pldaKeptDocIds(spark: SparkSession, path: String): Array[Long] =
+    spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .filter { case (line, _) =>
+        line.nonEmpty && line(0) != '#' && line(0) != '\r' && line(0) != '\n'
+      }
+      .map(_._2).collect().sorted
+
   /** UCI bag-of-words (A4, testdata/format.py:5-31): docword triples joined
     * with 1-based vocab line numbers. Returns (doc_id, tok, c). */
   def readUci(spark: SparkSession, docwordPath: String, vocabPath: String): DataFrame = {

@@ -105,19 +105,13 @@ object Gibbs {
   def sweep(
       docs: Dataset[DocState], bcModel: Broadcast[Array[Long]],
       numWords: Int, numTopics: Int, alpha: Double, beta: Double,
-      train: Boolean, seed: Long, iter: Int,
-      llAcc: Option[org.apache.spark.util.DoubleAccumulator] = None): Dataset[DocState] = {
+      train: Boolean, seed: Long, iter: Int): Dataset[DocState] = {
     import docs.sparkSession.implicits._
     val k = numTopics
     docs.mapPartitions { it =>
       val model = if (train) bcModel.value.clone() else bcModel.value
-      val stale = bcModel.value // unmutated copy for the pre-sweep LL
       val dist = new Array[Double](k)
       it.map { doc =>
-        // pre-sweep log-likelihood (quirk #6: reports the PREVIOUS
-        // iteration's model state) fused into the sweep pass — saves a
-        // whole extra job per iteration vs a separate LL scan
-        llAcc.foreach(_.add(logLikelihood(doc, stale, numWords, alpha, beta, k)))
         val topics = doc.topics.clone()
         val docTopics = new Array[Long](k)
         var j = 0

@@ -50,13 +50,17 @@ object LdaTrainer {
     var iter = 0
     while (iter < cfg.totalIterations) {
       val bc = sc.broadcast(model)
-      val llAcc = if (cfg.computeLikelihood) Some(sc.doubleAccumulator(s"ll_$iter")) else None
+      // pre-sweep LL (quirk #6: reports the previous iteration's model) as
+      // its own action — an accumulator fused into the sweep would re-add
+      // contributions on task retry or cache-eviction recompute (Spark only
+      // guarantees exactly-once accumulator updates inside actions)
+      if (cfg.computeLikelihood)
+        lls += Gibbs.corpusLikelihood(docs, bc, numWords, k, cfg.alpha, cfg.beta)
       val prev = docs
       docs = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
-        train = true, cfg.seed, iter, llAcc).persist(StorageLevel.MEMORY_AND_DISK)
+        train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
       if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
       model = Gibbs.countModel(docs, numWords, k) // materializes the sweep
-      llAcc.foreach(a => lls += a.value)
       prev.unpersist(blocking = false)
       bc.unpersist(blocking = false)
       if (iter >= cfg.burnInIterations) {

@@ -185,7 +185,7 @@ object ShardedLda {
     var iter = 0
     while (iter < cfg.totalIterations) {
       if (cfg.computeLikelihood)
-        lls += shardedLikelihood(docs, modelRows, numWords, cfg)
+        lls += shardedLikelihood(docs, modelRows, numWords, cfg, numShards)
       val prevDocs = docs
       val prevModel = modelRows
       docs = sweepIteration(docs, modelRows, numWords, cfg.numTopics,
@@ -212,16 +212,23 @@ object ShardedLda {
     * Σ over shards of the shard's occurrences' contributions. */
   def shardedLikelihood(
       docs: Dataset[DocState], modelRows: Dataset[WordTopics],
-      numWords: Int, cfg: LdaConfig): Double = {
+      numWords: Int, cfg: LdaConfig, numShards: Int = 0,
+      maxShardBytes: Long = 64L << 20): Double = {
     val k = cfg.numTopics
     val (alpha, beta) = (cfg.alpha, cfg.beta)
     val global = globalRow(modelRows, k)
     val sc = docs.sparkSession.sparkContext
-    val numShards = math.max(1, math.min(8, numWords / 1024))
+    // honor the caller's shard count (train threads its own, preserving the
+    // "driver bounded by shard size" guarantee); standalone callers get a
+    // byte-budget default: ceil(V*K*8 / maxShardBytes) shards, so one
+    // collectShard never pulls more than maxShardBytes to the driver
+    val shards =
+      if (numShards >= 1) numShards
+      else math.max(1L, (numWords.toLong * k * 8 + maxShardBytes - 1) / maxShardBytes).toInt
     var total = 0.0
     var s = 0
-    while (s < numShards) {
-      val (lo, hi) = shardBounds(numWords, numShards, s)
+    while (s < shards) {
+      val (lo, hi) = shardBounds(numWords, shards, s)
       val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
       val bcGlobal = sc.broadcast(global)
       total += docs.rdd.mapPartitions { it =>

@@ -1,16 +1,16 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Extension-operator queries (SURVEY §2.4 / north-star LLM-pipeline
-  * surface) with DuckDB oracles wherever the computation is
-  * SQL-expressible. MinHash/SimHash/fingerprints use md5-based hashing
-  * precisely so the oracle can replicate them bit-for-bit; only the
-  * LSH-hyperplane ANN and the multimodal stubs fall back to the weaker
-  * rows-only check (seeded-deterministic, spec-verified instead). */
+  * surface), every one carrying a DuckDB hash oracle. The trick
+  * throughout: any randomness or hashing is md5-derived (MinHash/SimHash/
+  * fingerprints, the LSH hyperplane signs, the multimodal stub codec, the
+  * train/val/test split), so DuckDB replicates the computation
+  * bit-for-bit instead of falling back to the weaker rows-only check. */
 object ExtQueries {
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -45,8 +45,32 @@ object ExtQueries {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")
 
-  // ---- rows-only (not SQL-expressible; spec-verified) ----
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfIdf(Tables.documents(s, d)).orderBy("doc_id", "tok")
 
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashSplit(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** As-of join: each 'view' event picks up the latest prior-or-equal
+    * 'purchase' of the same user (point-in-time feature lookup). */
+  def asofViewPurchase(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+      .withColumnRenamed("event_id", "pid")
+    Temporal.asofJoin(views, purchases, "user_id", "ts",
+        payloadCols = Seq("pid", "value"), prefix = "purchase_")
+      .select(col("event_id"), col("purchase_pid").as("purchase_id"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
+
+  // md5-derived stub + hyperplanes make these three SQL-replicable too
   def lshPairs(s: SparkSession, d: String): DataFrame =
     Similarity.lshPairsTopK(Tables.embeddings(s, d), 10, nBits = 8, dim = 64, seed = 42L)
 
@@ -60,6 +84,10 @@ object ExtQueries {
       .toDF().orderBy("media_id", "frame_index")
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_tfidf" -> tfidf _,
+    "ext_hash_split" -> hashSplit _,
+    "ext_asof_join" -> asofViewPurchase _,
+    "ext_sessionize" -> sessionize _,
     "ext_minhash_pairs" -> minhashPairs _,
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
@@ -212,5 +240,110 @@ object ExtQueries {
          |    s -> md5(s)))
          |  ELSE md5(text) END AS fp
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "ext_tfidf" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |bow AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt)
+         |SELECT b.doc_id, b.tok, b.tf, b.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
+         |FROM bow b JOIN df d USING (tok), n
+         |ORDER BY doc_id, tok""".stripMargin,
+
+    "ext_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id AS pid, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id, p.pid AS purchase_id, p.value AS purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    "ext_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    // the stub codec derives every value from md5 hex slices precisely so
+    // these two can be hash-checked (see Multimodal.StubCodec)
+    "ext_multimodal_image_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT media_id,
+        |  CAST(64 + CAST('0x' || substr(hex, 1, 8) AS BIGINT) % 1024 AS INT) AS width,
+        |  CAST(64 + CAST('0x' || substr(hex, 9, 8) AS BIGINT) % 1024 AS INT) AS height,
+        |  CAST(1 + CAST('0x' || substr(hex, 17, 2) AS BIGINT) % 4 AS INT) AS channels,
+        |  CAST(CAST('0x' || substr(hex, 19, 4) AS BIGINT) % 256 AS DOUBLE) AS mean_intensity,
+        |  CAST('0x' || substr(hex, 1, 15) AS BIGINT) AS phash
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "ext_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |f AS (SELECT media_id, hex,
+        |        8 + CAST('0x' || substr(hex, 23, 4) AS BIGINT) % 56 AS n FROM m)
+        |SELECT media_id, CAST(i AS INT) AS frame_index,
+        |  CAST('0x' || substr(hex, 9, 15) AS BIGINT) + i * 1000003 AS frame_hash
+        |FROM (SELECT media_id, hex, unnest(range(0, n)) AS i FROM f)
+        |WHERE i % 4 = 0
+        |ORDER BY media_id, frame_index""".stripMargin,
+
+    // hyperplane signs come from md5("seed:i:j"), so the whole LSH path —
+    // planes, projections, buckets, candidate pairs, exact re-rank — is
+    // replicated here end-to-end
+    "ext_lsh_pairs_top10" ->
+      s"""WITH $embCte,
+         |params AS (SELECT t, 42 + 2654435769 * (t + 1) AS tseed
+         |           FROM (SELECT unnest(range(0, 8)) AS t)),
+         |planes AS (
+         |  SELECT p.t, i.i, j.j,
+         |    CASE WHEN substr(md5(CAST(p.tseed AS VARCHAR) || ':' ||
+         |                         CAST(i.i AS VARCHAR) || ':' ||
+         |                         CAST(j.j AS VARCHAR)), 1, 1) < '8'
+         |         THEN 1.0 ELSE -1.0 END AS w
+         |  FROM params p,
+         |       (SELECT unnest(range(0, 8)) AS i) i,
+         |       (SELECT unnest(range(0, 64)) AS j) j
+         |),
+         |proj AS (
+         |  SELECT v.vec_id, pl.t, pl.i, SUM(v.e[CAST(pl.j AS INT) + 1] * pl.w) AS s
+         |  FROM e v, planes pl GROUP BY 1, 2, 3
+         |),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.vec_a, c.vec_b, ${cosSql("ea.e", "eb.e")} AS cos
+         |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+         |ORDER BY cos DESC, vec_a, vec_b LIMIT 10""".stripMargin,
   )
 }

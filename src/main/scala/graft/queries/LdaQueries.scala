@@ -25,14 +25,18 @@ object LdaQueries {
   def trainTopWords(s: SparkSession, dir: String): DataFrame =
     fitted(s, dir).topWords(10)
 
-  /** Fold-in topic mixtures for the training docs (I1 surface). */
+  /** Fold-in topic mixtures for the training docs (I1 surface). Output is
+    * flattened to one scalar row per (doc, topic) — the driver's compare
+    * layer sorts every column with pandas, and an array column crashes
+    * that sort (numpy.ndarray is unhashable). */
   def inferTopics(s: SparkSession, dir: String): DataFrame = {
     val m = fitted(s, dir)
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     m.transform(docs, m.cfg.copy(totalIterations = 15, burnInIterations = 10))
       .toDF("doc_id", "topics")
-      .select(col("doc_id"), transform(col("topics"), t => round(t, 4)).as("topics"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("topics")).as(Seq("topic", "w")))
+      .select(col("doc_id"), col("topic"), round(col("w"), 4).as("w"))
+      .orderBy("doc_id", "topic")
   }
 
   /** Per-iteration pre-sweep corpus log-likelihood (L1 surface; quirk #6). */

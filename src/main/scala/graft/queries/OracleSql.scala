@@ -99,12 +99,14 @@ object OracleSql {
     "q12_global_agg" ->
       s"WITH $docsTok SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab_size FROM docs_tokenized",
 
+    // CAST to BIGINT: DuckDB SUM(int) yields HUGEINT, which pandas (the
+    // driver's compare layer) widens to float64 → "5.0000" vs Spark's "5"
     "q13_pivot" ->
       s"""WITH $langTok
          |SELECT tok,
-         |  SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-         |  SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh,
-         |  SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de
+         |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+         |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+         |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de
          |FROM lang_tokens GROUP BY tok ORDER BY tok""".stripMargin,
 
     "q14_union_distinct" ->

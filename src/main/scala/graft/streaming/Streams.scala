@@ -76,10 +76,12 @@ object Streams {
       .agg(avg(col("value")).as("avg_value"))
       .select(col("window.start").as("w"), col("user_id"), col("avg_value"))
 
-  /** Streaming exact dedup on event_id with bounded state: duplicates
-    * arriving within the watermark horizon are dropped. */
+  /** Streaming exact dedup on event_id alone, with state bounded by the
+    * watermark: a replayed event_id is dropped even when it arrives with a
+    * different event time (dropDuplicates("event_id","ts") would keep it);
+    * state for an id is evicted once the watermark passes its first ts. */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Fault-tolerant parquet sink: append-only with a write-ahead
     * checkpoint. Restarting with the same checkpointLocation resumes from

@@ -1,0 +1,115 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest prior-or-equal right row; null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:00:00")),
+      (3L, 10L, ts("2024-01-01 09:00:00")), // before every right row
+      (4L, 20L, ts("2024-01-01 12:00:00"))  // user with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 11:00:00"), 2.0) // equal ts IS eligible
+    ).toDF("pid", "user_id", "ts", "value")
+      .select("user_id", "ts", "pid", "value")
+
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", Seq("pid", "value"))
+      .select("event_id", "matched_pid", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(got(1L) == (Some(100L), Some(1.0)))
+    assert(got(2L) == (Some(101L), Some(2.0))) // equal-ts right row wins
+    assert(got(3L) == (None, None))
+    assert(got(4L) == (None, None))
+  }
+
+  test("asofJoin on the events fixture equals the naive argmax formulation") {
+    val e = graft.Tables.events(spark, sf())
+    val views = e.where(col("event_type") === "view").select("event_id", "user_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+
+    val fast = Temporal.asofJoin(views, purchases, "user_id", "ts", Seq("pid"))
+      .select("event_id", "matched_pid")
+
+    // naive: non-equi join + keep max (r.ts, pid) per left row — quadratic,
+    // but an independent derivation of the same semantics
+    val naive = views.join(purchases.toDF("p_user_id", "pts", "pid"),
+        views("user_id") === col("p_user_id") && col("pts") <= views("ts"), "left")
+      .groupBy(views("event_id"))
+      .agg(max(struct(col("pts"), col("pid"))).getField("pid").as("matched_pid"))
+
+    val a = fast.as[(Long, Option[Long])].collect().toMap
+    val b = naive.as[(Long, Option[Long])].collect().toMap
+    assert(a.size == b.size)
+    // ties on (user, ts) don't exist in the fixture, so pid matching is exact
+    assert(a == b)
+  }
+
+  test("sessionize splits on gaps > threshold and numbers sessions 1-based") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 10L, ts("2024-01-01 11:30:00"), 3.0), // 80 min gap → new session
+      (4L, 10L, ts("2024-01-01 12:00:00"), 4.0), // 30 min exactly → SAME session
+      (5L, 20L, ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val idx = Temporal.sessionize(e).select("event_id", "session_idx")
+      .as[(Long, Long)].collect().toMap
+    assert(idx(1L) == 1 && idx(2L) == 1)
+    assert(idx(3L) == 2 && idx(4L) == 2) // gap == threshold is not >
+    assert(idx(5L) == 1)
+
+    val agg = Temporal.sessionAgg(e).orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(agg.toSeq == Seq((10L, 1L, 2L, 3.0), (10L, 2L, 2L, 7.0), (20L, 1L, 1L, 5.0)))
+  }
+
+  test("hashSplit is content-keyed, in-range, and roughly proportioned") {
+    val d = graft.Tables.documents(spark, sf())
+    val s = TextAnalysis.hashSplit(d).cache()
+    val buckets = s.select("bucket").as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    val frac = s.where(col("split") === "train").count().toDouble / s.count()
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+    // identical text ⇒ identical split, independent of doc_id
+    val dup = Seq((1L, "same text"), (999L, "same text")).toDF("doc_id", "text")
+    val splits = TextAnalysis.hashSplit(dup).select("split").as[String].collect()
+    assert(splits.distinct.length == 1)
+    s.unpersist()
+  }
+
+  test("tfIdf matches a hand computation") {
+    val d = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(d)
+      .select("doc_id", "tok", "tf", "tfidf")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // Spark's log() codegens to StrictMath.log, which can differ from
+    // math.log by 1 ulp — compare with a tight tolerance, not equality
+    def check(k: (Long, String), tf: Long, want: Double): Unit = {
+      val (gotTf, gotScore) = got(k)
+      assert(gotTf == tf, s"$k tf")
+      assert(math.abs(gotScore - want) < 1e-12, s"$k score $gotScore vs $want")
+    }
+    val ln = (x: Double) => math.log(x)
+    check((1L, "a"), 2L, 2 * ln(3.0 / 2))
+    check((1L, "b"), 1L, ln(3.0 / 1))
+    check((2L, "c"), 1L, ln(3.0 / 2))
+    check((3L, "c"), 2L, 2 * ln(3.0 / 2))
+  }
+}
