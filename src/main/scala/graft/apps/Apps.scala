@@ -82,6 +82,11 @@ object TrainApp {
     val f = Flags.parse(args)
     Flags.checkTraining(f)
     val spark = Flags.session("graft-train")
+    try run(spark, f) finally spark.stop()
+  }
+
+  /** Session-preserving body (separated so specs can drive it). */
+  def run(spark: SparkSession, f: Flags): Unit = {
     val cfg = LdaConfig(f.numTopics, f.alpha, f.beta, f.totalIterations,
       f.burnInIterations, f.computeLikelihood, f.seed)
     val bowOrDocs = f.trainingDataFile
@@ -106,7 +111,6 @@ object TrainApp {
       ModelIO.writeCounts(model.counts, cfg.numTopics, model.indexToWord, f.modelFile)
     else
       ModelIO.writeAveraged(model.averaged, cfg.numTopics, model.indexToWord, f.modelFile)
-    spark.stop()
   }
 }
 
@@ -118,6 +122,11 @@ object InferApp {
     val f = Flags.parse(args)
     Flags.checkInferring(f)
     val spark = Flags.session("graft-infer")
+    try run(spark, f) finally spark.stop()
+  }
+
+  /** Session-preserving body (separated so specs can drive it). */
+  def run(spark: SparkSession, f: Flags): Unit = {
     val (model, words) = ModelIO.readModel(f.modelFile)
     val numWords = words.length
     val k = (model.length / (numWords + 1))
@@ -140,7 +149,6 @@ object InferApp {
     try keptIds.foreach { id =>
       out.println(byId.getOrElse(id, zeros).map(ModelIO.formatDouble).mkString(" "))
     } finally out.close()
-    spark.stop()
   }
 }
 

@@ -56,4 +56,34 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate nodes around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("asof join is merge-scan: no non-equi join operator, no cross product") {
+    val p = plan("ext_asof_join")
+    // union + key-partitioned window, never BroadcastNestedLoop/Cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("sessionize shuffles once on the session key") {
+    val p = plan("ext_sessionize")
+    // one Exchange for the (user_id) window; the final orderBy adds a
+    // range exchange — no other shuffles (the rollup reuses the window's
+    // partitioning)
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx >= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tfidf: df-side and N-side join via broadcast (no fact re-shuffle)") {
+    val p = plan("ext_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("hash_split is a pure map: no exchange before the final sort") {
+    val df = graft.SparkEntry.queries("ext_hash_split")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // only the ORDER BY's range exchange may appear
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
 }
