@@ -174,4 +174,16 @@ object Dedup {
       .agg(count(lit(1)).as("c"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .where(col("c") > 1)
       .orderBy("h")
+
+  /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest
+    * doc_id) per exact content group — the "write the cleaned dataset"
+    * step after [[exactDupGroups]] reports. One shuffle on the digest;
+    * deterministic (min-id canon, not dropDuplicates' arbitrary row). */
+  def keepCanonical(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

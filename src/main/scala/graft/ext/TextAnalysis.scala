@@ -121,6 +121,48 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Corpus n-gram counts (contiguous token n-grams): the language-model
+    * counting primitive. Shingle expansion is the codegen'd
+    * [[Dedup.explodedShingles]] path; the count is one partial+final
+    * hash aggregate on the n-gram string. */
+  def ngramCounts(docs: DataFrame, n: Int = 2): DataFrame =
+    Dedup.explodedShingles(docs, n)
+      .groupBy(col("sh").as("ngram")).agg(count(lit(1)).as("c"))
+      .select("ngram", "c")
+
+  /** Repetition metrics per doc (Gopher-style quality rules): fraction of
+    * tokens covered by the single most frequent bigram, and the distinct/
+    * total token ratio. High top-bigram fraction or low distinct ratio
+    * flags boilerplate/degenerate text. Shuffles on doc_id only. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val bi = Dedup.explodedShingles(docs, 2)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+      .select(col("doc_id"),
+        round(col("top_c") / col("n_bi"), 4).as("top_bigram_frac"))
+    val tok = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), countDistinct(col("tok")).as("n_distinct"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("n_distinct") / col("n_toks"), 4).as("distinct_frac"))
+    tok.join(bi, Seq("doc_id"), "left")
+  }
+
+  /** Exact stratified sample: the first ceil(pct·|stratum|)/100 docs of
+    * each stratum, ordered by content hash (deterministic, uniform,
+    * content-keyed like [[hashSplit]]). One shuffle on the stratum key;
+    * the per-stratum rank is a sorted window scan. */
+  def stratifiedSample(docs: DataFrame, stratum: String, pct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    val n = Window.partitionBy(stratum)
+    docs.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(n))
+      .where(col("_rn") <= ceil(col("_n") * pct / 100.0))
+      .drop("_rn", "_n")
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

@@ -70,6 +70,25 @@ object ExtQueries {
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
 
+  def keepCanonical(s: SparkSession, d: String): DataFrame =
+    Dedup.keepCanonical(Tables.documents(s, d)).select("doc_id").orderBy("doc_id")
+
+  def bigramCounts(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramCounts(Tables.documents(s, d), 2).orderBy("ngram")
+
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionMetrics(Tables.documents(s, d)).orderBy("doc_id")
+
+  def stratified(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stratifiedSample(Tables.documents(s, d), "lang", 10)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy("event_type")
+
   // md5-derived stub + hyperplanes make these three SQL-replicable too
   def lshPairs(s: SparkSession, d: String): DataFrame =
     Similarity.lshPairsTopK(Tables.embeddings(s, d), 10, nBits = 8, dim = 64, seed = 42L)
@@ -88,6 +107,11 @@ object ExtQueries {
     "ext_hash_split" -> hashSplit _,
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
+    "ext_dedup_canonical" -> keepCanonical _,
+    "ext_bigram_counts" -> bigramCounts _,
+    "ext_repetition" -> repetition _,
+    "ext_stratified_sample" -> stratified _,
+    "ext_percentiles" -> percentiles _,
     "ext_minhash_pairs" -> minhashPairs _,
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
@@ -282,6 +306,49 @@ object ExtQueries {
         |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "ext_dedup_canonical" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "ext_bigram_counts" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS ngram
+         |       FROM toks WHERE len(ts) >= 2)
+         |SELECT ngram, COUNT(*) AS c FROM bi GROUP BY ngram ORDER BY ngram""".stripMargin,
+
+    "ext_repetition" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS sh
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac
+         |       FROM bc GROUP BY doc_id),
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |tk AS (SELECT doc_id, COUNT(*) AS n_toks,
+         |         ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS distinct_frac
+         |       FROM dt GROUP BY doc_id)
+         |SELECT tk.doc_id, tk.n_toks, tk.distinct_frac, bt.top_bigram_frac
+         |FROM tk LEFT JOIN bt ON tk.doc_id = bt.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    "ext_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |) WHERE rn <= CEIL(n * 10 / 100.0) ORDER BY doc_id""".stripMargin,
+
+    "ext_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the stub codec derives every value from md5 hex slices precisely so
     // these two can be hash-checked (see Multimodal.StubCodec)

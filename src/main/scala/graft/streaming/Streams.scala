@@ -83,6 +83,27 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each 'view' joins the same user's
+    * 'purchase' events within [view_ts − horizon, view_ts]. Both sides
+    * carry watermarks, so the join state for a purchase is dropped once
+    * the view-side watermark passes its horizon — bounded state, the
+    * streaming analog of [[graft.ext.Temporal.asofJoin]]'s time window.
+    * Append-mode output: rows emit when the watermark closes them. */
+  def viewPurchaseIntervalJoin(events: DataFrame, watermark: String = "2 hours",
+      horizonSql: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+      .withWatermark("pts", watermark)
+    views.join(purchases,
+      expr(s"v_user = p_user AND pts BETWEEN vts - $horizonSql AND vts"))
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+        col("vts"), col("pts"), col("purchase_value"))
+  }
+
   /** Fault-tolerant parquet sink: append-only with a write-ahead
     * checkpoint. Restarting with the same checkpointLocation resumes from
     * the committed source offsets — already-processed input produces no

@@ -89,6 +89,46 @@ class TemporalSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("keepCanonical keeps the lowest doc_id per exact-content group") {
+    val d = Seq((5L, "x y"), (1L, "x y"), (3L, "a b"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("repetitionMetrics matches a hand computation incl. short-doc null") {
+    val d = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(d)
+      .select("doc_id", "n_toks", "distinct_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bigrams of doc1: "a a","a a","a b" → top 2/3; distinct 2/4
+    assert(got(1L) == ((4L, 0.5, Some(0.6667))))
+    assert(got(2L) == ((1L, 1.0, None))) // <2 tokens → no bigram row
+  }
+
+  test("stratifiedSample takes exactly ceil(pct·n/100) docs per stratum") {
+    val d = graft.Tables.documents(spark, sf())
+    val perLang = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = TextAnalysis.stratifiedSample(d, "lang", 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.ceil(n * 10 / 100.0).toLong, s"lang=$lang")
+    }
+    // deterministic: same sample on re-run
+    val again = TextAnalysis.stratifiedSample(d, "lang", 10)
+      .select("doc_id").as[Long].collect().sorted
+    val first = TextAnalysis.stratifiedSample(d, "lang", 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(first))
+  }
+
+  test("ngramCounts counts contiguous bigrams") {
+    val d = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramCounts(d, 2).as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 3L, "b a" -> 1L))
+  }
+
   test("tfIdf matches a hand computation") {
     val d = Seq(
       (1L, "a a b"),

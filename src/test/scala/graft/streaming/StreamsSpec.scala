@@ -55,6 +55,19 @@ class StreamsSpec extends SparkSpec {
     assert(got.where(col("avg_value").isNull).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch time-range join") {
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    val got = runToCompletion(Streams.viewPurchaseIntervalJoin(stream), "t_ivj").count()
+    val e = graft.Tables.events(spark, sf())
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val want = v.join(p,
+      expr("vu = pu AND pts BETWEEN vts - INTERVAL 1 HOUR AND vts")).count()
+    assert(got == want && want > 0, s"stream=$got batch=$want")
+  }
+
   test("parquet sink with checkpoint is exactly-once across restarts") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val out = s"$base/out"
