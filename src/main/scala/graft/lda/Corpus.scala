@@ -23,6 +23,22 @@ object Corpus {
       .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
   }
 
+  /** Sorted-vocabulary build for the huge-V regime: same (tok, word_id)
+    * mapping as [[sortedVocab]], but the dense rank comes from
+    * `sortBy + zipWithIndex` instead of a single-partition window — ids
+    * are assigned per sorted range partition in parallel, so V in the
+    * billions never funnels through one task. (zipWithIndex runs one
+    * extra job to count partition sizes; ranges stay distributed.) */
+  def sortedVocabLarge(tokens: DataFrame): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select("tok").distinct().as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (t, i) => (t, i.toInt) }
+      .toDF("tok", "word_id")
+  }
+
   /** First-seen-order vocabulary (V1, lda.cc:70-77) — parity mode for the
     * reference's single-node binary. Requires (doc_id, pos)-ordered input;
     * id = rank of first (doc_id, pos) appearance. */

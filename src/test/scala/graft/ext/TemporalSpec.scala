@@ -55,6 +55,17 @@ class TemporalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("asofJoin result is invariant to input partitioning") {
+    val e = graft.Tables.events(spark, sf())
+    val views = e.where(col("event_type") === "view").select("event_id", "user_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    def run(np: Int) = Temporal.asofJoin(
+      views.repartition(np), purchases.repartition(np), "user_id", "ts", Seq("pid"))
+      .select("event_id", "matched_pid").as[(Long, Option[Long])].collect().toSet
+    assert(run(1) == run(7))
+  }
+
   test("sessionize splits on gaps > threshold and numbers sessions 1-based") {
     val e = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),

@@ -26,6 +26,13 @@ class CorpusSpec extends SparkSpec {
     assert(v.sameElements(Array(("apple", 0), ("pear", 1), ("zed", 2))))
   }
 
+  test("sortedVocabLarge (zipWithIndex path) equals sortedVocab on real data") {
+    val toks = graft.Tables.docsTokenized(spark, sf())
+    val a = Corpus.sortedVocab(toks).as[(String, Int)].collect().toSet
+    val b = Corpus.sortedVocabLarge(toks.repartition(7)).as[(String, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("firstSeenVocab assigns ids in first-appearance order (V1)") {
     val toks = Seq((0L, 0, "pear"), (0L, 1, "apple"), (1L, 0, "apple"), (1L, 1, "zed"))
       .toDF("doc_id", "pos", "tok")
