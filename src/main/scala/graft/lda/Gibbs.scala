@@ -124,6 +124,71 @@ object Gibbs {
     }
   }
 
+  /** [[sweep]] fused with the pre-sweep per-doc log-likelihood (quirk #6:
+    * LL describes the PREVIOUS iteration's model — here the broadcast,
+    * unmutated replica). The LL rides the dataset as a value and is summed
+    * by [[countModelWithLL]]'s treeReduce — exactly-once by construction
+    * (a task retry recomputes the same deterministic tuple; contrast an
+    * accumulator updated in a transformation), and costs zero extra passes
+    * over the corpus. */
+  def sweepWithLL(
+      docs: Dataset[DocState], bcModel: Broadcast[Array[Long]],
+      numWords: Int, numTopics: Int, alpha: Double, beta: Double,
+      seed: Long, iter: Int): Dataset[(DocState, Double)] = {
+    import docs.sparkSession.implicits._
+    val k = numTopics
+    docs.mapPartitions { it =>
+      val model = bcModel.value.clone() // task-local AD-LDA replica
+      val stale = bcModel.value         // unmutated — the LL's model
+      val dist = new Array[Double](k)
+      it.map { doc =>
+        val ll = logLikelihood(doc, stale, numWords, alpha, beta, k)
+        val topics = doc.topics.clone()
+        val docTopics = new Array[Long](k)
+        var j = 0
+        while (j < topics.length) { docTopics(topics(j)) += 1; j += 1 }
+        val rng = new SplitMix64(Rng.mix(seed, doc.docId, iter))
+        sweepDocument(doc.wordIds, doc.offsets, topics, docTopics, model,
+          numWords, alpha, beta, train = true, rng, dist)
+        (DocState(doc.docId, doc.wordIds, doc.offsets, topics), ll)
+      }
+    }
+  }
+
+  /** [[countModel]] over a fused sweep: one pass produces the recounted
+    * model AND the summed pre-sweep corpus log-likelihood. */
+  def countModelWithLL(
+      swept: Dataset[(DocState, Double)], numWords: Int, numTopics: Int): (Array[Long], Double) = {
+    val k = numTopics
+    val size = (numWords + 1) * k
+    val gOff = numWords * k
+    swept.rdd.mapPartitions { it =>
+      val acc = new Array[Long](size)
+      var ll = 0.0
+      it.foreach { case (doc, l) =>
+        ll += l
+        var i = 0
+        while (i < doc.wordIds.length) {
+          val wOff = doc.wordIds(i) * k
+          var j = doc.offsets(i)
+          val end = doc.offsets(i + 1)
+          while (j < end) {
+            val t = doc.topics(j)
+            acc(wOff + t) += 1
+            acc(gOff + t) += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single((acc, ll))
+    }.treeReduce({ case ((a, la), (b, lb)) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      (a, la + lb)
+    }, depth = 2)
+  }
+
   /** Recount n(w,k)/n(k) from assignments and allreduce
     * (M3 sampler.cc:34-45 + M4 mpi_lda.cc:94-111): per-partition flat
     * tally, tree-combined. Partition-count invariant (addition commutes). */

@@ -36,12 +36,15 @@ object LdaTrainer {
       numWords: Int)
 
   def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result = {
-    val sc = corpus.sparkSession.sparkContext
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
     val k = cfg.numTopics
     // truncate the INPUT's lineage up front: training chained onto a prior
     // train's output (continue-training) otherwise carries a deep plan that
     // Catalyst re-analyzes every iteration — measured 9× slower at sf0.1
     var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+    var pinned: Dataset[_] = docs // the currently-persisted generation
     var model = Gibbs.countModel(docs, numWords, k)
     val accum = new Array[Double]((numWords + 1) * k)
     var nAccum = 0
@@ -50,18 +53,30 @@ object LdaTrainer {
     var iter = 0
     while (iter < cfg.totalIterations) {
       val bc = sc.broadcast(model)
-      // pre-sweep LL (quirk #6: reports the previous iteration's model) as
-      // its own action — an accumulator fused into the sweep would re-add
-      // contributions on task retry or cache-eviction recompute (Spark only
-      // guarantees exactly-once accumulator updates inside actions)
-      if (cfg.computeLikelihood)
-        lls += Gibbs.corpusLikelihood(docs, bc, numWords, k, cfg.alpha, cfg.beta)
-      val prev = docs
-      docs = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
-        train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
-      if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
-      model = Gibbs.countModel(docs, numWords, k) // materializes the sweep
-      prev.unpersist(blocking = false)
+      if (cfg.computeLikelihood) {
+        // fused path: the pre-sweep LL (quirk #6 — reports the previous
+        // iteration's model) rides the swept dataset into the countModel
+        // treeReduce. Exactly-once without an extra pass: a retried task
+        // recomputes its tuples, unlike an accumulator updated inside a
+        // transformation, which would double-add.
+        val swept = Gibbs.sweepWithLL(docs, bc, numWords, k, cfg.alpha,
+          cfg.beta, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
+        val (m, ll) = Gibbs.countModelWithLL(swept, numWords, k) // materializes
+        model = m
+        lls += ll
+        docs = swept.map(_._1) // narrow view over the persisted generation
+        if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
+        pinned.unpersist(blocking = false)
+        pinned = swept
+      } else {
+        val swept = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
+          train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
+        model = Gibbs.countModel(swept, numWords, k) // materializes the sweep
+        docs = swept
+        if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
+        pinned.unpersist(blocking = false)
+        pinned = swept
+      }
       bc.unpersist(blocking = false)
       if (iter >= cfg.burnInIterations) {
         var i = 0
