@@ -144,6 +144,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-flat ANN (the "IVF variant" scale path of SURVEY §2.4): coarse-
+    * quantize the corpus into `nlist` centroid lists, probe the `nprobe`
+    * nearest lists per query, exact-cosine re-rank only inside probed
+    * lists — candidate count drops to ~nprobe/nlist of the corpus.
+    *
+    * Centroids are the `nlist` lowest-id vectors (a deterministic,
+    * training-free quantizer — production would k-means them; everything
+    * downstream of centroid choice is the real IVF mechanics). Assignment
+    * and probing are PURE MAPS: each row scores all nlist broadcast
+    * centroids inside one projection (no row explosion, no shuffle) — the
+    * DataFrame analog of the BLAS-matmul assignment step. The only
+    * shuffles are the probed-list join (keyed by list id, which is exactly
+    * how IVF shards at scale) and the final per-query ranking window.
+    * Ties break to the lowest centroid id / vector id, so the result is
+    * deterministic and DuckDB-replicable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent: Array[(Int, Array[Double], Double)] = corpus
+      .where(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), asDouble(col("embedding")))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (r.getInt(0), v, math.sqrt(s))
+      }
+    // per-row score structs vs every centroid; -cid so struct max/sort
+    // break exact-cosine ties toward the LOWEST centroid id
+    def scoreStructs(e: Column, n: Column) = cent.map { case (cid, cv, cn) =>
+      struct((dot(e, array(cv.map(lit): _*)) / (n * lit(cn))).as("s"),
+        lit(-cid).as("negcid"))
+    }
+    val c = withNorm(corpus)
+    val assigned = c.select(col("vec_id"), col("e"), col("n"),
+      (-array_max(array(scoreStructs(col("e"), col("n")): _*))
+        .getField("negcid")).as("cid"))
+    val q = withNorm(queries).toDF("query_id", "qe", "qn")
+    val probes = q.select(col("query_id"), col("qe"), col("qn"),
+        explode(slice(reverse(array_sort(
+          array(scoreStructs(col("qe"), col("qn")): _*))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qe"), col("qn"), (-col("p.negcid")).as("cid"))
+    val rw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cid")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("e"), col("qe")) / (col("qn") * col("n")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(rw))
+      .where(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {

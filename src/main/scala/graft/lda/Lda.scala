@@ -101,6 +101,34 @@ object LdaInfer {
 
   final case class DocTopics(docId: Long, topics: Array[Double])
 
+  /** One document's full fold-in chain (the body of infer.cc:82-98):
+    * `total` frozen-model sweeps, post-burn-in averaged topic counts.
+    * `dist` is reusable scratch of length K. */
+  def inferDoc(doc: DocState, model: Array[Long], numWords: Int,
+      cfg: LdaConfig, dist: Array[Double]): Array[Double] = {
+    val k = cfg.numTopics
+    val topics = doc.topics.clone()
+    val docTopics = new Array[Long](k)
+    var j = 0
+    while (j < topics.length) { docTopics(topics(j)) += 1; j += 1 }
+    val acc = new Array[Double](k)
+    val rng = new SplitMix64(Rng.mix(cfg.seed, doc.docId, 0x1FE2L))
+    var iter = 0
+    while (iter < cfg.totalIterations) {
+      Gibbs.sweepDocument(doc.wordIds, doc.offsets, topics, docTopics, model,
+        numWords, cfg.alpha, cfg.beta, train = false, rng, dist)
+      if (iter >= cfg.burnInIterations) {
+        var t = 0
+        while (t < k) { acc(t) += docTopics(t); t += 1 }
+      }
+      iter += 1
+    }
+    val n = cfg.totalIterations - cfg.burnInIterations
+    var t = 0
+    while (t < k) { acc(t) /= n; t += 1 }
+    acc
+  }
+
   /** corpus must be built against the model's vocabulary (OOV dropped at
     * the dictionary join — the semi-join of infer.cc:77-80). Output: per
     * doc, averaged post-burn-in topic counts (NOT normalized to 1),
@@ -110,33 +138,10 @@ object LdaInfer {
     val sc = corpus.sparkSession.sparkContext
     val bc = sc.broadcast(model)
     val k = cfg.numTopics
-    val (alpha, beta, total, burnIn, seed) =
-      (cfg.alpha, cfg.beta, cfg.totalIterations, cfg.burnInIterations, cfg.seed)
     corpus.mapPartitions { it =>
       val m = bc.value
       val dist = new Array[Double](k)
-      it.map { doc =>
-        val topics = doc.topics.clone()
-        val docTopics = new Array[Long](k)
-        var j = 0
-        while (j < topics.length) { docTopics(topics(j)) += 1; j += 1 }
-        val acc = new Array[Double](k)
-        val rng = new SplitMix64(Rng.mix(seed, doc.docId, 0x1FE2L))
-        var iter = 0
-        while (iter < total) {
-          Gibbs.sweepDocument(doc.wordIds, doc.offsets, topics, docTopics, m,
-            numWords, alpha, beta, train = false, rng, dist)
-          if (iter >= burnIn) {
-            var t = 0
-            while (t < k) { acc(t) += docTopics(t); t += 1 }
-          }
-          iter += 1
-        }
-        val n = total - burnIn
-        var t = 0
-        while (t < k) { acc(t) /= n; t += 1 }
-        DocTopics(doc.docId, acc)
-      }
+      it.map(doc => DocTopics(doc.docId, inferDoc(doc, m, numWords, cfg, dist)))
     }
   }
 }
@@ -181,6 +186,9 @@ final case class LdaModel(
   /** Words in id order (collected; V ≪ corpus). */
   lazy val indexToWord: Array[String] =
     vocab.orderBy("word_id").select("tok").collect().map(_.getString(0))
+
+  /** word → id map (collected; for broadcast in row-wise/streaming paths). */
+  lazy val vocabMap: Map[String, Int] = indexToWord.zipWithIndex.toMap
 
   /** Top-n words per topic (R1, view_model.py): count>1 filter, per-topic
     * ranking window, deterministic tie-break by word. */

@@ -33,6 +33,11 @@ object ExtQueries {
     Similarity.annTopK(e, e.where(col("vec_id") < 5), 5)
   }
 
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 5)
+  }
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -107,6 +112,7 @@ object ExtQueries {
     "ext_hash_split" -> hashSplit _,
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
+    "ext_ivf_topk" -> ivfTopK _,
     "ext_dedup_canonical" -> keepCanonical _,
     "ext_bigram_counts" -> bigramCounts _,
     "ext_repetition" -> repetition _,
@@ -147,6 +153,11 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String) =
     s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+
+  /** Unrounded cosine — for ORDERING that the Spark side does on the raw
+    * double (rounding before ranking would reorder near-ties). */
+  private def cosRawSql(a: String, b: String) =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
   private def stopList(lang: String) =
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
@@ -306,6 +317,39 @@ object ExtQueries {
         |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    // IVF-flat ANN: centroids = vec_id < 16, assign by argmax cosine
+    // (tie → low cid), probe the 4 nearest lists per query, exact re-rank
+    "ext_ivf_topk" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY v.vec_id ORDER BY ${cosRawSql("v.e", "c.ce")} DESC, c.cid) AS arn
+         |    FROM e v, cent c
+         |  ) WHERE arn = 1
+         |),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY q.query_id ORDER BY ${cosRawSql("q.qe", "c.ce")} DESC, c.cid) AS prn
+         |    FROM q, cent c
+         |  ) WHERE prn <= 4
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ${cosSql("v.e", "qq.qe")} AS cos
+         |  FROM probes p
+         |  JOIN assigned a ON a.cid = p.cid
+         |  JOIN e v ON v.vec_id = a.vec_id
+         |  JOIN q qq ON qq.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, vec_id, cos, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM scored
+         |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "ext_dedup_canonical" ->
       """SELECT doc_id FROM (

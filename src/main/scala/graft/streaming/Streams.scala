@@ -118,6 +118,43 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming topic inference (model serving): a documents stream flows
+    * through a frozen broadcast LDA model — per row: tokenize, dictionary-
+    * map against the broadcast vocab (OOV dropped, the semi-join of
+    * infer.cc:77-80 done map-side), seeded CSR build, full per-doc Gibbs
+    * chain. Entirely NARROW (no streaming aggregation), so it runs in
+    * append mode with no watermark, and results are byte-equal to the
+    * batch `LdaModel.transform` for the same seed (identical per-doc RNG
+    * streams keyed on docId). */
+  def streamingInferTopics(docs: DataFrame, model: Array[Long],
+      vocabMap: Map[String, Int], cfg: graft.lda.LdaConfig): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val bcModel = sc.broadcast(model)
+    val bcVocab = sc.broadcast(vocabMap)
+    val numWords = vocabMap.size
+    val k = cfg.numTopics
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      val m = bcModel.value
+      val vm = bcVocab.value
+      val dist = new Array[Double](k)
+      it.map { case (docId, text) =>
+        // row-wise bag-of-words, sorted by word id — the same (ws, cs)
+        // shape Corpus.fromBow builds, so DocState.init seeds identically
+        val counts = scala.collection.mutable.TreeMap.empty[Int, Int]
+        text.split("\\s+").foreach { t =>
+          if (t.nonEmpty) vm.get(t).foreach { w =>
+            counts.update(w, counts.getOrElse(w, 0) + 1)
+          }
+        }
+        val ws = counts.keysIterator.toArray
+        val cs = ws.map(counts)
+        val doc = graft.lda.DocState.init(docId, ws, cs, k, cfg.seed)
+        (docId, graft.lda.LdaInfer.inferDoc(doc, m, numWords, cfg, dist))
+      }
+    }.toDF("doc_id", "topics")
+  }
+
   /** Custom keyed state: per-user session aggregation with processing-time
     * timeout — the `flatMapGroupsWithState` surface. Emits a running
     * update per batch and a closing record when the session times out. */

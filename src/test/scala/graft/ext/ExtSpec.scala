@@ -72,6 +72,28 @@ class ExtSpec extends SparkSpec {
     for (i <- 0 until 3) assert(cand.contains((i.toLong, i + 100L)), s"missing planted pair $i")
   }
 
+  test("ivfTopK finds planted cluster neighbors and returns k rows per query") {
+    // 4 tight clusters of 10 vectors each around orthogonal-ish anchors;
+    // vec_ids 0..3 (one per cluster) double as centroids (nlist=4)
+    val rng = new graft.lda.SplitMix64(9L)
+    def anchor(c: Int) = Array.tabulate(16)(j => if (j % 4 == c) 1.0f else 0.05f)
+    val rows = for (c <- 0 until 4; i <- 0 until 10) yield {
+      val a = anchor(c)
+      (c + 4L * i, a.map(x => x + (rng.nextDouble().toFloat - 0.5f) * 0.05f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val got = Similarity.ivfTopK(emb, queries, 5, nlist = 4, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.foreach { case (q, neighbors) =>
+      assert(neighbors.size == 5, s"query $q")
+      // with nprobe=1 every neighbor comes from the query's own cluster
+      neighbors.foreach(n => assert(n % 4 == q, s"query $q got cross-cluster $n"))
+    }
+  }
+
   test("lsh buckets are deterministic for a fixed seed") {
     val emb = Tables.embeddingsFixture(spark)
     val a = Similarity.lshBuckets(emb, 8, 64, 7L).select("vec_id", "bucket").as[(Long, Long)].collect().toMap

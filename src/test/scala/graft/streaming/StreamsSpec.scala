@@ -88,6 +88,30 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == first, "duplicates after restart")
   }
 
+  test("streaming inference is byte-equal to the batch transform") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.Tables.documents(spark, sf()).select("doc_id", "text").limit(50)
+    val m = graft.lda.Lda(graft.lda.LdaConfig(numTopics = 3, alpha = 0.1,
+      beta = 0.01, totalIterations = 4, burnInIterations = 2, seed = 7L)).fit(docsDf)
+    val inferCfg = m.cfg.copy(totalIterations = 6, burnInIterations = 3)
+
+    val want = m.transform(docsDf, inferCfg).collect()
+      .map(dt => dt.docId -> dt.topics.toSeq).toMap
+
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docsDf.as[(Long, String)].collect().toSeq)
+    val q = Streams.streamingInferTopics(ms.toDS().toDF("doc_id", "text"),
+        m.counts, m.vocabMap, inferCfg)
+      .writeStream.format("memory").queryName("t_infer")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.table("t_infer").as[(Long, Seq[Double])].collect().toMap
+
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, topics) => assert(topics == want(id), s"doc $id") }
+  }
+
   test("flatMapGroupsWithState sessionizes per user with running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
