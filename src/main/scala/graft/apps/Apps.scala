@@ -54,9 +54,19 @@ object Flags {
     require(f.burnInIterations >= 0 && f.burnInIterations < f.totalIterations, "bad burn_in")
   }
 
-  /** cmd_flags.cc:139-170 (infer). */
-  def checkInferring(f: Flags): Unit = {
+  /** cmd_flags.cc:107-138 (parallel train: burn_in NOT required — mpi_lda
+    * ignores it and always writes last-iteration raw counts, quirk #1).
+    * Selected when `--output_mode final_counts`. */
+  def checkParallelTraining(f: Flags): Unit = {
     require(f.numTopics > 1 && f.alpha > 0 && f.beta > 0, "bad hyperparameters")
+    require(f.trainingDataFile.nonEmpty && f.modelFile.nonEmpty, "missing files")
+    require(f.totalIterations > 0, "bad total_iterations")
+  }
+
+  /** cmd_flags.cc:139-170 (infer: num_topics NOT required — K comes from
+    * the model file). */
+  def checkInferring(f: Flags): Unit = {
+    require(f.alpha > 0 && f.beta > 0, "bad hyperparameters")
     require(f.modelFile.nonEmpty && f.inferenceDataFile.nonEmpty &&
       f.inferenceResultFile.nonEmpty, "missing files")
     require(f.totalIterations > 0 && f.burnInIterations >= 0 &&
@@ -80,7 +90,9 @@ object Flags {
 object TrainApp {
   def main(args: Array[String]): Unit = {
     val f = Flags.parse(args)
-    Flags.checkTraining(f)
+    // final_counts = the mpi_lda kind → its laxer validity profile
+    if (f.outputMode == "final_counts") Flags.checkParallelTraining(f)
+    else Flags.checkTraining(f)
     val spark = Flags.session("graft-train")
     try run(spark, f) finally spark.stop()
   }
@@ -88,7 +100,7 @@ object TrainApp {
   /** Session-preserving body (separated so specs can drive it). */
   def run(spark: SparkSession, f: Flags): Unit = {
     val cfg = LdaConfig(f.numTopics, f.alpha, f.beta, f.totalIterations,
-      f.burnInIterations, f.computeLikelihood, f.seed)
+      math.max(0, f.burnInIterations), f.computeLikelihood, f.seed)
     val bowOrDocs = f.trainingDataFile
     val model =
       if (bowOrDocs.endsWith(".parquet")) {

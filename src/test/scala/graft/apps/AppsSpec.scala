@@ -41,6 +41,20 @@ class AppsSpec extends SparkSpec {
     }
   }
 
+  test("flag validity profiles mirror cmd_flags.cc's three variants") {
+    val base = Flags(numTopics = 2, alpha = 0.1, beta = 0.01,
+      trainingDataFile = "x", modelFile = "m", totalIterations = 5)
+    // single-node train requires 0 <= burn_in < total (default -1 fails)
+    intercept[IllegalArgumentException](Flags.checkTraining(base))
+    Flags.checkTraining(base.copy(burnInIterations = 2))
+    // parallel train (final_counts kind) does NOT require burn_in
+    Flags.checkParallelTraining(base)
+    // infer does NOT require num_topics (K comes from the model file)
+    Flags.checkInferring(Flags(alpha = 0.1, beta = 0.01, modelFile = "m",
+      inferenceDataFile = "i", inferenceResultFile = "o",
+      burnInIterations = 1, totalIterations = 3))
+  }
+
   test("InferApp emits one line per kept input line, zeros for all-OOV docs") {
     val corpus = tmp("train", "alpha 2 beta 1\nbeta 3 gamma 1\n")
     val model = Files.createTempFile("graft-model", ".txt").toString
