@@ -42,7 +42,12 @@ object ShardedLda {
   def countModelRows(docs: Dataset[DocState], numTopics: Int): Dataset[WordTopics] = {
     import docs.sparkSession.implicits._
     val k = numTopics
-    docs.mapPartitions { it =>
+    // RDD reduceByKey rather than Dataset groupByKey.reduceGroups: the
+    // partial (map-side) combine is guaranteed, and the shuffle carries
+    // raw (Int, Array[Long]) pairs instead of encoder-serialized rows —
+    // at most V rows per partition cross the wire either way, but without
+    // the per-row InternalRow round-trip
+    docs.rdd.mapPartitions { it =>
       val tally = mutable.LongMap.empty[Array[Long]]
       it.foreach { doc =>
         var i = 0
@@ -54,15 +59,15 @@ object ShardedLda {
           i += 1
         }
       }
-      tally.iterator.map { case (w, counts) => WordTopics(w.toInt, counts) }
+      tally.iterator.map { case (w, counts) => (w.toInt, counts) }
     }
-    .groupByKey(_.wordId)
-    .reduceGroups { (a, b) =>
+    .reduceByKey { (a, b) =>
       var i = 0
-      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
-    .map(_._2)
+    .map { case (w, c) => WordTopics(w, c) }
+    .toDS()
   }
 
   /** Global topic row n(k) = column sums of the model rows (length K —
