@@ -163,6 +163,38 @@ object TextAnalysis {
       .drop("_rn", "_n")
   }
 
+  /** Composed corpus-cleaning pipeline — the end-to-end "raw crawl →
+    * training corpus" shape: (1) drop docs failing quality gates (token
+    * count, stopword ratio, repetition); (2) keep one canonical doc per
+    * exact content group; (3) assign content-hash splits. Stages are the
+    * individually-oracle-checked operators composed; the whole pipeline
+    * still shuffles only twice (doc_id for repetition metrics, digest for
+    * canonical dedup) — filters and the split are narrow. */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
+      minStopwordRatio: Double = 0.05, maxTopBigramFrac: Double = 0.2): DataFrame = {
+    // gates compare RAW (unrounded) ratios: the raw doubles are
+    // bit-identical across engines, whereas rounded values could differ
+    // at a decimal boundary (Spark HALF_UP vs DuckDB binary rounding) and
+    // flip a filter decision
+    val en = stopwords.toMap.apply("en")
+    val tk = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_toks"),
+        (hits(col("ts"), en).cast("double") / size(col("ts"))).as("sw_ratio"))
+    val bi = Dedup.explodedShingles(docs, 2)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bi_frac"))
+    val passing = docs
+      .join(tk, "doc_id")
+      .join(bi, Seq("doc_id"), "left")
+      .where(col("n_toks") >= minTokens &&
+        col("sw_ratio") >= minStopwordRatio &&
+        (col("top_bi_frac").isNull || col("top_bi_frac") <= maxTopBigramFrac))
+      .select(docs.columns.map(col): _*)
+    Dedup.keepCanonical(passing)
+      .join(hashSplit(passing).select("doc_id", "split"), "doc_id")
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

@@ -88,6 +88,10 @@ object ExtQueries {
     TextAnalysis.stratifiedSample(Tables.documents(s, d), "lang", 10)
       .select("doc_id", "lang").orderBy("doc_id")
 
+  def cleanPipeline(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cleanCorpus(Tables.documents(s, d))
+      .select("doc_id", "lang", "split").orderBy("doc_id")
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -118,6 +122,7 @@ object ExtQueries {
     "ext_repetition" -> repetition _,
     "ext_stratified_sample" -> stratified _,
     "ext_percentiles" -> percentiles _,
+    "ext_clean_pipeline" -> cleanPipeline _,
     "ext_minhash_pairs" -> minhashPairs _,
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
@@ -387,6 +392,39 @@ object ExtQueries {
         |    COUNT(*) OVER (PARTITION BY lang) AS n
         |  FROM documents
         |) WHERE rn <= CEIL(n * 10 / 100.0) ORDER BY doc_id""".stripMargin,
+
+    // the composed clean-corpus pipeline: quality gates → canonical dedup
+    // → content-hash split (each stage is itself oracle-checked above)
+    "ext_clean_pipeline" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS sh
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac
+         |       FROM bc GROUP BY doc_id),
+         |tk AS (SELECT doc_id, len(ts) AS n_toks,
+         |         len(list_filter(ts, t -> list_contains(${stopList("en")}, t))) * 1.0
+         |           / len(ts) AS stopword_ratio
+         |       FROM toks),
+         |passing AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN tk ON tk.doc_id = d.doc_id
+         |  LEFT JOIN bt ON bt.doc_id = d.doc_id
+         |  WHERE tk.n_toks >= 10 AND tk.stopword_ratio >= 0.05
+         |    AND (bt.top_bigram_frac IS NULL OR bt.top_bigram_frac <= 0.2)
+         |),
+         |canon AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM passing
+         |  ) WHERE rn = 1
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM canon ORDER BY doc_id""".stripMargin,
 
     "ext_percentiles" ->
       """SELECT event_type,

@@ -140,6 +140,21 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map("a b" -> 3L, "b a" -> 1L))
   }
 
+  test("cleanCorpus gates, dedups, and splits") {
+    val good = "the a is of and to in the a is of and to in words here padding tokens more" // 20 toks, stopword-rich
+    val repetitive = ("spam ham " * 10).trim // top bigram dominates
+    val short = "tiny doc"
+    val noStop = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, good), (2L, good), // exact dups — only doc 1 survives
+      (3L, repetitive), (4L, short), (5L, noStop)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(d)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.map(_._1).toSet == Set(1L), out.toSeq.toString)
+    assert(Set("train", "val", "test").contains(out.head._2))
+  }
+
   test("tfIdf matches a hand computation") {
     val d = Seq(
       (1L, "a a b"),
