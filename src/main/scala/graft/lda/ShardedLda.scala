@@ -209,6 +209,92 @@ object ShardedLda {
     Result(modelRows, docs, lls.result())
   }
 
+  /** Fold-in inference against a DISTRIBUTED model (the huge-V regime —
+    * completes the sharded surface: train, likelihood, AND infer never
+    * collect the model whole). Iterations outer, shards inner: each
+    * (iter, shard) pass broadcasts only (V/S)×K rows and resamples that
+    * shard's occurrences with the model frozen (no −1 self-adjustment,
+    * sampler.cc:99 with update_model=false). The per-doc running
+    * histogram sum for post-burn-in averaging rides the doc state.
+    *
+    * Visit order is shard-major, so chains are NOT bit-identical to
+    * [[LdaInfer.infer]]'s doc-major chains — statistically equivalent,
+    * verified by planted-topic recovery (ShardedLdaSpec), not by hash. */
+  def infer(docs0: Dataset[DocState], modelRows: Dataset[WordTopics],
+      numWords: Int, cfg: LdaConfig, numShards: Int): Dataset[LdaInfer.DocTopics] = {
+    import docs0.sparkSession.implicits._
+    val sc = docs0.sparkSession.sparkContext
+    val k = cfg.numTopics
+    val vBeta = numWords * cfg.beta
+    val (alpha, beta, seed) = (cfg.alpha, cfg.beta, cfg.seed)
+    val bcGlobal = sc.broadcast(globalRow(modelRows, k)) // frozen → once
+    var state: Dataset[(DocState, Array[Double])] =
+      docs0.map(d => (d, new Array[Double](k)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    var iter = 0
+    while (iter < cfg.totalIterations) {
+      var s = 0
+      while (s < numShards) {
+        val (lo, hi) = shardBounds(numWords, numShards, s)
+        val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
+        val accumulate = (s == numShards - 1) && iter >= cfg.burnInIterations
+        val (it0, s0) = (iter, s)
+        val prev = state
+        state = state.mapPartitions { it =>
+          val shard = bcShard.value
+          val g = bcGlobal.value
+          val dist = new Array[Double](k)
+          it.map { case (doc, acc) =>
+            val topics = doc.topics.clone()
+            val docTopics = doc.topicHistogram(k)
+            val rng = new SplitMix64(
+              Rng.mix(seed, doc.docId, 0x1FE20000L | (it0.toLong << 8) | s0))
+            var i = 0
+            while (i < doc.wordIds.length) {
+              val w = doc.wordIds(i)
+              if (w >= lo && w < hi) {
+                val wOff = (w - lo) * k
+                var j = doc.offsets(i)
+                val end = doc.offsets(i + 1)
+                while (j < end) {
+                  val cur = topics(j)
+                  var t = 0
+                  while (t < k) {
+                    dist(t) = (shard(wOff + t) + beta) * (docTopics(t) + alpha) / (g(t) + vBeta)
+                    t += 1
+                  }
+                  val next = Gibbs.sampleFromCdf(dist, rng.nextDouble())
+                  if (next != cur) {
+                    docTopics(cur) -= 1; docTopics(next) += 1; topics(j) = next
+                  }
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            val acc2 =
+              if (accumulate) {
+                val a = acc.clone()
+                var t = 0
+                while (t < k) { a(t) += docTopics(t); t += 1 }
+                a
+              } else acc
+            (DocState(doc.docId, doc.wordIds, doc.offsets, topics), acc2)
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        state.count() // materialize before releasing this shard's broadcast
+        prev.unpersist(blocking = false)
+        bcShard.unpersist(blocking = false)
+        s += 1
+      }
+      state = state.localCheckpoint() // cut the S-pass chain per iteration
+      iter += 1
+    }
+    val n = cfg.totalIterations - cfg.burnInIterations
+    state.map { case (d, acc) => LdaInfer.DocTopics(d.docId, acc.map(_ / n)) }
+  }
+
   /** Corpus log-likelihood on the sharded model: per-word log p(w|z)
     * terms need the word's own row, so compute word-major — join model
     * rows to per-doc word slices? Cheaper: docs carry everything except

@@ -51,6 +51,30 @@ class DotProductSpec extends SparkSpec {
     assert(err.getMessage.contains("2 arguments"))
   }
 
+  test("two instances share one codegen stage without local-name collisions") {
+    // ADVICE r1: with non-nullable children nullSafeCodeGen emits the body
+    // unbraced at method scope, so fixed local names would collide when two
+    // DotProducts land in one stage — Janino error, silent interpreted
+    // fallback. CODEGEN_ONLY turns that silent fallback into a test failure.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)))
+        .toDF("a", "b", "c")
+        // coalesce: make inputs provably non-nullable to the planner
+        .select(coalesce(col("a"), array(lit(0.0))).as("a"),
+          coalesce(col("b"), array(lit(0.0))).as("b"),
+          coalesce(col("c"), array(lit(0.0))).as("c"))
+      val got = df.select(
+        DotProduct.dotNative(col("a"), col("b")).as("ab"),
+        DotProduct.dotNative(col("a"), col("c")).as("ac"),
+        (DotProduct.dotNative(col("b"), col("c")) +
+          DotProduct.dotNative(col("c"), col("c"))).as("bc_cc")).collect()(0)
+      assert(got.getDouble(0) == 11.0)  // 1*3 + 2*4
+      assert(got.getDouble(1) == 17.0)  // 1*5 + 2*6
+      assert(got.getDouble(2) == 39.0 + 61.0)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("the native dot participates in whole-stage codegen") {
     val e = graft.Tables.embeddings(spark, sf())
       .select(col("embedding").cast("array<double>").as("e"))

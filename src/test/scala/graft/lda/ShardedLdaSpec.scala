@@ -110,6 +110,41 @@ class ShardedLdaSpec extends SparkSpec {
     (0 until v * k).foreach(i => assert(reload(i) == flat(i)))
   }
 
+  test("sharded inference recovers planted topics and conserves mass") {
+    // train a flat model on a planted 2-topic corpus, serve it SHARDED
+    val trainDocs = (0L until 60L).map { id =>
+      val base = if (id % 2 == 0) 0 else 6
+      DocState.init(id, Array(base, base + 1, base + 2), Array(4, 3, 3), 2, seed = id)
+    }
+    val ds = spark.createDataset(trainDocs).repartition(2)
+    val trained = LdaTrainer.train(ds, v, LdaConfig(2, 0.1, 0.01, 15, seed = 3L))
+    val rows = ShardedLda.countModelRows(trained.docs, 2)
+    // held-out docs from each planted topic
+    val held = spark.createDataset((100L until 120L).map { id =>
+      val base = if (id % 2 == 0) 0 else 6
+      DocState.init(id, Array(base, base + 1), Array(5, 5), 2, seed = id)
+    })
+    val cfg = LdaConfig(2, 0.1, 0.01, totalIterations = 12, burnInIterations = 6, seed = 9L)
+    val got = ShardedLda.infer(held, rows, v, cfg, numShards = 3)
+      .collect().map(dt => dt.docId -> dt.topics).toMap
+    assert(got.size == 20)
+    // averaged counts conserve doc mass (10 occurrences per doc)
+    got.values.foreach(t => assert(math.abs(t.sum - 10.0) < 1e-9))
+    // same-parity docs (same planted topic) agree on the dominant topic;
+    // opposite-parity docs disagree
+    val dom = got.map { case (id, t) => id -> (if (t(0) > t(1)) 0 else 1) }
+    assert(dom(100L) == dom(102L) && dom(101L) == dom(103L))
+    assert(dom(100L) != dom(101L))
+    // dominance is strong (planted separation)
+    got.foreach { case (id, t) =>
+      assert(math.max(t(0), t(1)) / 10.0 > 0.8, s"doc $id weak: ${t.toSeq}")
+    }
+    // deterministic for fixed seed/shards
+    val again = ShardedLda.infer(held, rows, v, cfg, numShards = 3)
+      .collect().map(dt => dt.docId -> dt.topics.toSeq).toMap
+    assert(again == got.map { case (k2, v2) => k2 -> v2.toSeq })
+  }
+
   test("sharded training improves likelihood on a planted-topic corpus") {
     // two disjoint topic vocabularies; docs draw from exactly one
     val docs = (0L until 60L).map { id =>
