@@ -190,6 +190,27 @@ final case class LdaModel(
   /** word → id map (collected; for broadcast in row-wise/streaming paths). */
   lazy val vocabMap: Map[String, Int] = indexToWord.zipWithIndex.toMap
 
+  /** MLlib-style topic description: one row per topic with rank-ordered
+    * term/weight arrays (weights = count fractions within the topic). */
+  def describeTopics(maxTerms: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val long = ModelIO.toLongForm(toDataFrame)
+    val w = Window.partitionBy("topic").orderBy(col("cnt").desc, col("word").asc)
+    val totals = Window.partitionBy("topic")
+    long.withColumn("r", row_number().over(w))
+      .withColumn("total", sum(col("cnt")).over(totals))
+      .where(col("r") <= maxTerms)
+      .groupBy("topic")
+      .agg(
+        sort_array(collect_list(struct(col("r"), col("word")))).as("tw"),
+        sort_array(collect_list(struct(col("r"),
+          (col("cnt") / col("total")).as("wt")))).as("twt"))
+      .select(col("topic"),
+        col("tw.word").as("terms"),
+        col("twt.wt").as("termWeights"))
+      .orderBy("topic")
+  }
+
   /** Top-n words per topic (R1, view_model.py): count>1 filter, per-topic
     * ranking window, deterministic tie-break by word. */
   def topWords(n: Int): DataFrame = {

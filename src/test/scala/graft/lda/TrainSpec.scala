@@ -84,6 +84,48 @@ class TrainSpec extends SparkSpec {
     }
   }
 
+  test("umass coherence separates planted topics from shuffled word sets") {
+    val docsDf = plantedDocs(60).toDF("doc_id", "text")
+    val good = fitted.topWords(5)
+    val coherent = LdaEval.umassCoherence(docsDf, good)
+      .as[(Int, Double)].collect().toMap
+    // deliberately mixed: words from BOTH blocks in each "topic"
+    val mixed = Seq((0, "w0"), (0, "w5"), (0, "w1"), (0, "w6"), (0, "w2"),
+      (1, "w7"), (1, "w3"), (1, "w8"), (1, "w4"), (1, "w9"))
+      .toDF("topic", "word")
+    val incoherent = LdaEval.umassCoherence(docsDf, mixed)
+      .as[(Int, Double)].collect().toMap
+    for (t <- 0 to 1)
+      assert(coherent(t) > incoherent(t),
+        s"topic $t: coherent=${coherent(t)} mixed=${incoherent(t)}")
+    // planted blocks never co-occur → mixed pairs hit the +1-smoothed floor
+    assert(incoherent.values.forall(_ < -1.0))
+  }
+
+  test("perplexity is a monotone transform of likelihood") {
+    val n = 60L * 30L
+    val p1 = LdaEval.perplexity(fitted.likelihoods.head, n)
+    val p2 = LdaEval.perplexity(fitted.likelihoods.last, n)
+    assert(p2 < p1) // better LL ⇒ lower perplexity
+    assert(p2 > 1.0)
+  }
+
+  test("describeTopics returns rank-ordered terms with normalized weights") {
+    val d = fitted.describeTopics(3).orderBy("topic").collect()
+    assert(d.length == 2)
+    d.foreach { r =>
+      val terms = r.getSeq[String](1)
+      val weights = r.getSeq[Double](2)
+      assert(terms.length == 3 && weights.length == 3)
+      assert(weights.sliding(2).forall(p => p(0) >= p(1)), weights.toString) // rank order
+      assert(weights.forall(w => w > 0 && w <= 1))
+    }
+    // topic term lists mirror topWords order
+    val tw = fitted.topWords(3).select("topic", "word").as[(Int, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    d.foreach(r => assert(r.getSeq[String](1) == tw(r.getInt(0))))
+  }
+
   test("averaged model reflects burn-in accumulation (quirk #1 single-node kind)") {
     // averaged counts should be close to final counts in scale (same corpus)
     val totalAvg = fitted.averaged.slice(fitted.numWords * 2, fitted.numWords * 2 + 2).sum
