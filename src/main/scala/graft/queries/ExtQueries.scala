@@ -88,6 +88,29 @@ object ExtQueries {
     TextAnalysis.stratifiedSample(Tables.documents(s, d), "lang", 10)
       .select("doc_id", "lang").orderBy("doc_id")
 
+  /** Length-decile bucketing (NTILE) — the "bin the corpus by size for
+    * curriculum/batching" pipeline step; total order (n_chars, doc_id). */
+  def lengthDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))).as("decile"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram conditional probabilities p(w2|w1) = c(w1 w2)/c(w1·) — the
+    * n-gram LM estimation step over the corpus bigram counts. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bi = TextAnalysis.ngramCounts(Tables.documents(s, d), 2)
+      .select(split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"), col("c"))
+    val tot = bi.groupBy("w1").agg(sum(col("c")).as("n1"))
+    bi.join(broadcast(tot), "w1")
+      .select(col("w1"), col("w2"), col("c"),
+        round(col("c") / col("n1"), 4).as("p"))
+      .orderBy("w1", "w2")
+  }
+
   def cleanPipeline(s: SparkSession, d: String): DataFrame =
     TextAnalysis.cleanCorpus(Tables.documents(s, d))
       .select("doc_id", "lang", "split").orderBy("doc_id")
@@ -123,6 +146,8 @@ object ExtQueries {
     "ext_stratified_sample" -> stratified _,
     "ext_percentiles" -> percentiles _,
     "ext_clean_pipeline" -> cleanPipeline _,
+    "ext_length_deciles" -> lengthDeciles _,
+    "ext_bigram_lm" -> bigramLm _,
     "ext_minhash_pairs" -> minhashPairs _,
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
@@ -425,6 +450,24 @@ object ExtQueries {
          |       WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "ext_length_deciles" ->
+      """SELECT doc_id, n_chars,
+        |  NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_bigram_lm" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS ngram
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT string_split(ngram, ' ')[1] AS w1,
+         |              string_split(ngram, ' ')[2] AS w2, COUNT(*) AS c
+         |       FROM bi GROUP BY 1, 2),
+         |tot AS (SELECT w1, SUM(c) AS n1 FROM bc GROUP BY w1)
+         |SELECT bc.w1, bc.w2, bc.c, ROUND(bc.c * 1.0 / t.n1, 4) AS p
+         |FROM bc JOIN tot t ON bc.w1 = t.w1
+         |ORDER BY bc.w1, bc.w2""".stripMargin,
 
     "ext_percentiles" ->
       """SELECT event_type,
