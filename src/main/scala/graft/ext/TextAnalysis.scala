@@ -101,8 +101,12 @@ object TextAnalysis {
     val n = toks.select(countDistinct(col("doc_id")).as("n"))
     bow.join(broadcast(df), "tok")
       .crossJoin(broadcast(n))
-      // no final ROUND (same rationale as quality_score: the doubles are
-      // bit-identical across engines; %.4f rendering normalizes them)
+      // no final ROUND (quality_score rationale). Caveat: log() here is
+      // StrictMath.log while DuckDB's ln is platform libm — a 1-ulp
+      // divergence is possible; it only becomes visible if the value then
+      // sits exactly on a %.4f rendering boundary. Oracle parity verified
+      // empirically at sf0.01 AND sf0.1 (all idf values hash-match); a
+      // ROUND would carry the same boundary risk, so raw is kept.
       .select(col("doc_id"), col("tok"), col("tf"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
   }

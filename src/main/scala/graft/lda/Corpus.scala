@@ -23,19 +23,35 @@ object Corpus {
       .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
   }
 
+  /** UTF-8 byte order — Spark SQL's string comparison (code-point order).
+    * Java's natural String ordering compares UTF-16 code units, which
+    * sorts supplementary-plane tokens (surrogates 0xD800+) BELOW
+    * U+E000..U+FFFF — diverging from `orderBy("tok")` for e.g. emoji. */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(x, y)
+    }
+  }
+
   /** Sorted-vocabulary build for the huge-V regime: same (tok, word_id)
-    * mapping as [[sortedVocab]], but the dense rank comes from
-    * `sortBy + zipWithIndex` instead of a single-partition window — ids
-    * are assigned per sorted range partition in parallel, so V in the
-    * billions never funnels through one task. (zipWithIndex runs one
-    * extra job to count partition sizes; ranges stay distributed.) */
+    * mapping as [[sortedVocab]] — including UTF-8 byte collation — but
+    * the dense rank comes from `sortBy + zipWithIndex` instead of a
+    * single-partition window, so a very large V never funnels through one
+    * task. (zipWithIndex runs one extra job to count partition sizes;
+    * ranges stay distributed.) Word ids remain Int (the `DocState`/model
+    * layout bound): V beyond Int.MaxValue fails fast rather than wrapping. */
   def sortedVocabLarge(tokens: DataFrame): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens.select("tok").distinct().as[String].rdd
-      .sortBy(identity)
+      .sortBy(identity)(utf8Order, implicitly)
       .zipWithIndex()
-      .map { case (t, i) => (t, i.toInt) }
+      .map { case (t, i) =>
+        require(i <= Int.MaxValue, s"vocabulary exceeds Int word-id space at '$t'")
+        (t, i.toInt)
+      }
       .toDF("tok", "word_id")
   }
 
@@ -84,15 +100,22 @@ object Corpus {
     (fromBow(bagOfWords(toks, vocab), numTopics, seed), vocab)
   }
 
-  /** plda text-line corpus (A1 grammar: `word1 cnt1 word2 cnt2 …`; skip
-    * empty/#/CR lines — lda.cc:56-84). doc_id = line number in file order. */
-  def readPldaText(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  /** Kept (non-empty, non-comment) lines with their file line number —
+    * the ONE definition of the plda line filter (lda.cc:57-60), shared by
+    * [[readPldaText]] and [[pldaKeptDocIds]] so the positional doc-id
+    * contract can never desynchronize between them. */
+  private def pldaKeptLines(spark: SparkSession, path: String) =
     spark.read.textFile(path).rdd
       .zipWithIndex()
       .filter { case (line, _) =>
         line.nonEmpty && line(0) != '#' && line(0) != '\r' && line(0) != '\n'
       }
+
+  /** plda text-line corpus (A1 grammar: `word1 cnt1 word2 cnt2 …`; skip
+    * empty/#/CR lines — lda.cc:56-84). doc_id = line number in file order. */
+  def readPldaText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    pldaKeptLines(spark, path)
       .flatMap { case (line, docId) =>
         val parts = line.trim.split("\\s+")
         // word count pairs; a trailing unpaired token is ignored like
@@ -111,12 +134,7 @@ object Corpus {
     * kept input line, even when every word is OOV or zero-count), so callers
     * need this pre-join id set to emit all-zeros lines for such docs. */
   def pldaKeptDocIds(spark: SparkSession, path: String): Array[Long] =
-    spark.read.textFile(path).rdd
-      .zipWithIndex()
-      .filter { case (line, _) =>
-        line.nonEmpty && line(0) != '#' && line(0) != '\r' && line(0) != '\n'
-      }
-      .map(_._2).collect().sorted
+    pldaKeptLines(spark, path).map(_._2).collect().sorted
 
   /** UCI bag-of-words (A4, testdata/format.py:5-31): docword triples joined
     * with 1-based vocab line numbers. Returns (doc_id, tok, c). */

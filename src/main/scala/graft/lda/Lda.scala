@@ -191,10 +191,12 @@ final case class LdaModel(
   lazy val vocabMap: Map[String, Int] = indexToWord.zipWithIndex.toMap
 
   /** MLlib-style topic description: one row per topic with rank-ordered
-    * term/weight arrays (weights = count fractions within the topic). */
+    * term/weight arrays (weights = count fractions within the topic).
+    * Applies the same cnt > 1 floor as [[topWords]] (view_model.py:20), so
+    * the two views agree and no zero-count filler terms appear. */
   def describeTopics(maxTerms: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val long = ModelIO.toLongForm(toDataFrame)
+    val long = ModelIO.toLongForm(toDataFrame).where(col("cnt") > 1)
     val w = Window.partitionBy("topic").orderBy(col("cnt").desc, col("word").asc)
     val totals = Window.partitionBy("topic")
     long.withColumn("r", row_number().over(w))

@@ -193,12 +193,15 @@ object ShardedLda {
         lls += shardedLikelihood(docs, modelRows, numWords, cfg, numShards)
       val prevDocs = docs
       val prevModel = modelRows
-      docs = sweepIteration(docs, modelRows, numWords, cfg.numTopics,
+      val swept = sweepIteration(docs, modelRows, numWords, cfg.numTopics,
         numShards, cfg.alpha, cfg.beta, cfg.seed, iter)
       // truncate lineage every iteration: the sharded sweep chains S
       // mapPartitions per iteration, and the compounded logical plan
       // otherwise grows to explain-string-OOM depth within ~10 iterations
-      docs = docs.localCheckpoint()
+      docs = swept.localCheckpoint()
+      // checkpoint owns its own blocks — drop the swept generation's
+      // plan-cache entry or it leaks one cached copy per iteration
+      swept.unpersist(blocking = false)
       modelRows = countModelRows(docs, cfg.numTopics)
         .persist(StorageLevel.MEMORY_AND_DISK)
       modelRows.count()
@@ -248,8 +251,11 @@ object ShardedLda {
           it.map { case (doc, acc) =>
             val topics = doc.topics.clone()
             val docTopics = doc.topicHistogram(k)
+            // namespace by seed xor (not OR-ed tag bits, which alias once
+            // iter/shard bits overlap the tag); (iter << 16 | shard) is
+            // collision-free like the training path's key
             val rng = new SplitMix64(
-              Rng.mix(seed, doc.docId, 0x1FE20000L | (it0.toLong << 8) | s0))
+              Rng.mix(seed ^ 0x1FE2C0DEL, doc.docId, (it0.toLong << 16) | s0))
             var i = 0
             while (i < doc.wordIds.length) {
               val w = doc.wordIds(i)
@@ -288,7 +294,11 @@ object ShardedLda {
         bcShard.unpersist(blocking = false)
         s += 1
       }
+      val beforeCkpt = state
       state = state.localCheckpoint() // cut the S-pass chain per iteration
+      // the checkpoint owns its own blocks; drop the pre-checkpoint
+      // generation's plan-cache entry or it leaks one copy per iteration
+      beforeCkpt.unpersist(blocking = false)
       iter += 1
     }
     val n = cfg.totalIterations - cfg.burnInIterations
