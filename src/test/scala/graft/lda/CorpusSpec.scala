@@ -33,6 +33,18 @@ class CorpusSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("sortedVocabLarge matches Spark SQL collation for supplementary-plane tokens") {
+    // U+1F600 (surrogate pair, sorts low in UTF-16 code units) vs U+FFFD:
+    // UTF-8/code-point order puts the emoji ABOVE U+FFFD; a Java natural
+    // String sort would swap them
+    val toks = Seq((0L, "😀"), (0L, "�"), (1L, "plain"))
+      .toDF("doc_id", "tok")
+    val a = Corpus.sortedVocab(toks).as[(String, Int)].collect().toMap
+    val b = Corpus.sortedVocabLarge(toks).as[(String, Int)].collect().toMap
+    assert(a == b, s"window=$a zip=$b")
+    assert(a("plain") == 0 && a("�") == 1 && a("😀") == 2)
+  }
+
   test("firstSeenVocab assigns ids in first-appearance order (V1)") {
     val toks = Seq((0L, 0, "pear"), (0L, 1, "apple"), (1L, 0, "apple"), (1L, 1, "zed"))
       .toDF("doc_id", "pos", "tok")
