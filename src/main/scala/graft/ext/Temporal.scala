@@ -64,6 +64,20 @@ object Temporal {
       .drop("_new")
   }
 
+  /** Batch interval (range) join: left rows paired with every right row
+    * of the same `key` whose time falls in [l.ts − windowSeconds, l.ts].
+    * The equality key makes this a plain equi-join with the range as a
+    * post-join filter — Spark plans a sort-merge (or broadcast) hash
+    * join on `key`, never a nested-loop: per-key timelines meet in one
+    * task and the filter prunes there. The streaming twin is
+    * [[graft.streaming.Streams.viewPurchaseIntervalJoin]]. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSeconds: Long): DataFrame =
+    left.join(right, left(key) === right(key) &&
+      right(rightTs) >= left(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+      right(rightTs) <= left(leftTs))
+      .drop(right(key))
+
   /** Per-session rollup: start/end/count/value-total per (key, session). */
   def sessionAgg(events: DataFrame, key: String = "user_id", ts: String = "ts",
       valueCol: String = "value", gapSeconds: Long = 1800L): DataFrame =

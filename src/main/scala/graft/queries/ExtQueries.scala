@@ -75,6 +75,19 @@ object ExtQueries {
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
 
+  /** Batch interval join: (view, purchase) pairs of the same user within
+    * one hour — the batch twin of the streaming interval join. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    Temporal.intervalJoin(v, p, "user_id", "vts", "pts", 3600L)
+      .select("view_id", "purchase_id")
+      .orderBy("view_id", "purchase_id")
+  }
+
   def keepCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepCanonical(Tables.documents(s, d)).select("doc_id").orderBy("doc_id")
 
@@ -139,6 +152,7 @@ object ExtQueries {
     "ext_hash_split" -> hashSplit _,
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
+    "ext_interval_join" -> intervalJoin _,
     "ext_ivf_topk" -> ivfTopK _,
     "ext_dedup_canonical" -> keepCanonical _,
     "ext_bigram_counts" -> bigramCounts _,
@@ -330,6 +344,14 @@ object ExtQueries {
         |SELECT v.event_id, p.pid AS purchase_id, p.value AS purchase_value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY v.event_id""".stripMargin,
+
+    "ext_interval_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
+        |ORDER BY v.view_id, p.purchase_id""".stripMargin,
 
     "ext_sessionize" ->
       """WITH x AS (

@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL++ vocab estimate is within the rsd bound of the exact count") {
+    val d = graft.Tables.documents(spark, sf())
+    val exact = graft.Tables.docsTokenized(spark, sf())
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(countDistinct(col("tok")).as("v"))
+      .as[(String, Long)].collect().toMap
+    val approx = Sketches.approxVocabSize(d, "lang", rsd = 0.05)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, v) =>
+      val a = approx(lang).toDouble
+      assert(math.abs(a - v) / v <= 0.15, s"$lang exact=$v approx=$a") // 3×rsd
+    }
+  }
+
+  test("count-min estimates are one-sided and within eps*N") {
+    val toks = graft.Tables.docsTokenized(spark, sf())
+    val sketch = Sketches.cmsOf(toks, col("tok"), eps = 0.01, confidence = 0.99)
+    val truth = toks.groupBy("tok").count().as[(String, Long)].collect()
+    val n = truth.map(_._2).sum
+    truth.foreach { case (tok, c) =>
+      val est = Sketches.cmsEstimate(sketch, tok)
+      assert(est >= c, s"$tok underestimated: $est < $c")
+      assert(est <= c + (0.01 * n).toLong + 1, s"$tok over bound: $est vs $c (N=$n)")
+    }
+  }
+}
