@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * well-defined) result on empty/minimal input, never throw — the
+  * property that keeps a 100 TB pipeline from dying on one empty
+  * partition, source, or filtered-out stratum. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val oneDoc = Seq((1L, "solo")).toDF("doc_id", "text")
+  private val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+    .toDF("event_id", "ts", "user_id", "value")
+
+  test("text/dedup operators return empty on empty docs") {
+    assert(Dedup.exactDupGroups(noDocs).count() == 0)
+    assert(Dedup.keepCanonical(noDocs).count() == 0)
+    assert(Dedup.minhashCandidates(noDocs).count() == 0)
+    assert(Dedup.simhashes(noDocs).count() == 0)
+    assert(TextAnalysis.tfIdf(noDocs).count() == 0)
+    assert(TextAnalysis.ngramCounts(noDocs).count() == 0)
+    assert(TextAnalysis.repetitionMetrics(noDocs).count() == 0)
+    assert(TextAnalysis.hashSplit(noDocs).count() == 0)
+    assert(TextAnalysis.stratifiedSample(noDocs.withColumn("lang", lit("en")), "lang", 10).count() == 0)
+    assert(TextAnalysis.cleanCorpus(noDocs).count() == 0)
+  }
+
+  test("single-doc corpus flows through every text operator") {
+    assert(Dedup.keepCanonical(oneDoc).count() == 1)
+    assert(TextAnalysis.tfIdf(oneDoc).count() == 1) // tf=1, idf=ln(1)=0
+    assert(TextAnalysis.ngramCounts(oneDoc).count() == 0) // <2 tokens
+    val rep = TextAnalysis.repetitionMetrics(oneDoc).collect()(0)
+    assert(rep.getLong(1) == 1 && rep.isNullAt(3)) // n_toks=1, no bigram
+    assert(TextAnalysis.cleanCorpus(oneDoc).count() == 0) // fails min-token gate
+  }
+
+  test("temporal operators handle empty sides") {
+    val oneEvent = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    // empty right: every left row survives with null payload
+    val a = Temporal.asofJoin(oneEvent, noEvents.select("user_id", "ts", "event_id"),
+      "user_id", "ts", Seq("event_id"))
+    assert(a.count() == 1 && a.where(col("matched_event_id").isNull).count() == 1)
+    // empty left: empty result
+    assert(Temporal.asofJoin(noEvents, oneEvent.select("user_id", "ts", "event_id"),
+      "user_id", "ts", Seq("event_id")).count() == 0)
+    assert(Temporal.sessionize(noEvents).count() == 0)
+    assert(Temporal.sessionAgg(oneEvent).count() == 1)
+    assert(Temporal.intervalJoin(oneEvent,
+      noEvents.toDF("eid2", "ts2", "user_id", "v2"), "user_id", "ts", "ts2", 60L).count() == 0)
+  }
+
+  test("similarity operators handle empty and single-vector inputs") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneVec = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsTopK(noVecs, 5).count() == 0)
+    assert(Similarity.cosinePairsTopK(oneVec, 5).count() == 0) // no pairs
+    assert(Similarity.lshCandidatePairs(oneVec, 4, 2, 8, 1L).count() == 0)
+    assert(Similarity.annTopK(oneVec, oneVec, 3).count() == 0) // self excluded
+    assert(Similarity.ivfTopK(oneVec, oneVec, 3, nlist = 1, nprobe = 1).count() == 0)
+  }
+}
