@@ -78,6 +78,42 @@ object Temporal {
       right(rightTs) <= left(leftTs))
       .drop(right(key))
 
+  /** Distributed global running sum over a total order — the scalable
+    * form of `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`, which
+    * Spark's WindowExec executes in ONE partition (the q18 warning).
+    * Two passes instead: range-repartition by the order key, compute
+    * in-partition prefix sums, then add each partition's offset (the sum
+    * of all earlier partitions' totals — collected as one tiny array).
+    * Every partition works in parallel; the only global state is
+    * numPartitions longs on the driver.
+    *
+    * For integer values the result is EXACTLY the window form (integer
+    * addition is associative); for doubles the two-pass re-association
+    * can differ in ULPs. */
+  def runningSum(df: DataFrame, orderCol: String, valueCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val np = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(np, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .select(col(orderCol).as("k"), col(valueCol).cast("long").as("v"))
+      .as[(Long, Long)]
+    val rdd = sorted.rdd
+    // pass 1: per-partition totals (tiny — one long per partition)
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: in-partition prefix + offset
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { case (k, v) => acc += v; (k, acc) }
+    }.toDF(orderCol, "running_sum")
+  }
+
   /** Per-session rollup: start/end/count/value-total per (key, session). */
   def sessionAgg(events: DataFrame, key: String = "user_id", ts: String = "ts",
       valueCol: String = "value", gapSeconds: Long = 1800L): DataFrame =

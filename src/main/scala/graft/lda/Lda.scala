@@ -35,7 +35,37 @@ object LdaTrainer {
       docs: Dataset[DocState],
       numWords: Int)
 
-  def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result = {
+  def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result =
+    trainFrom(corpus, numWords, cfg, startIter = 0,
+      accum0 = None, nAccum0 = 0, lls0 = Array.empty, onCheckpoint = null)
+
+  /** [[train]] with durable checkpoint/resume: every `every` iterations
+    * the full training state (doc assignments, burn-in accumulator,
+    * likelihood trace, iteration marker) is written under `dir`; a later
+    * call with the same `dir` resumes from the newest checkpoint instead
+    * of restarting — the preemption-survival story for long runs. The
+    * resumed chain is itself deterministic (same checkpoint → same
+    * result) but not byte-identical to an uninterrupted run: AD-LDA sweep
+    * order depends on partitioning, which a parquet round-trip changes. */
+  def trainResumable(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
+      dir: String, every: Int): Result = {
+    val spark = corpus.sparkSession
+    TrainCheckpoint.load(spark, dir, numWords, cfg.numTopics) match {
+      case Some(st) =>
+        trainFrom(st.docs, numWords, cfg, st.iter, Some(st.accum), st.nAccum,
+          st.lls, (i, d, a, n, l) =>
+            if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l))
+      case None =>
+        trainFrom(corpus, numWords, cfg, 0, None, 0, Array.empty,
+          (i, d, a, n, l) =>
+            if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l))
+    }
+  }
+
+  private def trainFrom(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
+      startIter: Int, accum0: Option[Array[Double]], nAccum0: Int,
+      lls0: Array[Double],
+      onCheckpoint: (Int, Dataset[DocState], Array[Double], Int, Array[Double]) => Unit): Result = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -46,11 +76,12 @@ object LdaTrainer {
     var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
     var pinned: Dataset[_] = docs // the currently-persisted generation
     var model = Gibbs.countModel(docs, numWords, k)
-    val accum = new Array[Double]((numWords + 1) * k)
-    var nAccum = 0
+    val accum = accum0.getOrElse(new Array[Double]((numWords + 1) * k))
+    var nAccum = nAccum0
     val lls = Array.newBuilder[Double]
+    lls ++= lls0
 
-    var iter = 0
+    var iter = startIter
     while (iter < cfg.totalIterations) {
       val bc = sc.broadcast(model)
       if (cfg.computeLikelihood) {
@@ -84,6 +115,7 @@ object LdaTrainer {
         nAccum += 1
       }
       iter += 1
+      if (onCheckpoint != null) onCheckpoint(iter, docs, accum, nAccum, lls.result())
     }
     if (nAccum > 0) {
       var i = 0

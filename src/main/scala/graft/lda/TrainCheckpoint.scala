@@ -1,0 +1,55 @@
+package graft.lda
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Durable training-state store for [[LdaTrainer.trainResumable]].
+  *
+  * Layout: `dir/ckpt_<iter>/{docs,accum,meta}` — doc assignments as
+  * parquet (the only corpus-sized piece, written distributed), the
+  * burn-in accumulator as (idx, v) parquet, and a one-row json meta
+  * written LAST so its `_SUCCESS` marks the checkpoint complete; a crash
+  * mid-save leaves a metaless directory that load ignores. Checkpoints
+  * are versioned by iteration (no in-place overwrite of the previous
+  * good state), and load picks the newest complete one. Works on any
+  * Hadoop filesystem (local, HDFS, object stores). */
+object TrainCheckpoint {
+
+  final case class State(docs: Dataset[DocState], iter: Int,
+      accum: Array[Double], nAccum: Int, lls: Array[Double])
+
+  def save(dir: String, docs: Dataset[DocState], iter: Int,
+      accum: Array[Double], nAccum: Int, lls: Array[Double]): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = s"$dir/ckpt_$iter"
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    spark.createDataset(accum.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("idx", "v").write.mode("overwrite").parquet(s"$base/accum")
+    Seq((iter, nAccum, lls.toSeq)).toDF("iter", "n_accum", "lls")
+      .write.mode("overwrite").json(s"$base/meta") // presence = complete
+  }
+
+  /** Newest complete checkpoint under `dir`, or None. */
+  def load(spark: SparkSession, dir: String, numWords: Int, numTopics: Int): Option[State] = {
+    import spark.implicits._
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return None
+    val complete = fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt_"))
+      .map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "meta/_SUCCESS")))
+      .map(p => p.getName.stripPrefix("ckpt_").toInt -> p)
+    if (complete.isEmpty) return None
+    val (iter, path) = complete.maxBy(_._1)
+    val meta = spark.read.json(path.toString + "/meta").collect()(0)
+    val nAccum = meta.getAs[Long]("n_accum").toInt
+    val lls = meta.getAs[scala.collection.Seq[Double]]("lls").toArray
+    val accum = new Array[Double]((numWords + 1) * numTopics)
+    spark.read.parquet(path.toString + "/accum")
+      .as[(Long, Double)].collect()
+      .foreach { case (i, v) => accum(i.toInt) = v }
+    val docs = spark.read.parquet(path.toString + "/docs").as[DocState]
+    Some(State(docs, iter, accum, nAccum, lls))
+  }
+}

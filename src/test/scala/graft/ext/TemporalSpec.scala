@@ -140,6 +140,18 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map("a b" -> 3L, "b a" -> 1L))
   }
 
+  test("runningSum equals the single-partition window form, any partitioning") {
+    val d = graft.Tables.documents(spark, sf()).select("doc_id", "n_chars")
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.select(col("doc_id"), sum(col("n_chars")).over(w).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for (np <- Seq(1, 7)) {
+      val got = Temporal.runningSum(d, "doc_id", "n_chars", np)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"np=$np") // exact: integer addition associates
+    }
+  }
+
   test("cleanCorpus gates, dedups, and splits") {
     val good = "the a is of and to in the a is of and to in words here padding tokens more" // 20 toks, stopword-rich
     val repetitive = ("spam ham " * 10).trim // top bigram dominates

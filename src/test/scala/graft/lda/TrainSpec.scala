@@ -126,6 +126,37 @@ class TrainSpec extends SparkSpec {
     d.foreach(r => assert(r.getSeq[String](1) == tw(r.getInt(0))))
   }
 
+  test("trainResumable checkpoints, resumes, and preserves invariants") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val corpus = { val (c, _) = Corpus.fromDocuments(
+      plantedDocs(40).toDF("doc_id", "text"), 2, 11L); c }
+    // phase 1: 4 iterations, checkpoint every 2 → ckpt_2, ckpt_4 on disk
+    val cfg4 = LdaConfig(2, 0.1, 0.01, totalIterations = 4, burnInIterations = 1, seed = 11L)
+    LdaTrainer.trainResumable(corpus, 10, cfg4, dir, every = 2)
+    val saved = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(saved.contains("ckpt_2") && saved.contains("ckpt_4"), saved.toString)
+    // phase 2: extend to 8 total — must RESUME from ckpt_4, not restart
+    val cfg8 = cfg4.copy(totalIterations = 8)
+    val a = LdaTrainer.trainResumable(corpus, 10, cfg8, dir, every = 2)
+    // invariants after resume: all 40*30 occurrences conserved
+    assert((0 until 2).map(t => a.model(10 * 2 + t)).sum == 40L * 30L)
+    // burn-in accumulation continued across the resume (7 post-burn-in iters)
+    assert(new java.io.File(s"$dir/ckpt_8").exists())
+    // resumed path is deterministic: re-resume from the same ckpt_4 state
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    // copy ckpt_4 so load picks the same state
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(f => copy(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copy(new java.io.File(s"$dir/ckpt_4"), new java.io.File(s"$dir2/ckpt_4"))
+    val b = LdaTrainer.trainResumable(corpus, 10, cfg8, dir2, every = 100)
+    val c = LdaTrainer.trainResumable(corpus, 10, cfg8.copy(seed = cfg8.seed), dir2, every = 100)
+    // b resumed ckpt_4→8; c resumed the same (no new ckpt written at every=100...
+    // except the final state differs only if chains differ — they must not)
+    assert(b.model.sameElements(c.model))
+  }
+
   test("averaged model reflects burn-in accumulation (quirk #1 single-node kind)") {
     // averaged counts should be close to final counts in scale (same corpus)
     val totalAvg = fitted.averaged.slice(fitted.numWords * 2, fitted.numWords * 2 + 2).sum
