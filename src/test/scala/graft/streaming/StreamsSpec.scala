@@ -55,6 +55,33 @@ class StreamsSpec extends SparkSpec {
     assert(got.where(col("avg_value").isNull).count() == 0)
   }
 
+  test("watermark drops late rows: a 2h-late event never reaches its window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = ms.toDS().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.tumblingCounts(events, windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    try {
+      // two on-time rows in the 10:00 window + one far-future row that
+      // pushes the watermark to 11:30 (> the 10:00 window's end)
+      ms.addData((1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+        (2L, ts("2024-01-01 10:30:00"), "view", 1.0),
+        (3L, ts("2024-01-01 13:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      // next batch: the 10:00 window is now final — and this LATE row
+      // (event time 10:15 < watermark 11:30) must be discarded
+      ms.addData((4L, ts("2024-01-01 10:15:00"), "view", 1.0))
+      q.processAllAvailable()
+      val win10 = spark.table("t_late")
+        .where(col("h") === ts("2024-01-01 10:00:00")).collect()
+      assert(win10.length == 1, win10.mkString(","))
+      assert(win10(0).getAs[Long]("c") == 2L, s"late row counted: ${win10(0)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch time-range join") {
     val stream = Streams.eventStream(spark, sf() + "/events.parquet")
     val got = runToCompletion(Streams.viewPurchaseIntervalJoin(stream), "t_ivj").count()
