@@ -190,6 +190,11 @@ final case class Lda(cfg: LdaConfig) {
     val numWords = vocab.count().toInt
     val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), cfg.numTopics, cfg.seed)
     val result = LdaTrainer.train(corpus, numWords, cfg)
+    // the model arrays are extracted; the final doc-state generation the
+    // trainer leaves persisted (caller-owned by the train() contract) is
+    // not part of an LdaModel — release it instead of leaking one cached
+    // corpus per fit
+    result.docs.unpersist(blocking = false)
     LdaModel(result.model, result.averaged, result.likelihoods, vocab, numWords, cfg)
   }
 }
