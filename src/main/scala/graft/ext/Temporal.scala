@@ -92,26 +92,52 @@ object Temporal {
     * can differ in ULPs. */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
       numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    import spark.implicits._
     val np = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    val sorted = df.repartitionByRange(np, col(orderCol))
+    // integral values sum in Long (exact, == the window form); everything
+    // else sums in Double. The order key keeps its own type (timestamps,
+    // strings — anything range-partitionable).
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val prepared = df.repartitionByRange(np, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .select(col(orderCol).as("k"), col(valueCol).cast("long").as("v"))
-      .as[(Long, Long)]
-    val rdd = sorted.rdd
-    // pass 1: per-partition totals (tiny — one long per partition)
-    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(pid) = sum before pid
-    val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: in-partition prefix + offset
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
-      it.map { case (k, v) => acc += v; (k, acc) }
-    }.toDF(orderCol, "running_sum")
+      .select(col(orderCol), col(valueCol))
+    val rdd = prepared.rdd
+    val schema = StructType(Seq(prepared.schema.head,
+      StructField("running_sum", if (integral) LongType else DoubleType)))
+    def num(r: Row): Double =
+      if (r.isNullAt(1)) 0.0 else r.get(1).asInstanceOf[Number].doubleValue()
+    def numL(r: Row): Long =
+      if (r.isNullAt(1)) 0L else r.get(1).asInstanceOf[Number].longValue()
+    val out =
+      if (integral) {
+        // pass 1: per-partition totals (tiny — one long per partition)
+        val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var s = 0L; it.foreach(s += numL(_)); Iterator.single((pid, s))
+        }.collect().sortBy(_._1).map(_._2)
+        val offsets = partTotals.scanLeft(0L)(_ + _)
+        val bc = spark.sparkContext.broadcast(offsets)
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          var acc = bc.value(pid)
+          it.map { r => acc += numL(r); Row(r.get(0), acc) }
+        }
+      } else {
+        val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var s = 0.0; it.foreach(s += num(_)); Iterator.single((pid, s))
+        }.collect().sortBy(_._1).map(_._2)
+        val offsets = partTotals.scanLeft(0.0)(_ + _)
+        val bc = spark.sparkContext.broadcast(offsets)
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          var acc = bc.value(pid)
+          it.map { r => acc += num(r); Row(r.get(0), acc) }
+        }
+      }
+    spark.createDataFrame(out, schema)
   }
 
   /** Per-session rollup: start/end/count/value-total per (key, session). */

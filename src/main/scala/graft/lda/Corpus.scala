@@ -23,17 +23,15 @@ object Corpus {
       .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
   }
 
-  /** UTF-8 byte order — Spark SQL's string comparison (code-point order).
-    * Java's natural String ordering compares UTF-16 code units, which
-    * sorts supplementary-plane tokens (surrogates 0xD800+) BELOW
-    * U+E000..U+FFFF — diverging from `orderBy("tok")` for e.g. emoji. */
-  private val utf8Order: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      java.util.Arrays.compareUnsigned(x, y)
-    }
-  }
+  /** Unsigned byte-array order = UTF-8/code-point order = Spark SQL's
+    * string collation. Java's natural String ordering compares UTF-16
+    * code units, which sorts supplementary-plane tokens (surrogates
+    * 0xD800+) BELOW U+E000..U+FFFF — diverging from `orderBy("tok")` for
+    * e.g. emoji. Sorting keys by pre-encoded bytes (one encode per
+    * record, via sortBy's keyBy) rather than re-encoding inside a
+    * String comparator (two allocations per comparison). */
+  private val unsignedBytes: Ordering[Array[Byte]] =
+    (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.compareUnsigned(x, y)
 
   /** Sorted-vocabulary build for the huge-V regime: same (tok, word_id)
     * mapping as [[sortedVocab]] — including UTF-8 byte collation — but
@@ -46,7 +44,7 @@ object Corpus {
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens.select("tok").distinct().as[String].rdd
-      .sortBy(identity)(utf8Order, implicitly)
+      .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))(unsignedBytes, implicitly)
       .zipWithIndex()
       .map { case (t, i) =>
         require(i <= Int.MaxValue, s"vocabulary exceeds Int word-id space at '$t'")

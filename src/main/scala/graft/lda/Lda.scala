@@ -31,9 +31,14 @@ object LdaTrainer {
       averaged: Array[Double],
       /** pre-sweep corpus log-likelihood per iteration (if requested) */
       likelihoods: Array[Double],
-      /** final doc states (persisted) */
+      /** final doc states (a view over the persisted generation) */
       docs: Dataset[DocState],
-      numWords: Int)
+      numWords: Int,
+      /** the actually-persisted dataset backing `docs` — NOT always the
+        * same object (the LL path persists (DocState, Double) tuples and
+        * `docs` is a map view). Callers done with `docs` must unpersist
+        * THIS, or the final corpus generation stays cached. */
+      releasable: Dataset[_])
 
   def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result =
     trainFrom(corpus, numWords, cfg, startIter = 0,
@@ -49,16 +54,15 @@ object LdaTrainer {
     * order depends on partitioning, which a parquet round-trip changes. */
   def trainResumable(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       dir: String, every: Int): Result = {
+    require(every >= 1, "checkpoint cadence `every` must be >= 1")
     val spark = corpus.sparkSession
+    val hook = (i: Int, d: Dataset[DocState], a: Array[Double], n: Int, l: Array[Double]) =>
+      if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l)
     TrainCheckpoint.load(spark, dir, numWords, cfg.numTopics) match {
       case Some(st) =>
-        trainFrom(st.docs, numWords, cfg, st.iter, Some(st.accum), st.nAccum,
-          st.lls, (i, d, a, n, l) =>
-            if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l))
+        trainFrom(st.docs, numWords, cfg, st.iter, Some(st.accum), st.nAccum, st.lls, hook)
       case None =>
-        trainFrom(corpus, numWords, cfg, 0, None, 0, Array.empty,
-          (i, d, a, n, l) =>
-            if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l))
+        trainFrom(corpus, numWords, cfg, 0, None, 0, Array.empty, hook)
     }
   }
 
@@ -121,7 +125,7 @@ object LdaTrainer {
       var i = 0
       while (i < accum.length) { accum(i) /= nAccum; i += 1 }
     }
-    Result(model, accum, lls.result(), docs, numWords)
+    Result(model, accum, lls.result(), docs, numWords, releasable = pinned)
   }
 }
 
@@ -190,11 +194,10 @@ final case class Lda(cfg: LdaConfig) {
     val numWords = vocab.count().toInt
     val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), cfg.numTopics, cfg.seed)
     val result = LdaTrainer.train(corpus, numWords, cfg)
-    // the model arrays are extracted; the final doc-state generation the
-    // trainer leaves persisted (caller-owned by the train() contract) is
-    // not part of an LdaModel — release it instead of leaking one cached
-    // corpus per fit
-    result.docs.unpersist(blocking = false)
+    // the model arrays are extracted; release the persisted final corpus
+    // generation (releasable, NOT docs — docs can be a narrow view whose
+    // unpersist would be a no-op on the backing cache entry)
+    result.releasable.unpersist(blocking = false)
     LdaModel(result.model, result.averaged, result.likelihoods, vocab, numWords, cfg)
   }
 }
@@ -228,16 +231,19 @@ final case class LdaModel(
   lazy val vocabMap: Map[String, Int] = indexToWord.zipWithIndex.toMap
 
   /** MLlib-style topic description: one row per topic with rank-ordered
-    * term/weight arrays (weights = count fractions within the topic).
-    * Applies the same cnt > 1 floor as [[topWords]] (view_model.py:20), so
-    * the two views agree and no zero-count filler terms appear. */
+    * term/weight arrays. Weights are fractions of the FULL topic mass
+    * n(k) (totals computed before any filtering); the term list applies
+    * the same cnt > 1 floor as [[topWords]] (view_model.py:20), so the
+    * two views agree and no zero-count filler terms appear. A topic with
+    * no cnt > 1 words is absent from both views. */
   def describeTopics(maxTerms: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val long = ModelIO.toLongForm(toDataFrame).where(col("cnt") > 1)
+    val long = ModelIO.toLongForm(toDataFrame)
     val w = Window.partitionBy("topic").orderBy(col("cnt").desc, col("word").asc)
     val totals = Window.partitionBy("topic")
-    long.withColumn("r", row_number().over(w))
-      .withColumn("total", sum(col("cnt")).over(totals))
+    long.withColumn("total", sum(col("cnt")).over(totals)) // full topic mass
+      .where(col("cnt") > 1)
+      .withColumn("r", row_number().over(w))
       .where(col("r") <= maxTerms)
       .groupBy("topic")
       .agg(

@@ -35,11 +35,16 @@ object TrainCheckpoint {
     import spark.implicits._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir))) return None
+    val ckptName = "ckpt_(\\d+)".r // strict: ignore ckpt_4_old etc.
     val complete = fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt_"))
-      .map(_.getPath)
-      .filter(p => fs.exists(new Path(p, "meta/_SUCCESS")))
-      .map(p => p.getName.stripPrefix("ckpt_").toInt -> p)
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        s.getPath.getName match {
+          case ckptName(n) if fs.exists(new Path(s.getPath, "meta/_SUCCESS")) =>
+            Some(n.toInt -> s.getPath)
+          case _ => None
+        }
+      }
     if (complete.isEmpty) return None
     val (iter, path) = complete.maxBy(_._1)
     val meta = spark.read.json(path.toString + "/meta").collect()(0)

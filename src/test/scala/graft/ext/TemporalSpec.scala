@@ -152,6 +152,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("runningSum handles double values and timestamp order keys") {
+    val e = graft.Tables.events(spark, sf()).select("ts", "value").limit(500)
+      .dropDuplicates("ts") // total order for a well-defined running sum
+    val w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = e.select(col("ts"), sum(col("value")).over(w).as("s"))
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    val got = Temporal.runningSum(e, "ts", "value", 5)
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6 * math.max(1.0, math.abs(want(k))), s"$k")
+    }
+  }
+
   test("cleanCorpus gates, dedups, and splits") {
     val good = "the a is of and to in the a is of and to in words here padding tokens more" // 20 toks, stopword-rich
     val repetitive = ("spam ham " * 10).trim // top bigram dominates
