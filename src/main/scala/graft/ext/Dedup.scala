@@ -175,6 +175,84 @@ object Dedup {
       .where(col("c") > 1)
       .orderBy("h")
 
+  /** Connected components over candidate near-dup pairs: every doc in the
+    * pair graph gets labeled with the smallest doc_id reachable from it —
+    * the cluster representative (= which copy to keep). Deterministic.
+    * Input: (doc_a, doc_b); output: (doc_id, cluster) for every doc
+    * appearing in ≥1 pair.
+    *
+    * The pair graph is orders of magnitude smaller than the corpus (only
+    * near-dups pair up), so when it fits on the driver
+    * (≤ localThreshold edges) a path-compressed union-find runs in
+    * O(E α(E)) with zero extra Spark jobs; beyond that the distributed
+    * min-label-propagation loop ([[dupClustersDistributed]]) takes over. */
+  def dupClusters(pairs0: DataFrame, localThreshold: Long = 10000000L): DataFrame = {
+    val spark = pairs0.sparkSession
+    import spark.implicits._
+    val pairs = pairs0
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val out =
+      if (nPairs <= localThreshold) {
+        val es = pairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min-root invariant: cluster id = smallest member
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        spark.createDataset(nodes.toSeq.map(n => (n, find(n)))).toDF("doc_id", "cluster")
+      } else dupClustersDistributed(pairs)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed components by iterative min-label propagation with
+    * pointer jumping (path halving): one join+aggregate per round,
+    * converging in O(log diameter) rounds; each round's `labels` is
+    * V_pairs rows, never the corpus. */
+  def dupClustersDistributed(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.toDF("b", "nc"), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nc")).as("nmin"))
+      val relaxed = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jump (path halving): cluster := cluster's cluster, so a
+      // length-d chain resolves in O(log d) rounds instead of O(d)
+      val next = relaxed.toDF("doc_id", "c1")
+        .join(relaxed.toDF("c1", "c2"), Seq("c1"), "left")
+        .select(col("doc_id"), coalesce(col("c2"), col("c1")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one tiny driver-side count per round, not per row
+      changed = next.toDF("doc_id", "nc2").join(labels, "doc_id")
+        .where(col("nc2") =!= col("cluster")).count()
+      labels.unpersist(blocking = false)
+      labels = next.localCheckpoint() // cut the per-round plan growth
+      next.unpersist(blocking = false)
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest
     * doc_id) per exact content group — the "write the cleaned dataset"
     * step after [[exactDupGroups]] reports. One shuffle on the digest;

@@ -88,6 +88,12 @@ object ExtQueries {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** Near-dup clusters: connected components over the MinHash candidate
+    * pairs; cluster label = smallest reachable doc_id. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(Dedup.minhashCandidates(Tables.documents(s, d)))
+      .orderBy("doc_id")
+
   def keepCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepCanonical(Tables.documents(s, d)).select("doc_id").orderBy("doc_id")
 
@@ -155,6 +161,7 @@ object ExtQueries {
     "ext_interval_join" -> intervalJoin _,
     "ext_ivf_topk" -> ivfTopK _,
     "ext_dedup_canonical" -> keepCanonical _,
+    "ext_dup_clusters" -> dupClusters _,
     "ext_bigram_counts" -> bigramCounts _,
     "ext_repetition" -> repetition _,
     "ext_stratified_sample" -> stratified _,
@@ -206,22 +213,45 @@ object ExtQueries {
   private def stopList(lang: String) =
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** MinHash banding CTE chain (toks → shingles → signatures → band keys)
+    * shared by the pair and cluster oracles. */
+  private val minhashBandsCtes =
+    s"""$toksCte, $sh3Cte,
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 8),
+       |    i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+       |  FROM sh WHERE len(sh) > 0
+       |),
+       |bands AS (
+       |  SELECT doc_id, b.band AS band,
+       |         md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2]) AS key
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ext_minhash_pairs" ->
-      s"""WITH $toksCte, $sh3Cte,
-         |sig AS (
-         |  SELECT doc_id, list_transform(range(0, 8),
-         |    i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
-         |  FROM sh WHERE len(sh) > 0
-         |),
-         |bands AS (
-         |  SELECT doc_id, b.band AS band,
-         |         md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2]) AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-         |)
+      s"""WITH $minhashBandsCtes
          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components over the same candidate pairs: every doc in the
+    // pair graph labeled with the smallest reachable doc_id
+    "ext_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges GROUP BY a
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
 
     "ext_jaccard_top10" ->
       s"""WITH $toksCte, $sh3Cte,

@@ -41,6 +41,22 @@ class ExtSpec extends SparkSpec {
     assert(near.contains((1L, 2L)))
   }
 
+  test("dupClusters labels each component with its smallest doc id (both paths)") {
+    // components: {1,2,9} (chain 1-2, 2-9), {5,7}
+    val pairs = Seq((1L, 2L), (2L, 9L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L)
+    assert(Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap == want)
+    assert(Dedup.dupClustersDistributed(pairs).as[(Long, Long)].collect().toMap == want)
+    // a longer chain exercises multi-round convergence on both paths
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    for (df <- Seq(Dedup.dupClusters(chain, localThreshold = 0), // force distributed
+        Dedup.dupClusters(chain))) {
+      val got = df.as[(Long, Long)].collect().toMap
+      assert(got.values.toSet == Set(10L) && got.size == 5)
+    }
+  }
+
   test("exactDupGroups groups identical texts with sorted member ids") {
     val d = docs((5L, "x y z"), (1L, "x y z"), (2L, "a b c"))
     val g = Dedup.exactDupGroups(d).select("c", "doc_ids").as[(Long, Seq[Long])].collect()
