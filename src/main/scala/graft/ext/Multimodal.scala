@@ -41,6 +41,12 @@ object Multimodal {
 
   final case class FrameSample(media_id: Long, frame_index: Int, frame_hash: Long)
 
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      rms: Double)
+
   /** ======== STUB ========
     * Deterministic fake decoder. A real implementation would call an image
     * library here; everything OUTSIDE this object is production plumbing.
@@ -82,6 +88,17 @@ object Multimodal {
 
     def frameHash(payload: Array[Byte], idx: Int): Long =
       slice(md5Hex(payload), 8, 15) + idx.toLong * 1000003L
+
+    /** "Decode" audio stream properties: one of 4 standard rates, a
+      * sample count, and an RMS-level stand-in in [0, 1). */
+    def decodeAudio(payload: Array[Byte]): (Int, Long, Double) = {
+      val h = md5Hex(payload)
+      val rates = Array(8000, 16000, 22050, 44100)
+      val rate = rates((slice(h, 26, 2) % 4).toInt)
+      val nSamples = 1000L + slice(h, 4, 8) % 1000000L
+      val rms = (slice(h, 12, 4) % 10000L) / 10000.0
+      (rate, nSamples, rms)
+    }
   }
   /** ======== END STUB ======== */
 
@@ -97,6 +114,18 @@ object Multimodal {
           if (m.width > 0) m.width else w,
           if (m.height > 0) m.height else h,
           c, mean, StubCodec.phash(m.payload))
+      }
+    }
+  }
+
+  /** Decode + feature-extract audio rows — same narrow mapPartitions seam
+    * as [[imageFeatures]]. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").map { m =>
+        val (rate, n, rms) = StubCodec.decodeAudio(m.payload)
+        AudioFeatures(m.media_id, rate, n, rms)
       }
     }
   }

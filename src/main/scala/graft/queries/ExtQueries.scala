@@ -148,6 +148,10 @@ object ExtQueries {
     Multimodal.imageFeatures(
       Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF().orderBy("media_id")
 
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(
+      Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF().orderBy("media_id")
+
   def frameSamples(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.syntheticMedia(s, Tables.documents(s, d)), stride = 4)
@@ -181,6 +185,7 @@ object ExtQueries {
     "ext_fingerprint" -> fingerprint _,
     "ext_lsh_pairs_top10" -> lshPairs _,
     "ext_multimodal_image_features" -> imageFeatures _,
+    "ext_multimodal_audio" -> audioFeatures _,
     "ext_multimodal_frames" -> frameSamples _,
   )
 
@@ -540,6 +545,17 @@ object ExtQueries {
         |  CAST(1 + CAST('0x' || substr(hex, 17, 2) AS BIGINT) % 4 AS INT) AS channels,
         |  CAST(CAST('0x' || substr(hex, 19, 4) AS BIGINT) % 256 AS DOUBLE) AS mean_intensity,
         |  CAST('0x' || substr(hex, 1, 15) AS BIGINT) AS phash
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "ext_multimodal_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id % 3 = 1
+        |)
+        |SELECT media_id,
+        |  CAST([8000, 16000, 22050, 44100][CAST(CAST('0x' || substr(hex, 27, 2) AS BIGINT) % 4 AS INT) + 1] AS INT) AS sample_rate,
+        |  1000 + CAST('0x' || substr(hex, 5, 8) AS BIGINT) % 1000000 AS n_samples,
+        |  CAST(CAST('0x' || substr(hex, 13, 4) AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS rms
         |FROM m ORDER BY media_id""".stripMargin,
 
     "ext_multimodal_frames" ->
