@@ -183,10 +183,11 @@ object Dedup {
     *
     * The pair graph is orders of magnitude smaller than the corpus (only
     * near-dups pair up), so when it fits on the driver
-    * (≤ localThreshold edges) a path-compressed union-find runs in
+    * (≤ localThreshold edges — the 1M default stays well under ~100 MB
+    * of boxed driver state) a path-compressed union-find runs in
     * O(E α(E)) with zero extra Spark jobs; beyond that the distributed
     * min-label-propagation loop ([[dupClustersDistributed]]) takes over. */
-  def dupClusters(pairs0: DataFrame, localThreshold: Long = 10000000L): DataFrame = {
+  def dupClusters(pairs0: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs0.sparkSession
     import spark.implicits._
     val pairs = pairs0
@@ -242,12 +243,16 @@ object Dedup {
         .join(relaxed.toDF("c1", "c2"), Seq("c1"), "left")
         .select(col("doc_id"), coalesce(col("c2"), col("c1")).as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one tiny driver-side count per round, not per row
+      // one tiny driver-side count per round (also materializes `next`)
       changed = next.toDF("doc_id", "nc2").join(labels, "doc_id")
         .where(col("nc2") =!= col("cluster")).count()
       labels.unpersist(blocking = false)
-      labels = next.localCheckpoint() // cut the per-round plan growth
-      next.unpersist(blocking = false)
+      // no per-round localCheckpoint: its RDD-level blocks are invisible
+      // to Dataset.unpersist and would linger until GC. Pointer jumping
+      // bounds rounds at O(log diameter), so the plan growing by a few
+      // joins per round stays shallow; each round reads the previous
+      // round's CACHED result, never recomputing the chain.
+      labels = next
     }
     edges.unpersist(blocking = false)
     labels
