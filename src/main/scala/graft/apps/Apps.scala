@@ -115,9 +115,11 @@ object TrainApp {
         val r = LdaTrainer.train(corpus, numWords, cfg)
         LdaModel(r.model, r.averaged, r.likelihoods, vocab, numWords, cfg)
       }
+    // console parity with lda.cc:127/135
     if (f.computeLikelihood)
       model.likelihoods.zipWithIndex.foreach { case (ll, i) =>
-        println(s"Iteration $i log-likelihood: $ll")
+        println(s"Iteration $i ...")
+        println(s"Loglikelihood: $ll")
       }
     if (f.outputMode == "final_counts")
       ModelIO.writeCounts(model.counts, cfg.numTopics, model.indexToWord, f.modelFile)
@@ -164,19 +166,18 @@ object InferApp {
   }
 }
 
-/** Top-words report (parity with view_model.py): count>1 filter, per-topic
-  * descending sort. Usage: ViewModelApp <model_file> [topN]. */
+/** Readable model report, format-parity with view_model.py (per topic:
+  * `TOPIC:  <i> <mass>` then `word value` rows, value>1, sorted by
+  * (value, word) descending). Usage mirrors the reference:
+  * `ViewModelApp <model_file> [viewable_file]` — prints to stdout when no
+  * output file is given. Driver-local (model files are V×K, bounded);
+  * the distributed report surface is LdaModel.topWords/describeTopics. */
 object ViewModelApp {
   def main(args: Array[String]): Unit = {
-    val spark = Flags.session("graft-view-model")
-    val (model, words) = ModelIO.readModel(args(0))
-    val topN = if (args.length > 1) args(1).toInt else 10
-    val k = model.length / (words.length + 1)
-    val df = ModelIO.toDataFrame(spark, model, k, words)
-    val lda = LdaModel(model, Array.empty, Array.empty,
-      df.select(org.apache.spark.sql.functions.col("word").as("tok"), df("word_id")),
-      words.length, LdaConfig(k, 0.1, 0.01, 1))
-    lda.topWords(topN).show(k * topN, truncate = false)
-    spark.stop()
+    val lines = ModelIO.viewModelLines(args(0))
+    if (args.length > 1) {
+      val out = new java.io.PrintWriter(args(1))
+      try lines.foreach(out.println) finally out.close()
+    } else lines.foreach(println)
   }
 }

@@ -115,6 +115,36 @@ object ModelIO {
     } finally src.close()
   }
 
+  /** view_model.py-parity report lines (view_model.py:28-39): per topic a
+    * blank line, `TOPIC:  <i> <mass>`, a blank line, then `word value`
+    * rows filtered to value > 1 and sorted by (value, word) DESCENDING —
+    * python2's `sorted(..., key=(v, k), reverse=True)`. Values are read
+    * as raw doubles (NOT int64-truncated — the truncation quirk applies
+    * to the inference reload path only) and rendered python-str-style
+    * (integral doubles as `x.0`). */
+  def viewModelLines(path: String): Seq[String] = {
+    val src = Source.fromFile(path)
+    try {
+      val rows = src.getLines().filter(l =>
+        l.nonEmpty && l(0) != '#' && l(0) != '\r' && l(0) != '\n').map { line =>
+        val parts = line.trim.split("\\s+")
+        (parts(0), parts.drop(1).map(_.toDouble))
+      }.toVector
+      if (rows.isEmpty) return Seq.empty
+      val k = rows.head._2.length
+      def pyFloat(v: Double): String =
+        if (v == math.floor(v) && math.abs(v) < 1e16) s"${v.toLong}.0" else v.toString
+      (0 until k).flatMap { t =>
+        val entries = rows.collect { case (w, vs) if vs(t) > 1 => (w, vs(t)) }
+        val mass = entries.map(_._2).sum
+        val sorted = entries.sortBy { case (w, v) => (-v, w) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse))
+        Seq("", s"TOPIC:  $t ${pyFloat(mass)}", "") ++
+          sorted.map { case (w, v) => s"$w ${pyFloat(v)}" }
+      }
+    } finally src.close()
+  }
+
   /** Distributed model form: DataFrame(word, word_id, counts array) —
     * the scale path (parquet at rest; never collected to the driver). */
   def toDataFrame(spark: SparkSession, model: Array[Long], numTopics: Int, indexToWord: Array[String]): DataFrame = {

@@ -41,6 +41,20 @@ class AppsSpec extends SparkSpec {
     }
   }
 
+  test("ViewModelApp output matches view_model.py's format exactly") {
+    // model file: 2 topics; 'b' filtered from topic 0 (value 1 not > 1);
+    // tie in topic 1 (a=4, c=4) must break by word DESCENDING
+    val model = tmp("model",
+      "a\t3 4\nb\t1 2\nc\t5.5 4\n")
+    val got = graft.lda.ModelIO.viewModelLines(model)
+    val want = Seq(
+      "", "TOPIC:  0 8.5", "",
+      "c 5.5", "a 3.0",
+      "", "TOPIC:  1 10.0", "",
+      "c 4.0", "a 4.0", "b 2.0")
+    assert(got == want, got.mkString("|"))
+  }
+
   test("flag validity profiles mirror cmd_flags.cc's three variants") {
     val base = Flags(numTopics = 2, alpha = 0.1, beta = 0.01,
       trainingDataFile = "x", modelFile = "m", totalIterations = 5)
