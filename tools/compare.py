@@ -33,6 +33,39 @@ def render(cols, rows):
     return "\n".join(out)
 
 
+def pandas_audit(con, oracle, outdir):
+    """Replicates the DRIVER's pandas path (duckdb .df()), which differs
+    from fetchall: HUGEINT -> float64 ('5.0000' vs '5'), arrays -> crash.
+    This is exactly the divergence that let round-1's q13_pivot pass the
+    fetchall compare here but fail the driver. Returns #problems."""
+    import pyarrow as pa
+    bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            continue
+        sch = pq.read_schema(files[0])
+        arr = [f.name for f in sch
+               if pa.types.is_list(f.type) or pa.types.is_struct(f.type)]
+        if arr:
+            print(f"PANDAS   {name}: array/struct columns crash the driver sort: {arr}")
+            bad += 1
+        sdf = pq.read_table(files[0]).to_pandas()
+        try:
+            ddf = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"PANDAS   {name}: .df() failed: {e}")
+            bad += 1
+            continue
+        for c in sdf.columns:
+            sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+            if (sk in "iu") != (dk in "iu"):
+                print(f"PANDAS   {name}.{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                      " (int-vs-float render mismatch; CAST the oracle)")
+                bad += 1
+    return bad
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -75,6 +108,7 @@ def main(sfdir, outdir):
                     print(f"  first diff row {i}:\n    spark: {x}\n    duck : {y}")
                     break
             n_bad += 1
+    n_bad += pandas_audit(con, oracle, outdir)
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
