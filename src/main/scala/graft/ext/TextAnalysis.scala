@@ -199,6 +199,34 @@ object TextAnalysis {
       .join(hashSplit(passing).select("doc_id", "split"), "doc_id")
   }
 
+  /** Train/test decontamination report: test-split docs sharing ≥
+    * `minShared` distinct n-grams with ANY train-split doc (the
+    * benchmark-leakage check run before training). Splits come from
+    * [[hashSplit]]; overlap is a shingle equi-join (distinct per doc, so
+    * a repeated n-gram counts once), aggregated per test doc. Shuffles:
+    * shingle build (doc_id window) + the join on the n-gram string. */
+  def contamination(docs: DataFrame, n: Int = 3, minShared: Int = 2): DataFrame = {
+    val split = hashSplit(docs).select("doc_id", "split")
+    val sh = Dedup.explodedShingles(docs, n).distinct()
+      .join(split, "doc_id")
+    val train = sh.where(col("split") === "train")
+      .select(col("sh")).distinct()
+    sh.where(col("split") === "test")
+      .join(train, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Deterministic weighted downsampling: keep a doc iff its content-hash
+    * bucket (md5 hex [5,9) mod 10000, uniform) falls under
+    * `weight × 10000` — i.e. keep-probability = the per-doc weight column
+    * in [0,1], with the SAME doc always making the same decision
+    * (reproducible pipelines, no RNG state). Pure map. */
+  def weightedSample(docs: DataFrame, weightCol: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 10000
+    docs.where(bucket < col(weightCol) * 10000)
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

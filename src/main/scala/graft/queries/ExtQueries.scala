@@ -134,6 +134,21 @@ object ExtQueries {
     TextAnalysis.cleanCorpus(Tables.documents(s, d))
       .select("doc_id", "lang", "split").orderBy("doc_id")
 
+  /** Decontamination: test-split docs sharing ≥2 trigrams with train. */
+  def contamination(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.contamination(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Length-weighted downsampling: keep-probability = min(n_chars/1000, 1).
+    * The weight is integer-derived (one exact division), so weight×10000
+    * is bit-identical across engines — a ROUND-derived weight (e.g.
+    * quality_score) could differ in the last bit exactly at an integer
+    * bucket boundary and flip a keep decision. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.weightedSample(
+      Tables.documents(s, d)
+        .withColumn("w", least(col("n_chars") / 1000.0, lit(1.0))), "w")
+      .select("doc_id").orderBy("doc_id")
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -171,6 +186,8 @@ object ExtQueries {
     "ext_stratified_sample" -> stratified _,
     "ext_percentiles" -> percentiles _,
     "ext_clean_pipeline" -> cleanPipeline _,
+    "ext_contamination" -> contamination _,
+    "ext_weighted_sample" -> weightedSample _,
     "ext_length_deciles" -> lengthDeciles _,
     "ext_bigram_lm" -> bigramLm _,
     "ext_minhash_pairs" -> minhashPairs _,
@@ -525,6 +542,26 @@ object ExtQueries {
          |SELECT bc.w1, bc.w2, bc.c, ROUND(bc.c * 1.0 / t.n1, 4) AS p
          |FROM bc JOIN tot t ON bc.w1 = t.w1
          |ORDER BY bc.w1, bc.w2""".stripMargin,
+
+    "ext_contamination" ->
+      s"""WITH $toksCte, $sh3Cte,
+         |dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT s FROM dsh JOIN spl USING (doc_id) WHERE split = 'train'),
+         |te AS (SELECT d.doc_id, d.s FROM dsh d JOIN spl USING (doc_id) WHERE split = 'test')
+         |SELECT doc_id, COUNT(*) AS shared_ngrams
+         |FROM te JOIN tr USING (s)
+         |GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "ext_weighted_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 10000
+        |      < LEAST(n_chars / 1000.0, 1.0) * 10000
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_percentiles" ->
       """SELECT event_type,
