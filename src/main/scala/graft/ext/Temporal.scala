@@ -78,6 +78,35 @@ object Temporal {
       right(rightTs) <= left(leftTs))
       .drop(right(key))
 
+  /** Ordered funnel: for each `key`, how many of the `stages` event types
+    * occurred in sequence — stage i counts only if it happens strictly
+    * AFTER the (first valid occurrence of) stage i−1. Classic conversion
+    * analysis. One aggregate per stage, each a key-partitioned
+    * shuffle of a rapidly-shrinking keyset (only keys that reached the
+    * previous stage carry forward). Output: (key, stages_reached ≥ 1). */
+  def funnel(events: DataFrame, stages: Seq[String], key: String = "user_id",
+      ts: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(key).agg(min(col(ts)).as("_t"))
+      .withColumn("stages_reached", lit(1))
+    stages.drop(1).zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      // only keys that completed EXACTLY the previous stage may advance —
+      // a key that stalled earlier must not match later stages out of order
+      val eligible = acc.where(col("stages_reached") === i + 1)
+      val stalled = acc.where(col("stages_reached") =!= i + 1)
+      val nxt = events.where(col(typeCol) === stage)
+        .join(eligible.select(col(key), col("_t")), key)
+        .where(col(ts) > col("_t"))
+        .groupBy(key).agg(min(col(ts)).as("_nt"))
+      eligible.join(nxt, Seq(key), "left")
+        .select(col(key),
+          coalesce(col("_nt"), col("_t")).as("_t"),
+          (col("stages_reached") + when(col("_nt").isNotNull, 1).otherwise(0)).as("stages_reached"))
+        .union(stalled)
+    }.select(col(key), col("stages_reached"))
+  }
+
   /** Distributed global running sum over a total order — the scalable
     * form of `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`, which
     * Spark's WindowExec executes in ONE partition (the q18 warning).

@@ -75,6 +75,11 @@ object ExtQueries {
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
 
+  /** Conversion funnel view → click → purchase, strictly ordered per user. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   /** Batch interval join: (view, purchase) pairs of the same user within
     * one hour — the batch twin of the streaming interval join. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
@@ -178,6 +183,7 @@ object ExtQueries {
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
     "ext_interval_join" -> intervalJoin _,
+    "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
     "ext_dedup_canonical" -> keepCanonical _,
     "ext_dup_clusters" -> dupClusters _,
@@ -404,6 +410,19 @@ object ExtQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
         |ORDER BY v.view_id, p.purchase_id""".stripMargin,
+
+    "ext_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS stages_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
 
     "ext_sessionize" ->
       """WITH x AS (

@@ -140,6 +140,30 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map("a b" -> 3L, "b a" -> 1L))
   }
 
+  test("funnel counts only strictly-ordered stage progressions") {
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 10L, ts("2024-01-01 11:00:00"), "click"),
+      (3L, 10L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 20: purchase BEFORE click → stalls at view; the later
+      // purchase must NOT count (no click ever follows the view)
+      (4L, 20L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 20L, ts("2024-01-01 09:00:00"), "purchase"),
+      // user 30: view then purchase, no click → stages_reached = 1
+      (6L, 30L, ts("2024-01-01 10:00:00"), "view"),
+      (7L, 30L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 40: click only, never viewed → absent from the funnel
+      (8L, 40L, ts("2024-01-01 10:00:00"), "click"),
+      // user 50: view and click at the SAME ts → strict > rejects it
+      (9L, 50L, ts("2024-01-01 10:00:00"), "view"),
+      (10L, 50L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 3, 20L -> 1, 30L -> 1, 50L -> 1), got.toString)
+  }
+
   test("runningSum equals the single-partition window form, any partitioning") {
     val d = graft.Tables.documents(spark, sf()).select("doc_id", "n_chars")
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
