@@ -30,8 +30,10 @@ object GraftSession {
     * fresh, shuffle partitions follow the cluster's default parallelism. */
   def getOrCreate(appName: String = "graft",
       shufflePartitions: Option[Int] = None): SparkSession = {
+    val reused = SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession)
     val spark = builder(appName, shufflePartitions).getOrCreate()
-    if (shufflePartitions.isEmpty)
+    val isFresh = !reused.exists(_ eq spark)
+    if (shufflePartitions.isEmpty && isFresh)
       spark.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.defaultParallelism.toString)
     graft.functions.GraftExtensions.register(spark)

@@ -115,12 +115,12 @@ object TrainApp {
         val r = LdaTrainer.train(corpus, numWords, cfg)
         LdaModel(r.model, r.averaged, r.likelihoods, vocab, numWords, cfg)
       }
-    // console parity with lda.cc:127/135
-    if (f.computeLikelihood)
-      model.likelihoods.zipWithIndex.foreach { case (ll, i) =>
-        println(s"Iteration $i ...")
-        println(s"Loglikelihood: $ll")
-      }
+    // console parity with lda.cc:127/135: the iteration line prints every
+    // iteration; the likelihood line only when --compute_likelihood true
+    (0 until f.totalIterations).foreach { i =>
+      println(s"Iteration $i ...")
+      if (f.computeLikelihood) println(s"Loglikelihood: ${model.likelihoods(i)}")
+    }
     if (f.outputMode == "final_counts")
       ModelIO.writeCounts(model.counts, cfg.numTopics, model.indexToWord, f.modelFile)
     else

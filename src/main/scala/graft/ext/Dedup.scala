@@ -255,7 +255,14 @@ object Dedup {
       labels = next
     }
     edges.unpersist(blocking = false)
-    labels
+    // Hand back a localCheckpoint of the converged labels and drop the
+    // loop's cache generation: the result is materialized (no recompute of
+    // the unpersisted chain) and its blocks die with the caller's reference
+    // (ContextCleaner on GC), instead of one CacheManager entry leaking per
+    // call in a long-running session.
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest

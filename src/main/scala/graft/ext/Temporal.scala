@@ -118,7 +118,9 @@ object Temporal {
     *
     * For integer values the result is EXACTLY the window form (integer
     * addition is associative); for doubles the two-pass re-association
-    * can differ in ULPs. */
+    * can differ in ULPs. Null handling matches WindowExec too: null
+    * values are skipped, and the output is NULL until the first non-null
+    * value in the total order. */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
@@ -145,25 +147,38 @@ object Temporal {
       if (r.isNullAt(1)) 0L else r.get(1).asInstanceOf[Number].longValue()
     val out =
       if (integral) {
-        // pass 1: per-partition totals (tiny — one long per partition)
+        // pass 1: per-partition totals + has-any-non-null (tiny — one
+        // (long, bool) per partition)
         val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-          var s = 0L; it.foreach(s += numL(_)); Iterator.single((pid, s))
-        }.collect().sortBy(_._1).map(_._2)
-        val offsets = partTotals.scanLeft(0L)(_ + _)
-        val bc = spark.sparkContext.broadcast(offsets)
+          var s = 0L; var any = false
+          it.foreach { r => if (!r.isNullAt(1)) { any = true; s += numL(r) } }
+          Iterator.single((pid, s, any))
+        }.collect().sortBy(_._1)
+        val offsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
+        val seenBefore = partTotals.map(_._3).scanLeft(false)(_ || _)
+        val bc = spark.sparkContext.broadcast((offsets, seenBefore))
         rdd.mapPartitionsWithIndex { (pid, it) =>
-          var acc = bc.value(pid)
-          it.map { r => acc += numL(r); Row(r.get(0), acc) }
+          var acc = bc.value._1(pid); var seen = bc.value._2(pid)
+          it.map { r =>
+            if (!r.isNullAt(1)) { seen = true; acc += numL(r) }
+            Row(r.get(0), if (seen) acc else null)
+          }
         }
       } else {
         val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-          var s = 0.0; it.foreach(s += num(_)); Iterator.single((pid, s))
-        }.collect().sortBy(_._1).map(_._2)
-        val offsets = partTotals.scanLeft(0.0)(_ + _)
-        val bc = spark.sparkContext.broadcast(offsets)
+          var s = 0.0; var any = false
+          it.foreach { r => if (!r.isNullAt(1)) { any = true; s += num(r) } }
+          Iterator.single((pid, s, any))
+        }.collect().sortBy(_._1)
+        val offsets = partTotals.map(_._2).scanLeft(0.0)(_ + _)
+        val seenBefore = partTotals.map(_._3).scanLeft(false)(_ || _)
+        val bc = spark.sparkContext.broadcast((offsets, seenBefore))
         rdd.mapPartitionsWithIndex { (pid, it) =>
-          var acc = bc.value(pid)
-          it.map { r => acc += num(r); Row(r.get(0), acc) }
+          var acc = bc.value._1(pid); var seen = bc.value._2(pid)
+          it.map { r =>
+            if (!r.isNullAt(1)) { seen = true; acc += num(r) }
+            Row(r.get(0), if (seen) acc else null)
+          }
         }
       }
     spark.createDataFrame(out, schema)

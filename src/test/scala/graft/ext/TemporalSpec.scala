@@ -190,6 +190,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("runningSum null semantics match the window form: null prefix, nulls skipped") {
+    val d = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, null), (3L, 10L), (4L, null), (5L, 5L), (6L, null)
+    ).toDF("k", "v")
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.select(col("k"), sum(col("v")).over(w).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    for (np <- Seq(1, 3)) {
+      val got = Temporal.runningSum(d, "k", "v", np)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == want, s"np=$np: $got vs $want")
+    }
+  }
+
   test("cleanCorpus gates, dedups, and splits") {
     val good = "the a is of and to in the a is of and to in words here padding tokens more" // 20 toks, stopword-rich
     val repetitive = ("spam ham " * 10).trim // top bigram dominates

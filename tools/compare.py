@@ -58,6 +58,11 @@ def pandas_audit(con, oracle, outdir):
             bad += 1
             continue
         for c in sdf.columns:
+            if c not in ddf.columns:
+                print(f"PANDAS   {name}.{c}: missing from oracle result "
+                      f"(oracle cols: {list(ddf.columns)})")
+                bad += 1
+                continue
             sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
             if (sk in "iu") != (dk in "iu"):
                 print(f"PANDAS   {name}.{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
