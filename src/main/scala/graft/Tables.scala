@@ -53,7 +53,7 @@ object Tables {
   /** tokens(text): split on single space, drop empty strings (the fixture
     * text carries a trailing space). */
   def tokensOf(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    graft.ext.Dedup.tokens(text)
 
   /** docs_tokenized(doc_id, tok) — one row per token occurrence. */
   def docsTokenized(s: SparkSession, d: String): DataFrame =

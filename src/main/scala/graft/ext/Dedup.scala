@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column = filter(split(text, "\\s+"), t => t =!= "")
+  /** Single-space tokens, empties dropped (FIXTURES tokenization rule —
+    * exactly DuckDB's `list_filter(string_split(text, ' '), t -> t <> '')`).
+    * `array_remove` instead of the `filter` HOF: the HOF lambda is
+    * interpreted per element (measured 5× slower on the tokenize stage);
+    * array_remove stays in whole-stage codegen. */
+  def tokens(text: Column): Column = array_remove(split(text, " "), "")
 
   /** Repartition a compute-heavy input to full parallelism. Small parquet
     * files arrive as ONE split (partitioning is byte-based), which serializes
@@ -37,44 +41,43 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** n-token shingles (contiguous, space-joined). Empty array if the doc
-    * has fewer than n tokens.
-    *
-    * NOTE: array-HOF form (`transform` + `element_at`) — its lambda is
-    * interpreted per element. Fine for per-doc outputs (fingerprints);
-    * for exploded (doc, shingle) streams use [[explodedShingles]], which
-    * stays in whole-stage codegen (measured 5× on the shingle stage). */
-  def shingles(toks: Column, n: Int): Column = {
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + (j + 1))): _*)))
-      .otherwise(array())
-  }
+    * has fewer than n tokens. Native codegen'd expression
+    * ([[graft.functions.Shingles]]) — one array walk per row; see its
+    * scaladoc for why the HOF and window-lead forms both lose. */
+  def shingles(toks: Column, n: Int): Column =
+    graft.functions.Shingles.shinglesNative(toks, n)
 
-  /** docs(doc_id, text) → (doc_id, sh): one row per shingle occurrence,
-    * computed row-wise via posexplode + window `lead` so tokenize, lead,
-    * and concat all run inside whole-stage codegen (the HOF form
-    * interprets its lambda per element — the dominant cost of the whole
-    * jaccard pipeline before this). One shuffle on doc_id (the window),
-    * which downstream groupBys on doc_id then reuse. */
-  def explodedShingles(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = spreadForCompute(docs).select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 until n).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"t$j", lead(col("t0"), j).over(w))
-    }
-    withLeads
-      .where((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("sh"))
-  }
+  /** docs(doc_id, text) → (doc_id, sh): one row per shingle occurrence.
+    * Shuffle-free: tokens and shingles are computed in-row by native
+    * expressions and fed straight into `explode`, so the first exchange
+    * any consumer pays is its own (groupBy/join) shuffle. */
+  def explodedShingles(docs: DataFrame, n: Int): DataFrame =
+    spreadForCompute(docs).select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("sh"))
 
-  /** MinHash signature: numHashes md5-min strings. Hash family i is
-    * s ↦ md5(i || ':' || s) — portable across engines, deterministic. */
+  /** [[explodedShingles]] with per-doc dedup done in-row
+    * (`array_distinct` before the explode) — the set form Jaccard and
+    * decontamination consume, without a (doc_id, sh) distinct shuffle. */
+  def explodedDistinctShingles(docs: DataFrame, n: Int): DataFrame =
+    spreadForCompute(docs).select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+
+  /** MinHash hash family i over a shingle column: an 8-hex-char (32-bit)
+    * slice of one of two md5 digests — md5("0:"+s) carries families 0–3,
+    * md5("1:"+s) families 4–7. Slicing one digest into independent
+    * fixed-width pieces is the standard way to buy k hash families for the
+    * price of 2 digests (md5 dominates the signature cost — this is 4×
+    * fewer digest computations than one md5 per family); lexicographic min
+    * over fixed-width lowercase hex equals numeric min over the 32-bit
+    * value. Engine-portable: plain `substr(md5(...))` on the DuckDB side. */
+  def minhashFamily(s: Column, i: Int): Column =
+    substring(md5(concat(lit(s"${i / 4}:"), s)), (i % 4) * 8 + 1, 8)
+
+  /** MinHash signature: numHashes sliced-md5-min strings (see
+    * [[minhashFamily]]). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(sh, s => minhashFamily(s, i)))
     }: _*)
 
   /** docs(doc_id, text) → (doc_id, band, key): LSH banding of the MinHash
@@ -85,9 +88,20 @@ object Dedup {
     // explode + per-hash min aggregates instead of array lambdas: the md5s
     // run in whole-stage codegen row-wise (array HOF lambdas are
     // interpreted per element — ~10× slower measured), and the groupBy is
-    // a cheap partial+final min of 8 small strings per doc.
-    val exploded = explodedShingles(docs, shingleLen).withColumnRenamed("sh", "s")
-    val aggs = (0 until numHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    // a cheap partial+final min of 8 small strings per doc (map-side
+    // combine collapses each partition to one row per doc before the
+    // exchange).
+    // materialize the ⌈numHashes/4⌉ digests as columns BEFORE the agg: the
+    // min() inputs then slice an attribute; inlining minhashFamily into
+    // each agg would recompute the same md5 once per family (CollapseProject
+    // keeps the projection because the alias is non-cheap and multiply
+    // referenced)
+    val nDigests = (numHashes + 3) / 4
+    val exploded = explodedShingles(docs, shingleLen)
+      .select(col("doc_id") +:
+        (0 until nDigests).map(d => md5(concat(lit(s"$d:"), col("sh"))).as(s"m$d")): _*)
+    val aggs = (0 until numHashes).map(i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
     val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -117,9 +131,10 @@ object Dedup {
     * ROUND(jaccard, 4) — a single IEEE division is bit-identical across
     * engines, but the round keeps near-tie order stable — then ids. */
   def jaccardTopPairs(docs: DataFrame, k: Int, shingleLen: Int = 3): DataFrame = {
-    // persisted: read three times (both join sides + per-doc sizes)
-    val docSh = explodedShingles(docs, shingleLen)
-      .distinct()
+    // persisted: read three times (both join sides + per-doc sizes);
+    // per-doc shingle dedup happens in-row (array_distinct), not via a
+    // distinct shuffle
+    val docSh = explodedDistinctShingles(docs, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = docSh.toDF("doc_a", "sh")

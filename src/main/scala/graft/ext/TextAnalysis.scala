@@ -202,12 +202,13 @@ object TextAnalysis {
   /** Train/test decontamination report: test-split docs sharing ≥
     * `minShared` distinct n-grams with ANY train-split doc (the
     * benchmark-leakage check run before training). Splits come from
-    * [[hashSplit]]; overlap is a shingle equi-join (distinct per doc, so
-    * a repeated n-gram counts once), aggregated per test doc. Shuffles:
-    * shingle build (doc_id window) + the join on the n-gram string. */
+    * [[hashSplit]]; overlap is a shingle equi-join (distinct per doc —
+    * done in-row, so a repeated n-gram counts once without a distinct
+    * shuffle), aggregated per test doc. Shuffles: only the join on the
+    * n-gram string. */
   def contamination(docs: DataFrame, n: Int = 3, minShared: Int = 2): DataFrame = {
     val split = hashSplit(docs).select("doc_id", "split")
-    val sh = Dedup.explodedShingles(docs, n).distinct()
+    val sh = Dedup.explodedDistinctShingles(docs, n)
       .join(split, "doc_id")
     val train = sh.where(col("split") === "train")
       .select(col("sh")).distinct()

@@ -69,7 +69,7 @@ object Corpus {
   /** documents(doc_id, text) → token occurrences (doc_id, pos, tok). */
   def tokenize(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
-        posexplode(filter(split(col("text"), "\\s+"), t => t =!= "")).as(Seq("pos", "tok")))
+        posexplode(graft.ext.Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
 
   /** Bag-of-words with dense word ids: tokens ⋈ vocab (broadcast), grouped.
     * Drops OOV tokens (the semi-join semantics of infer.cc:77-80 when the

@@ -242,12 +242,14 @@ object ExtQueries {
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   /** MinHash banding CTE chain (toks → shingles → signatures → band keys)
-    * shared by the pair and cluster oracles. */
+    * shared by the pair and cluster oracles. Hash family i = 8-hex-char
+    * slice of md5((i/4) || ':' || s), mirroring [[graft.ext.Dedup.minhashFamily]]. */
   private val minhashBandsCtes =
     s"""$toksCte, $sh3Cte,
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, 8),
-       |    i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sig
+       |    i -> list_min(list_transform(sh,
+       |      s -> substr(md5((i // 4)::VARCHAR || ':' || s), CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
        |  FROM sh WHERE len(sh) > 0
        |),
        |bands AS (
