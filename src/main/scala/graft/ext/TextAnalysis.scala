@@ -228,6 +228,78 @@ object TextAnalysis {
     docs.where(bucket < col(weightCol) * 10000)
   }
 
+  /** PII redaction patterns — simple, engine-portable regexes (no
+    * lookaround/backrefs, so they run identically under Java regex and
+    * RE2/DuckDB). Public-knowledge patterns, intentionally conservative:
+    * production pipelines tune recall; the operator shape (regex scrub as
+    * a pure codegen'd map, counts alongside) is what scales. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub: redact emails → `<EMAIL>`, IPv4s → `<IP>`, then
+    * phone-shaped digit runs → `<PHONE>` (that order — an IPv4 octet run
+    * must not be half-eaten by the looser phone pattern), with per-class
+    * match counts. Pure per-row map: no shuffle, scales linearly, and the
+    * counts let a pipeline gate on PII density before training. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        phoneRe, "<PHONE>").as("redacted"))
+
+  /** Sentence-level exact dedup report: split docs into sentences on
+    * `". "`, hash each, and report sentences occurring more than once
+    * across the corpus (boilerplate detection below document granularity —
+    * the sub-doc analog of [[Dedup.exactDupGroups]]). One shuffle (the
+    * digest groupBy, map-side combined). */
+  def sentenceDedup(docs: DataFrame): DataFrame =
+    Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .where(length(trim(col("sent"))) > 0)
+      .groupBy(md5(trim(col("sent"))).as("h"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("c") > 1)
+
+  /** Cross-document n-gram novelty: per doc, the fraction of its distinct
+    * n-grams NOT already present in any LOWER-id document (novelty under
+    * the corpus's natural order — the metric behind "how much of this
+    * shard is new text"). First-occurrence ids come from one groupBy(min)
+    * over the exploded distinct shingles; docs with fewer than n tokens
+    * are absent (no shingles). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val dsh = Dedup.explodedDistinctShingles(docs, n)
+    val first = dsh.groupBy("sh").agg(min(col("doc_id")).as("d0"))
+    dsh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("d0") < col("doc_id"), 0).otherwise(1)).cast("double")
+          / count(lit(1)), 4).as("novel_frac"))
+  }
+
+  /** One-row corpus summary: doc/token/vocab counts, type-token ratio,
+    * and the token-mass share of the 100 most frequent words (a Zipf
+    * head-coverage check — high coverage flags degenerate corpora). Two
+    * aggregations over one wordcount pass; every input is map-side
+    * combined. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val wc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = wc.agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("n_tokens"))
+    val top = wc.orderBy(col("c").desc, col("tok")).limit(100)
+      .agg(sum(col("c")).as("top100"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    nd.crossJoin(totals).crossJoin(top)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        round(col("vocab_size").cast("double") / col("n_tokens"), 4).as("type_token_ratio"),
+        round(col("top100").cast("double") / col("n_tokens"), 4).as("top100_coverage"))
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

@@ -154,6 +154,22 @@ object ExtQueries {
         .withColumn("w", least(col("n_chars") / 1000.0, lit(1.0))), "w")
       .select("doc_id").orderBy("doc_id")
 
+  /** PII scrub over the corpus: per-class match counts + redacted text. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.piiRedact(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Sentence-level exact-dup report (sub-document boilerplate). */
+  def sentenceDedup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sentenceDedup(Tables.documents(s, d)).orderBy("h")
+
+  /** Cross-doc n-gram novelty under the corpus's doc_id order. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramNovelty(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** One-row corpus summary (counts, TTR, Zipf head coverage). */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusStats(Tables.documents(s, d))
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -207,6 +223,10 @@ object ExtQueries {
     "ext_token_stats" -> tokenStats _,
     "ext_fingerprint" -> fingerprint _,
     "ext_lsh_pairs_top10" -> lshPairs _,
+    "ext_pii_redact" -> piiRedact _,
+    "ext_sentence_dedup" -> sentenceDedup _,
+    "ext_ngram_novelty" -> ngramNovelty _,
+    "ext_corpus_stats" -> corpusStats _,
     "ext_multimodal_image_features" -> imageFeatures _,
     "ext_multimodal_audio" -> audioFeatures _,
     "ext_multimodal_frames" -> frameSamples _,
@@ -577,6 +597,51 @@ object ExtQueries {
          |SELECT doc_id, COUNT(*) AS shared_ngrams
          |FROM te JOIN tr USING (s)
          |GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+    // same regexes, same order; duck regexp_replace needs the 'g' flag and
+    // counts via len(regexp_extract_all)
+    "ext_pii_redact" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS n_email,
+         |  len(regexp_extract_all(text, '${TextAnalysis.ipv4Re}')) AS n_ip,
+         |  len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) AS n_phone,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_sentence_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, trim(unnest(string_split_regex(text, '\. '))) AS sent
+        |  FROM documents
+        |)
+        |SELECT md5(sent) AS h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM s WHERE length(sent) > 0
+        |GROUP BY md5(sent) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "ext_ngram_novelty" ->
+      s"""WITH $toksCte, $sh3Cte,
+         |dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |first AS (SELECT s, MIN(doc_id) AS d0 FROM dsh GROUP BY s)
+         |SELECT dsh.doc_id, COUNT(*) AS n_grams,
+         |  ROUND(SUM(CASE WHEN f.d0 < dsh.doc_id THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 4) AS novel_frac
+         |FROM dsh JOIN first f ON dsh.s = f.s
+         |GROUP BY dsh.doc_id ORDER BY dsh.doc_id""".stripMargin,
+
+    "ext_corpus_stats" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |wc AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+         |tot AS (SELECT COUNT(*) AS vocab_size, CAST(SUM(c) AS BIGINT) AS n_tokens FROM wc),
+         |top AS (SELECT SUM(c) AS top100 FROM
+         |          (SELECT c FROM wc ORDER BY c DESC, tok LIMIT 100)),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT n_docs, n_tokens, vocab_size,
+         |  ROUND(vocab_size * 1.0 / n_tokens, 4) AS type_token_ratio,
+         |  ROUND(top100 * 1.0 / n_tokens, 4) AS top100_coverage
+         |FROM nd, tot, top""".stripMargin,
 
     "ext_weighted_sample" ->
       """SELECT doc_id FROM documents

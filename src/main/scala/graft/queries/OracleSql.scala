@@ -180,5 +180,24 @@ object OracleSql {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // V1 first-seen vocabulary: id = rank of (first doc, first position)
+    "q26_vocab_first_seen" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |),
+        |dt AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+        |),
+        |f1 AS (SELECT tok, MIN(doc_id) AS d0 FROM dt GROUP BY tok),
+        |f2 AS (
+        |  SELECT dt.tok, f1.d0, MIN(dt.pos) AS p0
+        |  FROM dt JOIN f1 ON dt.tok = f1.tok AND dt.doc_id = f1.d0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT tok, ROW_NUMBER() OVER (ORDER BY d0, p0) - 1 AS word_id
+        |FROM f2 ORDER BY word_id""".stripMargin,
   )
 }

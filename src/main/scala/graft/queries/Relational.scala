@@ -213,8 +213,18 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // Q26 first-seen vocabulary (V1 analog, lda.cc:70-77): word ids in order
+  // of first appearance in the (doc_id, pos) token stream — the single-node
+  // reference's vocabulary mode (sorted V2 is q04). Global ranking window
+  // over V rows (the vocab, not the corpus), like q04.
+  def q26(s: SparkSession, d: String): DataFrame =
+    graft.lda.Corpus.firstSeenVocab(
+      graft.lda.Corpus.tokenize(documents(s, d).select("doc_id", "text")))
+      .orderBy("word_id")
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_vocab_first_seen" -> q26 _,
     "q01_scan_project" -> q01 _,
     "q02_filter" -> q02 _,
     "q03_tokenize" -> q03 _,

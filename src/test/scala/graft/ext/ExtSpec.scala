@@ -170,6 +170,48 @@ class ExtSpec extends SparkSpec {
     assert(sized.forall(m => m.width == 512 && m.height == 256))
   }
 
+  test("piiRedact scrubs emails, IPv4s, and phone shapes with counts") {
+    val d = docs(
+      (1L, "contact bob@example.com or alice@corp.io today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 responded"),
+      (3L, "call 555-123-4567 or 555 987 6543 now"),
+      (4L, "nothing sensitive here at all"))
+    val r = TextAnalysis.piiRedact(d)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 0L, 0L, "contact <EMAIL> or <EMAIL> today")))
+    assert(r(1) == ((2L, 0L, 2L, 0L, "server at <IP> and <IP> responded")))
+    assert(r(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(r(3) == ((4L, 0L, 0L, 0L, "nothing sensitive here at all")))
+  }
+
+  test("sentenceDedup reports repeated sentences across docs, once-off absent") {
+    val d = docs(
+      (1L, "shared boilerplate line. unique one here"),
+      (2L, "shared boilerplate line. another unique"),
+      (3L, "totally original sentence"))
+    val rows = TextAnalysis.sentenceDedup(d).as[(String, Long, Long)].collect()
+    assert(rows.length == 1)
+    assert(rows.head._2 == 2 && rows.head._3 == 2) // c=2 across n_docs=2
+  }
+
+  test("ngramNovelty: first doc fully novel, exact repeat fully stale") {
+    val a = "alpha beta gamma delta epsilon"
+    val d = docs((1L, a), (2L, a), (3L, "zeta eta theta iota kappa"))
+    val m = TextAnalysis.ngramNovelty(d, 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == ((3L, 1.0)))
+    assert(m(2L) == ((3L, 0.0)))
+    assert(m(3L) == ((3L, 1.0)))
+  }
+
+  test("corpusStats matches a hand computation") {
+    val d = docs((1L, "a b a"), (2L, "a c"))
+    val r = TextAnalysis.corpusStats(d)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    // 2 docs, 5 tokens, vocab {a,b,c}=3, ttr=0.6, top100 covers everything
+    assert(r == ((2L, 5L, 3L, 0.6, 1.0)))
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
