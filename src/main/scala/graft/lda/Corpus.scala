@@ -91,11 +91,34 @@ object Corpus {
       .map { case (docId, ws, cs) => DocState.init(docId, ws, cs, numTopics, seed) }
   }
 
+  /** Token occurrences with dense ids → Dataset[DocState], ONE shuffle.
+    * Fuses [[bagOfWords]]'s (doc, word) count-groupBy and [[fromBow]]'s
+    * per-doc collect into a single groupByKey(doc_id): the (w,c) CSR is
+    * tallied and word-sorted inside `mapGroups`, so the bag-of-words
+    * intermediate never shuffles separately. Identical DocStates to the
+    * two-step path (same sorted arrays → same RNG consumption order). */
+  def fromTokenIds(tokIds: DataFrame, numTopics: Int, seed: Long): Dataset[DocState] = {
+    val spark = tokIds.sparkSession
+    import spark.implicits._
+    tokIds.select(col("doc_id").cast("long"), col("word_id").cast("int"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+        it.foreach { case (_, w) => counts(w) = counts.getOrElse(w, 0) + 1 }
+        val ws = counts.keysIterator.toArray
+        java.util.Arrays.sort(ws)
+        val cs = ws.map(counts)
+        DocState.init(docId, ws, cs, numTopics, seed)
+      }
+  }
+
   /** Full pipeline: documents(doc_id, text) → (corpus, vocab). */
   def fromDocuments(documents: DataFrame, numTopics: Int, seed: Long): (Dataset[DocState], DataFrame) = {
     val toks = tokenize(documents)
     val vocab = sortedVocab(toks)
-    (fromBow(bagOfWords(toks, vocab), numTopics, seed), vocab)
+    (fromTokenIds(toks.join(broadcast(vocab), "tok").select("doc_id", "word_id"),
+      numTopics, seed), vocab)
   }
 
   /** Kept (non-empty, non-comment) lines with their file line number —

@@ -1,6 +1,7 @@
 package graft.lda
 
 import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.Dataset
 
 /** Collapsed-Gibbs kernel (the only genuinely custom compute in the engine;
@@ -107,6 +108,20 @@ object Gibbs {
       numWords: Int, numTopics: Int, alpha: Double, beta: Double,
       train: Boolean, seed: Long, iter: Int): Dataset[DocState] = {
     import docs.sparkSession.implicits._
+    docs.sparkSession.createDataset(
+      sweepRdd(docs.rdd, bcModel, numWords, numTopics, alpha, beta, train, seed, iter))
+  }
+
+  /** RDD core of [[sweep]] — the training loop runs here: an iterative
+    * mapPartitions chain gains nothing from Catalyst (no relational
+    * structure to optimize) and a Dataset persist would pay encoder
+    * serialization of every DocState per iteration; the RDD caches plain
+    * JVM objects (this is the sanctioned "genuine per-partition imperative
+    * logic" RDD case). */
+  def sweepRdd(
+      docs: RDD[DocState], bcModel: Broadcast[Array[Long]],
+      numWords: Int, numTopics: Int, alpha: Double, beta: Double,
+      train: Boolean, seed: Long, iter: Int): RDD[DocState] = {
     val k = numTopics
     docs.mapPartitions { it =>
       val model = if (train) bcModel.value.clone() else bcModel.value
@@ -132,10 +147,9 @@ object Gibbs {
     * accumulator updated in a transformation), and costs zero extra passes
     * over the corpus. */
   def sweepWithLL(
-      docs: Dataset[DocState], bcModel: Broadcast[Array[Long]],
+      docs: RDD[DocState], bcModel: Broadcast[Array[Long]],
       numWords: Int, numTopics: Int, alpha: Double, beta: Double,
-      seed: Long, iter: Int): Dataset[(DocState, Double)] = {
-    import docs.sparkSession.implicits._
+      seed: Long, iter: Int): RDD[(DocState, Double)] = {
     val k = numTopics
     docs.mapPartitions { it =>
       val model = bcModel.value.clone() // task-local AD-LDA replica
@@ -155,14 +169,24 @@ object Gibbs {
     }
   }
 
+  /** Tree-combine depth for the model allreduce, sized to the traffic:
+    * one partial (V+1)×K model per partition flows to the combiner. Under
+    * 256 MB total the driver takes them directly (one stage); beyond that
+    * an intermediate tree level caps driver ingress (the chunked-allreduce
+    * concern of mpi_lda.cc:58-92). At sf0.1 (32 × 1.6 MB) this saves a
+    * whole shuffle stage per training iteration; at 1000 executors with a
+    * 100 MB model it picks the tree. */
+  private def reduceDepth(numPartitions: Int, modelBytes: Long): Int =
+    if (numPartitions.toLong * modelBytes <= (256L << 20)) 1 else 2
+
   /** [[countModel]] over a fused sweep: one pass produces the recounted
     * model AND the summed pre-sweep corpus log-likelihood. */
   def countModelWithLL(
-      swept: Dataset[(DocState, Double)], numWords: Int, numTopics: Int): (Array[Long], Double) = {
+      swept: RDD[(DocState, Double)], numWords: Int, numTopics: Int): (Array[Long], Double) = {
     val k = numTopics
     val size = (numWords + 1) * k
     val gOff = numWords * k
-    swept.rdd.mapPartitions { it =>
+    swept.mapPartitions { it =>
       val acc = new Array[Long](size)
       var ll = 0.0
       it.foreach { case (doc, l) =>
@@ -186,17 +210,21 @@ object Gibbs {
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       (a, la + lb)
-    }, depth = 2)
+    }, depth = reduceDepth(swept.getNumPartitions, size * 8L))
   }
 
   /** Recount n(w,k)/n(k) from assignments and allreduce
     * (M3 sampler.cc:34-45 + M4 mpi_lda.cc:94-111): per-partition flat
     * tally, tree-combined. Partition-count invariant (addition commutes). */
-  def countModel(docs: Dataset[DocState], numWords: Int, numTopics: Int): Array[Long] = {
+  def countModel(docs: Dataset[DocState], numWords: Int, numTopics: Int): Array[Long] =
+    countModelRdd(docs.rdd, numWords, numTopics)
+
+  /** RDD core of [[countModel]] (the training loop's allreduce "up"). */
+  def countModelRdd(docs: RDD[DocState], numWords: Int, numTopics: Int): Array[Long] = {
     val k = numTopics
     val size = (numWords + 1) * k
     val gOff = numWords * k
-    docs.rdd.mapPartitions { it =>
+    docs.mapPartitions { it =>
       val acc = new Array[Long](size)
       it.foreach { doc =>
         var i = 0
@@ -218,7 +246,7 @@ object Gibbs {
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
-    }, depth = 2)
+    }, depth = reduceDepth(docs.getNumPartitions, size * 8L))
   }
 
   /** Corpus log-likelihood Σ_d log p(d) (L1, sampler.cc:116-166): computed
@@ -263,6 +291,6 @@ object Gibbs {
       var s = 0.0
       it.foreach(d => s += logLikelihood(d, model, numWords, alpha, beta, numTopics))
       Iterator.single(s)
-    }.treeReduce(_ + _, depth = 2)
+    }.treeReduce(_ + _, depth = 1) // partials are one Double each
   }
 }

@@ -1,5 +1,6 @@
 package graft.lda
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -34,11 +35,11 @@ object LdaTrainer {
       /** final doc states (a view over the persisted generation) */
       docs: Dataset[DocState],
       numWords: Int,
-      /** the actually-persisted dataset backing `docs` — NOT always the
-        * same object (the LL path persists (DocState, Double) tuples and
-        * `docs` is a map view). Callers done with `docs` must unpersist
-        * THIS, or the final corpus generation stays cached. */
-      releasable: Dataset[_])
+      /** Unpersists the cached generation backing `docs` (the loop's
+        * internal RDD — not always the same object as `docs`, which can be
+        * a map view). Callers done with `docs` must call this, or the
+        * final corpus generation stays cached. */
+      release: () => Unit)
 
   def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result =
     trainFrom(corpus, numWords, cfg, startIter = 0,
@@ -74,12 +75,17 @@ object LdaTrainer {
     import spark.implicits._
     val sc = spark.sparkContext
     val k = cfg.numTopics
-    // truncate the INPUT's lineage up front: training chained onto a prior
-    // train's output (continue-training) otherwise carries a deep plan that
-    // Catalyst re-analyzes every iteration — measured 9× slower at sf0.1
-    var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
-    var pinned: Dataset[_] = docs // the currently-persisted generation
-    var model = Gibbs.countModel(docs, numWords, k)
+    // The loop lives at the RDD layer: per-partition imperative compute
+    // with no relational structure — Catalyst has nothing to optimize,
+    // and a Dataset persist would encoder-serialize every DocState each
+    // iteration (measured 3× slower at sf0.1); the RDD caches plain JVM
+    // objects. localCheckpoint up front truncates the INPUT's lineage
+    // (continue-training would otherwise drag the prior chain along) —
+    // marked before the first job so the first materialization checkpoints.
+    var docs = corpus.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    docs.localCheckpoint()
+    var pinned: RDD[_] = docs // the currently-persisted generation
+    var model = Gibbs.countModelRdd(docs, numWords, k)
     val accum = accum0.getOrElse(new Array[Double]((numWords + 1) * k))
     var nAccum = nAccum0
     val lls = Array.newBuilder[Double]
@@ -90,25 +96,28 @@ object LdaTrainer {
       val bc = sc.broadcast(model)
       if (cfg.computeLikelihood) {
         // fused path: the pre-sweep LL (quirk #6 — reports the previous
-        // iteration's model) rides the swept dataset into the countModel
+        // iteration's model) rides the swept RDD into the countModel
         // treeReduce. Exactly-once without an extra pass: a retried task
         // recomputes its tuples, unlike an accumulator updated inside a
         // transformation, which would double-add.
         val swept = Gibbs.sweepWithLL(docs, bc, numWords, k, cfg.alpha,
           cfg.beta, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
+        // lineage cut every 10 iters, marked BEFORE the materializing
+        // action below (RDD.localCheckpoint must precede the first job);
+        // bounds recompute depth after executor loss
+        if ((iter + 1) % 10 == 0) swept.localCheckpoint()
         val (m, ll) = Gibbs.countModelWithLL(swept, numWords, k) // materializes
         model = m
         lls += ll
         docs = swept.map(_._1) // narrow view over the persisted generation
-        if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
         pinned.unpersist(blocking = false)
         pinned = swept
       } else {
-        val swept = Gibbs.sweep(docs, bc, numWords, k, cfg.alpha, cfg.beta,
+        val swept = Gibbs.sweepRdd(docs, bc, numWords, k, cfg.alpha, cfg.beta,
           train = true, cfg.seed, iter).persist(StorageLevel.MEMORY_AND_DISK)
-        model = Gibbs.countModel(swept, numWords, k) // materializes the sweep
+        if ((iter + 1) % 10 == 0) swept.localCheckpoint()
+        model = Gibbs.countModelRdd(swept, numWords, k) // materializes the sweep
         docs = swept
-        if ((iter + 1) % 10 == 0) docs = docs.localCheckpoint()
         pinned.unpersist(blocking = false)
         pinned = swept
       }
@@ -119,13 +128,16 @@ object LdaTrainer {
         nAccum += 1
       }
       iter += 1
-      if (onCheckpoint != null) onCheckpoint(iter, docs, accum, nAccum, lls.result())
+      if (onCheckpoint != null)
+        onCheckpoint(iter, spark.createDataset(docs), accum, nAccum, lls.result())
     }
     if (nAccum > 0) {
       var i = 0
       while (i < accum.length) { accum(i) /= nAccum; i += 1 }
     }
-    Result(model, accum, lls.result(), docs, numWords, releasable = pinned)
+    val gen = pinned
+    Result(model, accum, lls.result(), spark.createDataset(docs), numWords,
+      release = () => gen.unpersist(blocking = false))
   }
 }
 
@@ -192,12 +204,13 @@ final case class Lda(cfg: LdaConfig) {
     val toks = Corpus.tokenize(documents)
     val vocab = Corpus.sortedVocab(toks).cache()
     val numWords = vocab.count().toInt
-    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), cfg.numTopics, cfg.seed)
+    val corpus = Corpus.fromTokenIds(toks.join(broadcast(vocab), "tok")
+      .select("doc_id", "word_id"), cfg.numTopics, cfg.seed)
     val result = LdaTrainer.train(corpus, numWords, cfg)
     // the model arrays are extracted; release the persisted final corpus
-    // generation (releasable, NOT docs — docs can be a narrow view whose
-    // unpersist would be a no-op on the backing cache entry)
-    result.releasable.unpersist(blocking = false)
+    // generation (via release(), NOT docs.unpersist — docs can be a narrow
+    // view whose unpersist would be a no-op on the backing cache entry)
+    result.release()
     LdaModel(result.model, result.averaged, result.likelihoods, vocab, numWords, cfg)
   }
 }
@@ -213,7 +226,8 @@ final case class LdaModel(
   /** Fold-in topic mixtures for (doc_id, text) docs; OOV words dropped. */
   def transform(documents: DataFrame, inferCfg: LdaConfig): Dataset[LdaInfer.DocTopics] = {
     val toks = Corpus.tokenize(documents)
-    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), inferCfg.numTopics, inferCfg.seed)
+    val corpus = Corpus.fromTokenIds(toks.join(broadcast(vocab), "tok")
+      .select("doc_id", "word_id"), inferCfg.numTopics, inferCfg.seed)
     LdaInfer.infer(corpus, counts, numWords, inferCfg)
   }
 

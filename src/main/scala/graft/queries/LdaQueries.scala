@@ -59,7 +59,7 @@ object LdaQueries {
     val toks = Corpus.tokenize(docs)
     val vocab = Corpus.sortedVocab(toks).cache()
     val numWords = vocab.count().toInt
-    val corpus = Corpus.fromBow(Corpus.bagOfWords(toks, vocab), 4, 42L)
+    val corpus = Corpus.fromTokenIds(toks.join(org.apache.spark.sql.functions.broadcast(vocab), "tok").select("doc_id", "word_id"), 4, 42L)
     // 2 iters × 2 shards exercises the full path (sweep, recount, shard
     // broadcast); the conserved-totals oracle is iteration-count-invariant
     val res = ShardedLda.train(corpus, numWords,
