@@ -1,5 +1,6 @@
 package graft.lda
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
@@ -19,6 +20,11 @@ final case class WordTopics(wordId: Int, counts: Array[Long])
   * broadcasting only one shard's rows — (V/S)×K — at a time, so driver
   * and executor peak memory are bounded by the shard size, never the
   * full model.
+  *
+  * Like [[LdaTrainer]], the doc-state loop runs at the RDD layer (plain
+  * JVM object caching; a Dataset persist would encoder-serialize every
+  * DocState once per shard pass). Public entry points keep Dataset
+  * signatures; `Rdd`-suffixed cores are what train/infer drive.
   *
   * Trade-offs, stated explicitly:
   *  - S jobs per iteration instead of 1 (each materialized before its
@@ -41,13 +47,18 @@ object ShardedLda {
     * hash — collectShard prunes with a filter. */
   def countModelRows(docs: Dataset[DocState], numTopics: Int): Dataset[WordTopics] = {
     import docs.sparkSession.implicits._
+    countModelRowsRdd(docs.rdd, numTopics).map { case (w, c) => WordTopics(w, c) }.toDS()
+  }
+
+  /** RDD core of [[countModelRows]].
+    * RDD reduceByKey rather than Dataset groupByKey.reduceGroups: the
+    * partial (map-side) combine is guaranteed, and the shuffle carries
+    * raw (Int, Array[Long]) pairs instead of encoder-serialized rows —
+    * at most V rows per partition cross the wire either way, but without
+    * the per-row InternalRow round-trip. */
+  def countModelRowsRdd(docs: RDD[DocState], numTopics: Int): RDD[(Int, Array[Long])] = {
     val k = numTopics
-    // RDD reduceByKey rather than Dataset groupByKey.reduceGroups: the
-    // partial (map-side) combine is guaranteed, and the shuffle carries
-    // raw (Int, Array[Long]) pairs instead of encoder-serialized rows —
-    // at most V rows per partition cross the wire either way, but without
-    // the per-row InternalRow round-trip
-    docs.rdd.mapPartitions { it =>
+    docs.mapPartitions { it =>
       val tally = mutable.LongMap.empty[Array[Long]]
       it.foreach { doc =>
         var i = 0
@@ -66,25 +77,26 @@ object ShardedLda {
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
-    .map { case (w, c) => WordTopics(w, c) }
-    .toDS()
   }
 
   /** Global topic row n(k) = column sums of the model rows (length K —
     * always small enough to collect). */
   def globalRow(modelRows: Dataset[WordTopics], numTopics: Int): Array[Long] =
-    modelRows.rdd.mapPartitions { it =>
+    globalRowRdd(modelRows.rdd.map(r => (r.wordId, r.counts)), numTopics)
+
+  def globalRowRdd(modelRows: RDD[(Int, Array[Long])], numTopics: Int): Array[Long] =
+    modelRows.mapPartitions { it =>
       val acc = new Array[Long](numTopics)
-      it.foreach { r =>
+      it.foreach { case (_, counts) =>
         var i = 0
-        while (i < numTopics) { acc(i) += r.counts(i); i += 1 }
+        while (i < numTopics) { acc(i) += counts(i); i += 1 }
       }
       Iterator.single(acc)
     }.treeReduce({ (a, b) =>
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
-    }, depth = 2)
+    }, depth = 1) // partials are K longs each — tiny
 
   /** Shard s of S owns word ids in [lo, hi). Range (not hash) sharding:
     * a shard's rows form one contiguous array slice on the executors. */
@@ -96,10 +108,10 @@ object ShardedLda {
   /** Collect one shard's rows into a dense (hi−lo)×K flat array. Driver
     * memory: (V/S)×K×8 bytes — the whole point. */
   private def collectShard(
-      modelRows: Dataset[WordTopics], lo: Int, hi: Int, k: Int): Array[Long] = {
+      modelRows: RDD[(Int, Array[Long])], lo: Int, hi: Int, k: Int): Array[Long] = {
     val flat = new Array[Long]((hi - lo) * k)
-    modelRows.filter(r => r.wordId >= lo && r.wordId < hi).collect().foreach { r =>
-      System.arraycopy(r.counts, 0, flat, (r.wordId - lo) * k, k)
+    modelRows.filter { case (w, _) => w >= lo && w < hi }.collect().foreach {
+      case (w, counts) => System.arraycopy(counts, 0, flat, (w - lo) * k, k)
     }
     flat
   }
@@ -112,10 +124,25 @@ object ShardedLda {
       numWords: Int, numTopics: Int, numShards: Int,
       alpha: Double, beta: Double, seed: Long, iter: Int): Dataset[DocState] = {
     import docs.sparkSession.implicits._
-    val sc = docs.sparkSession.sparkContext
+    docs.sparkSession.createDataset(
+      sweepIterationRdd(docs.rdd, modelRows.rdd.map(r => (r.wordId, r.counts)),
+        numWords, numTopics, numShards, alpha, beta, seed, iter,
+        checkpointLast = false))
+  }
+
+  /** RDD core of [[sweepIteration]]. `checkpointLast` marks the final
+    * shard pass for localCheckpoint BEFORE its materializing count (RDD
+    * checkpoint marks must precede the first job), bounding recompute
+    * depth at one iteration after block loss. */
+  def sweepIterationRdd(
+      docs: RDD[DocState], modelRows: RDD[(Int, Array[Long])],
+      numWords: Int, numTopics: Int, numShards: Int,
+      alpha: Double, beta: Double, seed: Long, iter: Int,
+      checkpointLast: Boolean): RDD[DocState] = {
+    val sc = docs.sparkContext
     val k = numTopics
     val vBeta = numWords * beta
-    val global0 = globalRow(modelRows, k) // stale for the whole iteration
+    val global0 = globalRowRdd(modelRows, k) // stale for the whole iteration
     var current = docs
     var s = 0
     while (s < numShards) {
@@ -162,6 +189,7 @@ object ShardedLda {
           DocState(doc.docId, doc.wordIds, doc.offsets, topics)
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointLast && s == numShards - 1) current.localCheckpoint()
       current.count() // materialize before releasing this shard's broadcast
       if (prev ne docs) prev.unpersist(blocking = false)
       bcShard.unpersist(blocking = false)
@@ -182,34 +210,34 @@ object ShardedLda {
       corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       numShards: Int): Result = {
     require(numShards >= 1 && numShards <= numWords, "1 <= numShards <= V")
-    var docs = corpus.persist(StorageLevel.MEMORY_AND_DISK)
-    var modelRows = countModelRows(docs, cfg.numTopics)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var docs = corpus.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    docs.localCheckpoint() // marked before the first job below
+    var modelRows = countModelRowsRdd(docs, cfg.numTopics)
       .persist(StorageLevel.MEMORY_AND_DISK)
     modelRows.count()
     val lls = Array.newBuilder[Double]
     var iter = 0
     while (iter < cfg.totalIterations) {
       if (cfg.computeLikelihood)
-        lls += shardedLikelihood(docs, modelRows, numWords, cfg, numShards)
+        lls += shardedLikelihoodRdd(docs, modelRows, numWords, cfg, numShards)
       val prevDocs = docs
       val prevModel = modelRows
-      val swept = sweepIteration(docs, modelRows, numWords, cfg.numTopics,
-        numShards, cfg.alpha, cfg.beta, cfg.seed, iter)
-      // truncate lineage every iteration: the sharded sweep chains S
-      // mapPartitions per iteration, and the compounded logical plan
-      // otherwise grows to explain-string-OOM depth within ~10 iterations
-      docs = swept.localCheckpoint()
-      // checkpoint owns its own blocks — drop the swept generation's
-      // plan-cache entry or it leaks one cached copy per iteration
-      swept.unpersist(blocking = false)
-      modelRows = countModelRows(docs, cfg.numTopics)
+      // the last shard pass is localCheckpoint-marked inside: each
+      // iteration's final state owns its blocks, so the S-pass chain
+      // never has to replay further back than one iteration
+      docs = sweepIterationRdd(docs, modelRows, numWords, cfg.numTopics,
+        numShards, cfg.alpha, cfg.beta, cfg.seed, iter, checkpointLast = true)
+      modelRows = countModelRowsRdd(docs, cfg.numTopics)
         .persist(StorageLevel.MEMORY_AND_DISK)
       modelRows.count()
       prevDocs.unpersist(blocking = false)
       prevModel.unpersist(blocking = false)
       iter += 1
     }
-    Result(modelRows, docs, lls.result())
+    Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),
+      spark.createDataset(docs), lls.result())
   }
 
   /** Fold-in inference against a DISTRIBUTED model (the huge-V regime —
@@ -225,22 +253,26 @@ object ShardedLda {
     * verified by planted-topic recovery (ShardedLdaSpec), not by hash. */
   def infer(docs0: Dataset[DocState], modelRows: Dataset[WordTopics],
       numWords: Int, cfg: LdaConfig, numShards: Int): Dataset[LdaInfer.DocTopics] = {
-    import docs0.sparkSession.implicits._
-    val sc = docs0.sparkSession.sparkContext
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
     val k = cfg.numTopics
     val vBeta = numWords * cfg.beta
     val (alpha, beta, seed) = (cfg.alpha, cfg.beta, cfg.seed)
-    val bcGlobal = sc.broadcast(globalRow(modelRows, k)) // frozen → once
-    var state: Dataset[(DocState, Array[Double])] =
-      docs0.map(d => (d, new Array[Double](k)))
+    val mrows = modelRows.rdd.map(r => (r.wordId, r.counts))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bcGlobal = sc.broadcast(globalRowRdd(mrows, k)) // frozen → once
+    var state: RDD[(DocState, Array[Double])] =
+      docs0.rdd.map(d => (d, new Array[Double](k)))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    state.localCheckpoint() // marked before the first job (count below)
     state.count()
     var iter = 0
     while (iter < cfg.totalIterations) {
       var s = 0
       while (s < numShards) {
         val (lo, hi) = shardBounds(numWords, numShards, s)
-        val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
+        val bcShard = sc.broadcast(collectShard(mrows, lo, hi, k))
         val accumulate = (s == numShards - 1) && iter >= cfg.burnInIterations
         val (it0, s0) = (iter, s)
         val prev = state
@@ -289,20 +321,20 @@ object ShardedLda {
             (DocState(doc.docId, doc.wordIds, doc.offsets, topics), acc2)
           }
         }.persist(StorageLevel.MEMORY_AND_DISK)
+        // cut the S-pass chain at each iteration boundary, marked before
+        // the materializing count
+        if (s == numShards - 1) state.localCheckpoint()
         state.count() // materialize before releasing this shard's broadcast
         prev.unpersist(blocking = false)
         bcShard.unpersist(blocking = false)
         s += 1
       }
-      val beforeCkpt = state
-      state = state.localCheckpoint() // cut the S-pass chain per iteration
-      // the checkpoint owns its own blocks; drop the pre-checkpoint
-      // generation's plan-cache entry or it leaks one copy per iteration
-      beforeCkpt.unpersist(blocking = false)
       iter += 1
     }
+    mrows.unpersist(blocking = false)
     val n = cfg.totalIterations - cfg.burnInIterations
-    state.map { case (d, acc) => LdaInfer.DocTopics(d.docId, acc.map(_ / n)) }
+    spark.createDataset(
+      state.map { case (d, acc) => LdaInfer.DocTopics(d.docId, acc.map(_ / n)) })
   }
 
   /** Corpus log-likelihood on the sharded model: per-word log p(w|z)
@@ -314,11 +346,18 @@ object ShardedLda {
   def shardedLikelihood(
       docs: Dataset[DocState], modelRows: Dataset[WordTopics],
       numWords: Int, cfg: LdaConfig, numShards: Int = 0,
+      maxShardBytes: Long = 64L << 20): Double =
+    shardedLikelihoodRdd(docs.rdd, modelRows.rdd.map(r => (r.wordId, r.counts)),
+      numWords, cfg, numShards, maxShardBytes)
+
+  def shardedLikelihoodRdd(
+      docs: RDD[DocState], modelRows: RDD[(Int, Array[Long])],
+      numWords: Int, cfg: LdaConfig, numShards: Int = 0,
       maxShardBytes: Long = 64L << 20): Double = {
     val k = cfg.numTopics
     val (alpha, beta) = (cfg.alpha, cfg.beta)
-    val global = globalRow(modelRows, k)
-    val sc = docs.sparkSession.sparkContext
+    val global = globalRowRdd(modelRows, k)
+    val sc = docs.sparkContext
     // honor the caller's shard count (train threads its own, preserving the
     // "driver bounded by shard size" guarantee); standalone callers get a
     // byte-budget default: ceil(V*K*8 / maxShardBytes) shards, so one
@@ -332,7 +371,7 @@ object ShardedLda {
       val (lo, hi) = shardBounds(numWords, shards, s)
       val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
       val bcGlobal = sc.broadcast(global)
-      total += docs.rdd.mapPartitions { it =>
+      total += docs.mapPartitions { it =>
         val shard = bcShard.value
         val g = bcGlobal.value
         var acc = 0.0
@@ -357,7 +396,7 @@ object ShardedLda {
           }
         }
         Iterator.single(acc)
-      }.treeReduce(_ + _, depth = 2)
+      }.treeReduce(_ + _, depth = 1) // partials are one Double each
       bcShard.unpersist(blocking = false)
       bcGlobal.unpersist(blocking = false)
       s += 1
