@@ -300,6 +300,56 @@ object TextAnalysis {
         round(col("top100").cast("double") / col("n_tokens"), 4).as("top100_coverage"))
   }
 
+  /** Sequence packing for pretraining: assign docs (in doc_id order) to
+    * fixed-token-budget bins — bin = ⌊exclusive-prefix-tokens / budget⌋,
+    * i.e. a doc lands in the bin where its span begins when the corpus is
+    * concatenated in order. The global prefix sum is
+    * [[Temporal.runningSum]]'s two-pass form (range-partitioned, parallel
+    * — never WindowExec's single partition). */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    val withLen = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_toks"))
+    Temporal.runningSum(withLen, "doc_id", "n_toks")
+      .join(withLen, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        ((col("running_sum") - col("n_toks")) / budgetTokens).cast("long").as("bin"))
+  }
+
+  /** Domain-mixture sampling: per-stratum keep probability (e.g. lang →
+    * target weight), decided by the doc's content hash — the deterministic
+    * "rebalance sources to a target mixture" step. Strata absent from
+    * `weights` are dropped (weight 0). Pure map (the weights ride a
+    * when-chain, no join). */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      keyCol: String = "lang"): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 10000
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.where(bucket < w * 10000)
+  }
+
+  /** Deterministic MLM-style token masking: token at (doc, pos) is
+    * replaced by `<MASK>` iff its md5((doc_id):(pos):(tok)) bucket falls
+    * under `rate` — reproducible corruption, no RNG state, ~rate of
+    * tokens masked. Explode → codegen'd md5 → per-doc ordered reassembly
+    * (one shuffle; the in-row HOF form would interpret the md5 per
+    * element). */
+  def maskTokens(docs: DataFrame, rate: Double = 0.15): DataFrame = {
+    val toks = Dedup.spreadForCompute(docs).select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+    val bucket = conv(substring(
+      md5(concat_ws(":", col("doc_id"), col("pos"), col("tok"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    toks
+      .select(col("doc_id"), col("pos"),
+        when(bucket < rate * 10000, lit("<MASK>")).otherwise(col("tok")).as("tok"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"))
+        .as("masked"))
+  }
+
   /** True Karp–Rabin rolling hash over the token stream: polynomial hash
     * with base B and modulus M, O(n) via Horner. Driver/library utility
     * (sequential by definition); the distributed fingerprint surface is

@@ -170,6 +170,23 @@ object ExtQueries {
   def corpusStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusStats(Tables.documents(s, d))
 
+  /** Shared mixture-target weights (also inlined into the oracle CASE). */
+  val mixtureWeights: Seq[(String, Double)] =
+    Seq("es" -> 1.0, "de" -> 0.5, "zh" -> 0.25)
+
+  /** Fixed-token-budget sequence packing (doc → bin id). */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, d), 2048L).orderBy("doc_id")
+
+  /** Deterministic domain-mixture downsampling to target weights. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.mixtureSample(Tables.documents(s, d), mixtureWeights.toMap)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  /** Deterministic MLM-style token masking at rate 0.15. */
+  def maskTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.maskTokens(Tables.documents(s, d), 0.15).orderBy("doc_id")
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -223,6 +240,9 @@ object ExtQueries {
     "ext_token_stats" -> tokenStats _,
     "ext_fingerprint" -> fingerprint _,
     "ext_lsh_pairs_top10" -> lshPairs _,
+    "ext_pack_sequences" -> packSequences _,
+    "ext_mixture_sample" -> mixtureSample _,
+    "ext_mask_tokens" -> maskTokens _,
     "ext_pii_redact" -> piiRedact _,
     "ext_sentence_dedup" -> sentenceDedup _,
     "ext_ngram_novelty" -> ngramNovelty _,
@@ -597,6 +617,31 @@ object ExtQueries {
          |SELECT doc_id, COUNT(*) AS shared_ngrams
          |FROM te JOIN tr USING (s)
          |GROUP BY doc_id HAVING COUNT(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_sequences" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM toks)
+         |SELECT doc_id, n_toks,
+         |  CAST((SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks)
+         |       // 2048 AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_mixture_sample" -> {
+      val cases = mixtureWeights
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 10000
+         |      < (CASE $cases ELSE 0.0 END) * 10000
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_mask_tokens" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, array_to_string(list_transform(range(1, len(ts) + 1),
+         |  i -> CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+         |         (i - 1)::VARCHAR || ':' || ts[i]), 1, 4) AS BIGINT) % 10000 < 1500
+         |       THEN '<MASK>' ELSE ts[i] END), ' ') AS masked
+         |FROM toks WHERE len(ts) > 0 ORDER BY doc_id""".stripMargin,
 
     // same regexes, same order; duck regexp_replace needs the 'g' flag and
     // counts via len(regexp_extract_all)

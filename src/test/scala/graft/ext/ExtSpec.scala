@@ -212,6 +212,34 @@ class ExtSpec extends SparkSpec {
     assert(r == ((2L, 5L, 3L, 0.6, 1.0)))
   }
 
+  test("packSequences bins docs by exclusive token prefix sum") {
+    val d = docs((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+    // budget 4: prefixes 0,3,5,9 -> bins 0,0,1,2
+    val m = TextAnalysis.packSequences(d, 4L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(m == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("mixtureSample keeps weight-1 strata whole, drops unlisted strata") {
+    val rows = (1L to 40L).map(i =>
+      (i, s"text number $i", if (i % 2 == 0) "es" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.mixtureSample(rows, Map("es" -> 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (2L to 40L by 2).toSet) // every es doc, no xx doc
+  }
+
+  test("maskTokens is deterministic, preserves token count, masks ~rate") {
+    val d = docs((1L to 50L).map(i => (i, s"alpha bravo charlie delta echo foxtrot golf hotel india juliet id$i")): _*)
+    val a = TextAnalysis.maskTokens(d, 0.15).as[(Long, String)].collect().sortBy(_._1)
+    val b = TextAnalysis.maskTokens(d, 0.15).as[(Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    val toks = a.flatMap(_._2.split(" "))
+    assert(toks.length == 50 * 11) // token positions preserved
+    val frac = toks.count(_ == "<MASK>").toDouble / toks.length
+    assert(frac > 0.08 && frac < 0.25, s"masked frac $frac")
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
