@@ -114,16 +114,22 @@ object Dedup {
   /** Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
     * The join is per-bucket — never all-pairs. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
-    // persist: both sides of the self-join read the signatures — without it
-    // the shingle+8×md5 pipeline runs twice (Spark reuses no exchange
-    // across different join keys). LRU-evicted, safe to leave cached.
+    // Bucket-local pair generation WITHOUT a self-join: group each (band,
+    // key) bucket into an in-row doc list, emit ordered pairs by a double
+    // explode. One shuffle over the band rows (the self-join form shuffles
+    // the same rows twice — exchange reuse doesn't survive the rename —
+    // and needs the signature pipeline persisted to avoid recomputation).
+    // LSH bucket size is bounded by design (docs in one bucket ARE
+    // near-dups; a pathological hot bucket means the banding parameters
+    // are wrong, not the plan), so the in-row list never approximates the
+    // corpus. The trailing distinct dedups pairs colliding in >1 band.
     val b = minhashBands(docs, numHashes, bands, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.toDF("doc_a", "band", "key")
-    val r = b.toDF("doc_b", "band", "key")
-    l.join(r, Seq("band", "key"))
+    b.groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .distinct()
   }
 
   /** Exact n-gram Jaccard top-k most-similar pairs, via a shared-shingle
@@ -131,19 +137,26 @@ object Dedup {
     * ROUND(jaccard, 4) — a single IEEE division is bit-identical across
     * engines, but the round keeps near-tie order stable — then ids. */
   def jaccardTopPairs(docs: DataFrame, k: Int, shingleLen: Int = 3): DataFrame = {
-    // persisted: read three times (both join sides + per-doc sizes);
-    // per-doc shingle dedup happens in-row (array_distinct), not via a
-    // distinct shuffle
-    val docSh = explodedDistinctShingles(docs, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = docSh.toDF("doc_a", "sh")
-      .join(docSh.toDF("doc_b", "sh"), "sh")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "na"), "doc_a")
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+    // Per-doc shingle dedup AND set size computed in-row (array_distinct +
+    // size before the explode) — the size rides along as a struct field,
+    // so no per-doc count aggregation and no size joins exist at all.
+    // Pair counts come from bucketing by shingle and double-exploding the
+    // in-row (doc, n) list: two shuffles total (by shingle, then by pair)
+    // vs the self-join form's four (sizes agg, both join sides, pair agg).
+    // A shingle shared by m docs emits m² in-flight rows either way; at
+    // 100 TB this exact operator runs AFTER LSH banding bounds m.
+    val docSh = spreadForCompute(docs)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), shingleLen)).as("shs"))
+      .select(struct(col("doc_id"), size(col("shs")).as("n")).as("d"),
+        explode(col("shs")).as("sh"))
+    docSh.groupBy("sh").agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jac"))
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
