@@ -160,8 +160,8 @@ object Similarity {
     * lists — candidate count drops to ~nprobe/nlist of the corpus.
     *
     * Centroids are the `nlist` lowest-id vectors (a deterministic,
-    * training-free quantizer — production would k-means them; everything
-    * downstream of centroid choice is the real IVF mechanics). Assignment
+    * training-free quantizer — [[kmeans]] is the trained alternative;
+    * everything downstream of centroid choice is the real IVF mechanics). Assignment
     * and probing are PURE MAPS: each row scores all nlist broadcast
     * centroids inside one projection (no row explosion, no shuffle) — the
     * DataFrame analog of the BLAS-matmul assignment step. The only
@@ -206,6 +206,103 @@ object Similarity {
       .where(col("rnk") <= k)
       .orderBy("query_id", "rnk")
   }
+
+  /** Grid step for [[kmeans]] centroid components: 2⁻²⁰. Rounding each
+    * updated component to this grid makes Lloyd's engine-portable: the
+    * per-cluster mean is a float sum whose accumulation ORDER differs
+    * between engines (and between Spark runs — partial aggregation is
+    * schedule-dependent), so raw means drift by ULPs; snapping to a 2⁻²⁰
+    * lattice absorbs that drift (a flip requires the true mean to sit
+    * within ~1e-12 of a lattice midpoint), after which every distance is
+    * computed from bit-identical centroids on both engines. */
+  private val KmeansGrid = 1048576.0
+
+  private def gridRound(x: Double): Double =
+    math.floor(x * KmeansGrid + 0.5) / KmeansGrid
+
+  /** One Lloyd assignment pass: nearest centroid by squared L2, ties to
+    * the lowest centroid id. `cent` is (cid, components, ‖c‖²). Pure map:
+    * each row scores all broadcast centroid literals inside one projection
+    * — the BLAS-matmul assignment analog, no shuffle, no row explosion.
+    * dist = (‖v‖² − 2·v·c) + ‖c‖² in exactly that association so the
+    * DuckDB oracle (`ldp(v,v) - 2*ldp(v,c) + ldp(c,c)`) matches bit-wise. */
+  private def assignClusters(e: DataFrame, cent: Seq[(Int, Array[Double], Double)]): DataFrame =
+    e.select(col("vec_id"), col("e"), col("n2"),
+      array_min(array(cent.map { case (cid, cv, cn2) =>
+        struct(
+          (col("n2") - lit(2.0) * dot(col("e"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid").as("cluster"))
+
+  /** Seeded-deterministic k-means (Lloyd's) over the embedding column —
+    * the missing "production would k-means them" trainer of [[ivfTopK]]'s
+    * coarse quantizer, exposed as a first-class op.
+    *
+    * Init: the k lowest-id vectors (deterministic, engine-portable).
+    * Iterate `iters` times: assign (pure map over broadcast centroids) →
+    * update (per-cluster component means via one partial-agg shuffle of
+    * k×dim cells, collected to the driver — k·dim is tiny by construction,
+    * the same invariant that lets real k-means broadcast its codebook).
+    * Empty clusters drop out (no member rows → no centroid), matching the
+    * oracle's GROUP BY semantics. Returns the final assignment
+    * (vec_id, cluster) under the last updated centroids.
+    *
+    * Scale: per iteration = one scan + one k×dim-cell shuffle; the corpus
+    * never moves. Centroid components are grid-rounded ([[KmeansGrid]])
+    * for cross-engine reproducibility. */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("n2", dot(col("e"), col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def centNorm2(cv: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      s
+    }
+    var cent: Seq[(Int, Array[Double], Double)] = e
+      .where(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("e"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv, centNorm2(cv)) }
+    var it = 0
+    while (it < iters) {
+      val cells = assignClusters(e, cent)
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      cent = cells.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val dim = rows.length
+        val cv = new Array[Double](dim)
+        rows.foreach(r => cv(r.getInt(1)) = gridRound(r.getDouble(2) / r.getLong(3)))
+        (cid, cv, centNorm2(cv))
+      }
+      it += 1
+    }
+    val out = assignClusters(e, cent).select(col("vec_id"), col("cluster"))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-vector symmetric int8 quantization — the memory-layout step of a
+    * 100 TB ANN index (4× smaller than float32, 8× than float64). scale =
+    * max|component| (so q ∈ [−127, 127]); q = floor(v·127/scale + 0.5).
+    * floor/abs/max are exact in IEEE terms, so the oracle matches
+    * bit-for-bit with no rounding hazards. Zero vectors quantize to 0.
+    * Output is flat (vec_id, pos, q) — one row per component. Pure map. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .select(col("vec_id"),
+        array_max(transform(col("e"), x => abs(x))).as("ma"),
+        posexplode(col("e")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        when(col("ma") === 0.0, lit(0))
+          .otherwise(floor(col("v") * lit(127.0) / col("ma") + lit(0.5)).cast("int"))
+          .as("q"))
 
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */

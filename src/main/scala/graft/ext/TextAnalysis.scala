@@ -366,4 +366,66 @@ object TextAnalysis {
   private def mulMod(a: Long, b: Long, m: Long): Long =
     java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
       .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * — the retrieval-side ranking primitive of a data pipeline (e.g.
+    * scoring a corpus against a quality probe set). Standard Robertson
+    * idf = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: one bow aggregate over the (tiny) term-filtered token
+    * stream, a broadcast df/corpus-stats join, then a PIVOT to one column
+    * per query term summed in FIXED order — a float sum over a GROUP has
+    * engine-dependent accumulation order, so the per-term pivot is what
+    * keeps the score bit-reproducible (and oracle-matchable) rather than
+    * schedule-dependent. Only docs containing ≥1 query term are returned.
+    * N and avgdl come from integer aggregates (exact in both engines). */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size, "terms must be distinct")
+    val dls = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"),
+        collect_list(when(col("tok").isin(terms: _*), col("tok"))).as("qtoks"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = dls.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // contribution per (doc, term): one row per pair, so the pivot's
+    // max() aggregates a single value — no float-sum ordering anywhere
+    val contrib = tf.join(broadcast(dfs), "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("sdl").cast("double") / col("n"))))).as("w"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("tok") === t, col("w"))).as(s"c$i")
+    }
+    val score = terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft[Column](_ + _) // fixed left-to-right term order
+    contrib.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+  }
+
+  /** Per-document mean negative log-likelihood under the corpus's own
+    * bigram LM (p(w₂|w₁) = c(w₁w₂)/c(w₁·)) — the classic LM-based quality
+    * filter: high NLL ⇒ the doc's word transitions are atypical for the
+    * corpus (perplexity = e^nll). Docs with <2 tokens have no bigrams and
+    * are excluded.
+    *
+    * Scale shape: the LM is a V²-bounded aggregate broadcast back onto
+    * the per-doc bigram stream; one groupBy(doc) mean. The mean is a
+    * float sum in schedule order — drift is ~1e-13 against the 1e-4
+    * rounding grid, the same accepted risk profile as [[tfIdf]]'s ln. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = Dedup.explodedShingles(docs, 2)
+    val counts = bi.groupBy("sh").agg(count(lit(1)).as("c"))
+    val w1 = expr("split(sh, ' ')[0]")
+    val totals = counts.groupBy(w1.as("w1")).agg(sum(col("c")).as("n1"))
+    val lm = counts.select(w1.as("w1"), col("sh"), col("c"))
+      .join(broadcast(totals), "w1")
+      .select(col("sh"), (col("c").cast("double") / col("n1")).as("p"))
+    bi.join(broadcast(lm), "sh")
+      .groupBy("doc_id").agg(round(-avg(log(col("p"))), 4).as("nll"))
+  }
 }

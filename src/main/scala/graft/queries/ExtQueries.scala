@@ -48,6 +48,21 @@ object ExtQueries {
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 5)
   }
 
+  def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(s, d), k = 8, iters = 1).orderBy("vec_id")
+
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id", "pos")
+
+  /** Fixed probe terms for the BM25 query — drawn from the fixture vocab. */
+  val Bm25Terms: Seq[String] = Seq("join", "hash", "scan")
+
+  def bm25Rank(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, d), Bm25Terms).orderBy("doc_id")
+
+  def lmScoreQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, d)).orderBy("doc_id")
+
   def langId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -245,6 +260,10 @@ object ExtQueries {
     "ext_cosine_pairs_top10" -> cosinePairs _,
     "ext_embedding_neardup" -> nearDup _,
     "ext_ann_topk" -> annTopK _,
+    "ext_kmeans" -> kmeansAssign _,
+    "ext_quantize_int8" -> quantizeInt8 _,
+    "ext_bm25" -> bm25Rank _,
+    "ext_lm_score" -> lmScoreQ _,
     "ext_langid" -> langId _,
     "ext_quality" -> quality _,
     "ext_token_stats" -> tokenStats _,
@@ -783,5 +802,94 @@ object ExtQueries {
          |SELECT c.vec_a, c.vec_b, ${cosSql("ea.e", "eb.e")} AS cos
          |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
          |ORDER BY cos DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+
+    "ext_kmeans" -> kmeansOracle(k = 8, iters = 1, dim = 64),
+
+    "ext_quantize_int8" ->
+      s"""WITH $embCte,
+         |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM e)
+         |SELECT vec_id, CAST(t.j - 1 AS INT) AS pos,
+         |  CAST(CASE WHEN ma = 0.0 THEN 0
+         |            ELSE floor(e[CAST(t.j AS INT)] * 127.0 / ma + 0.5) END AS INT) AS q
+         |FROM m, unnest(range(1, 65)) AS t(j)
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    "ext_bm25" -> bm25Oracle(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    "ext_lm_score" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS sh
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT sh, COUNT(*) AS c FROM bi GROUP BY sh),
+         |tot AS (SELECT string_split(sh, ' ')[1] AS w1, SUM(c) AS n1 FROM bc GROUP BY 1),
+         |lm AS (SELECT sh, CAST(c AS DOUBLE) / n1 AS p
+         |       FROM bc JOIN tot ON string_split(bc.sh, ' ')[1] = tot.w1)
+         |SELECT doc_id, ROUND(-AVG(ln(p)), 4) AS nll
+         |FROM bi JOIN lm USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** Generated k-means oracle: the same grid-rounded Lloyd's chain the
+    * Spark side runs ([[graft.ext.Similarity.kmeans]]) as one CTE pipeline
+    * — c0 (k lowest ids) → per-iteration assign (squared-L2 argmin, ties
+    * to lowest cid) → grid-rounded component means → final assignment.
+    * Distances use `list_dot_product` (sequential — bit-equal to the
+    * native DotProduct) in the exact association (v·v − 2·v·c) + c·c. */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def assign(i: Int) =
+      s"""s$i AS (SELECT v.vec_id, c.cid,
+         |  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)
+         |    + list_dot_product(c.ce, c.ce) AS d
+         |  FROM e v CROSS JOIN c$i c),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+         |  FROM s$i) WHERE r = 1),
+         |""".stripMargin
+    def update(i: Int) =
+      s"""u${i + 1} AS (SELECT a$i.cid AS cid, t.j AS j, e.e[CAST(t.j AS INT)] AS v
+         |  FROM a$i, e, unnest(range(1, ${dim + 1})) AS t(j)
+         |  WHERE a$i.vec_id = e.vec_id),
+         |m${i + 1} AS (SELECT cid, j,
+         |  floor(SUM(v) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0 AS cc
+         |  FROM u${i + 1} GROUP BY cid, j),
+         |c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM m${i + 1} GROUP BY cid),
+         |""".stripMargin
+    val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
+    s"""WITH $embCte,
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e WHERE vec_id < $k),
+       |$chain${assign(iters).stripSuffix(",\n")}
+       |SELECT vec_id, cid AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
+  }
+
+  /** Generated BM25 oracle mirroring [[graft.ext.TextAnalysis.bm25]]:
+    * identical expression association everywhere, all float constants
+    * interpolated from the SAME Scala doubles (Double.toString round-trips
+    * to identical bits in DuckDB's literal parser — writing `2.2` by hand
+    * could differ one ulp from Scala's `k1 + 1.0`), and the per-term
+    * pivot summed in fixed left-to-right term order. */
+  private def bm25Oracle(terms: Seq[String], k1: Double, b: Double): String = {
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN tok = '$t' THEN w END) AS c$i"
+    }.mkString(",\n|   ")
+    val score = terms.indices.map(i => s"COALESCE(c$i, 0.0)").mkString(" + ")
+    s"""WITH $toksCte,
+       |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dls),
+       |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM dls)
+       |       WHERE tok IN $inList GROUP BY doc_id, dl, tok),
+       |dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |contrib AS (SELECT doc_id, tf.tok AS tok,
+       |   ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1.0})
+       |     / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(st.sdl AS DOUBLE) / st.n))) AS w
+       |   FROM tf, dfs, st WHERE tf.tok = dfs.tok),
+       |p AS (SELECT doc_id,
+       |   $pivots
+       |   FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, ROUND($score, 4) AS bm25
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 }

@@ -240,6 +240,76 @@ class ExtSpec extends SparkSpec {
     assert(frac > 0.08 && frac < 0.25, s"masked frac $frac")
   }
 
+  test("kmeans separates two planted blobs and assigns every vector") {
+    // two tight blobs around (10,0,...) and (0,10,...); ids 0/1 seed the
+    // centroids, one per blob, so k=2 Lloyd's must split them exactly
+    val dim = 8
+    def v(center: Int, jitter: Double) = {
+      val a = Array.fill(dim)(0.0f)
+      a(center) = (10.0 + jitter).toFloat
+      a(1 - center) = jitter.toFloat
+      a
+    }
+    val rows = (0L until 40L).map { i =>
+      val blob = (i % 2).toInt // ids 0,1 land in different blobs
+      (i, v(blob, (i % 7) * 0.1))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(emb, k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out.size == 40)
+    (0L until 40L).foreach { i =>
+      assert(out(i) == out(i % 2), s"vec $i in wrong cluster")
+    }
+    assert(out(0L) != out(1L))
+  }
+
+  test("kmeans is deterministic across runs") {
+    val emb = Tables.embeddingsFixture(spark)
+    val a = Similarity.kmeans(emb, k = 4, iters = 2).as[(Long, Int)].collect().sortBy(_._1)
+    val b = Similarity.kmeans(emb, k = 4, iters = 2).as[(Long, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("quantizeInt8 bounds q to [-127,127] and reconstructs within half a step") {
+    val emb = Tables.embeddingsFixture(spark)
+    val e = emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+    val ma = e.groupBy("vec_id").agg(max(abs(col("v"))).as("ma"))
+    val q = Similarity.quantizeInt8(emb)
+    val joined = q.join(e, Seq("vec_id", "pos")).join(ma, "vec_id")
+      .select(col("q"), col("v"), (col("ma") / 127.0).as("step"))
+      .as[(Int, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (qv, v, step) =>
+      assert(math.abs(qv) <= 127)
+      assert(math.abs(qv * step - v) <= step / 2 + 1e-12, s"q=$qv v=$v step=$step")
+    }
+  }
+
+  test("bm25 ranks higher term frequency above lower at equal length") {
+    val d = docs(
+      (1L, "join join join pad pad pad pad pad"),
+      (2L, "join pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad"))
+    val s = TextAnalysis.bm25(d, Seq("join")).as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L) && s(2L) > 0.0)
+    assert(!s.contains(3L)) // no probe term -> excluded
+  }
+
+  test("lmScore gives the majority transition lower NLL than the rare one") {
+    // all three docs continue 'a' somewhere: a->b happens 10 times in the
+    // corpus, a->c only 5, so p(b|a)=2/3 vs p(c|a)=1/3 and doc 3 (all
+    // a->c) must score a higher mean NLL than docs 1-2 (all a->b)
+    val d = docs(
+      (1L, "a b a b a b a b a b"),
+      (2L, "a b a b a b a b a b"),
+      (3L, "a c a c a c a c a c"))
+    val s = TextAnalysis.lmScore(d).as[(Long, Double)].collect().toMap
+    assert(s.size == 3)
+    assert(s(1L) < s(3L))
+    assert(s(1L) == s(2L))
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
