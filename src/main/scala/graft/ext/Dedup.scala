@@ -80,11 +80,9 @@ object Dedup {
       array_min(transform(sh, s => minhashFamily(s, i)))
     }: _*)
 
-  /** docs(doc_id, text) → (doc_id, band, key): LSH banding of the MinHash
-    * signature, `bands` bands of rows-per-band = numHashes/bands. Docs
-    * sharing a (band, key) are candidate near-duplicates. */
-  def minhashBands(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
-    val r = numHashes / bands
+  /** docs(doc_id, text) → (doc_id, h0..h{numHashes-1}): one MinHash
+    * signature row per doc, components as columns. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8, shingleLen: Int = 3): DataFrame = {
     // explode + per-hash min aggregates instead of array lambdas: the md5s
     // run in whole-stage codegen row-wise (array HOF lambdas are
     // interpreted per element — ~10× slower measured), and the groupBy is
@@ -102,13 +100,56 @@ object Dedup {
         (0 until nDigests).map(d => md5(concat(lit(s"$d:"), col("sh"))).as(s"m$d")): _*)
     val aggs = (0 until numHashes).map(i =>
       min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
-    val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** docs(doc_id, text) → (doc_id, band, key): LSH banding of the MinHash
+    * signature, `bands` bands of rows-per-band = numHashes/bands. Docs
+    * sharing a (band, key) are candidate near-duplicates. */
+  def minhashBands(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val sig = minhashSignatures(docs, numHashes, shingleLen)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)).as("key"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** MinHash Jaccard ESTIMATES for the LSH candidate pairs: the fraction
+    * of agreeing signature components — the classic unbiased estimator
+    * E[agree/k] = J(a,b). This is the cheap similarity a production
+    * pipeline thresholds on BEFORE computing any exact Jaccard: the
+    * signature row is O(k) per doc regardless of doc length, so the pair
+    * scoring never touches shingle sets again. One signature build
+    * (localCheckpointed — banding and both join sides read the SAME
+    * materialized rows, not three recomputes of the shingle pipeline),
+    * bucket-local candidate generation, two broadcast-friendly joins. */
+  def minhashEstimates(docs: DataFrame, numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val sig = minhashSignatures(docs, numHashes, shingleLen).localCheckpoint(true)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)).as("key"))
+    }
+    val cands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(sig.toDF("doc_a" +: (0 until numHashes).map(i => s"a$i"): _*), "doc_a")
+      .join(sig.toDF("doc_b" +: (0 until numHashes).map(i => s"b$i"): _*), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(agree / lit(numHashes.toDouble), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
@@ -182,10 +223,99 @@ object Dedup {
       .select(col("doc_id"), transform(col("ts"), t => md5(t)).as("hs"))
       .select(col("doc_id"), expr(simhash60Sql).as("simhash"))
 
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, via block
+    * banding — the scale form of [[simhashNearPairs]]. Pigeonhole: two
+    * signatures within `maxDist` differing bits agree on at least one of
+    * maxDist+1 disjoint bit blocks, so candidates are generated
+    * bucket-locally (group by (block, block-value), in-row pair
+    * expansion — same shape as [[minhashCandidates]]) and only candidates
+    * pay the exact xor+bit_count check. Result is EXACTLY the all-pairs
+    * filter's — banding changes the plan, not the answer — so it shares
+    * the all-pairs DuckDB oracle. All integer ops; engine-portable. */
+  def simhashBandedPairs(sims: DataFrame, maxDist: Int, bits: Int = 60): DataFrame = {
+    val nBlocks = maxDist + 1
+    val widths = Array.tabulate(nBlocks)(b => bits / nBlocks + (if (b < bits % nBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
+    }
+    sims.select(struct(col("doc_id"), col("simhash")).as("d"),
+        explode(array(blockCols: _*)).as("bk"))
+      .groupBy(col("bk.blk"), col("bk.v"))
+      .agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Snapshot-incremental dedup — the production "new crawl vs existing
+    * corpus" step: every NEW doc flagged exact-dup (content hash seen in
+    * the old corpus) and/or near-dup (shares a MinHash LSH band key with
+    * any old doc). Old-side state is exactly what an incremental pipeline
+    * persists between runs: the distinct content-hash set and the distinct
+    * (band, key) set — both far smaller than the corpus, both
+    * semi-join-able (no old text ever re-read at scale). */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      numHashes: Int = 8, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val newH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+    val oldH = oldDocs.select(md5(col("text")).as("h")).distinct()
+    val exact = newH.join(oldH, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(1))
+    val newB = minhashBands(newDocs, numHashes, bands, shingleLen)
+    val oldB = minhashBands(oldDocs, numHashes, bands, shingleLen)
+      .select("band", "key").distinct()
+    val near = newB.join(oldB, Seq("band", "key"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("near_dup", lit(1))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(0)).as("near_dup"))
+  }
+
+  /** Content-defined chunking + cross-doc duplicate-chunk report — the
+    * sub-document dedup that catches shared boilerplate at ARBITRARY
+    * offsets (sentence/paragraph splits miss a shifted copy; a rolling
+    * content-derived boundary re-synchronizes). Boundary rule: a chunk
+    * ends after token i when md5 of the `window`-token shingle ending at
+    * i falls in bucket 0 of `avgChunk` (so chunks average ~avgChunk
+    * tokens and the SAME text always chunks the SAME way, wherever it
+    * appears). One narrow pass computes flags in-row; chunk ids are a
+    * per-doc running sum (one shuffle on doc_id); the dup report is one
+    * hash-groupBy — same scale shape as [[exactDupGroups]]. */
+  def cdcChunkDups(docs: DataFrame, window: Int = 3, avgChunk: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spreadForCompute(docs)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), shingles(col("ts"), window).as("sh"),
+        posexplode(col("ts")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when((col("pos") >= window) &&
+          (conv(substring(md5(element_at(col("sh"), col("pos") - window + 1)), 1, 4), 16, 10)
+            .cast("long") % avgChunk === 0), 1).otherwise(0).as("flag"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunks = rows.withColumn("chunk", sum(col("flag")).over(w))
+      .groupBy("doc_id", "chunk")
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"))
+        .as("chunk_text"))
+    chunks.groupBy(md5(col("chunk_text")).as("h"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("c") > 1)
+      .orderBy("h")
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist. All-pairs form
-    * (small data / post-banding); at scale, band by signature prefix first:
-    * two signatures within d bits share at least one of d+1 equal-width
-    * prefix blocks (pigeonhole). */
+    * (small data / post-banding); at scale use [[simhashBandedPairs]]. */
   def simhashNearPairs(sims: DataFrame, maxDist: Int): DataFrame = {
     val l = sims.toDF("doc_a", "ha")
     val r = sims.toDF("doc_b", "hb")

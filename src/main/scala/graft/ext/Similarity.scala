@@ -304,6 +304,21 @@ object Similarity {
           .otherwise(floor(col("v") * lit(127.0) / col("ma") + lit(0.5)).cast("int"))
           .as("q"))
 
+  /** Per-class embedding centroids (element-wise mean per label),
+    * flattened to (label, pos, c) — class prototypes for
+    * nearest-centroid labeling, domain drift checks, or seeding [[kmeans]].
+    * Pure posexplode + one partial-aggregated shuffle of |labels|×dim
+    * cells; the corpus never moves. The mean is a float sum in schedule
+    * order — drift ~1e-15 against the 1e-4 rounding grid, the accepted
+    * risk profile of [[graft.ext.TextAnalysis.lmScore]]'s avg. */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label"): DataFrame =
+    Dedup.spreadForCompute(
+        embeddings.select(col(labelCol).as("label"), asDouble(col("embedding")).as("e")))
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 4).as("c"))
+      .orderBy("label", "pos")
+
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {

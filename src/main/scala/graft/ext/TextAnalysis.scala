@@ -372,38 +372,45 @@ object TextAnalysis {
     * scoring a corpus against a quality probe set). Standard Robertson
     * idf = ln(1 + (N − df + ½)/(df + ½)).
     *
-    * Scale shape: one bow aggregate over the (tiny) term-filtered token
-    * stream, a broadcast df/corpus-stats join, then a PIVOT to one column
-    * per query term summed in FIXED order — a float sum over a GROUP has
-    * engine-dependent accumulation order, so the per-term pivot is what
-    * keeps the score bit-reproducible (and oracle-matchable) rather than
-    * schedule-dependent. Only docs containing ≥1 query term are returned.
+    * Scale shape: ONE per-doc aggregate carries doc length and one tf
+    * column per query term (terms are few by construction), and the
+    * corpus stats (N, Σdl, per-term df) come from one single-row
+    * aggregate over the same token stream (count-distincts — partial-
+    * aggregated, no doc-level intermediate), broadcast back. The score
+    * sums per-term contributions in FIXED left-to-right term order — a
+    * float sum over a GROUP would have engine-dependent accumulation
+    * order; per-term columns keep it bit-reproducible and
+    * oracle-matchable. Only docs containing ≥1 query term are returned.
     * N and avgdl come from integer aggregates (exact in both engines). */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.toSet.size == terms.size, "terms must be distinct")
-    val dls = Dedup.spreadForCompute(docs)
+    val toks = Dedup.spreadForCompute(docs)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"),
-        collect_list(when(col("tok").isin(terms: _*), col("tok"))).as("qtoks"))
-    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val tf = dls.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
-      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    // contribution per (doc, term): one row per pair, so the pivot's
-    // max() aggregates a single value — no float-sum ordering anywhere
-    val contrib = tf.join(broadcast(dfs), "tok").crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("tok"),
-        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * col("dl") / (col("sdl").cast("double") / col("n"))))).as("w"))
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      max(when(col("tok") === t, col("w"))).as(s"c$i")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"tf$i")
     }
-    val score = terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduceLeft[Column](_ + _) // fixed left-to-right term order
-    contrib.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+    val docAggs = count(lit(1)).as("dl") +: tfCols
+    val perDoc = toks.groupBy("doc_id")
+      .agg(docAggs.head, docAggs.tail: _*)
+    val statCols = countDistinct(col("doc_id")).as("n") +:
+      count(lit(1)).as("sdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        countDistinct(when(col("tok") === t, col("doc_id"))).as(s"df$i")
+      }
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val df = col(s"df$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+          (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("sdl").cast("double") / col("n")))))
+        .otherwise(lit(0.0))
+    }
+    val score = termScore.reduceLeft[Column](_ + _) // fixed term order
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col("doc_id"), round(score, 4).as("bm25"))
   }
 
@@ -427,5 +434,39 @@ object TextAnalysis {
       .select(col("sh"), (col("c").cast("double") / col("n1")).as("p"))
     bi.join(broadcast(lm), "sh")
       .groupBy("doc_id").agg(round(-avg(log(col("p"))), 4).as("nll"))
+  }
+
+  /** Top-k token pairs by pointwise mutual information over document
+    * co-occurrence: pmi(a,b) = ln(c_ab·N / (c_a·c_b)) with doc-level
+    * distinct counts — the collocation/phrase-mining primitive (what a
+    * tokenizer-vocab or phrase-merge pass ranks). Pairs come from an
+    * in-row double explode of each doc's sorted distinct-token array
+    * (never a corpus self-join); unary counts broadcast back. All counts
+    * are exact integers, so c_ab·N / (c_a·c_b) is ONE IEEE division —
+    * engine-portable — and ordering is on the rounded value.
+    *
+    * Scale: pair rows are Σ_docs (distinct-tokens choose 2) — bounded in
+    * practice by a per-doc distinct-token cap upstream; the groupBy is
+    * partial-aggregated. `minCount` prunes the long noise tail before the
+    * final rank. */
+  def pmiPairs(docs: DataFrame, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val dts = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), array_sort(array_distinct(Dedup.tokens(col("text")))).as("ts"))
+    val nDocs = dts.agg(count(when(size(col("ts")) > 0, 1)).as("nd"))
+    val dt = dts.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val unary = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = dts.select(col("doc_id"), explode(col("ts")).as("ta"), col("ts"))
+      .select(col("ta"), explode(col("ts")).as("tb"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    pairs
+      .join(broadcast(unary.toDF("ta", "ca")), "ta")
+      .join(broadcast(unary.toDF("tb", "cb")), "tb")
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        round(log((col("c_ab") * col("nd")) / (col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(k)
   }
 }

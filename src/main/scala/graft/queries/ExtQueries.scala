@@ -127,6 +127,38 @@ object ExtQueries {
   def keepCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepCanonical(Tables.documents(s, d)).select("doc_id").orderBy("doc_id")
 
+  /** MinHash Jaccard estimates on the LSH candidate pairs — the cheap
+    * signature-agreement score a pipeline thresholds on before any exact
+    * Jaccard. */
+  def minhashEst(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimates(Tables.documents(s, d))
+
+  /** SimHash near-dup pairs via pigeonhole block banding (scale path);
+    * result provably equals the all-pairs hamming filter. */
+  def simhashBanded(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashBandedPairs(Dedup.simhashes(Tables.documents(s, d)), maxDist = 4)
+
+  /** Incremental "new crawl vs existing corpus" dedup: new = doc_id%5=0,
+    * old = the rest (a stable content-independent split of the fixture). */
+  def incrementalDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 =!= 0))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking duplicate-chunk report (sub-document dedup). */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunkDups(Tables.documents(s, d))
+
+  /** Per-label embedding centroids (class prototypes). */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, d))
+
+  /** Top-20 PMI token pairs (collocation mining) at doc-level counts. */
+  def pmiTop(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiPairs(Tables.documents(s, d), minCount = 5L, k = 20)
+
   def bigramCounts(s: SparkSession, d: String): DataFrame =
     TextAnalysis.ngramCounts(Tables.documents(s, d), 2).orderBy("ngram")
 
@@ -255,6 +287,12 @@ object ExtQueries {
     "ext_length_deciles" -> lengthDeciles _,
     "ext_bigram_lm" -> bigramLm _,
     "ext_minhash_pairs" -> minhashPairs _,
+    "ext_minhash_est" -> minhashEst _,
+    "ext_simhash_banded" -> simhashBanded _,
+    "ext_incremental_dedup" -> incrementalDedupQ _,
+    "ext_cdc_chunks" -> cdcChunks _,
+    "ext_label_centroids" -> centroids _,
+    "ext_pmi_top20" -> pmiTop _,
     "ext_jaccard_top10" -> jaccardTop _,
     "ext_simhash" -> simhash _,
     "ext_cosine_pairs_top10" -> cosinePairs _,
@@ -298,6 +336,21 @@ object ExtQueries {
 
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** SimHash signature CTE chain (toks → per-token md5 → 60-bit signature),
+    * shared by the signature dump and the banded-pairs oracle. Mirrors
+    * [[graft.ext.Dedup.simhashes]]. */
+  private val simhashCtes =
+    s"""$toksCte,
+       |hashed AS (SELECT doc_id, list_transform(ts, t -> md5(t)) AS hs FROM toks),
+       |sims AS (
+       |  SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+       |    CASE WHEN list_sum(list_transform(hs, h ->
+       |      2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+       |            // CAST(pow(2, 3 - j % 4) AS BIGINT)) % 2) - 1)) > 0
+       |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+       |  FROM hashed
+       |)""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
@@ -366,14 +419,91 @@ object ExtQueries {
          |ORDER BY jac DESC, doc_a, doc_b LIMIT 10""".stripMargin,
 
     "ext_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    // banding is a plan change, not a semantics change: the banded result
+    // equals the all-pairs hamming filter, so the oracle IS the all-pairs
+    // form over the same signatures
+    "ext_simhash_banded" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS dist
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same candidate pairs as ext_minhash_pairs, scored by the classic
+    // signature-agreement estimator agree/k
+    "ext_minhash_est" ->
+      s"""WITH $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |  ROUND(len(list_filter(range(0, 8),
+         |    i -> sa.sig[CAST(i AS INT) + 1] = sb.sig[CAST(i AS INT) + 1])) / 8.0, 4) AS est_jaccard
+         |FROM prs p JOIN sig sa ON sa.doc_id = p.doc_a JOIN sig sb ON sb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // bands are per-doc, so the global bands CTE filtered by the split
+    // predicate equals banding each side separately (what Spark does)
+    "ext_incremental_dedup" ->
+      s"""WITH $minhashBandsCtes,
+         |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+         |ex AS (SELECT DISTINCT doc_id FROM newd WHERE md5(text) IN (SELECT h FROM oldh)),
+         |ob AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 5 <> 0),
+         |nr AS (SELECT DISTINCT b.doc_id FROM bands b
+         |       JOIN ob USING (band, key) WHERE b.doc_id % 5 = 0)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+         |  CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+         |FROM newd d LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN nr ON nr.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // same chunking chain as Dedup.cdcChunkDups: boundary after token i
+    // when md5 of the 3-gram ending at i lands in bucket 0 of 8
+    "ext_cdc_chunks" ->
       s"""WITH $toksCte,
-         |hashed AS (SELECT doc_id, list_transform(ts, t -> md5(t)) AS hs FROM toks)
-         |SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
-         |  CASE WHEN list_sum(list_transform(hs, h ->
-         |    2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
-         |          // CAST(pow(2, 3 - j % 4) AS BIGINT)) % 2) - 1)) > 0
-         |  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
-         |FROM hashed ORDER BY doc_id""".stripMargin,
+         |tp AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+         |px AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tp),
+         |p AS (SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok,
+         |  CASE WHEN i >= 4 AND CAST('0x' || substr(md5(
+         |         ts[CAST(i AS INT) - 3] || ' ' || ts[CAST(i AS INT) - 2] || ' ' ||
+         |         ts[CAST(i AS INT) - 1]), 1, 4) AS BIGINT) % 8 = 0
+         |       THEN 1 ELSE 0 END AS flag
+         |  FROM px),
+         |ch AS (SELECT doc_id, pos, tok, CAST(SUM(flag) OVER (
+         |  PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk
+         |  FROM p),
+         |ct AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |       FROM ch GROUP BY 1, 2)
+         |SELECT md5(chunk_text) AS h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM ct GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "ext_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT label, unnest(range(1, 65)) AS j, e FROM e)
+        |SELECT label, CAST(j - 1 AS INT) AS pos, ROUND(AVG(e[CAST(j AS INT)]), 4) AS c
+        |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    "ext_pmi_top20" ->
+      s"""WITH $toksCte,
+         |dts AS (SELECT doc_id, list_sort(list_distinct(ts)) AS ts FROM toks),
+         |nd AS (SELECT COUNT(CASE WHEN len(ts) > 0 THEN 1 END) AS nd FROM dts),
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM dts),
+         |un AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+         |pr AS (SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS c_ab
+         |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT pr.ta, pr.tb, pr.c_ab,
+         |  ROUND(ln((pr.c_ab * nd.nd) / (ua.c * ub.c)), 4) AS pmi
+         |FROM pr JOIN un ua ON ua.tok = pr.ta JOIN un ub ON ub.tok = pr.tb
+         |CROSS JOIN nd
+         |ORDER BY pmi DESC, ta, tb LIMIT 20""".stripMargin,
 
     "ext_cosine_pairs_top10" ->
       s"""WITH $embCte
@@ -867,29 +997,31 @@ object ExtQueries {
     * identical expression association everywhere, all float constants
     * interpolated from the SAME Scala doubles (Double.toString round-trips
     * to identical bits in DuckDB's literal parser — writing `2.2` by hand
-    * could differ one ulp from Scala's `k1 + 1.0`), and the per-term
-    * pivot summed in fixed left-to-right term order. */
+    * could differ one ulp from Scala's `k1 + 1.0`), per-term contributions
+    * summed in fixed left-to-right term order (Spark-side single-pass
+    * shape: per-doc (dl, tf_i) columns + one-row corpus stats). */
   private def bm25Oracle(terms: Seq[String], k1: Double, b: Double): String = {
-    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
-      s"max(CASE WHEN tok = '$t' THEN w END) AS c$i"
-    }.mkString(",\n|   ")
-    val score = terms.indices.map(i => s"COALESCE(c$i, 0.0)").mkString(" + ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n|  ")
+    val score = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1.0})
+         |      / (tf$i + $k1 * (1.0 - $b + $b * dl / (CAST(sdl AS DOUBLE) / n)))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString("\n|  + ")
+    val any = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH $toksCte,
-       |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0),
-       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dls),
-       |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
-       |       FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM dls)
-       |       WHERE tok IN $inList GROUP BY doc_id, dl, tok),
-       |dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-       |contrib AS (SELECT doc_id, tf.tok AS tok,
-       |   ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1.0})
-       |     / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(st.sdl AS DOUBLE) / st.n))) AS w
-       |   FROM tf, dfs, st WHERE tf.tok = dfs.tok),
-       |p AS (SELECT doc_id,
-       |   $pivots
-       |   FROM contrib GROUP BY doc_id)
+       |dls AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM toks WHERE len(ts) > 0),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+       |  $dfCols
+       |  FROM dls)
        |SELECT doc_id, ROUND($score, 4) AS bm25
-       |FROM p ORDER BY doc_id""".stripMargin
+       |FROM dls, st WHERE $any ORDER BY doc_id""".stripMargin
   }
 }

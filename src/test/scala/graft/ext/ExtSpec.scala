@@ -310,6 +310,83 @@ class ExtSpec extends SparkSpec {
     assert(s(1L) == s(2L))
   }
 
+  test("minhashEstimates: identical docs estimate 1.0; estimates stay in [0,1]") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")))
+    val est = Dedup.minhashEstimates(d).as[(Long, Long, Double)].collect()
+    val m = est.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(est.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("simhashBandedPairs equals the all-pairs hamming filter") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
+      (4L, base.replace("eta", "etaY")),
+      (5L, "unrelated totally different words everywhere padded out " * 5))
+    val sims = Dedup.simhashes(d)
+    for (dist <- Seq(0, 3, 8)) {
+      val banded = Dedup.simhashBandedPairs(sims, dist).as[(Long, Long, Int)].collect().toSet
+      val allp = Dedup.simhashNearPairs(sims, dist).as[(Long, Long, Int)].collect().toSet
+      assert(banded == allp, s"maxDist=$dist")
+    }
+  }
+
+  test("incrementalDedup flags exact and near dups of new docs against old") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val old = docs((1L, base), (2L, "one two three four five six seven eight nine ten " * 3))
+    val nw = docs((10L, base),                              // exact copy of old 1
+      (11L, base.replace("kappa", "kappaX")),               // near-dup of old 1
+      (12L, "fresh unseen content nothing like the others padded words here " * 3))
+    val r = Dedup.incrementalDedup(nw, old).as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(10L) == ((1, 1)))
+    assert(r(11L) == ((0, 1)))
+    assert(r(12L) == ((0, 0)))
+  }
+
+  test("cdcChunkDups finds shared boilerplate at shifted offsets") {
+    // doc 2 has the same long run as doc 1 but shifted by a prefix —
+    // content-defined boundaries re-synchronize inside the shared run
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, shared), (2L, s"prefix words here $shared"),
+      (3L, "entirely different content with no shared runs at all"))
+    val dups = Dedup.cdcChunkDups(d).as[(String, Long, Long)].collect()
+    assert(dups.nonEmpty, "expected at least one shared chunk across docs 1 and 2")
+    assert(dups.exists(_._3 == 2L)) // a chunk seen in two distinct docs
+    // and chunking is deterministic
+    val again = Dedup.cdcChunkDups(d).as[(String, Long, Long)].collect()
+    assert(dups.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("labelCentroids averages per class and covers every (label, pos)") {
+    val e = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val c = Similarity.labelCentroids(e).as[(Int, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(c == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 10.0, (1, 1) -> 20.0))
+  }
+
+  test("pmiPairs ranks the always-together pair above independent pairs") {
+    // 'left right' co-occur in every one of their docs; 'common' appears
+    // everywhere so its pairs have pmi ~ 0
+    val d = docs(
+      (1L, "left right common filler1"), (2L, "left right common filler2"),
+      (3L, "left right common filler3"), (4L, "left right common filler4"),
+      (5L, "left right common filler5"), (6L, "solo common other filler6"),
+      (7L, "solo common other filler7"), (8L, "solo common other filler8"),
+      (9L, "solo common other filler9"), (10L, "solo common other filler10"))
+    val top = TextAnalysis.pmiPairs(d, minCount = 5L, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    assert(top.nonEmpty)
+    val best = top.head
+    assert(Set(best._1, best._2) != Set("common", "left"))
+    val pmi = top.map(t => Set(t._1, t._2) -> t._4).toMap
+    assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
