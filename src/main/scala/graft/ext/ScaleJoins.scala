@@ -39,6 +39,28 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Bloom-filter pre-filtered semi-join: `fact` rows whose long `factKey`
+    * appears in `keys.keyCol`. A Bloom filter of the key side is built
+    * with one aggregate pass and broadcast; the fact side drops
+    * non-matching rows BEFORE the exact `left_semi` join, so at 100 TB
+    * the shuffle carries only (matches + fpp·misses) instead of the whole
+    * fact table. The trailing semi-join removes Bloom false positives —
+    * the result is exactly `fact ⋉ keys` for any fpp. (Spark's runtime
+    * row-level filtering does the same rewrite automatically when
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled` is on and stats
+    * qualify; this is the explicit, always-on form.) */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame, factKey: String,
+      keyCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.where(mightContain(col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+  }
+
   /** Write `df` as a bucketed+sorted table: `n` hash buckets on `key`,
     * rows sorted by `key` within each bucket. Joins and aggregations on
     * `key` between tables bucketed with the same `n` then plan with NO

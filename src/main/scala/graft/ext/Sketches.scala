@@ -37,4 +37,54 @@ object Sketches {
     org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketch))
       .estimateCount(item)
+
+  /** Misra–Gries heavy-hitters summary over a column: a MERGEABLE,
+    * bounded-memory frequency sketch — each partition keeps ≤ `capacity`
+    * (item, count) entries, and summaries combine associatively
+    * (Agarwal et al., "Mergeable Summaries"), so the whole pass is one
+    * `treeAggregate` shuffling O(capacity) entries per partition instead
+    * of a full groupBy of the key space. The 100 TB contract: every item
+    * with true count > N/(capacity+1) survives, and each reported count
+    * undercounts by at most N/(capacity+1) (spec-bounded). When
+    * `capacity` ≥ the number of distinct items no decrement ever fires
+    * and counts are EXACT — which is what gives the fixture-scale query
+    * its DuckDB oracle.
+    *
+    * Returns the top `k` surviving items as (item, count), ordered
+    * (count DESC, item ASC). */
+  def heavyHitters(df: DataFrame, c: Column, capacity: Int, k: Int): DataFrame = {
+    require(capacity >= 1 && k >= 1, "capacity and k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    type MG = scala.collection.mutable.HashMap[String, Long]
+
+    def shrink(m: MG, by: Long): Unit = if (by > 0) {
+      val ks = m.keys.toArray
+      var i = 0
+      while (i < ks.length) {
+        val nv = m(ks(i)) - by
+        if (nv <= 0) m.remove(ks(i)) else m(ks(i)) = nv
+        i += 1
+      }
+    }
+    val add = (m: MG, t: String) => {
+      if (m.contains(t)) m(t) += 1
+      else if (m.size < capacity) m(t) = 1L
+      else shrink(m, 1) // classic decrement-all step
+      m
+    }
+    val merge = (a: MG, b: MG) => {
+      b.foreach { case (t, v) => a(t) = a.getOrElse(t, 0L) + v }
+      if (a.size > capacity) {
+        // subtract the (capacity+1)-th largest count from everything
+        val vs = a.values.toArray.sorted(Ordering[Long].reverse)
+        shrink(a, vs(capacity))
+      }
+      a
+    }
+    val summary = df.select(c.cast("string").as("item")).as[String]
+      .rdd.treeAggregate(new MG)(add, merge)
+    summary.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+      .toDF("item", "c")
+  }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.ext.{Dedup, Incremental, Layout, Multimodal, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -244,6 +245,78 @@ object ExtQueries {
   def maskTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.maskTokens(Tables.documents(s, d), 0.15).orderBy("doc_id")
 
+  /** Bloom-pre-filtered semi-join: orders of customers in nations 0–4.
+    * Result provably equals the plain semi-join (the oracle form). */
+  def bloomSemi(s: SparkSession, d: String): DataFrame =
+    ScaleJoins.bloomSemiJoin(
+        Tables.orders(s, d),
+        Tables.customer(s, d).where(col("c_nationkey") < 5), "o_custkey", "c_custkey")
+      .select("o_orderkey").orderBy("o_orderkey")
+
+  /** q20's revenue rollup routed through the salted skew join — the
+    * result multiset is salt-invariant, so the q20 oracle checks it. */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    ScaleJoins.saltedJoin(l, o, "l_orderkey", saltFactor = 4)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(round(sum("r"), 4).as("rev"))
+      .orderBy("n_name")
+  }
+
+  /** Two-level incremental aggregation (daily partials → merged totals);
+    * oracle is DuckDB's single-level GROUP BY — the equivalence claim. */
+  def partialAggMerge(s: SparkSession, d: String): DataFrame =
+    Incremental.mergePartials(Incremental.dailyPartials(Tables.events(s, d)))
+      .orderBy("event_type")
+
+  /** Misra–Gries top-20 tokens at capacity 64 ≥ V — exact, hence
+    * oracle-checkable; the sub-capacity error bound is spec-checked. */
+  def topkSketch(s: SparkSession, d: String): DataFrame =
+    Sketches.heavyHitters(Tables.docsTokenized(s, d), col("tok"),
+      capacity = 64, k = 20).withColumnRenamed("item", "tok")
+
+  /** Z-order layout key over (n_chars, doc_id mod 2^16) + deterministic
+    * 8-way file assignment by key rank. */
+  def zorder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zk = Layout.zorderKey(col("n_chars"), col("doc_id") % 65536)
+    Tables.documents(s, d)
+      .select(col("doc_id"), zk.as("zkey"))
+      .withColumn("file_id",
+        ntile(8).over(Window.orderBy(col("zkey"), col("doc_id"))))
+      .orderBy("doc_id")
+  }
+
+  /** JSONL sink → source round trip; md5(text) proves payload fidelity. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    Formats.writeJsonl(docs, tmp)
+    Formats.readJsonl(s, tmp, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  /** CSV sink → source round trip (typed read-back, incl. doubles). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    Formats.writeCsv(ev, tmp)
+    Formats.readCsv(s, tmp, ev.schema)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("v"))
+      .orderBy("event_id")
+  }
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -317,6 +390,13 @@ object ExtQueries {
     "ext_multimodal_image_features" -> imageFeatures _,
     "ext_multimodal_audio" -> audioFeatures _,
     "ext_multimodal_frames" -> frameSamples _,
+    "ext_bloom_semi_join" -> bloomSemi _,
+    "ext_salted_revenue" -> saltedRevenue _,
+    "ext_partial_agg_merge" -> partialAggMerge _,
+    "ext_topk_sketch" -> topkSketch _,
+    "ext_zorder" -> zorder _,
+    "ext_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "ext_csv_roundtrip" -> csvRoundtrip _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -958,7 +1038,57 @@ object ExtQueries {
          |SELECT doc_id, ROUND(-AVG(ln(p)), 4) AS nll
          |FROM bi JOIN lm USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bloom pre-filter is a plan optimization, not a semantics change:
+    // the oracle is the plain semi-join
+    "ext_bloom_semi_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // salting is salt-invariant by construction: oracle = q20's rollup
+    "ext_salted_revenue" ->
+      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // two-level partial merge must equal the single-level aggregate
+    "ext_partial_agg_merge" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Misra–Gries at capacity ≥ V is exact: oracle = true top-20 counts
+    "ext_topk_sketch" ->
+      s"""WITH $toksCte, tt AS (SELECT unnest(ts) AS tok FROM toks)
+         |SELECT tok, COUNT(*) AS c FROM tt GROUP BY tok
+         |ORDER BY c DESC, tok LIMIT 20""".stripMargin,
+
+    "ext_zorder" -> {
+      val z = zorderSql("n_chars", "(doc_id % 65536)", 16)
+      s"""WITH zk AS (SELECT doc_id, CAST($z AS BIGINT) AS zkey FROM documents)
+         |SELECT doc_id, zkey, NTILE(8) OVER (ORDER BY zkey, doc_id) AS file_id
+         |FROM zk ORDER BY doc_id""".stripMargin
+    },
+
+    // the round trip must reproduce the parquet truth exactly
+    "ext_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, ROUND(value, 4) AS v
+        |FROM events ORDER BY event_id""".stripMargin,
   )
+
+  /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit
+    * interleave as an OR of 2·bits shift/mask terms. */
+  private def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
 
   /** Generated k-means oracle: the same grid-rounded Lloyd's chain the
     * Spark side runs ([[graft.ext.Similarity.kmeans]]) as one CTE pipeline

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Line-oriented interchange formats (JSONL, CSV) as first-class
+  * sources/sinks next to parquet. Both are splittable text formats, so a
+  * 100 TB directory still reads with one task per HDFS block; an explicit
+  * schema on read skips Spark's whole-file inference pass (which would
+  * scan the data twice) and pins types independent of what the writer
+  * emitted. Round-trip fidelity is oracle-checked (ext_jsonl_roundtrip /
+  * ext_csv_roundtrip): doubles survive via shortest-representation
+  * toString/parse, strings via JSON/quoted-CSV escaping. */
+object Formats {
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey interleaves bits: x even positions, y odd") {
+    // x=5 (101), y=3 (011) → z bits: x0→b0, y0→b1, x1→b2, y1→b3, x2→b4
+    //   = 1 + 2 + 0 + 8 + 16 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // identity checks: y=0 spreads x bits to even positions
+    val zx = Seq((7L, 0L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")).as("z")).head().getLong(0)
+    assert(zx == (1L | (1L << 2) | (1L << 4)))
+  }
+
+  test("zorderKey is monotone-compatible with locality: neighbors share high bits") {
+    // points in the same 4x4 quadrant share all but the low 4 z-bits
+    val inQuad = for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)
+    val zs = inQuad.toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(zs.forall(_ < 16), s"quadrant escaped its z-range: ${zs.mkString(",")}")
+    assert(zs.distinct.length == 16) // bijective within the quadrant
+  }
+
+  test("clusterByZorder yields sorted-within-partition z-ranges") {
+    val docs = graft.Tables.documents(spark, sf())
+    val clustered = Layout.clusterByZorder(docs,
+      col("n_chars"), col("doc_id") % 65536, nFiles = 4)
+    val perPart = clustered
+      .select(spark_partition_id().as("p"), col("zkey"))
+      .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2))
+    perPart.foreach { case (p, zs) =>
+      assert(zs.sameElements(zs.sorted), s"partition $p not z-sorted")
+    }
+    // ranges of different partitions must not interleave (range partitioning)
+    val ranges = perPart.values.map(zs => (zs.min, zs.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, maxA), (minB, _)) => assert(maxA <= minB)
+      case _ =>
+    }
+  }
+}

@@ -32,6 +32,29 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(parts.length > 1, s"hot key not spread: ${parts.mkString(",")}")
   }
 
+  test("bloomSemiJoin equals the plain semi-join even when the filter is saturated") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(k => (k % 100, k)).toDF("k", "payload")
+    val keys = (0L to 30L).map(k => (k * 3, s"v$k")).toDF("kk", "v")
+    val plain = fact.join(keys.select(col("kk").as("k")).distinct(),
+      Seq("k"), "left_semi").collect().map(_.toString).sorted
+    // expectedItems=1 saturates the filter → many false positives; the
+    // trailing exact semi-join must still remove every one of them
+    val bloomed = ScaleJoins.bloomSemiJoin(fact, keys, "k", "kk",
+      expectedItems = 1L, fpp = 0.5).collect().map(_.toString).sorted
+    assert(bloomed.sameElements(plain))
+  }
+
+  test("bloom pre-filter drops non-matching fact rows before the join") {
+    import spark.implicits._
+    val fact = (1L to 10000L).toDF("k")
+    val keys = Seq(5L, 10L).toDF("kk")
+    val bf = keys.stat.bloomFilter("kk", 1000L, 0.01)
+    val kept = fact.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    // ≥ 2 true keys, ≤ 2 + fpp·N false positives (generous 3× margin)
+    assert(kept >= 2 && kept <= 2 + (0.03 * 10000).toInt, s"kept=$kept")
+  }
+
   test("joins between co-bucketed tables plan without a shuffle exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path

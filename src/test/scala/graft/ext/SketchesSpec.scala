@@ -21,6 +21,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries is exact at capacity >= distinct count") {
+    val toks = graft.Tables.docsTokenized(spark, sf())
+    val truth = toks.groupBy("tok").count().as[(String, Long)].collect()
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    val mg = Sketches.heavyHitters(toks, col("tok"), capacity = 64, k = 10)
+      .as[(String, Long)].collect()
+    assert(mg.toSeq == truth.toSeq)
+  }
+
+  test("Misra-Gries at small capacity: undercount bounded by N/(capacity+1), heavy items survive") {
+    val toks = graft.Tables.docsTokenized(spark, sf())
+    val truth = toks.groupBy("tok").count().as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val cap = 8
+    val mg = Sketches.heavyHitters(toks, col("tok"), capacity = cap, k = cap)
+      .as[(String, Long)].collect().toMap
+    val bound = n / (cap + 1)
+    mg.foreach { case (t, c) =>
+      assert(c <= truth(t), s"$t overcounted: $c > ${truth(t)}")
+      assert(c >= truth(t) - bound, s"$t undercut past bound: $c vs ${truth(t)}")
+    }
+    truth.filter(_._2 > bound).keys.foreach { t =>
+      assert(mg.contains(t), s"heavy item $t missing (count=${truth(t)}, bound=$bound)")
+    }
+  }
+
   test("count-min estimates are one-sided and within eps*N") {
     val toks = graft.Tables.docsTokenized(spark, sf())
     val sketch = Sketches.cmsOf(toks, col("tok"), eps = 0.01, confidence = 0.99)
