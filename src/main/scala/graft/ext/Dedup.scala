@@ -217,11 +217,31 @@ object Dedup {
       |    THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
 
-  /** docs(doc_id, text) → (doc_id, simhash) with the 60-bit signature. */
-  def simhashes(docs: DataFrame): DataFrame =
-    spreadForCompute(docs).select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), transform(col("ts"), t => md5(t)).as("hs"))
-      .select(col("doc_id"), expr(simhash60Sql).as("simhash"))
+  /** docs(doc_id, text) → (doc_id, simhash) with the 60-bit signature.
+    *
+    * Formulation: the md5's first 15 hex chars are one 60-bit integer
+    * (`conv(hex, 16, 10)`); bit j of the signature reads bit 59−j of
+    * that value (hex char j/4, nibble bit 3−j%4 — exactly
+    * [[simhash60Sql]]'s mapping). Explode + 60 codegen'd SUM aggregates
+    * replaces the interpreted higher-order-function form: partial
+    * aggregation tallies the per-bit votes map-side, and vote_j > 0 ⟺
+    * 2·Σbit_j > n. Result is bit-identical to the HOF form (same DuckDB
+    * oracle); `explode_outer` keeps token-less docs (signature 0, as an
+    * empty vote list yields). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val toks = spreadForCompute(docs).select(col("doc_id"),
+      explode_outer(tokens(col("text"))).as("t"))
+    val v = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val votes = toks.select(col("doc_id"), v.as("v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 60).map(j =>
+          sum(shiftright(col("v"), 59 - j).bitwiseAND(lit(1L))).as(s"b$j")): _*)
+    val sig = (0 until 60).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, via block
     * banding — the scale form of [[simhashNearPairs]]. Pigeonhole: two
@@ -240,18 +260,37 @@ object Dedup {
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
     }
-    sims.select(struct(col("doc_id"), col("simhash")).as("d"),
+    // Materialize the (tiny: one row per doc) signature table once — the
+    // candidate step is a SELF-join, and without the checkpoint both
+    // sides would recompute the per-token-md5 signature pipeline.
+    val sigs = sims.localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(blockCols: _*)).as("bk"))
-      .groupBy(col("bk.blk"), col("bk.v"))
-      .agg(collect_list(col("d")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.v").as("v"))
+    // flat shuffle join on (block, value): stays inside whole-stage
+    // codegen (a collect_list bucket expansion would not), the xor+
+    // bit_count filter pipelines right behind the join, and AQE
+    // skew-splits an oversized bucket instead of one task eating it
+    val l = banded.select(col("blk"), col("v"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val r = banded.select(col("blk"), col("v"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    // emit-once dedup WITHOUT a distinct shuffle: a candidate pair joins
+    // once per agreeing block, but only the row whose blk is the FIRST
+    // agreeing block survives — decidable locally from (ha, hb) bits
+    val firstAgree = (0 until nBlocks).map { b =>
+      val earlierDiffer = (0 until b).map { bp =>
+        shiftright(col("ha"), starts(bp)).bitwiseAND(lit((1L << widths(bp)) - 1)) =!=
+          shiftright(col("hb"), starts(bp)).bitwiseAND(lit((1L << widths(bp)) - 1))
+      }.foldLeft(lit(true))(_ && _)
+      col("blk") === b && earlierDiffer
+    }.reduce(_ || _)
+    l.join(r, Seq("blk", "v"))
+      .where(col("doc_a") < col("doc_b") && firstAgree)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
       .where(col("dist") <= maxDist)
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -86,4 +86,27 @@ class PlanSpec extends SparkSpec {
     // only the ORDER BY's range exchange may appear
     assert(!p.contains("hashpartitioning"), p.take(3000))
   }
+
+  test("bloom semi-join: filter applies BEFORE the exchange feeding the join") {
+    val p = plan("ext_bloom_semi_join")
+    // the UDF pre-filter must sit below the shuffle/broadcast that feeds
+    // the semi-join, so at scale the exchange carries only candidates
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0 && joinIdx < filterIdx,
+      s"pre-filter not below the join:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("partial-agg merge: both levels use partial+final hash aggregation") {
+    val p = plan("ext_partial_agg_merge")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zorder key computation stays inside whole-stage codegen (no UDF)") {
+    val p = plan("ext_zorder")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(3000))
+    assert(p.contains("*(1)"), p.take(2000)) // codegen'd first stage
+  }
 }
