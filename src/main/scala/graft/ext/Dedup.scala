@@ -327,25 +327,17 @@ object Dedup {
     * ends after token i when md5 of the `window`-token shingle ending at
     * i falls in bucket 0 of `avgChunk` (so chunks average ~avgChunk
     * tokens and the SAME text always chunks the SAME way, wherever it
-    * appears). One narrow pass computes flags in-row; chunk ids are a
-    * per-doc running sum (one shuffle on doc_id); the dup report is one
-    * hash-groupBy — same scale shape as [[exactDupGroups]]. */
+    * appears). Chunking runs entirely in-row via the native
+    * [[graft.functions.CdcChunks]] expression (one token-array walk per
+    * doc — no posexplode, no per-doc window prefix-sum shuffle, no
+    * collect_list reassembly); the dup report's only exchange is the
+    * final hash-groupBy — same scale shape as [[exactDupGroups]]. */
   def cdcChunkDups(docs: DataFrame, window: Int = 3, avgChunk: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rows = spreadForCompute(docs)
+    val chunks = spreadForCompute(docs)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .where(size(col("ts")) > 0)
-      .select(col("doc_id"), shingles(col("ts"), window).as("sh"),
-        posexplode(col("ts")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), col("tok"),
-        when((col("pos") >= window) &&
-          (conv(substring(md5(element_at(col("sh"), col("pos") - window + 1)), 1, 4), 16, 10)
-            .cast("long") % avgChunk === 0), 1).otherwise(0).as("flag"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val chunks = rows.withColumn("chunk", sum(col("flag")).over(w))
-      .groupBy("doc_id", "chunk")
-      .agg(concat_ws(" ",
-        sort_array(collect_list(struct(col("pos"), col("tok")))).getField("tok"))
+      .select(col("doc_id"), explode(
+        graft.functions.CdcChunks.cdcChunksNative(col("ts"), window, avgChunk))
         .as("chunk_text"))
     chunks.groupBy(md5(col("chunk_text")).as("h"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
