@@ -194,4 +194,34 @@ object Temporal {
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 4).as("total_value"))
+
+  /** Per-key rolling-window feature: mean of `valueCol` over the last
+    * `nPreceding`+1 rows of the SAME key in `orderCols` order — the
+    * feature-engineering workhorse (per-entity trailing aggregates).
+    * One shuffle on `key`, then a sorted frame scan with O(frame) state;
+    * because the window is keyed, no timeline ever funnels through a
+    * single task (the global-order variant is [[runningSum]]'s two-pass
+    * problem). `orderCols` must totally order rows within a key for a
+    * deterministic result. */
+  def rollingMean(df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String, nPreceding: Int): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-nPreceding, Window.currentRow)
+    df.withColumn("rolling_mean", round(avg(col(valueCol)).over(w), 4))
+  }
+
+  /** CDC-style compaction: keep each key's LATEST row under `orderCols`
+    * (descending, later columns as tie-breakers) — the "upsert merge"
+    * that turns an append-only change log into current state. One
+    * shuffle on `key`; at 100 TB this is the nightly compaction job, and
+    * the same window shape incrementalizes (new batch ∪ old state →
+    * keep-latest again). `orderCols` must totally order a key's rows
+    * (include a unique id as the last tie-breaker). */
+  def compactLatest(df: DataFrame, key: String, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

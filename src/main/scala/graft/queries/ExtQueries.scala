@@ -317,6 +317,23 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Per-user trailing-4-event rolling mean (feature engineering). */
+  def rollingFeatures(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingMean(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value", 3)
+      .select(col("event_id"), col("rolling_mean"))
+      .orderBy("event_id")
+
+  /** CDC compaction: each user's latest event (upsert-merge semantics). */
+  def compactLatestQ(s: SparkSession, d: String): DataFrame =
+    Temporal.compactLatest(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value"),
+        "user_id", Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type"), round(col("value"), 4).as("v"))
+      .orderBy("user_id")
+
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -397,6 +414,8 @@ object ExtQueries {
     "ext_zorder" -> zorder _,
     "ext_jsonl_roundtrip" -> jsonlRoundtrip _,
     "ext_csv_roundtrip" -> csvRoundtrip _,
+    "ext_rolling_features" -> rollingFeatures _,
+    "ext_compact_latest" -> compactLatestQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1081,6 +1100,19 @@ object ExtQueries {
     "ext_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type, ROUND(value, 4) AS v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ext_rolling_features" ->
+      """SELECT event_id, ROUND(AVG(value) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_mean
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ext_compact_latest" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS latest_event_id, event_type, ROUND(value, 4) AS v
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

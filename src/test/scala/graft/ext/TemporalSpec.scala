@@ -86,6 +86,34 @@ class TemporalSpec extends SparkSpec {
     assert(agg.toSeq == Seq((10L, 1L, 2L, 3.0), (10L, 2L, 2L, 7.0), (20L, 1L, 1L, 5.0)))
   }
 
+  test("rollingMean: per-key frame of last n+1 rows, unaffected by other keys") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 1L, 100.0), (2L, 2L, 200.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.rollingMean(df, "user_id", Seq("ts"), "value", 1)
+      .select("user_id", "ts", "rolling_mean")
+      .as[(Long, Long, Double)].collect().sorted
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10.0), (1L, 2L, 15.0), (1L, 3L, 25.0),
+      (2L, 1L, 100.0), (2L, 2L, 150.0)))
+  }
+
+  test("compactLatest keeps exactly the newest row per key with tie-breaks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5L, "a"), // same ts as next — higher id wins
+      (1L, 11L, 5L, "b"),
+      (1L, 9L, 9L, "c"),  // latest ts wins over higher id
+      (2L, 1L, 1L, "d")
+    ).toDF("user_id", "event_id", "ts", "payload")
+    val got = Temporal.compactLatest(df, "user_id", Seq("ts", "event_id"))
+      .select("user_id", "event_id", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 9L, "c"), (2L, 1L, "d")))
+  }
+
   test("hashSplit is content-keyed, in-range, and roughly proportioned") {
     val d = graft.Tables.documents(spark, sf())
     val s = TextAnalysis.hashSplit(d).cache()
