@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling-curve harness (test scope, not shipped): replicates
+  * the sf0.1 corpus N× with fresh doc_ids and measures the dedup/
+  * similarity pipeline stages at each size — the measured evidence behind
+  * the "this shape holds at 100 TB" claims (per-size wall-clock should
+  * grow ~linearly once fixed job overhead amortizes; a quadratic stage
+  * would blow up immediately at 10×).
+  * Run: sbt "Test/runMain graft.ScalingMain /root/testdata/sf0.1 1,4,10"
+  */
+object ScalingMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.lift(1).getOrElse("1,4,10").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val nBase = base.count()
+
+    // every token gets a replica-specific prefix, so replica r's vocab is
+    // disjoint from replica r': the near-dup pair structure of EACH
+    // replica equals the base corpus's and total pairs grow linearly in m
+    // (verbatim copies would instead make all m replicas mutual near-dups
+    // — an m² pair blowup that measures the data, not the engine)
+    def replicated(m: Int): DataFrame =
+      if (m == 1) base
+      else base.crossJoin(spark.range(m).toDF("rep"))
+        .select((col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("rep"), lit("_$1"))).as("text"))
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println(f"SCALE base=$nBase docs  (each stage cold per size; times in sec)")
+    println("mult |     docs | minhash_bands | band_candidates | simhash_sigs | simhash_banded | cdc_chunks")
+    mults.foreach { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      val (tBands, _) = time(ext.Dedup.minhashBands(docs).count())
+      val (tCand, nCand) = time(ext.Dedup.minhashCandidates(docs).count())
+      val (tSig, _) = time(ext.Dedup.simhashes(docs).count())
+      val (tBanded, nPairs) = time(
+        ext.Dedup.simhashBandedPairs(ext.Dedup.simhashes(docs), 4).count())
+      val (tCdc, _) = time(ext.Dedup.cdcChunkDups(docs).count())
+      println(f"$m%4d | $n%8d | $tBands%13.2f | $tCand%8.2f($nCand%7d) | $tSig%12.2f | $tBanded%7.2f($nPairs%7d) | $tCdc%9.2f")
+      docs.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+}
