@@ -83,6 +83,15 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * joins the (bounded) dimension frame — stateless, no watermark
+    * needed, and with `broadcast` the stream side never shuffles: the
+    * standard "attach user/document features to a live event feed"
+    * pattern. The static side is re-planned per micro-batch, so a
+    * dimension backed by a table picks up updates between batches. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each 'view' joins the same user's
     * 'purchase' events within [view_ts − horizon, view_ts]. Both sides
     * carry watermarks, so the join state for a purchase is dropped once

@@ -47,6 +47,20 @@ class StreamsSpec extends SparkSpec {
     assert(n == distinct)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = graft.Tables.events(spark, sf())
+      .groupBy("user_id").agg(round(avg(col("value")), 4).as("user_avg"))
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+      .select("event_id", "user_id")
+    val got = runToCompletion(Streams.enrich(stream, dim, "user_id"), "t_enrich")
+      .orderBy("event_id").collect()
+    val want = graft.Tables.events(spark, sf()).select("event_id", "user_id")
+      .join(dim, Seq("user_id"), "left")
+      .orderBy("event_id").collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("sliding windows produce two windows per event hour") {
     val stream = Streams.eventStream(spark, sf() + "/events.parquet")
     val got = runToCompletion(Streams.slidingUserValue(stream), "t_slide")
