@@ -207,7 +207,13 @@ object Dedup {
   /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
     * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
     * votes ±1 per bit; bit j of the result is set iff the vote sum is
-    * positive. Pure integer arithmetic — engine-portable. */
+    * positive. Pure integer arithmetic — engine-portable.
+    *
+    * This HOF form is the SPECIFICATION (it is what the DuckDB oracle
+    * mirrors); [[simhashes]] computes the same function via explode +
+    * codegen'd aggregation, which is the execution path. Kept runnable
+    * (`expr(simhash60Sql)` over an `hs` md5-array column) so the
+    * equivalence stays testable. */
   val simhash60Sql: String =
     """aggregate(
       |  transform(sequence(0, 59), j ->

@@ -41,6 +41,17 @@ class ExtSpec extends SparkSpec {
     assert(near.contains((1L, 2L)))
   }
 
+  test("simhashes (codegen'd aggregation) equals the HOF specification form") {
+    import org.apache.spark.sql.functions.{col, expr, transform => sqlTransform, md5}
+    val d = graft.Tables.documents(spark, sf())
+    val spec = d.select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), sqlTransform(col("ts"), t => md5(t)).as("hs"))
+      .select(col("doc_id"), expr(Dedup.simhash60Sql).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val fast = Dedup.simhashes(d).as[(Long, Long)].collect().toMap
+    assert(fast == spec)
+  }
+
   test("dupClusters labels each component with its smallest doc id (both paths)") {
     // components: {1,2,9} (chain 1-2, 2-9), {5,7}
     val pairs = Seq((1L, 2L), (2L, 9L), (5L, 7L)).toDF("doc_a", "doc_b")
