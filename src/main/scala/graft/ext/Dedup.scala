@@ -268,7 +268,10 @@ object Dedup {
     }
     // Materialize the (tiny: one row per doc) signature table once — the
     // candidate step is a SELF-join, and without the checkpoint both
-    // sides would recompute the per-token-md5 signature pipeline.
+    // sides would recompute the per-token-md5 signature pipeline. The
+    // checkpoint's blocks are freed by the ContextCleaner when the
+    // returned frame becomes unreachable (no explicit unpersist needed;
+    // state is one long per doc, bounded).
     val sigs = sims.localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(blockCols: _*)).as("bk"))

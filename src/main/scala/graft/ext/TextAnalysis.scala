@@ -253,6 +253,29 @@ object TextAnalysis {
           ipv4Re, "<IP>"),
         phoneRe, "<PHONE>").as("redacted"))
 
+  /** Markup scrub — the boilerplate-removal pass a crawl corpus runs
+    * before any text analysis: strip HTML tags, decode the common
+    * entities, unwrap markdown links (keep the anchor text), drop
+    * asterisk emphasis runs, collapse whitespace, trim. A pure
+    * regexp_replace chain — per-row map, no shuffle, codegen'd — and
+    * every pattern is RE2-compatible so the DuckDB oracle replays the
+    * identical chain. (The synthetic fixture text is already plain, so
+    * there the op reduces to whitespace normalization — the chain is
+    * still executed and oracle-checked end to end.) */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val noTags = regexp_replace(col("text"), "<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    val noLinks = regexp_replace(decoded, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noEmph = regexp_replace(noLinks, "\\*+", "")
+    val squeezed = trim(regexp_replace(noEmph, "\\s+", " "))
+    docs.select(col("doc_id"), squeezed.as("clean"),
+      length(squeezed).as("n_clean_chars"))
+  }
+
   /** Sentence-level exact dedup report: split docs into sentences on
     * `". "`, hash each, and report sentences occurring more than once
     * across the corpus (boilerplate detection below document granularity —

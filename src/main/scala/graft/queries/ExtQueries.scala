@@ -216,6 +216,10 @@ object ExtQueries {
   def piiRedact(s: SparkSession, d: String): DataFrame =
     TextAnalysis.piiRedact(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Markup scrub (HTML/entity/markdown strip + whitespace collapse). */
+  def stripMarkup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stripMarkup(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Sentence-level exact-dup report (sub-document boilerplate). */
   def sentenceDedup(s: SparkSession, d: String): DataFrame =
     TextAnalysis.sentenceDedup(Tables.documents(s, d)).orderBy("h")
@@ -416,6 +420,7 @@ object ExtQueries {
     "ext_csv_roundtrip" -> csvRoundtrip _,
     "ext_rolling_features" -> rollingFeatures _,
     "ext_compact_latest" -> compactLatestQ _,
+    "ext_strip_markup" -> stripMarkup _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1113,6 +1118,20 @@ object ExtQueries {
         |  FROM events)
         |SELECT user_id, event_id AS latest_event_id, event_type, ROUND(value, 4) AS v
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the identical regexp chain, replayed with DuckDB's 'g' flag
+    "ext_strip_markup" ->
+      """WITH s AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(text,
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'),
+        |    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |    '\*+', '', 'g'),
+        |  '\s+', ' ', 'g')) AS clean FROM documents)
+        |SELECT doc_id, clean, LENGTH(clean) AS n_clean_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

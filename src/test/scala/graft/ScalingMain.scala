@@ -59,6 +59,39 @@ object ScalingMain {
       println(f"$m%4d | $n%8d | $tBands%13.2f | $tCand%8.2f($nCand%7d) | $tSig%12.2f | $tBanded%7.2f($nPairs%7d) | $tCdc%9.2f")
       docs.unpersist(blocking = true)
     }
+
+    // relational side: the q20-shape multi-join + rollup over a replicated
+    // fact table (fresh orderkeys per replica so join fan-out stays the
+    // data's own) — the broadcast-dim + shuffled-fact plan whose cost
+    // should track the fact row count alone
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    println("mult | lineitem rows | q20 multi-join+rollup")
+    mults.foreach { m =>
+      def rep(df: DataFrame, keyCols: Seq[String]): DataFrame =
+        if (m == 1) df
+        else df.crossJoin(spark.range(m).toDF("rep"))
+          .select(df.columns.map(c =>
+            if (keyCols.contains(c)) (col(c) + col("rep") * lit(1000000000L)).as(c)
+            else col(c)): _*)
+      val lim = rep(li, Seq("l_orderkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ordm = rep(ord, Seq("o_orderkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRows = lim.count(); ordm.count()
+      val (t, _) = time {
+        lim.join(ordm, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+          .count()
+      }
+      println(f"$m%4d | $nRows%13d | $t%8.2f")
+      lim.unpersist(blocking = true); ordm.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

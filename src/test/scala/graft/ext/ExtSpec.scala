@@ -41,6 +41,17 @@ class ExtSpec extends SparkSpec {
     assert(near.contains((1L, 2L)))
   }
 
+  test("stripMarkup removes tags/entities/links/emphasis and normalizes space") {
+    val d = docs(
+      (1L, "<p>Hello &amp; <b>world</b></p>   see [docs](http://x.y/z) **now**"),
+      (2L, "plain  text \t already"))
+    val got = TextAnalysis.stripMarkup(d)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 == "Hello & world see docs now")
+    assert(got(1)._2 == "plain text already")
+    assert(got(0)._3 == got(0)._2.length)
+  }
+
   test("simhashes (codegen'd aggregation) equals the HOF specification form") {
     import org.apache.spark.sql.functions.{col, expr, transform => sqlTransform, md5}
     val d = graft.Tables.documents(spark, sf())
