@@ -56,9 +56,11 @@ object ScaleJoins {
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
+    // no distinct() on the key side: left_semi already emits each fact
+    // row at most once for duplicate keys, and a dedup would add a full
+    // extra shuffle of the key table
     fact.where(mightContain(col(factKey)))
-      .join(keys.select(col(keyCol).as(factKey)).distinct(),
-        Seq(factKey), "left_semi")
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
   }
 
   /** Write `df` as a bucketed+sorted table: `n` hash buckets on `key`,

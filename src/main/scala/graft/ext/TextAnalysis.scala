@@ -264,8 +264,11 @@ object TextAnalysis {
     * still executed and oracle-checked end to end.) */
   def stripMarkup(docs: DataFrame): DataFrame = {
     val noTags = regexp_replace(col("text"), "<[^>]*>", " ")
-    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: decoding it first would turn the literal text
+    // "&amp;lt;" (an escaped "&lt;") into "&lt;" and then into "<" —
+    // double-decoding. With &amp; last, each entity decodes exactly once.
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       regexp_replace(c, e, r)
     }

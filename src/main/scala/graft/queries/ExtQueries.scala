@@ -297,9 +297,26 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** One scratch dir per (format, fixture dir), deleted recursively at
+    * JVM exit — repeated Bench/Verify calls in one JVM reuse the written
+    * copy instead of leaking one per invocation. */
+  private val scratchCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def scratchDir(tag: String): String =
+    scratchCache.getOrElseUpdate(tag, {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      p.toString
+    })
+
   /** JSONL sink → source round trip; md5(text) proves payload fidelity. */
   def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = scratchDir("jsonl_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     val docs = Tables.documents(s, d)
       .select("doc_id", "lang", "source", "n_chars", "text")
     Formats.writeJsonl(docs, tmp)
@@ -311,7 +328,7 @@ object ExtQueries {
 
   /** CSV sink → source round trip (typed read-back, incl. doubles). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = scratchDir("csv_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     val ev = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
     Formats.writeCsv(ev, tmp)
@@ -1120,13 +1137,16 @@ object ExtQueries {
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the identical regexp chain, replayed with DuckDB's 'g' flag
+    // (&amp; decoded last, matching TextAnalysis.stripMarkup — decoding
+    // it first would double-decode nested entities like "&amp;lt;")
     "ext_strip_markup" ->
       """WITH s AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(text,
         |    '<[^>]*>', ' ', 'g'),
-        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
         |    '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'),
         |    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
         |    '\*+', '', 'g'),
         |  '\s+', ' ', 'g')) AS clean FROM documents)

@@ -22,6 +22,12 @@ object Formats {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** `multiLine=true` so quoted values containing newlines parse as one
+    * record (the writer quotes them; the default line-split reader would
+    * shear the record in two). Cost: a multiLine file isn't block-split
+    * — parallelism is per FILE, so keep many output files (the writer's
+    * one-file-per-partition default already does). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(path)
 }

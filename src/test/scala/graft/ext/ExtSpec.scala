@@ -44,11 +44,13 @@ class ExtSpec extends SparkSpec {
   test("stripMarkup removes tags/entities/links/emphasis and normalizes space") {
     val d = docs(
       (1L, "<p>Hello &amp; <b>world</b></p>   see [docs](http://x.y/z) **now**"),
-      (2L, "plain  text \t already"))
+      (2L, "plain  text \t already"),
+      (3L, "escaped &amp;lt; stays, real &lt; decodes")) // &amp; decodes LAST
     val got = TextAnalysis.stripMarkup(d)
       .as[(Long, String, Int)].collect().sortBy(_._1)
     assert(got(0)._2 == "Hello & world see docs now")
     assert(got(1)._2 == "plain text already")
+    assert(got(2)._2 == "escaped &lt; stays, real < decodes")
     assert(got(0)._3 == got(0)._2.length)
   }
 

@@ -26,7 +26,8 @@ class FormatsSpec extends SparkSpec {
     val df = Seq(
       (1L, "a,b comma", 1.25),
       (2L, "say \"hi\"", math.Pi),
-      (3L, "plain", -0.0001)
+      (3L, "plain", -0.0001),
+      (4L, "two\nlines", 2.5) // quoted newline needs multiLine read
     ).toDF("id", "s", "v")
     val dir = tmp("graft_csv_spec")
     Formats.writeCsv(df, dir)
