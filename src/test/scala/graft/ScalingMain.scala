@@ -92,6 +92,31 @@ object ScalingMain {
       println(f"$m%4d | $nRows%13d | $t%8.2f")
       lim.unpersist(blocking = true); ordm.unpersist(blocking = true)
     }
+
+    // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
+    // shard count grows with V — the huge-V regime where the model never
+    // broadcasts whole (SURVEY §7.4 risk 2)
+    println("mult |   tokens |  vocab | shards | sharded train 2 iters")
+    mults.foreach { m =>
+      val docs = replicated(m)
+      val toks = lda.Corpus.tokenize(docs)
+      val vocab = lda.Corpus.sortedVocab(toks).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = vocab.count().toInt
+      val corpus = lda.Corpus.fromTokenIds(
+        toks.join(broadcast(vocab), "tok").select("doc_id", "word_id"), 4, 42L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTok = corpus.rdd.map(_.topics.length.toLong).reduce(_ + _)
+      val shards = math.max(2, m / 2)
+      val t0 = System.nanoTime()
+      val res = lda.ShardedLda.train(corpus, v,
+        lda.LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
+          totalIterations = 2, seed = 42L), numShards = shards)
+      res.modelRows.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"$m%4d | $nTok%8d | $v%6d | $shards%6d | $t%8.2f")
+      corpus.unpersist(blocking = true); vocab.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }
