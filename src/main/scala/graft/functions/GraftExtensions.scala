@@ -14,15 +14,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or programmatically via [[GraftExtensions.register]].
   */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
   private type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Evaluate a foldable SQL argument to an Int (for the expressions
+    * whose parameters are construction-time constants). */
+  private def intArg(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
+  }
 
   val dotFunction: FunctionDescription = (
     FunctionIdentifier("graft_dot"),
@@ -32,10 +45,32 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  val shinglesFunction: FunctionDescription = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_shingles(toks, n) takes exactly 2 arguments")
+      Shingles(children.head, intArg(children(1), "graft_shingles", "n"))
+    })
+
+  val cdcChunksFunction: FunctionDescription = (
+    FunctionIdentifier("graft_cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_cdc_chunks(toks, window, avgChunk) takes exactly 3 arguments")
+      CdcChunks(children.head,
+        intArg(children(1), "graft_cdc_chunks", "window"),
+        intArg(children(2), "graft_cdc_chunks", "avgChunk"))
+    })
+
+  val all: Seq[FunctionDescription] =
+    Seq(dotFunction, shinglesFunction, cdcChunksFunction)
+
   /** Register into an already-built session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = dotFunction
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 }

@@ -51,6 +51,20 @@ class DotProductSpec extends SparkSpec {
     assert(err.getMessage.contains("2 arguments"))
   }
 
+  test("graft_shingles and graft_cdc_chunks are callable from SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_shingles(array('a','b','c','d'), 2) AS sh,
+        |       graft_cdc_chunks(array('a','b','c','d'), 3, 8) AS ch""".stripMargin)
+      .collect().head
+    assert(got.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(got.getSeq[String](1).mkString(" ") == "a b c d")
+    // non-literal parameter rejected with a clean error
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_shingles(array('a'), CAST(rand()*2 AS INT))").collect())
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("two instances share one codegen stage without local-name collisions") {
     // ADVICE r1: with non-nullable children nullSafeCodeGen emits the body
     // unbraced at method scope, so fixed local names would collide when two
