@@ -116,14 +116,19 @@ object TextAnalysis {
     * Content-keyed (not doc-id-keyed) so re-ingested duplicates land in
     * the same split — the property that prevents train/test leakage in
     * dedup'd training pipelines. Pure map, no shuffle. */
-  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
-    docs.select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
-  }
+  /** Content-hash split bucket in [0, 100) and its train/val/test label
+    * — pure column expressions (no shuffle), shared by [[hashSplit]] and
+    * [[cleanCorpus]]. */
+  def splitBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 4), 16, 10).cast("int") % 100
+  def splitLabel(text: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(splitBucket(text) < trainPct, "train")
+      .when(splitBucket(text) < trainPct + valPct, "val")
+      .otherwise("test")
+
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"), splitBucket(col("text")).as("bucket"),
+      splitLabel(col("text"), trainPct, valPct).as("split"))
 
   /** Corpus n-gram counts (contiguous token n-grams): the language-model
     * counting primitive. Shingle expansion is the codegen'd
@@ -171,9 +176,13 @@ object TextAnalysis {
     * training corpus" shape: (1) drop docs failing quality gates (token
     * count, stopword ratio, repetition); (2) keep one canonical doc per
     * exact content group; (3) assign content-hash splits. Stages are the
-    * individually-oracle-checked operators composed; the whole pipeline
-    * still shuffles only twice (doc_id for repetition metrics, digest for
-    * canonical dedup) — filters and the split are narrow. */
+    * individually-oracle-checked operators composed. Every metric is
+    * computed IN-ROW (token/stopword counts from the token array; the
+    * top-bigram fraction via the native
+    * [[graft.functions.MaxDupFrac]] — the in-row form of the
+    * two-aggregation groupBy it replaces, bit-identical division), and
+    * the split bucket is content-derived, so the whole pipeline's ONLY
+    * shuffle is the canonical-dedup digest window — no joins at all. */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
       minStopwordRatio: Double = 0.05, maxTopBigramFrac: Double = 0.2): DataFrame = {
     // gates compare RAW (unrounded) ratios: the raw doubles are
@@ -181,22 +190,16 @@ object TextAnalysis {
     // at a decimal boundary (Spark HALF_UP vs DuckDB binary rounding) and
     // flip a filter decision
     val en = stopwords.toMap.apply("en")
-    val tk = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("n_toks"),
-        (hits(col("ts"), en).cast("double") / size(col("ts"))).as("sw_ratio"))
-    val bi = Dedup.explodedShingles(docs, 2)
-      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bi_frac"))
+    val ts = Dedup.tokens(col("text"))
+    val nToks = size(ts)
+    val swRatio = hits(ts, en).cast("double") / nToks
+    val topBiFrac = graft.functions.MaxDupFrac.maxDupFrac(Dedup.shingles(ts, 2))
     val passing = docs
-      .join(tk, "doc_id")
-      .join(bi, Seq("doc_id"), "left")
-      .where(col("n_toks") >= minTokens &&
-        col("sw_ratio") >= minStopwordRatio &&
-        (col("top_bi_frac").isNull || col("top_bi_frac") <= maxTopBigramFrac))
-      .select(docs.columns.map(col): _*)
+      .where(nToks >= minTokens &&
+        swRatio >= minStopwordRatio &&
+        (topBiFrac.isNull || topBiFrac <= maxTopBigramFrac))
     Dedup.keepCanonical(passing)
-      .join(hashSplit(passing).select("doc_id", "split"), "doc_id")
+      .withColumn("split", splitLabel(col("text")))
   }
 
   /** Train/test decontamination report: test-split docs sharing ≥

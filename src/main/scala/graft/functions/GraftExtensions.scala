@@ -64,8 +64,16 @@ object GraftExtensions {
         intArg(children(2), "graft_cdc_chunks", "avgChunk"))
     })
 
+  val maxDupFracFunction: FunctionDescription = (
+    FunctionIdentifier("graft_max_dup_frac"),
+    new ExpressionInfo(classOf[MaxDupFrac].getName, "graft_max_dup_frac"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_max_dup_frac(arr) takes exactly 1 argument")
+      MaxDupFrac(children.head)
+    })
+
   val all: Seq[FunctionDescription] =
-    Seq(dotFunction, shinglesFunction, cdcChunksFunction)
+    Seq(dotFunction, shinglesFunction, cdcChunksFunction, maxDupFracFunction)
 
   /** Register into an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
