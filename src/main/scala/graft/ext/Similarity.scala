@@ -120,26 +120,25 @@ object Similarity {
     * standard recall/cost dial. Per-table joins are bucket-local; the
     * all-pairs cross join never materializes. */
   def lshCandidatePairs(embeddings: DataFrame, nBits: Int, tables: Int, dim: Int, seed: Long): DataFrame = {
-    // Per-table collision pairs WITHOUT a self-join: bucket the table,
-    // group each bucket into an in-row vec list, emit ordered pairs by a
-    // double explode (same trick as Dedup.minhashCandidates) — one scan +
-    // one small shuffle per table instead of two join-side scans each
-    // re-running the nBits×dim literal-plane dot tree. (Fusing ALL tables
-    // into a single scan was measured SLOWER: tables×nBits dot products in
-    // one projection blow past the JIT method-size limit and the stage
-    // drops to interpreted code. One table per scan keeps each stage
-    // hot.) A pair colliding in several tables dedups in the distinct.
-    val perTable = (0 until tables).map { t =>
+    // One (vec_id, table, bucket) frame — each table's bucket bits stay
+    // in their OWN union branch (fusing tables×nBits dot products into a
+    // single projection was measured SLOWER: it blows past the JIT
+    // method-size limit and drops to interpreted code) — checkpointed so
+    // the nBits×dim literal-plane dot trees run once, then ONE flat
+    // self-join on (table, bucket) generates collision pairs: fully
+    // codegen'd, AQE-skew-splittable (the collect_list bucket-expansion
+    // form this replaces ran ObjectHashAggregate per table). A pair
+    // colliding in several tables dedups in the distinct.
+    val buckets = (0 until tables).map { t =>
       lshBuckets(embeddings, nBits, dim, seed + 0x9E3779B9L * (t + 1))
-        .groupBy("bucket").agg(collect_list(col("vec_id")).as("vs"))
-        .where(size(col("vs")) > 1)
-        .select(explode(col("vs")).as("vec_a"), col("vs"))
-        .select(col("vec_a"), explode(col("vs")).as("vec_b"))
-        .where(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b")
-    }
+        .select(lit(t).as("tbl"), col("bucket"), col("vec_id"))
+    }.reduce(_ union _).localCheckpoint()
+    val l = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val r = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
     val e = withNorm(embeddings)
-    perTable.reduce(_ union _).distinct()
+    l.join(r, Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
       .join(e.toDF("vec_a", "ea", "na"), "vec_a")
       .join(e.toDF("vec_b", "eb", "nb"), "vec_b")
   }
