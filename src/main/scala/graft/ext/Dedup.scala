@@ -465,6 +465,32 @@ object Dedup {
     out
   }
 
+  /** Edit-distance near-dup pairs with prefix blocking: candidate pairs
+    * share an exact `blockLen`-char prefix (the blocking key — the classic
+    * record-linkage trick that turns an O(n²) all-pairs Levenshtein into
+    * per-block joins), scored by Levenshtein distance over the first
+    * `prefixLen` chars, lowest-distance `topK` pairs reported.
+    *
+    * Scale shape: one flat self-join on the block key (codegen'd hash
+    * join; AQE skew-split handles an oversized block), never a cartesian
+    * product — the same bucket-local pattern as the LSH/minhash candidate
+    * joins. Levenshtein is O(prefixLen²) per pair, so `prefixLen` caps
+    * per-pair cost independent of document length; the global top-k is a
+    * TakeOrdered (no full sort shuffle). */
+  def editDistancePairs(docs: DataFrame, blockLen: Int = 8, prefixLen: Int = 128,
+      topK: Int = 10): DataFrame = {
+    val b = spreadForCompute(docs).select(col("doc_id"),
+      substring(col("text"), 1, blockLen).as("bk"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val l = b.toDF("doc_a", "bk", "pre_a")
+    val r = b.toDF("doc_b", "bk", "pre_b")
+    l.join(r, "bk").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).as("dist"))
+      .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
   /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest
     * doc_id) per exact content group — the "write the cleaned dataset"
     * step after [[exactDupGroups]] reports. One shuffle on the digest;

@@ -498,4 +498,55 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("ta"), col("tb"))
       .limit(k)
   }
+
+  /** Fixed-size token windows with stride — the pretraining chunking
+    * stage that turns variable-length documents into model-ready
+    * sequences. Chunk i covers tokens [i·stride, i·stride + window); the
+    * last chunk may be short; a doc shorter than `window` yields one
+    * chunk. Output: (doc_id, chunk_idx, n_toks, h) with h = md5 of the
+    * space-joined chunk (the compare-friendly content digest).
+    *
+    * Scale shape: pure in-row compute + generate — NO exchange anywhere;
+    * a 100 TB corpus chunks with one task per input split, and the chunk
+    * table inherits the scan's partitioning. The per-doc chunk count is
+    * ⌈max(n−window,0)/stride⌉+1, so output size is predictable
+    * (~n/stride rows per doc). */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 32): DataFrame = {
+    val nChunksMinus1 = ceil(
+      greatest(size(col("_ts")) - window, lit(0)) / lit(stride.toDouble)).cast("int")
+    Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_ts"))
+      .where(size(col("_ts")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunksMinus1),
+          i => slice(col("_ts"), i * stride + 1, lit(window)))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("h"))
+  }
+
+  /** Winnowing fingerprints (the MOSS / local-minimum scheme): hash every
+    * k-token shingle (8-hex md5 prefix), slide a window of `w` hashes,
+    * select each window's minimum, emit the distinct selected hashes per
+    * doc. Guarantee: any shared run of ≥ k+w−1 tokens between two docs
+    * yields ≥ 1 shared fingerprint — the contamination/plagiarism
+    * detector whose index is O(n/w) per doc instead of O(n). Docs with
+    * fewer than k+w−1 tokens (< w shingle hashes) emit nothing.
+    *
+    * Scale shape: shingling ([[graft.functions.Shingles]], codegen'd) and
+    * window-min selection are in-row — no exchange; the only shuffle any
+    * consumer pays is its own join/groupBy on the fingerprint. The `_hs`
+    * projection is kept out of the window lambda (multiply referenced →
+    * CollapseProject keeps it), so each shingle is hashed exactly once,
+    * not once per window. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val sh = graft.functions.Shingles.shinglesNative(Dedup.tokens(col("text")), k)
+    Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), transform(sh, s => substring(md5(s), 1, 8)).as("_hs"))
+      .where(size(col("_hs")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("_hs")) - (w - 1)),
+          i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
+  }
 }

@@ -338,6 +338,33 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** ORC sink → source round trip over lineitem (columnar twin of the
+    * parquet truth; exercises doubles + timestamps through ORC). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratchDir("orc_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_shipdate")
+    Formats.writeOrc(li, tmp)
+    Formats.readOrc(s, tmp, li.schema)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("l_quantity"), 4).as("qty"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Pretraining chunk table: 64-token windows, stride 32. */
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkWindows(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Winnowing fingerprints (k=4 shingles, window 5). */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowFingerprints(Tables.documents(s, d))
+      .orderBy("doc_id", "fp")
+
+  /** Levenshtein near-dup pairs under 8-char prefix blocking. */
+  def editDistance(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, d))
+
   /** Per-user trailing-4-event rolling mean (feature engineering). */
   def rollingFeatures(s: SparkSession, d: String): DataFrame =
     Temporal.rollingMean(
@@ -438,6 +465,10 @@ object ExtQueries {
     "ext_rolling_features" -> rollingFeatures _,
     "ext_compact_latest" -> compactLatestQ _,
     "ext_strip_markup" -> stripMarkup _,
+    "ext_orc_roundtrip" -> orcRoundtrip _,
+    "ext_chunk_windows" -> chunkWindows _,
+    "ext_winnow" -> winnow _,
+    "ext_edit_distance" -> editDistance _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1135,6 +1166,51 @@ object ExtQueries {
         |  FROM events)
         |SELECT user_id, event_id AS latest_event_id, event_type, ROUND(value, 4) AS v
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the round trip must reproduce the parquet truth exactly
+    "ext_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  ROUND(l_quantity, 4) AS qty, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // chunk i covers tokens [i*32, i*32+64); last chunk may be short
+    "ext_chunk_windows" ->
+      s"""WITH $toksCte,
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |         list_slice(ts, i*32 + 1, least(i*32 + 64, len(ts))) AS chunk
+         |  FROM toks, unnest(range(0,
+         |    CAST(ceil(greatest(len(ts) - 64, 0) / 32.0) AS BIGINT) + 1)) AS t(i)
+         |  WHERE len(ts) > 0
+         |)
+         |SELECT doc_id, chunk_idx, len(chunk) AS n_toks,
+         |       md5(array_to_string(chunk, ' ')) AS h
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // winnowing: k=4 shingle hashes (8-hex md5 prefix), min per window of
+    // 5, distinct per doc — mirrors TextAnalysis.winnowFingerprints
+    "ext_winnow" ->
+      s"""WITH $toksCte,
+         |hs AS (
+         |  SELECT doc_id, list_transform(range(1, len(ts) - 2),
+         |    i -> substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8)) AS hs
+         |  FROM toks WHERE len(ts) >= 4
+         |),
+         |sel AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 1),
+         |    i -> list_min(list_slice(hs, i, i + 4)))) AS fps
+         |  FROM hs WHERE len(hs) >= 5
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
+    "ext_edit_distance" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 8) AS bk,
+        |                  substr(text, 1, 128) AS pre FROM documents)
+        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |       levenshtein(l.pre, r.pre) AS dist
+        |FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id
+        |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
 
     // the identical regexp chain, replayed with DuckDB's 'g' flag
     // (&amp; decoded last, matching TextAnalysis.stripMarkup — decoding

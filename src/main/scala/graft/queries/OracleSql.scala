@@ -199,5 +199,37 @@ object OracleSql {
         |)
         |SELECT tok, ROW_NUMBER() OVER (ORDER BY d0, p0) - 1 AS word_id
         |FROM f2 ORDER BY word_id""".stripMargin,
+
+    "q27_full_outer" ->
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |FROM (SELECT * FROM customer WHERE c_nationkey < 10) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey NULLS FIRST""".stripMargin,
+
+    "q28_exists_subquery" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q29_scalar_subquery" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 4) AS price FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q30_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+        |  ROUND(SUM(l_extendedprice), 4) AS p
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q31_filtered_agg" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  ROUND(AVG(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS avg_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

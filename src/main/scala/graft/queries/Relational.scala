@@ -222,9 +222,71 @@ object Relational {
       graft.lda.Corpus.tokenize(documents(s, d).select("doc_id", "text")))
       .orderBy("word_id")
 
+  // Q27 full outer join + null-extension aggregate: customers of nations
+  // 0-9 vs URGENT orders. Both orphan sides are non-empty (customers with
+  // no urgent order → n_orders = 0; urgent orders of nations ≥ 10 → the
+  // NULL c_custkey group). At scale this is a shuffle join on the customer
+  // key; the aggregate reuses the join's partitioning (no extra exchange).
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).where(col("c_nationkey") < 10)
+    val o = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  // Q28 correlated EXISTS subquery (decorrelated by Catalyst into a
+  // left-semi join — same physical shape as Q09, but exercising the SQL
+  // subquery surface end to end).
+  def q28(s: SparkSession, d: String): DataFrame = {
+    part(s, d).createOrReplaceTempView("graft_part")
+    lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql("""SELECT p_partkey, p_name FROM graft_part p
+             WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+                           WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+             ORDER BY p_partkey""")
+  }
+
+  // Q29 scalar subquery: orders above twice the mean price. The subquery
+  // is one global aggregate evaluated once and broadcast into the filter.
+  def q29(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 4) AS price FROM graft_orders
+             WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM graft_orders)
+             ORDER BY o_orderkey""")
+  }
+
+  // Q30 CUBE: all four grouping sets of (returnflag, linestatus) in one
+  // pass — Spark expands to a single aggregate over the grouping-set
+  // union (one shuffle, partial+final).
+  def q30(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("c"), round(sum(col("l_extendedprice")), 4).as("p"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // Q31 distinct + filtered aggregates in one grouped pass: COUNT(DISTINCT)
+  // plus two FILTER-clause aggregates (expressed as count/avg over
+  // conditional projections — identical semantics, and avg ignores the
+  // NULLs the `when` leaves for non-matching rows).
+  def q31(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count_distinct(col("o_custkey")).as("n_cust"),
+        count(when(col("o_totalprice") > 100000, 1)).as("n_big"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 4).as("avg_urgent"))
+      .orderBy("o_orderstatus")
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_vocab_first_seen" -> q26 _,
+    "q27_full_outer" -> q27 _,
+    "q28_exists_subquery" -> q28 _,
+    "q29_scalar_subquery" -> q29 _,
+    "q30_cube" -> q30 _,
+    "q31_filtered_agg" -> q31 _,
     "q01_scan_project" -> q01 _,
     "q02_filter" -> q02 _,
     "q03_tokenize" -> q03 _,

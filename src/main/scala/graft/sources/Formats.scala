@@ -30,4 +30,14 @@ object Formats {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true")
       .option("multiLine", "true").csv(path)
+
+  /** ORC — the second columnar format next to parquet (stripe-level
+    * predicate pushdown, per-stripe splits, vectorized read). Same
+    * explicit-schema discipline as the text formats; fidelity is
+    * oracle-checked incl. doubles and timestamps (ext_orc_roundtrip). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -35,6 +35,18 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round trip preserves longs, strings, doubles, and timestamps") {
+    val df = Seq(
+      (1L, "plain", 1.5, java.sql.Timestamp.valueOf("1998-09-02 10:30:00")),
+      (2L, "é中文 \"q\"", 0.1 + 0.2, java.sql.Timestamp.valueOf("1970-01-01 00:00:00")),
+      (3L, "", Double.MinPositiveValue, java.sql.Timestamp.valueOf("2030-12-31 23:59:59"))
+    ).toDF("id", "s", "v", "ts")
+    val dir = tmp("graft_orc_spec")
+    Formats.writeOrc(df, dir)
+    val back = Formats.readOrc(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("incremental partial merge equals the direct aggregate") {
     val events = graft.Tables.events(spark, sf())
     val merged = graft.ext.Incremental
