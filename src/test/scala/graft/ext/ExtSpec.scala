@@ -87,6 +87,17 @@ class ExtSpec extends SparkSpec {
     assert(g.length == 1 && g.head._1 == 2 && g.head._2 == Seq(1L, 5L))
   }
 
+  test("ivfTopK achieves useful recall of the exact top-k (nprobe=4 of 16 lists)") {
+    val e = graft.Tables.embeddings(spark, sf())
+    val q = e.where(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.annTopK(e, q, 5))
+    val approx = pairs(Similarity.ivfTopK(e, q, 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 $recall vs brute force") // probing 1/4 of lists
+  }
+
   test("lshPairsTopK achieves high recall of the true top pairs (multi-table)") {
     val emb = Tables.embeddingsFixture(spark)
     val exact = Similarity.cosinePairsTopK(emb, 10).as[(Long, Long, Double)]

@@ -109,4 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(3000))
     assert(p.contains("*(1)"), p.take(2000)) // codegen'd first stage
   }
+
+  test("chunk_windows and winnow are exchange-free up to the final sort") {
+    for (q <- Seq("ext_chunk_windows", "ext_winnow")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      // in-row chunking/fingerprinting: the ORDER BY's range exchange is
+      // the ONLY shuffle; the spreadForCompute round-robin is not hash
+      assert(!p.contains("hashpartitioning"), s"$q:\n${p.take(3000)}")
+    }
+  }
+
+  test("edit-distance blocking joins on the block key, never cross-product") {
+    val p = plan("ext_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
 }
