@@ -34,4 +34,28 @@ object Layout {
     keyed.repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** Hive-style partitioned parquet write: one directory per value of
+    * `partCol`. The complementary read path prunes whole directories from
+    * the LISTING — a `WHERE partCol = v` never opens, stats-checks, or
+    * schedules a single file of any other partition (the coarsest and
+    * cheapest pruning level, before footer min/max even applies). This is
+    * THE layout decision for a 100 TB corpus keyed by a low-cardinality
+    * dimension (language, source, date): scans restricted to one value
+    * touch 1/|partitions| of the bytes by construction.
+    *
+    * Keep `partCol` low-cardinality: each distinct value is a directory,
+    * and each task writes one file per value it sees — a high-cardinality
+    * key degenerates into millions of tiny files (use [[clusterByZorder]]
+    * or bucketing for those instead). */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Read back a [[writePartitioned]] dataset. Partition-column values
+    * come from directory names (hive-style discovery); `basePath` keeps
+    * the column in the schema. Plan hygiene: a filter on the partition
+    * column must land in the scan's `PartitionFilters` (asserted in
+    * PlanSpec), not in a post-scan Filter node. */
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
 }

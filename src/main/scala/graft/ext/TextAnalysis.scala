@@ -525,6 +525,42 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("h"))
   }
 
+  /** Deterministic global training-order shuffle: position = rank of
+    * md5(seed ":" doc_id) — the seeded permutation every pretraining run
+    * applies before packing/sharding, reproducible across engines and
+    * cluster layouts (the hash is content-independent, so re-partitioning
+    * the input never changes the order).
+    *
+    * Scale shape: the rank is computed WITHOUT a single-partition window
+    * (the q18 anti-pattern): range-partition by the hash, sort within
+    * partitions, then add per-partition offsets (one tiny driver-side
+    * count array) — every partition ranks in parallel, the same two-pass
+    * scheme as [[Temporal.runningSum]]. */
+  def shuffleOrder(docs: DataFrame, seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val prepared = docs
+      .select(col("doc_id"), md5(concat_ws(":", lit(seed), col("doc_id"))).as("h"))
+      .repartitionByRange(np, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+    val rdd = prepared.rdd
+    val counts = rdd.mapPartitionsWithIndex((pid, it) =>
+        Iterator.single((pid, { var n = 0L; it.foreach(_ => n += 1); n })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { r => val row = Row(r.get(0), pos); pos += 1; row }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", prepared.schema.head.dataType),
+      StructField("shuffle_pos", LongType))))
+  }
+
   /** Winnowing fingerprints (the MOSS / local-minimum scheme): hash every
     * k-token shingle (8-hex md5 prefix), slide a window of `w` hashes,
     * select each window's minimum, emit the distinct selected hashes per

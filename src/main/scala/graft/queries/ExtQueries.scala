@@ -365,6 +365,27 @@ object ExtQueries {
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
 
+  /** Partitioned-layout round trip: documents written hive-partitioned by
+    * lang, read back with a partition filter. PlanSpec asserts the filter
+    * lands in PartitionFilters (directory pruning — the scan never lists
+    * the other languages' files). */
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratchDir("part_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val marker = new java.io.File(tmp, "_SUCCESS")
+    if (!marker.exists()) // write once per JVM; repeat calls only read
+      Layout.writePartitioned(
+        Tables.documents(s, d).select("doc_id", "n_chars", "lang"), tmp, "lang")
+    Layout.readPartitioned(s, tmp)
+      .where(col("lang") === "es")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Seeded deterministic training-order permutation. */
+  def shuffleOrder(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.shuffleOrder(Tables.documents(s, d), seed = 42L)
+      .orderBy("doc_id")
+
   /** Per-user trailing-4-event rolling mean (feature engineering). */
   def rollingFeatures(s: SparkSession, d: String): DataFrame =
     Temporal.rollingMean(
@@ -469,6 +490,8 @@ object ExtQueries {
     "ext_chunk_windows" -> chunkWindows _,
     "ext_winnow" -> winnow _,
     "ext_edit_distance" -> editDistance _,
+    "ext_partition_prune" -> partitionPrune _,
+    "ext_shuffle_order" -> shuffleOrder _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1211,6 +1234,18 @@ object ExtQueries {
         |       levenshtein(l.pre, r.pre) AS dist
         |FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id
         |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
+
+    // partition-pruned read must equal a plain filtered scan
+    "ext_partition_prune" ->
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'es'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the engine's two-pass distributed rank == the window-form rank
+    "ext_shuffle_order" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the identical regexp chain, replayed with DuckDB's 'g' flag
     // (&amp; decoded last, matching TextAnalysis.stripMarkup — decoding

@@ -59,6 +59,20 @@ class ChunkWinnowSpec extends SparkSpec {
     assert(fps.nonEmpty && fps.distinct.length == fps.length)
   }
 
+  test("shuffleOrder is a permutation, seed-sensitive, and partitioning-invariant") {
+    val d = graft.Tables.documents(spark, sf()).select("doc_id", "text")
+    val a = TextAnalysis.shuffleOrder(d, seed = 7L, numPartitions = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = TextAnalysis.shuffleOrder(d.repartition(11), seed = 7L, numPartitions = 5)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val c = TextAnalysis.shuffleOrder(d, seed = 8L, numPartitions = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = d.count()
+    assert(a.map(_._2).sorted.toSeq == (0L until n).toSeq) // bijection onto 0..n-1
+    assert(a.toSeq == b.toSeq)   // same seed: layout-independent
+    assert(a.toSeq != c.toSeq)   // different seed: different permutation
+  }
+
   test("editDistancePairs finds planted same-prefix near-dups, ranked by distance") {
     val p = "PREFIX__" // 8-char blocking key
     val d = docs(

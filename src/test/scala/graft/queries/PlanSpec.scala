@@ -127,4 +127,17 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(p.contains("Join"), p.take(3000))
   }
+
+  test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
+    val p = plan("ext_partition_prune")
+    // FileScan renders both filter lists on one line — slice each bracket
+    def bracketAfter(marker: String): String = {
+      val i = p.indexOf(marker)
+      if (i < 0) "" else p.substring(i, p.indexOf("]", i) + 1)
+    }
+    assert(bracketAfter("PartitionFilters: [").contains("lang"),
+      s"no partition filter on lang:\n${p.take(3000)}")
+    // and NOT as a pushed data filter — the column only exists as a directory
+    assert(!bracketAfter("PushedFilters: [").contains("lang"), p.take(3000))
+  }
 }
