@@ -56,34 +56,13 @@ object Sketches {
     require(capacity >= 1 && k >= 1, "capacity and k must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    type MG = scala.collection.mutable.HashMap[String, Long]
-
-    def shrink(m: MG, by: Long): Unit = if (by > 0) {
-      val ks = m.keys.toArray
-      var i = 0
-      while (i < ks.length) {
-        val nv = m(ks(i)) - by
-        if (nv <= 0) m.remove(ks(i)) else m(ks(i)) = nv
-        i += 1
-      }
-    }
-    val add = (m: MG, t: String) => {
-      if (m.contains(t)) m(t) += 1
-      else if (m.size < capacity) m(t) = 1L
-      else shrink(m, 1) // classic decrement-all step
-      m
-    }
-    val merge = (a: MG, b: MG) => {
-      b.foreach { case (t, v) => a(t) = a.getOrElse(t, 0L) + v }
-      if (a.size > capacity) {
-        // subtract the (capacity+1)-th largest count from everything
-        val vs = a.values.toArray.sorted(Ordering[Long].reverse)
-        shrink(a, vs(capacity))
-      }
-      a
-    }
+    import graft.functions.MisraGries
+    // add/merge kernel shared with the SQL UDAF form (graft_heavy_hitters,
+    // registered by GraftExtensions) — one implementation, two surfaces
     val summary = df.select(c.cast("string").as("item")).as[String]
-      .rdd.treeAggregate(new MG)(add, merge)
+      .rdd.treeAggregate(new MisraGries.MG)(
+        (m, t) => MisraGries.add(m, t, capacity),
+        (a, b) => MisraGries.merge(a, b, capacity))
     summary.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
       .toDF("item", "c")
   }

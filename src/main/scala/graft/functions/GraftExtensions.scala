@@ -75,10 +75,17 @@ object GraftExtensions {
   val all: Seq[FunctionDescription] =
     Seq(dotFunction, shinglesFunction, cdcChunksFunction, maxDupFracFunction)
 
-  /** Register into an already-built session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register into an already-built session (tests, REPL). Also registers
+    * the UDAF surface (`spark.udf` path — SparkSessionExtensions only
+    * carries Expression builders): `graft_heavy_hitters(col)`, the
+    * Misra–Gries top-items sketch at capacity 64 returning
+    * map<string,bigint> of surviving (item, count) entries. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    spark.udf.register("graft_heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new MgAggregator(64)))
+  }
 }

@@ -250,7 +250,14 @@ object ShardedLda {
     *
     * Visit order is shard-major, so chains are NOT bit-identical to
     * [[LdaInfer.infer]]'s doc-major chains — statistically equivalent,
-    * verified by planted-topic recovery (ShardedLdaSpec), not by hash. */
+    * verified by planted-topic recovery (ShardedLdaSpec), not by hash.
+    *
+    * Lifecycle: the returned Dataset is a map view over the final
+    * persisted+localCheckpointed state generation. Its blocks are
+    * released by the ContextCleaner once the caller drops the Dataset
+    * (standard RDD GC semantics); do NOT unpersist the backing RDD while
+    * still consuming the view — localCheckpoint truncated its lineage, so
+    * evicted blocks cannot be recomputed. */
   def infer(docs0: Dataset[DocState], modelRows: Dataset[WordTopics],
       numWords: Int, cfg: LdaConfig, numShards: Int): Dataset[LdaInfer.DocTopics] = {
     val spark = docs0.sparkSession

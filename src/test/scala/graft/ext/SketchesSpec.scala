@@ -47,6 +47,39 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("SQL UDAF graft_heavy_hitters matches the treeAggregate form (exact regime)") {
+    graft.Tables.docsTokenized(spark, sf()).createOrReplaceTempView("graft_toks")
+    val viaSql = spark.sql(
+      """SELECT tok, c FROM (
+        |  SELECT explode(graft_heavy_hitters(tok)) AS (tok, c) FROM graft_toks
+        |) ORDER BY c DESC, tok LIMIT 20""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    val viaRdd = Sketches.heavyHitters(
+        graft.Tables.docsTokenized(spark, sf()), col("tok"), capacity = 64, k = 20)
+      .as[(String, Long)].collect().toSeq
+    // capacity 64 >= V=31 distinct tokens -> both EXACT, so they agree
+    assert(viaSql == viaRdd)
+  }
+
+  test("SQL UDAF groups independently: per-lang heavy hitters are exact per group") {
+    val d = graft.Tables.documents(spark, sf())
+    d.select(col("lang"), explode(graft.Tables.tokensOf(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_lang_toks")
+    val got = spark.sql(
+      """SELECT lang, hh FROM (
+        |  SELECT lang, graft_heavy_hitters(tok) AS hh FROM graft_lang_toks GROUP BY lang
+        |)""".stripMargin).collect()
+    val exact = spark.sql(
+      """SELECT lang, tok, COUNT(*) AS c FROM graft_lang_toks GROUP BY lang, tok""")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val hh = r.getMap[String, Long](1).toMap
+      assert(hh == exact(lang), s"lang=$lang") // capacity >= per-group V -> exact
+    }
+  }
+
   test("count-min estimates are one-sided and within eps*N") {
     val toks = graft.Tables.docsTokenized(spark, sf())
     val sketch = Sketches.cmsOf(toks, col("tok"), eps = 0.01, confidence = 0.99)
