@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured fastest for the full 101-query battery on the 32-cpu
+  // bench box: 24g was 2× SLOWER (143s vs 70s total — G1 with a huge
+  // young gen across 32 task threads collects late and long).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
