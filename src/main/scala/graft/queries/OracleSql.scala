@@ -225,6 +225,43 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q32_window_nav" ->
+      """SELECT event_id, user_id,
+        |  ROUND(LAG(value) OVER w, 4) AS prev_v,
+        |  ROUND(LEAD(value) OVER w, 4) AS next_v,
+        |  ROUND(FIRST_VALUE(value) OVER w, 4) AS first_v,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q33_array_hof" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(list_sum(list_transform(e, x -> x * x)), 4) AS sumsq,
+        |  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+        |  ROUND(list_max(list_transform(e, x -> abs(x))), 4) AS max_abs
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q34_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, 'qu[a-z]+') AS first_qu,
+        |  CAST(len(regexp_extract_all(text, 'scan')) AS INT) AS n_scan,
+        |  CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END AS has_join
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_string_agg" ->
+      s"""WITH $langTok
+         |SELECT lang, string_agg(DISTINCT tok, ' ' ORDER BY tok) AS toks
+         |FROM lang_tokens GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q36_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 4) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin,
+
     "q31_filtered_agg" ->
       """SELECT o_orderstatus,
         |  COUNT(DISTINCT o_custkey) AS n_cust,

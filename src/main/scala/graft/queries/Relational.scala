@@ -279,8 +279,74 @@ object Relational {
         round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 4).as("avg_urgent"))
       .orderBy("o_orderstatus")
 
+  // Q32 navigation window functions: lag/lead/first_value/ntile per user.
+  // All four share ONE window spec, so WindowExec sorts each user's
+  // timeline once and evaluates every function in the same pass — one
+  // shuffle on user_id, never a global sort.
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      round(lag("value", 1).over(w), 4).as("prev_v"),
+      round(lead("value", 1).over(w), 4).as("next_v"),
+      round(first("value").over(w), 4).as("first_v"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("event_id")
+  }
+
+  // Q33 higher-order array functions (transform/filter/aggregate) — the
+  // codegen-friendly way to compute per-vector scalars without exploding
+  // 64 rows per vector: everything stays in-row inside one projection.
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    e.select(col("vec_id"),
+      round(aggregate(col("e"), lit(0.0), (a, x) => a + x * x), 4).as("sumsq"),
+      size(filter(col("e"), x => x > lit(0.0))).as("n_pos"),
+      round(array_max(transform(col("e"), x => abs(x))), 4).as("max_abs"))
+      .orderBy("vec_id")
+  }
+
+  // Q34 regexp scalar functions (extract / count / LIKE), all evaluated
+  // in one pipelined projection over the scan.
+  def q34(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "qu[a-z]+", 0).as("first_qu"),
+      regexp_count(col("text"), lit("scan")).as("n_scan"),
+      when(col("text").like("%join%"), 1).otherwise(0).as("has_join"))
+      .orderBy("doc_id")
+
+  // Q35 ordered string aggregation: per-language vocabulary as one
+  // space-joined sorted string (collect_set → array_sort → concat_ws; the
+  // SQL-standard LISTAGG shape). Deterministic because the join order is
+  // the sort order, not arrival order.
+  def q35(s: SparkSession, d: String): DataFrame =
+    langTokens(s, d).groupBy("lang")
+      .agg(concat_ws(" ", array_sort(collect_set(col("tok")))).as("toks"))
+      .orderBy("lang")
+
+  // Q36 lateral correlated subquery: top-2 customers by balance per
+  // nation. Catalyst plans the LATERAL ... LIMIT as a per-group top-k
+  // (rank window over the join), not a nested loop per nation row.
+  def q36(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_nation")
+    customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql("""SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 4) AS bal
+             FROM graft_nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM graft_customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+             ORDER BY n_name, bal DESC, c_name""")
+  }
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_window_nav" -> q32 _,
+    "q33_array_hof" -> q33 _,
+    "q34_regexp" -> q34 _,
+    "q35_string_agg" -> q35 _,
+    "q36_lateral_topk" -> q36 _,
     "q26_vocab_first_seen" -> q26 _,
     "q27_full_outer" -> q27 _,
     "q28_exists_subquery" -> q28 _,
