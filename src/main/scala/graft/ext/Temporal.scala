@@ -224,4 +224,46 @@ object Temporal {
       .where(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Per-key exponentially weighted moving average:
+    * y_1 = x_1; y_i = alpha·x_i + (1−alpha)·y_{i−1} in `orderCol` order
+    * within each key — the recursive smoother window frames can't express
+    * (every frame aggregate is over a FIXED set of rows; EWMA's weights
+    * depend on the distance to the current row).
+    *
+    * Implementation: one shuffle (repartition by key), sort within
+    * partitions by (key, order), then a sequential per-partition scan
+    * that resets state at each key boundary — O(1) state per task, no
+    * per-key collect, nothing ever funnels through one task. Rows with a
+    * NULL value pass the previous smoothed value through unchanged (and
+    * emit NULL until the key's first non-null).
+    *
+    * Output: input key + order columns + `ewma` (ROUND ·,4). */
+  def ewma(df: DataFrame, key: String = "user_id", orderCol: String = "event_id",
+      valueCol: String = "value", alpha: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    val prepared = df.select(col(key), col(orderCol), col(valueCol))
+      .repartition(np, col(key))
+      .sortWithinPartitions(col(key), col(orderCol))
+    val out = prepared.rdd.mapPartitions { it =>
+      var curKey: Any = null
+      var have = false
+      var y = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        if (!have || k != curKey) { curKey = k; have = true; y = Double.NaN }
+        if (!r.isNullAt(2)) {
+          val x = r.get(2).asInstanceOf[Number].doubleValue()
+          y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
+        }
+        Row(k, r.get(1), if (y.isNaN) null
+          else BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      prepared.schema(0), prepared.schema(1), StructField("ewma", DoubleType))))
+  }
 }

@@ -585,4 +585,44 @@ object TextAnalysis {
           sequence(lit(1), size(col("_hs")) - (w - 1)),
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * the hashed-n-gram variant collapsed to unigrams): score every doc by
+    * how much more likely its tokens are under a TARGET distribution than
+    * under the overall corpus distribution. Both distributions are
+    * add-one-smoothed unigram models over the shared vocabulary;
+    * w(doc) = mean over token occurrences of
+    * ln( p_target(tok) / p_corpus(tok) ). Rank by `w` and keep the top
+    * fraction to shift a pretraining mixture toward the target domain.
+    *
+    * `isTarget` marks the target-domain rows (e.g. `col("lang") === "es"`).
+    * Output: (doc_id, w) — w ROUND(·,4), one row per doc.
+    *
+    * Scale shape: ONE grouped count over the token stream computes both
+    * distributions (the target count rides along as a conditional sum —
+    * no second corpus pass), the V-row weight dictionary broadcasts into
+    * the scoring join, and the per-doc mean is a partial+final avg. Two
+    * token-stream shuffles total (count, per-doc agg), both map-side
+    * combined. */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    // per-token: corpus count + target count in one aggregation
+    val wc = occ.groupBy("tok").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    // corpus totals: V distinct tokens, N_all / N_t occurrences (one row)
+    val totals = wc.agg(
+      sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    val weights = wc.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log(((col("c_t") + 1.0) / (col("n_t") + col("v"))) /
+            ((col("c_all") + 1.0) / (col("n_all") + col("v")))).as("lw"))
+    occ.join(broadcast(weights), "tok")
+      .groupBy("doc_id")
+      .agg(round(avg(col("lw")), 4).as("w"))
+  }
 }

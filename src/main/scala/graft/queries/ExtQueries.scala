@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Incremental, Layout, Multimodal, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +26,19 @@ object ExtQueries {
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     candidates(s, d).orderBy("doc_a", "doc_b")
+
+  /** PageRank over the shared near-dup candidate graph. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame =
+    Graph.pageRank(candidates(s, d)).orderBy("doc_id")
+
+  /** DSIR importance weights toward the Spanish-language target domain. */
+  def importanceWeightsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.importanceWeights(Tables.documents(s, d), col("lang") === "es")
+      .orderBy("doc_id")
+
+  /** Per-user EWMA of event values (alpha = 0.2, event_id order). */
+  def ewmaQ(s: SparkSession, d: String): DataFrame =
+    Temporal.ewma(Tables.events(s, d)).orderBy("event_id")
 
   def jaccardTop(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardTopPairs(Tables.documents(s, d), 10)
@@ -492,6 +505,9 @@ object ExtQueries {
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
+    "ext_pagerank" -> pageRankQ _,
+    "ext_importance_weights" -> importanceWeightsQ _,
+    "ext_ewma" -> ewmaQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -555,7 +571,59 @@ object ExtQueries {
        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
        |)""".stripMargin
 
+  /** PageRank iteration CTE: r{i+1} from r{i} over edge list `e` with
+    * degrees `deg` and node count `nn.n` (mirrors [[Graph.pageRank]]). */
+  private def prIter(prev: String, next: String) =
+    s"""$next AS (
+       |  SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM($prev.r / deg.dg) AS r
+       |  FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src, nn
+       |  GROUP BY e.dst
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ext_pagerank" ->
+      s"""WITH $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS id, 1.0 / n AS r FROM deg, nn),
+         |${prIter("r0", "r1")}, ${prIter("r1", "r2")}, ${prIter("r2", "r3")},
+         |${prIter("r3", "r4")}, ${prIter("r4", "r5")}
+         |SELECT id AS doc_id, ROUND(r, 4) AS pr FROM r5 ORDER BY doc_id""".stripMargin,
+
+    "ext_importance_weights" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |ac AS (SELECT tok, COUNT(*) AS c_all,
+        |         COUNT(*) FILTER (WHERE lang = 'es') AS c_t
+        |       FROM occ GROUP BY tok),
+        |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t, COUNT(*) AS v FROM ac),
+        |w AS (SELECT tok, ln(((c_t + 1.0) / (n_t + v)) / ((c_all + 1.0) / (n_all + v))) AS lw
+        |      FROM ac, tot)
+        |SELECT occ.doc_id, ROUND(AVG(w.lw), 4) + 0.0 AS w
+        |FROM occ JOIN w USING (tok)
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
+
+    "ext_ewma" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+        |  FROM events
+        |),
+        |l AS (SELECT user_id, list(value ORDER BY i) AS xs FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.event_id,
+        |  ROUND(CASE WHEN i = 1 THEN xs[1] ELSE
+        |    list_sum(list_transform(range(2, i + 1), j -> 0.2 * pow(0.8, i - j) * xs[j]))
+        |    + pow(0.8, i - 1) * xs[1] END, 4) AS ewma
+        |FROM s JOIN l USING (user_id) ORDER BY event_id""".stripMargin,
+
     "ext_minhash_pairs" ->
       s"""WITH $minhashBandsCtes
          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -422,6 +422,25 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("importanceWeights favors target-domain docs and matches hand math") {
+    // target = docs containing 'es' marker via the lang column
+    val d = Seq(
+      (1L, "alpha beta", "es"), (2L, "alpha beta", "es"),
+      (3L, "gamma delta", "en"), (4L, "gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.importanceWeights(d, col("lang") === "es")
+      .as[(Long, Double)].collect().toMap
+    // vocab V=4; N_all=8, N_t=4. alpha/beta: c_all=2, c_t=2
+    //   lw = ln(((2+1)/(4+4)) / ((2+1)/(8+4))) = ln(1.5)
+    // gamma/delta: c_t=0 → lw = ln(((0+1)/8) / (3/12)) = ln(0.5)
+    val up = math.rint(math.log(1.5) * 1e4) / 1e4
+    val dn = math.rint(math.log(0.5) * 1e4) / 1e4
+    assert(got(1L) == up && got(2L) == up)
+    assert(got(3L) == dn && got(4L) == dn)
+    // the target-domain docs score strictly higher
+    assert(got(1L) > got(3L))
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pr(pairs: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] =
+    Graph.pageRank(pairs.toDF("doc_a", "doc_b"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  /** Driver-side reference: dense synchronous iteration, same recurrence. */
+  private def naive(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val edges = pairs.flatMap(p => Seq(p, p.swap))
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      r = nodes.map { v =>
+        val in = edges.filter(_._2 == v).map(_._1)
+        v -> (0.15 / n + 0.85 * in.map(m => r(m) / deg(m)).sum)
+      }.toMap
+    }
+    r.map { case (k, v) => k -> math.rint(v * 1e4) / 1e4 }
+  }
+
+  test("pageRank on a star: hub outranks leaves; ranks sum to ~1") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val got = pr(star)
+    assert(got(1L) > got(2L))
+    assert(Seq(2L, 3L, 4L, 5L).map(got).distinct.size == 1) // symmetry
+    assert(math.abs(got.values.sum - 1.0) < 1e-2)
+  }
+
+  test("pageRank matches the dense reference iteration") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 1L))
+    val got = pr(g)
+    val want = naive(g, 5)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 2e-4, s"node $k") }
+  }
+
+  test("pageRank is invariant to edge-list partitioning") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val a = pr(g)
+    val b = Graph.pageRank(g.toDF("doc_a", "doc_b").repartition(7), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+}

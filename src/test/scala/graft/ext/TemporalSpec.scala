@@ -270,4 +270,37 @@ class TemporalSpec extends SparkSpec {
     check((2L, "c"), 1L, ln(3.0 / 2))
     check((3L, "c"), 2L, 2 * ln(3.0 / 2))
   }
+
+  test("ewma matches the hand recurrence and resets per key") {
+    val d = Seq(
+      (10L, 1L, 1.0), (10L, 2L, 2.0), (10L, 3L, 3.0),
+      (20L, 4L, 100.0), (20L, 5L, 0.0))
+      .toDF("user_id", "event_id", "value")
+    val got = Temporal.ewma(d, alpha = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    // key 10: 1.0; .5*2+.5*1=1.5; .5*3+.5*1.5=2.25
+    assert(got(1L) == 1.0 && got(2L) == 1.5 && got(3L) == 2.25)
+    // key 20 restarts: 100.0; .5*0+.5*100=50.0
+    assert(got(4L) == 100.0 && got(5L) == 50.0)
+  }
+
+  test("ewma skips nulls (carries state) and emits null before first value") {
+    val d = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, None), (1L, 2L, Some(4.0)), (1L, 3L, None), (1L, 4L, Some(8.0)))
+      .toDF("user_id", "event_id", "value")
+    val got = Temporal.ewma(d, alpha = 0.5)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._2 -> r._3).toMap
+    assert(got(1L).isEmpty)          // before first non-null
+    assert(got(2L).contains(4.0))
+    assert(got(3L).contains(4.0))    // null row carries the state through
+    assert(got(4L).contains(6.0))    // .5*8 + .5*4
+  }
+
+  test("ewma is invariant to input partitioning") {
+    val e = graft.Tables.events(spark, sf())
+    val a = Temporal.ewma(e).as[(Long, Long, Double)].collect().sortBy(_._2)
+    val b = Temporal.ewma(e.repartition(13)).as[(Long, Long, Double)]
+      .collect().sortBy(_._2)
+    assert(a.sameElements(b))
+  }
 }
