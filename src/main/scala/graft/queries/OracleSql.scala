@@ -225,6 +225,49 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q37_except_all" ->
+      """SELECT l_orderkey FROM lineitem
+        |EXCEPT ALL SELECT o_orderkey FROM orders
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q38_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS gf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS gs,
+        |  COUNT(*) AS c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q39_rank_family" ->
+      """SELECT event_id, user_id,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS prnk,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cdist
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q40_datetime" ->
+      """SELECT event_id,
+        |  CAST(EXTRACT(year FROM ts) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM ts) AS INT) AS m,
+        |  CAST(EXTRACT(day FROM ts) AS INT) AS dom,
+        |  CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        |  CAST(ts AS DATE) + 7 AS d7,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS dd
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q41_conditional" ->
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st,
+        |  ROUND(LEAST(o_totalprice, 150000.0), 4) AS capped,
+        |  ROUND(GREATEST(o_totalprice - 100000.0, 0.0), 4) AS over,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+        |       WHEN o_orderpriority = '2-HIGH' THEN 1
+        |       ELSE 0 END AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q32_window_nav" ->
       """SELECT event_id, user_id,
         |  ROUND(LAG(value) OVER w, 4) AS prev_v,

@@ -340,8 +340,76 @@ object Relational {
              ORDER BY n_name, bal DESC, c_name""")
   }
 
+  // Q37 bag (multiset) set-difference: EXCEPT ALL keeps multiplicity —
+  // lineitem's repeated order keys minus one occurrence per order row.
+  // Planned as a hash-partitioned count-diff aggregate, not a sort.
+  def q37(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey")
+      .exceptAll(orders(s, d).select(col("o_orderkey").as("l_orderkey")))
+      .orderBy("l_orderkey")
+
+  // Q38 explicit GROUPING SETS + grouping() marker columns — the general
+  // form of rollup/cube (q21/q30): two disjoint single-column groupings
+  // evaluated in one shuffle over the expanded grouping-set union.
+  def q38(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS gf,
+               CAST(grouping(l_linestatus) AS INT) AS gs,
+               COUNT(*) AS c
+             FROM graft_lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  // Q39 ranking-family window battery: rank / dense_rank / percent_rank /
+  // cume_dist share one (user, value) window — one sort per user timeline,
+  // four functions in the same WindowExec pass.
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 4).as("prnk"),
+      round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy("event_id")
+  }
+
+  // Q40 datetime scalar functions: extraction, date arithmetic, datediff.
+  // All pipelined in the projection; both engines evaluate in UTC
+  // (FIXTURES §D.3).
+  def q40(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("dom"),
+      hour(col("ts")).as("h"),
+      date_add(to_date(col("ts")), 7).as("d7"),
+      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))).as("dd"))
+      .orderBy("event_id")
+
+  // Q41 conditional / null scalar functions: coalesce-nullif chain,
+  // least/greatest, searched CASE.
+  def q41(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+      round(least(col("o_totalprice"), lit(150000.0)), 4).as("capped"),
+      round(greatest(col("o_totalprice") - 100000.0, lit(0.0)), 4).as("over"),
+      when(col("o_orderpriority") === "1-URGENT", 2)
+        .when(col("o_orderpriority") === "2-HIGH", 1)
+        .otherwise(0).as("prio"))
+      .orderBy("o_orderkey")
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_except_all" -> q37 _,
+    "q38_grouping_sets" -> q38 _,
+    "q39_rank_family" -> q39 _,
+    "q40_datetime" -> q40 _,
+    "q41_conditional" -> q41 _,
     "q32_window_nav" -> q32 _,
     "q33_array_hof" -> q33 _,
     "q34_regexp" -> q34 _,
