@@ -66,4 +66,95 @@ object Sketches {
     summary.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
       .toDF("item", "c")
   }
+
+  /** Mergeable quantile summary: a deterministic KLL-style compactor
+    * stack (Karnin–Lang–Liberty's structure with the deterministic
+    * keep-every-other compaction). Level h holds values of weight 2^h;
+    * when a level exceeds `capacity` it sorts and promotes every second
+    * value to level h+1 — so memory is O(capacity · log(n/capacity)) and
+    * summaries from different partitions MERGE level-wise (the
+    * `treeAggregate` combOp), shuffling O(capacity) doubles per
+    * partition instead of the full column.
+    *
+    * Error contract (spec-bounded, QuantileSketchSpec): the rank of the
+    * reported quantile is within n·⌈log₂(n/capacity)⌉/capacity of the
+    * target for ANY partitioning/merge order. When `capacity` ≥ n no
+    * compaction ever fires, the summary is the full multiset, and
+    * estimates are EXACT — which gives the fixture-scale query its
+    * DuckDB oracle (the same exact-at-capacity trick as
+    * [[heavyHitters]]). */
+  object QuantileSketch {
+    import scala.collection.mutable.ArrayBuffer
+    /** levels(h) = unsorted buffer of values with weight 2^h; n = count. */
+    final class QS(val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer()),
+        var n: Long = 0L) extends Serializable
+
+    private def compact(s: QS, capacity: Int): Unit = {
+      var h = 0
+      while (h < s.levels.length) {
+        val buf = s.levels(h)
+        if (buf.length > capacity) {
+          if (s.levels.length == h + 1) s.levels += ArrayBuffer()
+          val sorted = buf.sortInPlace()
+          val promoted = s.levels(h + 1)
+          // deterministic compaction: promote odd indices of each sorted
+          // pair; an unpaired trailing element stays at this level
+          var i = 1
+          while (i < sorted.length) { promoted += sorted(i); i += 2 }
+          val keepLast = sorted.length % 2 == 1
+          val last = if (keepLast) sorted.last else 0.0
+          buf.clear()
+          if (keepLast) buf += last
+        }
+        h += 1
+      }
+    }
+
+    def add(s: QS, x: Double, capacity: Int): QS = {
+      s.levels(0) += x; s.n += 1
+      if (s.levels(0).length > capacity) compact(s, capacity)
+      s
+    }
+
+    def merge(a: QS, b: QS, capacity: Int): QS = {
+      while (a.levels.length < b.levels.length) a.levels += ArrayBuffer()
+      b.levels.zipWithIndex.foreach { case (buf, h) => a.levels(h) ++= buf }
+      a.n += b.n
+      compact(a, capacity)
+      a
+    }
+
+    /** est(q) = smallest value whose cumulative weight ≥ max(1, ⌈q·n⌉)
+      * over the weighted sorted summary (PERCENTILE_DISC semantics when
+      * exact). */
+    def quantile(s: QS, q: Double): Double = {
+      require(s.n > 0, "empty summary")
+      val weighted = s.levels.zipWithIndex
+        .flatMap { case (buf, h) => buf.map(v => (v, 1L << h)) }
+        .sortBy(_._1)
+      val target = math.max(1L, math.ceil(q * s.n).toLong)
+      var cum = 0L
+      val it = weighted.iterator
+      var last = weighted.head._1
+      while (cum < target && it.hasNext) { val (v, w) = it.next(); cum += w; last = v }
+      last
+    }
+  }
+
+  /** Approximate quantiles of a numeric column via [[QuantileSketch]]:
+    * one treeAggregate pass, O(capacity·log) driver state, never a sort
+    * of the data. Returns (q, value) per requested quantile. */
+  def quantilesOf(df: DataFrame, c: Column, capacity: Int,
+      qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import QuantileSketch._
+    val summary = df.select(c.cast("double").as("v")).na.drop().as[Double]
+      .rdd.treeAggregate(new QS())(
+        (s, x) => add(s, x, capacity),
+        (a, b) => merge(a, b, capacity))
+    qs.map(q => (q, BigDecimal(quantile(summary, q))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("q", "value")
+  }
 }

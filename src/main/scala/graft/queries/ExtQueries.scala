@@ -40,6 +40,14 @@ object ExtQueries {
   def ewmaQ(s: SparkSession, d: String): DataFrame =
     Temporal.ewma(Tables.events(s, d)).orderBy("event_id")
 
+  /** KLL-style quantile sketch over event values. Capacity 2^17 ≥ n at
+    * every fixture sf, so the summary is exact → DuckDB oracle (the
+    * sub-capacity approximate path is spec-bounded in
+    * QuantileSketchSpec). */
+  def quantileSketchQ(s: SparkSession, d: String): DataFrame =
+    Sketches.quantilesOf(Tables.events(s, d), col("value"), 1 << 17,
+      Seq(0.1, 0.5, 0.9, 0.99)).orderBy("q")
+
   def jaccardTop(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardTopPairs(Tables.documents(s, d), 10)
 
@@ -508,6 +516,7 @@ object ExtQueries {
     "ext_pagerank" -> pageRankQ _,
     "ext_importance_weights" -> importanceWeightsQ _,
     "ext_ewma" -> ewmaQ _,
+    "ext_quantile_sketch" -> quantileSketchQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -581,6 +590,16 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_quantile_sketch" ->
+      """WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+        |           FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS c FROM s),
+        |qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT qs.q, ROUND(s.value, 4) AS value
+        |FROM qs, n, s
+        |WHERE s.rn = GREATEST(1, CAST(ceil(qs.q * n.c) AS BIGINT))
+        |ORDER BY qs.q""".stripMargin,
+
     "ext_pagerank" ->
       s"""WITH $minhashBandsCtes,
          |prs AS (

@@ -91,4 +91,48 @@ class SketchesSpec extends SparkSpec {
       assert(est <= c + (0.01 * n).toLong + 1, s"$tok over bound: $est vs $c (N=$n)")
     }
   }
+
+  test("quantile sketch is exact when capacity >= n, at any partitioning") {
+    // values 0..n-1 shuffled deterministically: rank of value v is v+1
+    val n = 5000
+    val vals = new scala.util.Random(7).shuffle((0 until n).toVector).map(_.toDouble)
+    for (parts <- Seq(1, 4, 13)) {
+      val df = spark.createDataset(vals).toDF("v").repartition(parts)
+      val got = Sketches.quantilesOf(df, col("v"), capacity = n, Seq(0.1, 0.5, 0.99))
+        .as[(Double, Double)].collect().toMap
+      got.foreach { case (q, v) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        assert(v == (target - 1).toDouble, s"q=$q parts=$parts")
+      }
+    }
+  }
+
+  test("quantile sketch rank error is within n*log2(n/c)/c below capacity") {
+    val n = 20000
+    val c = 256
+    val vals = new scala.util.Random(11).shuffle((0 until n).toVector).map(_.toDouble)
+    val bound = n * math.max(1.0, math.ceil(math.log(n.toDouble / c) / math.log(2))) / c
+    for (parts <- Seq(1, 8)) {
+      val df = spark.createDataset(vals).toDF("v").repartition(parts)
+      val got = Sketches.quantilesOf(df, col("v"), c, Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .as[(Double, Double)].collect()
+      got.foreach { case (q, v) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val rank = v.toLong + 1 // distinct 0..n-1 values
+        assert(math.abs(rank - target) <= bound,
+          s"q=$q parts=$parts rank=$rank target=$target bound=$bound")
+      }
+    }
+  }
+
+  test("quantile sketch merge is level-aware: summaries combine without n loss") {
+    import Sketches.QuantileSketch._
+    val a = (0 until 1000).foldLeft(new QS())((s, i) => add(s, i.toDouble, 64))
+    val b = (1000 until 2000).foldLeft(new QS())((s, i) => add(s, i.toDouble, 64))
+    val m = merge(a, b, 64)
+    assert(m.n == 2000)
+    // median of 0..1999 must land near 1000 within the deterministic bound
+    val med = quantile(m, 0.5)
+    assert(math.abs(med - 1000.0) <= 2000 * 5.0 / 64)
+  }
 }
