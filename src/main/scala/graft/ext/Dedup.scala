@@ -465,6 +465,20 @@ object Dedup {
     out
   }
 
+  /** The near-dup pipeline's final act: drop every clustered doc except
+    * its cluster representative (= the smallest doc_id, the
+    * [[dupClusters]] label), keep all unclustered docs — the distributed
+    * "keep one copy of each near-dup family" a pretraining corpus build
+    * ends with. One anti-join of the corpus against the (tiny) non-rep
+    * set; the pair graph is orders of magnitude smaller than the corpus,
+    * so the anti-join side broadcasts. */
+  def keepNearDupCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val nonReps = dupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.join(broadcast(nonReps), Seq("doc_id"), "left_anti")
+  }
+
   /** Edit-distance near-dup pairs with prefix blocking: candidate pairs
     * share an exact `blockLen`-char prefix (the blocking key — the classic
     * record-linkage trick that turns an O(n²) all-pairs Levenshtein into

@@ -146,6 +146,11 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Corpus survivors after near-dup clustering: cluster reps + singletons. */
+  def neardupCanonical(s: SparkSession, d: String): DataFrame =
+    Dedup.keepNearDupCanonical(Tables.documents(s, d), candidates(s, d))
+      .select("doc_id").orderBy("doc_id")
+
   def keepCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepCanonical(Tables.documents(s, d)).select("doc_id").orderBy("doc_id")
 
@@ -517,6 +522,7 @@ object ExtQueries {
     "ext_importance_weights" -> importanceWeightsQ _,
     "ext_ewma" -> ewmaQ _,
     "ext_quantile_sketch" -> quantileSketchQ _,
+    "ext_neardup_canonical" -> neardupCanonical _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -665,6 +671,26 @@ object ExtQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    // survivors after near-dup clustering: drop clustered docs that are
+    // not their cluster's representative (= min reachable doc_id)
+    "ext_neardup_canonical" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges GROUP BY a
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
          |ORDER BY doc_id""".stripMargin,
 
     "ext_jaccard_top10" ->

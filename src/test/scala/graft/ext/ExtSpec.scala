@@ -422,6 +422,14 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("keepNearDupCanonical keeps cluster minima and all singletons") {
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("doc_a", "doc_b") // cluster {2,4,5}
+    val kept = Dedup.keepNearDupCanonical(d, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L))) // 4,5 dropped; rep 2 kept
+  }
+
   test("importanceWeights favors target-domain docs and matches hand math") {
     // target = docs containing 'es' marker via the lang column
     val d = Seq(
