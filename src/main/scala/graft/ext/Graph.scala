@@ -17,13 +17,52 @@ object Graph {
     * in-edges, so no dangling-mass term is needed. Deterministic: fixed
     * iteration count, no convergence test, no RNG.
     *
-    * Scale shape: the classic Pregel-lite loop — per iteration ONE join
-    * of the edge list with the rank table (both partitioned by node id;
-    * the rank side is |V| rows, edge side |E|) and one groupBy(dst) sum
-    * with map-side combine. Ranks persist per generation and the
-    * superseded generation unpersists; no driver-side collect at any
-    * point. Output: (doc_id, pr) with pr ROUND(·,4). */
-  def pageRank(pairs: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    * Two regimes, same split as [[Dedup.dupClusters]]: a near-dup pair
+    * graph is orders of magnitude smaller than its corpus, so when it
+    * fits on the driver (≤ `localThreshold` edges) the whole power
+    * iteration runs in primitive arrays — zero shuffles instead of
+    * iters×2. Beyond that, the classic Pregel-lite loop: per iteration
+    * ONE join of the (degree-annotated) edge list with the rank table
+    * and one groupBy(dst) sum with map-side combine; rank generations
+    * persist/unpersist in turn, and nothing is ever collected.
+    * Output: (doc_id, pr) with pr ROUND(·,4). */
+  def pageRank(pairs: DataFrame, iters: Int = 5, d: Double = 0.85,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pairsL = pairs
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairsL.count()
+    val out =
+      if (nPairs <= localThreshold) {
+        val es = pairsL.as[(Long, Long)].collect()
+        val nodes = es.flatMap(p => Array(p._1, p._2)).distinct.sorted
+        val idx = nodes.zipWithIndex.toMap
+        val n = nodes.length
+        val deg = new Array[Double](n)
+        es.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+        var r = Array.fill(n)(1.0 / n)
+        (0 until iters).foreach { _ =>
+          val next = Array.fill(n)((1 - d) / n)
+          es.foreach { case (a, b) =>
+            val (ia, ib) = (idx(a), idx(b))
+            next(ib) += d * r(ia) / deg(ia)
+            next(ia) += d * r(ib) / deg(ib)
+          }
+          r = next
+        }
+        spark.createDataset(nodes.indices.map(i => (nodes(i), r(i))))
+          .toDF("doc_id", "pr")
+          .select(col("doc_id"), round(col("pr"), 4).as("pr"))
+      } else pageRankDistributed(pairsL, iters, d)
+    pairsL.unpersist(blocking = false)
+    out
+  }
+
+  /** The scale path: synchronous power iteration as join+aggregate
+    * rounds (see [[pageRank]]). */
+  def pageRankDistributed(pairs: DataFrame, iters: Int, d: Double): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,14 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 2e-4, s"node $k") }
   }
 
+  test("distributed path equals the driver-local path after rounding") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 1L))
+    val local = pr(g)
+    val dist = Graph.pageRank(g.toDF("doc_a", "doc_b"), 5, localThreshold = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(local == dist)
+  }
+
   test("pageRank is invariant to edge-list partitioning") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
     val a = pr(g)
