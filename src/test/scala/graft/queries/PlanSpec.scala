@@ -128,6 +128,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p.take(3000))
   }
 
+  test("q32/q39: all window functions share ONE WindowExec pass") {
+    for (q <- Seq("q32_window_nav", "q39_rank_family")) {
+      // AQE's toString renders final + initial plans; inspect the final only
+      val p = plan(q).split("== Initial Plan ==").head
+      // one Window node evaluating all four functions — not one per function
+      assert("\\bWindow\\b".r.findAllIn(p).size == 1, s"$q:\n${p.take(3000)}")
+      // and exactly one hash exchange (the user_id partitioning)
+      assert("hashpartitioning".r.findAllIn(p).size >= 1, s"$q:\n${p.take(3000)}")
+    }
+  }
+
+  test("q33: higher-order array functions stay in-row (no explode, no UDF)") {
+    val p = plan("q33_array_hof")
+    assert(!p.contains("Generate") && !p.contains("ScalaUDF"), p.take(3000))
+  }
+
+  test("q37: EXCEPT ALL plans as aggregate+generate, not a sort-based diff") {
+    val p = plan("q37_except_all")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("importance weights: the V-row weight dictionary joins via broadcast") {
+    val p = plan("ext_importance_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("ewma: one hash exchange (the key repartition), then a pure scan") {
+    val df = graft.SparkEntry.queries("ext_ewma")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the mapPartitions scan consumes the keyed repartition; only the
+    // final ORDER BY adds a range exchange on top
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
