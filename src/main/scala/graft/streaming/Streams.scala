@@ -164,6 +164,32 @@ object Streams {
     }.toDF("doc_id", "topics")
   }
 
+  /** Streaming per-key EWMA — the incremental form of
+    * [[graft.ext.Temporal.ewma]]: keyed state is ONE double (the last
+    * smoothed value), each micro-batch folds its rows in `orderId` order
+    * into it, and the emitted rows carry the same y_i the batch operator
+    * produces. Because EWMA is a left fold, state size is O(1) per key
+    * and any batch boundary placement yields the identical result as
+    * long as rows arrive in order (EwmaSpec/StreamsSpec assert equality
+    * with the batch form).
+    * Input: (key, orderId, value); output: (key, orderId, ewma ROUND 4). */
+  def streamingEwma(events: Dataset[(Long, Long, Double)],
+      alpha: Double = 0.2): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
+          var y = state.getOption.getOrElse(Double.NaN)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, x) =>
+            y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
+            (key, id, BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(y)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: per-user session aggregation with processing-time
     * timeout — the `flatMapGroupsWithState` surface. Emits a running
     * update per batch and a closing record when the session times out. */

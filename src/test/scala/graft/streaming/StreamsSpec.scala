@@ -153,6 +153,33 @@ class StreamsSpec extends SparkSpec {
     got.foreach { case (id, topics) => assert(topics == want(id), s"doc $id") }
   }
 
+  test("streaming EWMA equals the batch operator across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.events(spark, sf())
+      .select("user_id", "event_id", "value").limit(600)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val want = graft.ext.Temporal.ewma(events.toSeq.toDF("user_id", "event_id", "value"))
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+
+    val ms = MemoryStream[(Long, Long, Double)]
+    val q = Streams.streamingEwma(ms.toDS())
+      .writeStream.format("memory").queryName("t_ewma")
+      .outputMode("append").start()
+    try {
+      // three arbitrary batch boundaries; EWMA is a left fold, so the
+      // split must not matter
+      events.grouped(250).foreach { batch =>
+        ms.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("t_ewma").as[(Long, Long, Double)].collect()
+        .map(r => r._2 -> r._3).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, v) => assert(v == want(id), s"event $id") }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizes per user with running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
