@@ -93,6 +93,36 @@ object ScalingMain {
       lim.unpersist(blocking = true); ordm.unpersist(blocking = true)
     }
 
+    // round-3 ops: importance weights (two grouped counts + broadcast
+    // dictionary — should track token count), EWMA (one shuffle + linear
+    // scan — should track event rows), PageRank distributed path (forced
+    // via localThreshold=0: per-iteration join+agg over the pair graph)
+    println("mult |     docs | importance_w |   events |   ewma | pr_edges | pagerank_dist")
+    mults.foreach { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val (tIw, _) = time(
+        ext.TextAnalysis.importanceWeights(docs, col("doc_id") % 5 === 0).count())
+      val ev = Tables.events(spark, dir).select("user_id", "event_id", "value")
+      val evm = (if (m == 1) ev
+        else ev.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            (col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("value")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tEwma, _) = time(ext.Temporal.ewma(evm).count())
+      val pairs = ext.Dedup.minhashCandidates(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nE = pairs.count()
+      val (tPr, _) = time(
+        ext.Graph.pageRank(pairs, iters = 5, localThreshold = 0L).count())
+      println(f"$m%4d | ${docs.count()}%8d | $tIw%12.2f | $nEv%8d | $tEwma%6.2f | $nE%8d | $tPr%10.2f")
+      docs.unpersist(blocking = true); evm.unpersist(blocking = true)
+      pairs.unpersist(blocking = true)
+    }
+
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
     // shard count grows with V — the huge-V regime where the model never
     // broadcasts whole (SURVEY §7.4 risk 2)
