@@ -586,6 +586,42 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each doc
+    * gets `k` pseudo-random partner docs, reproducibly, with no RNG and
+    * no join blow-up. Docs are bucketed by an md5 prefix (`buckets`
+    * buckets ≈ uniform), each bucket's members are ring-ordered by their
+    * full md5, and doc i's negatives are the next 1..k docs around the
+    * ring (cyclic). Within-bucket hashing makes the pairing
+    * content-independent — exactly what "random negatives" means in a
+    * deterministic pipeline.
+    *
+    * Scale shape: ONE shuffle (the bucket groupBy); each bucket is
+    * n/buckets rows, ring assembly is an in-row sorted-array transform,
+    * and the cyclic pairing explodes k rows per doc. No global sort, no
+    * window over the whole corpus, no self-join. Buckets with ≤ 1 doc
+    * emit nothing (no partner exists); callers size `buckets` ≈
+    * n/1000 so rings stay comfortable. Output: (doc_id, neg_id, j) with
+    * j ∈ 1..k. */
+  def negativeSample(docs: DataFrame, k: Int = 3, buckets: Int = 16): DataFrame = {
+    require(k >= 1 && buckets >= 1)
+    val h = md5(concat(lit("neg:"), col("doc_id").cast("string")))
+    val ring = Dedup.spreadForCompute(docs)
+      .select(substring(h, 1, 2).as("bkt"), struct(h.as("h"), col("doc_id")).as("e"))
+      .withColumn("bkt", pmod(conv(col("bkt"), 16, 10).cast("int"), lit(buckets)))
+      .groupBy("bkt").agg(array_sort(collect_list(col("e"))).as("ring"))
+      .where(size(col("ring")) > 1)
+    ring.select(explode(transform(col("ring"), (e, i) =>
+        struct(e.getField("doc_id").as("doc_id"), i.as("i")))).as("a"), col("ring"))
+      .select(col("a.doc_id"), col("a.i"), col("ring"))
+      .select(col("doc_id"), explode(transform(sequence(lit(1), lit(k)), j =>
+        struct(j.as("j"),
+          element_at(col("ring"),
+            pmod(col("i") + j, size(col("ring"))) + 1).getField("doc_id").as("neg_id"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.neg_id"), col("p.j"))
+      .where(col("neg_id") =!= col("doc_id"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling" —
     * the hashed-n-gram variant collapsed to unigrams): score every doc by

@@ -146,6 +146,11 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Deterministic contrastive negative sampling (hash-ring, k=3). */
+  def negativeSampleQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.negativeSample(Tables.documents(s, d), k = 3, buckets = 16)
+      .orderBy("doc_id", "j")
+
   /** Corpus survivors after near-dup clustering: cluster reps + singletons. */
   def neardupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepNearDupCanonical(Tables.documents(s, d), candidates(s, d))
@@ -523,6 +528,7 @@ object ExtQueries {
     "ext_ewma" -> ewmaQ _,
     "ext_quantile_sketch" -> quantileSketchQ _,
     "ext_neardup_canonical" -> neardupCanonical _,
+    "ext_negative_sample" -> negativeSampleQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -596,6 +602,25 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_negative_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5('neg:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bkt,
+        |    ROW_NUMBER() OVER (PARTITION BY (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16)
+        |                       ORDER BY h, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16)) AS n
+        |  FROM s
+        |),
+        |js AS (SELECT unnest(range(1, 4)) AS j)
+        |SELECT a.doc_id, b.doc_id AS neg_id, CAST(js.j AS INT) AS j
+        |FROM r a JOIN js ON a.n > 1
+        |JOIN r b ON b.bkt = a.bkt AND b.rn = ((a.rn - 1 + js.j) % a.n) + 1
+        |WHERE b.doc_id <> a.doc_id
+        |ORDER BY a.doc_id, j""".stripMargin,
+
     "ext_quantile_sketch" ->
       """WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
         |           FROM events WHERE value IS NOT NULL),

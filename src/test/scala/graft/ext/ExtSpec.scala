@@ -422,6 +422,21 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("negativeSample: k partners per doc, never self, deterministic") {
+    val d = docs((1L to 40L).map(i => i -> s"doc $i"): _*)
+    val a = TextAnalysis.negativeSample(d, k = 3, buckets = 2)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val b = TextAnalysis.negativeSample(d.repartition(7), k = 3, buckets = 2)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(a.sameElements(b)) // partitioning-invariant
+    assert(a.forall { case (id, neg, _) => id != neg })
+    // with 40 docs in 2 buckets every ring is > k → exactly 3 per doc
+    val perDoc = a.groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ == 3) && perDoc.size == 40)
+    // negatives of one doc are distinct partners
+    assert(a.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 3))
+  }
+
   test("keepNearDupCanonical keeps cluster minima and all singletons") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("doc_a", "doc_b") // cluster {2,4,5}
