@@ -586,6 +586,59 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Per-doc lexical-diversity metrics: token count, type-token ratio,
+    * and unigram Shannon entropy H = ln n − Σ c·ln c / n — the
+    * quality-filter signals that catch keyword-stuffed or
+    * single-phrase-repeated docs that length/punctuation heuristics
+    * miss. One (doc, tok) grouped count, one per-doc aggregate, both
+    * map-side combined. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_toks"),
+        round(count(lit(1)) * lit(1.0) / sum(col("c")), 4).as("ttr"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+          .as("entropy"))
+
+  /** Skip-gram co-occurrence pairs — the word2vec/GloVe training-data
+    * extractor: every (center, context) token pair within ±`window`
+    * positions, counted over the corpus. Pair generation is IN-ROW
+    * (offset-d array zips, flattened), so the only exchange is the final
+    * count groupBy; never a positional self-join of the token stream.
+    * Output: (w1, w2, c) — both directions counted. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2): DataFrame = {
+    val ts = Dedup.tokens(col("text"))
+    // for each offset d ∈ 1..window: zip(ts, ts drop d) → ordered pairs
+    // at distance d; emit both directions
+    val pairs = flatten(transform(
+      filter(sequence(lit(1), lit(window)), d => d < size(ts)),
+      d => flatten(zip_with(
+        slice(ts, lit(1), greatest(size(ts) - d, lit(0))),
+        slice(ts, d + 1, greatest(size(ts) - d, lit(0))),
+        (a, b) => array(struct(a.as("w1"), b.as("w2")),
+          struct(b.as("w1"), a.as("w2")))))))
+    Dedup.spreadForCompute(docs)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** First-iteration BPE pair statistics — the tokenizer-training
+    * primitive: count adjacent CHARACTER pairs across the corpus,
+    * weighted by word frequency (the argmax pair is the first BPE
+    * merge). The char expansion runs over the V-row vocabulary, not the
+    * token stream — corpus volume only ever feeds the word count. */
+  def bpePairCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .where(length(col("tok")) >= 2)
+      .select(col("c"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"),
+        col("tok"))
+      .select(expr("substring(tok, i, 1)").as("c1"),
+        expr("substring(tok, i + 1, 1)").as("c2"), col("c"))
+      .groupBy("c1", "c2").agg(sum(col("c")).as("n"))
+
   /** Deterministic negative sampling for contrastive training: each doc
     * gets `k` pseudo-random partner docs, reproducibly, with no RNG and
     * no join blow-up. Docs are bucketed by an md5 prefix (`buckets`

@@ -146,6 +146,18 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
+  def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Skip-gram (center, context) pair counts within ±2 positions. */
+  def skipgramQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.skipgramPairs(Tables.documents(s, d), 2).orderBy("w1", "w2")
+
+  /** Corpus-weighted adjacent char-pair counts (first BPE iteration). */
+  def bpePairsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairCounts(Tables.documents(s, d)).orderBy("c1", "c2")
+
   /** Deterministic contrastive negative sampling (hash-ring, k=3). */
   def negativeSampleQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.negativeSample(Tables.documents(s, d), k = 3, buckets = 16)
@@ -529,6 +541,9 @@ object ExtQueries {
     "ext_quantile_sketch" -> quantileSketchQ _,
     "ext_neardup_canonical" -> neardupCanonical _,
     "ext_negative_sample" -> negativeSampleQ _,
+    "ext_token_entropy" -> tokenEntropyQ _,
+    "ext_skipgram" -> skipgramQ _,
+    "ext_bpe_pairs" -> bpePairsQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -602,6 +617,35 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_token_entropy" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |bow AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |  ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS ttr,
+         |  ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) + 0.0 AS entropy
+         |FROM bow GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_skipgram" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, i, ts[i] AS tok
+         |       FROM toks, unnest(range(1, len(ts) + 1)) AS u(i))
+         |SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c
+         |FROM dt a JOIN dt b
+         |  ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND 2
+         |GROUP BY 1, 2 ORDER BY w1, w2""".stripMargin,
+
+    "ext_bpe_pairs" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |v AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+         |pos AS (SELECT tok, c, CAST(i AS INT) AS i
+         |        FROM v, unnest(range(1, len(tok))) AS u(i)
+         |        WHERE len(tok) >= 2)
+         |SELECT substr(tok, i, 1) AS c1, substr(tok, i + 1, 1) AS c2,
+         |  CAST(SUM(c) AS BIGINT) AS n
+         |FROM pos GROUP BY 1, 2 ORDER BY c1, c2""".stripMargin,
+
     "ext_negative_sample" ->
       """WITH s AS (
         |  SELECT doc_id, md5('neg:' || CAST(doc_id AS VARCHAR)) AS h FROM documents

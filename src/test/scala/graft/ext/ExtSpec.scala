@@ -422,6 +422,32 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("tokenEntropy: uniform doc maxes entropy, repeated doc zeroes it") {
+    val d = docs((1L, "a b c d"), (2L, "a a a a"))
+    val got = TextAnalysis.tokenEntropy(d)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 == math.rint(math.log(4) * 1e4) / 1e4) // ln 4
+    assert(got(1L)._3 == 1.0)   // all types distinct
+    assert(got(2L)._4 == 0.0)   // zero diversity
+    assert(got(2L)._3 == 0.25)
+  }
+
+  test("skipgramPairs counts both directions within the window") {
+    val d = docs((1L, "a b c"))
+    val got = TextAnalysis.skipgramPairs(d, 2)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // d=1: (a,b),(b,c); d=2: (a,c) — each in both directions
+    assert(got == Map(("a","b")->1L, ("b","a")->1L, ("b","c")->1L,
+      ("c","b")->1L, ("a","c")->1L, ("c","a")->1L))
+  }
+
+  test("bpePairCounts weights char pairs by word frequency") {
+    val d = docs((1L, "ab ab cd"))
+    val got = TextAnalysis.bpePairCounts(d)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a","b") -> 2L, ("c","d") -> 1L))
+  }
+
   test("negativeSample: k partners per doc, never self, deterministic") {
     val d = docs((1L to 40L).map(i => i -> s"doc $i"): _*)
     val a = TextAnalysis.negativeSample(d, k = 3, buckets = 2)
