@@ -87,5 +87,10 @@ object GraftExtensions {
     }
     spark.udf.register("graft_heavy_hitters",
       org.apache.spark.sql.functions.udaf(new MgAggregator(64)))
+    // quartile probes at capacity 8192: exact for groups ≤ 8192 rows,
+    // bounded-error sketch beyond (QuantileSketch contract)
+    spark.udf.register("graft_quantiles",
+      org.apache.spark.sql.functions.udaf(
+        new QsAggregator(8192, Seq(0.25, 0.5, 0.75, 0.9, 0.99))))
   }
 }

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import graft.ext.Sketches.QuantileSketch
+import graft.ext.Sketches.QuantileSketch.QS
+
+/** Typed-Aggregator form of [[graft.ext.Sketches.QuantileSketch]], for SQL
+  * registration (`graft_quantiles(col)`) — same one-kernel-two-surfaces
+  * split as [[MgAggregator]]/[[MisraGries]]: the RDD `treeAggregate` path
+  * is [[graft.ext.Sketches.quantilesOf]]; this is the SQL/grouped path.
+  *
+  * Buffer rides Kryo (opaque binary — the ObjectHashAggregate path);
+  * partial aggregation still applies, so the exchange carries one
+  * O(capacity·log) summary per task, never the rows. Output: the
+  * estimates at the construction-time `probes`, as array<double> in probe
+  * order (ROUND ·,4). Exact whenever the aggregated group has ≤ capacity
+  * rows (no compaction fires — see the QuantileSketch scaladoc). */
+final class QsAggregator(capacity: Int, probes: Seq[Double])
+    extends Aggregator[Double, QS, Seq[Double]] {
+  require(capacity >= 1 && probes.nonEmpty)
+  override def zero: QS = new QS()
+  override def reduce(s: QS, x: Double): QS = QuantileSketch.add(s, x, capacity)
+  override def merge(a: QS, b: QS): QS = QuantileSketch.merge(a, b, capacity)
+  override def finish(s: QS): Seq[Double] =
+    if (s.n == 0) Seq.empty
+    else probes.map(q => BigDecimal(QuantileSketch.quantile(s, q))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  override def bufferEncoder: Encoder[QS] = Encoders.kryo[QS]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -125,6 +125,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("SQL UDAF graft_quantiles is exact per group below capacity") {
+    val d = graft.Tables.documents(spark, sf())
+    d.createOrReplaceTempView("graft_docs_q")
+    val got = spark.sql(
+      "SELECT lang, graft_quantiles(CAST(n_chars AS DOUBLE)) AS qs FROM graft_docs_q GROUP BY lang")
+      .as[(String, Seq[Double])].collect().toMap
+    val groups = d.as[(Long, String, String, String, Long)].collect()
+      .groupBy(_._3).view.mapValues(_.map(_._5.toDouble).sorted).toMap
+    for ((lang, vals) <- groups; (q, i) <- Seq(0.25, 0.5, 0.75, 0.9, 0.99).zipWithIndex) {
+      val want = vals(math.max(1, math.ceil(q * vals.length).toInt) - 1)
+      assert(got(lang)(i) == want, s"lang=$lang q=$q")
+    }
+  }
+
   test("quantile sketch merge is level-aware: summaries combine without n loss") {
     import Sketches.QuantileSketch._
     val a = (0 until 1000).foldLeft(new QS())((s, i) => add(s, i.toDouble, 64))
