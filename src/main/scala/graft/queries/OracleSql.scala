@@ -225,6 +225,13 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q42_pivot_api" ->
+      """SELECT user_id,
+        |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q37_except_all" ->
       """SELECT l_orderkey FROM lineitem
         |EXCEPT ALL SELECT o_orderkey FROM orders

@@ -403,8 +403,20 @@ object Relational {
         .otherwise(0).as("prio"))
       .orderBy("o_orderkey")
 
+  // Q42 relational pivot API (df.groupBy().pivot(values)) — the dynamic
+  // form of q13's conditional aggregation. Explicit value list keeps the
+  // plan a single pass (no distinct-values pre-query) and the schema
+  // deterministic.
+  def q42(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy("user_id")
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_pivot_api" -> q42 _,
     "q37_except_all" -> q37 _,
     "q38_grouping_sets" -> q38 _,
     "q39_rank_family" -> q39 _,
