@@ -166,6 +166,41 @@ object InferApp {
   }
 }
 
+/** End-to-end corpus-preparation CLI — the north-star pipeline composed
+  * from the individually-oracle-checked operators: quality gates →
+  * canonical exact-dedup → content-hash split
+  * ([[graft.ext.TextAnalysis.cleanCorpus]]), written as
+  * split-partitioned parquet (`<out>/split=train|val|test/`) so a
+  * training job reads its split with directory-level partition pruning.
+  * Usage: `PipelineApp <documents.parquet> <outDir>
+  * [minTokens minStopwordRatio maxTopBigramFrac]`. Prints one summary
+  * line per split. */
+object PipelineApp {
+  def main(args: Array[String]): Unit = {
+    val spark = Flags.session("graft-pipeline")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-preserving body (separated so specs can drive it). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PipelineApp <documents.parquet> <outDir> " +
+      "[minTokens minStopwordRatio maxTopBigramFrac]")
+    val in = args(0)
+    val out = args(1)
+    val minTokens = args.lift(2).map(_.toInt).getOrElse(10)
+    val minSw = args.lift(3).map(_.toDouble).getOrElse(0.05)
+    val maxBi = args.lift(4).map(_.toDouble).getOrElse(0.2)
+    val docs = spark.read.parquet(in)
+    val cleaned = graft.ext.TextAnalysis.cleanCorpus(docs, minTokens, minSw, maxBi)
+    cleaned.write.mode("overwrite").partitionBy("split").parquet(out)
+    val stats = spark.read.parquet(out).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("train", "val", "test").foreach { s =>
+      println(s"$s: ${stats.getOrElse(s, 0L)} docs")
+    }
+  }
+}
+
 /** Readable model report, format-parity with view_model.py (per topic:
   * `TOPIC:  <i> <mass>` then `word value` rows, value>1, sorted by
   * (value, word) descending). Usage mirrors the reference:

@@ -100,4 +100,23 @@ class AppsSpec extends SparkSpec {
     assert(lines(0).split(" ").map(_.toDouble).sum == 2.0)
     assert(lines(2).split(" ").map(_.toDouble).sum == 2.0)
   }
+
+  test("PipelineApp writes split-partitioned parquet matching cleanCorpus") {
+    val out = Files.createTempDirectory("graft-pipeline").toString
+    PipelineApp.run(spark, Array(sf() + "/documents.parquet", out))
+    val got = spark.read.parquet(out)
+    val want = graft.ext.TextAnalysis.cleanCorpus(
+      spark.read.parquet(sf() + "/documents.parquet"))
+    assert(got.count() == want.count() && got.count() > 0)
+    // split lives in the directory structure AND reads back as a column
+    assert(got.columns.contains("split"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.nonEmpty)
+    // per-split counts agree with the operator
+    val wantCounts = want.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCounts = got.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts == wantCounts)
+  }
 }
