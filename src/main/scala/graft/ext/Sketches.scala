@@ -153,7 +153,8 @@ object Sketches {
       .rdd.treeAggregate(new QS())(
         (s, x) => add(s, x, capacity),
         (a, b) => merge(a, b, capacity))
-    qs.map(q => (q, BigDecimal(quantile(summary, q))
+    if (summary.n == 0) Seq.empty[(Double, Double)].toDF("q", "value")
+    else qs.map(q => (q, BigDecimal(quantile(summary, q))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("q", "value")
   }

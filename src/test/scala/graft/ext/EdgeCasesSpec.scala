@@ -62,4 +62,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.annTopK(oneVec, oneVec, 3).count() == 0) // self excluded
     assert(Similarity.ivfTopK(oneVec, oneVec, 3, nlist = 1, nprobe = 1).count() == 0)
   }
+
+  test("round-3 operators handle empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val noEvents = Seq.empty[(Long, Long, Double)].toDF("user_id", "event_id", "value")
+    assert(Graph.pageRank(noPairs).count() == 0)
+    assert(Graph.pageRankDistributed(noPairs, 2, 0.85).count() == 0)
+    assert(TextAnalysis.importanceWeights(noDocs,
+      org.apache.spark.sql.functions.col("doc_id") > 0).count() == 0)
+    assert(TextAnalysis.negativeSample(noDocs).count() == 0)
+    assert(TextAnalysis.negativeSample(Seq((1L, "only")).toDF("doc_id", "text"))
+      .count() == 0) // singleton ring emits nothing
+    assert(TextAnalysis.tokenEntropy(noDocs).count() == 0)
+    assert(TextAnalysis.skipgramPairs(Seq((1L, "one")).toDF("doc_id", "text"))
+      .count() == 0) // no pair within window
+    assert(TextAnalysis.bpePairCounts(Seq((1L, "a")).toDF("doc_id", "text"))
+      .count() == 0) // single-char word has no pair
+    assert(Temporal.ewma(noEvents).count() == 0)
+    assert(Sketches.quantilesOf(noEvents,
+      org.apache.spark.sql.functions.col("value"), 64, Seq(0.5)).count() == 0)
+    assert(Dedup.keepNearDupCanonical(noDocs, noPairs).count() == 0)
+  }
 }
