@@ -146,6 +146,18 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Per-language n_chars quartiles through the graft_quantiles SQL UDAF
+    * (exact: every group ≤ capacity), exploded to scalar rows. */
+  def groupQuantilesQ(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_gq")
+    s.sql("""SELECT lang, p.q AS q, qs[p.pos] AS value
+             FROM (SELECT lang, graft_quantiles(CAST(n_chars AS DOUBLE)) AS qs
+                   FROM graft_docs_gq GROUP BY lang)
+             LATERAL VIEW posexplode(array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D)) p AS pos, q
+             ORDER BY lang, q""")
+  }
+
   /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
   def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.documents(s, d)).orderBy("doc_id")
@@ -544,6 +556,7 @@ object ExtQueries {
     "ext_token_entropy" -> tokenEntropyQ _,
     "ext_skipgram" -> skipgramQ _,
     "ext_bpe_pairs" -> bpePairsQ _,
+    "ext_group_quantiles" -> groupQuantilesQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -617,6 +630,20 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same rank rule as ext_quantile_sketch (value at rank ⌈q·n⌉), per group
+    "ext_group_quantiles" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT s.lang, qs.q, ROUND(s.v, 4) AS value
+        |FROM qs, s
+        |WHERE s.rn = GREATEST(1, CAST(ceil(qs.q * s.n) AS BIGINT))
+        |ORDER BY lang, q""".stripMargin,
+
     "ext_token_entropy" ->
       s"""WITH $toksCte,
          |occ AS (SELECT doc_id, unnest(ts) AS tok FROM toks),

@@ -225,6 +225,12 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q43_range_frame" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 4) AS s
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q42_pivot_api" ->
       """SELECT user_id,
         |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view,

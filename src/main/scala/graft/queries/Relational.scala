@@ -414,8 +414,21 @@ object Relational {
       .agg(round(sum(col("value")), 4))
       .orderBy("user_id")
 
+  // Q43 RANGE window frame (value-based, vs q18's ROWS frame): per user,
+  // sum of values of events whose event_id lies within 100 BELOW the
+  // current row's — frame membership by ORDER-key distance, a different
+  // WindowExec frame processor than row counting.
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("s"))
+      .orderBy("event_id")
+  }
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_range_frame" -> q43 _,
     "q42_pivot_api" -> q42 _,
     "q37_except_all" -> q37 _,
     "q38_grouping_sets" -> q38 _,
