@@ -143,7 +143,9 @@ object Sketches {
 
   /** Approximate quantiles of a numeric column via [[QuantileSketch]]:
     * one treeAggregate pass, O(capacity·log) driver state, never a sort
-    * of the data. Returns (q, value) per requested quantile. */
+    * of the data. NULL, NaN, and ±Inf values are skipped (SQL-aggregate
+    * convention; NaN/Inf have no meaningful rank and would poison every
+    * probe above/below them). Returns (q, value) per requested quantile. */
   def quantilesOf(df: DataFrame, c: Column, capacity: Int,
       qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
@@ -151,7 +153,7 @@ object Sketches {
     import QuantileSketch._
     val summary = df.select(c.cast("double").as("v")).na.drop().as[Double]
       .rdd.treeAggregate(new QS())(
-        (s, x) => add(s, x, capacity),
+        (s, x) => if (java.lang.Double.isFinite(x)) add(s, x, capacity) else s,
         (a, b) => merge(a, b, capacity))
     if (summary.n == 0) Seq.empty[(Double, Double)].toDF("q", "value")
     else qs.map(q => (q, BigDecimal(quantile(summary, q))

@@ -235,8 +235,10 @@ object Temporal {
     * partitions by (key, order), then a sequential per-partition scan
     * that resets state at each key boundary — O(1) state per task, no
     * per-key collect, nothing ever funnels through one task. Rows with a
-    * NULL value pass the previous smoothed value through unchanged (and
-    * emit NULL until the key's first non-null).
+    * NULL or non-finite (NaN/±Inf) value pass the previous smoothed
+    * value through unchanged (and emit NULL until the key's first
+    * usable value) — an explicit has-state flag, NOT a NaN sentinel, so
+    * a NaN input can never silently reset the smoother.
     *
     * Output: input key + order columns + `ewma` (ROUND ·,4). */
   def ewma(df: DataFrame, key: String = "user_id", orderCol: String = "event_id",
@@ -250,16 +252,20 @@ object Temporal {
       .sortWithinPartitions(col(key), col(orderCol))
     val out = prepared.rdd.mapPartitions { it =>
       var curKey: Any = null
-      var have = false
+      var haveKey = false
+      var haveY = false
       var y = 0.0
       it.map { r =>
         val k = r.get(0)
-        if (!have || k != curKey) { curKey = k; have = true; y = Double.NaN }
+        if (!haveKey || k != curKey) { curKey = k; haveKey = true; haveY = false }
         if (!r.isNullAt(2)) {
           val x = r.get(2).asInstanceOf[Number].doubleValue()
-          y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
+          if (java.lang.Double.isFinite(x)) {
+            y = if (!haveY) x else alpha * x + (1 - alpha) * y
+            haveY = true
+          }
         }
-        Row(k, r.get(1), if (y.isNaN) null
+        Row(k, r.get(1), if (!haveY) null
           else BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }

@@ -593,7 +593,8 @@ object TextAnalysis {
     * miss. One (doc, tok) grouped count, one per-doc aggregate, both
     * map-side combined. */
   def tokenEntropy(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum(col("c")).as("n_toks"),
@@ -630,7 +631,8 @@ object TextAnalysis {
     * merge). The char expansion runs over the V-row vocabulary, not the
     * token stream — corpus volume only ever feeds the word count. */
   def bpePairCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+    Dedup.spreadForCompute(docs)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .where(length(col("tok")) >= 2)
       .select(col("c"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"),
@@ -656,10 +658,11 @@ object TextAnalysis {
     * n/1000 so rings stay comfortable. Output: (doc_id, neg_id, j) with
     * j ∈ 1..k. */
   def negativeSample(docs: DataFrame, k: Int = 3, buckets: Int = 16): DataFrame = {
-    require(k >= 1 && buckets >= 1)
+    require(k >= 1 && buckets >= 1 && buckets <= (1 << 24),
+      "buckets must be in [1, 2^24]") // 6 hex chars of bucket entropy
     val h = md5(concat(lit("neg:"), col("doc_id").cast("string")))
     val ring = Dedup.spreadForCompute(docs)
-      .select(substring(h, 1, 2).as("bkt"), struct(h.as("h"), col("doc_id")).as("e"))
+      .select(substring(h, 1, 6).as("bkt"), struct(h.as("h"), col("doc_id")).as("e"))
       .withColumn("bkt", pmod(conv(col("bkt"), 16, 10).cast("int"), lit(buckets)))
       .groupBy("bkt").agg(array_sort(collect_list(col("e"))).as("ring"))
       .where(size(col("ring")) > 1)
@@ -688,20 +691,25 @@ object TextAnalysis {
     * `isTarget` marks the target-domain rows (e.g. `col("lang") === "es"`).
     * Output: (doc_id, w) — w ROUND(·,4), one row per doc.
     *
-    * Scale shape: ONE grouped count over the token stream computes both
+    * Scale shape: the corpus is tokenized ONCE into a per-doc BOW
+    * (doc_id, tok, c) that is materialized (localCheckpoint — the
+    * [[graft.ext.Dedup.minhashEstimates]] compute-once pattern) and
+    * read by both consumers: the token-level count that yields both
     * distributions (the target count rides along as a conditional sum —
-    * no second corpus pass), the V-row weight dictionary broadcasts into
-    * the scoring join, and the per-doc mean is a partial+final avg. Two
-    * token-stream shuffles total (count, per-doc agg), both map-side
-    * combined. */
+    * no second corpus pass) and the scoring join, whose probe side is
+    * now V' rows per doc instead of every occurrence. The V-row weight
+    * dictionary broadcasts; the per-doc mean is the c-weighted partial+
+    * final aggregate Σc·lw / Σc. */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    val occ = Dedup.spreadForCompute(docs)
+    val bow = Dedup.spreadForCompute(docs)
       .select(col("doc_id"), isTarget.as("is_t"),
         explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "is_t", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // per-token: corpus count + target count in one aggregation
-    val wc = occ.groupBy("tok").agg(
-      count(lit(1)).as("c_all"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val wc = bow.groupBy("tok").agg(
+      sum(col("c")).as("c_all"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("c_t"))
     // corpus totals: V distinct tokens, N_all / N_t occurrences (one row)
     val totals = wc.agg(
       sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"),
@@ -710,8 +718,8 @@ object TextAnalysis {
       .select(col("tok"),
         log(((col("c_t") + 1.0) / (col("n_t") + col("v"))) /
             ((col("c_all") + 1.0) / (col("n_all") + col("v")))).as("lw"))
-    occ.join(broadcast(weights), "tok")
+    bow.join(broadcast(weights), "tok")
       .groupBy("doc_id")
-      .agg(round(avg(col("lw")), 4).as("w"))
+      .agg(round(sum(col("c") * col("lw")) / sum(col("c")), 4).as("w"))
   }
 }

@@ -12,15 +12,20 @@ import graft.ext.Sketches.QuantileSketch.QS
   *
   * Buffer rides Kryo (opaque binary — the ObjectHashAggregate path);
   * partial aggregation still applies, so the exchange carries one
-  * O(capacity·log) summary per task, never the rows. Output: the
+  * O(capacity·log) summary per task, never the rows. Input is BOXED
+  * Double so SQL NULLs decode and are skipped (aggregate convention);
+  * NaN/±Inf are skipped too, matching `quantilesOf`. Output: the
   * estimates at the construction-time `probes`, as array<double> in probe
   * order (ROUND ·,4). Exact whenever the aggregated group has ≤ capacity
-  * rows (no compaction fires — see the QuantileSketch scaladoc). */
+  * finite rows (no compaction fires — see the QuantileSketch scaladoc). */
 final class QsAggregator(capacity: Int, probes: Seq[Double])
-    extends Aggregator[Double, QS, Seq[Double]] {
+    extends Aggregator[java.lang.Double, QS, Seq[Double]] {
   require(capacity >= 1 && probes.nonEmpty)
   override def zero: QS = new QS()
-  override def reduce(s: QS, x: Double): QS = QuantileSketch.add(s, x, capacity)
+  override def reduce(s: QS, x: java.lang.Double): QS =
+    if (x != null && java.lang.Double.isFinite(x))
+      QuantileSketch.add(s, x.doubleValue(), capacity)
+    else s
   override def merge(a: QS, b: QS): QS = QuantileSketch.merge(a, b, capacity)
   override def finish(s: QS): Seq[Double] =
     if (s.n == 0) Seq.empty

@@ -679,10 +679,10 @@ object ExtQueries {
         |),
         |r AS (
         |  SELECT doc_id,
-        |    CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16 AS bkt,
-        |    ROW_NUMBER() OVER (PARTITION BY (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16)
+        |    CAST('0x' || substr(h, 1, 6) AS BIGINT) % 16 AS bkt,
+        |    ROW_NUMBER() OVER (PARTITION BY (CAST('0x' || substr(h, 1, 6) AS BIGINT) % 16)
         |                       ORDER BY h, doc_id) AS rn,
-        |    COUNT(*) OVER (PARTITION BY (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 16)) AS n
+        |    COUNT(*) OVER (PARTITION BY (CAST('0x' || substr(h, 1, 6) AS BIGINT) % 16)) AS n
         |  FROM s
         |),
         |js AS (SELECT unnest(range(1, 4)) AS j)

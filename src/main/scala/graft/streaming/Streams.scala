@@ -170,22 +170,31 @@ object Streams {
     * into it, and the emitted rows carry the same y_i the batch operator
     * produces. Because EWMA is a left fold, state size is O(1) per key
     * and any batch boundary placement yields the identical result as
-    * long as rows arrive in order (EwmaSpec/StreamsSpec assert equality
-    * with the batch form).
+    * long as rows arrive in order (StreamsSpec asserts equality with the
+    * batch form). Non-finite values (NaN/±Inf) are pass-through like the
+    * batch operator's nulls: state is kept, the row emits the previous
+    * smoothed value (rows before the key's first finite value emit
+    * nothing — a tuple stream has no null slot to carry).
     * Input: (key, orderId, value); output: (key, orderId, ewma ROUND 4). */
   def streamingEwma(events: Dataset[(Long, Long, Double)],
       alpha: Double = 0.2): Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+      .flatMapGroupsWithState[(Boolean, Double), (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
-          var y = state.getOption.getOrElse(Double.NaN)
-          val out = rows.toSeq.sortBy(_._2).map { case (_, id, x) =>
-            y = if (y.isNaN) x else alpha * x + (1 - alpha) * y
-            (key, id, BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[(Boolean, Double)]) =>
+          var (haveY, y) = state.getOption.getOrElse((false, 0.0))
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, x) =>
+            if (java.lang.Double.isFinite(x)) {
+              y = if (!haveY) x else alpha * x + (1 - alpha) * y
+              haveY = true
+            }
+            if (!haveY) None
+            else Some((key, id,
+              BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
           }
-          state.update(y)
+          state.update((haveY, y))
           out.iterator
       }
   }

@@ -41,12 +41,16 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 2e-4, s"node $k") }
   }
 
-  test("distributed path equals the driver-local path after rounding") {
+  test("distributed path equals the driver-local path (within rounding ulps)") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 1L))
     val local = pr(g)
     val dist = Graph.pageRank(g.toDF("doc_a", "doc_b"), 5, localThreshold = 0L)
       .as[(Long, Double)].collect().toMap
-    assert(local == dist)
+    // the distributed groupBy sums in shuffle-fetch order — a value within
+    // 1 ulp of a .00005 boundary may round differently, so compare with
+    // tolerance, not equality
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) => assert(math.abs(v - dist(k)) <= 2e-4, s"node $k") }
   }
 
   test("pageRank is invariant to edge-list partitioning") {

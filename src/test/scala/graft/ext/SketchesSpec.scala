@@ -139,6 +139,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile surfaces skip NULL/NaN/Inf instead of crashing") {
+    val d = Seq[Option[Double]](Some(1.0), None, Some(Double.NaN),
+      Some(Double.PositiveInfinity), Some(2.0), Some(3.0)).toDF("v")
+    val got = Sketches.quantilesOf(d, col("v"), 64, Seq(0.5, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(got == Map(0.5 -> 2.0, 1.0 -> 3.0)) // over the 3 finite values
+    d.createOrReplaceTempView("graft_qnull")
+    val udaf = spark.sql("SELECT graft_quantiles(v) AS qs FROM graft_qnull")
+      .as[Seq[Double]].head()
+    assert(udaf.forall(java.lang.Double.isFinite)) // NULL row didn't abort, junk skipped
+  }
+
   test("quantile sketch merge is level-aware: summaries combine without n loss") {
     import Sketches.QuantileSketch._
     val a = (0 until 1000).foldLeft(new QS())((s, i) => add(s, i.toDouble, 64))

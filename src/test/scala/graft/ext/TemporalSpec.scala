@@ -296,6 +296,20 @@ class TemporalSpec extends SparkSpec {
     assert(got(4L).contains(6.0))    // .5*8 + .5*4
   }
 
+  test("ewma treats NaN/Inf like null: state carried, never reset") {
+    val d = Seq(
+      (1L, 1L, 5.0), (1L, 2L, Double.NaN), (1L, 3L, 7.0),
+      (2L, 4L, Double.PositiveInfinity), (2L, 5L, 4.0))
+      .toDF("user_id", "event_id", "value")
+    val got = Temporal.ewma(d, alpha = 0.5)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._2 -> r._3).toMap
+    assert(got(1L).contains(5.0))
+    assert(got(2L).contains(5.0))  // NaN passes prior state through
+    assert(got(3L).contains(6.0))  // .5*7 + .5*5 — history NOT reset by the NaN
+    assert(got(4L).isEmpty)        // Inf before any finite value → null
+    assert(got(5L).contains(4.0))
+  }
+
   test("ewma is invariant to input partitioning") {
     val e = graft.Tables.events(spark, sf())
     val a = Temporal.ewma(e).as[(Long, Long, Double)].collect().sortBy(_._2)
