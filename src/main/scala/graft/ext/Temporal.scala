@@ -225,6 +225,38 @@ object Temporal {
       .drop("_rn")
   }
 
+  /** Hourly resample + forward fill per key — the time-series
+    * regularization step (metrics pipelines, feature stores): keep each
+    * key's LAST observation per hour (latest (ts, tiebreak) wins),
+    * expand the key's full hour grid from its first to last observed
+    * hour, and forward-fill unobserved hours with the most recent
+    * value. Output: (key, h, v, observed∈{0,1}).
+    *
+    * Scale shape: one grouped keep-latest on (key, hour), a per-key
+    * bounds aggregate whose `sequence` explode generates the grid
+    * IN-ROW (grid size = key's hour span — never a global calendar
+    * cross join), a left join back on (key, hour), and one keyed window
+    * for the fill. No timeline ever funnels through a single task. */
+  def resampleHourlyFfill(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", valueCol: String = "value",
+      tiebreak: String = "event_id"): DataFrame = {
+    val hb = events.select(col(key), date_trunc("hour", col(ts)).as("h"),
+      col(ts), col(tiebreak), col(valueCol))
+    val lastv = hb
+      .groupBy(col(key), col("h"))
+      .agg(max(struct(col(ts), col(tiebreak), col(valueCol))).getField(valueCol).as("v"))
+    val grid = lastv.groupBy(col(key))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col(key),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(key).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastv, Seq(key, "h"), "left")
+      .select(col(key), col("h"),
+        round(last(col("v"), ignoreNulls = true).over(w), 4).as("v"),
+        when(col("v").isNotNull, 1).otherwise(0).as("observed"))
+  }
+
   /** Per-key exponentially weighted moving average:
     * y_1 = x_1; y_i = alpha·x_i + (1−alpha)·y_{i−1} in `orderCol` order
     * within each key — the recursive smoother window frames can't express

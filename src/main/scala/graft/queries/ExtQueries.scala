@@ -146,6 +146,10 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Hourly resample + forward fill of each user's value series. */
+  def resampleQ(s: SparkSession, d: String): DataFrame =
+    Temporal.resampleHourlyFfill(Tables.events(s, d)).orderBy("user_id", "h")
+
   /** Per-language n_chars quartiles through the graft_quantiles SQL UDAF
     * (exact: every group ≤ capacity), exploded to scalar rows. */
   def groupQuantilesQ(s: SparkSession, d: String): DataFrame = {
@@ -557,6 +561,7 @@ object ExtQueries {
     "ext_skipgram" -> skipgramQ _,
     "ext_bpe_pairs" -> bpePairsQ _,
     "ext_group_quantiles" -> groupQuantilesQ _,
+    "ext_resample_ffill" -> resampleQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -630,6 +635,30 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // forward fill via the portable gaps-and-islands form (no IGNORE NULLS):
+    // grp = running count of observations, fill = MAX within (key, grp)
+    "ext_resample_ffill" ->
+      """WITH hb AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |),
+        |lastv AS (SELECT user_id, h, value AS v FROM hb WHERE rn = 1),
+        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM lastv GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM bounds),
+        |joined AS (
+        |  SELECT g.user_id, g.h, l.v,
+        |    SUM(CASE WHEN l.v IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.h) AS grp
+        |  FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.h = g.h
+        |)
+        |SELECT user_id, h,
+        |  ROUND(MAX(v) OVER (PARTITION BY user_id, grp), 4) AS v,
+        |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM joined ORDER BY user_id, h""".stripMargin,
+
     // same rank rule as ext_quantile_sketch (value at rank ⌈q·n⌉), per group
     "ext_group_quantiles" ->
       """WITH s AS (

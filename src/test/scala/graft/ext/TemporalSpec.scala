@@ -271,6 +271,24 @@ class TemporalSpec extends SparkSpec {
     check((3L, "c"), 2L, 2 * ln(3.0 / 2))
   }
 
+  test("resampleHourlyFfill fills gaps with the latest prior value") {
+    val d = Seq(
+      (1L, 10L, ts("2024-01-01 10:15:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:45:00"), 2.0),  // later in same hour wins
+      (3L, 10L, ts("2024-01-01 13:05:00"), 9.0),  // 11:00,12:00 are gaps
+      (4L, 20L, ts("2024-01-01 00:00:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.resampleHourlyFfill(d)
+      .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got((10L, "2024-01-01 10:00:00.0")) == ((2.0, 1)))
+    assert(got((10L, "2024-01-01 11:00:00.0")) == ((2.0, 0))) // filled
+    assert(got((10L, "2024-01-01 12:00:00.0")) == ((2.0, 0))) // filled
+    assert(got((10L, "2024-01-01 13:00:00.0")) == ((9.0, 1)))
+    assert(got((20L, "2024-01-01 00:00:00.0")) == ((5.0, 1)))
+    assert(got.size == 5) // user 20 has a single-hour grid
+  }
+
   test("ewma matches the hand recurrence and resets per key") {
     val d = Seq(
       (10L, 1L, 1.0), (10L, 2L, 2.0), (10L, 3L, 3.0),
