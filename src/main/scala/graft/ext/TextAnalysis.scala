@@ -586,6 +586,24 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Rebalance strata to the SMALLEST stratum's size: keep each
+    * stratum's first n_min docs in content-hash order (deterministic,
+    * uniform within stratum) — the "equalize domains" downsampling that
+    * turns a skewed source mix into a balanced one, complementing
+    * [[mixtureSample]] (target weights) and [[stratifiedSample]] (fixed
+    * per-stratum percentage). One shuffle for the per-stratum rank
+    * window; n_min is a two-level aggregate broadcast back. */
+  def rebalanceStrata(docs: DataFrame, stratum: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+    val ranked = docs.withColumn("_rk", row_number().over(w))
+    val minN = ranked.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("_n_min"))
+    ranked.crossJoin(broadcast(minN))
+      .where(col("_rk") <= col("_n_min"))
+      .drop("_rk", "_n_min")
+  }
+
   /** Per-doc lexical-diversity metrics: token count, type-token ratio,
     * and unigram Shannon entropy H = ln n − Σ c·ln c / n — the
     * quality-filter signals that catch keyword-stuffed or

@@ -146,6 +146,11 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Domain rebalancing: every lang downsampled to the smallest lang. */
+  def rebalanceQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rebalanceStrata(Tables.documents(s, d))
+      .select("doc_id", "lang").orderBy("doc_id")
+
   /** Hourly resample + forward fill of each user's value series. */
   def resampleQ(s: SparkSession, d: String): DataFrame =
     Temporal.resampleHourlyFfill(Tables.events(s, d)).orderBy("user_id", "h")
@@ -562,6 +567,7 @@ object ExtQueries {
     "ext_bpe_pairs" -> bpePairsQ _,
     "ext_group_quantiles" -> groupQuantilesQ _,
     "ext_resample_ffill" -> resampleQ _,
+    "ext_rebalance" -> rebalanceQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -635,6 +641,16 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_rebalance" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents
+        |),
+        |m AS (SELECT MIN(n) AS n_min FROM (SELECT COUNT(*) AS n FROM r GROUP BY lang))
+        |SELECT doc_id, lang FROM r, m WHERE rk <= n_min
+        |ORDER BY doc_id""".stripMargin,
+
     // forward fill via the portable gaps-and-islands form (no IGNORE NULLS):
     // grp = running count of observations, fill = MAX within (key, grp)
     "ext_resample_ffill" ->

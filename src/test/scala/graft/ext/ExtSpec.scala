@@ -422,6 +422,19 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("rebalanceStrata equalizes every stratum to the smallest") {
+    val d = Seq(
+      (1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"), (4L, "d", "en"),
+      (5L, "e", "de"), (6L, "f", "de"),
+      (7L, "g", "fr"), (8L, "h", "fr"), (9L, "i", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.rebalanceStrata(d)
+      .select("lang").as[String].collect()
+    assert(kept.length == 6) // 3 langs × min(4,2,3)=2
+    assert(kept.groupBy(identity).view.mapValues(_.length).toMap ==
+      Map("en" -> 2, "de" -> 2, "fr" -> 2))
+  }
+
   test("tokenEntropy: uniform doc maxes entropy, repeated doc zeroes it") {
     val d = docs((1L, "a b c d"), (2L, "a a a a"))
     val got = TextAnalysis.tokenEntropy(d)
