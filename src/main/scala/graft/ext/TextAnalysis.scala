@@ -593,9 +593,10 @@ object TextAnalysis {
     * [[mixtureSample]] (target weights) and [[stratifiedSample]] (fixed
     * per-stratum percentage). One shuffle for the per-stratum rank
     * window; n_min is a two-level aggregate broadcast back. */
-  def rebalanceStrata(docs: DataFrame, stratum: String = "lang"): DataFrame = {
+  def rebalanceStrata(docs: DataFrame, stratum: String = "lang",
+      hashCol: String = "text", tiebreak: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(md5(col("text")), col("doc_id"))
+      .partitionBy(stratum).orderBy(md5(col(hashCol)), col(tiebreak))
     val ranked = docs.withColumn("_rk", row_number().over(w))
     val minN = ranked.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("_n_min"))
@@ -717,7 +718,11 @@ object TextAnalysis {
     * no second corpus pass) and the scoring join, whose probe side is
     * now V' rows per doc instead of every occurrence. The V-row weight
     * dictionary broadcasts; the per-doc mean is the c-weighted partial+
-    * final aggregate Σc·lw / Σc. */
+    * final aggregate Σc·lw / Σc. Lifecycle note (the
+    * dupClustersDistributed convention): the checkpointed BOW's blocks
+    * are owned by the returned DataFrame's plan and are reclaimed by
+    * ContextCleaner when the caller drops the result — constructing the
+    * result runs the tokenize+count jobs eagerly. */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val bow = Dedup.spreadForCompute(docs)
       .select(col("doc_id"), isTarget.as("is_t"),

@@ -762,20 +762,25 @@ object ExtQueries {
          |${prIter("r3", "r4")}, ${prIter("r4", "r5")}
          |SELECT id AS doc_id, ROUND(r, 4) AS pr FROM r5 ORDER BY doc_id""".stripMargin,
 
+    // mirrors the Spark plan's association exactly: per-(doc,tok) BOW
+    // counts, weighted mean Σc·lw / Σc — ONE multiply per bow row on both
+    // engines, so no c-fold re-addition can drift a weight across a
+    // ROUND(.,4) boundary
     "ext_importance_weights" ->
       """WITH occ AS (
         |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
         |  FROM documents
         |),
-        |ac AS (SELECT tok, COUNT(*) AS c_all,
-        |         COUNT(*) FILTER (WHERE lang = 'es') AS c_t
-        |       FROM occ GROUP BY tok),
+        |bow AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+        |ac AS (SELECT tok, SUM(c) AS c_all,
+        |         COALESCE(SUM(c) FILTER (WHERE lang = 'es'), 0) AS c_t
+        |       FROM bow GROUP BY tok),
         |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t, COUNT(*) AS v FROM ac),
         |w AS (SELECT tok, ln(((c_t + 1.0) / (n_t + v)) / ((c_all + 1.0) / (n_all + v))) AS lw
         |      FROM ac, tot)
-        |SELECT occ.doc_id, ROUND(AVG(w.lw), 4) + 0.0 AS w
-        |FROM occ JOIN w USING (tok)
-        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
+        |SELECT bow.doc_id, ROUND(SUM(bow.c * w.lw) / SUM(bow.c), 4) + 0.0 AS w
+        |FROM bow JOIN w USING (tok)
+        |GROUP BY bow.doc_id ORDER BY bow.doc_id""".stripMargin,
 
     "ext_ewma" ->
       """WITH s AS (

@@ -171,7 +171,10 @@ object Streams {
     * produces. Because EWMA is a left fold, state size is O(1) per key
     * and any batch boundary placement yields the identical result as
     * long as rows arrive in order (StreamsSpec asserts equality with the
-    * batch form). Non-finite values (NaN/±Inf) are pass-through like the
+    * batch form). Keyed state schema: (hasState: Boolean, y: Double) —
+    * bump the checkpoint location if this ever changes, Structured
+    * Streaming cannot migrate state encodings in place. Non-finite
+    * values (NaN/±Inf) are pass-through like the
     * batch operator's nulls: state is kept, the row emits the previous
     * smoothed value (rows before the key's first finite value emit
     * nothing — a tuple stream has no null slot to carry).

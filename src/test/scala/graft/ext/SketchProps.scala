@@ -30,10 +30,10 @@ object SketchProps extends Properties("ext.quantileSketch") {
     sorted((target - 1).toInt)
   }
 
-  property("exact at capacity >= n, any chunking") =
-    forAll(values, Gen.choose(1, 7), Gen.oneOf(0.01, 0.25, 0.5, 0.75, 0.99)) {
-      (xs, chunks, q) =>
-        val s = build(xs, chunks, cap = xs.length + 1)
+  property("exact at capacity >= n (incl. the cap == n boundary), any chunking") =
+    forAll(values, Gen.choose(1, 7), Gen.oneOf(0.01, 0.25, 0.5, 0.75, 0.99),
+      Gen.oneOf(0, 1)) { (xs, chunks, q, slack) =>
+        val s = build(xs, chunks, cap = xs.length + slack)
         val sorted = xs.sorted.toVector
         s.n == xs.length && quantile(s, q) == exactRank(sorted, q)
     }

@@ -148,7 +148,9 @@ class SketchesSpec extends SparkSpec {
     d.createOrReplaceTempView("graft_qnull")
     val udaf = spark.sql("SELECT graft_quantiles(v) AS qs FROM graft_qnull")
       .as[Seq[Double]].head()
-    assert(udaf.forall(java.lang.Double.isFinite)) // NULL row didn't abort, junk skipped
+    // exact over the finite multiset {1,2,3} at probes .25/.5/.75/.9/.99 —
+    // proves the junk was SKIPPED, not decoded as 0.0 or taken along
+    assert(udaf == Seq(1.0, 2.0, 3.0, 3.0, 3.0), udaf)
   }
 
   test("quantile sketch merge is level-aware: summaries combine without n loss") {
