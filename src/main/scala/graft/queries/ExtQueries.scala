@@ -918,10 +918,14 @@ object ExtQueries {
          |SELECT md5(chunk_text) AS h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS n_docs
          |FROM ct GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
 
+    // + 0.0 normalizes IEEE -0.0 (a tiny-negative mean rounded to zero) to
+    // +0.0: Spark's decimal-based round never emits -0.0, DuckDB's does —
+    // first observed at sf0.1 (latent at sf0.01)
     "ext_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |x AS (SELECT label, unnest(range(1, 65)) AS j, e FROM e)
-        |SELECT label, CAST(j - 1 AS INT) AS pos, ROUND(AVG(e[CAST(j AS INT)]), 4) AS c
+        |SELECT label, CAST(j - 1 AS INT) AS pos,
+        |  ROUND(AVG(e[CAST(j AS INT)]), 4) + 0.0 AS c
         |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "ext_pmi_top20" ->
