@@ -168,6 +168,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("negative sampling is join-free: one bucket aggregation, in-row pairing") {
+    val p = plan("ext_negative_sample")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the in-row ring explode
+  }
+
+  test("resample grid expansion is in-row; no cartesian against a calendar") {
+    val p = plan("ext_resample_ffill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // sequence() explode per key
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
