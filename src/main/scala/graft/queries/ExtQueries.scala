@@ -184,6 +184,16 @@ object ExtQueries {
     TextAnalysis.negativeSample(Tables.documents(s, d), k = 3, buckets = 16)
       .orderBy("doc_id", "j")
 
+  /** Dedup report: how many near-dup clusters exist at each size — the
+    * histogram a corpus build logs after clustering (cluster count and
+    * docs affected per size bucket). */
+  def dupStats(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(candidates(s, d))
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Corpus survivors after near-dup clustering: cluster reps + singletons. */
   def neardupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.keepNearDupCanonical(Tables.documents(s, d), candidates(s, d))
@@ -568,6 +578,7 @@ object ExtQueries {
     "ext_group_quantiles" -> groupQuantilesQ _,
     "ext_resample_ffill" -> resampleQ _,
     "ext_rebalance" -> rebalanceQ _,
+    "ext_dup_stats" -> dupStats _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -818,6 +829,25 @@ object ExtQueries {
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    // cluster-size histogram over the same connected components
+    "ext_dup_stats" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges GROUP BY a
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, COUNT(*) AS sz FROM labels GROUP BY cluster)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // survivors after near-dup clustering: drop clustered docs that are
     // not their cluster's representative (= min reachable doc_id)
