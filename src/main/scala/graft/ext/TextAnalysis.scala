@@ -586,6 +586,31 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Per-stratum winsorization: clip `valueCol` to the stratum's
+    * [lo, hi] percentile values (PERCENTILE_DISC semantics — the value
+    * at rank ⌈q·n⌉, same rule as [[Sketches.quantilesOf]]) — the outlier
+    * clamp run before computing corpus statistics that a single
+    * doc-length outlier would skew. One rank window per stratum + a
+    * broadcast threshold join; all-integer when `valueCol` is integral
+    * (no float rounding anywhere). */
+  def winsorize(docs: DataFrame, stratum: String = "lang",
+      valueCol: String = "n_chars", tiebreak: String = "doc_id",
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy(stratum).orderBy(col(valueCol), col(tiebreak))
+    val all = Window.partitionBy(stratum)
+    val ranked = docs
+      .withColumn("_rn", row_number().over(byV))
+      .withColumn("_n", count(lit(1)).over(all))
+    def at(q: Double) = min(when(
+      col("_rn") === greatest(lit(1L), ceil(lit(q) * col("_n"))), col(valueCol)))
+    val th = ranked.groupBy(col(stratum))
+      .agg(at(lo).as("_lo"), at(hi).as("_hi"))
+    docs.join(broadcast(th), stratum)
+      .withColumn("clipped", least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Rebalance strata to the SMALLEST stratum's size: keep each
     * stratum's first n_min docs in content-hash order (deterministic,
     * uniform within stratum) — the "equalize domains" downsampling that

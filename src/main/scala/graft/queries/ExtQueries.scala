@@ -146,6 +146,11 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Per-lang winsorization of n_chars at the 5th/95th percentiles. */
+  def winsorizeQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winsorize(Tables.documents(s, d))
+      .select("doc_id", "lang", "n_chars", "clipped").orderBy("doc_id")
+
   /** Domain rebalancing: every lang downsampled to the smallest lang. */
   def rebalanceQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.rebalanceStrata(Tables.documents(s, d))
@@ -579,6 +584,7 @@ object ExtQueries {
     "ext_resample_ffill" -> resampleQ _,
     "ext_rebalance" -> rebalanceQ _,
     "ext_dup_stats" -> dupStats _,
+    "ext_winsorize" -> winsorizeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -652,6 +658,23 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // PERCENTILE_DISC thresholds (value at rank ⌈q·n⌉) per stratum, then
+    // clip — all-integer, no float rendering anywhere
+    "ext_winsorize" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |),
+        |th AS (SELECT lang,
+        |  MIN(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT)) THEN n_chars END) AS lo,
+        |  MIN(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang)
+        |SELECT r.doc_id, r.lang, r.n_chars,
+        |  LEAST(GREATEST(r.n_chars, th.lo), th.hi) AS clipped
+        |FROM r JOIN th USING (lang) ORDER BY r.doc_id""".stripMargin,
+
     "ext_rebalance" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

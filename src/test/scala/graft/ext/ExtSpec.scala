@@ -422,6 +422,17 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("winsorize clips to the stratum's rank-based percentile values") {
+    // 20 docs, values 1..20, one stratum: p05 = value at rank 1 = 1,
+    // p95 = value at rank 19 = 19 → only the max gets clipped (20 → 19)
+    val d = (1L to 20L).map(i => (i, s"t$i", "en", i * 1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextAnalysis.winsorize(d)
+      .select("doc_id", "clipped").as[(Long, Long)].collect().toMap
+    assert(got(20L) == 19L)
+    assert(got(19L) == 19L && got(1L) == 1L && got(10L) == 10L)
+  }
+
   test("rebalanceStrata equalizes every stratum to the smallest") {
     val d = Seq(
       (1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"), (4L, "d", "en"),
