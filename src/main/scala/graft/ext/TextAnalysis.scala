@@ -586,6 +586,54 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Trigram "stupid backoff" LM scoring (Brants et al. 2007, the
+    * web-scale LM that skips normalization): score held-out docs against
+    * counts from a TRAINING slice —
+    *   s(w3|w1w2) = c(w1w2w3)/c(w1w2)                 if the trigram was seen,
+    *              = alpha · c(w2w3)/c(w2)             else if the bigram was,
+    *              = alpha² · (c(w3)+1)/(N+V)          else (add-one unigram).
+    * Per-doc output: nll = mean of −ln s over trigram positions — the
+    * cross-domain fluency filter (score web text against a curated LM,
+    * keep the low-NLL tail).
+    *
+    * Scale shape: three grouped counts over the training slice (each
+    * partial+final), all broadcast into ONE pass over the eval trigrams
+    * (count tables are vocab-bounded, never corpus-bounded), then a
+    * per-doc mean. Seen-trigram ⇒ seen-prefix-bigram (same corpus), so
+    * the CASE never divides by null. */
+  def stupidBackoff(docs: DataFrame, isTrain: Column,
+      alpha: Double = 0.4): DataFrame = {
+    val train = docs.where(isTrain)
+    val eval = docs.where(!isTrain)
+    val c3 = Dedup.explodedShingles(train, 3)
+      .groupBy(col("sh").as("g3")).agg(count(lit(1)).as("c3"))
+    val c2 = Dedup.explodedShingles(train, 2)
+      .groupBy(col("sh").as("g2")).agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = c1.agg(sum(col("c1")).as("n1"), count(lit(1)).as("v"))
+    val p = split(col("sh"), " ")
+    val ev = Dedup.explodedShingles(eval, 3)
+      .select(col("doc_id"), col("sh"),
+        concat_ws(" ", p.getItem(0), p.getItem(1)).as("w12"),
+        concat_ws(" ", p.getItem(1), p.getItem(2)).as("w23"),
+        p.getItem(1).as("w2"), p.getItem(2).as("w3"))
+    val score =
+      when(col("c3").isNotNull, col("c3") / col("c12"))
+        .otherwise(lit(alpha) *
+          when(col("c23").isNotNull, col("c23") / col("c1_2"))
+            .otherwise(lit(alpha) *
+              (coalesce(col("c1_3"), lit(0L)) + 1.0) / (col("n1") + col("v"))))
+    ev.join(broadcast(c3), col("sh") === col("g3"), "left")
+      .join(broadcast(c2.toDF("g12", "c12")), col("w12") === col("g12"), "left")
+      .join(broadcast(c2.toDF("g23", "c23")), col("w23") === col("g23"), "left")
+      .join(broadcast(c1.toDF("u2", "c1_2")), col("w2") === col("u2"), "left")
+      .join(broadcast(c1.toDF("u3", "c1_3")), col("w3") === col("u3"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(score)), 4).as("nll"))
+  }
+
   /** Per-stratum winsorization: clip `valueCol` to the stratum's
     * [lo, hi] percentile values (PERCENTILE_DISC semantics — the value
     * at rank ⌈q·n⌉, same rule as [[Sketches.quantilesOf]]) — the outlier

@@ -146,6 +146,12 @@ object ExtQueries {
     Dedup.dupClusters(candidates(s, d))
       .orderBy("doc_id")
 
+  /** Trigram stupid-backoff NLL of zh docs against the en-trained LM. */
+  def trigramBackoffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).where(col("lang").isin("en", "zh"))
+    TextAnalysis.stupidBackoff(docs, col("lang") === "en").orderBy("doc_id")
+  }
+
   /** Per-lang winsorization of n_chars at the 5th/95th percentiles. */
   def winsorizeQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winsorize(Tables.documents(s, d))
@@ -585,6 +591,7 @@ object ExtQueries {
     "ext_rebalance" -> rebalanceQ _,
     "ext_dup_stats" -> dupStats _,
     "ext_winsorize" -> winsorizeQ _,
+    "ext_trigram_backoff" -> trigramBackoffQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -658,6 +665,41 @@ object ExtQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_trigram_backoff" ->
+      """WITH tl AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE lang IN ('en', 'zh')
+        |),
+        |c3 AS (SELECT g, COUNT(*) AS c FROM (
+        |  SELECT unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tl WHERE lang = 'en' AND len(ts) >= 3) GROUP BY g),
+        |c2 AS (SELECT g, COUNT(*) AS c FROM (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tl WHERE lang = 'en' AND len(ts) >= 2) GROUP BY g),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM (
+        |  SELECT unnest(ts) AS w FROM tl WHERE lang = 'en') GROUP BY w),
+        |tot AS (SELECT SUM(c) AS n1, COUNT(*) AS v FROM c1),
+        |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |       FROM tl WHERE lang = 'zh' AND len(ts) >= 3),
+        |q AS (SELECT doc_id, g, string_split(g, ' ') AS ps FROM ev),
+        |s AS (SELECT q.doc_id,
+        |  CASE WHEN c3.c IS NOT NULL THEN c3.c / b12.c
+        |       ELSE 0.4 * (CASE WHEN b23.c IS NOT NULL THEN b23.c / u2.c
+        |                        ELSE 0.4 * (COALESCE(u3.c, 0) + 1.0) / (tot.n1 + tot.v)
+        |                   END)
+        |  END AS sc
+        |  FROM q
+        |  LEFT JOIN c3 ON c3.g = q.g
+        |  LEFT JOIN c2 b12 ON b12.g = q.ps[1] || ' ' || q.ps[2]
+        |  LEFT JOIN c2 b23 ON b23.g = q.ps[2] || ' ' || q.ps[3]
+        |  LEFT JOIN c1 u2 ON u2.w = q.ps[2]
+        |  LEFT JOIN c1 u3 ON u3.w = q.ps[3], tot)
+        |SELECT doc_id, ROUND(AVG(-ln(sc)), 4) AS nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // PERCENTILE_DISC thresholds (value at rank ⌈q·n⌉) per stratum, then
     // clip — all-integer, no float rendering anywhere
     "ext_winsorize" ->

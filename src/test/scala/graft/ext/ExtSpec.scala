@@ -422,6 +422,21 @@ class ExtSpec extends SparkSpec {
     assert(pmi(Set("left", "right")) > pmi.getOrElse(Set("common", "left"), -10.0))
   }
 
+  test("stupidBackoff hits all three backoff levels with hand math") {
+    val d = Seq(
+      (1L, "a b c", 1), (2L, "a b c", 1),   // train: c3(abc)=2, c2(ab)=c2(bc)=2, all c1=2
+      (3L, "a b c", 0),                     // seen trigram: s = 2/2 = 1
+      (4L, "x b c", 0),                     // backoff to bigram: 0.4 · c(bc)/c(b) = 0.4
+      (5L, "a b x", 0))                     // base: 0.16 · (c(x)+1)/(N+V) = 0.16/9
+      .toDF("doc_id", "text", "train")
+    val got = TextAnalysis.stupidBackoff(d, col("train") === 1)
+      .as[(Long, Double)].collect().toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == 0.0)
+    assert(got(4L) == r4(-math.log(0.4)))
+    assert(got(5L) == r4(-math.log(0.16 / 9)))
+  }
+
   test("winsorize clips to the stratum's rank-based percentile values") {
     // 20 docs, values 1..20, one stratum: p05 = value at rank 1 = 1,
     // p95 = value at rank 19 = 19 → only the max gets clipped (20 → 19)
