@@ -225,6 +225,21 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q44_union_by_name" ->
+      """SELECT k, ROUND(bal, 4) AS bal FROM (
+        |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_nationkey < 5
+        |  UNION ALL BY NAME
+        |  SELECT c_acctbal AS bal, c_custkey AS k FROM customer WHERE c_nationkey >= 20
+        |) ORDER BY k""".stripMargin,
+
+    "q45_string_fns2" ->
+      """SELECT doc_id,
+        |  lpad(lang, 5, '_') AS padded,
+        |  translate(source, 'src', 'SRC') AS xlated,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  repeat(lang, 2) AS twice
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q43_range_frame" ->
       """SELECT event_id, user_id,
         |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id

@@ -426,8 +426,33 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // Q44 union by NAME (schema-aligned union of differently-ordered
+  // projections) — the API that survives column reordering where
+  // positional UNION silently corrupts.
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).where(col("c_nationkey") < 5)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val b = customer(s, d).where(col("c_nationkey") >= 20)
+      .select(col("c_acctbal").as("bal"), col("c_custkey").as("k")) // swapped order
+    a.unionByName(b)
+      .select(col("k"), round(col("bal"), 4).as("bal"))
+      .orderBy("k")
+  }
+
+  // Q45 string scalar battery 2: pad/translate/split_part/repeat.
+  def q45(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      lpad(col("lang"), 5, "_").as("padded"),
+      translate(col("source"), "src", "SRC").as("xlated"),
+      substring_index(col("text"), " ", 1).as("first_tok"),
+      repeat(col("lang"), 2).as("twice"))
+      .orderBy("doc_id")
+
   /** name → query function, for SparkEntry. */
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_union_by_name" -> q44 _,
+    "q45_string_fns2" -> q45 _,
     "q43_range_frame" -> q43 _,
     "q42_pivot_api" -> q42 _,
     "q37_except_all" -> q37 _,
