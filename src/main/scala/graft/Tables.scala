@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixture-table loaders and the shared derived views (FIXTURES.md §C).
@@ -18,11 +17,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB design):
   *   - `docsTokenized` is a narrow map+generate — no shuffle; the token
   *     explosion stays pipelined inside whole-stage codegen.
-  *   - `vocab` uses a global `row_number` window. V (distinct tokens) is
-  *     orders of magnitude smaller than the corpus (the reference's NYTimes
-  *     run: V=102,660 vs 100M tokens), so the single-partition rank of the
-  *     *distinct* set is cheap; the expensive part (distinct) is a proper
-  *     parallel shuffle. For V in the billions, swap to sortBy+zipWithIndex.
+  *   - `vocab` ranks the distinct token set with the distributed
+  *     sortBy+zipWithIndex scheme ([[graft.lda.Corpus.sortedVocab]]) — no
+  *     single-partition window anywhere in the default path, so the build
+  *     survives V far beyond the reference's NYTimes V=102,660.
   *   - dictionary joins against `vocab` should broadcast (V small); Spark's
   *     AQE does this automatically once distinct-count stats are known, and
   *     Q10 asserts it explicitly with a hint.
@@ -63,9 +61,7 @@ object Tables {
   /** vocab(tok, word_id) — sorted distinct tokens, dense 0-based id
     * (the V2 sorted-vocab semantics of mpi_lda.cc:197-207). */
   def vocab(s: SparkSession, d: String): DataFrame =
-    docsTokenized(s, d)
-      .select("tok").distinct()
-      .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
+    graft.lda.Corpus.sortedVocab(docsTokenized(s, d).select("tok"))
 
   /** bow(doc_id, tok, c). */
   def bow(s: SparkSession, d: String): DataFrame =

@@ -139,30 +139,64 @@ object InferApp {
     try run(spark, f) finally spark.stop()
   }
 
-  /** Session-preserving body (separated so specs can drive it). */
+  /** Session-preserving body (separated so specs can drive it).
+    *
+    * The result sink is distributed end-to-end: formatting happens on the
+    * executors, the lines are range-partitioned by doc_id (so part-file
+    * order == input order), and the driver only STREAMS the ordered part
+    * files byte-by-byte into the single positional text file the reference
+    * format requires — it never holds the result set (or even the id set)
+    * in memory, so a 100×-corpus inference run stays executor-bound. */
   def run(spark: SparkSession, f: Flags): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val (model, words) = ModelIO.readModel(f.modelFile)
     val numWords = words.length
     val k = (model.length / (numWords + 1))
     import spark.implicits._
     val vocab = words.zipWithIndex.toSeq.toDF("tok", "word_id")
     val bow = Corpus.readPldaText(spark, f.inferenceDataFile)
-      .join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+      .join(broadcast(vocab), "tok")
       .select("doc_id", "word_id", "c")
     val cfg = LdaConfig(k, f.alpha, f.beta, f.totalIterations, f.burnInIterations, seed = f.seed)
     val corpus = Corpus.fromBow(bow, k, f.seed)
-    val byId = LdaInfer.infer(corpus, model, numWords, cfg)
-      .collect().map(dt => dt.docId -> dt.topics).toMap
+    val results = LdaInfer.infer(corpus, model, numWords, cfg)
     // output is positional: one line per kept input line, in input order —
     // docs whose words are ALL out-of-vocabulary (dropped by the dictionary
     // join) still get a K-zeros line, exactly like infer.cc:82-98 where the
     // empty document's prob_dist stays zero
-    val keptIds = Corpus.pldaKeptDocIds(spark, f.inferenceDataFile)
-    val zeros = new Array[Double](k)
-    val out = new java.io.PrintWriter(f.inferenceResultFile)
-    try keptIds.foreach { id =>
-      out.println(byId.getOrElse(id, zeros).map(ModelIO.formatDouble).mkString(" "))
+    val lines = Corpus.pldaKeptDocIdsDF(spark, f.inferenceDataFile)
+      .join(results.toDF("doc_id", "topics"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("topics"))
+      .as[(Long, Option[Array[Double]])]
+      .map { case (id, t) =>
+        (id, t.getOrElse(new Array[Double](k)).map(ModelIO.formatDouble).mkString(" "))
+      }
+      .toDF("doc_id", "line")
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    val partsDir = f.inferenceResultFile + ".parts"
+    lines.repartitionByRange(np, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select("line")
+      .write.mode("overwrite").text(partsDir)
+    mergeTextParts(spark, partsDir, f.inferenceResultFile)
+  }
+
+  /** Concatenate a text-sink directory's part files (name order = range-
+    * partition order = doc order) into one local file, streaming bytes in
+    * constant memory; removes the part directory afterwards. */
+  private def mergeTextParts(spark: SparkSession, dir: String, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(dest))
+    try parts.foreach { part =>
+      val in = fs.open(part)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally in.close()
     } finally out.close()
+    fs.delete(p, true)
   }
 }
 

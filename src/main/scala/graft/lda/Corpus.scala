@@ -16,8 +16,19 @@ object Corpus {
 
   /** Sorted-vocabulary build (V2, mpi_lda.cc:197-207): distinct tokens,
     * lexicographic rank as dense id. Default vocabulary semantics (the
-    * deterministic one — SURVEY §2.2 quirk #3). */
-  def sortedVocab(tokens: DataFrame): DataFrame = {
+    * deterministic one — SURVEY §2.2 quirk #3).
+    *
+    * The default path is the distributed sortBy+zipWithIndex ranking
+    * ([[sortedVocabLarge]]): no single-partition WindowExec anywhere, so a
+    * 100M-type vocab never funnels through one task. The window form is
+    * kept as [[sortedVocabWindowed]] for fixture-scale parity tests. */
+  def sortedVocab(tokens: DataFrame): DataFrame = sortedVocabLarge(tokens)
+
+  /** Window-ranked variant of [[sortedVocab]] — identical (tok, word_id)
+    * mapping, but the dense rank is a global `row_number` window, i.e. the
+    * whole distinct set passes through ONE task. Fixture/parity use only;
+    * never the default (the q18 single-partition anti-pattern). */
+  def sortedVocabWindowed(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     tokens.select("tok").distinct()
       .withColumn("word_id", row_number().over(Window.orderBy("tok")) - 1)
@@ -55,15 +66,28 @@ object Corpus {
 
   /** First-seen-order vocabulary (V1, lda.cc:70-77) — parity mode for the
     * reference's single-node binary. Requires (doc_id, pos)-ordered input;
-    * id = rank of first (doc_id, pos) appearance. */
+    * id = rank of first (doc_id, pos) appearance.
+    *
+    * Same two-job distributed ranking as [[sortedVocabLarge]] (the first
+    * appearance per token is a proper parallel groupBy; the dense rank is
+    * sortBy+zipWithIndex on the tiny distinct set) — no single-partition
+    * WindowExec in this path either. */
   def firstSeenVocab(tokensWithPos: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = tokensWithPos.sparkSession
+    import spark.implicits._
     tokensWithPos
       .groupBy("tok")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      .withColumn("word_id",
-        row_number().over(Window.orderBy(col("first"))) - 1)
-      .select("tok", "word_id")
+      .agg(min(struct(col("doc_id").cast("long").as("d"),
+        col("pos").cast("long").as("p"))).as("first"))
+      .select(col("tok"), col("first.d"), col("first.p"))
+      .as[(String, Long, Long)].rdd
+      .sortBy(t => (t._2, t._3))
+      .zipWithIndex()
+      .map { case ((t, _, _), i) =>
+        require(i <= Int.MaxValue, s"vocabulary exceeds Int word-id space at '$t'")
+        (t, i.toInt)
+      }
+      .toDF("tok", "word_id")
   }
 
   /** documents(doc_id, text) → token occurrences (doc_id, pos, tok). */
@@ -156,6 +180,14 @@ object Corpus {
     * need this pre-join id set to emit all-zeros lines for such docs. */
   def pldaKeptDocIds(spark: SparkSession, path: String): Array[Long] =
     pldaKeptLines(spark, path).map(_._2).collect().sorted
+
+  /** The kept doc ids as a DataFrame(doc_id) — the distributed form of
+    * [[pldaKeptDocIds]] for sinks that must not collect a corpus-sized id
+    * set to the driver (InferApp's positional result writer). */
+  def pldaKeptDocIdsDF(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    pldaKeptLines(spark, path).map(_._2).toDF("doc_id")
+  }
 
   /** UCI bag-of-words (A4, testdata/format.py:5-31): docword triples joined
     * with 1-based vocab line numbers. Returns (doc_id, tok, c). */

@@ -255,13 +255,49 @@ object ExtQueries {
     TextAnalysis.stratifiedSample(Tables.documents(s, d), "lang", 10)
       .select("doc_id", "lang").orderBy("doc_id")
 
-  /** Length-decile bucketing (NTILE) — the "bin the corpus by size for
-    * curriculum/batching" pipeline step; total order (n_chars, doc_id). */
+  /** Length-decile bucketing (NTILE semantics) — the "bin the corpus by
+    * size for curriculum/batching" pipeline step; total order
+    * (n_chars, doc_id).
+    *
+    * Scale shape: NOT a global `ntile(10)` window (which funnels the whole
+    * corpus through one task). Two passes instead, the
+    * [[graft.ext.Temporal.runningSum]] /
+    * [[graft.ext.TextAnalysis.shuffleOrder]] scheme: range-partition by the
+    * order key, count rows per partition (one tiny driver array), then
+    * rank within partitions with the partition offset added and apply
+    * NTILE's exact piecewise bucket formula (first n%10 buckets get
+    * ceil(n/10) rows) — bit-identical to WindowExec's ntile, every
+    * partition in parallel. */
   def lengthDeciles(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))).as("decile"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val np = s.sparkContext.defaultParallelism
+    val prepared = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(np, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions("n_chars", "doc_id")
+    val rdd = prepared.rdd
+    val counts = rdd.mapPartitionsWithIndex((pid, it) =>
+        Iterator.single((pid, { var n = 0L; it.foreach(_ => n += 1); n })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val q = n / 10
+    val r = n % 10
+    val bc = s.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = bc.value(pid) // 0-based global rank under (n_chars, doc_id)
+      it.map { row =>
+        val decile =
+          if (q == 0L) (rk + 1).toInt // n < 10: one row per bucket
+          else if (rk < r * (q + 1)) (rk / (q + 1) + 1).toInt
+          else (r + (rk - r * (q + 1)) / q + 1).toInt
+        rk += 1
+        Row(row.get(0), row.get(1), decile)
+      }
+    }
+    s.createDataFrame(out, StructType(prepared.schema.fields :+
+        StructField("decile", IntegerType, nullable = false)))
       .orderBy("doc_id")
   }
 

@@ -26,21 +26,21 @@ class CorpusSpec extends SparkSpec {
     assert(v.sameElements(Array(("apple", 0), ("pear", 1), ("zed", 2))))
   }
 
-  test("sortedVocabLarge (zipWithIndex path) equals sortedVocab on real data") {
+  test("default sortedVocab (zipWithIndex path) equals the windowed parity form on real data") {
     val toks = graft.Tables.docsTokenized(spark, sf())
-    val a = Corpus.sortedVocab(toks).as[(String, Int)].collect().toSet
-    val b = Corpus.sortedVocabLarge(toks.repartition(7)).as[(String, Int)].collect().toSet
+    val a = Corpus.sortedVocabWindowed(toks).as[(String, Int)].collect().toSet
+    val b = Corpus.sortedVocab(toks.repartition(7)).as[(String, Int)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
 
-  test("sortedVocabLarge matches Spark SQL collation for supplementary-plane tokens") {
+  test("default sortedVocab matches Spark SQL collation for supplementary-plane tokens") {
     // U+1F600 (surrogate pair, sorts low in UTF-16 code units) vs U+FFFD:
     // UTF-8/code-point order puts the emoji ABOVE U+FFFD; a Java natural
     // String sort would swap them
     val toks = Seq((0L, "😀"), (0L, "�"), (1L, "plain"))
       .toDF("doc_id", "tok")
-    val a = Corpus.sortedVocab(toks).as[(String, Int)].collect().toMap
-    val b = Corpus.sortedVocabLarge(toks).as[(String, Int)].collect().toMap
+    val a = Corpus.sortedVocabWindowed(toks).as[(String, Int)].collect().toMap
+    val b = Corpus.sortedVocab(toks).as[(String, Int)].collect().toMap
     assert(a == b, s"window=$a zip=$b")
     assert(a("plain") == 0 && a("�") == 1 && a("😀") == 2)
   }

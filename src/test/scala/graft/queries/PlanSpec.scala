@@ -181,6 +181,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(3000)) // sequence() explode per key
   }
 
+  test("q04/q26: default vocab builds contain no single-partition WindowExec") {
+    // the dense rank comes from distributed sortBy+zipWithIndex
+    // (Corpus.sortedVocab / firstSeenVocab) — a global row_number window
+    // here would funnel the whole distinct-token set through one task
+    for (q <- Seq("q04_vocab", "q26_vocab_first_seen")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, s"$q:\n${p.take(3000)}")
+    }
+  }
+
+  test("length deciles: two-pass rank, no global ntile window") {
+    val p = plan("ext_length_deciles").split("== Initial Plan ==").head
+    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
