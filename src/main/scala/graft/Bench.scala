@@ -51,9 +51,16 @@ object Bench {
     val b3 = results.filter(_._1.matches("q\\d\\d_.*")).map(_._2).sum
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full.json"),
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"relational_b3_sec":${f(b3)},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
-    catch { case _: Throwable => }
+    // stderr on failure (stdout stays reserved for the JSON line), and the
+    // stale file is removed first so a failed write can never present an
+    // old run's per-query map as this run's.
+    try {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_full.json"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full.json"),
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"relational_b3_sec":${f(b3)},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_full.json write failed: $e")
+    }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"relational_b3_sec":${f(b3)},"queries":${qmap(top, f2)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -145,9 +145,15 @@ object Sketches {
     * one treeAggregate pass, O(capacity·log) driver state, never a sort
     * of the data. NULL, NaN, and ±Inf values are skipped (SQL-aggregate
     * convention; NaN/Inf have no meaningful rank and would poison every
-    * probe above/below them). Returns (q, value) per requested quantile. */
+    * probe above/below them). Returns (q, value) per requested quantile.
+    *
+    * `requireExact = true` turns the "exact while n ≤ capacity" contract
+    * from an assumption into a runtime check: if any compaction fired
+    * (the summary holds level-1+ weighted items), the call fails loudly
+    * instead of silently returning an approximation. Callers whose
+    * consumers compare against an exact-rank oracle set this. */
   def quantilesOf(df: DataFrame, c: Column, capacity: Int,
-      qs: Seq[Double]): DataFrame = {
+      qs: Seq[Double], requireExact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import QuantileSketch._
@@ -155,6 +161,9 @@ object Sketches {
       .rdd.treeAggregate(new QS())(
         (s, x) => if (java.lang.Double.isFinite(x)) add(s, x, capacity) else s,
         (a, b) => merge(a, b, capacity))
+    if (requireExact) require(summary.levels.length <= 1,
+      s"quantile sketch compacted (n=${summary.n} > capacity=$capacity): " +
+        "result would be approximate but the caller required exactness")
     if (summary.n == 0) Seq.empty[(Double, Double)].toDF("q", "value")
     else qs.map(q => (q, BigDecimal(quantile(summary, q))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))

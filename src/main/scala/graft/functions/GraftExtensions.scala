@@ -92,5 +92,12 @@ object GraftExtensions {
     spark.udf.register("graft_quantiles",
       org.apache.spark.sql.functions.udaf(
         new QsAggregator(8192, Seq(0.25, 0.5, 0.75, 0.9, 0.99))))
+    // same probes, but FAILS if any group exceeds capacity (compaction
+    // fired) — for consumers whose downstream compares against an
+    // exact-rank oracle and must never silently go approximate
+    spark.udf.register("graft_quantiles_exact",
+      org.apache.spark.sql.functions.udaf(
+        new QsAggregator(8192, Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+          requireExact = true)))
   }
 }

@@ -18,7 +18,8 @@ import graft.ext.Sketches.QuantileSketch.QS
   * estimates at the construction-time `probes`, as array<double> in probe
   * order (ROUND ·,4). Exact whenever the aggregated group has ≤ capacity
   * finite rows (no compaction fires — see the QuantileSketch scaladoc). */
-final class QsAggregator(capacity: Int, probes: Seq[Double])
+final class QsAggregator(capacity: Int, probes: Seq[Double],
+    requireExact: Boolean = false)
     extends Aggregator[java.lang.Double, QS, Seq[Double]] {
   require(capacity >= 1 && probes.nonEmpty)
   override def zero: QS = new QS()
@@ -27,10 +28,16 @@ final class QsAggregator(capacity: Int, probes: Seq[Double])
       QuantileSketch.add(s, x.doubleValue(), capacity)
     else s
   override def merge(a: QS, b: QS): QS = QuantileSketch.merge(a, b, capacity)
-  override def finish(s: QS): Seq[Double] =
+  override def finish(s: QS): Seq[Double] = {
+    // requireExact: the "exact while the group ≤ capacity rows" contract
+    // becomes a runtime check — a group that compacted fails loudly
+    // instead of silently handing an approximation to an exact-rank oracle
+    if (requireExact && s.levels.length > 1) throw new IllegalStateException(
+      s"graft_quantiles_exact: group compacted (n=${s.n} > capacity=$capacity)")
     if (s.n == 0) Seq.empty
     else probes.map(q => BigDecimal(QuantileSketch.quantile(s, q))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
   override def bufferEncoder: Encoder[QS] = Encoders.kryo[QS]
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

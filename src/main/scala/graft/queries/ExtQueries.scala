@@ -43,10 +43,12 @@ object ExtQueries {
   /** KLL-style quantile sketch over event values. Capacity 2^17 ≥ n at
     * every fixture sf, so the summary is exact → DuckDB oracle (the
     * sub-capacity approximate path is spec-bounded in
-    * QuantileSketchSpec). */
+    * QuantileSketchSpec). `requireExact` turns that precondition into a
+    * runtime check: a larger fixture fails loudly here rather than
+    * silently flipping to approximate mode and hash-mismatching. */
   def quantileSketchQ(s: SparkSession, d: String): DataFrame =
     Sketches.quantilesOf(Tables.events(s, d), col("value"), 1 << 17,
-      Seq(0.1, 0.5, 0.9, 0.99)).orderBy("q")
+      Seq(0.1, 0.5, 0.9, 0.99), requireExact = true).orderBy("q")
 
   def jaccardTop(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardTopPairs(Tables.documents(s, d), 10)
@@ -166,13 +168,16 @@ object ExtQueries {
   def resampleQ(s: SparkSession, d: String): DataFrame =
     Temporal.resampleHourlyFfill(Tables.events(s, d)).orderBy("user_id", "h")
 
-  /** Per-language n_chars quartiles through the graft_quantiles SQL UDAF
-    * (exact: every group ≤ capacity), exploded to scalar rows. */
+  /** Per-language n_chars quartiles through the graft_quantiles SQL UDAF,
+    * exploded to scalar rows. Uses the `_exact` registration: the
+    * "every group ≤ capacity" precondition the DuckDB exact-rank oracle
+    * depends on is CHECKED per group (a bigger fixture throws instead of
+    * silently going approximate). */
   def groupQuantilesQ(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     Tables.documents(s, d).createOrReplaceTempView("graft_docs_gq")
     s.sql("""SELECT lang, p.q AS q, qs[p.pos] AS value
-             FROM (SELECT lang, graft_quantiles(CAST(n_chars AS DOUBLE)) AS qs
+             FROM (SELECT lang, graft_quantiles_exact(CAST(n_chars AS DOUBLE)) AS qs
                    FROM graft_docs_gq GROUP BY lang)
              LATERAL VIEW posexplode(array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D)) p AS pos, q
              ORDER BY lang, q""")
@@ -894,6 +899,16 @@ object ExtQueries {
         |FROM bow JOIN w USING (tok)
         |GROUP BY bow.doc_id ORDER BY bow.doc_id""".stripMargin,
 
+    // KNOWN-ACCEPTED numeric-boundary risk (here, ext_pagerank,
+    // ext_importance_weights): Spark computes these recursively /
+    // shuffle-order-summed while the oracle uses closed forms or SQL
+    // aggregates, so a value within 1 ulp of a ROUND(.,4) half-way point
+    // could round apart. Mitigations in place: importance_weights mirrors
+    // the multiply association exactly (comment above), pagerank fixes the
+    // iteration count, and the fixture values sit away from .00005
+    // boundaries (verified by the r1–r3 sweeps at sf0.01 AND sf0.1). The
+    // residual risk is per-fixture and caught by the hash compare, not
+    // silent; a tolerance-based compare needs driver-harness support.
     "ext_ewma" ->
       """WITH s AS (
         |  SELECT user_id, event_id, value,
