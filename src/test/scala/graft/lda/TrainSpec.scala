@@ -162,4 +162,50 @@ class TrainSpec extends SparkSpec {
     val totalAvg = fitted.averaged.slice(fitted.numWords * 2, fitted.numWords * 2 + 2).sum
     assert(math.abs(totalAvg - 60 * 30) < 1e-6) // global row sums to corpus size
   }
+
+  test("UCI end-to-end: docword/vocab files → readUci → train K=4 → topWords") {
+    // the reference workflow (testdata/get_NYTimes.sh + format.py + lda):
+    // a UCI bag-of-words corpus with two planted word blocks, driven
+    // through the same stages as one flow. 40 docs, 10 words, even docs
+    // draw from w0..w4 (uci ids 1..5), odd docs from w5..w9 (ids 6..10).
+    val dir = java.nio.file.Files.createTempDirectory("uci-e2e")
+    val docLines = (0 until 40).flatMap { d =>
+      val base = if (d % 2 == 0) 1 else 6
+      (0 until 5).map(j => s"${d + 1} ${base + j} ${1 + (d + j) % 3}")
+    }
+    val nnz = docLines.length
+    val totalTokens = (0 until 40).flatMap(d => (0 until 5).map(j => 1 + (d + j) % 3)).sum
+    java.nio.file.Files.write(dir.resolve("docword.txt"),
+      (Seq("40", "10", nnz.toString) ++ docLines).mkString("", "\n", "\n").getBytes)
+    java.nio.file.Files.write(dir.resolve("vocab.txt"),
+      (0 until 10).map(i => s"w$i").mkString("", "\n", "\n").getBytes)
+
+    val bowTok = Corpus.readUci(spark, dir.resolve("docword.txt").toString,
+      dir.resolve("vocab.txt").toString)
+    val vocab = Corpus.sortedVocab(bowTok.select("tok")).cache()
+    assert(vocab.count() == 10)
+    val bow = bowTok.join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+      .select("doc_id", "word_id", "c")
+    val uciCfg = LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
+      totalIterations = 30, burnInIterations = 15, seed = 7L)
+    val corpus = Corpus.fromBow(bow, uciCfg.numTopics, uciCfg.seed)
+    val result = LdaTrainer.train(corpus, numWords = 10, uciCfg)
+    result.release()
+    val model = LdaModel(result.model, result.averaged, result.likelihoods,
+      vocab, numWords = 10, uciCfg)
+
+    // token conservation through the whole flow: Σ n(k) == corpus tokens
+    val k = uciCfg.numTopics
+    assert((0 until k).map(t => model.counts(10 * k + t)).sum == totalTokens)
+    // topWords runs on the trained model and respects the planted blocks:
+    // no topic mixes words from both blocks
+    val tw = model.topWords(5).collect()
+    assert(tw.nonEmpty)
+    for ((_, rows) <- tw.groupBy(_.getInt(0))) {
+      val words = rows.map(_.getString(1)).toSet
+      val inBlock0 = words.count(w => w.stripPrefix("w").toInt < 5)
+      assert(inBlock0 == 0 || inBlock0 == words.size, s"mixed topic: $words")
+    }
+    vocab.unpersist()
+  }
 }
