@@ -183,6 +183,45 @@ object ExtQueries {
              ORDER BY lang, q""")
   }
 
+  /** Run a finite streaming query to completion (AvailableNow + memory
+    * sink) and hand back the sink table — the bridge that lets streaming
+    * operators join the DuckDB-oracle battery: the stream's final output
+    * over the fixture IS a deterministic batch result. */
+  private def runStream(df: DataFrame, name: String, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(180000), s"stream $name did not terminate")
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** Streaming form of Q17 (tumbling hourly counts with watermark), run to
+    * completion over the events fixture. Complete mode: append would hold
+    * back the windows newer than the final watermark, which never finalize
+    * on a finite stream. Oracle = the same hourly DuckDB aggregation as
+    * q17 — the batch-parity claim as a hash-checked entry. */
+  def streamTumblingQ(s: SparkSession, d: String): DataFrame =
+    runStream(graft.streaming.Streams.tumblingCounts(
+        graft.streaming.Streams.eventStream(s, d + "/events.parquet")),
+      "graft_stream_tumbling", "complete")
+      .select(col("h"), col("event_type"), col("c"), round(col("s"), 4).as("s"))
+      .orderBy("h", "event_type")
+
+  /** Streaming per-user EWMA (flatMapGroupsWithState, O(1) keyed state),
+    * run to completion over the events fixture; the single-file source
+    * arrives as one in-order batch, so the left fold matches the batch
+    * operator and the recursive DuckDB oracle exactly. */
+  def streamEwmaQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = graft.streaming.Streams.eventStream(s, d + "/events.parquet")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    runStream(graft.streaming.Streams.streamingEwma(in).toDF("user_id", "event_id", "ewma"),
+      "graft_stream_ewma", "append")
+      .orderBy("event_id")
+  }
+
   /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
   def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.documents(s, d)).orderBy("doc_id")
@@ -633,6 +672,8 @@ object ExtQueries {
     "ext_dup_stats" -> dupStats _,
     "ext_winsorize" -> winsorizeQ _,
     "ext_trigram_backoff" -> trigramBackoffQ _,
+    "ext_stream_tumbling" -> streamTumblingQ _,
+    "ext_stream_ewma" -> streamEwmaQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -704,6 +745,21 @@ object ExtQueries {
        |  FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src, nn
        |  GROUP BY e.dst
        |)""".stripMargin
+
+  /** Shared by ext_ewma and ext_stream_ewma (identical output contract):
+    * closed-form EWMA per (user, rank-in-user) over DuckDB lists. */
+  private val ewmaOracleSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS i
+      |  FROM events
+      |),
+      |l AS (SELECT user_id, list(value ORDER BY i) AS xs FROM s GROUP BY user_id)
+      |SELECT s.user_id, s.event_id,
+      |  ROUND(CASE WHEN i = 1 THEN xs[1] ELSE
+      |    list_sum(list_transform(range(2, i + 1), j -> 0.2 * pow(0.8, i - j) * xs[j]))
+      |    + pow(0.8, i - 1) * xs[1] END, 4) AS ewma
+      |FROM s JOIN l USING (user_id) ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ext_trigram_backoff" ->
@@ -909,18 +965,14 @@ object ExtQueries {
     // boundaries (verified by the r1–r3 sweeps at sf0.01 AND sf0.1). The
     // residual risk is per-fixture and caught by the hash compare, not
     // silent; a tolerance-based compare needs driver-harness support.
-    "ext_ewma" ->
-      """WITH s AS (
-        |  SELECT user_id, event_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS i
-        |  FROM events
-        |),
-        |l AS (SELECT user_id, list(value ORDER BY i) AS xs FROM s GROUP BY user_id)
-        |SELECT s.user_id, s.event_id,
-        |  ROUND(CASE WHEN i = 1 THEN xs[1] ELSE
-        |    list_sum(list_transform(range(2, i + 1), j -> 0.2 * pow(0.8, i - j) * xs[j]))
-        |    + pow(0.8, i - 1) * xs[1] END, 4) AS ewma
-        |FROM s JOIN l USING (user_id) ORDER BY event_id""".stripMargin,
+    "ext_ewma" -> ewmaOracleSql,
+
+    // the streaming operators' run-to-completion outputs are plain batch
+    // results over the finite fixture → same oracles as their batch twins
+    "ext_stream_ewma" -> ewmaOracleSql,
+    "ext_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
+        |ROUND(SUM(value), 4) AS s FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ext_minhash_pairs" ->
       s"""WITH $minhashBandsCtes
