@@ -82,7 +82,13 @@ object LdaTrainer {
     // objects. localCheckpoint up front truncates the INPUT's lineage
     // (continue-training would otherwise drag the prior chain along) —
     // marked before the first job so the first materialization checkpoints.
-    var docs = corpus.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // The persist/checkpoint marks go on a PRIVATE identity-mapPartitions
+    // copy, never on corpus.rdd itself: Dataset.rdd is a lazy val shared
+    // by every consumer of the Dataset, and marking it would truncate the
+    // caller's lineage — a second fit() on the same Dataset would then
+    // read unpersisted checkpoint blocks and fail.
+    var docs = corpus.rdd.mapPartitions(it => it, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     docs.localCheckpoint()
     var pinned: RDD[_] = docs // the currently-persisted generation
     var model = Gibbs.countModelRdd(docs, numWords, k)

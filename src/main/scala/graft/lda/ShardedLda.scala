@@ -199,10 +199,23 @@ object ShardedLda {
     current
   }
 
+  /** Sharded training output. CACHE-LIFETIME CONTRACT (the repo-wide
+    * convention — see also [[LdaTrainer.Result.release]] and
+    * [[graft.ext.Dedup.dupClustersDistributed]]):
+    *  - a Result-style return exposes `release()`; the CALLER calls it
+    *    once done consuming `modelRows`/`docs`, which unpersists the
+    *    backing cached generation (the Datasets are map views — their own
+    *    `unpersist` would be a no-op on the backing RDD entries);
+    *  - a bare Dataset return that must survive its producer's internal
+    *    caches is handed back `localCheckpoint`ed: its blocks die with
+    *    the caller's reference (ContextCleaner on GC), never as a
+    *    CacheManager entry leaking per call. CacheLifetimeSpec asserts
+    *    both shapes leave `getPersistentRDDs` flat across repeated calls. */
   final case class Result(
       modelRows: Dataset[WordTopics],
       docs: Dataset[DocState],
-      likelihoods: Array[Double])
+      likelihoods: Array[Double],
+      release: () => Unit)
 
   /** Full training loop on the sharded path. The model is never collected
     * whole anywhere. */
@@ -212,7 +225,10 @@ object ShardedLda {
     require(numShards >= 1 && numShards <= numWords, "1 <= numShards <= V")
     val spark = corpus.sparkSession
     import spark.implicits._
-    var docs = corpus.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // private identity copy: persist/checkpoint marks must never touch the
+    // shared lazy corpus.rdd (see the matching comment in LdaTrainer)
+    var docs = corpus.rdd.mapPartitions(it => it, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     docs.localCheckpoint() // marked before the first job below
     var modelRows = countModelRowsRdd(docs, cfg.numTopics)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -236,8 +252,13 @@ object ShardedLda {
       prevModel.unpersist(blocking = false)
       iter += 1
     }
+    val (finalDocs, finalModel) = (docs, modelRows)
     Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),
-      spark.createDataset(docs), lls.result())
+      spark.createDataset(docs), lls.result(),
+      release = () => {
+        finalDocs.unpersist(blocking = false)
+        finalModel.unpersist(blocking = false)
+      })
   }
 
   /** Fold-in inference against a DISTRIBUTED model (the huge-V regime —

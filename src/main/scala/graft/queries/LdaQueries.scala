@@ -65,11 +65,19 @@ object LdaQueries {
     val res = ShardedLda.train(corpus, numWords,
       LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
         totalIterations = 2, seed = 42L), numShards = 2)
-    res.modelRows.map(r => (r.wordId, r.counts.sum))
+    // materialize the V-row totals (localCheckpoint: blocks die with the
+    // returned reference), then release the training generation — the
+    // Result cache-lifetime contract; without this every call leaks the
+    // final docs+model cache entries into a long-running session
+    val totals = res.modelRows.map(r => (r.wordId, r.counts.sum))
       .toDF("word_id", "total")
       .join(vocab, "word_id")
       .select(col("tok"), col("total"))
       .orderBy("tok")
+      .localCheckpoint(eager = true)
+    res.release()
+    vocab.unpersist(blocking = false)
+    totals
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,74 @@
+package graft
+
+/** The repo-wide cache-lifetime contract (scaladoc'd at
+  * [[graft.lda.ShardedLda.Result]]): operators that persist internal state
+  * either expose `release()` (Result-style returns) or hand back a
+  * `localCheckpoint`ed Dataset whose blocks die with the caller's
+  * reference. Either way, REPEATED calls must leave the session's
+  * persistent-RDD registry flat — a growing registry is a cache leak that
+  * eventually evicts the caches a long-running session actually wants. */
+class CacheLifetimeSpec extends SparkSpec {
+
+  private def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  /** localCheckpoint blocks are reclaimed by the ContextCleaner after the
+    * reference is GC'd — poll with explicit GCs until the registry drains
+    * back to the baseline (bounded). */
+  private def eventuallyFlat(baseline: Int, timeoutMs: Long = 90000): Unit = {
+    val end = System.currentTimeMillis + timeoutMs
+    while (persistedCount > baseline && System.currentTimeMillis < end) {
+      System.gc()
+      Thread.sleep(250)
+    }
+    val n = persistedCount
+    assert(n <= baseline, s"cached entries grew: $n > $baseline : " +
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString("; "))
+  }
+
+  private def drainedBaseline(): Int = {
+    System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(250)
+    persistedCount
+  }
+
+  test("lda_sharded_word_totals: 10 repeated calls leave the cache registry flat") {
+    // warm once (session/registry setup), drop the result, drain
+    graft.queries.LdaQueries.entries("lda_sharded_word_totals")(spark, sf()).count()
+    val baseline = drainedBaseline()
+    (1 to 10).foreach { _ =>
+      graft.queries.LdaQueries.entries("lda_sharded_word_totals")(spark, sf()).count()
+    }
+    eventuallyFlat(baseline)
+  }
+
+  test("dupClustersDistributed: 10 repeated calls leave the cache registry flat") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    graft.ext.Dedup.dupClustersDistributed(pairs).count()
+    val baseline = drainedBaseline()
+    (1 to 10).foreach { _ =>
+      // one (doc_id, cluster) row per NODE of the pair graph: 8 nodes
+      assert(graft.ext.Dedup.dupClustersDistributed(pairs).count() == 8L)
+    }
+    eventuallyFlat(baseline)
+  }
+
+  test("ShardedLda train+infer with release(): registry flat across 5 calls") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { id =>
+      graft.lda.DocState.init(id, Array(0, 1, 2, 3), Array(2, 1, 1, 2), 2, seed = id)
+    }
+    val ds = spark.createDataset(docs)
+    val cfg = graft.lda.LdaConfig(2, 0.1, 0.01, totalIterations = 2,
+      burnInIterations = 0, seed = 5L)
+    graft.lda.ShardedLda.train(ds, 4, cfg, numShards = 2).release()
+    val baseline = drainedBaseline()
+    (1 to 5).foreach { _ =>
+      val res = graft.lda.ShardedLda.train(ds, 4, cfg, numShards = 2)
+      val inferred = graft.lda.ShardedLda.infer(ds, res.modelRows, 4, cfg, numShards = 2)
+      assert(inferred.count() == 40L)
+      res.release()
+    }
+    eventuallyFlat(baseline)
+  }
+}

@@ -125,8 +125,12 @@ object ScalingMain {
 
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
     // shard count grows with V — the huge-V regime where the model never
-    // broadcasts whole (SURVEY §7.4 risk 2)
-    println("mult |   tokens |  vocab | shards | sharded train 2 iters")
+    // broadcasts whole (SURVEY §7.4 risk 2). The infer leg drives
+    // ShardedLda.infer at ≥15 shards against the trained distributed
+    // model and checks token conservation (Σ per-doc averaged topic
+    // counts == corpus tokens) — the model is never materialized whole
+    // on either path.
+    println("mult |   tokens |  vocab | shards | train 2it | inf_shards | infer 2it | conserved")
     mults.foreach { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
@@ -144,7 +148,18 @@ object ScalingMain {
           totalIterations = 2, seed = 42L), numShards = shards)
       res.modelRows.count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"$m%4d | $nTok%8d | $v%6d | $shards%6d | $t%8.2f")
+      val infShards = math.min(v, math.max(15, shards))
+      val t1 = System.nanoTime()
+      val inferred = lda.ShardedLda.infer(corpus, res.modelRows, v,
+        lda.LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
+          totalIterations = 2, burnInIterations = 0, seed = 43L),
+        numShards = infShards)
+      val tokSum = inferred.rdd.map(_.topics.sum).reduce(_ + _)
+      val tInf = (System.nanoTime() - t1) / 1e9
+      val conserved = math.abs(tokSum - nTok) / nTok < 1e-9
+      assert(conserved, f"token conservation broken: $tokSum%.3f vs $nTok")
+      println(f"$m%4d | $nTok%8d | $v%6d | $shards%6d | $t%9.2f | $infShards%10d | $tInf%9.2f | $conserved")
+      res.release()
       corpus.unpersist(blocking = true); vocab.unpersist(blocking = true)
     }
     spark.stop()
