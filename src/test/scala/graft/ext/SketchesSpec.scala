@@ -163,4 +163,26 @@ class SketchesSpec extends SparkSpec {
     val med = quantile(m, 0.5)
     assert(math.abs(med - 1000.0) <= 2000 * 5.0 / 64)
   }
+
+  test("requireExact fails loudly when compaction fires, passes below capacity") {
+    val small = spark.range(10).select(col("id").cast("double").as("v"))
+    // below capacity: exact and quiet
+    val ok = Sketches.quantilesOf(small, col("v"), 64, Seq(0.5), requireExact = true)
+      .as[(Double, Double)].head()
+    assert(ok == ((0.5, 4.0))) // PERCENTILE_DISC: rank ceil(.5*10)=5 → value 4.0
+    // above capacity: the exactness precondition is violated → throws
+    val big = spark.range(1000).select(col("id").cast("double").as("v"))
+    val e = intercept[Exception] {
+      Sketches.quantilesOf(big, col("v"), 64, Seq(0.5), requireExact = true).collect()
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // SQL surface: graft_quantiles_exact (capacity 8192) throws once a
+    // group exceeds capacity and compacts
+    spark.range(10000).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("graft_qexact")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_quantiles_exact(v) FROM graft_qexact").collect()
+    }
+    assert(e2.getMessage != null)
+  }
 }
