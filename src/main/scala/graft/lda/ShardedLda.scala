@@ -99,10 +99,24 @@ object ShardedLda {
     }, depth = 1) // partials are K longs each — tiny
 
   /** Shard s of S owns word ids in [lo, hi). Range (not hash) sharding:
-    * a shard's rows form one contiguous array slice on the executors. */
+    * a shard's rows form one contiguous array slice on the executors.
+    * Both bounds clamp to V: with per = ⌈V/S⌉, trailing shards can start
+    * past V whenever S ∤ V (e.g. V=31, S=15 → per=3, shard 11 starts at
+    * 33) — those are EMPTY [V, V) shards, not negative slices. */
   private def shardBounds(numWords: Int, numShards: Int, s: Int): (Int, Int) = {
     val per = (numWords + numShards - 1) / numShards
-    (s * per, math.min((s + 1) * per, numWords))
+    (math.min(s * per, numWords), math.min((s + 1) * per, numWords))
+  }
+
+  /** Largest shard count with no empty trailing shards: with ⌈V/S⌉ rows
+    * per shard only ⌈V/⌈V/S⌉⌉ shards hold any words — iterating past that
+    * costs a full corpus pass per EMPTY shard. Every loop below runs on
+    * this normalized count (chains are deterministic per requested
+    * (seed, numShards, partitioning) as documented — two requested counts
+    * that normalize identically produce identical chains). */
+  private def effectiveShards(numWords: Int, numShards: Int): Int = {
+    val per = (numWords + numShards - 1) / numShards
+    (numWords + per - 1) / per
   }
 
   /** Collect one shard's rows into a dense (hi−lo)×K flat array. Driver
@@ -145,7 +159,8 @@ object ShardedLda {
     val global0 = globalRowRdd(modelRows, k) // stale for the whole iteration
     var current = docs
     var s = 0
-    while (s < numShards) {
+    val nShards = effectiveShards(numWords, numShards)
+    while (s < nShards) {
       val (lo, hi) = shardBounds(numWords, numShards, s)
       val bcShard = sc.broadcast(collectShard(modelRows, lo, hi, k))
       val bcGlobal = sc.broadcast(global0)
@@ -189,7 +204,7 @@ object ShardedLda {
           DocState(doc.docId, doc.wordIds, doc.offsets, topics)
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      if (checkpointLast && s == numShards - 1) current.localCheckpoint()
+      if (checkpointLast && s == nShards - 1) current.localCheckpoint()
       current.count() // materialize before releasing this shard's broadcast
       if (prev ne docs) prev.unpersist(blocking = false)
       bcShard.unpersist(blocking = false)
@@ -296,12 +311,13 @@ object ShardedLda {
     state.localCheckpoint() // marked before the first job (count below)
     state.count()
     var iter = 0
+    val nShards = effectiveShards(numWords, numShards)
     while (iter < cfg.totalIterations) {
       var s = 0
-      while (s < numShards) {
+      while (s < nShards) {
         val (lo, hi) = shardBounds(numWords, numShards, s)
         val bcShard = sc.broadcast(collectShard(mrows, lo, hi, k))
-        val accumulate = (s == numShards - 1) && iter >= cfg.burnInIterations
+        val accumulate = (s == nShards - 1) && iter >= cfg.burnInIterations
         val (it0, s0) = (iter, s)
         val prev = state
         state = state.mapPartitions { it =>
@@ -390,9 +406,9 @@ object ShardedLda {
     // "driver bounded by shard size" guarantee); standalone callers get a
     // byte-budget default: ceil(V*K*8 / maxShardBytes) shards, so one
     // collectShard never pulls more than maxShardBytes to the driver
-    val shards =
+    val shards = effectiveShards(numWords,
       if (numShards >= 1) numShards
-      else math.max(1L, (numWords.toLong * k * 8 + maxShardBytes - 1) / maxShardBytes).toInt
+      else math.max(1L, (numWords.toLong * k * 8 + maxShardBytes - 1) / maxShardBytes).toInt)
     var total = 0.0
     var s = 0
     while (s < shards) {

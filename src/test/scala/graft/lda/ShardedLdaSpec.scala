@@ -145,6 +145,25 @@ class ShardedLdaSpec extends SparkSpec {
     assert(again == got.map { case (k2, v2) => k2 -> v2.toSeq })
   }
 
+  test("shard counts that leave empty trailing shards still train and infer (V=12, S=10)") {
+    // per = ceil(12/10) = 2 → only 6 shards hold words; shards 6..9 start
+    // past V. Regression for the NegativeArraySizeException in
+    // collectShard (shard 11 of 15 over V=31 at the 100× scaling run) —
+    // bounds must clamp and the loops must skip the empty tail.
+    val docs = corpus(20)
+    val res = ShardedLda.train(docs, v,
+      LdaConfig(k, 0.1, 0.01, totalIterations = 2, seed = 5L), numShards = 10)
+    val totals = res.modelRows.collect().map(_.counts.sum).sum
+    assert(totals == 20 * 9) // word totals conserved through 10-shard sweeps
+    val inferred = ShardedLda.infer(docs, res.modelRows, v,
+      LdaConfig(k, 0.1, 0.01, totalIterations = 2, burnInIterations = 0, seed = 6L),
+      numShards = 10)
+    val mass = inferred.collect()
+    assert(mass.length == 20)
+    mass.foreach(dt => assert(math.abs(dt.topics.sum - 9.0) < 1e-9))
+    res.release()
+  }
+
   test("sharded training improves likelihood on a planted-topic corpus") {
     // two disjoint topic vocabularies; docs draw from exactly one
     val docs = (0L until 60L).map { id =>
