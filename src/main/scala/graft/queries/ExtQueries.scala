@@ -312,37 +312,50 @@ object ExtQueries {
     * NTILE's exact piecewise bucket formula (first n%10 buckets get
     * ceil(n/10) rows) — bit-identical to WindowExec's ntile, every
     * partition in parallel. */
-  def lengthDeciles(s: SparkSession, d: String): DataFrame = {
+  def lengthDeciles(s: SparkSession, d: String): DataFrame =
+    exactNtile(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      Seq("n_chars", "doc_id"), 10, "decile")
+      .orderBy("doc_id")
+
+  /** Exact NTILE(b) over a total order WITHOUT a global window: range-
+    * partition by the order key, count rows per partition (one tiny
+    * driver array), rank within partitions with the partition offset
+    * added, then apply NTILE's piecewise bucket formula (first n%b
+    * buckets get ⌈n/b⌉ rows) — bit-identical to WindowExec's `ntile`,
+    * every partition in parallel. Output: the input columns + `bucketCol`
+    * (1-based int). */
+  private def exactNtile(input: DataFrame, orderCols: Seq[String],
+      buckets: Int, bucketCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val s = input.sparkSession
     val np = s.sparkContext.defaultParallelism
-    val prepared = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"))
-      .repartitionByRange(np, col("n_chars"), col("doc_id"))
-      .sortWithinPartitions("n_chars", "doc_id")
+    val prepared = input
+      .repartitionByRange(np, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val rdd = prepared.rdd
     val counts = rdd.mapPartitionsWithIndex((pid, it) =>
         Iterator.single((pid, { var n = 0L; it.foreach(_ => n += 1); n })))
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
-    val q = n / 10
-    val r = n % 10
+    val q = n / buckets
+    val r = n % buckets
     val bc = s.sparkContext.broadcast(offsets)
+    val width = prepared.schema.fields.length
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rk = bc.value(pid) // 0-based global rank under (n_chars, doc_id)
+      var rk = bc.value(pid) // 0-based global rank under orderCols
       it.map { row =>
-        val decile =
-          if (q == 0L) (rk + 1).toInt // n < 10: one row per bucket
+        val bucket =
+          if (q == 0L) (rk + 1).toInt // n < buckets: one row per bucket
           else if (rk < r * (q + 1)) (rk / (q + 1) + 1).toInt
           else (r + (rk - r * (q + 1)) / q + 1).toInt
         rk += 1
-        Row(row.get(0), row.get(1), decile)
+        Row.fromSeq((0 until width).map(row.get) :+ bucket)
       }
     }
     s.createDataFrame(out, StructType(prepared.schema.fields :+
-        StructField("decile", IntegerType, nullable = false)))
-      .orderBy("doc_id")
+      StructField(bucketCol, IntegerType, nullable = false)))
   }
 
   /** Bigram conditional probabilities p(w2|w1) = c(w1 w2)/c(w1·) — the
@@ -451,14 +464,13 @@ object ExtQueries {
       capacity = 64, k = 20).withColumnRenamed("item", "tok")
 
   /** Z-order layout key over (n_chars, doc_id mod 2^16) + deterministic
-    * 8-way file assignment by key rank. */
+    * 8-way file assignment by key rank — via the two-pass [[exactNtile]],
+    * not a global window (the production write path is
+    * `repartitionByRange` on the key, `Layout.writeZOrdered`). */
   def zorder(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val zk = Layout.zorderKey(col("n_chars"), col("doc_id") % 65536)
-    Tables.documents(s, d)
-      .select(col("doc_id"), zk.as("zkey"))
-      .withColumn("file_id",
-        ntile(8).over(Window.orderBy(col("zkey"), col("doc_id"))))
+    exactNtile(Tables.documents(s, d).select(col("doc_id"), zk.as("zkey")),
+      Seq("zkey", "doc_id"), 8, "file_id")
       .orderBy("doc_id")
   }
 

@@ -191,9 +191,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("length deciles: two-pass rank, no global ntile window") {
-    val p = plan("ext_length_deciles").split("== Initial Plan ==").head
-    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, p.take(3000))
+  test("length deciles and zorder: two-pass rank, no global ntile window") {
+    for (q <- Seq("ext_length_deciles", "ext_zorder")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, s"$q:\n${p.take(3000)}")
+    }
   }
 
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
