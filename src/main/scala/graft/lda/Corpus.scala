@@ -147,7 +147,7 @@ object Corpus {
 
   /** Kept (non-empty, non-comment) lines with their file line number —
     * the ONE definition of the plda line filter (lda.cc:57-60), shared by
-    * [[readPldaText]] and [[pldaKeptDocIds]] so the positional doc-id
+    * [[readPldaText]] and [[pldaKeptDocIdsDF]] so the positional doc-id
     * contract can never desynchronize between them. */
   private def pldaKeptLines(spark: SparkSession, path: String) =
     spark.read.textFile(path).rdd
@@ -174,16 +174,12 @@ object Corpus {
   }
 
   /** doc_id (file line number) of every KEPT line — non-empty, non-comment —
-    * regardless of whether any `word cnt` pair parses. The inference output
-    * format is purely positional (infer.cc:63-99 writes one result line per
-    * kept input line, even when every word is OOV or zero-count), so callers
-    * need this pre-join id set to emit all-zeros lines for such docs. */
-  def pldaKeptDocIds(spark: SparkSession, path: String): Array[Long] =
-    pldaKeptLines(spark, path).map(_._2).collect().sorted
-
-  /** The kept doc ids as a DataFrame(doc_id) — the distributed form of
-    * [[pldaKeptDocIds]] for sinks that must not collect a corpus-sized id
-    * set to the driver (InferApp's positional result writer). */
+    * regardless of whether any `word cnt` pair parses, as a
+    * DataFrame(doc_id). The inference output format is purely positional
+    * (infer.cc:63-99 writes one result line per kept input line, even when
+    * every word is OOV or zero-count), so InferApp's writer needs this
+    * pre-join id set to emit all-zeros lines for such docs — distributed,
+    * never a corpus-sized driver collect. */
   def pldaKeptDocIdsDF(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     pldaKeptLines(spark, path).map(_._2).toDF("doc_id")
