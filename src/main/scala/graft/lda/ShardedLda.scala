@@ -236,7 +236,37 @@ object ShardedLda {
     * whole anywhere. */
   def train(
       corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
-      numShards: Int): Result = {
+      numShards: Int): Result =
+    trainFrom(corpus, numWords, cfg, numShards, startIter = 0,
+      lls0 = Array.empty, ckptDir = null, ckptEvery = 0)
+
+  /** [[train]] with durable checkpoint/resume — the preemption-survival
+    * story for the huge-V runs big enough to need sharding (symmetric
+    * with [[LdaTrainer.trainResumable]]). The ONLY durable state is the
+    * doc assignments + likelihood trace (the sharded model is recounted
+    * from the docs on resume; there is no burn-in accumulator on this
+    * path — quirk #1, the mpi output kind), stored via
+    * [[TrainCheckpoint]]'s versioned complete-marked directories every
+    * `every` iterations. A later call with the same `dir` resumes from
+    * the newest complete checkpoint. The resumed chain is deterministic
+    * (same checkpoint → same result) but not byte-identical to an
+    * uninterrupted run: AD-LDA sweep order depends on partitioning,
+    * which the parquet round-trip changes. */
+  def trainResumable(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
+      numShards: Int, dir: String, every: Int = 10): Result = {
+    val spark = corpus.sparkSession
+    TrainCheckpoint.load(spark, dir, numWords, cfg.numTopics) match {
+      case Some(st) => trainFrom(st.docs, numWords, cfg, numShards,
+        startIter = st.iter, lls0 = st.lls, ckptDir = dir, ckptEvery = every)
+      case None => trainFrom(corpus, numWords, cfg, numShards,
+        startIter = 0, lls0 = Array.empty, ckptDir = dir, ckptEvery = every)
+    }
+  }
+
+  private def trainFrom(
+      corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
+      numShards: Int, startIter: Int, lls0: Array[Double],
+      ckptDir: String, ckptEvery: Int): Result = {
     require(numShards >= 1 && numShards <= numWords, "1 <= numShards <= V")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -249,7 +279,8 @@ object ShardedLda {
       .persist(StorageLevel.MEMORY_AND_DISK)
     modelRows.count()
     val lls = Array.newBuilder[Double]
-    var iter = 0
+    lls ++= lls0
+    var iter = startIter
     while (iter < cfg.totalIterations) {
       if (cfg.computeLikelihood)
         lls += shardedLikelihoodRdd(docs, modelRows, numWords, cfg, numShards)
@@ -266,6 +297,10 @@ object ShardedLda {
       prevDocs.unpersist(blocking = false)
       prevModel.unpersist(blocking = false)
       iter += 1
+      if (ckptDir != null && ckptEvery > 0 && iter % ckptEvery == 0 &&
+          iter < cfg.totalIterations)
+        TrainCheckpoint.save(ckptDir, spark.createDataset(docs), iter,
+          Array.emptyDoubleArray, 0, lls.result())
     }
     val (finalDocs, finalModel) = (docs, modelRows)
     Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),

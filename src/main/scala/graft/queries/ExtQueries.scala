@@ -324,7 +324,7 @@ object ExtQueries {
     * buckets get ⌈n/b⌉ rows) — bit-identical to WindowExec's `ntile`,
     * every partition in parallel. Output: the input columns + `bucketCol`
     * (1-based int). */
-  private def exactNtile(input: DataFrame, orderCols: Seq[String],
+  private[queries] def exactNtile(input: DataFrame, orderCols: Seq[String],
       buckets: Int, bucketCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

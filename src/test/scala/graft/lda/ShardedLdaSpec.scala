@@ -164,6 +164,33 @@ class ShardedLdaSpec extends SparkSpec {
     res.release()
   }
 
+  test("sharded trainResumable checkpoints, resumes, and conserves totals") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sharded-ckpt").toString
+    val ds = corpus(20)
+    val cfg8 = LdaConfig(k, 0.1, 0.01, totalIterations = 8, seed = 7L)
+    val full = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dir, every = 4)
+    assert(full.modelRows.collect().map(_.counts.sum).sum == 20 * 9)
+    full.release()
+    // ckpt_4 must exist and be complete; resuming twice from the same
+    // copied checkpoint must give identical chains (deterministic resume)
+    assert(new java.io.File(s"$dir/ckpt_4/meta/_SUCCESS").exists())
+    val dir2 = Files.createTempDirectory("graft-sharded-ckpt2").toString
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(f => copy(f, new java.io.File(dst, f.getName))) }
+      else Files.copy(src.toPath, dst.toPath)
+    }
+    copy(new java.io.File(s"$dir/ckpt_4"), new java.io.File(s"$dir2/ckpt_4"))
+    val b = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dir2, every = 100)
+    val mb = b.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
+    b.release()
+    val c = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dir2, every = 100)
+    val mc = c.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
+    c.release()
+    assert(mb == mc)
+    assert(mb.values.map(_.sum).sum == 20 * 9) // resumed totals conserved
+  }
+
   test("sharded training improves likelihood on a planted-topic corpus") {
     // two disjoint topic vocabularies; docs draw from exactly one
     val docs = (0L until 60L).map { id =>
