@@ -586,6 +586,27 @@ object TextAnalysis {
           i => array_min(slice(col("_hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Cross-document shared-fingerprint pairs — the join stage on top of
+    * [[winnowFingerprints]]: doc pairs sharing ≥ `minShared` winnow
+    * fingerprints, with the shared count. The winnowing guarantee makes
+    * this substring-level dup detection: any pair sharing a token run of
+    * ≥ k+w−1 tokens shares ≥ 1 fingerprint, so boilerplate/plagiarism
+    * candidates surface from a fingerprint-keyed equi-join.
+    *
+    * Scale shape: the same shared-key self-join as the n-gram Jaccard
+    * pairs — zero-overlap pairs never materialize, the only shuffles are
+    * the join on fp and the pair groupBy; never all-pairs. A pathological
+    * boilerplate fingerprint shared by everything would skew one key —
+    * AQE skew-split handles it, or pre-filter fps by document frequency. */
+  def sharedFingerprintPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Long = 2L): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    fps.toDF("doc_a", "fp").join(fps.toDF("doc_b", "fp"), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Trigram "stupid backoff" LM scoring (Brants et al. 2007, the
     * web-scale LM that skips normalization): score held-out docs against
     * counts from a TRAINING slice —

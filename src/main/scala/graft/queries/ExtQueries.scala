@@ -538,6 +538,13 @@ object ExtQueries {
     TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .orderBy("doc_id", "fp")
 
+  /** Substring-level dup candidates: doc pairs sharing ≥2 winnow
+    * fingerprints (boilerplate/plagiarism detection over the same
+    * fingerprint table ext_winnow dumps). */
+  def winnowPairsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sharedFingerprintPairs(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -666,6 +673,7 @@ object ExtQueries {
     "ext_orc_roundtrip" -> orcRoundtrip _,
     "ext_chunk_windows" -> chunkWindows _,
     "ext_winnow" -> winnow _,
+    "ext_winnow_pairs" -> winnowPairsQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
@@ -756,6 +764,23 @@ object ExtQueries {
        |  SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM($prev.r / deg.dg) AS r
        |  FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src, nn
        |  GROUP BY e.dst
+       |)""".stripMargin
+
+  /** Winnowing CTE chain (toks → k=4 shingle hashes → window-5 selected
+    * fingerprints per doc), shared by the fingerprint dump and the
+    * shared-fingerprint pair oracle. Mirrors
+    * [[graft.ext.TextAnalysis.winnowFingerprints]]. */
+  private val winnowCtes: String =
+    s"""$toksCte,
+       |hs AS (
+       |  SELECT doc_id, list_transform(range(1, len(ts) - 2),
+       |    i -> substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8)) AS hs
+       |  FROM toks WHERE len(ts) >= 4
+       |),
+       |sel AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 1),
+       |    i -> list_min(list_slice(hs, i, i + 4)))) AS fps
+       |  FROM hs WHERE len(hs) >= 5
        |)""".stripMargin
 
   /** Shared by ext_ewma and ext_stream_ewma (identical output contract):
@@ -1686,18 +1711,16 @@ object ExtQueries {
     // winnowing: k=4 shingle hashes (8-hex md5 prefix), min per window of
     // 5, distinct per doc — mirrors TextAnalysis.winnowFingerprints
     "ext_winnow" ->
-      s"""WITH $toksCte,
-         |hs AS (
-         |  SELECT doc_id, list_transform(range(1, len(ts) - 2),
-         |    i -> substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8)) AS hs
-         |  FROM toks WHERE len(ts) >= 4
-         |),
-         |sel AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 1),
-         |    i -> list_min(list_slice(hs, i, i + 4)))) AS fps
-         |  FROM hs WHERE len(hs) >= 5
-         |)
+      s"""WITH $winnowCtes
          |SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "ext_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS shared
+         |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
     "ext_edit_distance" ->

@@ -73,6 +73,21 @@ class ChunkWinnowSpec extends SparkSpec {
     assert(a.toSeq != c.toSeq)   // different seed: different permutation
   }
 
+  test("sharedFingerprintPairs surfaces docs with a long common token run") {
+    // docs 1 and 2 share a 16-token run (≥ k+w−1 = 8 tokens guarantees
+    // ≥1 shared fingerprint; 16 tokens comfortably yields ≥2); doc 3 is
+    // disjoint and must pair with nothing
+    val boiler = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val d = docs(
+      (1L, "alpha beta gamma " + boiler),
+      (2L, boiler + " delta epsilon zeta"),
+      (3L, "totally different words with no overlap at all whatsoever in any fragment here"))
+    val got = TextAnalysis.sharedFingerprintPairs(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), got.toString)
+    assert(got.head._3 >= 2)
+  }
+
   test("editDistancePairs finds planted same-prefix near-dups, ranked by distance") {
     val p = "PREFIX__" // 8-char blocking key
     val d = docs(
