@@ -206,6 +206,54 @@ object Dedup {
       .limit(k)
   }
 
+  /** Exact threshold set-similarity self-join with PREFIX FILTERING (the
+    * AllPairs/ppjoin scheme): token sets ordered by ascending global
+    * document frequency (rarest first, ties by token), each doc exposes
+    * only its first |x| − ⌈t·|x|⌉ + 1 tokens as join keys — any pair with
+    * Jaccard ≥ t MUST collide inside those prefixes, so candidates come
+    * from shared RARE tokens only (a stop-word never fans out m² pairs
+    * the way the plain shared-token join does), then exact verification
+    * by array intersection. Output: (doc_a, doc_b, jac ROUND 4) for every
+    * pair with Jaccard ≥ t over distinct-token sets.
+    *
+    * The ≥ t test is the integer form (1+t)·ov ≥ t·(na+nb) — for t=0.5:
+    * 3·ov ≥ na+nb — so the threshold decision is exact on any engine; the
+    * division happens only in the reported rounded value.
+    *
+    * Scale shape: one V-row frequency table broadcast into the in-row
+    * prefix computation; shuffles are the prefix-token join, the pair
+    * dedup, and two hash joins back to the (doc → sorted set) table. */
+  def setSimilarityJoin(docs: DataFrame, t: Double = 0.5, shingleLen: Int = 3): DataFrame = {
+    require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
+    // sets are n-gram SHINGLES, not raw tokens: a small vocabulary makes
+    // token sets degenerate (every doc resembles every doc), while the
+    // shingle space keeps sets discriminative and prefix candidates sparse
+    val dt = spreadForCompute(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("tok"))
+    val freq = dt.groupBy("tok").agg(count(lit(1)).as("f"))
+    // rarest-first total order (f, tok); the sorted set + its size ride
+    // along in-row so verification needs no extra aggregation
+    val ordered = dt.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+      .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("ts"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ov = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("ts").as("tb"), col("n").as("nb")), "doc_b")
+      .where(ov * (1 + t) >= (col("na") + col("nb")) * t)
+      .select(col("doc_a"), col("doc_b"),
+        round(ov / (col("na") + col("nb") - ov), 4).as("jac"))
+  }
+
   /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
     * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
     * votes ±1 per bit; bit j of the result is set iff the vote sum is

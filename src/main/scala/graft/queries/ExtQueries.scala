@@ -545,6 +545,15 @@ object ExtQueries {
     TextAnalysis.sharedFingerprintPairs(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
 
+  /** Exact Jaccard ≥ 0.5 pairs over distinct 3-shingle sets via the
+    * prefix-filtered set-similarity join. The oracle verifies
+    * COMPLETENESS, not just the mirrored algorithm: it computes the
+    * answer from the plain shared-shingle join (no prefix filter), so a
+    * prefix-length bug that dropped pairs would hash-mismatch. */
+  def setsimJoinQ(s: SparkSession, d: String): DataFrame =
+    Dedup.setSimilarityJoin(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -674,6 +683,7 @@ object ExtQueries {
     "ext_chunk_windows" -> chunkWindows _,
     "ext_winnow" -> winnow _,
     "ext_winnow_pairs" -> winnowPairsQ _,
+    "ext_setsim_join" -> setsimJoinQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
@@ -1720,6 +1730,24 @@ object ExtQueries {
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS shared
          |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ground truth WITHOUT the prefix filter: every pair sharing any
+    // token, exact-verified — completeness check for the Spark side's
+    // prefix-filtered algorithm (3*ov >= na+nb is Jaccard >= 0.5 in
+    // exact integer arithmetic)
+    "ext_setsim_join" ->
+      s"""WITH $toksCte, $sh3Cte,
+         |dt AS (SELECT doc_id, unnest(list_distinct(sh)) AS tok FROM sh),
+         |d AS (SELECT doc_id, list(tok) AS s, COUNT(*) AS n
+         |      FROM dt GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM dt l JOIN dt r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+         |j AS (SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS ov,
+         |             a.n AS na, b.n AS nb
+         |      FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, ROUND(ov / (na + nb - ov), 4) AS jac
+         |FROM j WHERE 3 * ov >= na + nb
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes

@@ -27,6 +27,21 @@ class ExtSpec extends SparkSpec {
     assert(top.head._3 > 0.5)
   }
 
+  test("setSimilarityJoin includes the exact-threshold boundary and excludes below") {
+    // doc1/doc2: 5-token texts sharing exactly 2 of 3 shingles → Jaccard
+    // 2/(3+3−2) = 0.5, the INCLUSIVE boundary; doc3 shares one shingle
+    // with doc1 (1/5 = 0.2, excluded); doc4 disjoint (never a candidate)
+    val d = docs(
+      (1L, "a b c d e"),
+      (2L, "z b c d e"),
+      (3L, "a b c x y"),
+      (4L, "p q r s t"))
+    val got = Dedup.setSimilarityJoin(d, t = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), got.toString)
+    assert(got.head._3 == 0.5)
+  }
+
   test("simhash of identical docs is identical; near-dup docs are hamming-close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
