@@ -41,6 +41,22 @@ object ProfileMain {
     time("annTopK")(ext.Similarity.annTopK(emb, emb.where(col("vec_id") < 5), 5).count())
     time("ivfTopK")(ext.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), 5).count())
     time("lshPairsTopK")(ext.Similarity.lshPairsTopK(emb, 10, 8, 64, 42L).count())
+
+    // B1 protocol: flat-trainer throughput, K=10, 30 iterations, after a
+    // 3-iteration warm fit (JIT + codegen). token-samples/s = tokens×30/t.
+    val (corpus0, vocabDf) = lda.Corpus.fromDocuments(docs.select("doc_id", "text"), 10, 42L)
+    val v = vocabDf.count().toInt
+    val corpus = corpus0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTok = corpus.rdd.map(_.topics.length.toLong).reduce(_ + _)
+    val warm = lda.LdaTrainer.train(corpus, v,
+      lda.LdaConfig(10, 0.1, 0.01, totalIterations = 3, seed = 1L))
+    warm.release()
+    val t0 = System.nanoTime()
+    val b1 = lda.LdaTrainer.train(corpus, v,
+      lda.LdaConfig(10, 0.1, 0.01, totalIterations = 30, seed = 42L))
+    b1.release()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"PROF B1 train 30it K=10                  $secs%8.3f s  (${nTok * 30 / secs / 1e6}%.2f M token-samples/s, $nTok tokens, V=$v)")
     spark.stop()
   }
 }
