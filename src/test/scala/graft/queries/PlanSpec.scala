@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("setsim join: frequency dictionary broadcasts; no cartesian product") {
+    val p = plan("ext_setsim_join")
+    // the V-row (shingle, df) table joins via broadcast into the in-row
+    // prefix computation; candidates come from the prefix-token equi-join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
