@@ -233,11 +233,16 @@ object Dedup {
         explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("tok"))
     val freq = dt.groupBy("tok").agg(count(lit(1)).as("f"))
     // rarest-first total order (f, tok); the sorted set + its size ride
-    // along in-row so verification needs no extra aggregation
+    // along in-row so verification needs no extra aggregation.
+    // localCheckpoint: prefix generation AND both verification joins read
+    // this table — without it the scan+explode+sort chain recomputes three
+    // times (measured ~2× slower); blocks die with the caller's reference
+    // (the repo cache-lifetime convention)
     val ordered = dt.join(broadcast(freq), "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
       .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
+      .localCheckpoint()
     val prefix = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("ts"), lit(1),
         (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))

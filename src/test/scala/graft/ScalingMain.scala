@@ -45,7 +45,7 @@ object ScalingMain {
     }
 
     println(f"SCALE base=$nBase docs  (each stage cold per size; times in sec)")
-    println("mult |     docs | minhash_bands | band_candidates | simhash_sigs | simhash_banded | cdc_chunks")
+    println("mult |     docs | minhash_bands | band_candidates | simhash_sigs | simhash_banded | cdc_chunks | winnow_pairs | setsim_join")
     mults.foreach { m =>
       val docs = replicated(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -56,7 +56,9 @@ object ScalingMain {
       val (tBanded, nPairs) = time(
         ext.Dedup.simhashBandedPairs(ext.Dedup.simhashes(docs), 4).count())
       val (tCdc, _) = time(ext.Dedup.cdcChunkDups(docs).count())
-      println(f"$m%4d | $n%8d | $tBands%13.2f | $tCand%8.2f($nCand%7d) | $tSig%12.2f | $tBanded%7.2f($nPairs%7d) | $tCdc%9.2f")
+      val (tWp, nWp) = time(ext.TextAnalysis.sharedFingerprintPairs(docs).count())
+      val (tSs, nSs) = time(ext.Dedup.setSimilarityJoin(docs).count())
+      println(f"$m%4d | $n%8d | $tBands%13.2f | $tCand%8.2f($nCand%7d) | $tSig%12.2f | $tBanded%7.2f($nPairs%7d) | $tCdc%9.2f | $tWp%6.2f($nWp%7d) | $tSs%6.2f($nSs%7d)")
       docs.unpersist(blocking = true)
     }
 
