@@ -54,7 +54,7 @@ object Graph {
         }
         spark.createDataset(nodes.indices.map(i => (nodes(i), r(i))))
           .toDF("doc_id", "pr")
-          .select(col("doc_id"), round(col("pr"), 4).as("pr"))
+          .select(col("doc_id"), graft.functions.StableRound.col4(col("pr")).as("pr"))
       } else pageRankDistributed(pairsL, iters, d)
     pairsL.unpersist(blocking = false)
     out
@@ -85,7 +85,8 @@ object Graph {
     }
     edges.unpersist(blocking = false)
     deged.unpersist(blocking = false)
-    val out = ranks.select(col("id").as("doc_id"), round(col("r"), 4).as("pr"))
+    val out = ranks.select(col("id").as("doc_id"),
+        graft.functions.StableRound.col4(col("r")).as("pr"))
       .localCheckpoint(true)
     ranks.unpersist(blocking = false)
     out

@@ -298,7 +298,7 @@ object Temporal {
           }
         }
         Row(k, r.get(1), if (!haveY) null
-          else BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else graft.functions.StableRound.dbl4(y))
       }
     }
     spark.createDataFrame(out, StructType(Seq(

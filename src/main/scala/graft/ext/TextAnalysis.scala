@@ -837,6 +837,7 @@ object TextAnalysis {
             ((col("c_all") + 1.0) / (col("n_all") + col("v")))).as("lw"))
     bow.join(broadcast(weights), "tok")
       .groupBy("doc_id")
-      .agg(round(sum(col("c") * col("lw")) / sum(col("c")), 4).as("w"))
+      .agg(graft.functions.StableRound.col4(
+        sum(col("c") * col("lw")) / sum(col("c"))).as("w"))
   }
 }

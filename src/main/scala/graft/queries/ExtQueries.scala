@@ -801,12 +801,15 @@ object ExtQueries {
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS i
       |  FROM events
       |),
-      |l AS (SELECT user_id, list(value ORDER BY i) AS xs FROM s GROUP BY user_id)
-      |SELECT s.user_id, s.event_id,
-      |  ROUND(CASE WHEN i = 1 THEN xs[1] ELSE
-      |    list_sum(list_transform(range(2, i + 1), j -> 0.2 * pow(0.8, i - j) * xs[j]))
-      |    + pow(0.8, i - 1) * xs[1] END, 4) AS ewma
-      |FROM s JOIN l USING (user_id) ORDER BY event_id""".stripMargin
+      |l AS (SELECT user_id, list(value ORDER BY i) AS xs FROM s GROUP BY user_id),
+      |raw AS (
+      |  SELECT s.user_id, s.event_id,
+      |    CASE WHEN i = 1 THEN xs[1] ELSE
+      |      list_sum(list_transform(range(2, i + 1), j -> 0.2 * pow(0.8, i - j) * xs[j]))
+      |      + pow(0.8, i - 1) * xs[1] END AS v
+      |  FROM s JOIN l USING (user_id))
+      |SELECT user_id, event_id, ROUND(v + SIGN(v) * 0.000000001, 4) + 0.0 AS ewma
+      |FROM raw ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ext_trigram_backoff" ->
@@ -980,7 +983,8 @@ object ExtQueries {
          |r0 AS (SELECT src AS id, 1.0 / n AS r FROM deg, nn),
          |${prIter("r0", "r1")}, ${prIter("r1", "r2")}, ${prIter("r2", "r3")},
          |${prIter("r3", "r4")}, ${prIter("r4", "r5")}
-         |SELECT id AS doc_id, ROUND(r, 4) AS pr FROM r5 ORDER BY doc_id""".stripMargin,
+         |SELECT id AS doc_id, ROUND(r + SIGN(r) * 0.000000001, 4) AS pr
+         |FROM r5 ORDER BY doc_id""".stripMargin,
 
     // mirrors the Spark plan's association exactly: per-(doc,tok) BOW
     // counts, weighted mean Σc·lw / Σc — ONE multiply per bow row on both
@@ -997,21 +1001,24 @@ object ExtQueries {
         |       FROM bow GROUP BY tok),
         |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t, COUNT(*) AS v FROM ac),
         |w AS (SELECT tok, ln(((c_t + 1.0) / (n_t + v)) / ((c_all + 1.0) / (n_all + v))) AS lw
-        |      FROM ac, tot)
-        |SELECT bow.doc_id, ROUND(SUM(bow.c * w.lw) / SUM(bow.c), 4) + 0.0 AS w
-        |FROM bow JOIN w USING (tok)
-        |GROUP BY bow.doc_id ORDER BY bow.doc_id""".stripMargin,
+        |      FROM ac, tot),
+        |agg AS (SELECT bow.doc_id, SUM(bow.c * w.lw) / SUM(bow.c) AS v
+        |        FROM bow JOIN w USING (tok) GROUP BY bow.doc_id)
+        |SELECT doc_id, ROUND(v + SIGN(v) * 0.000000001, 4) + 0.0 AS w
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
-    // KNOWN-ACCEPTED numeric-boundary risk (here, ext_pagerank,
+    // Numeric-boundary stabilization (here, ext_pagerank,
     // ext_importance_weights): Spark computes these recursively /
     // shuffle-order-summed while the oracle uses closed forms or SQL
-    // aggregates, so a value within 1 ulp of a ROUND(.,4) half-way point
-    // could round apart. Mitigations in place: importance_weights mirrors
-    // the multiply association exactly (comment above), pagerank fixes the
-    // iteration count, and the fixture values sit away from .00005
-    // boundaries (verified by the r1–r3 sweeps at sf0.01 AND sf0.1). The
-    // residual risk is per-fixture and caught by the hash compare, not
-    // silent; a tolerance-based compare needs driver-harness support.
+    // aggregates, so a raw value within 1 ulp of a ROUND(.,4) half-way
+    // point could round apart. Both sides therefore round through the
+    // SAME sign-aware epsilon shift — [[graft.functions.StableRound]] on
+    // the Spark side, `ROUND(v + SIGN(v) * 1e-9, 4)` in the SQL — which
+    // moves every natural half-way value strictly inside its bucket
+    // while leaving all other outputs untouched (exact halves already
+    // round away from zero in both engines). importance_weights
+    // additionally mirrors the multiply association exactly (comment
+    // above) and pagerank fixes the iteration count.
     "ext_ewma" -> ewmaOracleSql,
 
     // the streaming operators' run-to-completion outputs are plain batch

@@ -194,8 +194,7 @@ object Streams {
               haveY = true
             }
             if (!haveY) None
-            else Some((key, id,
-              BigDecimal(y).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            else Some((key, id, graft.functions.StableRound.dbl4(y)))
           }
           state.update((haveY, y))
           out.iterator
