@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators over the corpus: the inverted index a search
+  * stack builds from cleaned training data, and hybrid lexical+vector
+  * rank fusion (the RAG retrieval pattern: BM25 candidates ∪ embedding
+  * candidates → reciprocal-rank fusion).
+  *
+  * Scale shapes: the index build is ONE (tok, segment) shuffle with
+  * in-row delta encoding — segment sharding bounds every posting list by
+  * the segment's doc count (the Lucene-segment scheme), so a stopword's
+  * postings never concentrate in one task. Fusion ranks only constant-size
+  * top-N candidate lists (TakeOrdered — distributed — produces them), so
+  * its ranking windows run over N rows by construction, never the corpus.
+  */
+object Retrieval {
+
+  /** Segment-sharded inverted index with delta-encoded postings.
+    *
+    * documents(doc_id, text) → one row per (tok, segment):
+    * `df` = in-segment document frequency, `gaps` = delta-encoded sorted
+    * doc ids (first entry is the doc id itself, later entries the gap to
+    * the previous id — the classic posting compression layout), `tfs` =
+    * per-posting term frequency, aligned with `gaps`.
+    *
+    * `segmentDocs` fixes the segment width (doc_id div segmentDocs).
+    * Postings sort and delta-encode IN ROW (sort_array + transform on the
+    * grouped list): the only exchange is the (tok, segment) groupBy, and
+    * each list is ≤ the segment's doc count regardless of how common the
+    * token is — the property that lets a 100 TB corpus index in bounded
+    * task memory. */
+  def invertedIndex(docs: DataFrame, segmentDocs: Long = 256L): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), expr(s"doc_id DIV $segmentDocs").as("segment"),
+        col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    occ.groupBy("tok", "segment")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .select(col("tok"), col("segment"),
+        size(col("ps")).as("df"),
+        transform(col("ps"), (p, i) =>
+          p.getField("doc_id") - when(i === 0, lit(0L))
+            .otherwise(element_at(col("ps"), i).getField("doc_id"))).as("gaps"),
+        col("ps.tf").as("tfs"))
+  }
+
+  /** The index flattened to scalar rows (tok, segment, df, pos, gap, tf) —
+    * the oracle-comparable dump of [[invertedIndex]] (array columns can't
+    * ride the hash compare). `pos` is the 0-based position in the posting
+    * list. */
+  def invertedIndexFlat(docs: DataFrame, segmentDocs: Long = 256L): DataFrame =
+    invertedIndex(docs, segmentDocs)
+      .select(col("tok"), col("segment"), col("df"),
+        posexplode(arrays_zip(col("gaps"), col("tfs"))).as(Seq("pos", "z")))
+      .select(col("tok"), col("segment"), col("df"), col("pos"),
+        col("z.gaps").as("gap"), col("z.tfs").as("tf"))
+
+  /** Reciprocal-rank fusion of a lexical (BM25) and a vector (cosine)
+    * ranking — hybrid retrieval's standard combiner (Cormack et al. 2009:
+    * score = Σ 1/(rrfK + rank)).
+    *
+    * Both input rankings carry ROUND(·,4) scores that are themselves
+    * oracle-verified identical across engines (ext_bm25, Q23's cosine), so
+    * ranking on (rounded score desc, id asc) is deterministic and
+    * cross-engine stable — no raw-double rank flip can occur. The fused
+    * score is a fixed-order sum of two exact rationals 1/(k+r), identical
+    * bits in both engines.
+    *
+    * Scale shape: each side reduces to its top-`n` via orderBy+limit
+    * (TakeOrdered: per-partition heaps + driver merge of n·P rows), and
+    * only those ≤n-row lists see a ranking window. The fusion join is a
+    * broadcast of two n-row sides. Output: top `k` of
+    * (doc_id, lex_rank, vec_rank, rrf) by fused score. */
+  def rrfFusion(lexical: DataFrame, vector: DataFrame, n: Int = 50, k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    def topRanked(df: DataFrame, score: String, id: String, rank: String) = {
+      val top = df.orderBy(col(score).desc, col(id)).limit(n)
+      // window over ≤n rows (constant by construction) — see scaladoc
+      top.select(col(id).as("doc_id"),
+        row_number().over(Window.orderBy(col(score).desc, col(id))).as(rank))
+    }
+    val lex = topRanked(lexical, "bm25", "doc_id", "lex_rank")
+    val vec = topRanked(vector, "cos", "vec_id", "vec_rank")
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(col("rrf"), 4).as("rrf"))
+  }
+
+  /** The fixture-shaped hybrid query: BM25 over the probe terms fused
+    * with cosine ranking against query vector `queryId` (self-match
+    * excluded on the vector side; doc ids and vec ids coincide in the
+    * fixtures). */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryId: Long = 0L, n: Int = 50, k: Int = 20): DataFrame = {
+    val lex = TextAnalysis.bm25(docs, terms)
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e")))
+      .withColumn("n", Similarity.norm(col("e")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("n").as("qn"))
+    val vec = e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("e"), col("qe")) / (col("n") * col("qn")), 4).as("cos"))
+    rrfFusion(lex, vec, n, k)
+  }
+}

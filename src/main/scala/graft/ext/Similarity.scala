@@ -254,11 +254,24 @@ object Similarity {
         embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
       .withColumn("n2", dot(col("e"), col("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def centNorm2(cv: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-      s
-    }
+    val cent = lloyd(e, k, iters)
+    val out = assignClusters(e, cent).select(col("vec_id"), col("cluster"))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  private def centNorm2(cv: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    s
+  }
+
+  /** The Lloyd trainer extracted from [[kmeans]] (identical code path —
+    * ext_kmeans keeps verifying it): init = k lowest-id vectors of `e`
+    * (which must carry (vec_id, e, n2)), then `iters` assign+update
+    * rounds with grid-rounded component means. Returns the final
+    * centroids (cid, components, ‖c‖²). */
+  private def lloyd(e: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double], Double)] = {
     var cent: Seq[(Int, Array[Double], Double)] = e
       .where(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("e"))
@@ -281,8 +294,85 @@ object Similarity {
       }
       it += 1
     }
-    val out = assignClusters(e, cent).select(col("vec_id"), col("cluster"))
-    e.unpersist(blocking = false)
+    cent
+  }
+
+  /** Product-quantization top-k by asymmetric-distance (ADC) inner
+    * product — the memory-bounded ANN scheme one tier past
+    * [[quantizeInt8]]: vectors live as m codebook codes (log₂k bits
+    * each), the query stays full-precision, and scoring is m table
+    * lookups instead of a dim-length dot product (Jégou et al. 2011).
+    *
+    * Codebooks: the embedding is split into `m` contiguous subspaces of
+    * dim/m components; each subspace trains its own [[lloyd]] codebook
+    * (k lowest-id subvectors init, grid-rounded means — the same
+    * deterministic, engine-portable scheme ext_kmeans verifies).
+    * Encoding assigns each subvector its nearest centroid
+    * (squared-L2, ties to the lowest cid) in ONE pure-map projection per
+    * corpus row. The query's ADC table (cid → q_s·c_{s,cid}, computed
+    * driver-side over the tiny codebooks in ascending index order —
+    * the same order `list_dot_product` sums) folds into the projection
+    * as a CASE chain, so approx_ip = Σ_s table_s[code_s] in fixed
+    * left-to-right subspace order — bit-identical across engines
+    * (centroid components are exact grid multiples).
+    *
+    * Scale shape: training = m × (one scan + one k×(dim/m)-cell partial
+    * agg); encode+score = one scan, no shuffle; top-k = TakeOrdered.
+    * Output: (vec_id, pq_ip) — top `topK` by raw approx ip (desc,
+    * vec_id tiebreak), query excluded, pq_ip ROUND(·,4). */
+  def pqTopK(embeddings: DataFrame, dim: Int = 64, queryId: Long = 0L, m: Int = 4,
+      k: Int = 8, iters: Int = 1, topK: Int = 25): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d0 = dim / m
+    val full = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books: Seq[Seq[(Int, Array[Double], Double)]] = (0 until m).map { s =>
+      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
+        .withColumn("n2", dot(col("e"), col("e")))
+      lloyd(sub, k, iters)
+    }
+    val q = full.where(col("vec_id") === queryId)
+      .select(col("e")).collect()(0).getSeq[Double](0).toArray
+    // ADC tables: q_s · c in ascending component order (= list_dot_product)
+    val tables: Seq[Seq[(Int, Double)]] = books.zipWithIndex.map { case (cent, s) =>
+      cent.map { case (cid, cv, _) =>
+        var ip = 0.0; var i = 0
+        while (i < cv.length) { ip += q(s * d0 + i) * cv(i); i += 1 }
+        (cid, ip)
+      }
+    }
+    // hoist each subvector and its ‖·‖² into named columns BEFORE the
+    // per-centroid distance fan-out: the aliases are referenced k times
+    // above, so CollapseProject won't re-inline them — without this the
+    // dim/m-term self-dot expands k·m times and the generated method
+    // blows past janino's size limit (codegen falls back to interpreted)
+    val subCols = (0 until m).map(s => slice(col("e"), s * d0 + 1, d0).as(s"sub$s"))
+    val enc = full.where(col("vec_id") =!= queryId)
+      .select(col("vec_id") +: subCols: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"sub$s")) ++:
+        (0 until m).map(s => dot(col(s"sub$s"), col(s"sub$s")).as(s"n2$s")): _*)
+    // codes get their own projection for the same reason: each code is
+    // consulted k times by its ADC CASE chain below
+    val codeCols = (0 until m).map { s =>
+      array_min(array(books(s).map { case (cid, cv, cn2) =>
+        struct(
+          (col(s"n2$s") - lit(2.0) * dot(col(s"sub$s"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid").as(s"code$s")
+    }
+    val coded = enc.select(col("vec_id") +: codeCols: _*)
+    val ipCols = (0 until m).map { s =>
+      tables(s).foldLeft(lit(Double.NaN)) { case (acc, (cid, ip)) =>
+        when(col(s"code$s") === cid, lit(ip)).otherwise(acc)
+      }
+    }
+    val out = coded
+      .select(col("vec_id"), ipCols.reduceLeft(_ + _).as("ip")) // fixed subspace order
+      .orderBy(col("ip").desc, col("vec_id")).limit(topK)
+      .select(col("vec_id"), round(col("ip"), 4).as("pq_ip"))
+    full.unpersist(blocking = false)
     out
   }
 

@@ -840,4 +840,59 @@ object TextAnalysis {
       .agg(graft.functions.StableRound.col4(
         sum(col("c") * col("lw")) / sum(col("c"))).as("w"))
   }
+
+  /** Per-stratum unigram KL divergence from the corpus distribution —
+    * the domain-drift / mixture-weighting diagnostic (which sources'
+    * token distributions sit furthest from the blend they feed).
+    * KL(P_s ‖ Q) = Σ_{t∈V} p_s(t)·ln(p_s(t)/q(t)) with add-one smoothing
+    * on the shared corpus vocabulary V, so zero-count tokens contribute
+    * their smoothed mass rather than ±∞.
+    *
+    * Scale shape: one (stratum, tok) count shuffle + one V-row corpus
+    * count (both map-side combined), then the full V×S term grid — S
+    * strata is small by construction, so the grid is O(V·S) rows feeding
+    * one final groupBy(stratum). Nothing is collected. Each term is
+    * evaluated in the exact association the DuckDB oracle spells, and the
+    * per-stratum sum rounds through [[graft.functions.StableRound]]
+    * (cross-engine accumulation order differs). */
+  def domainKl(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val sc = occ.groupBy("stratum", "tok").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val cc = sc.groupBy("tok").agg(sum(col("c_s")).as("c_a"))
+    val totals = cc.agg(sum(col("c_a")).as("n_a"), count(lit(1)).as("v"))
+    val sTotals = sc.groupBy("stratum").agg(sum(col("c_s")).as("n_s"))
+    // full V×S grid: every (stratum, vocab token) pair — the V-row vocab
+    // side stays distributed, the S-row stratum totals broadcast onto it;
+    // zero-count (stratum, tok) cells fill in via the left join
+    val grid = cc.crossJoin(broadcast(sTotals.crossJoin(totals)))
+      .join(sc, Seq("stratum", "tok"), "left")
+      .na.fill(0L, Seq("c_s"))
+    val p = (col("c_s") + lit(1.0)) / (col("n_s") + col("v"))
+    val q = (col("c_a") + lit(1.0)) / (col("n_a") + col("v"))
+    grid.select(col("stratum"), (p * log(p / q)).as("term"))
+      .groupBy("stratum")
+      .agg(graft.functions.StableRound.col4(sum(col("term"))).as("kl"))
+  }
+
+  /** Out-of-vocabulary rate per stratum against a frozen vocabulary —
+    * the tokenizer/vocab coverage report (which domains a fixed vocab
+    * serves worst). `vocab` is one column of tokens; rate =
+    * n_oov / n_tokens from exact integer counts (single division —
+    * bit-identical across engines).
+    *
+    * Scale shape: broadcast dictionary join (V ≪ corpus) + one
+    * stratum-count shuffle. */
+  def oovRate(docs: DataFrame, vocab: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val dict = vocab.toDF("tok").distinct().withColumn("in_v", lit(1))
+    Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .join(broadcast(dict), Seq("tok"), "left")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .select(col("stratum"), col("n_toks"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,6 +83,35 @@ object ExtQueries {
 
   def bm25Rank(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bm25(Tables.documents(s, d), Bm25Terms).orderBy("doc_id")
+
+  /** Hybrid retrieval: BM25 over the probe terms fused with cosine
+    * ranking against query vector 0 by reciprocal-rank fusion. */
+  def rrfFusionQ(s: SparkSession, d: String): DataFrame =
+    Retrieval.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d), Bm25Terms)
+      .orderBy(col("rrf").desc, col("doc_id"))
+
+  /** Segment-sharded delta-encoded inverted index, flattened to scalar
+    * rows for the hash compare (segment width 100 docs → 5 segments at
+    * sf0.01, so the sharding path is actually exercised). */
+  def invertedIndexQ(s: SparkSession, d: String): DataFrame =
+    Retrieval.invertedIndexFlat(Tables.documents(s, d), 100L)
+      .orderBy("tok", "segment", "pos")
+
+  /** Per-source unigram KL divergence from the corpus distribution. */
+  def domainKlQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.domainKl(Tables.documents(s, d)).orderBy("stratum")
+
+  /** Per-source OOV rate against the frozen Spanish-document vocabulary
+    * (the Q09 fixture vocab). */
+  def oovRateQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.oovRate(Tables.documents(s, d), Tables.langVocab(s, d, "es"))
+      .orderBy("stratum")
+
+  /** PQ-ADC approximate inner-product top-25 against query vector 0
+    * (4 subspaces × 8 centroids over the 64-dim embeddings). */
+  def pqTopkQ(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, d))
+      .orderBy(col("pq_ip").desc, col("vec_id"))
 
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d)).orderBy("doc_id")
@@ -704,6 +733,11 @@ object ExtQueries {
     "ext_trigram_backoff" -> trigramBackoffQ _,
     "ext_stream_tumbling" -> streamTumblingQ _,
     "ext_stream_ewma" -> streamEwmaQ _,
+    "ext_rrf_fusion" -> rrfFusionQ _,
+    "ext_inverted_index" -> invertedIndexQ _,
+    "ext_domain_kl" -> domainKlQ _,
+    "ext_oov_rate" -> oovRateQ _,
+    "ext_pq_topk" -> pqTopkQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1027,6 +1061,88 @@ object ExtQueries {
     "ext_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
         |ROUND(SUM(value), 4) AS s FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ranks on the ROUND(·,4) scores that ext_bm25 and Q23's cosine
+    // already verify identical across engines, so no raw-double rank
+    // flip can occur; the fused score is a fixed-order sum of exact
+    // rationals 1/(60+r) over identical integer ranks
+    "ext_rrf_fusion" ->
+      s"""WITH ${bm25Ctes(Bm25Terms, k1 = 1.2, b = 0.75)},
+         |lexall AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+         |lex AS (SELECT doc_id, CAST(r AS INT) AS lex_rank FROM lexall WHERE r <= 50),
+         |$embCte,
+         |qv AS (SELECT e FROM e WHERE vec_id = 0),
+         |cs AS (SELECT v.vec_id, ${cosSql("v.e", "qv.e")} AS cos
+         |       FROM e v, qv WHERE v.vec_id <> 0),
+         |vecall AS (SELECT vec_id AS doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM cs),
+         |vec AS (SELECT doc_id, CAST(r AS INT) AS vec_rank FROM vecall WHERE r <= 50),
+         |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+         |  COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + vec_rank), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+         |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+         |SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 4) AS rrf
+         |FROM top ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    "ext_inverted_index" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |tfc AS (SELECT tok, doc_id // 100 AS segment, doc_id, COUNT(*) AS tf
+         |        FROM occ GROUP BY 1, 2, 3),
+         |pl AS (SELECT tok, segment, list(doc_id ORDER BY doc_id) AS ids,
+         |         list(tf ORDER BY doc_id) AS tfs
+         |       FROM tfc GROUP BY tok, segment)
+         |SELECT tok, segment, CAST(len(ids) AS INT) AS df, CAST(t.i - 1 AS INT) AS pos,
+         |  ids[CAST(t.i AS INT)] - CASE WHEN t.i = 1 THEN 0
+         |    ELSE ids[CAST(t.i AS INT) - 1] END AS gap,
+         |  tfs[CAST(t.i AS INT)] AS tf
+         |FROM pl, unnest(range(1, len(ids) + 1)) AS t(i)
+         |ORDER BY tok, segment, pos""".stripMargin,
+
+    // same association as the Spark side everywhere; the per-stratum sum
+    // rounds through the SIGN(v)*1e-9 stabilization (see ext_ewma note)
+    "ext_domain_kl" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |sc AS (SELECT stratum, tok, COUNT(*) AS c_s FROM occ GROUP BY 1, 2),
+        |cc AS (SELECT tok, SUM(c_s) AS c_a FROM sc GROUP BY tok),
+        |tot AS (SELECT SUM(c_a) AS n_a, COUNT(*) AS v FROM cc),
+        |st AS (SELECT stratum, SUM(c_s) AS n_s FROM sc GROUP BY stratum),
+        |grid AS (SELECT st.stratum, cc.tok, cc.c_a, st.n_s, tot.n_a, tot.v,
+        |           COALESCE(sc.c_s, 0) AS c_s
+        |         FROM cc CROSS JOIN st CROSS JOIN tot
+        |         LEFT JOIN sc ON sc.stratum = st.stratum AND sc.tok = cc.tok),
+        |terms AS (SELECT stratum,
+        |  ((c_s + 1.0) / (n_s + v)) *
+        |    ln(((c_s + 1.0) / (n_s + v)) / ((c_a + 1.0) / (n_a + v))) AS term
+        |  FROM grid),
+        |agg AS (SELECT stratum, SUM(term) AS v FROM terms GROUP BY stratum)
+        |SELECT stratum, ROUND(v + SIGN(v) * 0.000000001, 4) AS kl
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    "ext_oov_rate" ->
+      """WITH voc AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'es'
+        |  ) WHERE tok <> ''
+        |),
+        |occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |agg AS (SELECT stratum, COUNT(*) AS n_toks,
+        |          COUNT(*) FILTER (WHERE voc.tok IS NULL) AS n_oov
+        |        FROM occ LEFT JOIN voc ON occ.tok = voc.tok GROUP BY stratum)
+        |SELECT stratum, n_toks, n_oov,
+        |  ROUND(CAST(n_oov AS DOUBLE) / n_toks, 4) AS oov_rate
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    "ext_pq_topk" -> pqOracle(dim = 64, m = 4, k = 8, iters = 1, queryId = 0L, topK = 25),
 
     "ext_minhash_pairs" ->
       s"""WITH $minhashBandsCtes
@@ -1857,14 +1973,79 @@ object ExtQueries {
          |  ELSE 0.0 END""".stripMargin
     }.mkString("\n|  + ")
     val any = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-    s"""WITH $toksCte,
+    s"""WITH ${bm25Ctes(terms, k1, b)}
+       |SELECT doc_id, bm25 FROM bm ORDER BY doc_id""".stripMargin
+  }
+
+  /** The [[bm25Oracle]] guts as a reusable CTE chain ending in
+    * `bm(doc_id, bm25)` with the ROUND(·,4) score — shared by ext_bm25
+    * and the RRF fusion oracle (which ranks on the verified rounded
+    * score). */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n|  ")
+    val score = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1.0})
+         |      / (tf$i + $k1 * (1.0 - $b + $b * dl / (CAST(sdl AS DOUBLE) / n)))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString("\n|  + ")
+    val any = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""$toksCte,
        |dls AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
        |  $tfCols
        |  FROM toks WHERE len(ts) > 0),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
        |  $dfCols
-       |  FROM dls)
-       |SELECT doc_id, ROUND($score, 4) AS bm25
-       |FROM dls, st WHERE $any ORDER BY doc_id""".stripMargin
+       |  FROM dls),
+       |bm AS (SELECT doc_id, ROUND($score, 4) AS bm25
+       |  FROM dls, st WHERE $any)""".stripMargin
+  }
+
+  /** Generated PQ-ADC oracle mirroring [[graft.ext.Similarity.pqTopK]]:
+    * per subspace, the exact kmeansOracle chain on the list slice
+    * (same init, same grid-rounded means, same (d, cid) tie order),
+    * then approx ip = fixed-left-to-right sum of per-subspace
+    * query·centroid dot products via code joins. */
+  private def pqOracle(dim: Int, m: Int, k: Int, iters: Int, queryId: Long,
+      topK: Int): String = {
+    val d0 = dim / m
+    def sub(s: Int): String = {
+      val lo = s * d0 + 1; val hi = (s + 1) * d0
+      def assign(i: Int) =
+        s"p${s}s$i AS (SELECT v.vec_id, c.cid,\n" +
+        s"  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)\n" +
+        s"    + list_dot_product(c.ce, c.ce) AS d\n" +
+        s"  FROM e$s v CROSS JOIN p${s}c$i c),\n" +
+        s"p${s}a$i AS (SELECT vec_id, cid FROM (\n" +
+        s"  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r\n" +
+        s"  FROM p${s}s$i) WHERE r = 1),\n"
+      def update(i: Int) =
+        s"p${s}u${i + 1} AS (SELECT a.cid AS cid, t.j AS j, e.e[CAST(t.j AS INT)] AS v\n" +
+        s"  FROM p${s}a$i a, e$s e, unnest(range(1, ${d0 + 1})) AS t(j)\n" +
+        s"  WHERE a.vec_id = e.vec_id),\n" +
+        s"p${s}m${i + 1} AS (SELECT cid, j, floor(SUM(v) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0 AS cc\n" +
+        s"  FROM p${s}u${i + 1} GROUP BY cid, j),\n" +
+        s"p${s}c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM p${s}m${i + 1} GROUP BY cid),\n"
+      val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
+      s"e$s AS (SELECT vec_id, e[$lo:$hi] AS e FROM e),\n" +
+      s"p${s}c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e$s WHERE vec_id < $k),\n" +
+      chain + assign(iters) +
+      s"q$s AS (SELECT e FROM e$s WHERE vec_id = $queryId),\n" +
+      s"t$s AS (SELECT c.cid, list_dot_product(q.e, c.ce) AS ip FROM p${s}c$iters c CROSS JOIN q$s q),\n"
+    }
+    val subs = (0 until m).map(sub).mkString
+    val joins = (0 until m).map(s =>
+      s"  JOIN p${s}a$iters a$s ON a$s.vec_id = b.vec_id JOIN t$s ON t$s.cid = a$s.cid").mkString("\n")
+    val ipSum = (0 until m).map(s => s"t$s.ip").mkString(" + ")
+    s"WITH $embCte,\n" + subs +
+    s"sel AS (SELECT b.vec_id, $ipSum AS ip\n" +
+    s"  FROM e b\n" + joins + s"\n  WHERE b.vec_id <> $queryId),\n" +
+    s"top AS (SELECT * FROM sel ORDER BY ip DESC, vec_id LIMIT $topK)\n" +
+    s"SELECT vec_id, ROUND(ip, 4) AS pq_ip FROM top ORDER BY pq_ip DESC, vec_id"
   }
 }

@@ -1,0 +1,145 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 retrieval/selection operators: inverted index, RRF fusion,
+  * domain KL, OOV rate, PQ-ADC top-k. The oracle entries check the
+  * fixture outputs against DuckDB; these specs check the semantic
+  * invariants on hand-built inputs. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- inverted index ----
+
+  test("invertedIndex: gaps reconstruct the sorted posting list, df and tf exact") {
+    val d = docs(
+      0L -> "a b a",
+      1L -> "b c",
+      5L -> "a a a",
+      300L -> "a b")
+    val flat = Retrieval.invertedIndexFlat(d, segmentDocs = 256L)
+      .orderBy("tok", "segment", "pos")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    // token a: segment 0 postings [0(tf2), 5(tf3)] → gaps [0, 5]; segment 1 posting [300]
+    val a0 = flat.filter(t => t._1 == "a" && t._2 == 0L)
+    assert(a0.map(t => (t._4, t._5, t._6)).toSeq == Seq((0, 0L, 2L), (1, 5L, 3L)))
+    assert(a0.forall(_._3 == 2)) // df = 2 in segment 0
+    val a1 = flat.filter(t => t._1 == "a" && t._2 == 1L)
+    assert(a1.map(t => (t._4, t._5, t._6)).toSeq == Seq((0, 300L, 1L)))
+    // reconstruct doc ids from gaps for every (tok, segment): prefix sums
+    flat.groupBy(t => (t._1, t._2)).foreach { case ((_, _), ps) =>
+      val ordered = ps.sortBy(_._4)
+      val ids = ordered.scanLeft(0L)((acc, t) => acc + t._5).tail.toSeq
+      assert(ids == ids.sorted && ids.distinct == ids, "gaps must encode a strictly sorted id list")
+      assert(ordered.head._3 == ordered.length, "df = posting count")
+    }
+  }
+
+  test("invertedIndex: partition-invariant and covers every (doc, tok) pair") {
+    val d = docs((0L until 40L).map(i => i -> s"t${i % 7} t${i % 3} common"): _*)
+    val a = Retrieval.invertedIndexFlat(d, 16L).orderBy("tok", "segment", "pos").collect()
+    val b = Retrieval.invertedIndexFlat(d.repartition(7), 16L)
+      .orderBy("tok", "segment", "pos").collect()
+    assert(a.toSeq == b.toSeq)
+    val nPairs = d.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct().count()
+    assert(a.length.toLong == nPairs)
+  }
+
+  // ---- RRF fusion ----
+
+  test("rrfFusion: hand-computed fused scores, full-outer semantics") {
+    // lexical ranks: d1=1, d2=2 ; vector ranks: d2=1, d3=2
+    val lex = Seq((1L, 9.0), (2L, 5.0)).toDF("doc_id", "bm25")
+    val vec = Seq((2L, 0.9), (3L, 0.8)).toDF("vec_id", "cos")
+    val got = Retrieval.rrfFusion(lex, vec, n = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    def rrf(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // = Spark round()
+    assert(got(2L) == rrf(2, 1)) // in both lists
+    assert(got(1L) == rrf(1))
+    assert(got(3L) == rrf(2))
+    assert(got(2L) > got(1L) && got(1L) > got(3L))
+  }
+
+  test("rrfFusion: candidate cut respects n before fusing") {
+    val lex = (1L to 5L).map(i => (i, 10.0 - i)).toDF("doc_id", "bm25")
+    val vec = Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    val got = Retrieval.rrfFusion(lex, vec, n = 3, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L)) // ranks 4,5 never enter the candidate set
+  }
+
+  // ---- domain KL ----
+
+  test("domainKl: identical strata diverge ~0; a skewed stratum diverges more") {
+    val d = Seq(
+      (0L, "a b c d", "s1"), (1L, "a b c d", "s2"),
+      (2L, "a b c d", "s1"), (3L, "a b c d", "s2"),
+      (4L, "e e e e", "s3"))
+      .toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.domainKl(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl.keySet == Set("s1", "s2", "s3"))
+    assert(kl("s1") == kl("s2")) // identical token distributions
+    assert(kl("s3") > kl("s1"))
+    assert(kl.values.forall(_ >= -1e-9), "KL is non-negative")
+  }
+
+  test("domainKl: partition-invariant") {
+    val d = (0L until 60L).map(i => (i, s"w${i % 11} w${i % 5} x", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val a = TextAnalysis.domainKl(d).orderBy("stratum").collect().toSeq
+    val b = TextAnalysis.domainKl(d.repartition(13)).orderBy("stratum").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- OOV rate ----
+
+  test("oovRate: exact counts against a hand vocab") {
+    val d = Seq(
+      (0L, "a b x", "s1"),   // 1 oov of 3
+      (1L, "x y", "s1"),     // 2 oov of 2
+      (2L, "a a", "s2"))     // 0 oov of 2
+      .toDF("doc_id", "text", "source")
+    val vocab = Seq("a", "b").toDF("tok")
+    val got = TextAnalysis.oovRate(d, vocab).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("s1") == ((5L, 3L, 0.6)))
+    assert(got("s2") == ((2L, 0L, 0.0)))
+  }
+
+  // ---- PQ top-k ----
+
+  test("pqTopK: hand-verifiable ADC scores on a 2-subspace toy set") {
+    // dim 4, m 2, k 2, iters 0 → codebooks are exactly vecs 0 and 1's
+    // subvectors; ADC ip for each vec = q0·c(code0) + q1·c(code1)
+    val e = Seq(
+      (0L, Array(1.0f, 0f, 1f, 0f)),   // query
+      (1L, Array(0f, 1f, 0f, 1f)),
+      (2L, Array(1f, 0f, 0f, 1f)),     // sub0 near vec0, sub1 near vec1
+      (3L, Array(0f, 1f, 1f, 0f)))     // sub0 near vec1, sub1 near vec0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(e, dim = 4, queryId = 0L, m = 2, k = 2, iters = 0, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // codes: vec2 → (c0 of vec0: [1,0], c1 of vec1: [0,1]) → ip = 1·1 + 0 = 1 + 0 = 1?
+    // q sub0 = [1,0], q sub1 = [1,0]; table0 = {0: 1.0, 1: 0.0}; table1 = {0: 1.0, 1: 0.0}
+    assert(got(2L) == 1.0 + 0.0)
+    assert(got(3L) == 0.0 + 1.0)
+    assert(got(1L) == 0.0)
+  }
+
+  test("pqTopK: deterministic, query-free, sorted by approx ip") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val a = Similarity.pqTopK(e).collect().toSeq
+    val b = Similarity.pqTopK(e.repartition(9)).collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getLong(0) != 0L))
+    val ips = a.map(_.getDouble(1))
+    assert(ips == ips.sortBy(-(_: Double)))
+  }
+}
