@@ -113,6 +113,20 @@ object ExtQueries {
     Similarity.pqTopK(Tables.embeddings(s, d))
       .orderBy(col("pq_ip").desc, col("vec_id"))
 
+  /** BPE merge table: the first 10 corpus-weighted merges. */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (m, _) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
+    m.toDF("step", "a", "b", "n").orderBy("step")
+  }
+
+  /** Trained-tokenizer piece vocabulary: every BPE piece with its
+    * weighted corpus count after the 10 trained merges. */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val (_, v) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
+    graft.ext.Bpe.pieceCounts(v).orderBy("piece")
+  }
+
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -738,6 +752,8 @@ object ExtQueries {
     "ext_domain_kl" -> domainKlQ _,
     "ext_oov_rate" -> oovRateQ _,
     "ext_pq_topk" -> pqTopkQ _,
+    "ext_bpe_train" -> bpeTrainQ _,
+    "ext_bpe_encode" -> bpeEncodeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1143,6 +1159,9 @@ object ExtQueries {
         |FROM agg ORDER BY stratum""".stripMargin,
 
     "ext_pq_topk" -> pqOracle(dim = 64, m = 4, k = 8, iters = 1, queryId = 0L, topK = 25),
+
+    "ext_bpe_train" -> bpeSql._1,
+    "ext_bpe_encode" -> bpeSql._2,
 
     "ext_minhash_pairs" ->
       s"""WITH $minhashBandsCtes
@@ -2048,4 +2067,38 @@ object ExtQueries {
     s"top AS (SELECT * FROM sel ORDER BY ip DESC, vec_id LIMIT $topK)\n" +
     s"SELECT vec_id, ROUND(ip, 4) AS pq_ip FROM top ORDER BY pq_ip DESC, vec_id"
   }
+
+  /** Generated BPE oracle chain mirroring [[graft.ext.Bpe.train]]: the
+    * merge loop unrolled as CTEs — per step, weighted adjacent-symbol
+    * pair counts over the current working set, a 1-row argmax
+    * (count desc, pair binary order), and a single-pass literal
+    * `replace` (both engines scan left-to-right non-overlapping, which
+    * IS BPE's greedy merge application). Returns (mergesSql, piecesSql).
+    * The Spark side throws if pairs exhaust before `numMerges`, because
+    * this chain unrolls exactly `numMerges` steps. */
+  private def bpeOracles(numMerges: Int): (String, String) = {
+    val head =
+      s"WITH $toksCte,\n" +
+      "wf AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),\n" +
+      "v0 AS (SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS w, c FROM wf),\n"
+    def step(i: Int) =
+      s"px$i AS (SELECT c, string_split(trim(w), ' ') AS ts FROM v$i),\n" +
+      s"p$i AS (SELECT ts[t.i] AS a, ts[t.i + 1] AS b, CAST(SUM(c) AS BIGINT) AS n\n" +
+      s"  FROM px$i, unnest(range(1, len(ts))) AS t(i) GROUP BY 1, 2),\n" +
+      s"m${i + 1} AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),\n" +
+      s"v${i + 1} AS (SELECT replace(w, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS w, c\n" +
+      s"  FROM v$i CROSS JOIN m${i + 1}),\n"
+    val chain = (0 until numMerges).map(step).mkString
+    val union = (1 to numMerges)
+      .map(i => s"SELECT CAST($i AS INT) AS step, a, b, n FROM m$i")
+      .mkString("\nUNION ALL\n")
+    val merges = head + chain.stripSuffix(",\n") + s"\n$union\nORDER BY step"
+    val pieces = head + chain +
+      s"pc AS (SELECT c, unnest(string_split(trim(w), ' ')) AS piece FROM v$numMerges)\n" +
+      "SELECT piece, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY piece ORDER BY piece"
+    (merges, pieces)
+  }
+
+  // lazy: declared after `oracles`, which references it during object init
+  private lazy val bpeSql: (String, String) = bpeOracles(10)
 }
