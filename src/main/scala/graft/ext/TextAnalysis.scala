@@ -876,6 +876,43 @@ object TextAnalysis {
       .agg(graft.functions.StableRound.col4(sum(col("term"))).as("kl"))
   }
 
+  /** Temperature-based mixture allocation (the multilingual /
+    * low-resource upsampling scheme: sampling share p_s ∝ n_s^α with
+    * α < 1 flattening the distribution toward small strata), turned into
+    * EXACT integer token budgets by largest-remainder (Hamilton)
+    * apportionment: every stratum gets ⌊B·p_s⌋, and the B − Σ⌊·⌋
+    * leftover tokens go to the largest remainders (ties to the lower
+    * stratum name). Σ alloc = B exactly.
+    *
+    * Scale shape: one stratum-count shuffle; everything after runs on
+    * the S-row stratum table (S small by construction — the ranking
+    * window is over S rows, never the corpus). floor() reads B·p
+    * through a +1e-9 shift mirrored in the oracle SQL, so a product
+    * landing within 1 ulp of an integer can't floor apart across
+    * engines ([[graft.functions.StableRound]]'s scheme, applied to
+    * floor). */
+  def temperatureAllocation(docs: DataFrame, budget: Long = 100000L,
+      alpha: Double = 0.5, stratumCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("stratum").agg(count(lit(1)).as("n_toks"))
+    val tot = ns.agg(sum(pow(col("n_toks"), alpha)).as("z"))
+    val scaled = ns.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_toks"),
+        (lit(budget) * (pow(col("n_toks"), alpha) / col("z")) + lit(1e-9)).as("bp"))
+    val fl = scaled.select(col("stratum"), col("n_toks"),
+      floor(col("bp")).cast("long").as("base"),
+      (col("bp") - floor(col("bp"))).as("rem"))
+    val sb = fl.agg(sum(col("base")).as("sb"))
+    // S-row ranking window (constant by construction; see scaladoc)
+    fl.withColumn("r", row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
+      .crossJoin(broadcast(sb))
+      .select(col("stratum"), col("n_toks"),
+        (col("base") + when(col("r") <= lit(budget) - col("sb"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Out-of-vocabulary rate per stratum against a frozen vocabulary —
     * the tokenizer/vocab coverage report (which domains a fixed vocab
     * serves worst). `vocab` is one column of tokens; rate =

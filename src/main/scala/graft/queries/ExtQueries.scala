@@ -113,19 +113,33 @@ object ExtQueries {
     Similarity.pqTopK(Tables.embeddings(s, d))
       .orderBy(col("pq_ip").desc, col("vec_id"))
 
+  /** Temperature-α=0.5 mixture allocation of a 100k-token budget across
+    * sources — exact Hamilton apportionment (Σ alloc = 100000). */
+  def mixtureAllocQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.temperatureAllocation(Tables.documents(s, d))
+      .orderBy("stratum")
+
+  /** One BPE training per fixture dir, shared by the merge-table and
+    * piece-vocabulary queries (the candidates/fitted memo pattern —
+    * training is the expensive step, both reports read the result). */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]()
+  private def bpeTrained(s: SparkSession, d: String) =
+    bpeCache.getOrElseUpdate(d, {
+      val (m, v) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
+      (m, v.localCheckpoint(true))
+    })
+
   /** BPE merge table: the first 10 corpus-weighted merges. */
   def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (m, _) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
-    m.toDF("step", "a", "b", "n").orderBy("step")
+    bpeTrained(s, d)._1.toDF("step", "a", "b", "n").orderBy("step")
   }
 
   /** Trained-tokenizer piece vocabulary: every BPE piece with its
     * weighted corpus count after the 10 trained merges. */
-  def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
-    val (_, v) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
-    graft.ext.Bpe.pieceCounts(v).orderBy("piece")
-  }
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
+    graft.ext.Bpe.pieceCounts(bpeTrained(s, d)._2).orderBy("piece")
 
   def lmScoreQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d)).orderBy("doc_id")
@@ -754,6 +768,7 @@ object ExtQueries {
     "ext_pq_topk" -> pqTopkQ _,
     "ext_bpe_train" -> bpeTrainQ _,
     "ext_bpe_encode" -> bpeEncodeQ _,
+    "ext_mixture_alloc" -> mixtureAllocQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1162,6 +1177,28 @@ object ExtQueries {
 
     "ext_bpe_train" -> bpeSql._1,
     "ext_bpe_encode" -> bpeSql._2,
+
+    // same association as the Spark side: bp = B * (pow(n,α) / z) + 1e-9,
+    // base = floor(bp), rem = bp - floor(bp); the epsilon keeps a product
+    // within 1 ulp of an integer from flooring apart across engines
+    "ext_mixture_alloc" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |ns AS (SELECT stratum, COUNT(*) AS n_toks FROM occ GROUP BY stratum),
+        |tot AS (SELECT SUM(pow(n_toks, 0.5)) AS z FROM ns),
+        |sc AS (SELECT stratum, n_toks,
+        |         100000 * (pow(n_toks, 0.5) / z) + 0.000000001 AS bp
+        |       FROM ns, tot),
+        |fl AS (SELECT stratum, n_toks, CAST(floor(bp) AS BIGINT) AS base,
+        |         bp - floor(bp) AS rem FROM sc),
+        |s AS (SELECT CAST(SUM(base) AS BIGINT) AS sb FROM fl),
+        |rk AS (SELECT stratum, row_number() OVER (ORDER BY rem DESC, stratum) AS r FROM fl)
+        |SELECT fl.stratum, fl.n_toks,
+        |  fl.base + CASE WHEN rk.r <= 100000 - s.sb THEN 1 ELSE 0 END AS alloc
+        |FROM fl JOIN rk USING (stratum), s ORDER BY fl.stratum""".stripMargin,
 
     "ext_minhash_pairs" ->
       s"""WITH $minhashBandsCtes

@@ -56,8 +56,16 @@ object ScalingMain {
       val (tBanded, nPairs) = time(
         ext.Dedup.simhashBandedPairs(ext.Dedup.simhashes(docs), 4).count())
       val (tCdc, _) = time(ext.Dedup.cdcChunkDups(docs).count())
-      val (tWp, nWp) = time(ext.TextAnalysis.sharedFingerprintPairs(docs).count())
-      val (tSs, nSs) = time(ext.Dedup.setSimilarityJoin(docs).count())
+      // the two EXACT verification ops run to 10× only: both are
+      // linear-in-candidates (1×→10× measured ~10× wall-clock), but their
+      // absolute cost is the per-pair exact verification work itself —
+      // at 100× the leg measures ~10 minutes of fixture geometry, not
+      // engine shape, and the 8g harness JVM thrashes pinning the 100×
+      // tokenized corpus for the three-way reuse
+      val (tWp, nWp) = if (m <= 10)
+        time(ext.TextAnalysis.sharedFingerprintPairs(docs).count()) else (-1.0, -1L)
+      val (tSs, nSs) = if (m <= 10)
+        time(ext.Dedup.setSimilarityJoin(docs).count()) else (-1.0, -1L)
       println(f"$m%4d | $n%8d | $tBands%13.2f | $tCand%8.2f($nCand%7d) | $tSig%12.2f | $tBanded%7.2f($nPairs%7d) | $tCdc%9.2f | $tWp%6.2f($nWp%7d) | $tSs%6.2f($nSs%7d)")
       docs.unpersist(blocking = true)
     }
@@ -123,6 +131,32 @@ object ScalingMain {
       println(f"$m%4d | ${docs.count()}%8d | $tIw%12.2f | $nEv%8d | $tEwma%6.2f | $nE%8d | $tPr%10.2f")
       docs.unpersist(blocking = true); evm.unpersist(blocking = true)
       pairs.unpersist(blocking = true)
+    }
+
+    // round-4 ops: inverted index (one (tok,segment) shuffle — should
+    // track token count), domain KL (V×S grid — tracks vocab), BPE train
+    // (vocab-level merge loop — near-flat in corpus size), PQ top-k
+    // (m× one-pass encodes + tiny codebook aggs — tracks embedding rows)
+    println("mult |     docs | inv_index | domain_kl | bpe_train |     vecs | pq_topk")
+    mults.foreach { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val withSrc = docs.withColumn("source",
+        concat(lit("src"), col("doc_id") % 20))
+      val (tIx, nIx) = time(ext.Retrieval.invertedIndexFlat(docs, 256L).count())
+      val (tKl, _) = time(ext.TextAnalysis.domainKl(withSrc).count())
+      val (tBpe, _) = time { ext.Bpe.train(docs, 10)._1.length.toLong }
+      val emb = Tables.embeddings(spark, dir)
+      val embm = (if (m == 1) emb
+        else emb.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+            col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVec = embm.count()
+      val (tPq, _) = time(ext.Similarity.pqTopK(embm).count())
+      println(f"$m%4d | ${docs.count()}%8d | $tIx%6.2f($nIx%8d) | $tKl%9.2f | $tBpe%9.2f | $nVec%8d | $tPq%7.2f")
+      docs.unpersist(blocking = true); embm.unpersist(blocking = true)
     }
 
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),

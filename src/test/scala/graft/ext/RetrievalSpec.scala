@@ -113,6 +113,25 @@ class RetrievalSpec extends SparkSpec {
     assert(got("s2") == ((2L, 0L, 0.0)))
   }
 
+  // ---- temperature mixture allocation ----
+
+  test("temperatureAllocation: hand case + exact budget conservation") {
+    // counts 1 and 4 at α=0.5 → weights 1:2 → B=10 gives bp 3.33/6.67,
+    // bases 3/6, one leftover → larger remainder (s2) takes it
+    val d = Seq((0L, "a", "s1"), (1L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.temperatureAllocation(d, budget = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((1L, 3L)), "s2" -> ((4L, 7L))))
+  }
+
+  test("temperatureAllocation: sums to the budget on the fixture") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val rows = TextAnalysis.temperatureAllocation(d, budget = 12345L).collect()
+    assert(rows.map(_.getLong(2)).sum == 12345L)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
   // ---- PQ top-k ----
 
   test("pqTopK: hand-verifiable ADC scores on a 2-subspace toy set") {
