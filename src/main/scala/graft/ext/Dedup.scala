@@ -243,12 +243,27 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
       .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
       .localCheckpoint()
+    // prefix rows carry set size AND prefix position so the candidate
+    // join can apply the two ppjoin prunes exactly where pairs are born:
+    //  - length filter: J(x,y) ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+    //  - positional filter: a pair first met at prefix positions
+    //    (pa, pb) can overlap at most min(|x|−pa, |y|−pb), which must
+    //    reach α = ⌈t/(1+t)·(|x|+|y|)⌉
+    // Both carry −1e-9 slack so a float boundary can only ADMIT an extra
+    // candidate, never drop a true pair — the exact verification below
+    // (and the unfiltered ground-truth oracle) keep completeness.
     val prefix = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("ts"), lit(1),
-        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+      posexplode(slice(col("ts"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as(Seq("p", "tok")))
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"),
+        col("n").as("na"), col("p").as("pa"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+        col("n").as("nb"), col("p").as("pb")), "tok")
       .where(col("doc_a") < col("doc_b"))
+      .where(col("nb") >= col("na") * lit(t) - lit(1e-9) &&
+             col("na") >= col("nb") * lit(t) - lit(1e-9))
+      .where(least(col("na") - col("pa"), col("nb") - col("pb")) >=
+             ceil((col("na") + col("nb")) * lit(t / (1 + t)) - lit(1e-9)))
       .select("doc_a", "doc_b").distinct()
     val ov = size(array_intersect(col("ta"), col("tb")))
     cand

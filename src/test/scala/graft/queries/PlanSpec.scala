@@ -207,6 +207,41 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("pq_topk scoring is a pure codegen'd map: no join, no exchange, no UDF") {
+    val df = graft.SparkEntry.queries("ext_pq_topk")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // codebooks/ADC tables fold in as literals; encode+score is one map
+    // stage into TakeOrdered — nothing shuffles, nothing joins
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(3000))
+    assert(p.contains("TakeOrdered"), p.take(3000))
+  }
+
+  test("inverted index: join-free — two partial+final aggregations, in-row encode") {
+    val p = plan("ext_inverted_index")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // tokenize + posting explode
+  }
+
+  test("rrf fusion: candidate windows sit above limits; no cartesian blow-up") {
+    val p = plan("ext_rrf_fusion")
+    // the only nested-loop is the 1-row broadcast query vector; candidate
+    // ranking windows run over TakeOrdered'd constant-size lists
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("TakeOrdered") || p.contains("GlobalLimit"), p.take(3000))
+  }
+
+  test("domain KL / mixture alloc: stratum tables broadcast; no cartesian product") {
+    for (q <- Seq("ext_domain_kl", "ext_mixture_alloc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(3000)}")
+      assert(p.contains("Broadcast"), s"$q:\n${p.take(3000)}")
+    }
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
