@@ -585,6 +585,19 @@ object ExtQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** XML sink → source round trip (Spark 4's native XML source; typed
+    * read-back over the orders subset — ints, doubles, strings). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratchDir("xml_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Formats.writeXml(ord, tmp)
+    Formats.readXml(s, tmp, ord.schema)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Pretraining chunk table: 64-token windows, stride 32. */
   def chunkWindows(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkWindows(Tables.documents(s, d))
@@ -737,6 +750,7 @@ object ExtQueries {
     "ext_compact_latest" -> compactLatestQ _,
     "ext_strip_markup" -> stripMarkup _,
     "ext_orc_roundtrip" -> orcRoundtrip _,
+    "ext_xml_roundtrip" -> xmlRoundtrip _,
     "ext_chunk_windows" -> chunkWindows _,
     "ext_winnow" -> winnow _,
     "ext_winnow_pairs" -> winnowPairsQ _,
@@ -1882,6 +1896,11 @@ object ExtQueries {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  ROUND(l_quantity, 4) AS qty, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "ext_xml_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  ROUND(o_totalprice, 4) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // chunk i covers tokens [i*32, i*32+64); last chunk may be short
     "ext_chunk_windows" ->

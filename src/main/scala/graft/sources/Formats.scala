@@ -40,4 +40,14 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** XML — the enterprise-interchange format Spark 4 ships natively
+    * (the former spark-xml package, merged into core). Row-per-`rowTag`
+    * element; explicit schema on read skips inference exactly like the
+    * text formats. Fidelity oracle-checked (ext_xml_roundtrip). */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", "row").format("xml").load(path)
 }

@@ -53,6 +53,26 @@ class CacheLifetimeSpec extends SparkSpec {
     eventuallyFlat(baseline)
   }
 
+  test("round-4 ops (setsim, domainKl, Bpe.train, pqTopK): registry flat across 5 calls") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} tail", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val emb = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    def callAll(): Unit = {
+      graft.ext.Dedup.setSimilarityJoin(docs).count()
+      graft.ext.TextAnalysis.domainKl(docs).count()
+      graft.ext.Bpe.train(docs, 3)
+      graft.ext.Similarity.pqTopK(emb, dim = 8, m = 2, k = 2, topK = 5).count()
+    }
+    callAll()
+    val baseline = drainedBaseline()
+    (1 to 5).foreach(_ => callAll())
+    eventuallyFlat(baseline)
+  }
+
   test("ShardedLda train+infer with release(): registry flat across 5 calls") {
     import spark.implicits._
     val docs = (0L until 40L).map { id =>

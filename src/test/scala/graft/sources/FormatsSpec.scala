@@ -47,6 +47,18 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("xml round trip preserves longs, strings (incl. markup chars), doubles") {
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "é中文 <tag> & \"quoted\"", 0.1 + 0.2),
+      (3L, "x", Double.MinPositiveValue)
+    ).toDF("id", "s", "v")
+    val dir = tmp("graft_xml_spec")
+    Formats.writeXml(df, dir)
+    val back = Formats.readXml(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("incremental partial merge equals the direct aggregate") {
     val events = graft.Tables.events(spark, sf())
     val merged = graft.ext.Incremental
