@@ -376,6 +376,93 @@ object Similarity {
     out
   }
 
+  /** IVF-PQ top-k — the two quantizers of [[ivfTopK]] and [[pqTopK]]
+    * composed into the production ANN architecture (FAISS's IVFPQ,
+    * direct-coding variant): a coarse full-dimension codebook routes the
+    * query to its `nprobe` nearest inverted lists, and only those lists'
+    * members are ADC-scored with the subspace codebooks. At 100 TB this
+    * is the index whose query cost is corpus/kc·nprobe encoded rows — the
+    * scan never touches unprobed lists.
+    *
+    * Everything deterministic and engine-portable exactly like the two
+    * parents: coarse + subspace codebooks via [[lloyd]] (k lowest-id
+    * init, grid-rounded means), probe selection by (distance, cid)
+    * order with the same (‖q‖² − 2q·c + ‖c‖²) association the oracle
+    * spells, candidates filtered map-side by coarse code ∈ probe set,
+    * ADC sum in fixed subspace order.
+    *
+    * Scale shape: training as in [[kmeans]]/[[pqTopK]]; query time is
+    * ONE scan with the probe filter applied before the ADC CASE chains
+    * (encode-then-filter in the same projection), then TakeOrdered. */
+  def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, queryId: Long = 0L, m: Int = 4,
+      k: Int = 8, kc: Int = 8, nprobe: Int = 2, iters: Int = 1, topK: Int = 10): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nprobe >= 1 && nprobe <= kc, s"nprobe=$nprobe must be in [1, kc=$kc]")
+    val d0 = dim / m
+    val full = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fullN2 = full.withColumn("n2", dot(col("e"), col("e")))
+    val coarse = lloyd(fullN2, kc, iters)
+    val books: Seq[Seq[(Int, Array[Double], Double)]] = (0 until m).map { s =>
+      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
+        .withColumn("n2", dot(col("e"), col("e")))
+      lloyd(sub, k, iters)
+    }
+    val q = full.where(col("vec_id") === queryId)
+      .select(col("e")).collect()(0).getSeq[Double](0).toArray
+    def dotArr(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+      s
+    }
+    // probe set: the query's nprobe nearest coarse centroids, same
+    // association and (d, cid) tie order as the oracle
+    val qq = dotArr(q, 0, q)
+    val probed = coarse
+      .map { case (cid, cv, cn2) => (qq - 2.0 * dotArr(q, 0, cv) + cn2, cid) }
+      .sorted.take(nprobe).map(_._2).toSet
+    val tables: Seq[Seq[(Int, Double)]] = books.zipWithIndex.map { case (cent, s) =>
+      cent.map { case (cid, cv, _) => (cid, dotArr(q, s * d0, cv)) }
+    }
+    // hoisting discipline as in pqTopK: full-dim norm for the coarse
+    // code, then subvectors/norms, then codes — each alias consumed
+    // multiple times by the next stage, so nothing re-inlines
+    val subCols = (0 until m).map(s => slice(col("e"), s * d0 + 1, d0).as(s"sub$s"))
+    val coarseCode = array_min(array(coarse.map { case (cid, cv, cn2) =>
+      struct(
+        (col("n2f") - lit(2.0) * dot(col("e"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val codeCols = (0 until m).map { s =>
+      array_min(array(books(s).map { case (cid, cv, cn2) =>
+        struct(
+          (col(s"n2$s") - lit(2.0) * dot(col(s"sub$s"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid").as(s"code$s")
+    }
+    val coded = full.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("e"), dot(col("e"), col("e")).as("n2f"))
+      .select(col("vec_id"), col("e"), coarseCode.as("gcode"))
+      .where(col("gcode").isin(probed.toSeq: _*))
+      .select(col("vec_id") +: subCols: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"sub$s")) ++:
+        (0 until m).map(s => dot(col(s"sub$s"), col(s"sub$s")).as(s"n2$s")): _*)
+      .select(col("vec_id") +: codeCols: _*)
+    val ipCols = (0 until m).map { s =>
+      tables(s).foldLeft(lit(Double.NaN)) { case (acc, (cid, ip)) =>
+        when(col(s"code$s") === cid, lit(ip)).otherwise(acc)
+      }
+    }
+    val out = coded
+      .select(col("vec_id"), ipCols.reduceLeft(_ + _).as("ip")) // fixed subspace order
+      .orderBy(col("ip").desc, col("vec_id")).limit(topK)
+      .select(col("vec_id"), round(col("ip"), 4).as("ivfpq_ip"))
+    full.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vector symmetric int8 quantization — the memory-layout step of a
     * 100 TB ANN index (4× smaller than float32, 8× than float64). scale =
     * max|component| (so q ∈ [−127, 127]); q = floor(v·127/scale + 0.5).

@@ -130,6 +130,13 @@ object ExtQueries {
       (m, v.localCheckpoint(true))
     })
 
+  /** IVF-PQ top-10 against query vector 0: coarse 8-list quantizer,
+    * 2 probes, 4×8 subspace codebooks — the composed production ANN
+    * index (FAISS IVFPQ, direct-coding variant). */
+  def ivfPqTopkQ(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, d))
+      .orderBy(col("ivfpq_ip").desc, col("vec_id"))
+
   /** BPE merge table: the first 10 corpus-weighted merges. */
   def bpeTrainQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -780,6 +787,7 @@ object ExtQueries {
     "ext_domain_kl" -> domainKlQ _,
     "ext_oov_rate" -> oovRateQ _,
     "ext_pq_topk" -> pqTopkQ _,
+    "ext_ivfpq_topk" -> ivfPqTopkQ _,
     "ext_bpe_train" -> bpeTrainQ _,
     "ext_bpe_encode" -> bpeEncodeQ _,
     "ext_mixture_alloc" -> mixtureAllocQ _,
@@ -1188,6 +1196,9 @@ object ExtQueries {
         |FROM agg ORDER BY stratum""".stripMargin,
 
     "ext_pq_topk" -> pqOracle(dim = 64, m = 4, k = 8, iters = 1, queryId = 0L, topK = 25),
+
+    "ext_ivfpq_topk" -> ivfpqOracle(dim = 64, m = 4, k = 8, kc = 8, nprobe = 2,
+      iters = 1, queryId = 0L, topK = 10),
 
     "ext_bpe_train" -> bpeSql._1,
     "ext_bpe_encode" -> bpeSql._2,
@@ -2086,34 +2097,44 @@ object ExtQueries {
     * (same init, same grid-rounded means, same (d, cid) tie order),
     * then approx ip = fixed-left-to-right sum of per-subspace
     * query·centroid dot products via code joins. */
+  /** One Lloyd assign/update CTE chain over table `src` with CTE-name
+    * prefix `pre`: init from vec_id < k, `iters` rounds of grid-rounded
+    * means, final assignment in `${pre}a$iters(vec_id, cid)`, final
+    * centroids in `${pre}c$iters(cid, ce)` (c0 when iters = 0). */
+  private def lloydChain(pre: String, src: String, k: Int, iters: Int, d0: Int): String = {
+    def assign(i: Int) =
+      s"${pre}s$i AS (SELECT v.vec_id, c.cid,\n" +
+      s"  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)\n" +
+      s"    + list_dot_product(c.ce, c.ce) AS d\n" +
+      s"  FROM $src v CROSS JOIN ${pre}c$i c),\n" +
+      s"${pre}a$i AS (SELECT vec_id, cid FROM (\n" +
+      s"  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r\n" +
+      s"  FROM ${pre}s$i) WHERE r = 1),\n"
+    def update(i: Int) =
+      s"${pre}u${i + 1} AS (SELECT a.cid AS cid, t.j AS j, e.e[CAST(t.j AS INT)] AS v\n" +
+      s"  FROM ${pre}a$i a, $src e, unnest(range(1, ${d0 + 1})) AS t(j)\n" +
+      s"  WHERE a.vec_id = e.vec_id),\n" +
+      s"${pre}m${i + 1} AS (SELECT cid, j, floor(SUM(v) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0 AS cc\n" +
+      s"  FROM ${pre}u${i + 1} GROUP BY cid, j),\n" +
+      s"${pre}c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM ${pre}m${i + 1} GROUP BY cid),\n"
+    val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
+    s"${pre}c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM $src WHERE vec_id < $k),\n" +
+    chain + assign(iters)
+  }
+
+  /** One PQ subspace: slice CTE + Lloyd chain + query slice + ADC table. */
+  private def pqSub(s: Int, d0: Int, k: Int, iters: Int, queryId: Long): String = {
+    val lo = s * d0 + 1; val hi = (s + 1) * d0
+    s"e$s AS (SELECT vec_id, e[$lo:$hi] AS e FROM e),\n" +
+    lloydChain(s"p$s", s"e$s", k, iters, d0) +
+    s"q$s AS (SELECT e FROM e$s WHERE vec_id = $queryId),\n" +
+    s"t$s AS (SELECT c.cid, list_dot_product(q.e, c.ce) AS ip FROM p${s}c$iters c CROSS JOIN q$s q),\n"
+  }
+
   private def pqOracle(dim: Int, m: Int, k: Int, iters: Int, queryId: Long,
       topK: Int): String = {
     val d0 = dim / m
-    def sub(s: Int): String = {
-      val lo = s * d0 + 1; val hi = (s + 1) * d0
-      def assign(i: Int) =
-        s"p${s}s$i AS (SELECT v.vec_id, c.cid,\n" +
-        s"  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)\n" +
-        s"    + list_dot_product(c.ce, c.ce) AS d\n" +
-        s"  FROM e$s v CROSS JOIN p${s}c$i c),\n" +
-        s"p${s}a$i AS (SELECT vec_id, cid FROM (\n" +
-        s"  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r\n" +
-        s"  FROM p${s}s$i) WHERE r = 1),\n"
-      def update(i: Int) =
-        s"p${s}u${i + 1} AS (SELECT a.cid AS cid, t.j AS j, e.e[CAST(t.j AS INT)] AS v\n" +
-        s"  FROM p${s}a$i a, e$s e, unnest(range(1, ${d0 + 1})) AS t(j)\n" +
-        s"  WHERE a.vec_id = e.vec_id),\n" +
-        s"p${s}m${i + 1} AS (SELECT cid, j, floor(SUM(v) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0 AS cc\n" +
-        s"  FROM p${s}u${i + 1} GROUP BY cid, j),\n" +
-        s"p${s}c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM p${s}m${i + 1} GROUP BY cid),\n"
-      val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
-      s"e$s AS (SELECT vec_id, e[$lo:$hi] AS e FROM e),\n" +
-      s"p${s}c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e$s WHERE vec_id < $k),\n" +
-      chain + assign(iters) +
-      s"q$s AS (SELECT e FROM e$s WHERE vec_id = $queryId),\n" +
-      s"t$s AS (SELECT c.cid, list_dot_product(q.e, c.ce) AS ip FROM p${s}c$iters c CROSS JOIN q$s q),\n"
-    }
-    val subs = (0 until m).map(sub).mkString
+    val subs = (0 until m).map(s => pqSub(s, d0, k, iters, queryId)).mkString
     val joins = (0 until m).map(s =>
       s"  JOIN p${s}a$iters a$s ON a$s.vec_id = b.vec_id JOIN t$s ON t$s.cid = a$s.cid").mkString("\n")
     val ipSum = (0 until m).map(s => s"t$s.ip").mkString(" + ")
@@ -2122,6 +2143,35 @@ object ExtQueries {
     s"  FROM e b\n" + joins + s"\n  WHERE b.vec_id <> $queryId),\n" +
     s"top AS (SELECT * FROM sel ORDER BY ip DESC, vec_id LIMIT $topK)\n" +
     s"SELECT vec_id, ROUND(ip, 4) AS pq_ip FROM top ORDER BY pq_ip DESC, vec_id"
+  }
+
+  /** Generated IVF-PQ oracle mirroring [[graft.ext.Similarity.ivfPqTopK]]:
+    * a full-dimension Lloyd chain for the coarse quantizer, the query's
+    * nprobe nearest coarse lists, and the [[pqSub]] subspace chains —
+    * candidates are the probed lists' members, scored by the same ADC
+    * sum as ext_pq_topk. */
+  private def ivfpqOracle(dim: Int, m: Int, k: Int, kc: Int, nprobe: Int,
+      iters: Int, queryId: Long, topK: Int): String = {
+    val d0 = dim / m
+    val subs = (0 until m).map(s => pqSub(s, d0, k, iters, queryId)).mkString
+    val joins = (0 until m).map(s =>
+      s"  JOIN p${s}a$iters a$s ON a$s.vec_id = b.vec_id JOIN t$s ON t$s.cid = a$s.cid").mkString("\n")
+    val ipSum = (0 until m).map(s => s"t$s.ip").mkString(" + ")
+    s"WITH $embCte,\n" +
+    lloydChain("g", "e", kc, iters, dim) +
+    s"qf AS (SELECT e FROM e WHERE vec_id = $queryId),\n" +
+    s"gq AS (SELECT c.cid,\n" +
+    s"  list_dot_product(q.e, q.e) - 2.0 * list_dot_product(q.e, c.ce)\n" +
+    s"    + list_dot_product(c.ce, c.ce) AS d\n" +
+    s"  FROM gc$iters c CROSS JOIN qf q),\n" +
+    s"probe AS (SELECT cid FROM gq ORDER BY d, cid LIMIT $nprobe),\n" +
+    subs +
+    s"sel AS (SELECT b.vec_id, $ipSum AS ip\n" +
+    s"  FROM e b\n" +
+    s"  JOIN ga$iters g ON g.vec_id = b.vec_id JOIN probe ON probe.cid = g.cid\n" +
+    joins + s"\n  WHERE b.vec_id <> $queryId),\n" +
+    s"top AS (SELECT * FROM sel ORDER BY ip DESC, vec_id LIMIT $topK)\n" +
+    s"SELECT vec_id, ROUND(ip, 4) AS ivfpq_ip FROM top ORDER BY ivfpq_ip DESC, vec_id"
   }
 
   /** Generated BPE oracle chain mirroring [[graft.ext.Bpe.train]]: the

@@ -152,6 +152,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1L) == 0.0)
   }
 
+  test("ivfPqTopK: probing ALL coarse lists equals plain PQ (same codebooks)") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val pq = Similarity.pqTopK(e, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfAll = Similarity.ivfPqTopK(e, nprobe = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == pq)
+  }
+
+  test("ivfPqTopK: deterministic, query-free, candidates from probed lists only") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val a = Similarity.ivfPqTopK(e).collect().toSeq
+    val b = Similarity.ivfPqTopK(e.repartition(9)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_.getLong(0) != 0L))
+    // nprobe=2 of kc=8 lists: a strict subset of the corpus is scored,
+    // so results can differ from exhaustive PQ — but never exceed topK
+    assert(a.size <= 10)
+  }
+
   test("pqTopK: deterministic, query-free, sorted by approx ip") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
     val a = Similarity.pqTopK(e).collect().toSeq

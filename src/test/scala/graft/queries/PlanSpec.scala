@@ -207,16 +207,19 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
-  test("pq_topk scoring is a pure codegen'd map: no join, no exchange, no UDF") {
-    val df = graft.SparkEntry.queries("ext_pq_topk")(spark, sf())
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString()
-    // codebooks/ADC tables fold in as literals; encode+score is one map
-    // stage into TakeOrdered — nothing shuffles, nothing joins
-    assert(!p.contains("Join"), p.take(3000))
-    assert(!p.contains("hashpartitioning"), p.take(3000))
-    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(3000))
-    assert(p.contains("TakeOrdered"), p.take(3000))
+  test("pq_topk / ivfpq_topk scoring is a pure codegen'd map: no join, no exchange, no UDF") {
+    for (q <- Seq("ext_pq_topk", "ext_ivfpq_topk")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      // codebooks/ADC tables/probe set fold in as literals; encode (+
+      // probe filter) + score is one map stage into TakeOrdered —
+      // nothing shuffles, nothing joins
+      assert(!p.contains("Join"), s"$q:\n${p.take(3000)}")
+      assert(!p.contains("hashpartitioning"), s"$q:\n${p.take(3000)}")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), s"$q:\n${p.take(3000)}")
+      assert(p.contains("TakeOrdered"), s"$q:\n${p.take(3000)}")
+    }
   }
 
   test("inverted index: join-free — two partial+final aggregations, in-row encode") {
