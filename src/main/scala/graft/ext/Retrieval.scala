@@ -59,6 +59,54 @@ object Retrieval {
       .select(col("tok"), col("segment"), col("df"), col("pos"),
         col("z.gaps").as("gap"), col("z.tfs").as("tf"))
 
+  /** Per-document token counts — the doc-length sidecar a real index
+    * stores next to its postings (norms file). One count shuffle. */
+  def docLengths(docs: DataFrame): DataFrame =
+    Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** BM25 served FROM the inverted index + doc-length sidecar instead of
+    * a corpus scan — the query-time path that makes [[invertedIndex]] an
+    * index rather than a report. Produces bit-identical scores to
+    * [[TextAnalysis.bm25]] (same [[TextAnalysis.bm25ScoreExpr]], df from
+    * summing per-segment dfs, N/Σdl from the sidecar), which is exactly
+    * what its oracle asserts.
+    *
+    * Scale shape: the term filter prunes the index to the query terms'
+    * posting rows BEFORE anything moves (at 100 TB: an index lookup, not
+    * a scan); gap-decode runs in-row; the only shuffles are the per-doc
+    * tf pivot of those postings and the sidecar join on doc_id. */
+  def bm25FromIndex(index: DataFrame, lengths: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size, "terms must be distinct")
+    val pt = index.where(col("tok").isin(terms: _*))
+    // decode absolute doc ids from the delta-encoded gaps, in-row
+    val ids = aggregate(col("gaps"),
+      struct(lit(0L).as("s"), array().cast("array<bigint>").as("ids")),
+      (acc, g) => struct((acc.getField("s") + g).as("s"),
+        concat(acc.getField("ids"), array(acc.getField("s") + g)).as("ids")),
+      acc => acc.getField("ids"))
+    val posts = pt.select(col("tok"),
+        explode(zip_with(ids, col("tfs"),
+          (id, tf) => struct(id.as("doc_id"), tf.as("tf")))).as("p"))
+      .select(col("tok"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = posts.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    // per-term df = Σ of in-segment dfs; N and Σdl from the sidecar
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("df")).otherwise(0L)).as(s"df$i")
+    }
+    val dfs = pt.agg(dfCols.head, dfCols.tail: _*)
+    val stats = lengths.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    perDoc.join(lengths, "doc_id")
+      .crossJoin(broadcast(stats.crossJoin(dfs)))
+      .select(col("doc_id"),
+        round(TextAnalysis.bm25ScoreExpr(terms, k1, b), 4).as("bm25"))
+  }
+
   /** Reciprocal-rank fusion of a lexical (BM25) and a vector (cosine)
     * ranking — hybrid retrieval's standard combiner (Cormack et al. 2009:
     * score = Σ 1/(rrfK + rank)).

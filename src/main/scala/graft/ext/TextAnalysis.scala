@@ -427,7 +427,17 @@ object TextAnalysis {
         countDistinct(when(col("tok") === t, col("doc_id"))).as(s"df$i")
       }
     val stats = toks.agg(statCols.head, statCols.tail: _*)
-    val termScore = terms.indices.map { i =>
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(bm25ScoreExpr(terms, k1, b), 4).as("bm25"))
+  }
+
+  /** The BM25 score expression over columns (dl, n, sdl, tf$i, df$i) —
+    * per-term contributions summed in fixed left-to-right term order,
+    * shared by [[bm25]] and [[Retrieval.bm25FromIndex]] so both access
+    * paths produce bit-identical scores. */
+  private[ext] def bm25ScoreExpr(terms: Seq[String], k1: Double, b: Double): Column =
+    terms.indices.map { i =>
       val tf = col(s"tf$i")
       val df = col(s"df$i")
       when(tf > 0,
@@ -436,12 +446,7 @@ object TextAnalysis {
           (tf + lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * col("dl") / (col("sdl").cast("double") / col("n")))))
         .otherwise(lit(0.0))
-    }
-    val score = termScore.reduceLeft[Column](_ + _) // fixed term order
-    perDoc.crossJoin(broadcast(stats))
-      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-      .select(col("doc_id"), round(score, 4).as("bm25"))
-  }
+    }.reduceLeft[Column](_ + _) // fixed term order
 
   /** Per-document mean negative log-likelihood under the corpus's own
     * bigram LM (p(w₂|w₁) = c(w₁w₂)/c(w₁·)) — the classic LM-based quality

@@ -97,6 +97,14 @@ object ExtQueries {
     Retrieval.invertedIndexFlat(Tables.documents(s, d), 100L)
       .orderBy("tok", "segment", "pos")
 
+  /** BM25 served from the inverted index + doc-length sidecar — must
+    * produce bit-identical scores to ext_bm25 (same oracle SQL). */
+  def bm25FromIndexQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Retrieval.bm25FromIndex(Retrieval.invertedIndex(docs, 100L),
+      Retrieval.docLengths(docs), Bm25Terms).orderBy("doc_id")
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution. */
   def domainKlQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.domainKl(Tables.documents(s, d)).orderBy("stratum")
@@ -784,6 +792,7 @@ object ExtQueries {
     "ext_stream_ewma" -> streamEwmaQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
+    "ext_bm25_from_index" -> bm25FromIndexQ _,
     "ext_domain_kl" -> domainKlQ _,
     "ext_oov_rate" -> oovRateQ _,
     "ext_pq_topk" -> pqTopkQ _,
@@ -1832,6 +1841,9 @@ object ExtQueries {
          |ORDER BY vec_id, pos""".stripMargin,
 
     "ext_bm25" -> bm25Oracle(Bm25Terms, k1 = 1.2, b = 0.75),
+    // the index-served path must reproduce the scan path bit-for-bit,
+    // so it carries the SAME oracle
+    "ext_bm25_from_index" -> bm25Oracle(Bm25Terms, k1 = 1.2, b = 0.75),
 
     "ext_lm_score" ->
       s"""WITH $toksCte,

@@ -50,6 +50,17 @@ class RetrievalSpec extends SparkSpec {
     assert(a.length.toLong == nPairs)
   }
 
+  test("bm25FromIndex reproduces the corpus-scan BM25 bit-for-bit") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val terms = Seq("join", "hash", "scan")
+    val scan = TextAnalysis.bm25(d, terms).orderBy("doc_id").collect().toSeq
+    val idx = Retrieval.bm25FromIndex(
+      Retrieval.invertedIndex(d, 64L), Retrieval.docLengths(d), terms)
+      .orderBy("doc_id").collect().toSeq
+    assert(idx == scan)
+    assert(scan.nonEmpty)
+  }
+
   // ---- RRF fusion ----
 
   test("rrfFusion: hand-computed fused scores, full-outer semantics") {
