@@ -137,7 +137,7 @@ object ScalingMain {
     // track token count), domain KL (V×S grid — tracks vocab), BPE train
     // (vocab-level merge loop — near-flat in corpus size), PQ top-k
     // (m× one-pass encodes + tiny codebook aggs — tracks embedding rows)
-    println("mult |     docs | inv_index | domain_kl | bpe_train |     vecs | pq_topk")
+    println("mult |     docs | inv_index | bm25_idx | domain_kl | bpe_train |     vecs | pq_topk | ivfpq")
     mults.foreach { m =>
       val docs = replicated(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -145,6 +145,13 @@ object ScalingMain {
       val withSrc = docs.withColumn("source",
         concat(lit("src"), col("doc_id") % 20))
       val (tIx, nIx) = time(ext.Retrieval.invertedIndexFlat(docs, 256L).count())
+      // index-served BM25 end-to-end: build + sidecar + term lookup
+      // (replica 0's tokens carry the r0_ prefix beyond m=1)
+      val bmTerms = if (m == 1) Seq("join", "hash", "scan")
+        else Seq("r0_join", "r0_hash", "r0_scan")
+      val (tBmi, _) = time(ext.Retrieval.bm25FromIndex(
+        ext.Retrieval.invertedIndex(docs, 256L), ext.Retrieval.docLengths(docs),
+        bmTerms).count())
       val (tKl, _) = time(ext.TextAnalysis.domainKl(withSrc).count())
       val (tBpe, _) = time { ext.Bpe.train(docs, 10)._1.length.toLong }
       val emb = Tables.embeddings(spark, dir)
@@ -155,7 +162,8 @@ object ScalingMain {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nVec = embm.count()
       val (tPq, _) = time(ext.Similarity.pqTopK(embm).count())
-      println(f"$m%4d | ${docs.count()}%8d | $tIx%6.2f($nIx%8d) | $tKl%9.2f | $tBpe%9.2f | $nVec%8d | $tPq%7.2f")
+      val (tIvfPq, _) = time(ext.Similarity.ivfPqTopK(embm).count())
+      println(f"$m%4d | ${docs.count()}%8d | $tIx%6.2f($nIx%8d) | $tBmi%8.2f | $tKl%9.2f | $tBpe%9.2f | $nVec%8d | $tPq%7.2f | $tIvfPq%5.2f")
       docs.unpersist(blocking = true); embm.unpersist(blocking = true)
     }
 
