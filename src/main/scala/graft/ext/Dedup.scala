@@ -436,6 +436,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact repeated-substring spans — the "ExactSubstr" dedup shape of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed relationally: a character position is
+    * duplicated when the length-`l` gram starting there also occurs in at
+    * least one OTHER document; runs of duplicated positions merge into
+    * maximal spans (two grams whose starts are ≤ l apart cover overlapping
+    * or adjacent characters, so a new span opens only on a gap > l).
+    *
+    * Plan: explode each doc into its stride-1 (position, gram) slide —
+    * exactness is the point; the reference scheme's suffix array becomes a
+    * gram-keyed shuffle — count distinct docs per gram (map-side-combined
+    * groupBy), join positions back to the duplicated grams, then a per-doc
+    * (keyed, never global) window merges positions into spans. Shuffles:
+    * gram-count, gram-join, doc-window — all O(total chars), no all-pairs
+    * anywhere. At 100 TB you would additionally hash grams to 8-byte keys
+    * (xxhash64) so the shuffle moves fixed-width keys instead of l-char
+    * strings; raw grams are kept here for engine-portable oracle grouping.
+    *
+    * Output: (doc_id, span_start, span_end) — 1-based inclusive character
+    * offsets of every maximal cross-doc-duplicated span. */
+  def repeatedSpans(docs: DataFrame, l: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = spreadForCompute(docs.select(col("doc_id"), col("text")))
+      .where(length(col("text")) >= l)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(l - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p"), lit(l)).as("gram"))
+    val dup = pos.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    pos.join(dup, "gram")
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("fresh",
+        when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0))
+      .withColumn("grp", sum(col("fresh")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + lit(l - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** Exact duplicate groups by content hash (hash-groupBy; one shuffle). */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

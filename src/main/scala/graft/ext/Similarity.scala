@@ -297,6 +297,48 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space, then drop all but one of
+    * each within-cluster group of near-identical vectors. Composes the two
+    * oracle-checked pieces this file already owns: the [[lloyd]] trainer +
+    * [[assignClusters]] (ext_kmeans's exact engine-portable scheme) and
+    * the rounded-cosine predicate of [[nearDupPairs]]. Keep rule: a vector
+    * is dropped iff a LOWER-id vector in the SAME cluster has cosine ≥
+    * `tau` (the paper keeps one representative per ε-ball; lowest-id is
+    * its deterministic stand-in).
+    *
+    * Scale shape — the paper's entire point: candidate pairs exist only
+    * WITHIN a cluster, so the pair join is keyed on cluster id and costs
+    * Σ|cluster|² instead of N²; production grows k with N (k ≈ N/⟨cluster⟩)
+    * to keep cluster sizes bounded while assignment stays a pure map over
+    * broadcast centroids. Shuffles: lloyd's k×dim-cell partial agg per
+    * iteration, the cluster-keyed self-join, and the id-keyed anti join —
+    * never an all-pairs product.
+    *
+    * Output: (vec_id, cluster, kept 0/1) for every input vector. */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+      tau: Double = 0.45): DataFrame = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("n2", dot(col("e"), col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = lloyd(e, k, iters)
+    val assigned = assignClusters(e, cent).withColumn("nrm", sqrt(col("n2")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "cluster")
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val out = assigned.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("hit").isNull, 1).otherwise(0).cast("int").as("kept"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Product-quantization top-k by asymmetric-distance (ADC) inner
     * product — the memory-bounded ANN scheme one tier past
     * [[quantizeInt8]]: vectors live as m codebook codes (log₂k bits

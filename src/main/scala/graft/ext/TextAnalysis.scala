@@ -68,6 +68,45 @@ object TextAnalysis {
           + lit(0.3) * least(col("avg_tok_len") / 10.0, lit(1.0)))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Table A1 document
+    * heuristics) — the hard-threshold sibling of [[qualityMetrics]]'s
+    * scored ranking. Five rules re-expressed over the fixture tokenization
+    * (single-space tokens): word count in [50, 100000]; mean word length
+    * in [3, 10]; fraction of words containing an alphabetic character ≥
+    * 0.8; symbol-to-word ratio ('#' or '…') ≤ 0.1; ≥ 2 distinct stopwords
+    * present (this repo's `en` list stands in for Gopher's 8-word set —
+    * the fixture vocabulary contains too few of the originals to
+    * discriminate). Line-shape rules (bullet/ellipsis line ratios) are
+    * omitted: the fixture corpus is single-line. Pure per-row arithmetic —
+    * one projection, no shuffle, no UDF. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val en = array(stopwords.toMap.apply("en").map(lit): _*)
+    def countChar(c: String) =
+      length(col("text")) - length(regexp_replace(col("text"), c, ""))
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).as("n_words"),
+        round(aggregate(col("ts"), lit(0), (a, t) => a + length(t)).cast("double")
+          / size(col("ts")), 4).as("mean_word_len"),
+        round(size(filter(col("ts"), t => t.rlike("[a-zA-Z]"))).cast("double")
+          / size(col("ts")), 4).as("alpha_frac"),
+        round((countChar("#") + countChar("…")).cast("double")
+          / size(col("ts")), 4).as("symbol_ratio"),
+        size(array_intersect(col("ts"), en)).as("n_stop"))
+      .withColumn("r_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("r_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac") >= 0.8).cast("int"))
+      .withColumn("r_symbol", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("r_words") === 1 && col("r_word_len") === 1 && col("r_alpha") === 1
+          && col("r_symbol") === 1 && col("r_stop") === 1).cast("int"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex pass
     * (alnum runs vs single non-space symbols — a cheap proxy for subword
     * token counts). */

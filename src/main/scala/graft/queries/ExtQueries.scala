@@ -78,6 +78,10 @@ object ExtQueries {
   def quantizeInt8(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id", "pos")
 
+  def semDedupQ(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, d), k = 8, iters = 1, tau = 0.45)
+      .orderBy("vec_id")
+
   /** Fixed probe terms for the BM25 query — drawn from the fixture vocab. */
   val Bm25Terms: Seq[String] = Seq("join", "hash", "scan")
 
@@ -164,6 +168,13 @@ object ExtQueries {
 
   def quality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityMetrics(Tables.documents(s, d)).orderBy("doc_id")
+
+  def gopherQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy("doc_id")
+
+  def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(s, d), l = 40)
+      .orderBy("doc_id", "span_start")
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")
@@ -800,6 +811,9 @@ object ExtQueries {
     "ext_bpe_train" -> bpeTrainQ _,
     "ext_bpe_encode" -> bpeEncodeQ _,
     "ext_mixture_alloc" -> mixtureAllocQ _,
+    "ext_semdedup" -> semDedupQ _,
+    "ext_gopher_filter" -> gopherQ _,
+    "ext_repeated_spans" -> repeatedSpansQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1831,6 +1845,58 @@ object ExtQueries {
 
     "ext_kmeans" -> kmeansOracle(k = 8, iters = 1, dim = 64),
 
+    // extends the k-means chain (final assignment = a1 at iters=1) with the
+    // within-cluster rounded-cosine drop rule of Similarity.semDedup
+    "ext_semdedup" ->
+      s"""WITH ${kmeansCtes(k = 8, iters = 1, dim = 64)},
+         |drp AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN e ex ON ex.vec_id = x.vec_id
+         |  JOIN e ey ON ey.vec_id = y.vec_id
+         |  WHERE ${cosSql("ex.e", "ey.e")} >= 0.45)
+         |SELECT a.vec_id, a.cid AS cluster,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM a1 a LEFT JOIN drp d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "ext_gopher_filter" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |  len(ts) AS n_words,
+         |  ROUND(list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts), 4) AS mean_word_len,
+         |  ROUND(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0 / len(ts), 4) AS alpha_frac,
+         |  ROUND(((length(text) - length(replace(text, '#', '')))
+         |       + (length(text) - length(replace(text, '…', '')))) * 1.0 / len(ts), 4) AS symbol_ratio,
+         |  len(list_intersect(ts, ${stopList("en")})) AS n_stop
+         |  FROM toks)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stop,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_words,
+         |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_word_len,
+         |  CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+         |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+         |  CAST(n_stop >= 2 AS INT) AS r_stop,
+         |  CAST((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2 AS INT) AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ext_repeated_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(t.p AS INT) AS p,
+        |    substr(text, CAST(t.p AS INT), 40) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 38)) AS t(p)
+        |  WHERE length(text) >= 40),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+        |lagged AS (SELECT doc_id, p,
+        |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp),
+        |grp AS (SELECT doc_id, p,
+        |  SUM(CASE WHEN prev IS NULL OR p - prev > 40 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM lagged)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 39 AS span_end
+        |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
     "ext_quantize_int8" ->
       s"""WITH $embCte,
          |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM e)
@@ -2022,8 +2088,10 @@ object ExtQueries {
     * — c0 (k lowest ids) → per-iteration assign (squared-L2 argmin, ties
     * to lowest cid) → grid-rounded component means → final assignment.
     * Distances use `list_dot_product` (sequential — bit-equal to the
-    * native DotProduct) in the exact association (v·v − 2·v·c) + c·c. */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    * native DotProduct) in the exact association (v·v − 2·v·c) + c·c.
+    * The WITH-body (ending at the final assignment `a<iters>`) is shared
+    * by ext_kmeans and ext_semdedup, which extends the chain. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def assign(i: Int) =
       s"""s$i AS (SELECT v.vec_id, c.cid,
          |  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)
@@ -2044,11 +2112,14 @@ object ExtQueries {
          |c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM m${i + 1} GROUP BY cid),
          |""".stripMargin
     val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
-    s"""WITH $embCte,
+    s"""$embCte,
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e WHERE vec_id < $k),
-       |$chain${assign(iters).stripSuffix(",\n")}
-       |SELECT vec_id, cid AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
+       |$chain${assign(iters).stripSuffix(",\n")}""".stripMargin
   }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
+       |SELECT vec_id, cid AS cluster FROM a$iters ORDER BY vec_id""".stripMargin
 
   /** Generated BM25 oracle mirroring [[graft.ext.TextAnalysis.bm25]]:
     * identical expression association everywhere, all float constants

@@ -321,6 +321,73 @@ class ExtSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("semDedup keeps exactly the lowest id per near-identical cluster") {
+    // the kmeans blob fixture: two tight blobs (even ids around axis 0,
+    // odd ids around axis 1); within a blob every cosine is ≈1, so at
+    // tau=0.9 only the lowest id of each cluster survives
+    val dim = 8
+    def v(center: Int, jitter: Double) = {
+      val a = Array.fill(dim)(0.0f)
+      a(center) = (10.0 + jitter).toFloat
+      a(1 - center) = jitter.toFloat
+      a
+    }
+    val emb = (0L until 40L).map(i => (i, v((i % 2).toInt, (i % 7) * 0.1)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, k = 2, iters = 2, tau = 0.9)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out.length == 40) // every vector present, flagged not filtered
+    assert(out.filter(_._3 == 1).map(_._1).toSeq == Seq(0L, 1L))
+    // cluster column is exactly the kmeans assignment it composes
+    val km = Similarity.kmeans(emb, k = 2, iters = 2).as[(Long, Int)].collect().toMap
+    out.foreach { case (id, c, _) => assert(c == km(id)) }
+  }
+
+  test("semDedup keeps dissimilar vectors sharing a cluster") {
+    // 3 mutually orthogonal vectors all seed-clustered together (k=1):
+    // same cluster, cosine 0 — nothing may be dropped
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, k = 1, iters = 1, tau = 0.5)
+      .as[(Long, Int, Int)].collect()
+    assert(out.forall(_._3 == 1))
+  }
+
+  test("gopherQuality rules on hand-checked docs") {
+    val d = docs(
+      // 55 words, stopwords {the, a} → every rule passes
+      (1L, "the a " + ("table " * 53).trim),
+      // 2 words, no stopwords → r_words and r_stop fail
+      (2L, "table scan"),
+      // 60 words, 10 of them '#': symbol_ratio 10/60 > 0.1 fails; alpha
+      // 50/60 ≥ 0.8 and the other rules still pass
+      (3L, ("word " * 48).trim + " the a " + ("# " * 10).trim))
+    val out = TextAnalysis.gopherQuality(d).orderBy("doc_id")
+      .select("doc_id", "r_words", "r_word_len", "r_alpha", "r_symbol",
+        "r_stop", "gopher_pass")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 0, 0),
+      (3L, 1, 1, 1, 0, 1, 0)))
+  }
+
+  test("repeatedSpans merges cross-doc duplicated grams; ignores within-doc repeats") {
+    // S: 60 distinct chars shared by docs 1 and 2 at different offsets;
+    // doc 3 repeats its own 50-char block — within-doc only, no span
+    val s = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString.take(60)
+    val t = ("zyx" * 20).take(50)
+    val d = docs(
+      (1L, "!!!!!?????" + s), // dup 40-grams at p=11..31 → span [11, 70]
+      (2L, s + "##########"), // dup 40-grams at p=1..21  → span [1, 60]
+      (3L, t + t))
+    val got = Dedup.repeatedSpans(d, l = 40).orderBy("doc_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 11, 70), (2L, 1, 60)))
+  }
+
   test("quantizeInt8 bounds q to [-127,127] and reconstructs within half a step") {
     val emb = Tables.embeddingsFixture(spark)
     val e = emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))

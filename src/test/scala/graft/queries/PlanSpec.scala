@@ -198,6 +198,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: cluster-keyed equi-joins only, assignment is a pure map") {
+    val p = plan("ext_semdedup")
+    // the pair join is keyed on cluster id (SemDeDup's point) and the
+    // kept-flag join on vec_id — never a cross product; centroid
+    // assignment is broadcast-literal arithmetic, not a join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("gopher filter is a pure map: no exchange before the final sort") {
+    val p = plan("ext_gopher_filter").split("== Initial Plan ==").head
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("repeated spans: keyed window only, gram joins are equi, no cartesian") {
+    val p = plan("ext_repeated_spans").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the span-merge windows must be keyed on doc_id (a single-partition
+    // window here would funnel every duplicated position through one
+    // task) — asserted positively so a format drift can't make it vacuous
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p.take(3000))
+    specs.foreach(s => assert(s.startsWith("doc_id"), s"window keyed on '$s':\n${p.take(3000)}"))
+  }
+
   test("setsim join: frequency dictionary broadcasts; no cartesian product") {
     val p = plan("ext_setsim_join")
     // the V-row (shingle, df) table joins via broadcast into the in-row
