@@ -478,6 +478,40 @@ object Dedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** ExactSubstr REMOVAL: cut every [[repeatedSpans]] span out of the
+    * text — the conservative remove-all-copies variant Lee et al. 2022
+    * also ship (keep-one-copy needs a global owner election per span —
+    * a different op, deliberately not conflated here). Docs without
+    * duplicated spans pass through byte-identical.
+    *
+    * Plan: spans collapse to one tiny per-doc sorted array (collect_list
+    * over the handful of merged spans), left-join back to the corpus on
+    * doc_id, then a per-row in-row fold (codegen'd `aggregate` HOF over
+    * the span array: emit the segment before each span, jump the cursor
+    * past it, append the tail). Adds exactly one keyed shuffle + one
+    * keyed join on top of [[repeatedSpans]]; the text itself never
+    * shuffles beyond the join. */
+  def removeRepeatedSpans(docs: DataFrame, l: Int = 40): DataFrame = {
+    val spans = repeatedSpans(docs, l)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("sp"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(
+          aggregate(col("sp"),
+            struct(lit(1).as("cur"), lit("").as("acc")),
+            (st, s) => struct(
+              (s.getField("span_end") + 1).as("cur"),
+              concat(st.getField("acc"),
+                col("text").substr(st.getField("cur"),
+                  s.getField("span_start") - st.getField("cur"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("text").substr(st.getField("cur"),
+                length(col("text")) - st.getField("cur") + 1))))
+          .as("clean_text"))
+  }
+
   /** Exact duplicate groups by content hash (hash-groupBy; one shuffle). */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

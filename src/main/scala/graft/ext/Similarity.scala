@@ -219,19 +219,55 @@ object Similarity {
   private def gridRound(x: Double): Double =
     math.floor(x * KmeansGrid + 0.5) / KmeansGrid
 
+  /** Above this many centroids, assignment switches from the inline
+    * literal fan-out to the broadcast-join form: the generated projection
+    * scores every centroid inline, and past ~tens of centroids the
+    * method outgrows janino (measured: k=80 made the 10× scaling leg
+    * 23× slower purely from codegen collapse). */
+  private val AssignJoinThreshold = 32
+
   /** One Lloyd assignment pass: nearest centroid by squared L2, ties to
-    * the lowest centroid id. `cent` is (cid, components, ‖c‖²). Pure map:
-    * each row scores all broadcast centroid literals inside one projection
-    * — the BLAS-matmul assignment analog, no shuffle, no row explosion.
+    * the lowest centroid id. `cent` is (cid, components, ‖c‖²).
     * dist = (‖v‖² − 2·v·c) + ‖c‖² in exactly that association so the
-    * DuckDB oracle (`ldp(v,v) - 2*ldp(v,c) + ldp(c,c)`) matches bit-wise. */
+    * DuckDB oracle (`ldp(v,v) - 2*ldp(v,c) + ldp(c,c)`) matches bit-wise.
+    * Small k: pure map scoring broadcast centroid literals inside one
+    * projection. Large k ([[AssignJoinThreshold]]): broadcast centroid
+    * TABLE join + per-vector struct-min — same argmin, same tie rule,
+    * bit-identical distances (the dot runs the same sequential expression
+    * against a column instead of literals). */
   private def assignClusters(e: DataFrame, cent: Seq[(Int, Array[Double], Double)]): DataFrame =
+    if (cent.size <= AssignJoinThreshold) assignClustersLiteral(e, cent)
+    else assignClustersJoin(e, cent)
+
+  private[ext] def assignClustersLiteral(e: DataFrame, cent: Seq[(Int, Array[Double], Double)]): DataFrame =
     e.select(col("vec_id"), col("e"), col("n2"),
       array_min(array(cent.map { case (cid, cv, cn2) =>
         struct(
           (col("n2") - lit(2.0) * dot(col("e"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
           lit(cid).as("cid"))
       }: _*)).getField("cid").as("cluster"))
+
+  /** Join-form assignment — the shape that scales in k (production's
+    * BLAS matmul analog): N×k scored (vec_id, d, cid) triples (the
+    * vector itself never rides along), per-vector `min(struct(d, cid))`
+    * (lexicographic struct order = distance asc, cid tiebreak — exactly
+    * the literal form's `array_min`), then one keyed join back to
+    * re-attach (e, n2). Shuffles: the N×k triple agg + the vec_id join. */
+  private[ext] def assignClustersJoin(e: DataFrame, cent: Seq[(Int, Array[Double], Double)]): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val centDf = cent.toDF("cid", "ce", "cn2")
+    val assigned = e.select(col("vec_id"), col("e"), col("n2"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        struct(
+          (col("n2") - lit(2.0) * dot(col("e"), col("ce")) + col("cn2")).as("d"),
+          col("cid").as("cid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"))
+    e.join(assigned, "vec_id")
+      .select(col("vec_id"), col("e"), col("n2"), col("cluster"))
+  }
 
   /** Seeded-deterministic k-means (Lloyd's) over the embedding column —
     * the missing "production would k-means them" trainer of [[ivfTopK]]'s

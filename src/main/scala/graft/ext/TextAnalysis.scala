@@ -84,16 +84,20 @@ object TextAnalysis {
     val en = array(stopwords.toMap.apply("en").map(lit): _*)
     def countChar(c: String) =
       length(col("text")) - length(regexp_replace(col("text"), c, ""))
+    // ratio metrics are NULL (not NaN/÷0) on token-free docs — such docs
+    // still fail r_words, so gopher_pass stays a clean 0 (FALSE AND NULL
+    // = FALSE in both engines)
+    def ratio(num: Column) =
+      when(size(col("ts")) === 0, lit(null))
+        .otherwise(round(num.cast("double") / size(col("ts")), 4))
     docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"), col("text"))
       .select(
         col("doc_id"),
         size(col("ts")).as("n_words"),
-        round(aggregate(col("ts"), lit(0), (a, t) => a + length(t)).cast("double")
-          / size(col("ts")), 4).as("mean_word_len"),
-        round(size(filter(col("ts"), t => t.rlike("[a-zA-Z]"))).cast("double")
-          / size(col("ts")), 4).as("alpha_frac"),
-        round((countChar("#") + countChar("…")).cast("double")
-          / size(col("ts")), 4).as("symbol_ratio"),
+        ratio(aggregate(col("ts"), lit(0), (a, t) => a + length(t)))
+          .as("mean_word_len"),
+        ratio(size(filter(col("ts"), t => t.rlike("[a-zA-Z]")))).as("alpha_frac"),
+        ratio(countChar("#") + countChar("…")).as("symbol_ratio"),
         size(array_intersect(col("ts"), en)).as("n_stop"))
       .withColumn("r_words",
         (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))

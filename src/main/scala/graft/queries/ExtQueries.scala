@@ -172,9 +172,22 @@ object ExtQueries {
   def gopherQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Gram length for the ExactSubstr span queries — one constant feeds
+    * the Spark calls and both generated oracles. */
+  val SpanGramLen = 40
+
   def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
-    Dedup.repeatedSpans(Tables.documents(s, d), l = 40)
+    Dedup.repeatedSpans(Tables.documents(s, d), l = SpanGramLen)
       .orderBy("doc_id", "span_start")
+
+  def removeSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.removeRepeatedSpans(Tables.documents(s, d), l = SpanGramLen)
+      // identically-true guard referencing clean_text: without it the
+      // bench's count() lets Catalyst eliminate the whole span subtree
+      // (left join on a grouped key with no referenced columns), timing
+      // an empty plan; row set is provably unchanged
+      .where(length(col("clean_text")) >= 0)
+      .orderBy("doc_id")
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")
@@ -814,6 +827,7 @@ object ExtQueries {
     "ext_semdedup" -> semDedupQ _,
     "ext_gopher_filter" -> gopherQ _,
     "ext_repeated_spans" -> repeatedSpansQ _,
+    "ext_remove_spans" -> removeSpansQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1864,10 +1878,13 @@ object ExtQueries {
       s"""WITH $toksCte,
          |m AS (SELECT doc_id,
          |  len(ts) AS n_words,
-         |  ROUND(list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts), 4) AS mean_word_len,
-         |  ROUND(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0 / len(ts), 4) AS alpha_frac,
-         |  ROUND(((length(text) - length(replace(text, '#', '')))
-         |       + (length(text) - length(replace(text, '…', '')))) * 1.0 / len(ts), 4) AS symbol_ratio,
+         |  CASE WHEN len(ts) = 0 THEN NULL ELSE
+         |    ROUND(list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts), 4) END AS mean_word_len,
+         |  CASE WHEN len(ts) = 0 THEN NULL ELSE
+         |    ROUND(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) * 1.0 / len(ts), 4) END AS alpha_frac,
+         |  CASE WHEN len(ts) = 0 THEN NULL ELSE
+         |    ROUND(((length(text) - length(replace(text, '#', '')))
+         |         + (length(text) - length(replace(text, '…', '')))) * 1.0 / len(ts), 4) END AS symbol_ratio,
          |  len(list_intersect(ts, ${stopList("en")})) AS n_stop
          |  FROM toks)
          |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stop,
@@ -1881,21 +1898,27 @@ object ExtQueries {
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "ext_repeated_spans" ->
-      """WITH pos AS (
-        |  SELECT doc_id, CAST(t.p AS INT) AS p,
-        |    substr(text, CAST(t.p AS INT), 40) AS gram
-        |  FROM documents, unnest(range(1, length(text) - 38)) AS t(p)
-        |  WHERE length(text) >= 40),
-        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
-        |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
-        |lagged AS (SELECT doc_id, p,
-        |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp),
-        |grp AS (SELECT doc_id, p,
-        |  SUM(CASE WHEN prev IS NULL OR p - prev > 40 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY p) AS g
-        |  FROM lagged)
-        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 39 AS span_end
-        |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH ${repeatedSpansCtes(SpanGramLen)}
+         |SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${SpanGramLen - 1} AS span_end
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    // removal = complement of the span set, rebuilt char-by-char (the
+    // oracle-side spec); the Spark side is the in-row segment fold
+    "ext_remove_spans" ->
+      s"""WITH ${repeatedSpansCtes(SpanGramLen)},
+         |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + ${SpanGramLen - 1} AS e
+         |  FROM grp GROUP BY doc_id, g),
+         |chars AS (SELECT d.doc_id, CAST(t.p AS INT) AS p,
+         |    substr(d.text, CAST(t.p AS INT), 1) AS ch
+         |  FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(p)),
+         |kept AS (SELECT c.doc_id, c.p, c.ch FROM chars c
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = c.doc_id AND c.p BETWEEN s.s AND s.e)),
+         |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_quantize_int8" ->
       s"""WITH $embCte,
@@ -2091,6 +2114,25 @@ object ExtQueries {
     * native DotProduct) in the exact association (v·v − 2·v·c) + c·c.
     * The WITH-body (ending at the final assignment `a<iters>`) is shared
     * by ext_kmeans and ext_semdedup, which extends the chain. */
+  /** WITH-body of the ExactSubstr span chain (stride-1 gram positions →
+    * cross-doc duplicated grams → duplicated positions → island groups),
+    * shared by ext_repeated_spans and ext_remove_spans. Mirrors
+    * [[graft.ext.Dedup.repeatedSpans]]. */
+  private def repeatedSpansCtes(l: Int): String =
+    s"""pos AS (
+       |  SELECT doc_id, CAST(t.p AS INT) AS p,
+       |    substr(text, CAST(t.p AS INT), $l) AS gram
+       |  FROM documents, unnest(range(1, length(text) - ${l - 2})) AS t(p)
+       |  WHERE length(text) >= $l),
+       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+       |lagged AS (SELECT doc_id, p,
+       |  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp),
+       |grp AS (SELECT doc_id, p,
+       |  SUM(CASE WHEN prev IS NULL OR p - prev > $l THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM lagged)""".stripMargin
+
   private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def assign(i: Int) =
       s"""s$i AS (SELECT v.vec_id, c.cid,

@@ -66,6 +66,7 @@ class CacheLifetimeSpec extends SparkSpec {
       graft.ext.TextAnalysis.domainKl(docs).count()
       graft.ext.Bpe.train(docs, 3)
       graft.ext.Similarity.pqTopK(emb, dim = 8, m = 2, k = 2, topK = 5).count()
+      graft.ext.Similarity.semDedup(emb, k = 2, iters = 1, tau = 0.9).count()
     }
     callAll()
     val baseline = drainedBaseline()

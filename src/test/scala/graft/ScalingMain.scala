@@ -44,9 +44,15 @@ object ScalingMain {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // dev filter: SCALE_SECTIONS=dedup,relational,r3,r4,r4b,lda restricts
+    // the run to named sections (default: all)
+    val sections = sys.env.get("SCALE_SECTIONS").map(_.split(",").map(_.trim).toSet)
+    def sweep(name: String)(body: Int => Unit): Unit =
+      if (sections.forall(_.contains(name))) mults.foreach(body)
+
     println(f"SCALE base=$nBase docs  (each stage cold per size; times in sec)")
     println("mult |     docs | minhash_bands | band_candidates | simhash_sigs | simhash_banded | cdc_chunks | winnow_pairs | setsim_join")
-    mults.foreach { m =>
+    sweep("dedup") { m =>
       val docs = replicated(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = docs.count()
@@ -79,7 +85,7 @@ object ScalingMain {
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
     println("mult | lineitem rows | q20 multi-join+rollup")
-    mults.foreach { m =>
+    sweep("relational") { m =>
       def rep(df: DataFrame, keyCols: Seq[String]): DataFrame =
         if (m == 1) df
         else df.crossJoin(spark.range(m).toDF("rep"))
@@ -108,7 +114,7 @@ object ScalingMain {
     // scan — should track event rows), PageRank distributed path (forced
     // via localThreshold=0: per-iteration join+agg over the pair graph)
     println("mult |     docs | importance_w |   events |   ewma | pr_edges | pagerank_dist")
-    mults.foreach { m =>
+    sweep("r3") { m =>
       val docs = replicated(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docs.count()
@@ -138,7 +144,7 @@ object ScalingMain {
     // (vocab-level merge loop — near-flat in corpus size), PQ top-k
     // (m× one-pass encodes + tiny codebook aggs — tracks embedding rows)
     println("mult |     docs | inv_index | bm25_idx | domain_kl | bpe_train |     vecs | pq_topk | ivfpq")
-    mults.foreach { m =>
+    sweep("r4") { m =>
       val docs = replicated(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docs.count()
@@ -167,6 +173,49 @@ object ScalingMain {
       docs.unpersist(blocking = true); embm.unpersist(blocking = true)
     }
 
+    // round-4b ops: gopher filter (pure map — tracks the doc scan),
+    // repeated spans (stride-1 gram slide + gram-keyed count + doc-keyed
+    // merge — tracks total characters; the token prefixes keep replica
+    // gram spaces disjoint, though prefixing also densifies WITHIN-replica
+    // 40-gram collisions — span counts grow superlinearly by construction
+    // while the engine cost tracks gram volume), semdedup (k grown with N
+    // per the production rule so cluster sizes — and the within-cluster
+    // pair cost — stay bounded; replica r's embeddings are the base
+    // vectors circularly rotated by r mod 64 (global sign flip past 64):
+    // within-replica cosines are exactly preserved, cross-replica pairs
+    // decorrelate, so near-dup structure grows ~linearly in m, not m²)
+    println("mult |     docs | gopher | rep_spans (spans) |     vecs |   k | semdedup (kept)")
+    sweep("r4b") { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val (tGq, _) = time(ext.TextAnalysis.gopherQuality(docs).count())
+      val (tRs, nSp) = time(ext.Dedup.repeatedSpans(docs).count())
+      val emb = Tables.embeddings(spark, dir)
+      val sh = (col("rep") % 64).cast("int")
+      val embm = (if (m == 1) emb
+        else emb.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+            col("embedding").cast("array<double>").as("e64"), col("rep"))
+          .select(col("vec_id"),
+            transform(
+              concat(slice(col("e64"), sh + lit(1), lit(64) - sh),
+                slice(col("e64"), lit(1), sh)),
+              x => x * when(col("rep") < 64, lit(1.0)).otherwise(lit(-1.0)))
+              .as("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVec = embm.count()
+      // k = 8m keeps ⟨cluster⟩ constant; past k=32 semDedup's assignment
+      // auto-switches to the broadcast centroid-table join (the shape
+      // that scales in k — the literal fan-out collapsed codegen at k=80)
+      val k = 8 * m
+      val (tSd, nKept) =
+        time(ext.Similarity.semDedup(embm, k = k, iters = 1)
+          .where(col("kept") === 1).count())
+      println(f"$m%4d | ${docs.count()}%8d | $tGq%6.2f | $tRs%9.2f($nSp%6d) | $nVec%8d | $k%3d | $tSd%8.2f($nKept%6d)")
+      docs.unpersist(blocking = true); embm.unpersist(blocking = true)
+    }
+
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
     // shard count grows with V — the huge-V regime where the model never
     // broadcasts whole (SURVEY §7.4 risk 2). The infer leg drives
@@ -175,7 +224,7 @@ object ScalingMain {
     // counts == corpus tokens) — the model is never materialized whole
     // on either path.
     println("mult |   tokens |  vocab | shards | train 2it | inf_shards | infer 2it | conserved")
-    mults.foreach { m =>
+    sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
       val vocab = lda.Corpus.sortedVocab(toks).persist(

@@ -343,6 +343,23 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (id, c, _) => assert(c == km(id)) }
   }
 
+  test("assignClustersJoin is row-identical to the literal fan-out form") {
+    val dim = 8
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => ((i * 13 + j * 7) % 11).toDouble / 3.0))
+    }
+    val e = vecs.toDF("vec_id", "e")
+      .withColumn("n2", Similarity.dot(col("e"), col("e")))
+    val cent = vecs.take(5).map { case (id, v) =>
+      (id.toInt, v, v.map(x => x * x).sum)
+    }
+    val a = Similarity.assignClustersLiteral(e, cent)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().sortBy(_._1)
+    val b = Similarity.assignClustersJoin(e, cent)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("semDedup keeps dissimilar vectors sharing a cluster") {
     // 3 mutually orthogonal vectors all seed-clustered together (k=1):
     // same cluster, cosine 0 — nothing may be dropped
@@ -372,6 +389,10 @@ class ExtSpec extends SparkSpec {
       (1L, 1, 1, 1, 1, 1, 1),
       (2L, 0, 1, 1, 1, 0, 0),
       (3L, 1, 1, 1, 0, 1, 0)))
+    // token-free doc: NULL ratio metrics (not NaN), still a clean fail
+    val edge = TextAnalysis.gopherQuality(docs((9L, " ")))
+      .select("n_words", "mean_word_len", "gopher_pass").collect()(0)
+    assert(edge.getInt(0) == 0 && edge.isNullAt(1) && edge.getInt(2) == 0)
   }
 
   test("repeatedSpans merges cross-doc duplicated grams; ignores within-doc repeats") {
@@ -386,6 +407,11 @@ class ExtSpec extends SparkSpec {
     val got = Dedup.repeatedSpans(d, l = 40).orderBy("doc_id")
       .as[(Long, Int, Int)].collect().toSeq
     assert(got == Seq((1L, 11, 70), (2L, 1, 60)))
+
+    // removal cuts exactly the spans; untouched docs pass through
+    val clean = Dedup.removeRepeatedSpans(d, l = 40).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(clean == Seq((1L, "!!!!!?????"), (2L, "##########"), (3L, t + t)))
   }
 
   test("quantizeInt8 bounds q to [-127,127] and reconstructs within half a step") {
