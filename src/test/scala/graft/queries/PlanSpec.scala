@@ -216,12 +216,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("ext_repeated_spans").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
-    // the span-merge windows must be keyed on doc_id (a single-partition
-    // window here would funnel every duplicated position through one
-    // task) — asserted positively so a format drift can't make it vacuous
+    // every window must be keyed — the dup filter on gram, the span
+    // merge on doc_id; a single-partition window here would funnel every
+    // position through one task. Asserted positively so a format drift
+    // can't make it vacuous.
     val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty, p.take(3000))
-    specs.foreach(s => assert(s.startsWith("doc_id"), s"window keyed on '$s':\n${p.take(3000)}"))
+    specs.foreach(s => assert(s.startsWith("doc_id") || s.startsWith("gram"),
+      s"window keyed on '$s':\n${p.take(3000)}"))
   }
 
   test("setsim join: frequency dictionary broadcasts; no cartesian product") {
