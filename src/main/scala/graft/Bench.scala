@@ -31,12 +31,24 @@ object Bench {
 
     // dev filter: SPARK_GRAFT_QUERIES=q1,q2 restricts the run (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // A query that throws is recorded in `failed`, NOT timed: its fail-fast
+    // elapsed time would otherwise masquerade as a (fast) successful run —
+    // in r5 twenty analysis-error queries showed up as plausible ~0.06 s
+    // entries and inflated n_queries. Failures are excluded from value,
+    // n_queries, and the queries map.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
       }
     // The driver captures only the LAST 2000 chars of stdout (measured:
     // BENCH_r01/r02 tails are exactly 2000 and both cut the head of a
@@ -54,14 +66,19 @@ object Bench {
     // stderr on failure (stdout stays reserved for the JSON line), and the
     // stale file is removed first so a failed write can never present an
     // old run's per-query map as this run's.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // BENCH_full.json is the CANONICAL full-battery artifact: when a dev
+    // filter restricts the run, the complete map goes to a separate file so
+    // a partial (e.g. A/B) run can never overwrite the battery record.
+    val fullPath = if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
     try {
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_full.json"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full.json"),
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"relational_b3_sec":${f(b3)},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_full.json write failed: $e")
+      System.err.println(s"[bench] $fullPath write failed: $e")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"relational_b3_sec":${f(b3)},"queries":${qmap(top, f2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},"queries":${qmap(top, f2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *    coalescing: the knobs the 100 TB plans rely on);
   *  - shuffle partitions sized to the cluster (`defaultParallelism`
   *    after start, or the explicit override) instead of the legacy 200;
-  *  - UTC session timezone (FIXTURES.md §D.3 normalization);
+  *  - UTC session timezone (the FIXTURES.md §D oracle comparison contract);
   *  - graft's native SQL functions registered (`graft_dot`).
   *
   * `Lda`, `ext.*`, and `streaming.*` work with ANY session; this just

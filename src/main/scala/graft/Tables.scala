@@ -32,13 +32,33 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to µs (DuckDB performs
-    * the same ns→µs truncation per FIXTURES.md §D.3). */
+  /** events.ts ingestion contract (dual-type): fixture generations have
+    * shipped `ts` both as TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects unless read as raw int64 via `nanosAsLong` — and as plain
+    * `timestamp[us]`. Branch on what the footer actually holds instead of
+    * assuming either encoding:
+    *   - int64-nanos (reads as LongType under `nanosAsLong`): truncate
+    *     ns→µs, matching DuckDB's ns→µs truncation of the same file;
+    *   - timestamp[us] (reads as TIMESTAMP/TIMESTAMP_NTZ): native read, normalized to
+    *     session-timezone TimestampType (identity on the wall clock under
+    *     the UTC session this library pins everywhere).
+    * Either way callers see one schema: `ts: TimestampType`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType per the contract
+    * above (shared with [[graft.streaming.Streams.eventStream]]). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // int64-nanos read raw via nanosAsLong
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

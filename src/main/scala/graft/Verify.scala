@@ -17,15 +17,28 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev filter: SPARK_GRAFT_QUERIES=a,b restricts the run (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // Failures must be LOUD: a query that throws leaves an explicit
+    // `<name>.error.txt` marker (and no result dir), so the driver's
+    // correctness report shows an error row instead of silently omitting
+    // the query — in r4/r5 a fixture-schema drift erased 20 green entries
+    // from CORRECTNESS with no artifact saying so.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      val errMarker = Paths.get(s"$outDir/$name.error.txt")
+      Files.deleteIfExists(errMarker)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(errMarker,
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(",")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

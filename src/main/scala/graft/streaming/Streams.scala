@@ -24,17 +24,27 @@ final case class SessionState(n: Long, total: Double)
   */
 object Streams {
 
-  /** Batch-identical schema for the events stream (ts already micro-second
-    * truncated like Tables.events). */
-  val eventSchema: StructType = StructType(Seq(
+  /** Events-stream schema with `ts` typed per the footer of the actual
+    * fixture (see [[graft.Tables.events]]'s dual-type contract): LongType
+    * when the file is int64-nanos read raw via `nanosAsLong`, the native
+    * timestamp type when the file is `timestamp[us]`. */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (as read with nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Stream the events parquet path (file or directory) as a file source.
+    *
+    * A streaming source needs its schema declared up front, so the parquet
+    * footer is peeked with a one-off batch read (metadata-only, no row IO)
+    * and `ts` is declared as whatever the file truly holds — int64-nanos or
+    * native timestamp — then normalized to TimestampType exactly like the
+    * batch path ([[graft.Tables.normalizeTs]]). Hard-coding either encoding
+    * would be silently wrong on the other: declaring LongType over a µs file
+    * reads micros-as-long and the ns→µs division compresses time 1000×.
     *
     * Single-file paths (the fixtures ship one parquet file per table) need
     * two adjustments: FileStreamSource force-sets `basePath` to the literal
@@ -49,12 +59,13 @@ object Streams {
       val name = path.substring(slash + 1)
       (s"$dir/[${name.head}]${name.tail}", dir)
     } else (path, path)
-    spark.readStream
-      .schema(eventSchema)
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("basePath", base)
       .parquet(globPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling-window count/sum per event type with a watermark: the

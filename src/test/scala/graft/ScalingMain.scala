@@ -216,6 +216,45 @@ object ScalingMain {
       docs.unpersist(blocking = true); embm.unpersist(blocking = true)
     }
 
+    // temporal/event ops (the one family with no leg until r6): replicated
+    // events with fresh user_ids AND event_ids per replica — each replica
+    // keeps the base per-user event density, so total rows (and the one
+    // (user_id)-keyed shuffle every op below rides) grow exactly m×; a
+    // superlinear curve here would mean a per-user window is secretly
+    // quadratic or a join fans out across replicas. ts is left unchanged:
+    // time-range density per user is the invariant these ops care about.
+    println("mult |   events |  asof | session | funnel | resample | compact | rolling")
+    sweep("temporal") { m =>
+      val ev = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev
+        else ev.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val views = evm.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = evm.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumnRenamed("event_id", "pid")
+      val (tAsof, _) = time(ext.Temporal.asofJoin(views, purchases, "user_id",
+        "ts", payloadCols = Seq("pid", "value"), prefix = "purchase_").count())
+      val (tSess, _) = time(ext.Temporal.sessionAgg(evm).count())
+      val (tFun, _) = time(
+        ext.Temporal.funnel(evm, Seq("view", "click", "purchase")).count())
+      val (tRes, _) = time(ext.Temporal.resampleHourlyFfill(evm).count())
+      val (tCmp, _) = time(ext.Temporal.compactLatest(
+        evm.select("event_id", "user_id", "ts", "event_type", "value"),
+        "user_id", Seq("ts", "event_id")).count())
+      val (tRoll, _) = time(ext.Temporal.rollingMean(
+        evm.select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value", 3).count())
+      println(f"$m%4d | $nEv%8d | $tAsof%5.2f | $tSess%7.2f | $tFun%6.2f | $tRes%8.2f | $tCmp%7.2f | $tRoll%7.2f")
+      evm.unpersist(blocking = true)
+    }
+
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
     // shard count grows with V — the huge-V regime where the model never
     // broadcasts whole (SURVEY §7.4 risk 2). The infer leg drives
