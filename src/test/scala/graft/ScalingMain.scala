@@ -224,6 +224,12 @@ object ScalingMain {
     // quadratic or a join fans out across replicas. ts is left unchanged:
     // time-range density per user is the invariant these ops care about.
     println("mult |   events |  asof | session | funnel | resample | compact | rolling")
+    // .count() is NOT a valid forcing idiom here: Catalyst's column pruning
+    // deletes a Window whose expressions go unused and eliminates
+    // cardinality-preserving join subtrees under a bare count (the
+    // remove_spans trap, BENCH.md r4) — rolling/asof would time an empty
+    // plan. toRdd materializes every output column of the plan as built.
+    def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
     sweep("temporal") { m =>
       val ev = Tables.events(spark, dir)
       val evm = (if (m == 1) ev
@@ -239,18 +245,18 @@ object ScalingMain {
       val purchases = evm.where(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id", "value")
         .withColumnRenamed("event_id", "pid")
-      val (tAsof, _) = time(ext.Temporal.asofJoin(views, purchases, "user_id",
-        "ts", payloadCols = Seq("pid", "value"), prefix = "purchase_").count())
-      val (tSess, _) = time(ext.Temporal.sessionAgg(evm).count())
+      val (tAsof, _) = time(mat(ext.Temporal.asofJoin(views, purchases, "user_id",
+        "ts", payloadCols = Seq("pid", "value"), prefix = "purchase_")))
+      val (tSess, _) = time(mat(ext.Temporal.sessionAgg(evm)))
       val (tFun, _) = time(
-        ext.Temporal.funnel(evm, Seq("view", "click", "purchase")).count())
-      val (tRes, _) = time(ext.Temporal.resampleHourlyFfill(evm).count())
-      val (tCmp, _) = time(ext.Temporal.compactLatest(
+        mat(ext.Temporal.funnel(evm, Seq("view", "click", "purchase"))))
+      val (tRes, _) = time(mat(ext.Temporal.resampleHourlyFfill(evm)))
+      val (tCmp, _) = time(mat(ext.Temporal.compactLatest(
         evm.select("event_id", "user_id", "ts", "event_type", "value"),
-        "user_id", Seq("ts", "event_id")).count())
-      val (tRoll, _) = time(ext.Temporal.rollingMean(
+        "user_id", Seq("ts", "event_id"))))
+      val (tRoll, _) = time(mat(ext.Temporal.rollingMean(
         evm.select("event_id", "user_id", "ts", "value"),
-        "user_id", Seq("ts", "event_id"), "value", 3).count())
+        "user_id", Seq("ts", "event_id"), "value", 3)))
       println(f"$m%4d | $nEv%8d | $tAsof%5.2f | $tSess%7.2f | $tFun%6.2f | $tRes%8.2f | $tCmp%7.2f | $tRoll%7.2f")
       evm.unpersist(blocking = true)
     }
