@@ -980,4 +980,60 @@ object TextAnalysis {
       .select(col("stratum"), col("n_toks"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate"))
   }
+
+  /** Multinomial Naive Bayes document classifier with add-one smoothing:
+    * train on the corpus's own `labelCol` and score every document back —
+    * the linear bag-of-words classifier shape of fastText-style
+    * quality/domain filters (train on curated-vs-crawl labels, keep what
+    * scores curated), here with the fixture's own labels so the output is
+    * exactly oracle-checkable.
+    *
+    * Model: P(c) = docs_c / docs;  P(t|c) = (n_tc + 1) / (N_c + V);
+    * score(d,c) = ln P(c) + Σ_t n_td · ln P(t|c) over d's OWN tokens
+    * (multinomial NB — absent tokens contribute nothing, so scoring never
+    * scans V per doc); pred = argmax_c, ties to the lexicographically
+    * smallest class.
+    *
+    * Scale shape: the learned model is the (V×C) log-likelihood grid —
+    * one (tok,class) count shuffle, a broadcast class-totals join, and a
+    * vocab×classes fill-in for the smoothed zero counts. Scoring is
+    * bow ⋈ grid on tok (plain shuffle join; the grid is model-sized,
+    * ≪ corpus), one (doc,class) sum, and a per-doc argmax window keyed by
+    * doc_id. Token-free documents still classify (prior-only score) via
+    * the docs×C left join. No driver-side state at any V. */
+  def nbClassify(docs: DataFrame, labelCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), col(labelCol).as("cls"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    val classes = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val prior = classes.crossJoin(broadcast(nDocs)) // one-row scalar join
+      .select(col("cls"),
+        log(col("n_docs").cast("double") / col("n_total")).as("logprior"))
+    val tokCls = toks.groupBy("tok", "cls").agg(count(lit(1)).as("n_tc"))
+    val clsTotals = toks.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val vocab = toks.select("tok").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(classes.select("cls")))
+      .join(tokCls, Seq("tok", "cls"), "left")
+      .join(broadcast(clsTotals), Seq("cls"))
+      .crossJoin(broadcast(vSize)) // one-row scalar join
+      .select(col("tok"), col("cls"),
+        log((coalesce(col("n_tc"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")).as("logp"))
+    val bow = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
+    val ll = bow.join(grid, Seq("tok"))
+      .groupBy("doc_id", "cls").agg(sum(col("n_td") * col("logp")).as("ll"))
+    val scored = docs.select("doc_id").crossJoin(broadcast(prior))
+      .join(ll, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        (coalesce(col("ll"), lit(0.0)) + col("logprior")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"),
+        round(col("score"), 4).as("nb_score"))
+  }
 }

@@ -318,6 +318,34 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Event-time streaming sessionization (session_window), run to
+    * completion: the streaming twin of ext_sessionize, minus the index
+    * column (a session's identity in the stream is its start time).
+    * Complete mode for the same reason as the tumbling entry. Oracle =
+    * the batch gap-split rollup — the batch-parity claim hash-checked. */
+  def streamSessionsQ(s: SparkSession, d: String): DataFrame =
+    runStream(graft.streaming.Streams.sessionWindows(
+        graft.streaming.Streams.eventStream(s, d + "/events.parquet")),
+      "graft_stream_sessions", "complete")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Stream-stream interval join run to completion — same oracle as the
+    * batch ext_interval_join: inner-join rows emit as matches arrive
+    * (the watermark only bounds state), so the finite run's output IS
+    * the batch join. */
+  def streamIntervalJoinQ(s: SparkSession, d: String): DataFrame =
+    runStream(graft.streaming.Streams.viewPurchaseIntervalJoin(
+        graft.streaming.Streams.eventStream(s, d + "/events.parquet"))
+        .select(col("view_id"), col("purchase_id")),
+      "graft_stream_interval_join", "append")
+      .orderBy("view_id", "purchase_id")
+
+  /** Naive Bayes source classifier, trained and scored on the corpus. */
+  def nbClassifyQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.nbClassify(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
   def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.documents(s, d)).orderBy("doc_id")
@@ -814,6 +842,9 @@ object ExtQueries {
     "ext_trigram_backoff" -> trigramBackoffQ _,
     "ext_stream_tumbling" -> streamTumblingQ _,
     "ext_stream_ewma" -> streamEwmaQ _,
+    "ext_stream_sessions" -> streamSessionsQ _,
+    "ext_stream_interval_join" -> streamIntervalJoinQ _,
+    "ext_nb_classify" -> nbClassifyQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
     "ext_bm25_from_index" -> bm25FromIndexQ _,
@@ -1151,6 +1182,64 @@ object ExtQueries {
     "ext_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c,
         |ROUND(SUM(value), 4) AS s FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the streaming session_window rollup == the batch gap-split rollup
+    // (no exact-gap events in the fixtures, so the >/>= edge never bites)
+    "ext_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "ext_stream_interval_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
+        |ORDER BY v.view_id, p.purchase_id""".stripMargin,
+
+    "ext_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source AS cls,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cls AS (SELECT source AS cls, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_total FROM documents),
+        |prior AS (SELECT cls, ln(CAST(n_docs AS DOUBLE) / n_total) AS logprior FROM cls, nd),
+        |tc AS (SELECT tok, cls, COUNT(*) AS n_tc FROM toks GROUP BY 1, 2),
+        |nc AS (SELECT cls, COUNT(*) AS n_c FROM toks GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |v AS (SELECT COUNT(*) AS v FROM vocab),
+        |grid AS (
+        |  SELECT vocab.tok, c.cls,
+        |    ln((COALESCE(tc.n_tc, 0) + 1) / CAST(nc.n_c + v.v AS DOUBLE)) AS logp
+        |  FROM vocab CROSS JOIN (SELECT cls FROM cls) c
+        |  LEFT JOIN tc ON tc.tok = vocab.tok AND tc.cls = c.cls
+        |  JOIN nc ON nc.cls = c.cls CROSS JOIN v),
+        |bow AS (SELECT doc_id, tok, COUNT(*) AS n_td FROM toks GROUP BY 1, 2),
+        |ll AS (SELECT bow.doc_id, grid.cls, SUM(bow.n_td * grid.logp) AS ll
+        |       FROM bow JOIN grid USING (tok) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, p.cls, COALESCE(ll.ll, 0) + p.logprior AS score
+        |  FROM (SELECT doc_id FROM documents) d CROSS JOIN prior p
+        |  LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.cls = p.cls),
+        |rk AS (SELECT doc_id, cls, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT doc_id, cls AS pred, ROUND(score, 4) AS nb_score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // ranks on the ROUND(·,4) scores that ext_bm25 and Q23's cosine
     // already verify identical across engines, so no raw-double rank

@@ -79,6 +79,31 @@ object Streams {
       .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("s"))
 
+  /** Event-time sessionization via `session_window`: per-user sessions
+    * that close after `gap` of event-time silence — the streaming twin of
+    * [[graft.ext.Temporal.sessionAgg]]. Output rows are session rollups
+    * (start/end/count/value-total) identical to the batch operator's.
+    *
+    * Gap-edge semantics: `session_window` merges an event into the
+    * current session iff its ts is strictly inside the previous window
+    * (diff < gap), while the batch operator splits on diff > gap — the
+    * two differ only when a consecutive-event gap equals `gap` EXACTLY,
+    * which µs-resolution event time makes a measure-zero case (asserted
+    * absent from the fixtures; StreamsSpec pins batch parity).
+    *
+    * Scale: state is one (user, open-session) aggregate per key, merged
+    * by Spark's session-merging state store operator and evicted when
+    * the watermark passes the session close. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Sliding-window average value per user. */
   def slidingUserValue(events: DataFrame): DataFrame =
     events

@@ -637,6 +637,27 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) > got(3L))
   }
 
+  test("nbClassify matches hand-computed NB posteriors, incl. token-free doc") {
+    val d = Seq(
+      (1L, "x x y", "a"), (2L, "x y", "a"), (3L, "z z", "b"),
+      (4L, "z y", "b"), (5L, "", "a")) // doc 5: prior-only score
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.nbClassify(d)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // priors: a 3/5, b 2/5. V = {x,y,z} = 3.
+    // class a tokens N=5 (x:3,y:2): P(x|a)=4/8, P(y|a)=3/8, P(z|a)=1/8
+    // class b tokens N=4 (z:3,y:1): P(z|b)=4/7, P(y|b)=2/7, P(x|b)=1/7
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val ln = (x: Double) => math.log(x)
+    val s1a = ln(0.6) + 2 * ln(4.0 / 8) + ln(3.0 / 8)
+    val s3b = ln(0.4) + 2 * ln(4.0 / 7)
+    assert(got(1L) == ("a", r4(s1a)))
+    assert(got(3L) == ("b", r4(s3b)))
+    assert(got(4L)._1 == "b") // z y: 4/7·2/7 side beats 1/8·3/8 side
+    assert(got(5L) == ("a", r4(ln(0.6)))) // no tokens → argmax prior
+    assert(got.size == 5) // every doc classifies
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -273,6 +273,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("nb classify: model-side joins broadcast, doc argmax keyed, no cartesian") {
+    val p = plan("ext_nb_classify")
+    // classes/class-totals/V/priors all broadcast (model « corpus); the
+    // only hash exchanges are the (tok,class) counts and the per-doc
+    // aggregation/argmax — never a CartesianProduct (the docs×C and
+    // vocab×C grids ride broadcast nested loops over one-row/C-row sides)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // per-doc argmax is a keyed window (partitioned by doc_id, so no
+    // timeline funnels through one task)
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("doc_id"), winLine + "\n" + p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket

@@ -39,6 +39,23 @@ class StreamsSpec extends SparkSpec {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("session_window rollups equal the batch sessionAgg") {
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    val got = runToCompletion(
+      Streams.sessionWindows(stream), "t_sessions", mode = "complete")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    val want = graft.ext.Temporal.sessionAgg(graft.Tables.events(spark, sf()))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stream = Streams.eventStream(spark, sf() + "/events.parquet")
     val deduped = runToCompletion(Streams.dedupEvents(stream), "t_dedup")
