@@ -994,13 +994,16 @@ object TextAnalysis {
     * scans V per doc); pred = argmax_c, ties to the lexicographically
     * smallest class.
     *
-    * Scale shape: the learned model is the (V×C) log-likelihood grid —
-    * one (tok,class) count shuffle, a broadcast class-totals join, and a
-    * vocab×classes fill-in for the smoothed zero counts. Scoring is
-    * bow ⋈ grid on tok (plain shuffle join; the grid is model-sized,
-    * ≪ corpus), one (doc,class) sum, and a per-doc argmax window keyed by
-    * doc_id. Token-free documents still classify (prior-only score) via
-    * the docs×C left join. No driver-side state at any V. */
+    * Scale shape: the corpus is exploded and shuffled exactly ONCE — the
+    * (doc, class, tok) bag-of-words aggregate — and every model statistic
+    * (per-class token counts, class totals, vocabulary, V) derives from
+    * that bow, which is ≤ token volume and usually ≪ it. The learned
+    * model is the (V×C) log-likelihood grid with a vocab×classes fill-in
+    * for the smoothed zero counts. Scoring is bow ⋈ grid on tok (plain
+    * shuffle join; the grid is model-sized, ≪ corpus), one (doc,class)
+    * sum, and a per-doc argmax window keyed by doc_id. Token-free
+    * documents still classify (prior-only score) via the docs×C left
+    * join. No driver-side state at any V. */
   def nbClassify(docs: DataFrame, labelCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Dedup.spreadForCompute(docs)
@@ -1012,9 +1015,12 @@ object TextAnalysis {
     val prior = classes.crossJoin(broadcast(nDocs)) // one-row scalar join
       .select(col("cls"),
         log(col("n_docs").cast("double") / col("n_total")).as("logprior"))
-    val tokCls = toks.groupBy("tok", "cls").agg(count(lit(1)).as("n_tc"))
-    val clsTotals = toks.groupBy("cls").agg(count(lit(1)).as("n_c"))
-    val vocab = toks.select("tok").distinct()
+    // the ONE corpus-wide explode+shuffle; all model stats derive from it
+    val bow = toks.groupBy("doc_id", "cls", "tok")
+      .agg(count(lit(1)).as("n_td"))
+    val tokCls = bow.groupBy("tok", "cls").agg(sum(col("n_td")).as("n_tc"))
+    val clsTotals = tokCls.groupBy("cls").agg(sum(col("n_tc")).as("n_c"))
+    val vocab = tokCls.select("tok").distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val grid = vocab.crossJoin(broadcast(classes.select("cls")))
       .join(tokCls, Seq("tok", "cls"), "left")
@@ -1023,8 +1029,7 @@ object TextAnalysis {
       .select(col("tok"), col("cls"),
         log((coalesce(col("n_tc"), lit(0L)) + 1).cast("double") /
           (col("n_c") + col("v")).cast("double")).as("logp"))
-    val bow = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n_td"))
-    val ll = bow.join(grid, Seq("tok"))
+    val ll = bow.select("doc_id", "tok", "n_td").join(grid, Seq("tok"))
       .groupBy("doc_id", "cls").agg(sum(col("n_td") * col("logp")).as("ll"))
     val scored = docs.select("doc_id").crossJoin(broadcast(prior))
       .join(ll, Seq("doc_id", "cls"), "left")
