@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -345,6 +345,11 @@ object ExtQueries {
   /** Naive Bayes source classifier, trained and scored on the corpus. */
   def nbClassifyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.nbClassify(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Per-column profile of the documents table (exact distincts). */
+  def profileQ(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")
 
   /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
   def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
@@ -845,6 +850,7 @@ object ExtQueries {
     "ext_stream_sessions" -> streamSessionsQ _,
     "ext_stream_interval_join" -> streamIntervalJoinQ _,
     "ext_nb_classify" -> nbClassifyQ _,
+    "ext_profile" -> profileQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
     "ext_bm25_from_index" -> bm25FromIndexQ _,
@@ -1209,6 +1215,26 @@ object ExtQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
         |ORDER BY v.view_id, p.purchase_id""".stripMargin,
+
+    // numeric ranges only (string collation ordering is engine-specific)
+    "ext_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_null, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  ROUND(MIN(CAST(doc_id AS DOUBLE)), 4) AS min_num,
+        |  ROUND(MAX(CAST(doc_id AS DOUBLE)), 4) AS max_num FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  ROUND(MIN(CAST(n_chars AS DOUBLE)), 4), ROUND(MAX(CAST(n_chars AS DOUBLE)), 4) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     "ext_nb_classify" ->
       """WITH toks AS (

@@ -658,6 +658,22 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 5) // every doc classifies
   }
 
+  test("profile reports rows/nulls/distincts/ranges per column") {
+    val d = Seq(
+      (1L, Some("a"), Some(2.5)), (2L, Some("a"), None),
+      (3L, None, Some(-1.0)), (4L, Some("b"), Some(2.5)))
+      .toDF("id", "s", "x")
+    val got = Profile.profile(d, Seq("id", "s", "x"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == ("id", 4L, 0L, 4L, Some(1.0), Some(4.0)))
+    assert(got("s") == ("s", 4L, 1L, 2L, None, None)) // strings: no range
+    assert(got("x") == ("x", 4L, 1L, 2L, Some(-1.0), Some(2.5)))
+    // approx path returns the same shape (values sketch-approximate)
+    val approx = Profile.profile(d, Seq("id"), exact = false).collect()
+    assert(approx.length == 1 && approx.head.getLong(1) == 4L)
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
