@@ -84,4 +84,21 @@ class EdgeCasesSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("value"), 64, Seq(0.5)).count() == 0)
     assert(Dedup.keepNearDupCanonical(noDocs, noPairs).count() == 0)
   }
+
+  test("round-6 operators handle empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextAnalysis.nbClassify(noDocs).count() == 0)
+    // single class: every doc classifies to it, prior ln(1) = 0 rides along
+    val one = TextAnalysis.nbClassify(
+      Seq((1L, "x y", "only"), (2L, "", "only")).toDF("doc_id", "text", "source"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(one == Map(1L -> "only", 2L -> "only"))
+    // profile of an empty frame: no rows reach the aggregate → empty report
+    assert(Profile.profile(noDocs, Seq("doc_id", "text")).count() == 0)
+    // all-null column: n_null = n, zero distincts, NULL range
+    val allNull = Seq((1L, None: Option[String]), (2L, None)).toDF("id", "s")
+    val p = Profile.profile(allNull, Seq("s"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(p == ("s", 2L, 2L, 0L, None, None))
+  }
 }
