@@ -261,6 +261,25 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // round-6 ops: NB classifier (one corpus explode + model-sized grid
+    // join — should track token volume; the prefixed replicas grow the
+    // V×C grid m× too, the huge-vocab regime) and dataset profiling
+    // (in-row melt + one column-keyed aggregation — tracks melted rows;
+    // exact text distincts make it string-heavy by design)
+    println("mult |     docs | nb_classify | profile")
+    sweep("r6") { m =>
+      val docs = replicated(m)
+        .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      def mat6(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val (tNb, _) = time(mat6(ext.TextAnalysis.nbClassify(docs)))
+      val (tPr, _) = time(mat6(ext.Profile.profile(docs,
+        Seq("doc_id", "text", "source"))))
+      println(f"$m%4d | ${docs.count()}%8d | $tNb%11.2f | $tPr%7.2f")
+      docs.unpersist(blocking = true)
+    }
+
     // sharded LDA: vocab AND corpus grow m× together (prefixed replicas),
     // shard count grows with V — the huge-V regime where the model never
     // broadcasts whole (SURVEY §7.4 risk 2). The infer leg drives
