@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
 
 /** Dataset profiling — the per-column statistics pass (row/null/distinct
   * counts, numeric ranges) that fronts every large-scale ingest: schema
@@ -19,16 +19,18 @@ import org.apache.spark.sql.types.NumericType
   * Exact distinct counts are the oracle-checkable default; at petabyte
   * scale swap `exact = false` for `approx_count_distinct` (same single
   * shuffle, HLL-sketch state instead of value sets — the standard
-  * trade). Numeric min/max are reported ROUND(·,4) as doubles; non-
-  * numeric columns report NULL ranges (string collation ordering is
-  * engine-specific, so cross-engine contracts stay on the numeric
-  * columns). */
+  * trade). Numeric min/max are reported ROUND(·,4) as doubles;
+  * timestamps profile their range as epoch microseconds (exact integers
+  * < 2^53, so the double carries them losslessly); non-numeric columns
+  * report NULL ranges (string collation ordering is engine-specific, so
+  * cross-engine contracts stay on the numeric columns). */
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     def numOrNull(c: String): Column = df.schema(c).dataType match {
       case _: NumericType => col(c).cast("double")
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
       case _ => lit(null).cast("double")
     }
     val melted = df.select(explode(array(cols.map(c =>

@@ -351,6 +351,11 @@ object ExtQueries {
     Profile.profile(Tables.documents(s, d),
       Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")
 
+  /** Events-table profile: timestamp range as epoch µs. */
+  def profileEventsQ(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.events(s, d),
+      Seq("event_id", "ts", "user_id", "event_type", "value")).orderBy("col_name")
+
   /** Per-doc lexical diversity: token count, TTR, unigram entropy. */
   def tokenEntropyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.documents(s, d)).orderBy("doc_id")
@@ -851,6 +856,7 @@ object ExtQueries {
     "ext_stream_interval_join" -> streamIntervalJoinQ _,
     "ext_nb_classify" -> nbClassifyQ _,
     "ext_profile" -> profileQ _,
+    "ext_profile_events" -> profileEventsQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
     "ext_bm25_from_index" -> bm25FromIndexQ _,
@@ -1234,6 +1240,26 @@ object ExtQueries {
         |UNION ALL
         |SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+        |ORDER BY col_name""".stripMargin,
+
+    "ext_profile_events" ->
+      """SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(event_id) AS n_null, COUNT(DISTINCT event_id) AS n_distinct,
+        |  ROUND(MIN(CAST(event_id AS DOUBLE)), 4) AS min_num,
+        |  ROUND(MAX(CAST(event_id AS DOUBLE)), 4) AS max_num FROM events
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+        |  ROUND(CAST(epoch_us(MIN(ts)) AS DOUBLE), 4),
+        |  ROUND(CAST(epoch_us(MAX(ts)) AS DOUBLE), 4) FROM events
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+        |  ROUND(MIN(CAST(user_id AS DOUBLE)), 4), ROUND(MAX(CAST(user_id AS DOUBLE)), 4) FROM events
+        |UNION ALL
+        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+        |  ROUND(MIN(CAST(value AS DOUBLE)), 4), ROUND(MAX(CAST(value AS DOUBLE)), 4) FROM events
         |ORDER BY col_name""".stripMargin,
 
     "ext_nb_classify" ->

@@ -672,6 +672,14 @@ class ExtSpec extends SparkSpec {
     // approx path returns the same shape (values sketch-approximate)
     val approx = Profile.profile(d, Seq("id"), exact = false).collect()
     assert(approx.length == 1 && approx.head.getLong(1) == 4L)
+    // timestamps profile their range as exact epoch microseconds
+    val t = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(100))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(200))))
+      .toDF("id", "ts")
+    val pt = Profile.profile(t, Seq("ts"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(pt == ("ts", 2L, 0L, 2L, Some(1e8), Some(2e8)))
   }
 
   private object Tables {
