@@ -399,6 +399,34 @@ object Dedup {
         coalesce(col("near_dup"), lit(0)).as("near_dup"))
   }
 
+  /** Arrival-order (first-wins) near-dup marking: a document is a
+    * duplicate iff ANY of its LSH band buckets already holds an earlier
+    * document (smaller doc_id = earlier arrival) — the online crawl-dedup
+    * policy, where the first crawl of a page wins and every later
+    * near-copy is dropped on sight.
+    *
+    * Scale shape vs the pairwise path: ONE (band,key) shuffle, no pair
+    * materialization, no union-find — a bucket holding B near-identical
+    * docs costs O(B), not O(B²), so the giant boilerplate cluster every
+    * crawl contains cannot blow up the plan the way candidate-pair
+    * generation can. The trade: no similarity estimate and a
+    * transitive-chain keep/drop (exactly what the online policy does).
+    *
+    * Returns every input doc: (doc_id, dup ∈ {0,1}, dup_of = earliest
+    * doc sharing a bucket, NULL when kept). Shingle-free docs (< shingleLen
+    * tokens) have no buckets and are always kept. */
+  def firstWinsNearDup(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    val b = minhashBands(docs, numHashes, bands, shingleLen)
+    val owners = b.groupBy("band", "key").agg(min(col("doc_id")).as("owner"))
+    val marked = b.join(owners, Seq("band", "key"))
+      .groupBy("doc_id").agg(min(col("owner")).as("dup_of0"))
+    docs.select("doc_id").join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of0") < col("doc_id"), 1).otherwise(0).as("dup"),
+        when(col("dup_of0") < col("doc_id"), col("dup_of0")).as("dup_of"))
+  }
+
   /** Content-defined chunking + cross-doc duplicate-chunk report — the
     * sub-document dedup that catches shared boilerplate at ARBITRARY
     * offsets (sentence/paragraph splits miss a shifted copy; a rolling

@@ -351,6 +351,10 @@ object ExtQueries {
     Profile.profile(Tables.documents(s, d),
       Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")
 
+  /** First-wins (arrival-order) near-dup marking over the corpus. */
+  def firstWinsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.firstWinsNearDup(Tables.documents(s, d)).orderBy("doc_id")
+
   /** Events-table profile: timestamp range as epoch µs. */
   def profileEventsQ(s: SparkSession, d: String): DataFrame =
     Profile.profile(Tables.events(s, d),
@@ -857,6 +861,7 @@ object ExtQueries {
     "ext_nb_classify" -> nbClassifyQ _,
     "ext_profile" -> profileQ _,
     "ext_profile_events" -> profileEventsQ _,
+    "ext_neardup_first_wins" -> firstWinsQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
     "ext_bm25_from_index" -> bm25FromIndexQ _,
@@ -1408,6 +1413,20 @@ object ExtQueries {
          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // first-wins bucket dedup: dup iff an earlier doc shares a band bucket
+    // (min-owner per bucket, min-owner per doc — no pair materialization)
+    "ext_neardup_first_wins" ->
+      s"""WITH $minhashBandsCtes,
+         |own AS (SELECT band, key, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2),
+         |mk AS (SELECT b.doc_id, MIN(o.owner) AS dup_of0
+         |       FROM bands b JOIN own o ON b.band = o.band AND b.key = o.key
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN mk.dup_of0 < d.doc_id THEN 1 ELSE 0 END AS dup,
+         |  CASE WHEN mk.dup_of0 < d.doc_id THEN mk.dup_of0 END AS dup_of
+         |FROM documents d LEFT JOIN mk ON mk.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // connected components over the same candidate pairs: every doc in the
     // pair graph labeled with the smallest reachable doc_id

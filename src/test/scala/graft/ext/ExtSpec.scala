@@ -658,6 +658,29 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 5) // every doc classifies
   }
 
+  test("firstWinsNearDup keeps the earliest doc per bucket family") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),  // exact copy of 1 → dup_of 1
+      (3L, "completely different words entirely here"),
+      (5L, "the quick brown fox jumps"),  // another copy → dup_of 1
+      (9L, "tiny"))                       // < shingleLen tokens → no buckets, kept
+      .toDF("doc_id", "text")
+    val got = Dedup.firstWinsNearDup(d)
+      .as[(Long, Int, Option[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0, None)))     // first arrival wins
+    assert(got(2L) == ((1, Some(1L))))
+    assert(got(5L) == ((1, Some(1L))))
+    assert(got(3L) == ((0, None)))
+    assert(got(9L) == ((0, None)))
+    // consistency with the pairwise path: any doc flagged dup must appear
+    // as the right side of some candidate pair (and vice versa)
+    val dupIds = got.filter(_._2._1 == 1).keySet
+    val pairRights = Dedup.minhashCandidates(d)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(dupIds == pairRights)
+  }
+
   test("profile reports rows/nulls/distincts/ranges per column") {
     val d = Seq(
       (1L, Some("a"), Some(2.5)), (2L, Some("a"), None),
