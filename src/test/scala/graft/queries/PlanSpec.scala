@@ -288,6 +288,15 @@ class PlanSpec extends SparkSpec {
     assert(winLine.contains("doc_id"), winLine + "\n" + p.take(3000))
   }
 
+  test("first-wins dedup: bucket-keyed equi-joins only, no pair blow-up operator") {
+    val p = plan("ext_neardup_first_wins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the signature build + (band,key) aggregates are hash-keyed; the doc
+    // self-join of the pairwise path never appears
+    assert(p.contains("hashpartitioning"), p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
