@@ -981,6 +981,62 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate"))
   }
 
+  /** Tokenizer-design coverage curve: for each threshold t, the SMALLEST
+    * vocabulary size whose top-k-by-frequency tokens cover ≥ t of all
+    * token occurrences, plus the coverage actually achieved — the
+    * standard "how big must the vocab be" analysis run before fixing a
+    * tokenizer.
+    *
+    * Scale shape: a naive top-k scan needs a global rank over V tokens
+    * (single-partition window — the anti-pattern). Instead the token
+    * counts are collapsed to their COUNT HISTOGRAM — (count value c,
+    * tokens with that count f) — whose row count is bounded by the
+    * number of distinct count values (≈ O(√N) under Zipf, thousands at
+    * any corpus size), and the cumulative window runs over that tiny
+    * frame. Within a count-group tokens are interchangeable, so the
+    * minimal vocab reaching a target is exact integer arithmetic:
+    * whole groups while they fit, then ⌈remaining/c⌉ tokens of the
+    * first group that crosses the target. All-integer up to the final
+    * reported fraction → cross-engine hash-exact.
+    *
+    * Thresholds are exact rationals (num, den); targets use integer
+    * ceil((total·num)/den), so no floating-point threshold ever decides
+    * a boundary. Output: (pct, vocab_size, coverage ROUND 4). */
+  def vocabCoverage(docs: DataFrame,
+      thresholds: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (19, 20), (99, 100))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = Dedup.spreadForCompute(docs)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy("c").agg(count(lit(1)).as("f"))
+    // cumulative over the histogram, densest count first — tiny frame,
+    // see scaladoc for the boundedness argument
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_mass", sum(col("c") * col("f")).over(w))
+      .withColumn("cum_toks", sum(col("f")).over(w))
+      .withColumn("prev_mass", col("cum_mass") - col("c") * col("f"))
+      .withColumn("prev_toks", col("cum_toks") - col("f"))
+    val tot = counts.agg(sum(col("c")).as("total"))
+    val th = thresholds.toDF("num", "den")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(th)) // scalar + T-row
+      .withColumn("target",
+        expr("(total * num + den - 1) DIV den")) // integer ceil
+      .where(col("cum_mass") >= col("target")) // groups at/after the crossing
+      .groupBy("num", "den") // first crossing group = smallest cum_mass
+      .agg(min(struct(col("cum_mass"), col("c"), col("prev_mass"),
+        col("prev_toks"), col("target"), col("total"))).as("g"))
+      .select(round(col("num").cast("double") / col("den"), 4).as("pct"),
+        (col("g.prev_toks") +
+          expr("(g.target - g.prev_mass + g.c - 1) DIV g.c")).as("vocab_size"),
+        round((col("g.prev_mass") +
+          expr("(g.target - g.prev_mass + g.c - 1) DIV g.c") * col("g.c"))
+          .cast("double") / col("g.total"), 4).as("coverage"))
+  }
+
   /** Multinomial Naive Bayes document classifier with add-one smoothing:
     * train on the corpus's own `labelCol` and score every document back —
     * the linear bag-of-words classifier shape of fastText-style

@@ -351,6 +351,10 @@ object ExtQueries {
     Profile.profile(Tables.documents(s, d),
       Seq("doc_id", "text", "lang", "source", "n_chars")).orderBy("col_name")
 
+  /** Vocabulary coverage curve at 50/90/95/99% of token mass. */
+  def vocabCoverageQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, d)).orderBy("pct")
+
   /** First-wins (arrival-order) near-dup marking over the corpus. */
   def firstWinsQ(s: SparkSession, d: String): DataFrame =
     Dedup.firstWinsNearDup(Tables.documents(s, d)).orderBy("doc_id")
@@ -862,6 +866,7 @@ object ExtQueries {
     "ext_profile" -> profileQ _,
     "ext_profile_events" -> profileEventsQ _,
     "ext_neardup_first_wins" -> firstWinsQ _,
+    "ext_vocab_coverage" -> vocabCoverageQ _,
     "ext_rrf_fusion" -> rrfFusionQ _,
     "ext_inverted_index" -> invertedIndexQ _,
     "ext_bm25_from_index" -> bm25FromIndexQ _,
@@ -1413,6 +1418,32 @@ object ExtQueries {
          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // coverage curve via the count histogram (tokens of equal count are
+    // interchangeable, so the minimal vocab is exact integer arithmetic)
+    "ext_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+        |hist AS (SELECT c, COUNT(*) AS f FROM cnt GROUP BY 1),
+        |cum AS (SELECT c, f,
+        |  CAST(SUM(c * f) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+        |  CAST(SUM(f) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        |  FROM hist),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+        |th AS (SELECT * FROM (VALUES (1, 2), (9, 10), (19, 20), (99, 100)) AS t(num, den)),
+        |x AS (SELECT th.num, th.den, cum.c, cum.cum_mass,
+        |        cum.cum_mass - cum.c * cum.f AS prev_mass,
+        |        cum.cum_toks - cum.f AS prev_toks,
+        |        (tot.total * th.num + th.den - 1) // th.den AS target, tot.total
+        |      FROM cum CROSS JOIN tot CROSS JOIN th),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY num, den ORDER BY cum_mass) AS rn
+        |      FROM x WHERE cum_mass >= target)
+        |SELECT ROUND(CAST(num AS DOUBLE) / den, 4) AS pct,
+        |  CAST(prev_toks + (target - prev_mass + c - 1) // c AS BIGINT) AS vocab_size,
+        |  ROUND(CAST(prev_mass + ((target - prev_mass + c - 1) // c) * c AS DOUBLE) / total, 4) AS coverage
+        |FROM r WHERE rn = 1 ORDER BY pct""".stripMargin,
 
     // first-wins bucket dedup: dup iff an earlier doc shares a band bucket
     // (min-owner per bucket, min-owner per doc — no pair materialization)

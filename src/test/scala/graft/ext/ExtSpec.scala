@@ -658,6 +658,17 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 5) // every doc classifies
   }
 
+  test("vocabCoverage matches hand-computed minimal vocab sizes") {
+    // counts: a=4, b=2, c=1, d=1; total mass 8
+    val d = Seq((1L, "a a a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d)
+      .as[(Double, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0.5) == ((1L, 0.5)))    // target 4: {a} covers exactly 4/8
+    assert(got(0.9) == ((4L, 1.0)))    // target ceil(7.2)=8: all 4 tokens
+    assert(got(0.95) == ((4L, 1.0)))
+    assert(got(0.99) == ((4L, 1.0)))
+  }
+
   test("firstWinsNearDup keeps the earliest doc per bucket family") {
     val d = Seq(
       (1L, "the quick brown fox jumps"),
