@@ -297,6 +297,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), p.take(3000))
   }
 
+  test("vocab coverage: scalar/threshold joins broadcast; no global token rank") {
+    val p = plan("ext_vocab_coverage")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the total and the 4-row threshold table ride broadcast joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    // the only Window is the histogram cumulation — count the occurrences:
+    // a global rank over V tokens would add a second unpartitioned window
+    assert("Window".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
