@@ -274,6 +274,63 @@ object Dedup {
         round(ov / (col("na") + col("nb") - ov), 4).as("jac"))
   }
 
+  /** Exact threshold CONTAINMENT self-join: every ordered pair (a, b),
+    * a ≠ b, with C(a→b) = |A∩B| / |A| ≥ t over distinct-shingle sets —
+    * "document a is substantially included in document b". Unlike Jaccard
+    * this is ASYMMETRIC: a short quote/boilerplate block nested inside a
+    * long page scores high even though their Jaccard is tiny, which is
+    * exactly the crawl-dedup case (syndicated snippets, quoted posts,
+    * templated wrappers) that a symmetric threshold join misses.
+    *
+    * Prefix filtering is one-sided, because only the contained side has a
+    * prefix bound: with sets ordered rarest-global-frequency-first, any
+    * pair with |A∩B| ≥ ⌈t·|A|⌉ must collide inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens, but NO symmetric bound exists for the
+    * container (B may share only its rarest tail with A). So the
+    * candidate join probes A-prefix tokens against ALL of B's tokens —
+    * asymmetric fan-out, pruned by the size filter |B| ≥ t·|A| (overlap
+    * cannot exceed |B|) applied where pairs are born. Thresholds carry
+    * −1e-9 slack so a float boundary can only ADMIT a candidate; the
+    * exact integer verification below decides membership (for the
+    * default t = 0.8: 5·ov ≥ 4·na, the oracle's form — the slack gap
+    * (t·na − 1e-9, t·na) contains no integer for na < ~1e7, far above
+    * any per-doc shingle-set size).
+    *
+    * Scale shape: same skeleton as [[setSimilarityJoin]] — one broadcast
+    * V-row frequency table folded in-row, then the prefix⋈all token join,
+    * pair dedup, and two hash joins back to the sorted-set table. The
+    * all-tokens probe side is the price of asymmetry; at 100 TB this runs
+    * AFTER banding bounds the candidate universe, like the other exact
+    * verifiers in this file. */
+  def containmentJoin(docs: DataFrame, t: Double = 0.8, shingleLen: Int = 3): DataFrame = {
+    require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
+    val dt = spreadForCompute(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("tok"))
+    val freq = dt.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ordered = dt.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+      .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
+      .localCheckpoint()
+    val prefixA = ordered.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      explode(slice(col("ts"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))
+    val allB = ordered.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      explode(col("ts")).as("tok"))
+    val cand = prefixA.join(allB, "tok")
+      .where(col("doc_a") =!= col("doc_b"))
+      .where(col("nb") >= col("na") * lit(t) - lit(1e-9))
+      .select("doc_a", "doc_b").distinct()
+    val ov = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
+      .where(ov >= col("na") * lit(t) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"),
+        round(ov / col("na"), 4).as("containment"))
+  }
+
   /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
     * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
     * votes ±1 per bit; bit j of the result is set iff the vote sum is

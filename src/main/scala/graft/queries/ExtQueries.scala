@@ -709,6 +709,11 @@ object ExtQueries {
     Dedup.setSimilarityJoin(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
 
+  /** Asymmetric containment pairs (doc_a ⊆~0.8 doc_b). */
+  def containmentJoinQ(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -840,6 +845,7 @@ object ExtQueries {
     "ext_winnow" -> winnow _,
     "ext_winnow_pairs" -> winnowPairsQ _,
     "ext_setsim_join" -> setsimJoinQ _,
+    "ext_containment_join" -> containmentJoinQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
@@ -2249,6 +2255,24 @@ object ExtQueries {
          |      FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b)
          |SELECT doc_a, doc_b, ROUND(ov / (na + nb - ov), 4) AS jac
          |FROM j WHERE 3 * ov >= na + nb
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ground truth WITHOUT the one-sided prefix filter: every ordered
+    // pair sharing any shingle, exact-verified — completeness check for
+    // the Spark side's asymmetric prefix+size-filtered algorithm
+    // (5*ov >= 4*na is containment >= 0.8 in exact integer arithmetic)
+    "ext_containment_join" ->
+      s"""WITH $toksCte, $sh3Cte,
+         |dt AS (SELECT doc_id, unnest(list_distinct(sh)) AS tok FROM sh),
+         |d AS (SELECT doc_id, list(tok) AS s, COUNT(*) AS n
+         |      FROM dt GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM dt l JOIN dt r ON l.tok = r.tok AND l.doc_id <> r.doc_id),
+         |j AS (SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS ov,
+         |             a.n AS na
+         |      FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, ROUND(ov * 1.0 / na, 4) AS containment
+         |FROM j WHERE 5 * ov >= 4 * na
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes

@@ -42,6 +42,22 @@ class ExtSpec extends SparkSpec {
     assert(got.head._3 == 0.5)
   }
 
+  test("containmentJoin is asymmetric, catches nesting, includes the 0.8 boundary") {
+    // shingle sets: S1={abc,bcd,cde,def,efg} (n=5); doc2 embeds doc1's
+    // text inside a longer page (S2 ⊇ S1, n=11); S3 shares only {abc}
+    // with doc1 (0.2, excluded); S4={abc,bcd,cde,def,efq} overlaps S1,
+    // S2, and itself-to-S1 by exactly 4/5 = 0.8 — the INCLUSIVE boundary
+    val d = docs(
+      (1L, "a b c d e f g"),
+      (2L, "x y z a b c d e f g h i j"),
+      (3L, "a b c q r s t"),
+      (4L, "a b c d e f q"))
+    val got = Dedup.containmentJoin(d, t = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got == Seq((1L, 2L, 1.0), (1L, 4L, 0.8), (4L, 1L, 0.8), (4L, 2L, 0.8)),
+      got.toString)
+  }
+
   test("simhash of identical docs is identical; near-dup docs are hamming-close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
