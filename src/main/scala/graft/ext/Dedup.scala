@@ -331,6 +331,35 @@ object Dedup {
         round(ov / col("na"), 4).as("containment"))
   }
 
+  /** Corpus-governance overlap matrix: exact shingle-set Jaccard between
+    * every pair of SOURCES (src_a < src_b, zero-overlap pairs absent) —
+    * "which of my data sources are re-crawls / mirrors of each other",
+    * the corpus-level question the per-document joins in this file don't
+    * answer. Shape: distinct (source, shingle) — one aggregation whose
+    * key count is bounded by S·V, not corpus size — then a shared-shingle
+    * self-join whose fan-out is #sources-sharing-the-gram per gram (S²
+    * worst case per gram, with S = #sources, typically tens). At 100 TB
+    * the same matrix comes from per-source k-min-value signatures
+    * (bounded state per source, no shingle self-join); the exact form
+    * here is the oracle-checkable ground truth that estimator would be
+    * validated against. */
+  def sourceOverlap(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
+    val ds = spreadForCompute(docs)
+      .select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("sh"))
+      .distinct()
+    val sz = ds.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ds.select(col("sh"), col("source").as("src_a"))
+      .join(ds.select(col("sh"), col("source").as("src_b")), "sh")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 4).as("jac"))
+  }
+
   /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
     * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
     * votes ±1 per bit; bit j of the result is set iff the vote sum is

@@ -325,6 +325,37 @@ object TextAnalysis {
       length(squeezed).as("n_clean_chars"))
   }
 
+  /** CCNet-style canonical form for dedup hashing: lowercase, every digit
+    * → '0', ASCII punctuation stripped (the four ASCII ranges !-/, :-@,
+    * [-`, {-~ — explicit ranges, not \p{Punct}, so non-ASCII letters are
+    * untouched and DuckDB's RE2 replays the identical class), whitespace
+    * collapsed, trimmed. This is the canonicalization MinHash/exact dedup
+    * hash over in CCNet-lineage pipelines: "Page 2" and "page 7" collide,
+    * formatting noise doesn't split dup groups. Pure projection — no
+    * shuffle, codegen'd regexes. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[0-9]", "0"), "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
+
+  /** docs(doc_id, text) → (doc_id, norm, n_norm_chars): the canonical
+    * form as data, for auditing what the dedup key actually hashes. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val n = canonicalText(col("text"))
+    docs.select(col("doc_id"), n.as("norm"), length(n).as("n_norm_chars"))
+  }
+
+  /** Exact dedup over the CANONICAL form: first-wins survivors of
+    * grouping by md5([[canonicalText]]) — one row per surviving doc
+    * (min id in its group) with the group size it absorbed. Same
+    * single-shuffle shape as the raw-text exact dedup; the normalization
+    * widens each group to case/digit/punctuation variants that raw
+    * hashing treats as distinct. */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    Dedup.spreadForCompute(docs)
+      .groupBy(md5(canonicalText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+
   /** Sentence-level exact dedup report: split docs into sentences on
     * `". "`, hash each, and report sentences occurring more than once
     * across the corpus (boilerplate detection below document granularity —

@@ -714,6 +714,18 @@ object ExtQueries {
     Dedup.containmentJoin(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
 
+  /** CCNet canonical text form (the dedup-hash input, as data). */
+  def normalizeTextQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.normalizeText(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** First-wins survivors of exact dedup over the canonical form. */
+  def dedupNormalizedQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dedupNormalized(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Source×source exact shingle-Jaccard overlap matrix. */
+  def sourceOverlapQ(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -846,6 +858,9 @@ object ExtQueries {
     "ext_winnow_pairs" -> winnowPairsQ _,
     "ext_setsim_join" -> setsimJoinQ _,
     "ext_containment_join" -> containmentJoinQ _,
+    "ext_normalize_text" -> normalizeTextQ _,
+    "ext_dedup_normalized" -> dedupNormalizedQ _,
+    "ext_source_overlap" -> sourceOverlapQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
@@ -2274,6 +2289,41 @@ object ExtQueries {
          |SELECT doc_a, doc_b, ROUND(ov * 1.0 / na, 4) AS containment
          |FROM j WHERE 5 * ov >= 4 * na
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the identical normalization chain replayed with RE2's 'g' flag;
+    // explicit ASCII punctuation ranges (never \p{Punct}) keep the class
+    // byte-identical across Java regex and RE2
+    "ext_normalize_text" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  regexp_replace(lower(text), '[0-9]', '0', 'g'),
+        |  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, LENGTH(norm) AS n_norm_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  regexp_replace(lower(text), '[0-9]', '0', 'g'),
+        |  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |FROM n GROUP BY md5(norm) ORDER BY doc_id""".stripMargin,
+
+    // zero-overlap source pairs absent on both sides (inner shingle join)
+    "ext_source_overlap" ->
+      """WITH t AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |s AS (SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |ds AS (SELECT DISTINCT source, sh FROM s),
+        |sz AS (SELECT source, COUNT(*) AS n FROM ds GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+        |      FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+        |FROM i JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
     "ext_edit_distance" ->

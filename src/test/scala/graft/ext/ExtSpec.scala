@@ -58,6 +58,37 @@ class ExtSpec extends SparkSpec {
       got.toString)
   }
 
+  test("canonicalText lowers, zeroes digits, strips ASCII punct, squeezes space") {
+    val d = docs((1L, "Ab C1 - d!  [e]  F2g & ~h"))
+    val got = TextAnalysis.normalizeText(d).as[(Long, String, Int)].collect().head
+    assert(got == ((1L, "ab c0 d e f0g h", 15)), got.toString)
+  }
+
+  test("dedupNormalized collapses case/digit/punct variants; raw md5 would not") {
+    val d = docs(
+      (1L, "Page 3: the quick brown fox"),
+      (2L, "page 7 the quick brown fox!"),
+      (3L, "a completely different document"))
+    val got = TextAnalysis.dedupNormalized(d)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L), (3L, 1L)), got.toString)
+  }
+
+  test("sourceOverlap computes exact pairwise shingle Jaccard between sources") {
+    import org.apache.spark.sql.functions.lit
+    // srcA/srcB share their only doc text (Jaccard 1.0); srcC disjoint
+    // (pair absent); srcD half-overlaps srcA: sets {abc,bcd,cde} vs
+    // {abc,bcd,cdq} → 2/4 = 0.5
+    val d = Seq(
+      (1L, "a b c d e", "sA"), (2L, "a b c d e", "sB"),
+      (3L, "x y z w v", "sC"), (4L, "a b c d q", "sD"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d)
+      .as[(String, String, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got == Seq(("sA", "sB", 1.0), ("sA", "sD", 0.5), ("sB", "sD", 0.5)),
+      got.toString)
+  }
+
   test("simhash of identical docs is identical; near-dup docs are hamming-close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
