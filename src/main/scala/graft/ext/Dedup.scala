@@ -360,6 +360,44 @@ object Dedup {
         round(col("i") / (col("na") + col("nb") - col("i")), 4).as("jac"))
   }
 
+  /** The 100 TB path for [[sourceOverlap]]: k-min-value (KMV) sketch
+    * estimate of the same matrix. Per source keep only the k smallest
+    * md5(shingle) values — bounded state S·k regardless of corpus size —
+    * then estimate J(A,B) = |X ∩ A ∩ B| / |X| where X is the k smallest
+    * of A ∪ B (the classic KMV Jaccard estimator; std err ≈ √(J(1−J)/k),
+    * ~0.03 at k=256). Fully deterministic (md5 order, no RNG), so the
+    * DuckDB oracle replays it EXACTLY rather than bounding it; the
+    * agreement-with-exact bound is ExtSpec's job.
+    *
+    * The per-source k-min here is a rank window (sort-within-source);
+    * the streaming form is a bounded-heap TypedImperativeAggregate — same
+    * result, same single shuffle, O(k) state per source. Pair scoring is
+    * a broadcast self-join over the S-row signature table: in-row array
+    * arithmetic, no gram-level join at all (the whole point vs the exact
+    * form's shared-shingle join). */
+  def sourceOverlapKMV(docs: DataFrame, k: Int = 256, shingleLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = spreadForCompute(docs)
+      .select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("sh"))
+      .distinct()
+    val sig = ds.select(col("source"), md5(col("sh")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .where(col("rk") <= k)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sig"))
+    val a = sig.select(col("source").as("src_a"), col("sig").as("sa"))
+    val b = sig.select(col("source").as("src_b"), col("sig").as("sb"))
+    val unionK = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val both = array_intersect(col("sa"), col("sb"))
+    a.crossJoin(broadcast(b)).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(size(array_intersect(unionK, both)) /
+          least(lit(k), size(array_union(col("sa"), col("sb")))).cast("double"),
+          4).as("jac_est"))
+      .where(col("jac_est") > 0)
+  }
+
   /** 60-bit SimHash from md5 nibble arithmetic (BIGINT-safe in Spark and
     * DuckDB; 64-bit would overflow signed on bit 63). Each token occurrence
     * votes ±1 per bit; bit j of the result is set iff the vote sum is

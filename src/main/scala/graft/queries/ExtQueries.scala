@@ -726,6 +726,10 @@ object ExtQueries {
   def sourceOverlapQ(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlap(Tables.documents(s, d)).orderBy("src_a", "src_b")
 
+  /** KMV-sketch estimate of the source overlap matrix (the scale path). */
+  def sourceOverlapKmvQ(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlapKMV(Tables.documents(s, d)).orderBy("src_a", "src_b")
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -861,6 +865,7 @@ object ExtQueries {
     "ext_normalize_text" -> normalizeTextQ _,
     "ext_dedup_normalized" -> dedupNormalizedQ _,
     "ext_source_overlap" -> sourceOverlapQ _,
+    "ext_source_overlap_kmv" -> sourceOverlapKmvQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
@@ -2323,6 +2328,32 @@ object ExtQueries {
         |      GROUP BY 1, 2)
         |SELECT src_a, src_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
         |FROM i JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // deterministic sketch (md5 rank, no RNG), so the oracle replays the
+    // estimator EXACTLY: k smallest hashes per source, estimate =
+    // |X ∩ A ∩ B| / |X| with X = k smallest of A ∪ B
+    "ext_source_overlap_kmv" ->
+      """WITH t AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |           FROM documents),
+        |s AS (SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |      FROM t WHERE len(ts) >= 3),
+        |ds AS (SELECT DISTINCT source, md5(sh) AS h FROM s),
+        |rk AS (SELECT source, h,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        |       FROM ds),
+        |sig AS (SELECT source, list_sort(list(h)) AS sig
+        |        FROM rk WHERE r <= 256 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        list_sort(list_distinct(list_concat(a.sig, b.sig))) AS u,
+        |        list_intersect(a.sig, b.sig) AS ab
+        |      FROM sig a JOIN sig b ON a.source < b.source)
+        |SELECT src_a, src_b,
+        |  ROUND(len(list_intersect(u[1:256], ab)) * 1.0
+        |        / least(256, len(u)), 4) AS jac_est
+        |FROM p
+        |WHERE len(list_intersect(u[1:256], ab)) > 0
         |ORDER BY src_a, src_b""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes

@@ -89,6 +89,25 @@ class ExtSpec extends SparkSpec {
       got.toString)
   }
 
+  test("sourceOverlapKMV: exact below sketch capacity, close above it") {
+    // below capacity (|A ∪ B| ≤ k): X is the whole union, so the
+    // estimator degenerates to the exact Jaccard — equality, not a bound
+    val small = Seq((1L, "a b c d e f", "sA"), (2L, "a b c d q r", "sB"))
+      .toDF("doc_id", "text", "source")
+    val ex = Dedup.sourceOverlap(small).as[(String, String, Double)].collect().head
+    val km = Dedup.sourceOverlapKMV(small).as[(String, String, Double)].collect().head
+    assert(ex == km, s"$ex vs $km")
+    // above capacity: two 600-token sources sharing a 300-token block
+    // (~600 vs ~300 distinct shingles each side of the union); k=256
+    // std err ≈ √(J(1−J)/k) ≈ 0.03 — assert a loose 0.1 band
+    def txt(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    val big = Seq((1L, txt(0, 600), "sA"), (2L, txt(300, 900), "sB"))
+      .toDF("doc_id", "text", "source")
+    val exB = Dedup.sourceOverlap(big).as[(String, String, Double)].collect().head._3
+    val kmB = Dedup.sourceOverlapKMV(big).as[(String, String, Double)].collect().head._3
+    assert(math.abs(exB - kmB) < 0.1, s"exact $exB vs kmv $kmB")
+  }
+
   test("simhash of identical docs is identical; near-dup docs are hamming-close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val d = docs((1L, base), (2L, base), (3L, base.replace("zeta", "zetaX")),
