@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Dedup, Graph, Unigram, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -730,6 +730,26 @@ object ExtQueries {
   def sourceOverlapKmvQ(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlapKMV(Tables.documents(s, d)).orderBy("src_a", "src_b")
 
+  /** Unigram-LM (SentencePiece-family) trained piece table. Rows-only
+    * t2 entry (iterative EM probabilities have no tractable SQL twin);
+    * cross-run determinism + segmentation semantics live in UnigramSpec. */
+  def unigramVocabQ(s: SparkSession, d: String): DataFrame =
+    Unigram.train(Tables.documents(s, d), vocabSize = 256, iters = 3,
+        seedSize = 2048)
+      .select(col("piece"), round(col("logp"), 4).as("logp"))
+      .orderBy(col("logp").desc, col("piece"))
+
+  /** Corpus encoded under the unigram model: per-doc piece counts. */
+  def unigramEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = Unigram.train(docs, vocabSize = 256, iters = 3,
+      seedSize = 2048)
+    Unigram.encode(docs, vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces") / col("n_tokens"), 4).as("pieces_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -866,6 +886,8 @@ object ExtQueries {
     "ext_dedup_normalized" -> dedupNormalizedQ _,
     "ext_source_overlap" -> sourceOverlapQ _,
     "ext_source_overlap_kmv" -> sourceOverlapKmvQ _,
+    "ext_unigram_vocab" -> unigramVocabQ _,
+    "ext_unigram_encode" -> unigramEncodeQ _,
     "ext_edit_distance" -> editDistance _,
     "ext_partition_prune" -> partitionPrune _,
     "ext_shuffle_order" -> shuffleOrder _,
