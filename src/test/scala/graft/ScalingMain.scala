@@ -288,6 +288,22 @@ object ScalingMain {
     // counts == corpus tokens) — the model is never materialized whole
     // on either path.
     println("mult |   tokens |  vocab | shards | train 2it | inf_shards | infer 2it | conserved")
+    sweep("r6b") { m =>
+      val docs = replicated(m)
+        .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val (tCont, nCont) = time(mat(ext.Dedup.containmentJoin(docs)))
+      val (tSov, _) = time(mat(ext.Dedup.sourceOverlap(docs)))
+      val (tKmv, _) = time(mat(ext.Dedup.sourceOverlapKMV(docs)))
+      val (tNorm, _) = time(mat(ext.TextAnalysis.dedupNormalized(docs)))
+      val (tUni, _) = time(mat(ext.Unigram.train(docs, vocabSize = 256,
+        iters = 3, seedSize = 2048)))
+      println(f"$m%4d | ${docs.count()}%8d | $tCont%9.2f ($nCont%7d pairs) | $tSov%7.2f | $tKmv%7.2f | $tNorm%7.2f | $tUni%7.2f")
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

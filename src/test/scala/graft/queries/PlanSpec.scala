@@ -308,6 +308,33 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("containment join: equi-joins only; freq table broadcasts into the prefix") {
+    val p = plan("ext_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the global-frequency dictionary folds in via broadcast, like setsim
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("source overlap: exact form gram-equi-joins; KMV scores S-row pairs broadcast") {
+    val pe = plan("ext_source_overlap")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"),
+      pe.take(3000))
+    // KMV's pair scoring is the S×S signature cross — a deliberate
+    // broadcast nested loop over S rows, with NO gram-level join at all
+    val pk = plan("ext_source_overlap_kmv")
+    assert(pk.contains("BroadcastNestedLoopJoin"), pk.take(3000))
+    val kmvJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(pk).size
+    assert(kmvJoins == 0, s"gram-level shuffle join leaked in: ${pk.take(3000)}")
+  }
+
+  test("normalized dedup: one aggregation over a pure-map canonical form") {
+    val p = plan("ext_dedup_normalized")
+    assert(!p.contains("Join"), p.take(3000))
+    // partial+final hash agg around the single md5-keyed exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
