@@ -28,6 +28,41 @@ object Similarity {
   /** Cast float embeddings to double before arithmetic (FIXTURES §D.2). */
   def asDouble(e: Column): Column = e.cast("array<double>")
 
+  /** Sign-matrix random projection (Achlioptas 2003 / JL lemma): project
+    * d-dim embeddings to k dims with R[j][i] = ±1 drawn from the PARITY
+    * OF md5("rp:i:j") — no RNG object, so the projection matrix is a
+    * pure function of (i, j) that Spark, DuckDB, and any re-run derive
+    * identically: the oracle replays the whole reduction bit-for-bit.
+    * y_j = (Σ_i x_i·R[j][i]) / √k preserves pairwise distances within
+    * (1±ε) for k = O(log n / ε²) — the standard cheap pre-step before
+    * LSH/clustering when d is large.
+    *
+    * Plan shape: the k×d sign matrix folds in as a LITERAL array-of-
+    * arrays (kilobytes), each vector explodes to its k output rows, and
+    * the fold over d runs in-row — a pure map, ZERO exchanges before the
+    * caller's own ordering. Long-form output (vec_id, j, y) keeps array
+    * columns out of battery results. Summation order is ascending i on
+    * both engines (left fold / list order), so values agree exactly. */
+  def randomProjection(embeddings: DataFrame, k: Int = 16,
+      dim: Int = 64, salt: String = "rp"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$salt:$i:$j".getBytes("UTF-8"))
+      // first hex digit < '8' ⟺ top bit of byte 0 is clear — p = 1/2
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val signs = array((0 until k).map(j =>
+      array((0 until dim).map(i => lit(sign(i, j))): _*)): _*)
+    Dedup.spreadForCompute(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("sm", signs)
+      .select(col("vec_id"), col("e"), col("sm"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .select(col("vec_id"), col("j"),
+        round(dot(col("e"), element_at(col("sm"), col("j") + 1))
+          / math.sqrt(k.toDouble), 4).as("y"))
+  }
+
   /** (vec_id, e, n): embeddings as doubles with the norm precomputed ONCE
     * per vector — pair ops then do a single dot product instead of three.
     * cos = dot(a,b)/(na·nb) is the same IEEE expression as the oracle's

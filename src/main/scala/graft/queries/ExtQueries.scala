@@ -730,6 +730,11 @@ object ExtQueries {
   def sourceOverlapKmvQ(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlapKMV(Tables.documents(s, d)).orderBy("src_a", "src_b")
 
+  /** md5-sign random projection of the embeddings to 16 dims. */
+  def randomProjectionQ(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(s, d))
+      .orderBy("vec_id", "j")
+
   /** Unigram-LM (SentencePiece-family) trained piece table. Rows-only
     * t2 entry (iterative EM probabilities have no tractable SQL twin);
     * cross-run determinism + segmentation semantics live in UnigramSpec. */
@@ -886,6 +891,7 @@ object ExtQueries {
     "ext_dedup_normalized" -> dedupNormalizedQ _,
     "ext_source_overlap" -> sourceOverlapQ _,
     "ext_source_overlap_kmv" -> sourceOverlapKmvQ _,
+    "ext_random_projection" -> randomProjectionQ _,
     "ext_unigram_vocab" -> unigramVocabQ _,
     "ext_unigram_encode" -> unigramEncodeQ _,
     "ext_edit_distance" -> editDistance _,
@@ -2377,6 +2383,21 @@ object ExtQueries {
         |FROM p
         |WHERE len(list_intersect(u[1:256], ab)) > 0
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // the md5-parity sign matrix re-derived inline: first hex digit of
+    // md5('rp:i:j') < '8' means +1 — a pure function of (i, j), so both
+    // engines build the identical matrix and list_dot_product matches
+    // the Spark side's codegen'd fold order exactly
+    "ext_random_projection" ->
+      s"""WITH $embCte,
+         |g AS (SELECT j, list_transform(range(1, 65), i ->
+         |        CASE WHEN substr(md5('rp:' || (i - 1)::VARCHAR || ':' || j::VARCHAR), 1, 1) < '8'
+         |             THEN 1.0 ELSE -1.0 END) AS s
+         |      FROM range(0, 16) t(j))
+         |SELECT vec_id, j,
+         |  ROUND(list_dot_product(e, s) / sqrt(16.0), 4) + 0.0 AS y
+         |FROM e CROSS JOIN g
+         |ORDER BY vec_id, j""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
     "ext_edit_distance" ->

@@ -179,6 +179,31 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 $recall vs brute force") // probing 1/4 of lists
   }
 
+  test("randomProjection: deterministic, JL-preserves pairwise distances loosely") {
+    val e = graft.Tables.embeddings(spark, sf())
+    def proj() = Similarity.randomProjection(e, k = 16)
+      .as[(Long, Int, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val a = proj()
+    assert(a == proj()) // md5-derived matrix: byte-equal across runs
+    // JL check on a handful of vector pairs: projected squared distance
+    // within a loose (1 ± 0.75) band of the original (k=16 is small; the
+    // bound is coarse by design — this guards sign/scale bugs, where the
+    // ratio would be ~k, ~1/k, or unbounded, not tightness)
+    val orig = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val pr = a.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).toArray }
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val ids = orig.keys.toSeq.sorted.take(8)
+    val ratios = for (i <- ids; j <- ids if i < j)
+      yield d2(pr(i).toSeq, pr(j).toSeq) / d2(orig(i), orig(j))
+    // per-pair variance at k=16 is large (std ≈ √(2/k) ≈ 0.35), so the
+    // individual guard is wide; the MEDIAN over 28 pairs concentrates
+    ratios.foreach(r => assert(r > 0.15 && r < 4.0, s"distortion $r"))
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.6 && med < 1.6, s"median distortion $med")
+  }
+
   test("lshPairsTopK achieves high recall of the true top pairs (multi-table)") {
     val emb = Tables.embeddingsFixture(spark)
     val exact = Similarity.cosinePairsTopK(emb, 10).as[(Long, Long, Double)]
