@@ -122,6 +122,9 @@ object Unigram {
     val spark = docs.sparkSession
     val words = Bpe.wordFreq(docs).localCheckpoint(true)
     var vocab = seedVocab(words, seedSize, maxLen).localCheckpoint(true)
+    // empty corpus → empty model (SUM over zero rows is NULL, and there
+    // is nothing to segment) — same schema, no EM
+    if (vocab.isEmpty) return vocab.select(col("piece"), lit(0.0).as("logp"))
     var it = 0
     while (it < iters) {
       val total = vocab.agg(sum("n")).head().getLong(0).toDouble

@@ -101,4 +101,33 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double], Option[Double])].head()
     assert(p == ("s", 2L, 2L, 0L, None, None))
   }
+
+  test("session-2 operators handle empty and degenerate inputs") {
+    val noSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Dedup.containmentJoin(noDocs).count() == 0)
+    assert(Dedup.containmentJoin(oneDoc).count() == 0) // "solo" < 3 tokens: no shingles
+    assert(Dedup.sourceOverlap(noSrc).count() == 0)
+    assert(Dedup.sourceOverlapKMV(noSrc).count() == 0)
+    // one source: no pairs, not a crash
+    val single = Seq((1L, "a b c d e", "s0"), (2L, "a b c q r", "s0"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlap(single).count() == 0)
+    assert(Dedup.sourceOverlapKMV(single).count() == 0)
+    // canonical form of whitespace/punct-only text is empty, not a throw;
+    // the two degenerate docs COLLIDE into one normalized group
+    val junk = Seq((1L, "  !!!  "), (2L, "...")).toDF("doc_id", "text")
+    val norm = TextAnalysis.normalizeText(junk)
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(norm == Seq((1L, "", 0), (2L, "", 0)), norm.toString)
+    assert(TextAnalysis.dedupNormalized(junk)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    assert(TextAnalysis.dedupNormalized(noDocs).count() == 0)
+    // unigram: empty corpus trains nothing and encodes nothing
+    assert(Unigram.train(noDocs, vocabSize = 8, iters = 1, seedSize = 16).count() == 0)
+    val v = Unigram.train(oneDoc, vocabSize = 8, iters = 2, seedSize = 16)
+    assert(Unigram.encode(noDocs, v).count() == 0)
+    // empty-embedding frame projects to nothing
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.randomProjection(noVecs).count() == 0)
+  }
 }
