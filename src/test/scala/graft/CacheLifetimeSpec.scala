@@ -74,6 +74,21 @@ class CacheLifetimeSpec extends SparkSpec {
     eventuallyFlat(baseline)
   }
 
+  test("session-2 ops (containmentJoin, Unigram.train): registry flat across 5 calls") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} tail"))
+      .toDF("doc_id", "text")
+    def callAll(): Unit = {
+      graft.ext.Dedup.containmentJoin(docs).count()
+      graft.ext.Unigram.train(docs, vocabSize = 16, iters = 2, seedSize = 64).count()
+    }
+    callAll()
+    val baseline = drainedBaseline()
+    (1 to 5).foreach(_ => callAll())
+    eventuallyFlat(baseline)
+  }
+
   test("ShardedLda train+infer with release(): registry flat across 5 calls") {
     import spark.implicits._
     val docs = (0L until 40L).map { id =>

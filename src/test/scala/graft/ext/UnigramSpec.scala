@@ -63,6 +63,15 @@ class UnigramSpec extends SparkSpec {
     assert(enc._3.startsWith("q q"), enc.toString) // 'q' unseen → char fallback
   }
 
+  test("training is partition-count invariant (mapPartitions sweep is per-word)") {
+    val d = docs((1L, "alpha beta gamma alpha beta alpha"),
+      (2L, "gamma gamma beta delta epsilon"), (3L, "beta beta alpha"))
+    def run(parts: Int) = Unigram.train(d.repartition(parts),
+        vocabSize = 32, iters = 3, seedSize = 128)
+      .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    assert(run(1) == run(7))
+  }
+
   test("compression: trained model uses fewer pieces than the char baseline") {
     val d = docs((1L, "alpha beta gamma alpha beta alpha gamma beta " * 3))
     val vocab = Unigram.train(d, vocabSize = 64, iters = 3, seedSize = 256)
