@@ -119,6 +119,21 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup on the CCNet canonical hash (the live-ingest
+    * twin of [[graft.ext.TextAnalysis.dedupNormalized]]): a document whose
+    * canonical form already arrived — in ANY earlier micro-batch — is
+    * dropped, so case/digit/punctuation re-crawls never enter the corpus.
+    * First arrival wins, which is the online policy by construction.
+    * State is one hash per distinct canonical form: this overload carries
+    * no event-time column and suits bounded backfills (AvailableNow);
+    * continuous feeds with an ingest timestamp should instead watermark
+    * and `dropDuplicatesWithinWatermark("h")` to bound state exactly like
+    * [[dedupEvents]]. */
+  def canonicalDedupStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        md5(graft.ext.TextAnalysis.canonicalText(col("text"))).as("h"))
+      .dropDuplicates("h")
+
   /** Stream-static enrichment join: every micro-batch of the stream
     * joins the (bounded) dimension frame — stateless, no watermark
     * needed, and with `broadcast` the stream side never shuffles: the

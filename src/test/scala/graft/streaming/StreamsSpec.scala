@@ -146,6 +146,26 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == first, "duplicates after restart")
   }
 
+  test("streaming canonical dedup drops content dups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // batch 1: two docs; batch 2: a canonical dup of doc 1 (case+digit
+    // variant) and one genuinely new doc — the dup must be dropped by
+    // STATE carried across the micro-batch boundary, not within-batch
+    ms.addData(Seq((1L, "Page 3: the quick fox"), (2L, "something else")))
+    ms.addData(Seq((3L, "page 7 the quick fox!"), (4L, "brand new text")))
+    val got = runToCompletion(
+      Streams.canonicalDedupStream(ms.toDS().toDF("doc_id", "text")), "t_cdedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L), got.toString)
+    // survivor count equals the batch operator's group count on the union
+    val all = Seq((1L, "Page 3: the quick fox"), (2L, "something else"),
+      (3L, "page 7 the quick fox!"), (4L, "brand new text"))
+      .toDF("doc_id", "text")
+    assert(got.size == graft.ext.TextAnalysis.dedupNormalized(all).count())
+  }
+
   test("streaming inference is byte-equal to the batch transform") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
