@@ -356,6 +356,42 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
 
+  /** Per-doc DEFLATE compressibility (the gzip-ratio quality signal of
+    * Dolma/RefinedWeb-lineage pipelines): ratio = deflated bytes / UTF-8
+    * bytes. Near-zero means templated/repetitive text a token-level
+    * repetition metric can miss (long-range structure); near-1 means
+    * high-entropy noise — both tails are filter candidates. DEFLATE is
+    * inherently imperative, so this is a deliberate mapPartitions (the
+    * SURVEY §2.1 last resort): pure map, zero exchanges, one native
+    * Deflater REUSED per partition via reset() and released on task
+    * completion. Deterministic for a fixed JDK zlib (level 6), which is
+    * what the cross-run spec pins; no SQL engine exposes DEFLATE, so the
+    * battery entry is t2 rows-only. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spreadForCompute(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => deflater.end())
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflated")
+      .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
+        round(when(col("n_bytes") === 0, lit(1.0))
+          .otherwise(col("n_deflated") / col("n_bytes")), 4).as("ratio"))
+  }
+
   /** Sentence-level exact dedup report: split docs into sentences on
     * `". "`, hash each, and report sentences occurring more than once
     * across the corpus (boilerplate detection below document granularity —

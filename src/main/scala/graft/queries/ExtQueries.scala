@@ -730,6 +730,10 @@ object ExtQueries {
   def sourceOverlapKmvQ(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlapKMV(Tables.documents(s, d)).orderBy("src_a", "src_b")
 
+  /** DEFLATE compressibility per doc (rows-only: no SQL DEFLATE). */
+  def compressRatioQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.compressionRatio(Tables.documents(s, d)).orderBy("doc_id")
+
   /** md5-sign random projection of the embeddings to 16 dims. */
   def randomProjectionQ(s: SparkSession, d: String): DataFrame =
     Similarity.randomProjection(Tables.embeddings(s, d))
@@ -892,6 +896,7 @@ object ExtQueries {
     "ext_source_overlap" -> sourceOverlapQ _,
     "ext_source_overlap_kmv" -> sourceOverlapKmvQ _,
     "ext_random_projection" -> randomProjectionQ _,
+    "ext_compress_ratio" -> compressRatioQ _,
     "ext_unigram_vocab" -> unigramVocabQ _,
     "ext_unigram_encode" -> unigramEncodeQ _,
     "ext_edit_distance" -> editDistance _,

@@ -58,6 +58,23 @@ class ExtSpec extends SparkSpec {
       got.toString)
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val rng = new graft.lda.SplitMix64(11L)
+    val varied = (0 until 200).map(_ => rng.nextLong().toHexString).mkString(" ")
+    val d = docs(
+      (1L, "boiler plate " * 200),   // long-range repetition
+      (2L, varied),                  // high-entropy
+      (3L, ""))                      // empty: defined, not a crash
+    def run() = TextAnalysis.compressionRatio(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val r = run()
+    assert(r == run()) // fixed JDK zlib: deterministic
+    val byId = r.map(x => x._1 -> x._4).toMap
+    assert(byId(1L) < 0.1, s"repetitive ratio ${byId(1L)}")
+    assert(byId(2L) > 0.5, s"varied ratio ${byId(2L)}")
+    assert(byId(3L) == 1.0) // 0-byte doc: ratio pinned to 1
+  }
+
   test("canonicalText lowers, zeroes digits, strips ASCII punct, squeezes space") {
     val d = docs((1L, "Ab C1 - d!  [e]  F2g & ~h"))
     val got = TextAnalysis.normalizeText(d).as[(Long, String, Int)].collect().head

@@ -335,6 +335,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("random projection is a pure map: the literal sign matrix adds no exchange") {
+    val p = plan("ext_random_projection")
+    assert(!p.contains("Join"), p.take(3000))
+    // spreadForCompute's round-robin + the final orderBy are the ONLY
+    // exchanges; the projection itself must not shuffle or aggregate.
+    // (AQE's toString appends the Initial Plan — count the final only.)
+    assert(!p.contains("HashAggregate"), p.take(3000))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).size <= 2, finalPlan.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
