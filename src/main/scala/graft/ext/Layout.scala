@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   * once (the idea behind Delta/Iceberg `OPTIMIZE ... ZORDER BY`). */
 object Layout {
 
+  /** Target-file-size write planner: per partition-key, the exact
+    * UTF-8/fixed-width byte volume of the projected columns and the file
+    * count a writer should coalesce to for ~`targetBytes` files — the
+    * planning arithmetic behind "no 4 KB shards, no 4 GB monoliths" at
+    * 100 TB (small-file storms kill the namenode and the scan scheduler;
+    * oversized files kill task balance). String columns contribute
+    * `octet_length`, numeric/timestamp columns their fixed width —
+    * deterministic integer arithmetic, so the whole plan is
+    * oracle-checkable (not an estimate pulled from cached statistics).
+    * One partial+final aggregation; at scale this replaces the
+    * guess-and-rewrite loop with one cheap pass before the write. */
+  def writePlan(df: DataFrame, partCol: String, strCols: Seq[String],
+      fixedWidth: Long, targetBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    val rowBytes = strCols.map(c => octet_length(col(c)).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L)) + lit(fixedWidth)
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+      .select(col(partCol), col("n_rows"), col("est_bytes"),
+        greatest(lit(1L), ceil(col("est_bytes") / lit(targetBytes.toDouble))
+          .cast("long")).as("n_files"))
+  }
+
   /** Z-order (Morton) key: interleaves the low `bits` bits of two
     * non-negative integer columns — x in even positions, y in odd. Rows
     * sorted by this key are clustered in both x and y, so per-file min/max

@@ -39,6 +39,26 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Join-key skew diagnostic: the top `k` hottest keys of a column with
+    * their share of all rows and their skew factor (key count / mean
+    * count over distinct keys) — the one-pass report that decides
+    * BEFORE a 100 TB join whether [[saltedJoin]]/AQE skew handling is
+    * needed and how big `saltFactor` must be (a key at skew factor s
+    * makes the straggler task s× the average; salt ≥ s flattens it).
+    * One key-count aggregation + a 1-row global broadcast back — no
+    * window over the full key space, no second shuffle of the data. */
+  def skewReport(df: DataFrame, key: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("n"),
+        round(col("n") / col("total"), 4).as("share"),
+        round(col("n") * col("n_keys") / col("total"), 4).as("skew"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+  }
+
   /** Bloom-filter pre-filtered semi-join: `fact` rows whose long `factKey`
     * appears in `keys.keyCol`. A Bloom filter of the key side is built
     * with one aggregate pass and broadcast; the fact side drops

@@ -730,6 +730,17 @@ object ExtQueries {
   def sourceOverlapKmvQ(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlapKMV(Tables.documents(s, d)).orderBy("src_a", "src_b")
 
+  /** Target-file-size write plan for a lang-partitioned documents write
+    * (64 KiB target so the fixture exercises multi-file partitions). */
+  def writePlanQ(s: SparkSession, d: String): DataFrame =
+    Layout.writePlan(Tables.documents(s, d), "lang",
+      Seq("text", "lang", "source"), fixedWidth = 16, targetBytes = 65536)
+      .orderBy("lang")
+
+  /** Hottest join keys of events.user_id with share + skew factor. */
+  def skewReportQ(s: SparkSession, d: String): DataFrame =
+    ScaleJoins.skewReport(Tables.events(s, d), "user_id", 20)
+
   /** DEFLATE compressibility per doc (rows-only: no SQL DEFLATE). */
   def compressRatioQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.compressionRatio(Tables.documents(s, d)).orderBy("doc_id")
@@ -897,6 +908,8 @@ object ExtQueries {
     "ext_source_overlap_kmv" -> sourceOverlapKmvQ _,
     "ext_random_projection" -> randomProjectionQ _,
     "ext_compress_ratio" -> compressRatioQ _,
+    "ext_write_plan" -> writePlanQ _,
+    "ext_skew_report" -> skewReportQ _,
     "ext_unigram_vocab" -> unigramVocabQ _,
     "ext_unigram_encode" -> unigramEncodeQ _,
     "ext_edit_distance" -> editDistance _,
@@ -2403,6 +2416,25 @@ object ExtQueries {
          |  ROUND(list_dot_product(e, s) / sqrt(16.0), 4) + 0.0 AS y
          |FROM e CROSS JOIN g
          |ORDER BY vec_id, j""".stripMargin,
+
+    // the same deterministic byte arithmetic (octet_length + fixed
+    // widths), CAST to BIGINT so DuckDB's HUGEINT sum can't diverge in
+    // the driver's pandas render
+    "ext_write_plan" ->
+      """WITH b AS (SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(strlen(text) + strlen(lang)
+        |           + strlen(source) + 16) AS BIGINT) AS est_bytes
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_rows, est_bytes,
+        |  GREATEST(1, CAST(CEIL(est_bytes / 65536.0) AS BIGINT)) AS n_files
+        |FROM b ORDER BY lang""".stripMargin,
+
+    "ext_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+        |SELECT user_id, n, ROUND(n * 1.0 / total, 4) AS share,
+        |  ROUND(n * 1.0 * n_keys / total, 4) AS skew
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
     "ext_edit_distance" ->

@@ -29,6 +29,17 @@ class LayoutSpec extends SparkSpec {
     assert(zs.distinct.length == 16) // bijective within the quadrant
   }
 
+  test("writePlan computes exact byte volume and ceil-division file counts") {
+    // partition "a": 2 rows, bytes = (3+1+10) + (5+1+10) = 30 → 2 files
+    // at target 16; partition "b": 1 row, 4+1+10 = 15 → 1 file
+    val d = Seq(("a", "xxx"), ("a", "yyyyy"), ("b", "zzzz"))
+      .toDF("part", "text")
+    val got = Layout.writePlan(d, "part", Seq("text", "part"),
+        fixedWidth = 10, targetBytes = 16)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("a", 2L, 30L, 2L), ("b", 1L, 15L, 1L)), got.toString)
+  }
+
   test("clusterByZorder yields sorted-within-partition z-ranges") {
     val docs = graft.Tables.documents(spark, sf())
     val clustered = Layout.clusterByZorder(docs,

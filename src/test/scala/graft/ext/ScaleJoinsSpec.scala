@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 class ScaleJoinsSpec extends SparkSpec {
 
+  test("skewReport ranks the hot key first with exact share and skew factor") {
+    import spark.implicits._
+    // key 7: 6 rows; keys 1..3: 2 rows each → total 12, 4 keys, mean 3
+    val d = (Seq.fill(6)(7L) ++ Seq(1L, 1L, 2L, 2L, 3L, 3L)).toDF("k")
+    val got = ScaleJoins.skewReport(d, "k", 3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.head == ((7L, 6L, 0.5, 2.0)), got.toString) // 6/12, 6/3
+    assert(got.map(_._1) == Seq(7L, 1L, 2L)) // ties by key ascending
+  }
+
   test("saltedJoin returns exactly the plain join result (incl. duplicate keys)") {
     import spark.implicits._
     // skewed large side: key 1 is hot; small side has a duplicate key
