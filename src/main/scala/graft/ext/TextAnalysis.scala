@@ -274,6 +274,26 @@ object TextAnalysis {
     docs.where(bucket < col(weightCol) * 10000)
   }
 
+  /** Exact-size-k weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006 priority sampling): per doc a uniform u ∈ (0,1) from
+    * its md5 (8 hex chars, +0.5 to dodge the endpoints), priority key
+    * u^(1/w), and the k LARGEST keys are the sample — inclusion
+    * probability proportional to weight, size exactly k, no replacement,
+    * no RNG state (the same corpus always selects the same docs — the
+    * reproducible "fixed doc budget, quality-weighted" corpus cut that
+    * [[weightedSample]]'s Bernoulli keep can't give). Distributed as
+    * TakeOrdered: per-partition top-k then a k·P driver merge — never a
+    * global sort. `weightCol` must be strictly positive. */
+  def prioritySample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol))
+    docs.select(col("doc_id"), key.as("k0"))
+      .orderBy(col("k0").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("k0"), 4).as("es_key"))
+  }
+
   /** PII redaction patterns — simple, engine-portable regexes (no
     * lookaround/backrefs, so they run identically under Java regex and
     * RE2/DuckDB). Public-knowledge patterns, intentionally conservative:

@@ -741,6 +741,13 @@ object ExtQueries {
   def skewReportQ(s: SparkSession, d: String): DataFrame =
     ScaleJoins.skewReport(Tables.events(s, d), "user_id", 20)
 
+  /** Exact-size-50 E-S priority sample, weight = ((n_chars%100)+1)/100. */
+  def prioritySampleQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.prioritySample(
+      Tables.documents(s, d).withColumn("w",
+        ((col("n_chars") % 100) + 1) / 100.0),
+      "w", 50)
+
   /** DEFLATE compressibility per doc (rows-only: no SQL DEFLATE). */
   def compressRatioQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.compressionRatio(Tables.documents(s, d)).orderBy("doc_id")
@@ -910,6 +917,7 @@ object ExtQueries {
     "ext_compress_ratio" -> compressRatioQ _,
     "ext_write_plan" -> writePlanQ _,
     "ext_skew_report" -> skewReportQ _,
+    "ext_priority_sample" -> prioritySampleQ _,
     "ext_unigram_vocab" -> unigramVocabQ _,
     "ext_unigram_encode" -> unigramEncodeQ _,
     "ext_edit_distance" -> editDistance _,
@@ -2435,6 +2443,18 @@ object ExtQueries {
         |SELECT user_id, n, ROUND(n * 1.0 / total, 4) AS share,
         |  ROUND(n * 1.0 * n_keys / total, 4) AS skew
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    // replayed exactly: u from the same md5 hex window, the same
+    // priority-key pow — selection compares the RAW keys (rounding only
+    // in the output column)
+    "ext_priority_sample" ->
+      """WITH s AS (SELECT doc_id,
+        |  (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) + 0.5)
+        |    / 4294967296.0 AS u,
+        |  ((n_chars % 100) + 1) / 100.0 AS w
+        |  FROM documents)
+        |SELECT doc_id, ROUND(pow(u, 1.0 / w), 4) AS es_key
+        |FROM s ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 50""".stripMargin,
 
     // prefix blocking (8 chars exact) + Levenshtein over 128-char prefixes
     "ext_edit_distance" ->

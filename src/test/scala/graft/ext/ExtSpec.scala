@@ -58,6 +58,26 @@ class ExtSpec extends SparkSpec {
       got.toString)
   }
 
+  test("prioritySample selects exactly the top-k priority keys (plain-Scala replay)") {
+    val rows = (0L until 40L).map(i => (i, s"doc number $i body", 0.05 + (i % 7) * 0.14))
+    val d = rows.toDF("doc_id", "text", "w")
+    val got = TextAnalysis.prioritySample(d, "w", 10)
+      .as[(Long, Double)].collect().toSeq
+    // replay the exact formula driver-side: u from the first 8 md5 hex
+    // chars, key = u^(1/w), top-10 by (key desc, doc_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = rows.map { case (id, text, w) =>
+      val u = (java.lang.Long.parseLong(hex(text).take(8), 16) + 0.5) / 4294967296.0
+      (id, math.pow(u, 1.0 / w))
+    }.sortBy { case (id, k) => (-k, id) }.take(10)
+      .map { case (id, k) => (id, math.rint(k * 10000) / 10000) }
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // exact size, no replacement
+    assert(got.map(_._1).distinct.size == 10)
+  }
+
   test("compressionRatio: repetitive text compresses far below varied text") {
     val rng = new graft.lda.SplitMix64(11L)
     val varied = (0 until 200).map(_ => rng.nextLong().toHexString).mkString(" ")
