@@ -346,6 +346,23 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(finalPlan).size <= 2, finalPlan.take(3000))
   }
 
+  test("priority sample is TakeOrdered: top-k without a global sort") {
+    val p = plan("ext_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // a global Sort exchange would be the O(n log n) anti-pattern
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
+
+  test("write plan and skew report are single-aggregation passes") {
+    val pw = plan("ext_write_plan")
+    assert(!pw.contains("Join"), pw.take(3000))
+    assert("HashAggregate".r.findAllIn(pw).size >= 2, pw.take(3000)) // partial+final
+    val ps = plan("ext_skew_report")
+    // the totals row rides a 1-row broadcast cross, not a second shuffle
+    assert(ps.contains("BroadcastNestedLoopJoin"), ps.take(3000))
+    assert(ps.contains("TakeOrderedAndProject"), ps.take(3000))
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
