@@ -225,6 +225,41 @@ object Temporal {
       .drop("_rn")
   }
 
+  /** Changelog → type-2 slowly-changing-dimension history (gaps-and-
+    * islands): collapse each `key`'s consecutive runs of equal `attr`
+    * (ordered by `ts`, ties broken by `tieBreak`) into validity
+    * intervals. Output per run: the key and attr columns (original
+    * names), `run_idx` (1-based per key), `valid_from` (run's first ts),
+    * `valid_to` (next run's first ts; NULL for the current run — the
+    * half-open [from, to) convention), and `n_rows` (changelog rows in
+    * the run). This is the warehouse "dimension history" build and its
+    * inverse is [[compactLatest]] (current state = valid_to IS NULL).
+    *
+    * Scale shape: ONE shuffle on `key`. Run detection (lag), the per-key
+    * row count, and the post-filter lead/row_number all window over the
+    * same `key` partitioning, so Catalyst reuses the single exchange;
+    * the second window pass only re-sorts in-partition. No per-key data
+    * ever leaves its task and state is O(1) per row — at 100 TB each
+    * key's changelog streams through one task in ts order. */
+  def scd2(changes: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val runs = changes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(key)))
+      .where(col("_prev").isNull || col("_prev") =!= col(attr))
+    val byRun = Window.partitionBy(key).orderBy(col("_rn"))
+    runs.select(
+      col(key),
+      row_number().over(byRun).as("run_idx"),
+      col(attr),
+      col(ts).as("valid_from"),
+      lead(col(ts), 1).over(byRun).as("valid_to"),
+      (coalesce(lead(col("_rn"), 1).over(byRun), col("_n") + 1) - col("_rn"))
+        .as("n_rows"))
+  }
+
   /** Hourly resample + forward fill per key — the time-series
     * regularization step (metrics pipelines, feature stores): keep each
     * key's LAST observation per hour (latest (ts, tiebreak) wins),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Graph, Unigram, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Graph, Unigram, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -777,6 +777,25 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** SCD2 dimension history over the orders changelog: each customer's
+    * consecutive same-status runs (order-date order, orderkey tiebreak)
+    * collapsed to validity intervals — one shuffle on o_custkey. */
+  def scd2Q(s: SparkSession, d: String): DataFrame =
+    Temporal.scd2(
+        Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      .orderBy("o_custkey", "run_idx")
+
+  /** Phrase-blocklist report with the corpus's own top-8 bigrams as the
+    * mined boilerplate list (the in-row contains-HOF path; BlocklistSpec
+    * pins the Aho–Corasick path to identical output). */
+  def blocklistQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Blocklist.filterReport(docs, Blocklist.minedBigrams(docs, 8))
+      .orderBy("doc_id")
+  }
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -961,6 +980,8 @@ object ExtQueries {
     "ext_gopher_filter" -> gopherQ _,
     "ext_repeated_spans" -> repeatedSpansQ _,
     "ext_remove_spans" -> removeSpansQ _,
+    "ext_scd2" -> scd2Q _,
+    "ext_blocklist" -> blocklistQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2493,6 +2514,45 @@ object ExtQueries {
         |  '\s+', ' ', 'g')) AS clean FROM documents)
         |SELECT doc_id, clean, LENGTH(clean) AS n_clean_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // gaps-and-islands: run starts = status change vs lag; lead over the
+    // surviving starts yields [valid_from, valid_to) and the run length
+    "ext_scd2" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |),
+        |s AS (SELECT * FROM r WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY rn) AS run_idx,
+        |  o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY rn) AS valid_to,
+        |  COALESCE(LEAD(rn) OVER (PARTITION BY o_custkey ORDER BY rn), n + 1) - rn AS n_rows
+        |FROM s ORDER BY o_custkey, run_idx""".stripMargin,
+
+    // blocklist = the corpus's top-8 bigrams; token-aligned containment
+    // via space padding (text carries a trailing space; ' ' is prepended)
+    "ext_blocklist" ->
+      s"""WITH $toksCte,
+         |bi AS (
+         |  SELECT unnest(list_transform(range(1, len(ts)),
+         |    i -> ts[i] || ' ' || ts[i+1])) AS ngram
+         |  FROM toks WHERE len(ts) >= 2
+         |),
+         |top AS (SELECT ngram, COUNT(*) AS c FROM bi GROUP BY ngram
+         |        ORDER BY c DESC, ngram LIMIT 8),
+         |m AS (
+         |  SELECT d.doc_id,
+         |    (SELECT COUNT(*) FROM top t
+         |     WHERE contains(' ' || d.text, ' ' || t.ngram || ' ')) AS n_matched
+         |  FROM documents d)
+         |SELECT doc_id, n_matched,
+         |  CASE WHEN n_matched = 0 THEN 1 ELSE 0 END AS kept
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

@@ -328,6 +328,52 @@ class TemporalSpec extends SparkSpec {
     assert(got(5L).contains(4.0))
   }
 
+  test("scd2 collapses runs to [from, to) intervals with counts") {
+    val chg = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 2L, ts("2024-01-02 00:00:00"), "A"),
+      (1L, 3L, ts("2024-01-03 00:00:00"), "B"),
+      (1L, 4L, ts("2024-01-04 00:00:00"), "A"),
+      (2L, 5L, ts("2024-01-01 00:00:00"), "C")
+    ).toDF("k", "id", "t", "st")
+    val got = Temporal.scd2(chg, "k", "st", "t", "id")
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 4)
+    val r1 = got(0)
+    assert(r1._3 == "A" && r1._4 == ts("2024-01-01 00:00:00")
+      && r1._5.contains(ts("2024-01-03 00:00:00")) && r1._6 == 2L)
+    assert(got(1)._3 == "B" && got(1)._6 == 1L)
+    assert(got(2)._3 == "A" && got(2)._5.isEmpty && got(2)._6 == 1L) // current
+    assert(got(3)._1 == 2L && got(3)._2 == 1 && got(3)._5.isEmpty && got(3)._6 == 1L)
+  }
+
+  test("scd2: equal-ts changes order by the tiebreak; n_rows sums to the changelog") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val chg = Seq((1L, 2L, t0, "B"), (1L, 1L, t0, "A"), (1L, 3L, t0, "B"))
+      .toDF("k", "id", "t", "st")
+    val got = Temporal.scd2(chg, "k", "st", "t", "id")
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq("A", "B")) // id order, runs merged
+    assert(got.map(_._6).sum == 3L)
+  }
+
+  test("scd2 current rows (valid_to IS NULL) == compactLatest state") {
+    val o = graft.Tables.orders(spark, sf())
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val current = Temporal.scd2(o, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      .where(col("valid_to").isNull)
+      .select("o_custkey", "o_orderstatus")
+      .as[(Long, String)].collect().sorted
+    val latest = Temporal.compactLatest(o, "o_custkey", Seq("o_orderdate", "o_orderkey"))
+      .select("o_custkey", "o_orderstatus")
+      .as[(Long, String)].collect().sorted
+    assert(current.length == latest.length && current.sameElements(latest))
+    // exactly one open interval per key
+    assert(current.map(_._1).distinct.length == current.length)
+  }
+
   test("ewma is invariant to input partitioning") {
     val e = graft.Tables.events(spark, sf())
     val a = Temporal.ewma(e).as[(Long, Long, Double)].collect().sortBy(_._2)

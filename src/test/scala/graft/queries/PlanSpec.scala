@@ -346,6 +346,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(finalPlan).size <= 2, finalPlan.take(3000))
   }
 
+  test("scd2: every window reuses ONE key shuffle (plus only the output sort)") {
+    val p = plan("ext_scd2")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // run detection + per-key count + post-filter lead/row_number all
+    // partition by o_custkey: exactly one hash exchange; the orderBy adds
+    // one range exchange. A second hash exchange would mean the islands
+    // pass re-shuffled — the shape that dies at 100 TB.
+    assert("hashpartitioning".r.findAllIn(finalPlan).size <= 1, finalPlan.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("blocklist match stage is a pure projection over the scan") {
+    // filterReport with literal phrases: matching must fuse into the scan's
+    // codegen span — no join, no aggregate, no exchange beyond the orderBy
+    // (the phrase list rides inside the expression, not as a join side).
+    val docs = graft.Tables.documents(spark, sf())
+    val df = graft.ext.Blocklist.filterReport(docs, Seq("the cat", "a b"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("*(1)"), p.take(2000)) // whole-stage codegen
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
