@@ -57,6 +57,39 @@ object Layout {
       .sortWithinPartitions("zkey")
   }
 
+  /** Bucketed managed-table write: hash-bucket by `key` into `nBuckets`
+    * files, sorted by `key` within each bucket. A scan of the result
+    * reports HashPartitioning(key, nBuckets) to the planner, so a join
+    * (or aggregation) on `key` between two tables bucketed the SAME way
+    * runs with ZERO shuffle exchanges — the co-located join that turns
+    * the nightly 100 TB fact⋈fact from a full-network shuffle into a
+    * per-bucket local merge. Write once, join every night for free. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key).saveAsTable(table)
+
+  /** (Re)create a bucketed table idempotently: drops a stale catalog
+    * entry AND clears a leftover warehouse directory from a previous
+    * JVM (the session catalog is in-memory, so a crashed run can leave
+    * orphaned files that would fail the CREATE). */
+  def rebuildBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = java.nio.file.Paths.get(
+      if (wh.getScheme == "file") wh.getPath
+      else wh.toString).resolve(table.toLowerCase)
+    if (java.nio.file.Files.exists(dir)) {
+      import java.util.Comparator
+      java.nio.file.Files.walk(dir)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    writeBucketed(df, table, key, nBuckets)
+  }
+
   /** Hive-style partitioned parquet write: one directory per value of
     * `partCol`. The complementary read path prunes whole directories from
     * the LISTING — a `WHERE partCol = v` never opens, stats-checks, or

@@ -796,6 +796,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Build (once per JVM per fixture dir) the bucketed orders/lineitem
+    * pair — both hash-bucketed by order key into the same bucket count,
+    * so joins/aggs on that key need no exchange. */
+  private val bucketedReady = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def bucketedPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (to, tl) = bucketedReady.getOrElseUpdate(d, {
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (no, nl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+      Layout.rebuildBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+        no, "o_orderkey", 8)
+      Layout.rebuildBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        nl, "l_orderkey", 8)
+      (no, nl)
+    })
+    (s.table(to), s.table(tl))
+  }
+
+  /** Co-located (bucketed) fact⋈fact join: per-order revenue with ZERO
+    * shuffle exchanges — both scans report the bucket partitioning, the
+    * merge join and the per-order aggregate reuse it (PlanSpec pins the
+    * exchange-free shape). The `merge` hint keeps the demonstration
+    * honest at small sf (a broadcast would also avoid the shuffle, but
+    * for the wrong reason — it stops working at 100 TB; the bucketed
+    * merge does not). */
+  def bucketedJoinQ(s: SparkSession, d: String): DataFrame = {
+    val (o, l) = bucketedPair(s, d)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"), o("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
   /** Levenshtein near-dup pairs under 8-char prefix blocking. */
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
@@ -982,6 +1018,7 @@ object ExtQueries {
     "ext_remove_spans" -> removeSpansQ _,
     "ext_scd2" -> scd2Q _,
     "ext_blocklist" -> blocklistQ _,
+    "ext_bucketed_join" -> bucketedJoinQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2553,6 +2590,15 @@ object ExtQueries {
          |SELECT doc_id, n_matched,
          |  CASE WHEN n_matched = 0 THEN 1 ELSE 0 END AS kept
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // inner join: orders with no lineitem rows simply don't appear
+    "ext_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey, o.o_orderstatus
+        |ORDER BY o.o_orderkey""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

@@ -40,6 +40,25 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 30L, 2L), ("b", 1L, 15L, 1L)), got.toString)
   }
 
+  test("rebuildBucketed is idempotent and the bucketed join matches the plain join") {
+    val o = graft.Tables.orders(spark, sf()).select("o_orderkey", "o_orderstatus")
+    val l = graft.Tables.lineitem(spark, sf()).select("l_orderkey", "l_extendedprice")
+    Layout.rebuildBucketed(o, "graft_test_bkt_o", "o_orderkey", 4)
+    Layout.rebuildBucketed(o, "graft_test_bkt_o", "o_orderkey", 4) // twice: no stale-location failure
+    Layout.rebuildBucketed(l, "graft_test_bkt_l", "l_orderkey", 4)
+    val bo = spark.table("graft_test_bkt_o")
+    val bl = spark.table("graft_test_bkt_l")
+    val bucketed = bo.join(bl, bo("o_orderkey") === bl("l_orderkey"))
+      .groupBy("o_orderkey").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderkey").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(bucketed.sameElements(plain))
+    spark.sql("DROP TABLE IF EXISTS graft_test_bkt_o")
+    spark.sql("DROP TABLE IF EXISTS graft_test_bkt_l")
+  }
+
   test("clusterByZorder yields sorted-within-partition z-ranges") {
     val docs = graft.Tables.documents(spark, sf())
     val clustered = Layout.clusterByZorder(docs,

@@ -370,6 +370,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(2000)) // whole-stage codegen
   }
 
+  test("bucketed join: merge join AND per-order agg run with zero shuffles") {
+    val p = plan("ext_bucketed_join")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin"), finalPlan.take(3000))
+    // both scans expose the bucket partitioning: no hash exchange anywhere —
+    // not for the join, not for the groupBy (the orderBy's range exchange
+    // is the only one). Bucket scan shows "SelectedBucketsCount".
+    assert(!finalPlan.contains("hashpartitioning"), finalPlan.take(4000))
+    assert(finalPlan.contains("SelectedBucketsCount"), finalPlan.take(3000))
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
