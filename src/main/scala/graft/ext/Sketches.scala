@@ -38,6 +38,71 @@ object Sketches {
       .readFrom(new java.io.ByteArrayInputStream(sketch))
       .estimateCount(item)
 
+  /** Deterministic HyperLogLog registers over an md5 hash: per `group`,
+    * the classic (bucket, max-rho) table with 2^p buckets. Unlike
+    * [[approxVocabSize]]'s engine-private HLL++, the hash here is
+    * md5-derived, so BOTH the registers and the estimate replay
+    * bit-for-bit in any engine (the DuckDB oracle checks them) — and
+    * the registers are the sketch's MERGE form: max is associative, so
+    * unioning groups = re-max over bucket, never a rescan (see
+    * [[hllMerge]]).
+    *
+    * Scale shape: occurrences flow through ONE groupBy(group, bucket)
+    * max-aggregate with map-side combine — O(groups · 2^p) rows shuffle,
+    * never the value stream. No distinct is needed first: duplicates
+    * can't change a max. Layout: bucket = first 2 hex chars (p=8),
+    * rho = 1 + leading zero bits of the next 13 hex chars (52 bits),
+    * computed by integer/string ops only (no floating log), so the
+    * registers are exact in any engine. */
+  def hllRegisters(occ: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val h = md5(value)
+    val suffix = substring(h, 3, 13)
+    val lz = length(regexp_extract(suffix, "^0*", 0))
+    val nib = conv(suffix.substr(lz + 1, lit(1)), 16, 10).cast("int")
+    val extra = when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
+    val rho = when(lz === 13, 53).otherwise(lz * 4 + extra + 1)
+    occ.select(col(groupCol),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Merge register tables (sketch union): re-max per bucket under a new
+    * group label — the "combine per-source sketches into the global
+    * count" step, O(groups · 2^p) work with no data rescan. */
+  def hllMerge(regs: DataFrame, groupCol: String, label: String): DataFrame =
+    regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      .select(lit(label).as(groupCol), col("bucket"), col("m"))
+
+  /** HLL estimate from a register table: alpha·m²/Σ2^(−M_j) with the
+    * standard small-range linear-counting correction (E ≤ 2.5·2^p and
+    * empty buckets exist → 2^p·ln(2^p/V)). The Σ folds over the
+    * bucket-SORTED register list with missing buckets contributed as a
+    * count up front — a fixed association order, so the double
+    * arithmetic replays identically in the oracle engine (2^(−M) terms
+    * are exact powers of two via integer shift, no libm pow). */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val alphaM2 =
+      (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) * lit((m.toLong * m).toDouble)
+    regs.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("m")))).as("rs"))
+      .select(col(groupCol), (lit(m) - size(col("rs"))).as("zeros"),
+        aggregate(col("rs"), lit(0.0), (acc, r) =>
+          // exact 2^-M via a literal reciprocal table (no runtime libm)
+          acc + element_at(
+            array((0 to 53).map(k => lit(1.0 / math.pow(2.0, k))): _*),
+            r.getField("m") + 1))
+          .as("fold"))
+      .select(col(groupCol), col("zeros"),
+        (alphaM2 / (col("zeros").cast("double") + col("fold"))).as("raw"))
+      .select(col(groupCol),
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw")).as("hll_est"))
+  }
+
   /** Misra–Gries heavy-hitters summary over a column: a MERGEABLE,
     * bounded-memory frequency sketch — each partition keeps ≤ `capacity`
     * (item, count) entries, and summaries combine associatively

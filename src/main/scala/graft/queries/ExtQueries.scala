@@ -796,6 +796,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic-HLL shingle cardinality by source, plus the merged
+    * `__all__` row built by RE-MAXING the per-source registers (sketch
+    * union — no rescan of the corpus; at 100 TB the registers would be
+    * the persisted nightly artifact and this query's second pass over
+    * the raw occurrences is only the fixture-scale accuracy audit).
+    * `n_exact` rides along so the row itself shows the sketch error. */
+  def hllCardinalityQ(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d).select(col("source"),
+      explode(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
+    val regs = Sketches.hllRegisters(occ, "source", col("sh"))
+    val est = Sketches.hllEstimate(regs, "source")
+      .union(Sketches.hllEstimate(
+        Sketches.hllMerge(regs, "source", "__all__"), "source"))
+    val exact = occ.groupBy("source").agg(countDistinct("sh").as("n_exact"))
+      .union(occ.agg(countDistinct("sh").as("n_exact"))
+        .select(lit("__all__").as("source"), col("n_exact")))
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact"),
+        round(col("hll_est"), 4).as("hll_est"),
+        round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"))
+      .orderBy("source")
+  }
+
   /** Build (once per JVM per fixture dir) the bucketed orders/lineitem
     * pair — both hash-bucketed by order key into the same bucket count,
     * so joins/aggs on that key need no exchange. */
@@ -1019,6 +1043,7 @@ object ExtQueries {
     "ext_scd2" -> scd2Q _,
     "ext_blocklist" -> blocklistQ _,
     "ext_bucketed_join" -> bucketedJoinQ _,
+    "ext_hll_cardinality" -> hllCardinalityQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2599,6 +2624,61 @@ object ExtQueries {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY o.o_orderkey, o.o_orderstatus
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // md5-HLL replay: bucket = first 2 hex chars, rho = 1 + leading zero
+    // bits of the next 13; the Σ2^-M fold runs over the bucket-sorted
+    // register list (list_reduce = the same left fold Spark's aggregate
+    // HOF does) with 2^-M as exact integer-shift reciprocals — no pow()
+    "ext_hll_cardinality" ->
+      s"""WITH tsrc AS (
+         |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+         |  FROM documents
+         |),
+         |occ AS (
+         |  SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM tsrc WHERE len(ts) >= 3
+         |),
+         |hx AS (SELECT source, sh, md5(sh) AS h FROM occ),
+         |rb AS (
+         |  SELECT source,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    CASE WHEN length(regexp_extract(substr(h, 3, 13), '^0*', 0)) = 13 THEN 53
+         |      ELSE length(regexp_extract(substr(h, 3, 13), '^0*', 0)) * 4
+         |        + CASE WHEN strpos('0123456789abcdef', substr(substr(h, 3, 13),
+         |                 length(regexp_extract(substr(h, 3, 13), '^0*', 0)) + 1, 1)) - 1 >= 8 THEN 0
+         |               WHEN strpos('0123456789abcdef', substr(substr(h, 3, 13),
+         |                 length(regexp_extract(substr(h, 3, 13), '^0*', 0)) + 1, 1)) - 1 >= 4 THEN 1
+         |               WHEN strpos('0123456789abcdef', substr(substr(h, 3, 13),
+         |                 length(regexp_extract(substr(h, 3, 13), '^0*', 0)) + 1, 1)) - 1 >= 2 THEN 2
+         |               ELSE 3 END + 1 END AS rho
+         |  FROM hx),
+         |regs AS (SELECT source, bucket, MAX(rho) AS m FROM rb GROUP BY source, bucket),
+         |regs2 AS (SELECT * FROM regs
+         |          UNION ALL
+         |          SELECT '__all__' AS source, bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+         |folds AS (
+         |  SELECT source, 256 - COUNT(*) AS zeros,
+         |    list_reduce(list_transform(list(m ORDER BY bucket),
+         |      mm -> 1.0 / CAST(1::BIGINT << mm AS DOUBLE)), (a, b) -> a + b) AS fold
+         |  FROM regs2 GROUP BY source),
+         |raws AS (
+         |  SELECT source, zeros,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+         |      / (CAST(zeros AS DOUBLE) + fold) AS raw
+         |  FROM folds),
+         |ests AS (
+         |  SELECT source,
+         |    CASE WHEN raw <= 640.0 AND zeros > 0
+         |         THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END AS hll_est
+         |  FROM raws),
+         |ex AS (SELECT source, COUNT(DISTINCT sh) AS n_exact FROM occ GROUP BY source
+         |       UNION ALL
+         |       SELECT '__all__' AS source, COUNT(DISTINCT sh) AS n_exact FROM occ)
+         |SELECT e.source, x.n_exact, ROUND(e.hll_est, 4) AS hll_est,
+         |  ROUND(abs(e.hll_est - x.n_exact) / x.n_exact, 4) AS rel_err
+         |FROM ests e JOIN ex x USING (source) ORDER BY source""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

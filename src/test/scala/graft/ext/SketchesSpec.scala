@@ -185,4 +185,45 @@ class SketchesSpec extends SparkSpec {
     }
     assert(e2.getMessage != null)
   }
+
+  private def mdHllOcc = {
+    val d = graft.Tables.documents(spark, sf())
+    d.select(col("source"), explode(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
+  }
+
+  test("md5-HLL registers: valid ranges, duplicate- and partition-invariant") {
+    val occ = mdHllOcc
+    val regs = Sketches.hllRegisters(occ, "source", col("sh"))
+      .as[(String, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(regs.forall(r => r._2 >= 0 && r._2 < 256))
+    assert(regs.forall(r => r._3 >= 1 && r._3 <= 53))
+    val dup = Sketches.hllRegisters(occ.union(occ).repartition(13), "source", col("sh"))
+      .as[(String, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(regs.sameElements(dup)) // max-registers ignore multiplicity AND layout
+  }
+
+  test("md5-HLL merge (re-max) == sketching the union directly") {
+    val occ = mdHllOcc
+    val perSource = Sketches.hllRegisters(occ, "source", col("sh"))
+    val merged = Sketches.hllMerge(perSource, "source", "all")
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    val direct = Sketches.hllRegisters(
+        occ.withColumn("source", lit("all")), "source", col("sh"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    assert(merged.sameElements(direct))
+  }
+
+  test("md5-HLL estimate lands within 3 standard errors per source") {
+    val occ = mdHllOcc
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(occ, "source", col("sh")), "source")
+      .as[(String, Double)].collect().toMap
+    val exact = occ.groupBy("source").agg(countDistinct("sh").as("n"))
+      .as[(String, Long)].collect().toMap
+    val se = 1.04 / math.sqrt(256.0) // ~6.5% at p=8
+    exact.foreach { case (src, n) =>
+      val rel = math.abs(est(src) - n) / n
+      assert(rel < 3 * se, s"$src: est=${est(src)} exact=$n rel=$rel")
+    }
+  }
 }

@@ -381,6 +381,21 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("SelectedBucketsCount"), finalPlan.take(3000))
   }
 
+  test("hll registers: one exchange, partial+final max (no distinct, no value shuffle)") {
+    val docs = graft.Tables.documents(spark, sf())
+    val occ = docs.select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.explode(graft.ext.Dedup.shingles(
+        graft.ext.Dedup.tokens(org.apache.spark.sql.functions.col("text")), 3)).as("sh"))
+    val df = graft.ext.Sketches.hllRegisters(occ, "source", org.apache.spark.sql.functions.col("sh"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    val finalPlan = p.split("== Initial Plan ==").head
+    // partial max before the shuffle: only (source,bucket,max-rho) rows —
+    // O(groups·256) — cross the wire, never the shingle stream
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2, finalPlan.take(3000))
+    assert("hashpartitioning".r.findAllIn(finalPlan).size <= 1, finalPlan.take(3000))
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
