@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Graph, Unigram, Incremental, Layout, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -820,6 +820,81 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Feature frame for the linear probe: intercept, token count /100,
+    * type-token ratio; label = long-document class (n_chars > 300).
+    * Every feature is a ratio of exact integers — deterministic doubles. */
+  private def probeFeatures(s: SparkSession, d: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks.as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        lit(1.0).as("x1"),
+        (size(col("ts")) / lit(100.0)).as("x2"),
+        (size(array_distinct(col("ts"))) / size(col("ts"))).as("x3"),
+        when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** Linear probe trained by REPRODUCIBLE distributed GD (fixed-point
+    * gradient quantization — [[LinearModel]]): 16 full-batch iterations,
+    * lr 0.8, then per-doc score + thresholded class. The whole training
+    * trajectory is bit-deterministic under any partitioning, which is
+    * what lets a 16-iteration distributed training run carry a DuckDB
+    * hash oracle (the oracle unrolls the same 16 iterations as CTEs). */
+  def linearProbeQ(s: SparkSession, d: String): DataFrame = {
+    val f = probeFeatures(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
+      lr = 0.8, iters = 16) finally f.unpersist(false)
+    val sc = LinearModel.score(Seq("x1", "x2", "x3"), w.toSeq)
+    probeFeatures(s, d)
+      .select(col("doc_id"), col("y"),
+        round(sc, 4).as("score"),
+        when(sc >= 0.5, 1).otherwise(0).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[linearProbeQ]]: the same 16 GD iterations unrolled
+    * as CTE pairs (gradient sums as BIGINT fixed-point, weight update),
+    * mirroring every association order of the Spark side. */
+  private def linearProbeOracleSql(iters: Int): String = {
+    val grid = "1073741824.0" // 2^30
+    val pred = "w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+    // MATERIALIZED: 16 unrolled iterations reference f ~35 times; without
+    // the hint DuckDB re-opens the parquet per reference (fd exhaustion)
+    val fCte =
+      """f AS MATERIALIZED (
+        |  SELECT doc_id, CAST(1.0 AS DOUBLE) AS x1, len(ts) / 100.0 AS x2,
+        |    len(list_distinct(ts)) / len(ts) AS x3,
+        |    CAST(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM (SELECT doc_id, n_chars,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) > 0)""".stripMargin
+    // DOUBLE casts: a bare 0.0 is DECIMAL in DuckDB (renders "0.0", and
+    // would route the first iteration through decimal arithmetic)
+    val w0 = "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w1, " +
+      "CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"
+    val iterCtes = (1 to iters).map { i =>
+      val gs = (1 to 3).map(j =>
+        s"SUM(CAST(floor(($pred - f.y) * f.x$j * $grid + 0.5) AS BIGINT)) AS g$j")
+        .mkString(", ")
+      val ws = (1 to 3).map(j =>
+        s"w.w$j - 0.8 * ((CAST(g.g$j AS DOUBLE) / $grid) / g.n) AS w$j")
+        .mkString(", ")
+      // MATERIALIZED again: w{i} references w{i-1} twice — inlined, the
+      // chain would expand into 2^iters subplans
+      s"""g$i AS MATERIALIZED (SELECT $gs, COUNT(*) AS n FROM f, w${i - 1} w),
+         |w$i AS MATERIALIZED (SELECT $ws FROM w${i - 1} w, g$i g)""".stripMargin
+    }
+    s"""WITH $fCte,
+       |$w0,
+       |${iterCtes.mkString(",\n")}
+       |SELECT f.doc_id, f.y, ROUND($pred, 4) AS score,
+       |  CASE WHEN $pred >= 0.5 THEN 1 ELSE 0 END AS pred
+       |FROM f, w$iters w ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Build (once per JVM per fixture dir) the bucketed orders/lineitem
     * pair — both hash-bucketed by order key into the same bucket count,
     * so joins/aggs on that key need no exchange. */
@@ -1044,6 +1119,7 @@ object ExtQueries {
     "ext_blocklist" -> blocklistQ _,
     "ext_bucketed_join" -> bucketedJoinQ _,
     "ext_hll_cardinality" -> hllCardinalityQ _,
+    "ext_linear_probe" -> linearProbeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2679,6 +2755,8 @@ object ExtQueries {
          |SELECT e.source, x.n_exact, ROUND(e.hll_est, 4) AS hll_est,
          |  ROUND(abs(e.hll_est - x.n_exact) / x.n_exact, 4) AS rel_err
          |FROM ests e JOIN ex x USING (source) ORDER BY source""".stripMargin,
+
+    "ext_linear_probe" -> linearProbeOracleSql(16),
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit
