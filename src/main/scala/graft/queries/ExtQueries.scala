@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -820,6 +820,12 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Per-event-type KS drift vs the pooled value distribution (the
+    * new-batch admission gate). Two-pass vector cumulative — no global-
+    * order window. */
+  def ksDriftQ(s: SparkSession, d: String): DataFrame =
+    Drift.ksDrift(Tables.events(s, d)).orderBy("event_type")
+
   /** Feature frame for the linear probe: intercept, token count /100,
     * type-token ratio; label = long-document class (n_chars > 300).
     * Every feature is a ratio of exact integers — deterministic doubles. */
@@ -1120,6 +1126,7 @@ object ExtQueries {
     "ext_bucketed_join" -> bucketedJoinQ _,
     "ext_hll_cardinality" -> hllCardinalityQ _,
     "ext_linear_probe" -> linearProbeQ _,
+    "ext_ks_drift" -> ksDriftQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2757,6 +2764,40 @@ object ExtQueries {
          |FROM ests e JOIN ex x USING (source) ORDER BY source""".stripMargin,
 
     "ext_linear_probe" -> linearProbeOracleSql(16),
+
+    // KS via explicit step functions: per-type cumulative over the full
+    // distinct-value grid vs the pooled cumulative; sup at a jump point,
+    // ties to the smallest value. Exact-integer cumulative counts — the
+    // F ratios divide the same longs the Spark counters hold.
+    "ext_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type AS t, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |tot AS (SELECT t, COUNT(*) AS n_t FROM e GROUP BY t),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |vc AS (SELECT v, t, COUNT(*) AS c FROM e GROUP BY v, t),
+        |va AS (SELECT v, COUNT(*) AS c FROM e GROUP BY v),
+        |call AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum_all FROM va),
+        |grid AS (SELECT va.v, tot.t FROM va, tot),
+        |cumt AS (
+        |  SELECT g.v, g.t,
+        |    SUM(COALESCE(vc.c, 0)) OVER (PARTITION BY g.t ORDER BY g.v) AS cum_t
+        |  FROM grid g LEFT JOIN vc ON vc.v = g.v AND vc.t = g.t
+        |),
+        |diffs AS (
+        |  SELECT c.t, c.v,
+        |    ABS(CAST(c.cum_t AS DOUBLE) / tot.n_t
+        |        - CAST(a.cum_all AS DOUBLE) / nn.n) AS d
+        |  FROM cumt c JOIN call a ON a.v = c.v JOIN tot ON tot.t = c.t, nn
+        |),
+        |best AS (
+        |  SELECT t, v, d,
+        |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY d DESC, v ASC) AS rn
+        |  FROM diffs
+        |)
+        |SELECT t AS event_type, ROUND(d, 4) AS ks, v AS at_value
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS vs pool matches a hand computation (sup at a jump, argmin value)") {
+    // A = {1,2}, B = {3,4}; pooled = {1,2,3,4}
+    // F_A: 1→.5, 2→1, 3→1, 4→1; F_pool: .25, .5, .75, 1
+    // sup|F_A−F| = .5 at v=2 (first attaining); F_B: 0,0,.5,1 → sup .5 at v=2
+    val d = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val got = Drift.ksDrift(d, "g", "v")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("A", 0.5, 2.0), ("B", 0.5, 2.0)), got.toSeq.toString)
+  }
+
+  test("identical distributions → KS 0 for every group at the first value") {
+    val d = Seq("A", "B").flatMap(g => (1 to 5).map(i => (g, i.toDouble))).toDF("g", "v")
+    val got = Drift.ksDrift(d, "g", "v").as[(String, Double, Double)].collect()
+    assert(got.forall(_._2 == 0.0), got.toSeq.toString)
+  }
+
+  test("exactly partition-invariant (integer counters, range repartition)") {
+    val e = graft.Tables.events(spark, sf())
+    val a = Drift.ksDrift(e).as[(String, Double, Double)].collect().sortBy(_._1)
+    val b = Drift.ksDrift(e.repartition(17)).as[(String, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+  }
+
+  test("a planted location shift dominates the drift ranking") {
+    val e = graft.Tables.events(spark, sf())
+      .select(col("event_type"), col("value"))
+    val shifted = e.withColumn("value",
+      when(col("event_type") === "click", col("value") + 1000.0)
+        .otherwise(col("value")))
+    val ks = Drift.ksDrift(shifted).as[(String, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ks("click") > 0.5, ks.toString) // far from the pool
+    assert(ks.filter(_._1 != "click").values.forall(_ < ks("click")), ks.toString)
+  }
+
+  test("maxGroups guards the per-group counter vector") {
+    val many = spark.range(100)
+      .select(concat(lit("g"), col("id")).as("g"), col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksDrift(many, "g", "v", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+  }
+}
