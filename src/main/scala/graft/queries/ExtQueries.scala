@@ -820,6 +820,22 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Snapshot diff between two deterministic versions of the events
+    * table: v_old drops event_id % 10 == 0 (→ added), v_new drops
+    * % 13 == 0 (→ removed) and perturbs value where % 7 == 0
+    * (→ changed). One co-partitioned full-outer join; unchanged keys
+    * (the bulk) never leave it. */
+  def tableDiffQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+    val vOld = e.where(col("event_id") % 10 =!= 0)
+    val vNew = e.where(col("event_id") % 13 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") + 1.0).otherwise(col("value")))
+    Incremental.tableDiff(vOld, vNew, "event_id", Seq("event_type", "value"))
+      .orderBy("event_id")
+  }
+
   /** Per-event-type KS drift vs the pooled value distribution (the
     * new-batch admission gate). Two-pass vector cumulative — no global-
     * order window. */
@@ -1127,6 +1143,7 @@ object ExtQueries {
     "ext_hll_cardinality" -> hllCardinalityQ _,
     "ext_linear_probe" -> linearProbeQ _,
     "ext_ks_drift" -> ksDriftQ _,
+    "ext_table_diff" -> tableDiffQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2798,6 +2815,25 @@ object ExtQueries {
         |)
         |SELECT t AS event_type, ROUND(d, 4) AS ks, v AS at_value
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // direct column compare (the engine compares md5 fingerprints; only
+    // the classification must agree, and both are injective per engine)
+    "ext_table_diff" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |o AS (SELECT * FROM e WHERE event_id % 10 <> 0),
+        |n AS (SELECT event_id, event_type,
+        |        CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value
+        |      FROM e WHERE event_id % 13 <> 0),
+        |j AS (
+        |  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+        |    CASE WHEN o.event_id IS NULL THEN 'added'
+        |         WHEN n.event_id IS NULL THEN 'removed'
+        |         WHEN o.event_type IS DISTINCT FROM n.event_type
+        |           OR o.value IS DISTINCT FROM n.value THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+        |SELECT event_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit
