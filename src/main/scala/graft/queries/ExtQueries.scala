@@ -848,9 +848,9 @@ object ExtQueries {
   private def probeFeatures(s: SparkSession, d: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), toks.as("ts"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), toks.as("ts"))
       .where(size(col("ts")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         lit(1.0).as("x1"),
         (size(col("ts")) / lit(100.0)).as("x2"),
         (size(array_distinct(col("ts"))) / size(col("ts"))).as("x3"),
@@ -879,17 +879,20 @@ object ExtQueries {
   /** DuckDB twin of [[linearProbeQ]]: the same 16 GD iterations unrolled
     * as CTE pairs (gradient sums as BIGINT fixed-point, weight update),
     * mirroring every association order of the Spark side. */
-  private def linearProbeOracleSql(iters: Int): String = {
+  private val probePred = "w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+
+  /** WITH-body of the probe-training replay (f, w0..w{iters}) — shared
+    * by the per-doc score oracle and the AUC oracle. */
+  private def linearProbeWithBody(iters: Int): String = {
     val grid = "1073741824.0" // 2^30
-    val pred = "w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
     // MATERIALIZED: 16 unrolled iterations reference f ~35 times; without
     // the hint DuckDB re-opens the parquet per reference (fd exhaustion)
     val fCte =
       """f AS MATERIALIZED (
-        |  SELECT doc_id, CAST(1.0 AS DOUBLE) AS x1, len(ts) / 100.0 AS x2,
+        |  SELECT doc_id, lang, CAST(1.0 AS DOUBLE) AS x1, len(ts) / 100.0 AS x2,
         |    len(list_distinct(ts)) / len(ts) AS x3,
         |    CAST(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS DOUBLE) AS y
-        |  FROM (SELECT doc_id, n_chars,
+        |  FROM (SELECT doc_id, lang, n_chars,
         |          list_filter(string_split(text, ' '), t -> t <> '') AS ts
         |        FROM documents)
         |  WHERE len(ts) > 0)""".stripMargin
@@ -899,7 +902,7 @@ object ExtQueries {
       "CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"
     val iterCtes = (1 to iters).map { i =>
       val gs = (1 to 3).map(j =>
-        s"SUM(CAST(floor(($pred - f.y) * f.x$j * $grid + 0.5) AS BIGINT)) AS g$j")
+        s"SUM(CAST(floor(($probePred - f.y) * f.x$j * $grid + 0.5) AS BIGINT)) AS g$j")
         .mkString(", ")
       val ws = (1 to 3).map(j =>
         s"w.w$j - 0.8 * ((CAST(g.g$j AS DOUBLE) / $grid) / g.n) AS w$j")
@@ -911,10 +914,48 @@ object ExtQueries {
     }
     s"""WITH $fCte,
        |$w0,
-       |${iterCtes.mkString(",\n")}
-       |SELECT f.doc_id, f.y, ROUND($pred, 4) AS score,
-       |  CASE WHEN $pred >= 0.5 THEN 1 ELSE 0 END AS pred
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def linearProbeOracleSql(iters: Int): String =
+    s"""${linearProbeWithBody(iters)}
+       |SELECT f.doc_id, f.y, ROUND($probePred, 4) AS score,
+       |  CASE WHEN $probePred >= 0.5 THEN 1 ELSE 0 END AS pred
        |FROM f, w$iters w ORDER BY f.doc_id""".stripMargin
+
+  /** AUC replay: midrank Mann–Whitney over (group, score) tie groups —
+    * all-integer until the single final division, mirroring
+    * [[LinearModel.auc]]. */
+  private def probeAucOracleSql(iters: Int): String =
+    s"""${linearProbeWithBody(iters)},
+       |sc AS (SELECT f.lang, f.y, $probePred AS s FROM f, w$iters w),
+       |a2 AS (SELECT lang AS g, y, s FROM sc
+       |       UNION ALL SELECT '__all__' AS g, y, s FROM sc),
+       |sg AS (SELECT g, s, COUNT(*) AS t,
+       |         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS p
+       |       FROM a2 GROUP BY g, s),
+       |c AS (SELECT g, s, t, p,
+       |        SUM(t) OVER (PARTITION BY g ORDER BY s) - t AS bef FROM sg),
+       |u AS (SELECT g, SUM(p * (2 * bef + t + 1)) AS u2,
+       |        SUM(p) AS np, SUM(t) AS n FROM c GROUP BY g)
+       |SELECT g AS lang,
+       |  ROUND(CAST(u2 - np * (np + 1) AS DOUBLE) / (2.0 * np * (n - np)), 4) AS auc
+       |FROM u ORDER BY lang""".stripMargin
+
+  /** Exact grouped ROC-AUC of the trained probe, per language plus the
+    * pooled `__all__` cohort — the eval step that closes the train →
+    * score → evaluate loop, distributed end to end. */
+  def probeAucQ(s: SparkSession, d: String): DataFrame = {
+    val f = probeFeatures(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
+      lr = 0.8, iters = 16) finally f.unpersist(false)
+    val sc0 = probeFeatures(s, d).select(col("lang"),
+      LinearModel.score(Seq("x1", "x2", "x3"), w.toSeq).as("s"), col("y"))
+    val both = sc0.union(sc0.select(lit("__all__").as("lang"), col("s"), col("y")))
+    LinearModel.auc(both, "s", "y", "lang")
+      .select(col("lang"), round(col("auc"), 4).as("auc"))
+      .orderBy("lang")
   }
 
   /** Build (once per JVM per fixture dir) the bucketed orders/lineitem
@@ -1144,6 +1185,7 @@ object ExtQueries {
     "ext_linear_probe" -> linearProbeQ _,
     "ext_ks_drift" -> ksDriftQ _,
     "ext_table_diff" -> tableDiffQ _,
+    "ext_probe_auc" -> probeAucQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2781,6 +2823,8 @@ object ExtQueries {
          |FROM ests e JOIN ex x USING (source) ORDER BY source""".stripMargin,
 
     "ext_linear_probe" -> linearProbeOracleSql(16),
+
+    "ext_probe_auc" -> probeAucOracleSql(16),
 
     // KS via explicit step functions: per-type cumulative over the full
     // distinct-value grid vs the pooled cumulative; sup at a jump point,

@@ -54,6 +54,38 @@ class LinearModelSpec extends SparkSpec {
     } finally f.unpersist()
   }
 
+  test("auc: hand case with ties uses midranks") {
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1} → pairs: (0.9 beats both)=2,
+    // (0.5 vs 0.5)=0.5, (0.5 vs 0.1)=1 → U=3.5 / 4 = 0.875
+    val d = Seq(("g", 0.9, 1.0), ("g", 0.5, 1.0), ("g", 0.5, 0.0), ("g", 0.1, 0.0))
+      .toDF("grp", "s", "y")
+    val got = LinearModel.auc(d, "s", "y", "grp")
+      .as[(String, Option[Double])].collect()
+    assert(got.toSeq == Seq(("g", Some(0.875))), got.toSeq.toString)
+  }
+
+  test("auc: perfect=1, inverted=0, single-class=null, groups independent") {
+    val d = Seq(
+      ("perf", 0.9, 1.0), ("perf", 0.1, 0.0),
+      ("inv", 0.1, 1.0), ("inv", 0.9, 0.0),
+      ("one", 0.5, 1.0), ("one", 0.6, 1.0)).toDF("grp", "s", "y")
+    val got = LinearModel.auc(d, "s", "y", "grp")
+      .as[(String, Option[Double])].collect().map(r => r._1 -> r._2).toMap
+    assert(got("perf").contains(1.0) && got("inv").contains(0.0) && got("one").isEmpty,
+      got.toString)
+  }
+
+  test("auc is exactly partition-invariant (integer U statistic)") {
+    val f = feats
+    val scored = f.select(lit("g").as("grp"), col("x2").as("s"), col("y"))
+    val a = LinearModel.auc(scored, "s", "y", "grp")
+      .as[(String, Double)].collect()
+    val b = LinearModel.auc(scored.repartition(17), "s", "y", "grp")
+      .as[(String, Double)].collect()
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+    assert(a.head._2 > 0.95) // token count separates the length class
+  }
+
   test("quantization grid is below the signal: 30-bit vs 40-bit weights agree") {
     val f = feats
     val cols = Seq("x1", "x2", "x3")
