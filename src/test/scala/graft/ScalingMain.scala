@@ -304,6 +304,78 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // session-3 ops: drift/diff over replicated events, SCD2 over
+    // replicated orders, AC-blocklist / HLL / probe train+AUC over
+    // replicated docs. Replica events get distinct ids and value jitter
+    // (distinct-value count grows m×); orders get fresh custkeys (per-key
+    // changelog length stays the data's own).
+    println("mult |   events | ks_drift | tbl_diff |   orders |  scd2 |     docs | bl_mine | bl_ac |   hll | probe8 |  auc")
+    sweep("r6c") { m =>
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val ev = {
+        val e = Tables.events(spark, dir).select("event_id", "event_type", "value")
+        if (m == 1) e
+        else e.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+            col("event_type"),
+            (col("value") + col("rep") * lit(0.001)).as("value"))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ne = ev.count()
+      val (tKs, _) = time(mat(ext.Drift.ksDrift(ev)))
+      val vOld = ev.where(col("event_id") % 10 =!= 0)
+      val vNew = ev.where(col("event_id") % 13 =!= 0)
+        .withColumn("value", when(col("event_id") % 7 === 0, col("value") + 1.0)
+          .otherwise(col("value")))
+      val (tTd, _) = time(mat(
+        ext.Incremental.tableDiff(vOld, vNew, "event_id", Seq("event_type", "value"))))
+      val ords = {
+        val o = Tables.orders(spark, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        if (m == 1) o
+        else o.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("o_custkey") + col("rep") * lit(100000000L)).as("o_custkey"),
+            (col("o_orderkey") + col("rep") * lit(1000000000L)).as("o_orderkey"),
+            col("o_orderdate"), col("o_orderstatus"))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val no = ords.count()
+      val (tScd, _) = time(mat(ext.Temporal.scd2(
+        ords, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")))
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val (tMine, phrases) = {
+        val t0 = System.nanoTime()
+        val p = ext.Blocklist.minedBigrams(docs, 200)
+        ((System.nanoTime() - t0) / 1e9, p)
+      }
+      val (tAc, _) = time(mat( // forced automaton path
+        ext.Blocklist.filterReport(docs, phrases, acThreshold = 0)))
+      val occ = docs.select(col("doc_id"),
+        explode(ext.Dedup.shingles(ext.Dedup.tokens(col("text")), 3)).as("sh"))
+        .withColumn("source", concat(lit("s"), col("doc_id") % 20))
+      val (tHll, _) = time(mat(ext.Sketches.hllEstimate(
+        ext.Sketches.hllRegisters(occ, "source", col("sh")), "source")))
+      val feats = docs
+        .select(col("doc_id"), ext.Dedup.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) > 0)
+        .select(col("doc_id"), lit(1.0).as("x1"),
+          (size(col("ts")) / lit(100.0)).as("x2"),
+          (size(array_distinct(col("ts"))) / size(col("ts"))).as("x3"),
+          when(size(col("ts")) > 50, 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feats.count()
+      val t0p = System.nanoTime()
+      val w = ext.LinearModel.trainLinearProbe(feats, Seq("x1", "x2", "x3"), "y", 0.8, 8)
+      val tProbe = (System.nanoTime() - t0p) / 1e9
+      val scored = feats.select(lit("g").as("grp"),
+        ext.LinearModel.score(Seq("x1", "x2", "x3"), w.toSeq).as("s"), col("y"))
+      val (tAuc, _) = time(mat(ext.LinearModel.auc(scored, "s", "y", "grp")))
+      println(f"$m%4d | $ne%8d | $tKs%8.2f | $tTd%8.2f | $no%8d | $tScd%5.2f | $nd%8d | $tMine%7.2f | $tAc%5.2f | $tHll%5.2f | $tProbe%6.2f | $tAuc%4.2f")
+      feats.unpersist(blocking = true)
+      ev.unpersist(blocking = true); ords.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
