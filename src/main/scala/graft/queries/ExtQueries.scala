@@ -820,6 +820,44 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Population-stability-index drift per event type vs the pooled value
+    * distribution — the binned complement of [[ksDriftQ]] (PSI is what ML
+    * monitoring dashboards alarm on; KS is the sup-norm view). Bins are
+    * the POOLED exact deciles via the two-pass [[exactNtile]] (no global
+    * window), counts collapse to a (type, bin) grid — T·10 rows — and
+    * the Laplace-smoothed shares (c+0.5)/(n+5) keep empty cells finite.
+    * PSI folds its ten contributions in bin order (deterministic double
+    * association, engine-identical). Output: one row per (type, bin)
+    * with shares + contribution, and the type's PSI riding along. */
+  def psiDriftQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .where(col("value").isNotNull)
+    val binned = exactNtile(e, Seq("value", "event_id"), 10, "bin")
+    val counts = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(s.range(1, 11).select(col("id").cast("int").as("bin")))
+    val full = grid.join(counts, Seq("event_type", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val ng = full.groupBy("event_type").agg(sum("c").as("n_g"))
+    val pool = full.groupBy("bin").agg(sum("c").as("c_b"))
+    val nn = e.agg(count(lit(1)).as("n"))
+    val p = (col("c").cast("double") + lit(0.5)) / (col("n_g").cast("double") + lit(5.0))
+    val q = (col("c_b").cast("double") + lit(0.5)) / (col("n").cast("double") + lit(5.0))
+    val k = full.join(broadcast(ng), "event_type").join(broadcast(pool), "bin")
+      .crossJoin(broadcast(nn))
+      .select(col("event_type"), col("bin"), col("c"), p.as("p"), q.as("q"))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+    val psi = k.groupBy("event_type")
+      .agg(aggregate(sort_array(collect_list(struct(col("bin"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("psi"))
+    k.join(broadcast(psi), "event_type")
+      .select(col("event_type"), col("bin"), col("c"),
+        round(col("p"), 4).as("share"), round(col("q"), 4).as("pool_share"),
+        round(col("contrib"), 4).as("contrib"), round(col("psi"), 4).as("psi"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Snapshot diff between two deterministic versions of the events
     * table: v_old drops event_id % 10 == 0 (→ added), v_new drops
     * % 13 == 0 (→ removed) and perturbs value where % 7 == 0
@@ -1186,6 +1224,7 @@ object ExtQueries {
     "ext_ks_drift" -> ksDriftQ _,
     "ext_table_diff" -> tableDiffQ _,
     "ext_probe_auc" -> probeAucQ _,
+    "ext_psi_drift" -> psiDriftQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2878,6 +2917,37 @@ object ExtQueries {
         |  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
         |SELECT event_id, status FROM j WHERE status <> 'unchanged'
         |ORDER BY event_id""".stripMargin,
+
+    // pooled NTILE deciles (== the engine's two-pass exactNtile), smoothed
+    // shares, PSI folded in bin order via list_reduce (the same left fold
+    // Spark's aggregate HOF does — deterministic double association)
+    "ext_psi_drift" ->
+      """WITH e AS (SELECT event_type, value, event_id FROM events
+        |           WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |        NTILE(10) OVER (ORDER BY value, event_id) AS bin FROM e),
+        |c AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY event_type, bin),
+        |grid AS (SELECT ty.event_type, gs.bin
+        |         FROM (SELECT DISTINCT event_type FROM e) ty,
+        |              (SELECT unnest(range(1, 11)) AS bin) gs),
+        |f AS (SELECT g.event_type, g.bin, COALESCE(c.c, 0) AS c
+        |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.bin = g.bin),
+        |ng AS (SELECT event_type, SUM(c) AS n_g FROM f GROUP BY event_type),
+        |pool AS (SELECT bin, SUM(c) AS c_b FROM f GROUP BY bin),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |j AS (SELECT f.event_type, f.bin, f.c,
+        |        (CAST(f.c AS DOUBLE) + 0.5) / (CAST(ng.n_g AS DOUBLE) + 5.0) AS p,
+        |        (CAST(pool.c_b AS DOUBLE) + 0.5) / (CAST(nn.n AS DOUBLE) + 5.0) AS q
+        |      FROM f JOIN ng USING (event_type) JOIN pool USING (bin), nn),
+        |k AS (SELECT event_type, bin, c, p, q, (p - q) * ln(p / q) AS contrib FROM j),
+        |psi AS (SELECT event_type,
+        |          list_reduce(list(contrib ORDER BY bin), (a, b) -> a + b) AS psi
+        |        FROM k GROUP BY event_type)
+        |SELECT k.event_type, k.bin, k.c, ROUND(k.p, 4) AS share,
+        |  ROUND(k.q, 4) AS pool_share, ROUND(k.contrib, 4) AS contrib,
+        |  ROUND(psi.psi, 4) AS psi
+        |FROM k JOIN psi USING (event_type)
+        |ORDER BY event_type, bin""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

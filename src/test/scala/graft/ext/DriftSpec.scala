@@ -42,6 +42,21 @@ class DriftSpec extends SparkSpec {
     assert(ks.filter(_._1 != "click").values.forall(_ < ks("click")), ks.toString)
   }
 
+  test("PSI query: shares sum to ~1 per type, pool shares ~0.1, PSI ≥ 0 and small") {
+    val rows = graft.queries.ExtQueries.psiDriftQ(spark, sf())
+      .as[(String, Int, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length % 10 == 0 && rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.length == 10, s"$t has ${rs.length} bins")
+      val shareSum = rs.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 0.01, s"$t shares sum $shareSum")
+      // PSI identical on every row of the type and non-negative
+      assert(rs.map(_._7).distinct.length == 1)
+      assert(rs.head._7 >= 0.0 && rs.head._7 < 0.1, s"$t psi ${rs.head._7}")
+    }
+    assert(rows.forall(r => math.abs(r._5 - 0.1) < 0.01)) // pooled deciles
+  }
+
   test("maxGroups guards the per-group counter vector") {
     val many = spark.range(100)
       .select(concat(lit("g"), col("id")).as("g"), col("id").cast("double").as("v"))
