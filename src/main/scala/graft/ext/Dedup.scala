@@ -812,6 +812,30 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Record-linkage top-k by native Jaro–Winkler under the same prefix
+    * blocking as [[editDistancePairs]] — the name/entity-matching
+    * similarity (prefix-weighted, transposition-tolerant) where edit
+    * distance over-penalizes swaps. The per-pair kernel is the
+    * codegen'd [[graft.functions.JaroWinklerSim]] expression
+    * (byte-parity with DuckDB's `jaro_winkler_similarity`, so the query
+    * is hash-checked); ranking happens on the RAW double, rounding only
+    * in the output. Same scale shape: block-key equi-join, TakeOrdered
+    * top-k, never a cartesian. */
+  def jaroWinklerPairs(docs: DataFrame, blockLen: Int = 8, prefixLen: Int = 128,
+      topK: Int = 10): DataFrame = {
+    val b = spreadForCompute(docs).select(col("doc_id"),
+      substring(col("text"), 1, blockLen).as("bk"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val l = b.toDF("doc_a", "bk", "pre_a")
+    val r = b.toDF("doc_b", "bk", "pre_b")
+    l.join(r, "bk").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
+      .orderBy(col("raw").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
+  }
+
   /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest
     * doc_id) per exact content group — the "write the cleaned dataset"
     * step after [[exactDupGroups]] reports. One shuffle on the digest;

@@ -72,8 +72,18 @@ object GraftExtensions {
       MaxDupFrac(children.head)
     })
 
+  val jaroWinklerFunction: FunctionDescription = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_jaro_winkler(a, b) takes exactly 2 arguments")
+      JaroWinklerSim(children.head, children(1))
+    })
+
   val all: Seq[FunctionDescription] =
-    Seq(dotFunction, shinglesFunction, cdcChunksFunction, maxDupFracFunction)
+    Seq(dotFunction, shinglesFunction, cdcChunksFunction, maxDupFracFunction,
+      jaroWinklerFunction)
 
   /** Register into an already-built session (tests, REPL). Also registers
     * the UDAF surface (`spark.udf` path — SparkSessionExtensions only

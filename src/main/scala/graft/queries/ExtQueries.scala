@@ -1036,6 +1036,10 @@ object ExtQueries {
   def editDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.documents(s, d))
 
+  /** Native Jaro–Winkler record-linkage top-10 under the same blocking. */
+  def jaroWinklerQ(s: SparkSession, d: String): DataFrame =
+    Dedup.jaroWinklerPairs(Tables.documents(s, d))
+
   /** Partitioned-layout round trip: documents written hive-partitioned by
     * lang, read back with a partition filter. PlanSpec asserts the filter
     * lands in PartitionFilters (directory pruning — the scan never lists
@@ -1225,6 +1229,7 @@ object ExtQueries {
     "ext_table_diff" -> tableDiffQ _,
     "ext_probe_auc" -> probeAucQ _,
     "ext_psi_drift" -> psiDriftQ _,
+    "ext_jaro_winkler" -> jaroWinklerQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2948,6 +2953,19 @@ object ExtQueries {
         |  ROUND(psi.psi, 4) AS psi
         |FROM k JOIN psi USING (event_type)
         |ORDER BY event_type, bin""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is the byte-level reference the
+    // native expression was built to match (JaroWinklerSpec pins ulp
+    // equality); rank on the raw double, round only the output
+    "ext_jaro_winkler" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 8) AS bk,
+        |                  substr(text, 1, 128) AS pre FROM documents)
+        |SELECT doc_a, doc_b, ROUND(raw, 4) AS jw FROM (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         jaro_winkler_similarity(l.pre, r.pre) AS raw
+        |  FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id
+        |  ORDER BY raw DESC, doc_a, doc_b LIMIT 10)
+        |ORDER BY raw DESC, doc_a, doc_b""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit
