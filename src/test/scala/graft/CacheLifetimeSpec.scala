@@ -89,6 +89,22 @@ class CacheLifetimeSpec extends SparkSpec {
     eventuallyFlat(baseline)
   }
 
+  test("session-3 persist users (ksDrift, auc, probe query): registry flat") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf())
+    def callAll(): Unit = {
+      graft.ext.Drift.ksDrift(ev).count()
+      val scored = Seq(("g", 0.9, 1.0), ("g", 0.1, 0.0), ("g", 0.5, 1.0))
+        .toDF("grp", "s", "y")
+      graft.ext.LinearModel.auc(scored, "s", "y", "grp").count()
+      graft.queries.ExtQueries.linearProbeQ(spark, sf()).count()
+    }
+    callAll()
+    val baseline = drainedBaseline()
+    (1 to 3).foreach(_ => callAll())
+    eventuallyFlat(baseline)
+  }
+
   test("ShardedLda train+infer with release(): registry flat across 5 calls") {
     import spark.implicits._
     val docs = (0L until 40L).map { id =>

@@ -102,6 +102,49 @@ class EdgeCasesSpec extends SparkSpec {
     assert(p == ("s", 2L, 2L, 0L, None, None))
   }
 
+  test("session-3 operators handle empty and degenerate inputs") {
+    // scd2 on empty / single-row changelogs
+    val noChg = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("k", "id", "t", "st")
+    assert(Temporal.scd2(noChg, "k", "st", "t", "id").count() == 0)
+    val one = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "A"))
+      .toDF("k", "id", "t", "st")
+    val r = Temporal.scd2(one, "k", "st", "t", "id")
+      .as[(Long, Int, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .head()
+    assert(r._2 == 1 && r._5.isEmpty && r._6 == 1L)
+    // blocklist: empty phrase list is a hard error; empty docs flow through
+    intercept[IllegalArgumentException] { Blocklist.filterReport(noDocs, Seq.empty) }
+    assert(Blocklist.filterReport(noDocs, Seq("x")).count() == 0)
+    assert(Blocklist.filterReport(noDocs, Seq("x"), acThreshold = 0).count() == 0)
+    // ks drift: empty input → empty typed frame; single group still works
+    val noEv = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Drift.ksDrift(noEv, "g", "v").count() == 0)
+    val oneG = Drift.ksDrift(Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), "g", "v")
+      .as[(String, Double, Double)].head()
+    assert(oneG._2 == 0.0) // a group IS the pool → zero drift
+    // table diff: both sides empty / one side empty
+    val noKv = Seq.empty[(Long, String)].toDF("k", "s")
+    assert(Incremental.tableDiff(noKv, noKv, "k", Seq("s")).count() == 0)
+    val oneKv = Seq((1L, "x")).toDF("k", "s")
+    assert(Incremental.tableDiff(noKv, oneKv, "k", Seq("s"))
+      .as[(Long, String)].head() == ((1L, "added")))
+    // hll: empty occurrence stream → no registers, no estimates
+    assert(Sketches.hllRegisters(noDocs.withColumnRenamed("text", "sh"),
+      "doc_id", col("sh")).count() == 0)
+    // linear probe: empty frame is a hard error (n = 0)
+    intercept[IllegalArgumentException] {
+      LinearModel.trainLinearProbe(Seq.empty[(Double, Double)].toDF("x", "y"),
+        Seq("x"), "y", 0.5, 1)
+    }
+    // auc: empty input → empty frame
+    assert(LinearModel.auc(Seq.empty[(String, Double, Double)].toDF("g", "s", "y"),
+      "s", "y", "g").count() == 0)
+    // jaro-winkler pairs: empty and single-doc corpora produce no pairs
+    assert(Dedup.jaroWinklerPairs(noDocs).count() == 0)
+    assert(Dedup.jaroWinklerPairs(oneDoc).count() == 0)
+  }
+
   test("session-2 operators handle empty and degenerate inputs") {
     val noSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(Dedup.containmentJoin(noDocs).count() == 0)

@@ -396,6 +396,31 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(finalPlan).size <= 1, finalPlan.take(3000))
   }
 
+  test("psi drift: no window exec, no cartesian (two-pass ntile + grid joins)") {
+    val p = plan("ext_psi_drift")
+    // deciles come from exactNtile's offset scan — a global NTILE window
+    // here would be the q18 single-task anti-pattern
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("table diff: one full-outer sort-merge join, fingerprints pre-join") {
+    val p = plan("ext_table_diff")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin") && finalPlan.contains("FullOuter"),
+      finalPlan.take(3000))
+    assert(!finalPlan.contains("CartesianProduct")
+      && !finalPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("jaro-winkler pairs: block-key equi-join + TakeOrdered, codegen'd kernel") {
+    val p = plan("ext_jaro_winkler")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("graft_jaro_winkler"), p.take(3000)) // native expression planned
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
