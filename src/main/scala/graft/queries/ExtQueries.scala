@@ -980,6 +980,24 @@ object ExtQueries {
        |  ROUND(CAST(u2 - np * (np + 1) AS DOUBLE) / (2.0 * np * (n - np)), 4) AS auc
        |FROM u ORDER BY lang""".stripMargin
 
+  /** Streaming blocklist gate: the corpus-mined phrase list is FROZEN
+    * (mined batch-side — the nightly artifact), then applied to a live
+    * document stream as a stateless in-row projection — the contains-HOF
+    * path of [[Blocklist.filterReport]] works unchanged on a streaming
+    * frame (no state, no watermark; the Aho–Corasick path is batch-only
+    * — it drops to RDDs). Run to completion, the gate's output must
+    * hash-match the batch twin's oracle: the batch-parity claim for
+    * live-ingest filtering, checked not asserted. */
+  def streamBlocklistQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val phrases = Blocklist.minedBigrams(docs, 8)
+    val stream = graft.streaming.Streams.parquetStream(
+      s, d + "/documents.parquet", docs.schema)
+    runStream(Blocklist.filterReport(stream, phrases),
+      "graft_stream_blocklist", "append")
+      .orderBy("doc_id")
+  }
+
   /** Exact grouped ROC-AUC of the trained probe, per language plus the
     * pooled `__all__` cohort — the eval step that closes the train →
     * score → evaluate loop, distributed end to end. */
@@ -1230,6 +1248,7 @@ object ExtQueries {
     "ext_probe_auc" -> probeAucQ _,
     "ext_psi_drift" -> psiDriftQ _,
     "ext_jaro_winkler" -> jaroWinklerQ _,
+    "ext_stream_blocklist" -> streamBlocklistQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2784,7 +2803,14 @@ object ExtQueries {
 
     // blocklist = the corpus's top-8 bigrams; token-aligned containment
     // via space padding (text carries a trailing space; ' ' is prepended)
-    "ext_blocklist" ->
+    "ext_blocklist" -> blocklistOracleSql,
+
+    // the streaming gate must emit EXACTLY the batch filter's rows —
+    // batch parity as a hash check, not an assertion
+    "ext_stream_blocklist" -> blocklistOracleSql,
+  ) ++ oraclesTail
+
+  private lazy val blocklistOracleSql: String =
       s"""WITH $toksCte,
          |bi AS (
          |  SELECT unnest(list_transform(range(1, len(ts)),
@@ -2800,8 +2826,10 @@ object ExtQueries {
          |  FROM documents d)
          |SELECT doc_id, n_matched,
          |  CASE WHEN n_matched = 0 THEN 1 ELSE 0 END AS kept
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |FROM m ORDER BY doc_id""".stripMargin
 
+  // lazy: referenced from `oracles`, which is initialized first
+  private lazy val oraclesTail: Map[String, String] = Map(
     // inner join: orders with no lineitem rows simply don't appear
     "ext_bucketed_join" ->
       """SELECT o.o_orderkey, o.o_orderstatus,

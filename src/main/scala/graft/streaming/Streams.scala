@@ -53,19 +53,29 @@ object Streams {
     * an equivalent glob; `basePath` is then pinned to the parent dir. */
   def eventStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    graft.Tables.normalizeTs(
+      parquetStream(spark, path, eventSchema(tsType), maxFilesPerTrigger))
+  }
+
+  /** Stream any parquet path — a directory, or a SINGLE FILE via the
+    * bracket-glob + pinned-basePath adjustment documented above (the
+    * fixtures ship one file per table). Schema must be declared up
+    * front (FileStreamSource contract). */
+  def parquetStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
     val (globPath, base) = if (path.endsWith(".parquet")) {
       val slash = path.lastIndexOf('/')
       val dir = path.substring(0, slash)
       val name = path.substring(slash + 1)
       (s"$dir/[${name.head}]${name.tail}", dir)
     } else (path, path)
-    val tsType = spark.read.parquet(path).schema("ts").dataType
-    val raw = spark.readStream
-      .schema(eventSchema(tsType))
+    spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("basePath", base)
       .parquet(globPath)
-    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling-window count/sum per event type with a watermark: the
