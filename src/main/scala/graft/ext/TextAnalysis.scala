@@ -790,6 +790,55 @@ object TextAnalysis {
       .agg(round(avg(-log(score)), 4).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; the
+    * smoothing BPE-era n-gram stacks standardized on, where stupid
+    * backoff is the unnormalized web-scale shortcut):
+    *   p(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·pc(w2)) / c(w1)
+    * with absolute discount D, N1+(w1·) = distinct continuations of w1,
+    * and the CONTINUATION distribution pc(w2) ∝ how many distinct
+    * contexts w2 follows (not how often) — add-one-floored over the
+    * bigram-type count so unseen events stay finite:
+    *   pc(w2) = (N1+(·w2) + 1) / (B + V + 1).
+    * Unseen prefix (c(w1) = 0) falls back to pc(w2) directly.
+    * Per-doc output: (doc_id, n_bigrams, nll = mean −ln p) over the
+    * eval slice — same fluency-filter shape as [[stupidBackoff]].
+    *
+    * Scale shape: ONE bigram count table feeds everything — c(w1) and
+    * N1+(w1·) are a regroup of it, N1+(·w2) another, B/V two scalars —
+    * then one pass over the eval bigrams with left joins (vocab-bounded
+    * model tables; AQE broadcasts them when small). */
+  def knBigramNll(docs: DataFrame, isTrain: Column,
+      discount: Double = 0.75): DataFrame = {
+    val train = docs.where(isTrain)
+    val eval = docs.where(!isTrain)
+    val c12 = Dedup.explodedShingles(train, 2)
+      .select(split(col("sh"), " ").getItem(0).as("w1"),
+        split(col("sh"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1pw"))
+    val scalars = c12.agg(count(lit(1)).as("b")).crossJoin(
+      train.select(explode(Dedup.tokens(col("text"))).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val p = split(col("sh"), " ")
+    val ev = Dedup.explodedShingles(eval, 2)
+      .select(col("doc_id"), p.getItem(0).as("ew1"), p.getItem(1).as("ew2"))
+    val pc = (coalesce(col("n1pw"), lit(0L)) + lit(1L)) /
+      (col("b") + col("v") + lit(1L))
+    // coalesce BEFORE greatest: GREATEST-with-NULL semantics differ
+    // across engines; with the 0-fill both sides compute on plain doubles
+    val seen = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(discount), lit(0.0))
+      + lit(discount) * col("n1fw").cast("double") * pc) / col("c1").cast("double")
+    val prob = when(col("c1").isNotNull, seen).otherwise(pc)
+    ev.join(broadcast(c12), col("ew1") === col("w1") && col("ew2") === col("w2"), "left")
+      .join(broadcast(c1.toDF("p1", "c1", "n1fw")), col("ew1") === col("p1"), "left")
+      .join(broadcast(cont.toDF("s2", "n1pw")), col("ew2") === col("s2"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(-log(prob)), 4).as("nll"))
+  }
+
   /** Per-stratum winsorization: clip `valueCol` to the stratum's
     * [lo, hi] percentile values (PERCENTILE_DISC semantics — the value
     * at rank ⌈q·n⌉, same rule as [[Sketches.quantilesOf]]) — the outlier

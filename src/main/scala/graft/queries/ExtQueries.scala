@@ -980,6 +980,14 @@ object ExtQueries {
        |  ROUND(CAST(u2 - np * (np + 1) AS DOUBLE) / (2.0 * np * (n - np)), 4) AS auc
        |FROM u ORDER BY lang""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM: train on 'en', score 'zh' docs
+    * (the cross-domain fluency filter, with real smoothing). */
+  def knBigramQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knBigramNll(
+        Tables.documents(s, d).where(col("lang").isin("en", "zh")),
+        col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Streaming blocklist gate: the corpus-mined phrase list is FROZEN
     * (mined batch-side — the nightly artifact), then applied to a live
     * document stream as a stateless in-row projection — the contains-HOF
@@ -1249,6 +1257,7 @@ object ExtQueries {
     "ext_psi_drift" -> psiDriftQ _,
     "ext_jaro_winkler" -> jaroWinklerQ _,
     "ext_stream_blocklist" -> streamBlocklistQ _,
+    "ext_kneser_ney" -> knBigramQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2981,6 +2990,44 @@ object ExtQueries {
         |  ROUND(psi.psi, 4) AS psi
         |FROM k JOIN psi USING (event_type)
         |ORDER BY event_type, bin""".stripMargin,
+
+    // interpolated KN: one bigram count table regrouped three ways;
+    // continuation distribution add-one-floored over bigram types;
+    // COALESCE before GREATEST (NULL semantics differ across engines)
+    "ext_kneser_ney" ->
+      """WITH tl AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE lang IN ('en', 'zh')
+        |),
+        |tb AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tl WHERE lang = 'en' AND len(ts) >= 2)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1fw FROM c12 GROUP BY w1),
+        |cont AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY w2),
+        |sc AS (SELECT (SELECT COUNT(*) FROM c12) AS b,
+        |              (SELECT COUNT(DISTINCT w) FROM
+        |                 (SELECT unnest(ts) AS w FROM tl WHERE lang = 'en')) AS v),
+        |ev AS (SELECT doc_id, string_split(g, ' ')[1] AS ew1,
+        |              string_split(g, ' ')[2] AS ew2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tl WHERE lang = 'zh' AND len(ts) >= 2)),
+        |probs AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN c1.c1 IS NOT NULL THEN
+        |      (GREATEST(CAST(COALESCE(c12.c12, 0) AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * CAST(c1.n1fw AS DOUBLE)
+        |          * ((COALESCE(cont.n1pw, 0) + 1) / (sc.b + sc.v + 1)))
+        |      / CAST(c1.c1 AS DOUBLE)
+        |    ELSE (COALESCE(cont.n1pw, 0) + 1) / (sc.b + sc.v + 1) END AS p
+        |  FROM ev e
+        |  LEFT JOIN c12 ON c12.w1 = e.ew1 AND c12.w2 = e.ew2
+        |  LEFT JOIN c1 ON c1.w1 = e.ew1
+        |  LEFT JOIN cont ON cont.w2 = e.ew2, sc)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(-ln(p)), 4) AS nll
+        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DuckDB's jaro_winkler_similarity is the byte-level reference the
     // native expression was built to match (JaroWinklerSpec pins ulp

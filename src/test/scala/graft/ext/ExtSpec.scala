@@ -673,6 +673,36 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == r4(-math.log(0.16 / 9)))
   }
 
+  test("knBigramNll: interpolated KN hand math incl. unseen prefix and OOV") {
+    // train: "a b", "a c" → c12(a,b)=c12(a,c)=1; c1(a)=2, N1+(a·)=2;
+    // N1+(·b)=N1+(·c)=1; B=2 bigram types; V=3 unigram types (a,b,c)
+    // pc(w) = (N1+(·w)+1)/(B+V+1) = 2/6 seen, 1/6 unseen
+    val d = Seq(
+      (1L, "a b", 1), (2L, "a c", 1),
+      (3L, "a b", 0),  // seen: (max(1−.75,0) + .75·2·(2/6))/2 = 0.375
+      (4L, "z b", 0),  // unseen prefix → pc(b) = 2/6
+      (5L, "z q", 0))  // fully OOV → pc(q) = 1/6 — finite, no -inf
+      .toDF("doc_id", "text", "train")
+    val got = TextAnalysis.knBigramNll(d, col("train") === 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == ((1L, r4(-math.log(0.375)))), got.toString)
+    assert(got(4L) == ((1L, r4(-math.log(2.0 / 6)))), got.toString)
+    assert(got(5L) == ((1L, r4(-math.log(1.0 / 6)))), got.toString)
+  }
+
+  test("knBigramNll: the discount moves mass to the continuation term") {
+    // same eval under D=0 (pure MLE + interpolation weight 0) vs D=0.75:
+    // a SEEN bigram scores better (lower nll) with less discounting
+    val d = Seq((1L, "a b", 1), (2L, "a c", 1), (3L, "a b", 0))
+      .toDF("doc_id", "text", "train")
+    val nllD0 = TextAnalysis.knBigramNll(d, col("train") === 1, discount = 0.0)
+      .as[(Long, Long, Double)].head()._3
+    val nllD75 = TextAnalysis.knBigramNll(d, col("train") === 1)
+      .as[(Long, Long, Double)].head()._3
+    assert(nllD0 < nllD75, s"$nllD0 vs $nllD75")
+  }
+
   test("winsorize clips to the stratum's rank-based percentile values") {
     // 20 docs, values 1..20, one stratum: p05 = value at rank 1 = 1,
     // p95 = value at rank 19 = 19 → only the max gets clipped (20 → 19)
