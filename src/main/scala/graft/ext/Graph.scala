@@ -60,6 +60,39 @@ object Graph {
     out
   }
 
+  /** Triangle census + global clustering coefficient over an undirected
+    * pair graph — the "is this near-dup graph clumpy boilerplate or
+    * chains of borderline pairs" diagnostic (high GCC ⇒ dense mirror
+    * clusters; low ⇒ threshold noise). Edges canonicalize to a < b, so
+    * each triangle materializes exactly once as an ordered (a<b<c) path
+    * closed by a third edge: one self-equi-join for the wedges, one more
+    * equi-join to close them — never an all-pairs step, per-node cost
+    * O(deg²) like every triangle counter. Wedge count Σ d·(d−1)/2 and
+    * the census stay in exact integers; GCC = 3·Δ/wedges is the single
+    * double. Callers joining a cached pair table (the query reuses the
+    * shared minhash candidates) pay zero extra scans.
+    * Output (one row): n_edges, n_wedges, n_triangles, gcc. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val e2 = e.toDF("b2", "c")
+    val e3 = e.toDF("a3", "c3")
+    val tri = e.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double") / col("n_wedges"), 4))
+          .as("gcc"))
+  }
+
   /** The scale path: synchronous power iteration as join+aggregate
     * rounds (see [[pageRank]]). */
   def pageRankDistributed(pairs: DataFrame, iters: Int, d: Double): DataFrame = {

@@ -31,6 +31,11 @@ object ExtQueries {
   def pageRankQ(s: SparkSession, d: String): DataFrame =
     Graph.pageRank(candidates(s, d)).orderBy("doc_id")
 
+  /** Triangle census + clustering coefficient of the shared near-dup
+    * candidate graph (reads the same cached pair table as PageRank). */
+  def trianglesQ(s: SparkSession, d: String): DataFrame =
+    Graph.triangleStats(candidates(s, d)).orderBy("n_edges")
+
   /** DSIR importance weights toward the Spanish-language target domain. */
   def importanceWeightsQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.importanceWeights(Tables.documents(s, d), col("lang") === "es")
@@ -1258,6 +1263,7 @@ object ExtQueries {
     "ext_jaro_winkler" -> jaroWinklerQ _,
     "ext_stream_blocklist" -> streamBlocklistQ _,
     "ext_kneser_ney" -> knBigramQ _,
+    "ext_triangles" -> trianglesQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2990,6 +2996,27 @@ object ExtQueries {
         |  ROUND(psi.psi, 4) AS psi
         |FROM k JOIN psi USING (event_type)
         |ORDER BY event_type, bin""".stripMargin,
+
+    // ordered-path triangle closure over the minhash candidate pairs;
+    // integer census, GCC the single double
+    "ext_triangles" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+         |        GROUP BY v),
+         |w AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+         |t AS (SELECT COUNT(*) AS n_triangles
+         |      FROM cand e1 JOIN cand e2 ON e1.b = e2.a
+         |      JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |n AS (SELECT COUNT(*) AS n_edges FROM cand)
+         |SELECT n.n_edges, w.n_wedges, t.n_triangles,
+         |  CASE WHEN w.n_wedges > 0
+         |       THEN ROUND(3.0 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 4)
+         |       ELSE NULL END AS gcc
+         |FROM n, w, t ORDER BY n_edges""".stripMargin,
 
     // interpolated KN: one bigram count table regrouped three ways;
     // continuation distribution add-one-floored over bigram types;

@@ -60,4 +60,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a == b)
   }
+
+  test("triangleStats: hand-counted census; reversed/duplicate edges canonicalize") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1 →
+    // wedges = 1+1+3+0 = 5, triangles = 1, gcc = 3·1/5 = 0.6
+    val g = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 1L), (1L, 2L))
+      .toDF("doc_a", "doc_b") // includes a reversed and an exact duplicate
+    val r = Graph.triangleStats(g)
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(r == ((4L, 5L, 1L, Some(0.6))), r.toString)
+    // triangle-free graph: zero triangles, defined gcc 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p = Graph.triangleStats(path).as[(Long, Long, Long, Option[Double])].head()
+    assert(p == ((2L, 1L, 0L, Some(0.0))), p.toString)
+    // single edge: no wedges → gcc undefined (null), not a crash
+    val one = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val o = Graph.triangleStats(one).as[(Long, Long, Long, Option[Double])].head()
+    assert(o == ((1L, 0L, 0L, None)), o.toString)
+  }
 }
