@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -985,6 +985,61 @@ object ExtQueries {
        |  ROUND(CAST(u2 - np * (np + 1) AS DOUBLE) / (2.0 * np * (n - np)), 4) AS auc
        |FROM u ORDER BY lang""".stripMargin
 
+  /** Dominant PPMI eigendirection over ±2-window skip-gram counts — a
+    * 5-step distributed power iteration whose trajectory is exactly
+    * reproducible (fixed-point mat-vec + sorted-order norm fold), hence
+    * hash-checked END TO END including the iteration itself. */
+  def ppmiDirectionQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Spectral.ppmiTopDirection(
+        TextAnalysis.skipgramPairs(Tables.documents(s, d)), iters = 5)
+      .toDF("word", "w")
+      .select(col("word"), round(col("w"), 4).as("weight"))
+      .orderBy("word")
+  }
+
+  /** DuckDB twin of [[ppmiDirectionQ]]: skip-gram counts → PPMI with the
+    * integer membership predicate → 5 unrolled power steps (mat-vec as
+    * fixed-point BIGINT sums; norm as a sorted-word list fold). */
+  private def ppmiDirectionOracleSql(iters: Int): String = {
+    val grid = "1073741824.0" // 2^30
+    val base =
+      s"""$toksCte,
+         |dt AS (SELECT doc_id, i, ts[i] AS tok
+         |       FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)),
+         |pc AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c
+         |       FROM dt a JOIN dt b
+         |         ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND 2
+         |       GROUP BY a.tok, b.tok),
+         |c1 AS (SELECT w1, SUM(c) AS cw FROM pc GROUP BY w1),
+         |nn0 AS (SELECT SUM(c) AS n FROM pc),
+         |m AS MATERIALIZED (
+         |  SELECT pc.w1, pc.w2,
+         |    ln(CAST(pc.c AS DOUBLE) * nn0.n / (CAST(a.cw AS DOUBLE) * b.cw)) AS m
+         |  FROM pc JOIN c1 a ON a.w1 = pc.w1 JOIN c1 b ON b.w1 = pc.w2, nn0
+         |  WHERE pc.c * nn0.n > a.cw * b.cw),
+         |x0 AS MATERIALIZED (
+         |  SELECT w1 AS w, 1.0 / sqrt(CAST(
+         |    (SELECT COUNT(DISTINCT w1) FROM m) AS DOUBLE)) AS v
+         |  FROM (SELECT DISTINCT w1 FROM m))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""y$i AS MATERIALIZED (
+         |  SELECT m.w1 AS w,
+         |    SUM(CAST(floor(m.m * x.v * $grid + 0.5) AS BIGINT)) AS q
+         |  FROM m JOIN x${i - 1} x ON x.w = m.w2 GROUP BY m.w1),
+         |n$i AS MATERIALIZED (
+         |  SELECT sqrt(list_reduce(list_transform(
+         |    list(CAST(q AS DOUBLE) / $grid ORDER BY w), v -> v * v),
+         |    (a, b) -> a + b)) AS nn
+         |  FROM y$i),
+         |x$i AS MATERIALIZED (
+         |  SELECT w, (CAST(q AS DOUBLE) / $grid) / n$i.nn AS v FROM y$i, n$i)""".stripMargin
+    }
+    s"""WITH $base,
+       |${steps.mkString(",\n")}
+       |SELECT w AS word, ROUND(v, 4) AS weight FROM x$iters ORDER BY word""".stripMargin
+  }
+
   /** Interpolated Kneser–Ney bigram LM: train on 'en', score 'zh' docs
     * (the cross-domain fluency filter, with real smoothing). */
   def knBigramQ(s: SparkSession, d: String): DataFrame =
@@ -1264,6 +1319,7 @@ object ExtQueries {
     "ext_stream_blocklist" -> streamBlocklistQ _,
     "ext_kneser_ney" -> knBigramQ _,
     "ext_triangles" -> trianglesQ _,
+    "ext_ppmi_direction" -> ppmiDirectionQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2912,6 +2968,8 @@ object ExtQueries {
     "ext_linear_probe" -> linearProbeOracleSql(16),
 
     "ext_probe_auc" -> probeAucOracleSql(16),
+
+    "ext_ppmi_direction" -> ppmiDirectionOracleSql(5),
 
     // KS via explicit step functions: per-type cumulative over the full
     // distinct-value grid vs the pooled cumulative; sup at a jump point,
