@@ -319,6 +319,21 @@ object TextAnalysis {
           ipv4Re, "<IP>"),
         phoneRe, "<PHONE>").as("redacted"))
 
+  /** Salted-hash pseudonymization: deterministic keyed rename of an id
+    * column — equal ids map to equal pseudonyms (joins, sessionization
+    * and per-entity aggregates keep working on the pseudonymized data)
+    * while linkability to the raw key requires the salt. The privacy
+    * complement of [[piiRedact]]: redaction destroys the value,
+    * pseudonymization preserves its GRAPH. Pure per-row map (md5 prefix
+    * — 16 hex chars = 64 bits, collision-safe far past any entity
+    * count); rotate the salt to break linkage across releases. */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String,
+      prefixLen: Int = 16): DataFrame =
+    df.withColumn(s"${idCol}_pseud",
+      substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        1, prefixLen))
+      .drop(idCol)
+
   /** Markup scrub — the boilerplate-removal pass a crawl corpus runs
     * before any text analysis: strip HTML tags, decode the common
     * entities, unwrap markdown links (keep the anchor text), drop

@@ -985,6 +985,18 @@ object ExtQueries {
        |  ROUND(CAST(u2 - np * (np + 1) AS DOUBLE) / (2.0 * np * (n - np)), 4) AS auc
        |FROM u ORDER BY lang""".stripMargin
 
+  /** Pseudonymized per-entity rollup: user ids salted-hash renamed, then
+    * the usual per-entity aggregate — referential integrity surviving
+    * pseudonymization, checked by hash (the per-pseudonym counts ARE the
+    * per-user counts under the rename). */
+  def pseudonymizeQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pseudonymize(
+        Tables.events(s, d).select("user_id", "event_id", "value"),
+        "user_id", salt = "graft42")
+      .groupBy("user_id_pseud")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("v"))
+      .orderBy("user_id_pseud")
+
   /** Dominant PPMI eigendirection over ±2-window skip-gram counts — a
     * 5-step distributed power iteration whose trajectory is exactly
     * reproducible (fixed-point mat-vec + sorted-order norm fold), hence
@@ -1320,6 +1332,7 @@ object ExtQueries {
     "ext_kneser_ney" -> knBigramQ _,
     "ext_triangles" -> trianglesQ _,
     "ext_ppmi_direction" -> ppmiDirectionQ _,
+    "ext_pseudonymize" -> pseudonymizeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -2970,6 +2983,12 @@ object ExtQueries {
     "ext_probe_auc" -> probeAucOracleSql(16),
 
     "ext_ppmi_direction" -> ppmiDirectionOracleSql(5),
+
+    "ext_pseudonymize" ->
+      """SELECT substr(md5('graft42' || ':' || CAST(user_id AS VARCHAR)), 1, 16)
+        |         AS user_id_pseud,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS v
+        |FROM events GROUP BY 1 ORDER BY user_id_pseud""".stripMargin,
 
     // KS via explicit step functions: per-type cumulative over the full
     // distinct-value grid vs the pooled cumulative; sup at a jump point,

@@ -673,6 +673,25 @@ class ExtSpec extends SparkSpec {
     assert(got(5L) == r4(-math.log(0.16 / 9)))
   }
 
+  test("pseudonymize: injective rename, raw id gone, salt changes the mapping") {
+    val e = graft.Tables.events(spark, sf()).select("user_id", "event_id")
+    val p = TextAnalysis.pseudonymize(e, "user_id", "s1")
+    assert(!p.columns.contains("user_id"))
+    val nUsers = e.select("user_id").distinct().count()
+    assert(p.select("user_id_pseud").distinct().count() == nUsers)
+    // per-entity event counts survive the rename exactly
+    val byPseud = p.groupBy("user_id_pseud").count()
+      .select("count").as[Long].collect().sorted
+    val byUser = e.groupBy("user_id").count()
+      .select("count").as[Long].collect().sorted
+    assert(byPseud.sameElements(byUser))
+    // a different salt yields a disjoint pseudonym space
+    val p2 = TextAnalysis.pseudonymize(e, "user_id", "s2")
+      .select("user_id_pseud").distinct().as[String].collect().toSet
+    val p1 = p.select("user_id_pseud").distinct().as[String].collect().toSet
+    assert(p1.intersect(p2).isEmpty)
+  }
+
   test("knBigramNll: interpolated KN hand math incl. unseen prefix and OOV") {
     // train: "a b", "a c" → c12(a,b)=c12(a,c)=1; c1(a)=2, N1+(a·)=2;
     // N1+(·b)=N1+(·c)=1; B=2 bigram types; V=3 unigram types (a,b,c)
