@@ -376,6 +376,42 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // session-3b ops: KN LM + PPMI power iteration + triangles over the
+    // replicated corpus (prefixed replicas → vocab and the PPMI matrix
+    // grow m×; the candidate graph's per-replica structure stays the
+    // data's own), jaro-winkler blocked pairs, pseudonymized rollup.
+    println("mult |     docs | kneser_ney |  ppmi(V) | triangles | jaro_wink |   events | pseud")
+    sweep("r6d") { m =>
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val docs = replicated(m)
+        .withColumn("lang", concat(lit("l"), col("doc_id") % 2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val (tKn, _) = time(mat(ext.TextAnalysis.knBigramNll(docs, col("lang") === "l0")))
+      val (tPpmi, nV) = {
+        val t0 = System.nanoTime()
+        val dir = ext.Spectral.ppmiTopDirection(
+          ext.TextAnalysis.skipgramPairs(docs), iters = 3)
+        ((System.nanoTime() - t0) / 1e9, dir.size.toLong)
+      }
+      val (tTri, _) = time(mat(ext.Graph.triangleStats(
+        ext.Dedup.minhashCandidates(docs))))
+      val (tJw, _) = time(mat(ext.Dedup.jaroWinklerPairs(docs)))
+      val ev = {
+        val e = Tables.events(spark, dir).select("event_id", "user_id", "value")
+        if (m == 1) e
+        else e.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(100000000L)).as("event_id"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"), col("value"))
+      }
+      val ne = ev.count()
+      val (tPs, _) = time(mat(
+        ext.TextAnalysis.pseudonymize(ev, "user_id", "graft42")
+          .groupBy("user_id_pseud").agg(count(lit(1)).as("n"))))
+      println(f"$m%4d | $nd%8d | $tKn%10.2f | $tPpmi%5.2f($nV%5d) | $tTri%9.2f | $tJw%9.2f | $ne%8d | $tPs%5.2f")
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
