@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed generalized suffix array by prefix doubling
+  * (Manber & Myers 1990, the classic O(n log n) construction), the
+  * substring-index backbone behind exact-substring dedup, plagiarism
+  * spans, and grep-scale corpus search. The reference engine has no
+  * substring index at all (its corpus model is bag-of-words —
+  * SURVEY §1.1); this is the operator a 100 TB text pipeline would
+  * want where [[Dedup.repeatedSpans]]' fixed-gram pass isn't enough.
+  *
+  * Semantics: every suffix `text.substring(pos)` of every document,
+  * densely ranked (0-based) under full binary-lexicographic order
+  * ACROSS the whole corpus; identical suffixes (possible across docs)
+  * share a rank — exactly SQL's `DENSE_RANK() OVER (ORDER BY suffix)
+  * - 1`, which is what the oracle checks, without ever materializing
+  * the O(n²) suffix strings that form would need.
+  *
+  * Why prefix doubling distributes: round k knows each suffix's rank
+  * by its first k chars; sorting the pairs (rank_k(i), rank_k(i+k))
+  * yields ranks by the first 2k chars. Every step is rows of three
+  * longs — the TEXT is only touched once, at seeding. Per round:
+  *   - successor lookup = one self equi-join on (doc_id, pos+k);
+  *   - pair ranking = sortBy + zipWithIndex on the DISTINCT pair set
+  *     (the [[graft.lda.Corpus.sortedVocabLarge]] two-job scheme — no
+  *     single-partition window anywhere);
+  *   - rank attach = one hash join back.
+  * Rounds stop as soon as ranks are unique (natural text: k ≈ 16–32,
+  * so 4–5 rounds) or k exceeds the longest document; `localCheckpoint`
+  * truncates the iterative lineage each round, the power-iteration
+  * convention of this repo. Skew-free by construction: join keys are
+  * (doc_id, pos) and near-unique rank pairs.
+  *
+  * Suffixes never compare past their document's end: a missing
+  * successor ranks as -1, below every real rank, which is exactly
+  * binary order's shorter-prefix-first rule.
+  */
+object SuffixArray {
+
+  /** (doc_id, pos, srank) for every 1-based suffix position of every
+    * non-empty document — `srank` the corpus-wide dense rank.
+    *
+    * `seedLen`: the doubling chain starts from ranks of the first
+    * `seedLen` chars (one distinct-substring ranking pass) instead of
+    * single characters — log2(seedLen) fewer join rounds for the price
+    * of ranking strings once. The loop also stops at the refinement
+    * FIXPOINT: a round that creates no new rank class proves ranks
+    * final even when genuine duplicate suffixes keep them short of
+    * all-unique (if rank_k classes == rank_2k classes, agreement on
+    * the first k chars extends to 2k, hence by induction to every
+    * suffix end — the standard partition-refinement argument). */
+  def suffixRanks(docs: DataFrame, seedLen: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(seedLen >= 1, "seedLen >= 1")
+
+    val sfx = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) > 0)
+    // seed: dense-rank the distinct seedLen-char windows under binary
+    // order (UTF-8 byte collation, the repo's vocab convention) and
+    // attach by one hash join. A window short of seedLen chars (doc
+    // tail) sorts shorter-prefix-first — consistent with suffix order.
+    val seeds = sfx
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $seedLen)").as("sub"))
+    // RDD sorts bypass AQE's shuffle coalescing, so size their partition
+    // count to the key volume explicitly (~1M keys per partition, capped
+    // at the cluster's parallelism) — at battery scale that's 2 tasks,
+    // not 32; at 100 TB it grows with the data.
+    def sortParts(nKeys: Long): Int = {
+      val byVolume = math.max(2L, nKeys / 1000000L)
+      math.min(spark.sparkContext.defaultParallelism.toLong,
+        byVolume).toInt
+    }
+    val subKeys = seeds.select("sub").distinct().as[String].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSub = subKeys.count()
+    val subRanks = subKeys
+      .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        numPartitions = sortParts(nSub))(
+        graft.lda.Corpus.unsignedBytes, implicitly)
+      .zipWithIndex().map { case (c, i) => (c, i) }.toDF("sub", "r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = seeds.join(subRanks, "sub")
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint()
+
+    val n = cur.count()
+    val maxLen = sfx.agg(max(length(col("text")))).as[Int].head()
+    var k = seedLen.toLong
+    // distinct ranks after a round = distinct (r, r2) pairs ranked IN
+    // the round — counted on the persisted pair set, never as a
+    // separate post-join distinct pass
+    var distinctRanks = nSub
+    subRanks.unpersist(); subKeys.unpersist()
+    var converged = false
+    while (!converged && distinctRanks < n && k < maxLen) {
+      val tRound = System.nanoTime()
+      // radix-4 doubling: rank the 4-tuple (rank(i), rank(i+k),
+      // rank(i+2k), rank(i+3k)) — order by the first 4k chars in ONE
+      // round. Per-round cost here is job-scheduling overhead, not data
+      // volume, so quartering the round count beats halving per-round
+      // work; the three shifted self-joins share one shuffle key.
+      val paired = Seq(1L, 2L, 3L).foldLeft(cur) { (acc, m) =>
+        acc.join(cur.select(col("doc_id"), (col("pos") - m * k).as("pos"),
+            col("r").as(s"r$m")), Seq("doc_id", "pos"), "left")
+      }.na.fill(-1L, Seq("r1", "r2", "r3"))
+      val keys = paired.select("r", "r1", "r2", "r3").distinct()
+        .as[(Long, Long, Long, Long)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newDistinct = keys.count()
+      converged = newDistinct == distinctRanks
+      distinctRanks = newDistinct
+      val pairRanks = keys
+        .sortBy(identity, numPartitions = sortParts(newDistinct))
+        .zipWithIndex()
+        .map { case ((a, b, c, d), i) => (a, b, c, d, i) }
+        .toDF("r", "r1", "r2", "r3", "nr")
+      val prev = cur
+      cur = paired.join(pairRanks, Seq("r", "r1", "r2", "r3"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+        .localCheckpoint() // eager: prev's blocks are dead once this returns
+      prev.unpersist()
+      keys.unpersist()
+      k *= 4
+      if (sys.env.contains("GRAFT_SA_DEBUG"))
+        println(f"[sa] k=$k distinct=$distinctRanks / $n converged=$converged " +
+          f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+    }
+    // ranks are order-preserving but not dense once ties collapse mid-
+    // round; final dense re-rank over the DISTINCT rank values (unique
+    // ranks sort in suffix order, tied suffixes share a value) gives
+    // DENSE_RANK()-1 parity.
+    val dense = cur.select("r").distinct().as[Long].rdd
+      .sortBy(identity, numPartitions = sortParts(distinctRanks))
+      .zipWithIndex()
+      .map { case (r, i) => (r, i) }.toDF("r", "srank")
+    cur.join(dense, "r").select("doc_id", "pos", "srank")
+  }
+}

@@ -339,4 +339,90 @@ object Temporal {
     spark.createDataFrame(out, StructType(Seq(
       prepared.schema(0), prepared.schema(1), StructField("ewma", DoubleType))))
   }
+
+  /** Weekly cohort retention matrix — the product-analytics staple: users
+    * are cohorted by the ISO week (Monday-truncated) of their FIRST event;
+    * for each (cohort_week, week_offset) the output counts distinct users
+    * of that cohort active in the offset-th week after it.
+    *
+    * Shape for 100 TB: first-seen is one user_id aggregation; attaching
+    * the cohort back to the activity stream is an equi-join on user_id
+    * (same key as the agg — AQE reuses the partitioning, and the
+    * first-seen side is |users| rows, not |events|); the (user, week)
+    * de-dup and the final cohort-cell count are map-side-combined
+    * aggregations. No window function, nothing per-event on the driver,
+    * skew bounded by weeks-per-user. Output: (cohort_week date,
+    * week_offset bigint, n_users bigint). */
+  def cohortRetention(events: DataFrame, key: String = "user_id",
+      ts: String = "ts"): DataFrame = {
+    val weeks = events.select(col(key),
+      date_trunc("week", col(ts)).cast("date").as("_wk"))
+    val cohort = weeks.groupBy(key).agg(min(col("_wk")).as("cohort_week"))
+    weeks.join(cohort, key)
+      .select(col(key), col("cohort_week"),
+        (datediff(col("_wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** First-order Markov transition statistics of the per-user event-type
+    * sequence: count of each (from_type, to_type) adjacent pair in
+    * (ts, event_id) order, with the row-normalized transition probability
+    * (count / Σ count over the from-state).
+    *
+    * One shuffle on user_id feeds the lag window (each user's timeline
+    * streams through one task in order — never a global sort); the pair
+    * count and the from-state total are two map-side-combined
+    * aggregations over the tiny |types|² key space, the totals joined
+    * back broadcast. Output: (from_type, to_type, n, p ROUND·,4). */
+  def eventTransitions(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val pairs = events
+      .select(col(key), col(ts), col(tieBreak), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("_tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_tot"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Robust outlier census per group: median + MAD (median absolute
+    * deviation) of `valueCol`, and the count of rows beyond
+    * `k` × 1.4826 × MAD from the median (1.4826 scales MAD to σ under
+    * normality — the standard robust z-score).
+    *
+    * Two aggregation rounds on the SAME small group key (median, then
+    * median-of-deviations with the medians joined back broadcast), then
+    * one flag-and-count pass — never a per-group sort materialized to one
+    * task. Exact interpolating `percentile` keeps DuckDB
+    * `quantile_cont` parity for the oracle; its agg buffer is a
+    * per-(group,partition) distinct-value map merged on the reducer, so
+    * at extreme cardinality swap in `approx_percentile` (same code
+    * path, documented tolerance). Output: (group, n, n_outliers,
+    * med ROUND·,4, mad ROUND·,4). */
+  def madOutliers(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", k: Double = 3.0): DataFrame = {
+    val meds = events.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val withMed = events.select(col(groupCol), col(valueCol))
+      .join(broadcast(meds), groupCol)
+    val mads = withMed.groupBy(groupCol)
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    withMed.join(broadcast(mads), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col(valueCol) - col("_med")) > lit(k * 1.4826) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("_med")), 4).as("med"),
+        round(first(col("_mad")), 4).as("mad"))
+      .orderBy(groupCol)
+  }
 }

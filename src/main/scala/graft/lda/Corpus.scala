@@ -41,7 +41,7 @@ object Corpus {
     * e.g. emoji. Sorting keys by pre-encoded bytes (one encode per
     * record, via sortBy's keyBy) rather than re-encoding inside a
     * String comparator (two allocations per comparison). */
-  private val unsignedBytes: Ordering[Array[Byte]] =
+  private[graft] val unsignedBytes: Ordering[Array[Byte]] =
     (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.compareUnsigned(x, y)
 
   /** Sorted-vocabulary build for the huge-V regime: same (tok, word_id)

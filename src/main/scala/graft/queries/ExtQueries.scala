@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,6 +224,24 @@ object ExtQueries {
 
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
+
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    Temporal.cohortRetention(Tables.events(s, d))
+
+  def eventTransitions(s: SparkSession, d: String): DataFrame =
+    Temporal.eventTransitions(Tables.events(s, d))
+
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    Temporal.madOutliers(Tables.events(s, d))
+
+  /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
+    * ~log(maxlen) global sort rounds — the slice keeps the battery entry
+    * proportionate while the operator itself is fully distributed). */
+  def suffixArray(s: SparkSession, d: String): DataFrame =
+    SuffixArray.suffixRanks(
+        Tables.documents(s, d).where(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("srank"))
+      .orderBy("doc_id", "pos")
 
   /** Conversion funnel view → click → purchase, strictly ordered per user. */
   def funnel(s: SparkSession, d: String): DataFrame =
@@ -1204,6 +1222,10 @@ object ExtQueries {
     "ext_hash_split" -> hashSplit _,
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
+    "ext_cohort_retention" -> cohortRetention _,
+    "ext_transitions" -> eventTransitions _,
+    "ext_mad_outliers" -> madOutliers _,
+    "ext_suffix_array" -> suffixArray _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2178,6 +2200,61 @@ object ExtQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
         |ORDER BY v.view_id, p.purchase_id""".stripMargin,
+
+    "ext_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS _wk FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(_wk) AS cohort_week FROM wk GROUP BY user_id
+        |)
+        |SELECT cohort_week,
+        |  CAST((_wk - cohort_week) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM (SELECT DISTINCT wk.user_id, c.cohort_week, wk._wk
+        |      FROM wk JOIN c USING (user_id))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), pr AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM x
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT from_type, SUM(n) AS tot FROM pr GROUP BY 1)
+        |SELECT pr.from_type, pr.to_type, pr.n, ROUND(pr.n / t.tot, 4) AS p
+        |FROM pr JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+    "ext_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS _med
+        |  FROM events GROUP BY 1
+        |), dv AS (
+        |  SELECT e.event_type, e.value, m._med
+        |  FROM events e JOIN m USING (event_type)
+        |), a AS (
+        |  SELECT event_type, quantile_cont(abs(value - _med), 0.5) AS _mad
+        |  FROM dv GROUP BY 1
+        |)
+        |SELECT dv.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs(dv.value - dv._med) > 3 * 1.4826 * a._mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(MIN(dv._med), 4) AS med, ROUND(MIN(a._mad), 4) AS mad
+        |FROM dv JOIN a USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the O(n²)-materialization form the Spark side never builds: every
+    // suffix as a string, dense-ranked under binary order
+    "ext_suffix_array" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS pos
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND length(text) > 0
+        |)
+        |SELECT doc_id, pos,
+        |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
+        |FROM p ORDER BY doc_id, pos""".stripMargin,
 
     "ext_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -412,6 +412,43 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // session-4 event analytics: cohort retention (agg + user_id join +
+    // distinct — all keyed on user_id/weeks), Markov transitions (one
+    // user_id window + tiny-grid aggs), MAD outlier census (two exact
+    // percentile rounds on |types| groups — the per-group distinct-value
+    // buffer is the scale watch-item, bounded here by value granularity)
+    println("mult |   events | cohort | transitions |  mad")
+    sweep("r6e") { m =>
+      val ev = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev
+        else ev.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tCoh, _) = time(mat(ext.Temporal.cohortRetention(evm)))
+      val (tTr, _) = time(mat(ext.Temporal.eventTransitions(evm)))
+      val (tMad, _) = time(mat(ext.Temporal.madOutliers(evm)))
+      println(f"$m%4d | $nEv%8d | $tCoh%6.2f | $tTr%11.2f | $tMad%4.2f")
+      evm.unpersist(blocking = true)
+    }
+
+    // generalized suffix array: rows = corpus chars; rounds are
+    // log4(maxlen) and size-independent, so wall-clock should track
+    // char volume once per-round job overhead amortizes
+    println("mult |    chars | suffix_ranks")
+    sweep("sa") { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val nc = docs.agg(sum(length(col("text")))).head().getLong(0)
+      val (tSa, _) = time(mat(ext.SuffixArray.suffixRanks(docs)))
+      println(f"$m%4d | $nc%8d | $tSa%12.2f")
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banana: the textbook suffix array") {
+    val docs = Seq((1L, "banana")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs).as[(Long, Int, Long)]
+      .collect().sortBy(_._2).map(_._3).toSeq
+    // suffixes by pos: banana anana nana ana na a → ranks 3 2 5 1 4 0
+    assert(got == Seq(3L, 2L, 5L, 1L, 4L, 0L))
+  }
+
+  test("identical suffixes across docs share a dense rank; empty docs drop") {
+    val docs = Seq((1L, "ab"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs).as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 1, 0L), (1L, 2, 1L), (2L, 1, 1L)))
+  }
+
+  test("a shorter suffix sorts before every extension of it") {
+    // "ba" suffixes: "ba"(1), "a"(2); "bab": "bab"(1), "ab"(2), "b"(3)
+    // sorted: a < ab < b < ba < bab → dense 0..4
+    val docs = Seq((1L, "ba"), (2L, "bab")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs).as[(Long, Int, Long)]
+      .collect().map { case (d, p, r) => (d, p) -> r }.toMap
+    assert(got == Map((1L, 1) -> 3L, (1L, 2) -> 0L,
+      (2L, 1) -> 4L, (2L, 2) -> 1L, (2L, 3) -> 2L))
+  }
+
+  test("matches the brute-force dense rank over materialized suffixes") {
+    val docs = graft.Tables.documents(spark, sf())
+      .where(col("doc_id") % 5 === 0)
+    val got = SuffixArray.suffixRanks(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    // O(n²) reference: every suffix as a string, single-partition window
+    // (test-scale only — exactly the form the operator exists to avoid)
+    val brute = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"), expr("substring(text, pos)").as("sfx"))
+      .withColumn("srank", (dense_rank().over(Window.orderBy("sfx")) - 1).cast("long"))
+      .select(col("doc_id"), col("pos"), col("srank"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got.size == brute.size)
+    assert(got == brute)
+  }
+
+  test("suffix ranks are invariant to input partitioning") {
+    val docs = graft.Tables.documents(spark, sf()).limit(60)
+    val a = SuffixArray.suffixRanks(docs)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = SuffixArray.suffixRanks(docs.repartition(13))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+  }
+}

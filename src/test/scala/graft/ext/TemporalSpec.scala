@@ -381,4 +381,79 @@ class TemporalSpec extends SparkSpec {
       .collect().sortBy(_._2)
     assert(a.sameElements(b))
   }
+
+  test("cohortRetention: ISO-week cohorts, distinct-user cells, offsets in weeks") {
+    val e = Seq(
+      // user 10 first seen Tue of week 2024-01-01; active again in weeks +1, +1
+      (1L, 10L, ts("2024-01-02 10:00:00")),
+      (2L, 10L, ts("2024-01-10 10:00:00")),
+      (3L, 10L, ts("2024-01-12 10:00:00")), // same week as event 2 — counted once
+      // user 20 first seen week 2024-01-08
+      (4L, 20L, ts("2024-01-09 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal.cohortRetention(e)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 0L, 1L)))
+  }
+
+  test("cohortRetention: offset-0 cell of the earliest week counts every user seen then") {
+    val e = graft.Tables.events(spark, sf())
+    val ret = Temporal.cohortRetention(e)
+      .as[(java.sql.Date, Long, Long)].collect()
+    // every (cohort, 0) cell exists (a user is always active in their own
+    // first week) and cohort sizes sum to the distinct-user count
+    val byCohort = ret.groupBy(_._1)
+    assert(byCohort.values.forall(_.exists(_._2 == 0L)))
+    val users = e.select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+    // invariant to partitioning
+    val b = Temporal.cohortRetention(e.repartition(13))
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(ret.sameElements(b))
+  }
+
+  test("eventTransitions counts adjacent pairs per user and row-normalizes") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "b"),
+      (3L, 1L, ts("2024-01-01 12:00:00"), "a"),
+      (4L, 2L, ts("2024-01-01 10:00:00"), "a"),
+      (5L, 2L, ts("2024-01-01 11:00:00"), "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .select("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.eventTransitions(e)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("eventTransitions: equal-ts rows order by the event_id tiebreak") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val e = Seq(
+      (2L, 1L, t0, "b"), (1L, 1L, t0, "a"), (3L, 1L, t0, "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.eventTransitions(e)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
+    // total transitions = Σ per-user (n_events - 1)
+    val ev = graft.Tables.events(spark, sf())
+    val perUser = ev.groupBy("user_id").agg((count(lit(1)) - 1).as("m"))
+      .agg(sum("m")).as[Long].head()
+    val total = Temporal.eventTransitions(ev).agg(sum("n")).as[Long].head()
+    assert(total == perUser)
+  }
+
+  test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
+    val e = Seq(
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+      ("h", 5.0), ("h", 5.0), ("h", 5.0)
+    ).toDF("event_type", "value")
+    val got = Temporal.madOutliers(e)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // g: med 3, MAD 1, threshold 3·1.4826 = 4.4478 → only 100 is out
+    // h: MAD 0 → no deviation exceeds 0, nothing flagged
+    assert(got == Seq(("g", 5L, 1L, 3.0, 1.0), ("h", 3L, 0L, 5.0, 0.0)))
+  }
 }

@@ -421,6 +421,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_jaro_winkler"), p.take(3000)) // native expression planned
   }
 
+  test("cohort retention: aggregation pipeline, no window, no cross product") {
+    val p = plan("ext_cohort_retention")
+    assert(!p.contains("Window"), p.take(3000)) // aggs only — nothing single-partition
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("transitions: per-user window + broadcast totals join") {
+    val p = plan("ext_transitions")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // |types|²-row totals
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("mad outliers: both median tables join broadcast") {
+    val p = plan("ext_mad_outliers")
+    assert(p.split("BroadcastHashJoin").length >= 3, p.take(3000)) // meds + mads
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
