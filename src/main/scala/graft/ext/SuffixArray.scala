@@ -142,4 +142,54 @@ object SuffixArray {
       .map { case (r, i) => (r, i) }.toDF("r", "srank")
     cur.join(dense, "r").select("doc_id", "pos", "srank")
   }
+
+  /** Top-k longest repeated substrings of the corpus — the classic
+    * suffix-array application: any substring occurring twice is a common
+    * prefix of two suffixes that are ADJACENT in suffix order, so the
+    * answer is the max LCP over rank-neighbors (plus whole suffixes
+    * duplicated verbatim, i.e. rank classes of size ≥ 2). Output rows
+    * (doc_id, pos, len): the substring `text.substring(pos, pos+len)`
+    * occurs at least twice corpus-wide.
+    *
+    * Everything stays rank-keyed — NO global-order window:
+    *   - one representative (min (doc_id, pos)) + class size per rank,
+    *     a hash aggregation;
+    *   - rank-neighbor pairs by an equi-join on srank + 1 (dense ranks
+    *     make "adjacent in suffix order" a key lookup);
+    *   - LCP evaluated in-row as first-mismatch-position over an index
+    *     sequence (codegen'd higher-order functions, O(L) per pair, no
+    *     UDF) against the two docs' texts — suffix STRINGS are never
+    *     materialized;
+    *   - global top-k is a TakeOrdered.
+    */
+  def longestRepeats(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val sa = suffixRanks(docs)
+    val reps = sa.groupBy("srank")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"),
+        count(lit(1)).as("cnt"))
+      .select(col("srank"), col("rep.doc_id").as("doc_id"),
+        col("rep.pos").as("pos"), col("cnt"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("srank"), col("doc_id"), col("pos"), col("cnt"),
+        col("text"), (length(col("text")) - col("pos") + 1).as("slen"))
+      .localCheckpoint() // read twice (both join sides) past an iterative build
+    val a = reps.select(col("srank"), col("doc_id"), col("pos"),
+      col("text").as("ta"), col("pos").as("pa"), col("slen").as("la"))
+    val b = reps.select((col("srank") - 1).as("srank"),
+      col("text").as("tb"), col("pos").as("pb"), col("slen").as("lb"))
+    val adj = a.join(b, "srank")
+      .select(col("doc_id"), col("pos"),
+        expr("""coalesce(
+                  array_min(filter(transform(sequence(1, least(la, lb)),
+                    i -> IF(substring(ta, pa + i - 1, 1) <> substring(tb, pb + i - 1, 1),
+                            i, CAST(NULL AS INT))),
+                    x -> x IS NOT NULL)),
+                  least(la, lb) + 1) - 1""").cast("long").as("len"))
+      .where(col("len") > 0)
+    val ties = reps.where(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"), col("slen").cast("long").as("len"))
+    adj.union(ties)
+      .orderBy(col("len").desc, col("doc_id"), col("pos"))
+      .limit(topK)
+  }
 }

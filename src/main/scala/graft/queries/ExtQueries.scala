@@ -243,6 +243,13 @@ object ExtQueries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("srank"))
       .orderBy("doc_id", "pos")
 
+  /** Top-10 longest repeated substrings over the same doc slice. */
+  def longestRepeats(s: SparkSession, d: String): DataFrame =
+    SuffixArray.longestRepeats(
+        Tables.documents(s, d).where(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("len"))
+      .orderBy(col("len").desc, col("doc_id"), col("pos"))
+
   /** Conversion funnel view → click → purchase, strictly ordered per user. */
   def funnel(s: SparkSession, d: String): DataFrame =
     Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
@@ -1226,6 +1233,7 @@ object ExtQueries {
     "ext_transitions" -> eventTransitions _,
     "ext_mad_outliers" -> madOutliers _,
     "ext_suffix_array" -> suffixArray _,
+    "ext_longest_repeat" -> longestRepeats _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2255,6 +2263,44 @@ object ExtQueries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // SA application: a substring occurring twice is a common prefix of
+    // two rank-adjacent suffixes, so top repeats = max LCP over dense-
+    // rank neighbors + whole-suffix duplicates (rank classes of size ≥2)
+    "ext_longest_repeat" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS pos
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) > 0
+        |), s AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS sfx FROM p
+        |), r AS (
+        |  SELECT doc_id, pos, sfx,
+        |    dense_rank() OVER (ORDER BY sfx) - 1 AS rk FROM s
+        |), cls AS (
+        |  SELECT doc_id, pos, sfx, rk,
+        |    COUNT(*) OVER (PARTITION BY rk) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY rk ORDER BY doc_id, pos) AS rn
+        |  FROM r
+        |), reps AS (
+        |  SELECT rk, doc_id, pos, sfx, cnt FROM cls WHERE rn = 1
+        |), adj AS (
+        |  SELECT a.doc_id, a.pos,
+        |    coalesce(list_min(list_filter(list_transform(
+        |        range(1, CAST(least(length(a.sfx), length(b.sfx)) AS BIGINT) + 1),
+        |        i -> CASE WHEN substr(a.sfx, CAST(i AS INT), 1)
+        |                    <> substr(b.sfx, CAST(i AS INT), 1) THEN i END),
+        |      x -> x IS NOT NULL)),
+        |      least(length(a.sfx), length(b.sfx)) + 1) - 1 AS len
+        |  FROM reps a JOIN reps b ON b.rk = a.rk + 1
+        |), u AS (
+        |  SELECT doc_id, pos, CAST(len AS BIGINT) AS len FROM adj WHERE len > 0
+        |  UNION ALL
+        |  SELECT doc_id, pos, CAST(length(sfx) AS BIGINT) AS len
+        |  FROM reps WHERE cnt >= 2
+        |)
+        |SELECT doc_id, pos, len FROM u
+        |ORDER BY len DESC, doc_id, pos LIMIT 10""".stripMargin,
 
     "ext_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -50,6 +50,54 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("longestRepeats finds a planted cross-doc repeated substring") {
+    // M occurs once in each doc; every other char is unique, so the top
+    // repeat is exactly M. Rank-adjacent reps: doc 1's M-suffix ("...kl")
+    // sorts below doc 2's ("...qr") — k < q — so the hit reports doc 1.
+    val M = "zzqxvwzzqxvwzzqxvwzz" // 20 chars
+    val docs = Seq((1L, "abcdefghij" + M + "kl"),
+      (2L, "mnop" + M + "qr")).toDF("doc_id", "text")
+    val top = SuffixArray.longestRepeats(docs, topK = 1)
+      .as[(Long, Int, Long)].collect().head
+    assert(top == ((1L, 11, 20L)))
+  }
+
+  test("longestRepeats: verbatim duplicate docs surface as whole-suffix ties") {
+    val docs = Seq((1L, "abcabc"), (2L, "abcabc")).toDF("doc_id", "text")
+    val top = SuffixArray.longestRepeats(docs, topK = 1)
+      .as[(Long, Int, Long)].collect().head
+    // the full text is duplicated: rank class of (1,1)/(2,1) has size 2
+    assert(top == ((1L, 1, 6L)))
+  }
+
+  test("longestRepeats: top length matches brute force; every hit really repeats") {
+    val docs = graft.Tables.documents(spark, sf())
+      .where(col("doc_id") % 25 === 0)
+    val got = SuffixArray.longestRepeats(docs, topK = 10)
+      .as[(Long, Int, Long)].collect()
+    // brute force: materialize + sort all suffixes, max adjacent LCP
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val sorted = texts.toSeq
+      .flatMap { case (_, t) => (0 until t.length).map(i => t.substring(i)) }
+      .sorted
+    def lcp(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val bruteMax = sorted.sliding(2)
+      .map { case Seq(a, b) => lcp(a, b) }.max
+    assert(got.head._3 == bruteMax.toLong)
+    // soundness: each reported substring occurs at ≥2 distinct positions
+    val all = texts.values.toSeq
+    got.foreach { case (d, p, len) =>
+      val sub = texts(d).substring(p - 1, p - 1 + len.toInt)
+      val occ = all.map { t =>
+        Iterator.iterate(t.indexOf(sub))(i => t.indexOf(sub, i + 1))
+          .takeWhile(_ >= 0).size
+      }.sum
+      assert(occ >= 2, s"($d,$p,$len) '$sub' occurs $occ time(s)")
+    }
+  }
+
   test("suffix ranks are invariant to input partitioning") {
     val docs = graft.Tables.documents(spark, sf()).limit(60)
     val a = SuffixArray.suffixRanks(docs)
