@@ -849,6 +849,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995): rank
+    * every record by a derived sort key, then score only pairs within a
+    * sliding window of `window` ranks — the linkage blocking scheme that
+    * catches near-misses PREFIX blocking drops (two records whose keys
+    * differ in the first character never share a block, but usually land
+    * adjacent in sort order). Pairs at rank distance 1..window-1 scored
+    * by the native Jaro–Winkler kernel over `prefixLen`-char prefixes;
+    * pairs at or above `minSim` survive (threshold on the RAW double,
+    * rounding only in the output).
+    *
+    * Distribution: the global rank is the repo's sortBy+zipWithIndex
+    * two-job scheme on (key bytes, doc_id) — no single-partition window;
+    * the sliding window becomes a bucket equi-join (bucket = rank /
+    * window, right side replicated into its own and the preceding
+    * bucket, so every qualifying pair matches exactly once) — never a
+    * non-equi range join. Output (doc_a, doc_b) is rank-ordered:
+    * doc_a precedes doc_b in sort order. */
+  def sortedNeighborhoodPairs(docs: DataFrame, keyLen: Int = 24,
+      window: Int = 5, prefixLen: Int = 64, minSim: Double = 0.9): DataFrame = {
+    require(window >= 2, "window >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = spreadForCompute(docs).select(col("doc_id"),
+      substring(col("text"), 1, keyLen).as("k"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val byKeyThenId: Ordering[(Array[Byte], Long)] =
+      Ordering.Tuple2(graft.lda.Corpus.unsignedBytes, Ordering.Long)
+    val ranked = keyed.select("k", "doc_id").as[(String, Long)].rdd
+      .sortBy(x => (x._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        x._2))(byKeyThenId, implicitly)
+      .zipWithIndex()
+      .map { case ((_, id), rk) => (id, rk) }.toDF("doc_id", "rk")
+    val base = keyed.join(ranked, "doc_id")
+      .select(col("doc_id"), col("pre"), col("rk"),
+        (col("rk") / window).cast("long").as("b"))
+    val l = base.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"),
+      col("rk").as("ra"), col("b"))
+    val r = base.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
+      col("rk").as("rb"),
+      explode(array(col("b"), col("b") - 1)).as("b"))
+    l.join(r, "b")
+      .where(col("rb") > col("ra") && col("rb") <= col("ra") + (window - 1))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
+      .where(col("raw") >= minSim)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
+      .orderBy(col("jw").desc, col("doc_a"), col("doc_b"))
+  }
+
   /** Materialize the deduplicated corpus: keep ONE canonical doc (lowest
     * doc_id) per exact content group — the "write the cleaned dataset"
     * step after [[exactDupGroups]] reports. One shuffle on the digest;

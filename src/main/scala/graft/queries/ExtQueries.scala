@@ -243,6 +243,9 @@ object ExtQueries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("srank"))
       .orderBy("doc_id", "pos")
 
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))
+
   /** Top-10 longest repeated substrings over the same doc slice. */
   def longestRepeats(s: SparkSession, d: String): DataFrame =
     SuffixArray.longestRepeats(
@@ -1234,6 +1237,7 @@ object ExtQueries {
     "ext_mad_outliers" -> madOutliers _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
+    "ext_sorted_neighborhood" -> sortedNeighborhood _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2263,6 +2267,22 @@ object ExtQueries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // sorted-neighborhood linkage: rank by sort key, score only pairs
+    // within 4 ranks (the window join the Spark side does bucketed)
+    "ext_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS k, substr(text, 1, 64) AS pre
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, pre,
+        |    ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS rk FROM k
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(jaro_winkler_similarity(a.pre, b.pre), 4) AS jw
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+        |WHERE jaro_winkler_similarity(a.pre, b.pre) >= 0.9
+        |ORDER BY jw DESC, doc_a, doc_b""".stripMargin,
 
     // SA application: a substring occurring twice is a common prefix of
     // two rank-adjacent suffixes, so top repeats = max LCP over dense-

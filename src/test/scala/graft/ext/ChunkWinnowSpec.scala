@@ -88,6 +88,44 @@ class ChunkWinnowSpec extends SparkSpec {
     assert(got.head._3 >= 2)
   }
 
+  test("sortedNeighborhoodPairs links across block boundaries, within window only") {
+    // docs 1/2 differ in the FIRST character — prefix blocking would
+    // never pair them, but they sort adjacent; doc 3 is unrelated text
+    // that separates from both; doc 4 is beyond the window of nothing
+    val d = docs(
+      (1L, "athe quick brown fox jumps over the lazy dog again and again"),
+      (2L, "bthe quick brown fox jumps over the lazy dog again and again"),
+      (3L, "zz completely unrelated content with other words entirely here"),
+      (4L, "mm middling text that matches nothing else in this tiny corpus"))
+    val got = Dedup.sortedNeighborhoodPairs(d, keyLen = 24, window = 3,
+      prefixLen = 64, minSim = 0.9).as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), got.mkString(","))
+    assert(got.head._3 > 0.95)
+  }
+
+  test("sortedNeighborhoodPairs equals the naive rank-distance join") {
+    val d = graft.Tables.documents(spark, sf()).select("doc_id", "text")
+    val w = 5
+    val got = Dedup.sortedNeighborhoodPairs(d, window = w, minSim = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive: single-partition rank window + non-equi self-join — the
+    // formulation the bucketed join must reproduce exactly
+    import org.apache.spark.sql.expressions.Window
+    val rk = d.select(col("doc_id"), substring(col("text"), 1, 24).as("k"),
+        substring(col("text"), 1, 64).as("pre"))
+      .withColumn("rk", row_number().over(Window.orderBy("k", "doc_id")))
+    val a = rk.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"), col("rk").as("ra"))
+    val b = rk.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"), col("rk").as("rb"))
+    val naive = a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + (w - 1))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
+      .where(col("raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    assert(got.nonEmpty) // the fixture's near-dup structure must surface
+  }
+
   test("editDistancePairs finds planted same-prefix near-dups, ranked by distance") {
     val p = "PREFIX__" // 8-char blocking key
     val d = docs(

@@ -442,6 +442,14 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("sorted neighborhood: bucket equi-join, no window, no range join") {
+    val p = plan("ext_sorted_neighborhood")
+    assert(!p.contains("Window"), p.take(3000)) // rank is sortBy+zipWithIndex
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000)) // the window became an equi-join, not a range join
+    assert(p.contains("graft_jaro_winkler"), p.take(3000))
+  }
+
   test("priority sample is TakeOrdered: top-k without a global sort") {
     val p = plan("ext_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
