@@ -1248,4 +1248,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("cls").as("pred"),
         round(col("score"), 4).as("nb_score"))
   }
+
+  /** Zipf log-log fit of the corpus token distribution: OLS slope and
+    * intercept of ln(freq) ~ ln(rank) — the one-glance "is this corpus
+    * natural text or templated sludge" diagnostic (natural language sits
+    * near slope −1; boilerplate flattens the head, OCR noise fattens the
+    * tail). Frequency ranks come from the two-job sortBy+zipWithIndex
+    * scheme on (−count, tok) — V-bounded, no single-partition window —
+    * and the fit is closed-form from population moments (covar_pop /
+    * var_pop), one aggregation over V rows. Output: one row
+    * (n_types, slope, intercept), ROUND(·,4). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = counts.as[(String, Long)].rdd
+      .sortBy({ case (tok, c) => (-c, tok) })
+      .zipWithIndex()
+      .map { case ((_, c), i) => (c, i + 1) }.toDF("c", "rk")
+    ranked
+      .select(log(col("c").cast("double")).as("y"),
+        log(col("rk").cast("double")).as("x"))
+      .agg(count(lit(1)).as("n_types"),
+        (covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("s"),
+        avg("y").as("my"), avg("x").as("mx"))
+      .select(col("n_types"), round(col("s"), 4).as("slope"),
+        round(col("my") - col("s") * col("mx"), 4).as("intercept"))
+  }
 }

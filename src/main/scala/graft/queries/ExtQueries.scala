@@ -246,6 +246,9 @@ object ExtQueries {
   def sortedNeighborhood(s: SparkSession, d: String): DataFrame =
     Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))
 
+  def zipf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, d))
+
   /** Top-10 longest repeated substrings over the same doc slice. */
   def longestRepeats(s: SparkSession, d: String): DataFrame =
     SuffixArray.longestRepeats(
@@ -1238,6 +1241,7 @@ object ExtQueries {
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
+    "ext_zipf" -> zipf _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2267,6 +2271,19 @@ object ExtQueries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // Zipf fit: OLS of ln(freq) ~ ln(rank) over the type histogram
+    "ext_zipf" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |), c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM c),
+        |l AS (SELECT ln(CAST(c AS DOUBLE)) AS y, ln(CAST(rk AS DOUBLE)) AS x FROM r)
+        |SELECT COUNT(*) AS n_types,
+        |  ROUND(covar_pop(y, x) / var_pop(x), 4) AS slope,
+        |  ROUND(AVG(y) - covar_pop(y, x) / var_pop(x) * AVG(x), 4) AS intercept
+        |FROM l ORDER BY n_types""".stripMargin,
 
     // sorted-neighborhood linkage: rank by sort key, score only pairs
     // within 4 ranks (the window join the Spark side does bucketed)

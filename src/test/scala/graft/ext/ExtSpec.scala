@@ -893,6 +893,31 @@ class ExtSpec extends SparkSpec {
     assert(pt == ("ts", 2L, 0L, 2L, Some(1e8), Some(2e8)))
   }
 
+  test("zipfFit matches the closed-form OLS computed in the driver") {
+    // counts: a×4 b×2 c×1 → ranks 1,2,3 (count desc, tok tiebreak)
+    val d = Seq((1L, "a a b c "), (2L, "a a b ")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(d)
+      .as[(Long, Double, Double)].collect().head
+    val pts = Seq((4.0, 1.0), (2.0, 2.0), (1.0, 3.0))
+      .map { case (c, rk) => (math.log(c), math.log(rk)) }
+    val (my, mx) = (pts.map(_._1).sum / 3, pts.map(_._2).sum / 3)
+    val slope = pts.map { case (y, x) => (y - my) * (x - mx) }.sum /
+      pts.map { case (_, x) => (x - mx) * (x - mx) }.sum
+    def r4(v: Double) = // Spark round() semantics: HALF_UP
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 3L)
+    assert(got._2 == r4(slope) && got._3 == r4(my - slope * mx))
+  }
+
+  test("zipfFit is invariant to input partitioning") {
+    val d = graft.Tables.documents(spark, sf())
+    val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head
+    val b = TextAnalysis.zipfFit(d.repartition(13))
+      .as[(Long, Double, Double)].collect().head
+    assert(a == b)
+    assert(a._2 < 0.0) // frequency falls with rank
+  }
+
   private object Tables {
     def embeddingsFixture(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
