@@ -410,13 +410,9 @@ object Temporal {
     * med ROUND·,4, mad ROUND·,4). */
   def madOutliers(events: DataFrame, groupCol: String = "event_type",
       valueCol: String = "value", k: Double = 3.0): DataFrame = {
-    val meds = events.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
-    val withMed = events.select(col(groupCol), col(valueCol))
-      .join(broadcast(meds), groupCol)
-    val mads = withMed.groupBy(groupCol)
-      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
-    withMed.join(broadcast(mads), groupCol)
+    val stats = robustStats(events, groupCol, valueCol)
+    events.select(col(groupCol), col(valueCol))
+      .join(broadcast(stats), groupCol)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum(when(abs(col(valueCol) - col("_med")) > lit(k * 1.4826) * col("_mad"), 1L)
@@ -424,5 +420,21 @@ object Temporal {
         round(first(col("_med")), 4).as("med"),
         round(first(col("_mad")), 4).as("mad"))
       .orderBy(groupCol)
+  }
+
+  /** The frozen robust-stats table behind [[madOutliers]]: per group,
+    * exact median `_med` and MAD `_mad`. Exposed separately so the
+    * STREAMING anomaly gate ([[graft.streaming.Streams.robustAnomalyGate]])
+    * can serve the batch-fit model against live events — the same
+    * frozen-model pattern as the streaming topic scorer. */
+  def robustStats(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val meds = events.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val mads = events.select(col(groupCol), col(valueCol))
+      .join(broadcast(meds), groupCol)
+      .groupBy(groupCol)
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    meds.join(mads, groupCol)
   }
 }

@@ -1109,6 +1109,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Live-ingest robust-z anomaly gate serving the batch-fit median/MAD
+    * stats — run to completion so the emitted rows hash-match the batch
+    * filter's oracle (frozen-model parity, checked not asserted). */
+  def streamMadQ(s: SparkSession, d: String): DataFrame = {
+    val stats = Temporal.robustStats(Tables.events(s, d))
+    val stream = graft.streaming.Streams.eventStream(s, d + "/events.parquet")
+    runStream(graft.streaming.Streams.robustAnomalyGate(stream, stats),
+      "graft_stream_mad", "append")
+      .orderBy("event_id")
+  }
+
   /** Exact grouped ROC-AUC of the trained probe, per language plus the
     * pooled `__all__` cohort — the eval step that closes the train →
     * score → evaluate loop, distributed end to end. */
@@ -1367,6 +1378,7 @@ object ExtQueries {
     "ext_psi_drift" -> psiDriftQ _,
     "ext_jaro_winkler" -> jaroWinklerQ _,
     "ext_stream_blocklist" -> streamBlocklistQ _,
+    "ext_stream_mad" -> streamMadQ _,
     "ext_kneser_ney" -> knBigramQ _,
     "ext_triangles" -> trianglesQ _,
     "ext_ppmi_direction" -> ppmiDirectionQ _,
@@ -3052,6 +3064,23 @@ object ExtQueries {
     // the streaming gate must emit EXACTLY the batch filter's rows —
     // batch parity as a hash check, not an assertion
     "ext_stream_blocklist" -> blocklistOracleSql,
+
+    // streaming robust-z gate == the batch outlier filter, row for row
+    "ext_stream_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS _med
+        |  FROM events GROUP BY 1
+        |), dv AS (
+        |  SELECT e.event_type, e.event_id, e.value, m._med
+        |  FROM events e JOIN m USING (event_type)
+        |), a AS (
+        |  SELECT event_type, quantile_cont(abs(value - _med), 0.5) AS _mad
+        |  FROM dv GROUP BY 1
+        |)
+        |SELECT dv.event_id, dv.event_type, ROUND(dv.value, 4) AS value
+        |FROM dv JOIN a USING (event_type)
+        |WHERE abs(dv.value - dv._med) > 3 * 1.4826 * a._mad
+        |ORDER BY dv.event_id""".stripMargin,
   ) ++ oraclesTail
 
   private lazy val blocklistOracleSql: String =

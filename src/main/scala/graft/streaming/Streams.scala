@@ -262,6 +262,22 @@ object Streams {
       }
   }
 
+  /** Live-ingest robust-z anomaly gate: flag streamed events whose value
+    * sits beyond k·1.4826·MAD of the batch-fit per-group median — the
+    * frozen-model serving pattern ([[streamingInferTopics]],
+    * the blocklist gate) applied to [[graft.ext.Temporal.robustStats]].
+    * Stateless per micro-batch: one broadcast stream-static join + an
+    * in-row predicate, so the gate adds no keyed state and scales with
+    * ingest rate alone. Emits exactly the rows the batch filter would
+    * (parity hash-checked by the ext_stream_mad oracle). */
+  def robustAnomalyGate(stream: DataFrame, stats: DataFrame,
+      groupCol: String = "event_type", valueCol: String = "value",
+      k: Double = 3.0): DataFrame =
+    stream.join(broadcast(stats), groupCol)
+      .where(abs(col(valueCol) - col("_med")) > lit(k * 1.4826) * col("_mad"))
+      .select(col("event_id"), col(groupCol),
+        round(col(valueCol), 4).as("value"))
+
   /** Custom keyed state: per-user session aggregation with processing-time
     * timeout — the `flatMapGroupsWithState` surface. Emits a running
     * update per batch and a closing record when the session times out. */

@@ -238,4 +238,23 @@ class StreamsSpec extends SparkSpec {
       assert(rows.exists(u => u.user_id == 2L && u.n_events == 1L && u.total_value == 5.0))
     } finally q.stop()
   }
+
+  test("streaming robust-z gate emits exactly the batch outlier rows") {
+    val batch = graft.Tables.events(spark, sf())
+    val stats = graft.ext.Temporal.robustStats(batch)
+    val stream = Streams.eventStream(spark, sf() + "/events.parquet")
+    val got = runToCompletion(
+      Streams.robustAnomalyGate(stream, stats), "t_madgate")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val want = batch.join(broadcast(stats), "event_type")
+      .where(abs(col("value") - col("_med")) > lit(3 * 1.4826) * col("_mad"))
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // the per-group flag counts agree with madOutliers' census
+    val census = graft.ext.Temporal.madOutliers(batch)
+      .select("event_type", "n_outliers").as[(String, Long)].collect().toMap
+    val byType = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    census.foreach { case (t, c) => assert(byType.getOrElse(t, 0L) == c) }
+  }
 }
