@@ -1249,6 +1249,52 @@ object TextAnalysis {
         round(col("score"), 4).as("nb_score"))
   }
 
+  /** UMass topic coherence (Mimno et al. 2011) of each group's top-k
+    * document-frequency tokens — the standard "are these word sets
+    * semantically tight" eval, model-free here (word sets = per-group
+    * top-k by doc frequency, rank ties broken by token) so the whole
+    * computation is engine-portable and hash-checkable; pointing it at
+    * a trained LDA model's top words instead is the same code path.
+    *
+    * C(t) = Σ_{i<j} ln( (D(w_i, w_j) + 1) / D(w_j) ) over rank-ordered
+    * pairs, D(·) counting docs IN the group. Shape: distinct (doc, tok)
+    * once; per-group top-k via a window over the (group × V) count table
+    * (never corpus rows); co-occurrence via a self-join of the top-token
+    * postings on (group, doc) — fan-out bounded by k per doc — and one
+    * k²-key aggregation. Output: (grp, n_pairs, coherence ROUND·,4). */
+  def umassCoherence(docs: DataFrame, groupCol: String = "source",
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs
+      .select(col("doc_id"), col(groupCol).as("grp"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct()
+    val dfTab = dt.groupBy("grp", "tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("grp").orderBy(col("df").desc, col("tok"))
+    val top = dfTab.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+    val posts = dt.join(broadcast(top), Seq("grp", "tok"))
+      .select(col("grp"), col("doc_id"), col("tok"), col("rk"), col("df"))
+    val co = posts.toDF("grp", "doc_id", "wi", "ri", "dfi")
+      .join(posts.toDF("grp", "doc_id", "wj", "rj", "dfj"), Seq("grp", "doc_id"))
+      .where(col("ri") < col("rj"))
+      .groupBy("grp", "wi", "wj")
+      .agg(count(lit(1)).as("c"))
+    // pairs that never co-occur still contribute ln(1/D(wj)) — build the
+    // full rank-ordered pair grid from the tiny top table and left-join
+    val grid = top.select(col("grp"), col("tok").as("wi"), col("rk").as("ri"))
+      .join(top.select(col("grp"), col("tok").as("wj"), col("rk").as("rj"),
+        col("df").as("dfj")), "grp")
+      .where(col("ri") < col("rj"))
+    grid.join(co.select("grp", "wi", "wj", "c"), Seq("grp", "wi", "wj"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(log((col("c") + 1).cast("double") / col("dfj"))), 4)
+          .as("coherence"))
+      .orderBy("grp")
+  }
+
   /** Zipf log-log fit of the corpus token distribution: OLS slope and
     * intercept of ln(freq) ~ ln(rank) — the one-glance "is this corpus
     * natural text or templated sludge" diagnostic (natural language sits

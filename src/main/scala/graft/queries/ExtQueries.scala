@@ -249,6 +249,9 @@ object ExtQueries {
   def zipf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.zipfFit(Tables.documents(s, d))
 
+  def coherence(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.umassCoherence(Tables.documents(s, d))
+
   /** Top-10 longest repeated substrings over the same doc slice. */
   def longestRepeats(s: SparkSession, d: String): DataFrame =
     SuffixArray.longestRepeats(
@@ -1253,6 +1256,7 @@ object ExtQueries {
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
     "ext_zipf" -> zipf _,
+    "ext_coherence" -> coherence _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2283,6 +2287,39 @@ object ExtQueries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // UMass coherence of each source's top-10 doc-frequency tokens:
+    // C = sum over rank-ordered pairs of ln((D(wi,wj)+1)/D(wj))
+    "ext_coherence" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, grp, tok FROM (
+        |    SELECT doc_id, source AS grp,
+        |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |    FROM documents)
+        |), dfv AS (
+        |  SELECT grp, tok, COUNT(*) AS df FROM dt GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT grp, tok, df,
+        |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY df DESC, tok) AS rk
+        |    FROM dfv) WHERE rk <= 10
+        |), posts AS (
+        |  SELECT dt.grp, dt.doc_id, top.tok, top.rk
+        |  FROM dt JOIN top ON dt.grp = top.grp AND dt.tok = top.tok
+        |), co AS (
+        |  SELECT a.grp, a.tok AS wi, b.tok AS wj, COUNT(*) AS c
+        |  FROM posts a JOIN posts b
+        |    ON a.grp = b.grp AND a.doc_id = b.doc_id AND a.rk < b.rk
+        |  GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT a.grp, a.tok AS wi, b.tok AS wj, b.df AS dfj
+        |  FROM top a JOIN top b ON a.grp = b.grp AND a.rk < b.rk
+        |)
+        |SELECT g.grp, COUNT(*) AS n_pairs,
+        |  ROUND(SUM(ln((COALESCE(c.c, 0) + 1) / CAST(g.dfj AS DOUBLE))), 4) AS coherence
+        |FROM grid g LEFT JOIN co c
+        |  ON g.grp = c.grp AND g.wi = c.wi AND g.wj = c.wj
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the type histogram
     "ext_zipf" ->

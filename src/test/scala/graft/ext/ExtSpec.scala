@@ -909,6 +909,29 @@ class ExtSpec extends SparkSpec {
     assert(got._2 == r4(slope) && got._3 == r4(my - slope * mx))
   }
 
+  test("umassCoherence matches a hand computation incl. zero-co-occurrence pairs") {
+    val d = Seq((1L, "a b ", "s"), (2L, "a c ", "s"), (3L, "a b ", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.umassCoherence(d)
+      .as[(String, Long, Double)].collect().toSeq
+    // df: a=3 b=2 c=1 → ranks a,b,c. pairs: (a,b) D=2 → ln(3/2);
+    // (a,c) D=1 → ln(2/1); (b,c) D=0 → ln(1/1) = 0
+    val want = BigDecimal(math.log(1.5) + math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("s", 3L, want)))
+  }
+
+  test("umassCoherence: repeated tokens in a doc count once (doc frequency)") {
+    val d = Seq((1L, "a a a b ", "s"), (2L, "b b ", "s"))
+      .toDF("doc_id", "text", "source")
+    // df: a=1, b=2 → ranks b(1), a(2); pair (b,a): D(b,a)=1 → ln(2/1)
+    val got = TextAnalysis.umassCoherence(d)
+      .as[(String, Long, Double)].collect().head
+    val want = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == (("s", 1L, want)))
+  }
+
   test("zipfFit is invariant to input partitioning") {
     val d = graft.Tables.documents(spark, sf())
     val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head
