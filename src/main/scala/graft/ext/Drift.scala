@@ -31,6 +31,41 @@ import org.apache.spark.sql.functions._
   * in any engine, so the statistic carries a DuckDB hash oracle. */
 object Drift {
 
+  /** Welch's unequal-variance two-sample t-test of each group against
+    * the REST of the corpus on `valueCol` — "is this source's length
+    * (or quality score) distribution off" as a per-source scalar, the
+    * experimentation-analytics complement to the KS/PSI drift tests in
+    * this file. Closed form from raw moments (n, Σx, Σx²): one
+    * aggregation over the group key plus a broadcast totals join; the
+    * rest-of-corpus moments are totals − group, so no second pass.
+    * Both the Spark side and the oracle compute variance from the SAME
+    * two-pass moment formula, keeping the floating-point cancellation
+    * identical across engines. Output: (grp, n, mean, t, df) with
+    * Welch–Satterthwaite degrees of freedom, ROUND(·,4). */
+  def welchVsRest(df: DataFrame, groupCol: String = "source",
+      valueCol: String = "n_chars"): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n1"), sum(x).as("s1"), sum(x * x).as("q1"))
+    val tot = df.agg(count(lit(1)).as("nt"), sum(x).as("st"), sum(x * x).as("qt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n1"),
+        (col("s1") / col("n1")).as("m1"),
+        ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)).as("v1"),
+        (col("nt") - col("n1")).as("n2"),
+        ((col("st") - col("s1")) / (col("nt") - col("n1"))).as("m2"),
+        (((col("qt") - col("q1")) -
+          (col("st") - col("s1")) * (col("st") - col("s1")) / (col("nt") - col("n1"))) /
+          (col("nt") - col("n1") - 1)).as("v2"))
+      .select(col("grp"), col("n1").as("n"), round(col("m1"), 4).as("mean"),
+        round((col("m1") - col("m2")) /
+          sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4).as("t"),
+        round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+          (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+           pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 4).as("df"))
+      .orderBy("grp")
+  }
+
   /** → (groupCol, ks, at_value): the KS statistic per group vs the
     * pooled sample, and the smallest value attaining it. */
   def ksDrift(events: DataFrame, groupCol: String = "event_type",

@@ -252,6 +252,9 @@ object ExtQueries {
   def coherence(s: SparkSession, d: String): DataFrame =
     TextAnalysis.umassCoherence(Tables.documents(s, d))
 
+  def welch(s: SparkSession, d: String): DataFrame =
+    Drift.welchVsRest(Tables.documents(s, d))
+
   /** Top-10 longest repeated substrings over the same doc slice. */
   def longestRepeats(s: SparkSession, d: String): DataFrame =
     SuffixArray.longestRepeats(
@@ -1257,6 +1260,7 @@ object ExtQueries {
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
     "ext_zipf" -> zipf _,
     "ext_coherence" -> coherence _,
+    "ext_welch" -> welch _,
     "ext_interval_join" -> intervalJoin _,
     "ext_funnel" -> funnel _,
     "ext_ivf_topk" -> ivfTopK _,
@@ -2287,6 +2291,33 @@ object ExtQueries {
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
         |FROM p ORDER BY doc_id, pos""".stripMargin,
+
+    // Welch t of each source vs the rest on doc length; both engines use
+    // the SAME raw-moment formulas (sums of integer-valued doubles are
+    // exact, so the floating-point path is identical)
+    "ext_welch" ->
+      """WITH g AS (
+        |  SELECT source AS grp, COUNT(*) AS n1,
+        |    SUM(CAST(n_chars AS DOUBLE)) AS s1,
+        |    SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS q1
+        |  FROM documents GROUP BY 1
+        |), tt AS (
+        |  SELECT COUNT(*) AS nt, SUM(CAST(n_chars AS DOUBLE)) AS st,
+        |    SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS qt
+        |  FROM documents
+        |), z AS (
+        |  SELECT grp, n1, s1 / n1 AS m1,
+        |    (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+        |    nt - n1 AS n2,
+        |    (st - s1) / (nt - n1) AS m2,
+        |    ((qt - q1) - (st - s1) * (st - s1) / (nt - n1)) / (nt - n1 - 1) AS v2
+        |  FROM g, tt
+        |)
+        |SELECT grp, n1 AS n, ROUND(m1, 4) AS mean,
+        |  ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
+        |  ROUND(pow(v1 / n1 + v2 / n2, 2) /
+        |        (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4) AS df
+        |FROM z ORDER BY grp""".stripMargin,
 
     // UMass coherence of each source's top-10 doc-frequency tokens:
     // C = sum over rank-ordered pairs of ln((D(wi,wj)+1)/D(wj))

@@ -65,4 +65,41 @@ class DriftSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxGroups"), e.getMessage)
   }
+
+  test("welchVsRest matches the textbook Welch t and Satterthwaite df") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 6L))
+      .toDF("source", "n_chars")
+    def welch(x: Seq[Double], y: Seq[Double]): (Double, Double) = {
+      def mv(s: Seq[Double]) = {
+        val m = s.sum / s.size
+        (m, s.map(v => (v - m) * (v - m)).sum / (s.size - 1))
+      }
+      val ((m1, v1), (m2, v2)) = (mv(x), mv(y))
+      val se = v1 / x.size + v2 / y.size
+      ((m1 - m2) / math.sqrt(se),
+        se * se / (math.pow(v1 / x.size, 2) / (x.size - 1) +
+          math.pow(v2 / y.size, 2) / (y.size - 1)))
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Drift.welchVsRest(d)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    val (ta, dfa) = welch(Seq(1, 2, 3), Seq(4, 6))
+    val (tb, dfb) = welch(Seq(4, 6), Seq(1, 2, 3))
+    assert(got("a") == ((3L, r4(ta), r4(dfa))))
+    assert(got("b") == ((2L, r4(tb), r4(dfb))))
+  }
+
+  test("welchVsRest: a planted mean shift yields |t| far above the null groups") {
+    val d = graft.Tables.documents(spark, sf())
+      .withColumn("source",
+        when(col("doc_id") % 7 === 0, "shifted").otherwise(col("source")))
+      .withColumn("n_chars",
+        when(col("source") === "shifted", col("n_chars") + 500).otherwise(col("n_chars")))
+    val got = Drift.welchVsRest(d)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val shifted = got.find(_._1 == "shifted").get
+    assert(math.abs(shifted._4) > got.filter(_._1 != "shifted").map(r => math.abs(r._4)).max * 3)
+  }
 }
