@@ -47,6 +47,56 @@ object Temporal {
       .select(col("_lrow.*") +: payloadCols.map(c => col(s"_m.$c").as(s"$prefix$c")): _*)
   }
 
+  /** Nearest-in-time join — the ML feature-attachment variant of
+    * [[asofJoin]]: for each left row, the right row with the same `key`
+    * minimizing |r.ts − l.ts| within `toleranceSec`, ties (equidistant
+    * before/after) resolved BACKWARD (the leak-safe side). Left rows
+    * with no candidate in tolerance are dropped (matched-only output).
+    *
+    * Same merge-scan shape as [[asofJoin]] — one union, ONE shuffle +
+    * sort on (key, ts, side): the backward candidate is
+    * `last(payload, ignoreNulls)` over the preceding frame and the
+    * forward candidate `first(...)` over the following frame; both
+    * window specs share the sort, so Spark evaluates them in a single
+    * WindowExec. Never a non-equi join. Right side must be unique per
+    * (key, ts) — pre-aggregate otherwise (the [[asofJoin]] contract).
+    * Output: left columns + prefixed payload + `dt_us` (µs distance,
+    * exact integer). */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String], toleranceSec: Long,
+      prefix: String = "near_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val payT = StructType(StructField("_rts", right.schema(ts).dataType) +:
+      payloadCols.map(c => StructField(c, right.schema(c).dataType)))
+    val lrowT = StructType(left.schema.fields)
+    val r = right.select(col(key), col(ts), lit(0).as("_side"),
+      struct(col(ts).as("_rts") +: payloadCols.map(col): _*).as("_pay"),
+      lit(null).cast(lrowT).as("_lrow"))
+    val l = left.select(col(key), col(ts), lit(1).as("_side"),
+      lit(null).cast(payT).as("_pay"),
+      struct(left.columns.map(col): _*).as("_lrow"))
+    val wb = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tol = toleranceSec * 1000000L
+    val dtb = unix_micros(col(ts)) - unix_micros(col("_b._rts"))
+    val dtf = unix_micros(col("_f._rts")) - unix_micros(col(ts))
+    val bOk = col("_b").isNotNull && dtb <= lit(tol)
+    val fOk = col("_f").isNotNull && dtf <= lit(tol)
+    val useB = bOk && (!fOk || dtb <= dtf)
+    r.union(l)
+      .withColumn("_b", last(col("_pay"), ignoreNulls = true).over(wb))
+      .withColumn("_f", first(col("_pay"), ignoreNulls = true).over(wf))
+      .where(col("_side") === 1)
+      .withColumn("_m", when(useB, col("_b")).when(fOk, col("_f")))
+      .where(col("_m").isNotNull)
+      .withColumn("dt_us", when(useB, dtb).otherwise(dtf))
+      .select(col("_lrow.*") +:
+        payloadCols.map(c => col(s"_m.$c").as(s"$prefix$c")) :+
+        col("dt_us"): _*)
+  }
+
   /** Batch sessionization: assign each row a per-`key` session index that
     * increments whenever the gap to the previous row (ordered by ts, with
     * `tieBreak` making the order total) exceeds `gapSeconds`. 1-based.

@@ -225,6 +225,19 @@ object ExtQueries {
   def sessionize(s: SparkSession, d: String): DataFrame =
     Temporal.sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_idx")
 
+  /** Nearest purchase (either direction, ≤1h, ties backward) per view. */
+  def nearestViewPurchase(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(min("event_id").as("pid"))
+    Temporal.nearestJoin(views, purchases, "user_id", "ts",
+        payloadCols = Seq("pid"), toleranceSec = 3600L)
+      .select(col("event_id"), col("near_pid").as("pid"), col("dt_us"))
+      .orderBy("event_id")
+  }
+
   def cohortRetention(s: SparkSession, d: String): DataFrame =
     Temporal.cohortRetention(Tables.events(s, d))
 
@@ -1252,6 +1265,7 @@ object ExtQueries {
     "ext_hash_split" -> hashSplit _,
     "ext_asof_join" -> asofViewPurchase _,
     "ext_sessionize" -> sessionize _,
+    "ext_nearest_join" -> nearestViewPurchase _,
     "ext_cohort_retention" -> cohortRetention _,
     "ext_transitions" -> eventTransitions _,
     "ext_mad_outliers" -> madOutliers _,
@@ -2236,6 +2250,29 @@ object ExtQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.pts >= v.vts - INTERVAL 3600 SECONDS AND p.pts <= v.vts
         |ORDER BY v.view_id, p.purchase_id""".stripMargin,
+
+    // nearest-in-time match: min |dt| within 1h, equidistant ties to the
+    // backward (leak-safe) side, right side pre-deduped per (user, ts)
+    "ext_nearest_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts, MIN(event_id) AS pid FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), j AS (
+        |  SELECT v.event_id, p.pid,
+        |    abs(epoch_us(v.ts) - epoch_us(p.ts)) AS dt_us,
+        |    CASE WHEN epoch_us(p.ts) <= epoch_us(v.ts) THEN 0 ELSE 1 END AS dir
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 3600000000
+        |), pick AS (
+        |  SELECT event_id, pid, dt_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |                       ORDER BY dt_us, dir, pid) AS rn
+        |  FROM j
+        |)
+        |SELECT event_id, pid, dt_us FROM pick WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
 
     "ext_cohort_retention" ->
       """WITH wk AS (

@@ -382,6 +382,52 @@ class TemporalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("nearestJoin: min |dt| either direction, ties backward, tolerance drops") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // nearest is FORWARD 10:00:30 (30s) vs back 09:59:00 (60s)
+      (2L, 10L, ts("2024-01-01 12:00:00")), // equidistant 11:59:00/12:01:00 → backward
+      (3L, 10L, ts("2024-01-01 20:00:00")), // nothing within 1h → dropped
+      (4L, 20L, ts("2024-01-01 10:00:00"))  // key with no right rows → dropped
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:59:00"), 100L),
+      (10L, ts("2024-01-01 10:00:30"), 101L),
+      (10L, ts("2024-01-01 11:59:00"), 102L),
+      (10L, ts("2024-01-01 12:01:00"), 103L)
+    ).toDF("user_id", "ts", "pid")
+    val got = Temporal.nearestJoin(left, right, "user_id", "ts",
+        Seq("pid"), toleranceSec = 3600L)
+      .select("event_id", "near_pid", "dt_us")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 101L, 30000000L), (2L, 102L, 60000000L)))
+  }
+
+  test("nearestJoin equals the naive argmin formulation on the fixture") {
+    val e = graft.Tables.events(spark, sf())
+    val views = e.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(min("event_id").as("pid"))
+    val got = Temporal.nearestJoin(views, purchases, "user_id", "ts",
+        Seq("pid"), toleranceSec = 3600L)
+      .select("event_id", "near_pid", "dt_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = views.join(purchases.toDF("u2", "pts", "pid"),
+        views("user_id") === col("u2") &&
+          abs(unix_micros(views("ts")) - unix_micros(col("pts"))) <= 3600L * 1000000L)
+      .select(col("event_id"),
+        abs(unix_micros(views("ts")) - unix_micros(col("pts"))).as("dt_us"),
+        when(unix_micros(col("pts")) <= unix_micros(views("ts")), 0).otherwise(1).as("dir"),
+        col("pid"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("event_id").orderBy("dt_us", "dir", "pid")))
+      .where(col("_rn") === 1)
+      .select("event_id", "pid", "dt_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
   test("cohortRetention: ISO-week cohorts, distinct-user cells, offsets in weeks") {
     val e = Seq(
       // user 10 first seen Tue of week 2024-01-01; active again in weeks +1, +1
