@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -470,6 +470,42 @@ object Temporal {
         round(first(col("_med")), 4).as("med"),
         round(first(col("_mad")), 4).as("mad"))
       .orderBy(groupCol)
+  }
+
+  /** RFM segmentation — the product-analytics user triage: per user,
+    * Recency (µs since their last event, measured from the corpus max
+    * ts — an exact integer), Frequency (event count) and Monetary
+    * (value sum, ROUND·,4 BEFORE bucketing so both engines bucket the
+    * identical number), each bucketed into quintiles 1–5 by exact
+    * corpus-wide 20/40/60/80% thresholds (`bucket = 1 + Σ v > qᵢ`,
+    * pure comparisons — no ntile, whose global-order window would
+    * single-partition). Bucket 1 = most recent / fewest / least.
+    * Shape: one user aggregation; thresholds are ONE scalar row
+    * (exact interpolating percentile) broadcast back; bucketing is a
+    * projection. Output: (user, r_us, f, m, r_q, f_q, m_q). */
+  def rfmSegments(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", valueCol: String = "value"): DataFrame = {
+    val per = events.groupBy(key)
+      .agg(max(col(ts)).as("_last"), count(lit(1)).as("f"),
+        round(sum(col(valueCol)), 4).as("m"))
+    val anchored = per
+      .crossJoin(broadcast(per.agg(max(col("_last")).as("_anchor"))))
+      .select(col(key),
+        (unix_micros(col("_anchor")) - unix_micros(col("_last"))).as("r_us"),
+        col("f"), col("m"))
+    val qs = anchored.agg(
+      expr("percentile(r_us, array(0.2D, 0.4D, 0.6D, 0.8D))").as("qr"),
+      expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("qf"),
+      expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("qm"))
+    def bucket(v: Column, q: Column): Column =
+      (lit(1) + (0 until 4).map(i => when(v > q.getItem(i), 1).otherwise(0))
+        .reduce(_ + _)).cast("long")
+    anchored.crossJoin(broadcast(qs))
+      .select(col(key), col("r_us"), col("f"), col("m"),
+        bucket(col("r_us"), col("qr")).as("r_q"),
+        bucket(col("f"), col("qf")).as("f_q"),
+        bucket(col("m"), col("qm")).as("m_q"))
+      .orderBy(key)
   }
 
   /** The frozen robust-stats table behind [[madOutliers]]: per group,

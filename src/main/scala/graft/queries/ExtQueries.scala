@@ -247,6 +247,9 @@ object ExtQueries {
   def madOutliers(s: SparkSession, d: String): DataFrame =
     Temporal.madOutliers(Tables.events(s, d))
 
+  def rfm(s: SparkSession, d: String): DataFrame =
+    Temporal.rfmSegments(Tables.events(s, d))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
@@ -1269,6 +1272,7 @@ object ExtQueries {
     "ext_cohort_retention" -> cohortRetention _,
     "ext_transitions" -> eventTransitions _,
     "ext_mad_outliers" -> madOutliers _,
+    "ext_rfm" -> rfm _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
@@ -2298,6 +2302,33 @@ object ExtQueries {
         |), t AS (SELECT from_type, SUM(n) AS tot FROM pr GROUP BY 1)
         |SELECT pr.from_type, pr.to_type, pr.n, ROUND(pr.n / t.tot, 4) AS p
         |FROM pr JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+    // RFM quintiles: bucket = 1 + count(thresholds below), never ntile;
+    // m rounded BEFORE bucketing so both engines bucket the same number
+    "ext_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, MAX(ts) AS _last, COUNT(*) AS f,
+        |    ROUND(SUM(value), 4) AS m
+        |  FROM events GROUP BY user_id
+        |), anch AS (
+        |  SELECT user_id,
+        |    epoch_us((SELECT MAX(_last) FROM per)) - epoch_us(_last) AS r_us,
+        |    f, m
+        |  FROM per
+        |), q AS (
+        |  SELECT quantile_cont(r_us, [0.2, 0.4, 0.6, 0.8]) AS qr,
+        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS qf,
+        |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS qm
+        |  FROM anch
+        |)
+        |SELECT user_id, r_us, f, m,
+        |  CAST(1 + (r_us > qr[1])::INT + (r_us > qr[2])::INT
+        |         + (r_us > qr[3])::INT + (r_us > qr[4])::INT AS BIGINT) AS r_q,
+        |  CAST(1 + (f > qf[1])::INT + (f > qf[2])::INT
+        |         + (f > qf[3])::INT + (f > qf[4])::INT AS BIGINT) AS f_q,
+        |  CAST(1 + (m > qm[1])::INT + (m > qm[2])::INT
+        |         + (m > qm[3])::INT + (m > qm[4])::INT AS BIGINT) AS m_q
+        |FROM anch, q ORDER BY user_id""".stripMargin,
 
     "ext_mad_outliers" ->
       """WITH m AS (

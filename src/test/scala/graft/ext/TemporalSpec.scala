@@ -491,6 +491,35 @@ class TemporalSpec extends SparkSpec {
     assert(total == perUser)
   }
 
+  test("rfmSegments: buckets by exact quintile thresholds, anchor user at r=0") {
+    // 5 users, strictly separated on every metric → buckets 1..5
+    val e = (1 to 5).flatMap { u =>
+      (1 to u).map { i =>
+        (u * 100L + i, u.toLong, ts(f"2024-01-0$u 10:00:00"), 10.0 * u)
+      }
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rfmSegments(e)
+      .as[(Long, Long, Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // user 5: latest (r_us 0 → r_q 1), most events (f_q 5), highest m
+    assert(got(5L)._2 == 0L && got(5L)._5 == 1L && got(5L)._6 == 5L && got(5L)._7 == 5L)
+    // user 1: oldest, fewest, least
+    assert(got(1L)._5 == 5L && got(1L)._6 == 1L && got(1L)._7 == 1L)
+    assert(got.values.map(_._6).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("rfmSegments is invariant to input partitioning") {
+    val e = graft.Tables.events(spark, sf())
+    val a = Temporal.rfmSegments(e)
+      .as[(Long, Long, Long, Double, Long, Long, Long)].collect().sortBy(_._1)
+    val b = Temporal.rfmSegments(e.repartition(13))
+      .as[(Long, Long, Long, Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // quintile buckets cover 1..5 and each holds ~a fifth of users
+    val byQ = a.groupBy(_._6).view.mapValues(_.length).toMap
+    assert(byQ.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
     val e = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
