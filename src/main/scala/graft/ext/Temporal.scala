@@ -444,6 +444,64 @@ object Temporal {
       .orderBy("from_type", "to_type")
   }
 
+  /** Conditional entropy of the per-user event-type process: per from-
+    * state, H(to|from=f) = −Σ p(t|f) ln p(t|f) over the empirical
+    * transition counts of [[eventTransitions]] (recomputed unrounded),
+    * plus the overall rate H(to|from) = Σ p(f)·H(f) as an `__all__`
+    * row — "how predictable is the next event", the sequence-level
+    * complement of the per-token entropy metrics. Same shape as the
+    * transition count: one lag-window shuffle, then |types|²-key aggs
+    * with broadcast totals. Output: (from_type, n, h ROUND·,4). */
+  def transitionEntropy(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val pairs = events
+      .select(col(key), col(ts), col(tieBreak), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("tf"))
+    val perFrom = pairs.join(broadcast(tot), "from_type")
+      .groupBy("from_type")
+      .agg(first("tf").as("n"),
+        (-sum((col("n") / col("tf")) * log(col("n") / col("tf")))).as("h"))
+    val overall = perFrom
+      .agg(sum("n").as("n"), (sum(col("n") * col("h")) / sum("n")).as("h"))
+      .select(lit("__all__").as("from_type"), col("n"), col("h"))
+    perFrom.select(col("from_type"), col("n"), col("h"))
+      .union(overall)
+      .select(col("from_type"), col("n"), round(col("h"), 4).as("h"))
+      .orderBy("from_type")
+  }
+
+  /** Equi-width histogram of `valueCol` per group: `bins` buckets over
+    * the group's [min, max], bin = floor((v−min)/width) clamped into
+    * range (the max lands in the last bin; a zero-width group collapses
+    * to bin 0). Two aggregations — per-group bounds broadcast back, then
+    * the bucket count; both engines compute the identical float
+    * bucketing expression. Output: (grp, bin, n, lo, hi ROUND·,4). */
+  def valueHistogram(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins >= 1")
+    val bounds = events.groupBy(groupCol)
+      .agg(min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / bins
+    events.select(col(groupCol), col(valueCol))
+      .join(broadcast(bounds), groupCol)
+      .select(col(groupCol),
+        when(col("_hi") === col("_lo"), 0L)
+          .otherwise(least(lit(bins - 1).cast("long"),
+            floor((col(valueCol) - col("_lo")) / width))).as("bin"),
+        col("_lo"), width.as("_w"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("_lo")) + first(col("_w")) * col("bin"), 4).as("lo"),
+        round(first(col("_lo")) + first(col("_w")) * (col("bin") + 1), 4).as("hi"))
+      .orderBy(groupCol, "bin")
+  }
+
   /** Robust outlier census per group: median + MAD (median absolute
     * deviation) of `valueCol`, and the count of rows beyond
     * `k` × 1.4826 × MAD from the median (1.4826 scales MAD to σ under

@@ -250,6 +250,12 @@ object ExtQueries {
   def rfm(s: SparkSession, d: String): DataFrame =
     Temporal.rfmSegments(Tables.events(s, d))
 
+  def transitionEntropy(s: SparkSession, d: String): DataFrame =
+    Temporal.transitionEntropy(Tables.events(s, d))
+
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Temporal.valueHistogram(Tables.events(s, d))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
@@ -1273,6 +1279,8 @@ object ExtQueries {
     "ext_transitions" -> eventTransitions _,
     "ext_mad_outliers" -> madOutliers _,
     "ext_rfm" -> rfm _,
+    "ext_transition_entropy" -> transitionEntropy _,
+    "ext_histogram" -> histogram _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
@@ -2302,6 +2310,47 @@ object ExtQueries {
         |), t AS (SELECT from_type, SUM(n) AS tot FROM pr GROUP BY 1)
         |SELECT pr.from_type, pr.to_type, pr.n, ROUND(pr.n / t.tot, 4) AS p
         |FROM pr JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+    // H(to|from) per from-state + the p(f)-weighted __all__ rate,
+    // from UNROUNDED per-from entropies
+    "ext_transition_entropy" ->
+      """WITH x AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), pr AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM x
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT from_type, SUM(n) AS tf FROM pr GROUP BY 1),
+        |h AS (
+        |  SELECT pr.from_type, MIN(t.tf) AS n,
+        |    -SUM((pr.n / CAST(t.tf AS DOUBLE)) * ln(pr.n / CAST(t.tf AS DOUBLE))) AS h
+        |  FROM pr JOIN t USING (from_type) GROUP BY 1
+        |)
+        |SELECT from_type, CAST(n AS BIGINT) AS n, ROUND(h, 4) AS h FROM h
+        |UNION ALL
+        |SELECT '__all__', CAST(SUM(n) AS BIGINT), ROUND(SUM(n * h) / SUM(n), 4) FROM h
+        |ORDER BY from_type""".stripMargin,
+
+    // equi-width histogram: both engines evaluate the identical float
+    // bucketing expression, so bin assignment matches exactly
+    "ext_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, MIN(value) AS blo, MAX(value) AS bhi
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN b.bhi = b.blo THEN CAST(0 AS BIGINT)
+        |         ELSE LEAST(CAST(9 AS BIGINT),
+        |           CAST(FLOOR((e.value - b.blo) / ((b.bhi - b.blo) / 10)) AS BIGINT))
+        |    END AS bin,
+        |    b.blo, (b.bhi - b.blo) / 10 AS w
+        |  FROM events e JOIN b USING (event_type)
+        |)
+        |SELECT event_type, bin, COUNT(*) AS n,
+        |  ROUND(MIN(blo) + MIN(w) * bin, 4) AS lo,
+        |  ROUND(MIN(blo) + MIN(w) * (bin + 1), 4) AS hi
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // RFM quintiles: bucket = 1 + count(thresholds below), never ntile;
     // m rounded BEFORE bucketing so both engines bucket the same number

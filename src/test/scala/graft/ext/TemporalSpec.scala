@@ -520,6 +520,32 @@ class TemporalSpec extends SparkSpec {
     assert(byQ.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("transitionEntropy: per-from entropies and the weighted __all__ rate") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "b"),
+      (3L, 1L, ts("2024-01-01 12:00:00"), "a"),
+      (4L, 1L, ts("2024-01-01 13:00:00"), "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    // transitions: a→b, b→a, a→c. H(a)=ln2 over {b,c}; H(b)=0;
+    // __all__ = (2·ln2 + 1·0)/3
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Temporal.transitionEntropy(e)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("__all__", 3L, r4(2 * math.log(2) / 3)),
+      ("a", 2L, r4(math.log(2))), ("b", 1L, 0.0)))
+  }
+
+  test("valueHistogram: equi-width bins, max clamped into the last bin") {
+    val e = Seq(("g", 0.0), ("g", 5.0), ("g", 10.0), ("h", 3.0))
+      .toDF("event_type", "value")
+    val got = Temporal.valueHistogram(e)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("g", 0L, 1L, 0.0, 1.0), ("g", 5L, 1L, 5.0, 6.0),
+      ("g", 9L, 1L, 9.0, 10.0), ("h", 0L, 1L, 3.0, 3.0)))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
     val e = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
