@@ -91,6 +91,8 @@ object SuffixArray {
       .localCheckpoint()
 
     val n = cur.count()
+    if (n == 0) // empty corpus: max(length) below would aggregate to NULL
+      return cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
     val maxLen = sfx.agg(max(length(col("text")))).as[Int].head()
     var k = seedLen.toLong
     // distinct ranks after a round = distinct (r, r2) pairs ranked IN

@@ -173,4 +173,36 @@ class EdgeCasesSpec extends SparkSpec {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.randomProjection(noVecs).count() == 0)
   }
+
+  test("session-4 event analytics return empty on empty events") {
+    val ev = noEvents.withColumn("event_type", lit("view"))
+      .where(lit(false)) // keep schema, zero rows
+    assert(Temporal.cohortRetention(ev).count() == 0)
+    assert(Temporal.eventTransitions(ev).count() == 0)
+    assert(Temporal.madOutliers(ev).count() == 0)
+    assert(Temporal.rfmSegments(ev).count() == 0)
+    assert(Temporal.valueHistogram(ev).count() == 0)
+    // transitionEntropy's __all__ row aggregates zero groups → stays empty
+    assert(Temporal.transitionEntropy(ev).where(col("n").isNotNull).count() == 0)
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "pid")
+    assert(Temporal.nearestJoin(ev.select("event_id", "user_id", "ts"), right,
+      "user_id", "ts", Seq("pid"), 3600L).count() == 0)
+  }
+
+  test("session-4 text analytics survive empty and single-doc corpora") {
+    assert(SuffixArray.suffixRanks(noDocs).count() == 0)
+    assert(SuffixArray.longestRepeats(noDocs).count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(noDocs).count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(oneDoc).count() == 0)
+    val withMeta = noDocs.withColumn("source", lit("a"))
+      .withColumn("n_chars", lit(1L))
+    assert(TextAnalysis.umassCoherence(withMeta).count() == 0)
+    assert(Drift.welchVsRest(withMeta).count() == 0)
+    // zipf on an empty corpus: one all-aggregate row, null-safe fields
+    val z = TextAnalysis.zipfFit(noDocs).collect()
+    assert(z.length == 1 && z.head.getLong(0) == 0L)
+    // single doc still ranks its own suffixes
+    assert(SuffixArray.suffixRanks(oneDoc).count() == 4)
+  }
 }

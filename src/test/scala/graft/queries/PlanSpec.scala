@@ -442,6 +442,42 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("nearest join: both direction candidates from ONE window, no range join") {
+    val p = plan("ext_nearest_join")
+    // backward last() and forward first() share the (key, ts, side) sort:
+    // every printed Window node (AQE shows final + initial) carries BOTH
+    val nodes = p.split("Window \\[").drop(1)
+    assert(nodes.nonEmpty, p.take(3000))
+    assert(nodes.forall(s => s.take(300).contains("last(_pay")
+      && s.take(300).contains("first(_pay")), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("rfm / welch: thresholds and totals ride ONE broadcast scalar row") {
+    for (q <- Seq("ext_rfm", "ext_welch")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(2000)}") // no ntile/global rank
+    }
+  }
+
+  test("histogram + transition entropy: broadcast stats joins, no cross product") {
+    for (q <- Seq("ext_histogram", "ext_transition_entropy")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("zipf: ranking is the RDD two-job scheme, no window in the plan") {
+    val p = plan("ext_zipf")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("sorted neighborhood: bucket equi-join, no window, no range join") {
     val p = plan("ext_sorted_neighborhood")
     assert(!p.contains("Window"), p.take(3000)) // rank is sortBy+zipWithIndex
