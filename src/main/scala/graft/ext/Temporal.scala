@@ -502,6 +502,48 @@ object Temporal {
       .orderBy(groupCol, "bin")
   }
 
+  /** Gini coefficient of `valueCol` per group — the concentration
+    * diagnostic ("do 1% of events carry 90% of the value"): with the
+    * group's values sorted ascending and 1-indexed by i,
+    * G = 2·Σ(i·vᵢ) / (n·Σv) − (n+1)/n. One per-group window for the
+    * rank (partitioned — never a global sort) and one aggregation.
+    * Ties on value break by `tieBreak` for a total, engine-identical
+    * order; the formula is rank-weighted so tie order doesn't change
+    * the sum, but determinism keeps the plan replayable. */
+  def giniByGroup(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieBreak))
+    events.select(col(groupCol), col(valueCol), col(tieBreak))
+      .withColumn("_i", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(lit(2) * sum(col("_i") * col(valueCol)) /
+            (count(lit(1)) * sum(col(valueCol))) -
+          (count(lit(1)) + 1).cast("double") / count(lit(1)), 4).as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** Hourly Fano factor (burstiness index) per group: variance/mean of
+    * the per-hour event counts — 1 for a Poisson arrival process, ≫1
+    * for bursty traffic. Counts via one (group, hour) aggregation; the
+    * dispersion from raw moments (n, Σc, Σc² — integer-exact in both
+    * engines, so the float path matches bit-for-bit). Only hours with
+    * ≥1 event count (the observed-support convention — document when
+    * comparing to a zero-inflated definition). */
+  def fanoHourly(events: DataFrame, groupCol: String = "event_type",
+      ts: String = "ts"): DataFrame = {
+    val hourly = events
+      .groupBy(col(groupCol), date_trunc("hour", col(ts)).as("_h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("_s"), sum(col("c") * col("c")).as("_q"))
+      .select(col(groupCol), col("n_hours"),
+        round(((col("_q") - col("_s") * col("_s") / col("n_hours")) / col("n_hours")) /
+          (col("_s") / col("n_hours")), 4).as("fano"))
+      .orderBy(groupCol)
+  }
+
   /** Robust outlier census per group: median + MAD (median absolute
     * deviation) of `valueCol`, and the count of rows beyond
     * `k` × 1.4826 × MAD from the median (1.4826 scales MAD to σ under

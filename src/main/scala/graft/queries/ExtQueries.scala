@@ -256,6 +256,12 @@ object ExtQueries {
   def histogram(s: SparkSession, d: String): DataFrame =
     Temporal.valueHistogram(Tables.events(s, d))
 
+  def gini(s: SparkSession, d: String): DataFrame =
+    Temporal.giniByGroup(Tables.events(s, d))
+
+  def fano(s: SparkSession, d: String): DataFrame =
+    Temporal.fanoHourly(Tables.events(s, d))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
@@ -1281,6 +1287,8 @@ object ExtQueries {
     "ext_rfm" -> rfm _,
     "ext_transition_entropy" -> transitionEntropy _,
     "ext_histogram" -> histogram _,
+    "ext_gini" -> gini _,
+    "ext_fano" -> fano _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
@@ -2331,6 +2339,33 @@ object ExtQueries {
         |UNION ALL
         |SELECT '__all__', CAST(SUM(n) AS BIGINT), ROUND(SUM(n * h) / SUM(n), 4) FROM h
         |ORDER BY from_type""".stripMargin,
+
+    // Gini: 2*sum(i*v)/(n*sum(v)) - (n+1)/n over ascending ranks
+    "ext_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS i
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(2 * SUM(i * value) / (COUNT(*) * SUM(value))
+        |        - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 4) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hourly Fano factor from raw moments (integer-exact both engines)
+    "ext_fano" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS _h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(c) AS DOUBLE) AS s, CAST(SUM(c * c) AS DOUBLE) AS q
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT event_type, n_hours,
+        |  ROUND(((q - s * s / n_hours) / n_hours) / (s / n_hours), 4) AS fano
+        |FROM m ORDER BY 1""".stripMargin,
 
     // equi-width histogram: both engines evaluate the identical float
     // bucketing expression, so bin assignment matches exactly

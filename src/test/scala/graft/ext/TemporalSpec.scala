@@ -546,6 +546,30 @@ class TemporalSpec extends SparkSpec {
       ("g", 9L, 1L, 9.0, 10.0), ("h", 0L, 1L, 3.0, 3.0)))
   }
 
+  test("giniByGroup: 0 for equal values, (n-1)/n for total concentration") {
+    val e = Seq(
+      (1L, "eq", 1.0), (2L, "eq", 1.0), (3L, "eq", 1.0), (4L, "eq", 1.0),
+      (5L, "cc", 0.0), (6L, "cc", 0.0), (7L, "cc", 0.0), (8L, "cc", 4.0)
+    ).toDF("event_id", "event_type", "value")
+    val got = Temporal.giniByGroup(e)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("cc", 4L, 0.75), ("eq", 4L, 0.0)))
+  }
+
+  test("fanoHourly: 0 for constant hourly counts, var/mean otherwise") {
+    val e = Seq(
+      (1L, "g", ts("2024-01-01 10:00:00")), (2L, "g", ts("2024-01-01 10:30:00")),
+      (3L, "g", ts("2024-01-01 11:00:00")), (4L, "g", ts("2024-01-01 11:30:00")),
+      (5L, "h", ts("2024-01-01 10:00:00")),
+      (6L, "h", ts("2024-01-01 11:00:00")), (7L, "h", ts("2024-01-01 11:10:00")),
+      (8L, "h", ts("2024-01-01 11:20:00"))
+    ).toDF("event_id", "event_type", "ts")
+    // g: counts [2,2] → fano 0; h: [1,3] → var_pop 1 / mean 2 = 0.5
+    val got = Temporal.fanoHourly(e)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 2L, 0.0), ("h", 2L, 0.5)))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
     val e = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
