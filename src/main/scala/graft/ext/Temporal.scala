@@ -502,6 +502,53 @@ object Temporal {
       .orderBy(groupCol, "bin")
   }
 
+  /** Exponentially time-decayed value per key — the streaming-feature
+    * staple ("recent activity counts more"): Σ vᵢ·exp(−λ·(T_key − tᵢ))
+    * with T_key the key's LAST event time and λ = ln2 / half-life, so a
+    * contribution halves every `halfLifeHours`. The per-key anchor is a
+    * frameless max-over-partition window — the same single shuffle the
+    * weighted sum then reuses; no join, no second pass. Output:
+    * (key, n, decayed ROUND·,4). */
+  def decayedValue(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", valueCol: String = "value",
+      halfLifeHours: Double = 24.0): DataFrame = {
+    val lambda = math.log(2.0) / (halfLifeHours * 3600.0 * 1e6) // per µs
+    val w = Window.partitionBy(key)
+    events.select(col(key), col(ts), col(valueCol))
+      .withColumn("_anchor", max(col(ts)).over(w))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol) *
+          exp(lit(-lambda) *
+            (unix_micros(col("_anchor")) - unix_micros(col(ts))))), 4)
+          .as("decayed"))
+      .orderBy(key)
+  }
+
+  /** Hour-of-day seasonality per group: the 24-cell observed profile's
+    * chi-square against uniformity, INCLUDING empty hours (a left join
+    * against the tiny group×24 grid — zero-observation cells contribute
+    * their full expected mass, which per-cell aggregation alone would
+    * silently drop). Output: (grp, n, chi2 ROUND·,4); ~Poisson traffic
+    * scores low, strongly diurnal traffic high. */
+  def hourOfDayChi2(events: DataFrame, groupCol: String = "event_type",
+      ts: String = "ts"): DataFrame = {
+    val obs = events
+      .groupBy(col(groupCol), hour(col(ts)).as("_hod"))
+      .agg(count(lit(1)).as("o"))
+    val grid = events.select(col(groupCol)).distinct()
+      .crossJoin(events.sparkSession.range(24).toDF("_hod"))
+    val full = grid.join(obs, Seq(groupCol, "_hod"), "left")
+      .na.fill(0L, Seq("o"))
+    val tot = full.groupBy(groupCol).agg(sum("o").as("_n"))
+    full.join(broadcast(tot), groupCol)
+      .groupBy(groupCol)
+      .agg(first("_n").as("n"),
+        round(sum(pow(col("o") - col("_n") / 24.0, 2) / (col("_n") / 24.0)), 4)
+          .as("chi2"))
+      .orderBy(groupCol)
+  }
+
   /** Gini coefficient of `valueCol` per group — the concentration
     * diagnostic ("do 1% of events carry 90% of the value"): with the
     * group's values sorted ascending and 1-indexed by i,

@@ -262,6 +262,12 @@ object ExtQueries {
   def fano(s: SparkSession, d: String): DataFrame =
     Temporal.fanoHourly(Tables.events(s, d))
 
+  def decayed(s: SparkSession, d: String): DataFrame =
+    Temporal.decayedValue(Tables.events(s, d))
+
+  def hodChi2(s: SparkSession, d: String): DataFrame =
+    Temporal.hourOfDayChi2(Tables.events(s, d))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
@@ -1289,6 +1295,8 @@ object ExtQueries {
     "ext_histogram" -> histogram _,
     "ext_gini" -> gini _,
     "ext_fano" -> fano _,
+    "ext_decayed_value" -> decayed _,
+    "ext_hod_chi2" -> hodChi2 _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
@@ -2366,6 +2374,36 @@ object ExtQueries {
         |SELECT event_type, n_hours,
         |  ROUND(((q - s * s / n_hours) / n_hours) / (s / n_hours), 4) AS fano
         |FROM m ORDER BY 1""".stripMargin,
+
+    // half-life-24h decayed value anchored at each user's last event
+    "ext_decayed_value" ->
+      """WITH a AS (
+        |  SELECT user_id, ts, value,
+        |    MAX(ts) OVER (PARTITION BY user_id) AS anchor
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n,
+        |  ROUND(SUM(value * exp(-(ln(2) / 86400000000.0) *
+        |    (epoch_us(anchor) - epoch_us(ts)))), 4) AS decayed
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hour-of-day chi-square vs uniform over the full 24-cell grid
+    // (empty hours contribute their expected mass)
+    "ext_hod_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT DISTINCT e.event_type, g.h AS hod
+        |  FROM events e, generate_series(0, 23) AS g(h)
+        |), f AS (
+        |  SELECT grid.event_type, grid.hod, COALESCE(obs.o, 0) AS o
+        |  FROM grid LEFT JOIN obs USING (event_type, hod)
+        |), tot AS (SELECT event_type, SUM(o) AS n FROM f GROUP BY 1)
+        |SELECT f.event_type, CAST(t.n AS BIGINT) AS n,
+        |  ROUND(SUM(pow(f.o - t.n / 24.0, 2) / (t.n / 24.0)), 4) AS chi2
+        |FROM f JOIN tot t USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // equi-width histogram: both engines evaluate the identical float
     // bucketing expression, so bin assignment matches exactly

@@ -570,6 +570,33 @@ class TemporalSpec extends SparkSpec {
     assert(got == Seq(("g", 2L, 0.0), ("h", 2L, 0.5)))
   }
 
+  test("decayedValue: half-life weighting anchored at the key's last event") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 8.0),  // 24h before anchor → ×1/2
+      (2L, 1L, ts("2024-01-02 10:00:00"), 4.0),  // anchor → ×1
+      (3L, 2L, ts("2024-01-01 10:00:00"), 5.0)   // lone event → ×1
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.decayedValue(e)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 8.0), (2L, 1L, 5.0))) // 8·0.5 + 4 = 8
+  }
+
+  test("hourOfDayChi2: uniform profile scores 0; empty hours count") {
+    val uniform = (0 until 24).map(h =>
+      (h.toLong, "u", ts(f"2024-01-01 $h%02d:00:00")))
+    val spike = Seq((100L, "s", ts("2024-01-01 12:00:00")),
+      (101L, "s", ts("2024-01-01 12:30:00")))
+    val e = (uniform ++ spike).toDF("event_id", "event_type", "ts")
+    val got = Temporal.hourOfDayChi2(e)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("u")._3 == 0.0)
+    // s: one hour holds n=2, e = 2/24: chi2 = (2-1/12)²/(1/12) + 23·(1/12)
+    val ex = 2.0 / 24
+    val want = BigDecimal(math.pow(2 - ex, 2) / ex + 23 * ex)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("s") == (("s", 2L, want)))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
     val e = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
