@@ -435,6 +435,36 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // session-4b event features: RFM (one user agg + scalar quintile
+    // row), nearest join (one union window), decayed value (one keyed
+    // window+agg), gini (partitioned rank window), fano/chi2 (tiny-grid
+    // aggs) — all should track event volume ~linearly
+    println("mult |   events |  rfm | nearest | decayed | gini | fano | chi2")
+    sweep("r6f") { m =>
+      val ev = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev
+        else ev.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tRfm, _) = time(mat(ext.Temporal.rfmSegments(evm)))
+      val views = evm.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purch = evm.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(min("event_id").as("pid"))
+      val (tNear, _) = time(mat(ext.Temporal.nearestJoin(
+        views, purch, "user_id", "ts", Seq("pid"), 3600L)))
+      val (tDec, _) = time(mat(ext.Temporal.decayedValue(evm)))
+      val (tGini, _) = time(mat(ext.Temporal.giniByGroup(evm)))
+      val (tFano, _) = time(mat(ext.Temporal.fanoHourly(evm)))
+      val (tChi, _) = time(mat(ext.Temporal.hourOfDayChi2(evm)))
+      println(f"$m%4d | $nEv%8d | $tRfm%4.1f | $tNear%7.1f | $tDec%7.1f | $tGini%4.1f | $tFano%4.1f | $tChi%4.1f")
+      evm.unpersist(blocking = true)
+    }
+
     // generalized suffix array: rows = corpus chars; rounds are
     // log4(maxlen) and size-independent, so wall-clock should track
     // char volume once per-round job overhead amortizes
