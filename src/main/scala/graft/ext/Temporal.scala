@@ -549,6 +549,25 @@ object Temporal {
       .orderBy(groupCol)
   }
 
+  /** Top-k most common length-3 event-type paths across user timelines
+    * — the "what do users actually do" journey-mining staple. Two lags
+    * on the same per-user window (one shuffle), a |types|³-bounded
+    * count aggregation, global top-k as a TakeOrdered on
+    * (count desc, path). Output: (path "a->b->c", n). */
+  def topEventPaths(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", typeCol: String = "event_type",
+      tieBreak: String = "event_id", topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    events.select(col(key), col(ts), col(tieBreak), col(typeCol))
+      .withColumn("_p1", lag(col(typeCol), 1).over(w))
+      .withColumn("_p2", lag(col(typeCol), 2).over(w))
+      .where(col("_p2").isNotNull)
+      .select(concat_ws("->", col("_p2"), col("_p1"), col(typeCol)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Gini coefficient of `valueCol` per group — the concentration
     * diagnostic ("do 1% of events carry 90% of the value"): with the
     * group's values sorted ascending and 1-indexed by i,

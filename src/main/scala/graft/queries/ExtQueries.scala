@@ -268,6 +268,9 @@ object ExtQueries {
   def hodChi2(s: SparkSession, d: String): DataFrame =
     Temporal.hourOfDayChi2(Tables.events(s, d))
 
+  def eventPaths(s: SparkSession, d: String): DataFrame =
+    Temporal.topEventPaths(Tables.events(s, d))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
@@ -1297,6 +1300,7 @@ object ExtQueries {
     "ext_fano" -> fano _,
     "ext_decayed_value" -> decayed _,
     "ext_hod_chi2" -> hodChi2 _,
+    "ext_event_paths" -> eventPaths _,
     "ext_suffix_array" -> suffixArray _,
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
@@ -2374,6 +2378,19 @@ object ExtQueries {
         |SELECT event_type, n_hours,
         |  ROUND(((q - s * s / n_hours) / n_hours) / (s / n_hours), 4) AS fano
         |FROM m ORDER BY 1""".stripMargin,
+
+    // top length-3 event-type paths across user timelines
+    "ext_event_paths" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT p2 || '->' || p1 || '->' || event_type AS path, COUNT(*) AS n
+        |FROM x WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     // half-life-24h decayed value anchored at each user's last event
     "ext_decayed_value" ->

@@ -597,6 +597,19 @@ class TemporalSpec extends SparkSpec {
     assert(got("s") == (("s", 2L, want)))
   }
 
+  test("topEventPaths counts sliding trigrams per user, ranked by count") {
+    val mk = (id: Long, u: Long, h: Int, t: String) =>
+      (id, u, ts(f"2024-01-01 $h%02d:00:00"), t)
+    val e = Seq(
+      mk(1, 1, 10, "a"), mk(2, 1, 11, "b"), mk(3, 1, 12, "c"),
+      mk(4, 1, 13, "b"), mk(5, 1, 14, "c"),
+      mk(6, 2, 10, "a"), mk(7, 2, 11, "b"), mk(8, 2, 12, "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.topEventPaths(e)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a->b->c", 2L), ("b->c->b", 1L), ("c->b->c", 1L)))
+  }
+
   test("madOutliers: hand-computed median/MAD and robust-z outlier count") {
     val e = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
