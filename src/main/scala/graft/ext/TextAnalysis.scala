@@ -1295,6 +1295,47 @@ object TextAnalysis {
       .orderBy("grp")
   }
 
+  /** Heaps' law fit — vocabulary growth V(n) ≈ K·n^β, the companion
+    * diagnostic to [[zipfFit]] (natural text: β ≈ 0.4–0.6; templated or
+    * looping corpora flatten early). The growth curve is measured at
+    * `checkpoints` evenly spaced token counts in doc_id order:
+    *   - global token positions from per-doc offsets via the
+    *     distributed two-pass [[Temporal.runningSum]] (never a global
+    *     window over corpus rows);
+    *   - V at checkpoint c = tokens whose FIRST position ≤ c, counted
+    *     against a broadcast `checkpoints`-row grid (V-bounded fan-out);
+    *   - β and K from closed-form OLS of ln V ~ ln c over the curve.
+    * Output: one row (n_tokens, v_types, beta, k ROUND·,4). */
+  def heapsFit(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(checkpoints >= 2, "checkpoints >= 2")
+    val toks = docs.select(col("doc_id"),
+      posexplode(Dedup.tokens(col("text")))).toDF("doc_id", "idx", "tok")
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val offs = Temporal.runningSum(lens, "doc_id", "len")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), (col("running_sum") - col("len")).as("off"))
+    val firstSeen = toks.join(offs, "doc_id")
+      .select(col("tok"), (col("off") + col("idx") + 1).as("pos"))
+      .groupBy("tok").agg(min("pos").as("fp"))
+    val n = lens.agg(coalesce(sum("len"), lit(0L))).as[Long].head()
+    val grid = spark.range(1, checkpoints + 1).toDF("i")
+      .select(col("i"), floor(lit(n) * col("i") / (1.0 * checkpoints))
+        .cast("long").as("c"))
+    val curve = firstSeen.crossJoin(broadcast(grid))
+      .where(col("fp") <= col("c"))
+      .groupBy("i", "c").agg(count(lit(1)).as("v"))
+    curve
+      .select(log(col("v").cast("double")).as("y"),
+        log(col("c").cast("double")).as("x"), col("v"))
+      .agg((covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("b"),
+        avg("y").as("my"), avg("x").as("mx"), max("v").as("v_types"))
+      .select(lit(n).as("n_tokens"), col("v_types"),
+        round(col("b"), 4).as("beta"),
+        round(exp(col("my") - col("b") * col("mx")), 4).as("k"))
+  }
+
   /** Zipf log-log fit of the corpus token distribution: OLS slope and
     * intercept of ln(freq) ~ ln(rank) — the one-glance "is this corpus
     * natural text or templated sludge" diagnostic (natural language sits

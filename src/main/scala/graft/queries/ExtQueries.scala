@@ -289,6 +289,9 @@ object ExtQueries {
   def coherence(s: SparkSession, d: String): DataFrame =
     TextAnalysis.umassCoherence(Tables.documents(s, d))
 
+  def heaps(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heapsFit(Tables.documents(s, d))
+
   def welch(s: SparkSession, d: String): DataFrame =
     Drift.welchVsRest(Tables.documents(s, d))
 
@@ -1305,6 +1308,7 @@ object ExtQueries {
     "ext_longest_repeat" -> longestRepeats _,
     "ext_sorted_neighborhood" -> sortedNeighborhood _,
     "ext_zipf" -> zipf _,
+    "ext_heaps" -> heaps _,
     "ext_coherence" -> coherence _,
     "ext_welch" -> welch _,
     "ext_interval_join" -> intervalJoin _,
@@ -2558,6 +2562,41 @@ object ExtQueries {
         |FROM grid g LEFT JOIN co c
         |  ON g.grp = c.grp AND g.wi = c.wi AND g.wj = c.wj
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Heaps' law: V(n) ~ K n^beta from first-seen token positions at 10
+    // evenly spaced checkpoints in doc_id order
+    "ext_heaps" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS idx, ts FROM tl
+        |), t2 AS (
+        |  SELECT doc_id, idx, ts[CAST(idx AS INT)] AS tok FROM tk
+        |), lens AS (SELECT doc_id, COUNT(*) AS len FROM t2 GROUP BY 1),
+        |offs AS (
+        |  SELECT doc_id,
+        |    SUM(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len AS off
+        |  FROM lens
+        |), fs AS (
+        |  SELECT t2.tok, MIN(o.off + t2.idx) AS fp
+        |  FROM t2 JOIN offs o USING (doc_id) GROUP BY 1
+        |), nn AS (SELECT SUM(len) AS n FROM lens),
+        |grid AS (
+        |  SELECT g.i, CAST(FLOOR(nn.n * g.i / 10.0) AS BIGINT) AS c
+        |  FROM generate_series(1, 10) AS g(i), nn
+        |), curve AS (
+        |  SELECT grid.i, grid.c, COUNT(*) AS v
+        |  FROM fs JOIN grid ON fs.fp <= grid.c GROUP BY 1, 2
+        |), l AS (
+        |  SELECT ln(CAST(v AS DOUBLE)) AS y, ln(CAST(c AS DOUBLE)) AS x, v
+        |  FROM curve
+        |)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_tokens,
+        |  MAX(v) AS v_types,
+        |  ROUND(covar_pop(y, x) / var_pop(x), 4) AS beta,
+        |  ROUND(exp(AVG(y) - covar_pop(y, x) / var_pop(x) * AVG(x)), 4) AS k
+        |FROM l ORDER BY n_tokens""".stripMargin,
 
     // Zipf fit: OLS of ln(freq) ~ ln(rank) over the type histogram
     "ext_zipf" ->

@@ -932,6 +932,55 @@ class ExtSpec extends SparkSpec {
     assert(got == (("s", 1L, want)))
   }
 
+  test("heapsFit matches a driver-side replication of the curve and OLS") {
+    val docs = graft.Tables.documents(spark, sf()).where(col("doc_id") < 80)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // driver twin: global token stream in doc_id order, first-seen
+    // positions, V at 10 checkpoints, ln-ln OLS
+    val stream = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val n = stream.length.toLong
+    val first = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    stream.zipWithIndex.foreach { case (t, i) =>
+      if (!first.contains(t)) first(t) = i + 1L
+    }
+    val pts = (1 to 10).map { i =>
+      val c = math.floor(n * i / 10.0).toLong
+      (c, first.valuesIterator.count(_ <= c).toLong)
+    }.filter(_._2 > 0)
+    val xy = pts.map { case (c, v) => (math.log(v.toDouble), math.log(c.toDouble)) }
+    val (my, mx) = (xy.map(_._1).sum / xy.size, xy.map(_._2).sum / xy.size)
+    val beta = xy.map { case (y, x) => (y - my) * (x - mx) }.sum /
+      xy.map { case (_, x) => (x - mx) * (x - mx) }.sum
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.heapsFit(
+        graft.Tables.documents(spark, sf()).where(col("doc_id") < 80))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == n)
+    assert(got._2 == first.size.toLong)
+    assert(got._3 == r4(beta))
+    assert(got._4 == r4(math.exp(my - beta * mx)))
+    // the sf0.001 fixture's ~31-token vocab saturates within the first
+    // checkpoint, so the curve is FLAT: beta = 0 is the correct fit here
+    // (a growing-vocab corpus is exercised below)
+    assert(got._3 == 0.0 && got._2 == 31L)
+  }
+
+  test("heapsFit: a growing vocabulary fits a positive beta") {
+    // doc i contributes i fresh types plus filler — vocabulary keeps
+    // growing, so the fitted exponent must be strictly positive (this
+    // synthetic corpus grows types ~n², so beta may legitimately top 1;
+    // the flat-vocab zero case is pinned above)
+    val docs = (1L to 40L).map { i =>
+      val fresh = (1L to i).map(j => s"w${i}_$j")
+      (i, (fresh ++ Seq.fill(5)("the")).mkString(" ") + " ")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.heapsFit(docs)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._3 > 0.5, got.toString)
+    assert(got._4 > 0.0)
+  }
+
   test("zipfFit is invariant to input partitioning") {
     val d = graft.Tables.documents(spark, sf())
     val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head
