@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   * broadcast. */
 object Blocklist {
 
-  /** Token-boundary guard: both the haystack and each needle get a
-    * leading/trailing single space, so "b c" matches in "a b c " but not
-    * in "ab c ". The fixture text carries a trailing space already; a
-    * leading one is prepended here and `phrasePad` pads both needle ends
-    * (padding the needle's trailing end is what anchors the LAST token's
-    * right boundary). */
-  private def textPad(text: Column): Column = concat(lit(" "), text)
+  /** Token-boundary guard: the haystack gets a space on BOTH ends and
+    * each needle is padded " p " — so "b c" matches in "a b c" but not
+    * "ab c", and a phrase ending at the document's LAST token still
+    * matches regardless of whether the text carries trailing
+    * whitespace (matching must not depend on fixture formatting). */
+  private def textPad(text: Column): Column =
+    concat(lit(" "), text, lit(" "))
   private def phrasePad(p: String): String = " " + p + " "
 
   /** Per-doc blocklist report: `n_matched` (distinct phrases present) and
@@ -58,7 +58,7 @@ object Blocklist {
       val out = prepared.rdd.mapPartitions { it =>
         val a = bc.value
         it.map { r =>
-          val n = a.countDistinctMatches(" " + r.getString(1))
+          val n = a.countDistinctMatches(" " + r.getString(1) + " ")
           Row(r.get(0), n, if (n == 0) 1 else 0)
         }
       }

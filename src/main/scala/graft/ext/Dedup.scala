@@ -220,29 +220,53 @@ object Dedup {
     * 3·ov ≥ na+nb — so the threshold decision is exact on any engine; the
     * division happens only in the reported rounded value.
     *
-    * Scale shape: one V-row frequency table broadcast into the in-row
-    * prefix computation; shuffles are the prefix-token join, the pair
-    * dedup, and two hash joins back to the (doc → sorted set) table. */
-  def setSimilarityJoin(docs: DataFrame, t: Double = 0.5, shingleLen: Int = 3): DataFrame = {
-    require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
-    // sets are n-gram SHINGLES, not raw tokens: a small vocabulary makes
-    // token sets degenerate (every doc resembles every doc), while the
-    // shingle space keeps sets discriminative and prefix candidates sparse
+    * Scale shape: the shingle-frequency join, the prefix-token join, the
+    * pair dedup, and two hash joins back to the (doc → sorted set) table —
+    * all key-partitioned shuffles; nothing is forced resident. */
+  def setSimilarityJoin(docs: DataFrame, t: Double = 0.5, shingleLen: Int = 3): DataFrame =
+    setSimilarityJoinOn(orderedShingleSets(docs, shingleLen), t)
+
+  /** (doc_id, ts, n): each document's distinct-shingle set in
+    * rarest-global-frequency-first total order (f, tok) with its size —
+    * the shared input both [[setSimilarityJoinOn]] and
+    * [[containmentJoinOn]] verify against, factored out so a pipeline
+    * running both (as the battery does) builds it ONCE.
+    *
+    * Sets are n-gram SHINGLES, not raw tokens: a small vocabulary makes
+    * token sets degenerate (every doc resembles every doc), while the
+    * shingle space keeps sets discriminative and prefix candidates sparse.
+    *
+    * The frequency join carries NO broadcast hint: the distinct-shingle
+    * table grows with the corpus (billions of types at web scale), so the
+    * scale-safe plan is a shuffle hash join on the already-exploded `tok`
+    * stream — AQE still elects a broadcast at runtime when the table is
+    * genuinely small, without pinning it to the driver when it isn't.
+    *
+    * localCheckpoint: prefix generation AND both verification joins read
+    * this table — without it the scan+explode+sort chain recomputes three
+    * times (measured ~2× slower); blocks die with the caller's reference
+    * (the repo cache-lifetime convention). */
+  def orderedShingleSets(docs: DataFrame, shingleLen: Int = 3): DataFrame =
+    orderedShingleSetsPlan(docs, shingleLen).localCheckpoint()
+
+  /** The [[orderedShingleSets]] plan BEFORE checkpoint materialization —
+    * package-visible so the plan spec can assert the frequency join's
+    * physical shape (checkpointing collapses lineage to a LogicalRDD,
+    * hiding the join from the caller's executedPlan). */
+  private[graft] def orderedShingleSetsPlan(docs: DataFrame, shingleLen: Int): DataFrame = {
     val dt = spreadForCompute(docs)
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("tok"))
     val freq = dt.groupBy("tok").agg(count(lit(1)).as("f"))
-    // rarest-first total order (f, tok); the sorted set + its size ride
-    // along in-row so verification needs no extra aggregation.
-    // localCheckpoint: prefix generation AND both verification joins read
-    // this table — without it the scan+explode+sort chain recomputes three
-    // times (measured ~2× slower); blocks die with the caller's reference
-    // (the repo cache-lifetime convention)
-    val ordered = dt.join(broadcast(freq), "tok")
+    dt.join(freq, "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
       .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
-      .localCheckpoint()
+  }
+
+  /** [[setSimilarityJoin]] over a prebuilt [[orderedShingleSets]] table. */
+  def setSimilarityJoinOn(ordered: DataFrame, t: Double = 0.5): DataFrame = {
+    require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
     // prefix rows carry set size AND prefix position so the candidate
     // join can apply the two ppjoin prunes exactly where pairs are born:
     //  - length filter: J(x,y) ≥ t forces t·|x| ≤ |y| ≤ |x|/t
@@ -296,23 +320,19 @@ object Dedup {
     * (t·na − 1e-9, t·na) contains no integer for na < ~1e7, far above
     * any per-doc shingle-set size).
     *
-    * Scale shape: same skeleton as [[setSimilarityJoin]] — one broadcast
-    * V-row frequency table folded in-row, then the prefix⋈all token join,
-    * pair dedup, and two hash joins back to the sorted-set table. The
-    * all-tokens probe side is the price of asymmetry; at 100 TB this runs
-    * AFTER banding bounds the candidate universe, like the other exact
-    * verifiers in this file. */
-  def containmentJoin(docs: DataFrame, t: Double = 0.8, shingleLen: Int = 3): DataFrame = {
+    * Scale shape: same skeleton as [[setSimilarityJoin]] — the shared
+    * [[orderedShingleSets]] table (shuffle-joined frequency order, no
+    * forced broadcast), then the prefix⋈all token join, pair dedup, and
+    * two hash joins back to the sorted-set table. The all-tokens probe
+    * side is the price of asymmetry; at 100 TB this runs AFTER banding
+    * bounds the candidate universe, like the other exact verifiers in
+    * this file. */
+  def containmentJoin(docs: DataFrame, t: Double = 0.8, shingleLen: Int = 3): DataFrame =
+    containmentJoinOn(orderedShingleSets(docs, shingleLen), t)
+
+  /** [[containmentJoin]] over a prebuilt [[orderedShingleSets]] table. */
+  def containmentJoinOn(ordered: DataFrame, t: Double = 0.8): DataFrame = {
     require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
-    val dt = spreadForCompute(docs)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("tok"))
-    val freq = dt.groupBy("tok").agg(count(lit(1)).as("f"))
-    val ordered = dt.join(broadcast(freq), "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
-      .select(col("doc_id"), col("st.tok").as("ts"), size(col("st")).as("n"))
-      .localCheckpoint()
     val prefixA = ordered.select(col("doc_id").as("doc_a"), col("n").as("na"),
       explode(slice(col("ts"), lit(1),
         (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))
@@ -776,14 +796,15 @@ object Dedup {
     * its cluster representative (= the smallest doc_id, the
     * [[dupClusters]] label), keep all unclustered docs — the distributed
     * "keep one copy of each near-dup family" a pretraining corpus build
-    * ends with. One anti-join of the corpus against the (tiny) non-rep
-    * set; the pair graph is orders of magnitude smaller than the corpus,
-    * so the anti-join side broadcasts. */
+    * ends with. One left-anti join of the corpus against the non-rep set.
+    * No broadcast hint: on a real web crawl 30–50% of docs are near-dups,
+    * so `nonReps` is O(corpus) — a shuffled anti-join is the scale-safe
+    * plan, and AQE still broadcasts when the set is genuinely small. */
   def keepNearDupCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val nonReps = dupClusters(pairs)
       .where(col("doc_id") =!= col("cluster"))
       .select("doc_id")
-    docs.join(broadcast(nonReps), Seq("doc_id"), "left_anti")
+    docs.join(nonReps, Seq("doc_id"), "left_anti")
   }
 
   /** Edit-distance near-dup pairs with prefix blocking: candidate pairs

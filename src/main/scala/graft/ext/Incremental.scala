@@ -47,10 +47,18 @@ object Incremental {
   def tableDiff(old: DataFrame, nu: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
-    // NULL-safe canonical row fingerprint: value rendered via a cast to
-    // string with an explicit NULL marker + field separator
-    def fp(df: DataFrame) = md5(concat_ws("",
-      compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    // NULL-safe canonical row fingerprint, INJECTIVE on the row: each
+    // value renders as "v<len>:<value>" (length-prefixed, so fields are
+    // self-delimiting — no separator char inside a value can shift bytes
+    // across a field boundary) and NULL as the lone "n" (no v-field can
+    // equal it). This matches the oracle's per-column IS DISTINCT FROM
+    // on every input, including NULL-vs-empty and boundary-shifting
+    // values like ("ab","") vs ("a","b").
+    def fp(df: DataFrame) = md5(concat_ws("",
+      compareCols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(lit("v"), length(s), lit(":"), s), lit("n"))
+      }: _*))
     val o = old.select(col(key).as("k"), fp(old).as("oh"))
     val n = nu.select(col(key).as("k"), fp(nu).as("nh"))
     o.join(n, Seq("k"), "full_outer")

@@ -77,15 +77,27 @@ object Layout {
       nBuckets: Int): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // Resolve the table's managed location from the CATALOG (correct for
+    // qualified names, where `db.tbl` lives under `<db>.db/tbl`, not
+    // `<warehouse>/db.tbl`), and only clean a local-filesystem path that
+    // is genuinely under the warehouse root — never a custom location or
+    // a remote scheme this JVM can't (and shouldn't) rm -rf.
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = s.sessionState.catalog.defaultTablePath(ident)
+    def localPath(u: java.net.URI): Option[java.nio.file.Path] =
+      if (u.getScheme == null) Some(java.nio.file.Paths.get(u.getPath))
+      else if (u.getScheme == "file") Some(java.nio.file.Paths.get(u.getPath))
+      else None
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
-    val dir = java.nio.file.Paths.get(
-      if (wh.getScheme == "file") wh.getPath
-      else wh.toString).resolve(table.toLowerCase)
-    if (java.nio.file.Files.exists(dir)) {
-      import java.util.Comparator
-      java.nio.file.Files.walk(dir)
-        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    (localPath(loc), localPath(wh)) match {
+      case (Some(dir), Some(whDir))
+          if dir.normalize.startsWith(whDir.normalize) &&
+            java.nio.file.Files.exists(dir) =>
+        import java.util.Comparator
+        java.nio.file.Files.walk(dir)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      case _ => () // non-local or outside the warehouse: DROP TABLE suffices
     }
     writeBucketed(df, table, key, nBuckets)
   }

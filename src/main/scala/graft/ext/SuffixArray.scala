@@ -164,8 +164,13 @@ object SuffixArray {
     *     materialized;
     *   - global top-k is a TakeOrdered.
     */
-  def longestRepeats(docs: DataFrame, topK: Int = 10): DataFrame = {
-    val sa = suffixRanks(docs)
+  def longestRepeats(docs: DataFrame, topK: Int = 10): DataFrame =
+    longestRepeatsOn(suffixRanks(docs), docs, topK)
+
+  /** [[longestRepeats]] over a prebuilt [[suffixRanks]] table — a
+    * pipeline that dumps the suffix array AND mines repeats (as the
+    * battery does) builds the expensive prefix-doubling rounds ONCE. */
+  def longestRepeatsOn(sa: DataFrame, docs: DataFrame, topK: Int = 10): DataFrame = {
     val reps = sa.groupBy("srank")
       .agg(min(struct(col("doc_id"), col("pos"))).as("rep"),
         count(lit(1)).as("cnt"))

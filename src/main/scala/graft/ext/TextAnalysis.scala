@@ -599,10 +599,14 @@ object TextAnalysis {
     * corpus (perplexity = e^nll). Docs with <2 tokens have no bigrams and
     * are excluded.
     *
-    * Scale shape: the LM is a V²-bounded aggregate broadcast back onto
-    * the per-doc bigram stream; one groupBy(doc) mean. The mean is a
-    * float sum in schedule order — drift is ~1e-13 against the 1e-4
-    * rounding grid, the same accepted risk profile as [[tfIdf]]'s ln. */
+    * Scale shape: the LM joins back onto the per-doc bigram stream on the
+    * bigram key; one groupBy(doc) mean. The bigram-LM table carries NO
+    * broadcast hint — bigram TYPES grow with the corpus (billions at web
+    * scale), so the scale-safe plan is a shuffle join (AQE still
+    * broadcasts when small). The unigram-context `totals` table IS
+    * broadcast: it is V-bounded by construction. The mean is a float sum
+    * in schedule order — drift is ~1e-13 against the 1e-4 rounding grid,
+    * the same accepted risk profile as [[tfIdf]]'s ln. */
   def lmScore(docs: DataFrame): DataFrame = {
     val bi = Dedup.explodedShingles(docs, 2)
     val counts = bi.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -611,7 +615,7 @@ object TextAnalysis {
     val lm = counts.select(w1.as("w1"), col("sh"), col("c"))
       .join(broadcast(totals), "w1")
       .select(col("sh"), (col("c").cast("double") / col("n1")).as("p"))
-    bi.join(broadcast(lm), "sh")
+    bi.join(lm, "sh")
       .groupBy("doc_id").agg(round(-avg(log(col("p"))), 4).as("nll"))
   }
 

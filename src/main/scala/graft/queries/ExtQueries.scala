@@ -271,12 +271,23 @@ object ExtQueries {
   def eventPaths(s: SparkSession, d: String): DataFrame =
     Temporal.topEventPaths(Tables.events(s, d))
 
+  /** Suffix-rank table on a 10% doc slice, built once per fixture dir and
+    * shared by ext_suffix_array AND ext_longest_repeat (the candCache
+    * pattern) — the prefix-doubling rounds are the battery's single most
+    * expensive build, and both entries read the identical table. */
+  private val saCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def suffixSlice(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+  private def sharedSuffixRanks(s: SparkSession, d: String): DataFrame =
+    saCache.getOrElseUpdate(d,
+      SuffixArray.suffixRanks(suffixSlice(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
     * proportionate while the operator itself is fully distributed). */
   def suffixArray(s: SparkSession, d: String): DataFrame =
-    SuffixArray.suffixRanks(
-        Tables.documents(s, d).where(col("doc_id") % 10 === 0))
+    sharedSuffixRanks(s, d)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("srank"))
       .orderBy("doc_id", "pos")
 
@@ -295,10 +306,10 @@ object ExtQueries {
   def welch(s: SparkSession, d: String): DataFrame =
     Drift.welchVsRest(Tables.documents(s, d))
 
-  /** Top-10 longest repeated substrings over the same doc slice. */
+  /** Top-10 longest repeated substrings over the same doc slice, reading
+    * the shared suffix-rank table instead of rebuilding it. */
   def longestRepeats(s: SparkSession, d: String): DataFrame =
-    SuffixArray.longestRepeats(
-        Tables.documents(s, d).where(col("doc_id") % 10 === 0))
+    SuffixArray.longestRepeatsOn(sharedSuffixRanks(s, d), suffixSlice(s, d))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("len"))
       .orderBy(col("len").desc, col("doc_id"), col("pos"))
 
@@ -782,18 +793,27 @@ object ExtQueries {
     TextAnalysis.sharedFingerprintPairs(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
 
+  /** Rarest-first ordered shingle-set table, built once per fixture dir
+    * and shared by the set-similarity AND containment joins (the
+    * candCache pattern) — in a real pipeline both verifiers read the same
+    * ordered-set build, so the battery should pay for it once too. */
+  private val shingleSetCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def orderedSets(s: SparkSession, d: String): DataFrame =
+    shingleSetCache.getOrElseUpdate(d,
+      Dedup.orderedShingleSets(Tables.documents(s, d)))
+
   /** Exact Jaccard ≥ 0.5 pairs over distinct 3-shingle sets via the
     * prefix-filtered set-similarity join. The oracle verifies
     * COMPLETENESS, not just the mirrored algorithm: it computes the
     * answer from the plain shared-shingle join (no prefix filter), so a
     * prefix-length bug that dropped pairs would hash-mismatch. */
   def setsimJoinQ(s: SparkSession, d: String): DataFrame =
-    Dedup.setSimilarityJoin(Tables.documents(s, d))
+    Dedup.setSimilarityJoinOn(orderedSets(s, d))
       .orderBy("doc_a", "doc_b")
 
   /** Asymmetric containment pairs (doc_a ⊆~0.8 doc_b). */
   def containmentJoinQ(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentJoin(Tables.documents(s, d))
+    Dedup.containmentJoinOn(orderedSets(s, d))
       .orderBy("doc_a", "doc_b")
 
   /** CCNet canonical text form (the dedup-hash input, as data). */
@@ -1182,12 +1202,15 @@ object ExtQueries {
       .orderBy("lang")
   }
 
-  /** Build (once per JVM per fixture dir) the bucketed orders/lineitem
-    * pair — both hash-bucketed by order key into the same bucket count,
-    * so joins/aggs on that key need no exchange. */
+  /** Build (once per session per fixture dir) the bucketed
+    * orders/lineitem pair — both hash-bucketed by order key into the same
+    * bucket count, so joins/aggs on that key need no exchange. The
+    * readiness cache is JVM-wide but the tables live in the per-session
+    * in-memory catalog, so a cache hit is only trusted when BOTH tables
+    * still exist in THIS session's catalog — otherwise rebuild. */
   private val bucketedReady = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private def bucketedPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (to, tl) = bucketedReady.getOrElseUpdate(d, {
+    def build(): (String, String) = {
       val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
       val (no, nl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       Layout.rebuildBucketed(
@@ -1197,7 +1220,12 @@ object ExtQueries {
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
         nl, "l_orderkey", 8)
       (no, nl)
-    })
+    }
+    val cached = bucketedReady.getOrElseUpdate(d, build())
+    val (to, tl) =
+      if (s.catalog.tableExists(cached._1) && s.catalog.tableExists(cached._2))
+        cached
+      else { val fresh = build(); bucketedReady.put(d, fresh); fresh }
     (s.table(to), s.table(tl))
   }
 
@@ -3409,7 +3437,7 @@ object ExtQueries {
          |m AS (
          |  SELECT d.doc_id,
          |    (SELECT COUNT(*) FROM top t
-         |     WHERE contains(' ' || d.text, ' ' || t.ngram || ' ')) AS n_matched
+         |     WHERE contains(' ' || d.text || ' ', ' ' || t.ngram || ' ')) AS n_matched
          |  FROM documents d)
          |SELECT doc_id, n_matched,
          |  CASE WHEN n_matched = 0 THEN 1 ELSE 0 END AS kept

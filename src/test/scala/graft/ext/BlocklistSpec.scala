@@ -20,6 +20,18 @@ class BlocklistSpec extends SparkSpec {
     assert(got(4L) == ((1, 0)))  // distinct phrases, not occurrences
   }
 
+  test("phrase ending at the document's LAST token matches (no trailing ws)") {
+    // texts deliberately carry NO trailing space — matching must not
+    // depend on fixture formatting (both physical paths)
+    val d = Seq((1L, "we hate spam"), (2L, "we hate spamX"),
+      (3L, "hate spam is bad")).toDF("doc_id", "text")
+    for (thr <- Seq(1000, 0)) {
+      val got = Blocklist.filterReport(d, Seq("hate spam"), acThreshold = thr)
+        .as[(Long, Int, Int)].collect().map(r => r._1 -> r._2).toMap
+      assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1), s"thr=$thr: $got")
+    }
+  }
+
   test("AC path == HOF path on the fixture corpus (forced thresholds)") {
     val d = graft.Tables.documents(spark, sf())
     val phrases = Blocklist.minedBigrams(d, 20)

@@ -37,6 +37,16 @@ class IncrementalSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L -> "changed"), got.toSeq.toString)
   }
 
+  test("tableDiff: values containing separator/marker chars never collide") {
+    // length-prefixed fields are self-delimiting: a value embedding any
+    // would-be separator cannot shift bytes across a field boundary
+    val old = Seq((1L, "av", "b"), (2L, "n", "x")).toDF("k", "a", "b")
+    val nu = Seq((1L, "a", "vb"), (2L, "n", "x")).toDF("k", "a", "b")
+    val got = Incremental.tableDiff(old, nu, "k", Seq("a", "b"))
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq(1L -> "changed"), got.toSeq.toString)
+  }
+
   test("tableDiff of a snapshot against itself is empty") {
     val e = graft.Tables.events(spark, sf()).select("event_id", "event_type", "value")
     assert(Incremental.tableDiff(e, e, "event_id", Seq("event_type", "value")).isEmpty)
