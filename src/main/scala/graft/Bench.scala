@@ -36,6 +36,14 @@ object Bench {
     // in r5 twenty analysis-error queries showed up as plausible ~0.06 s
     // entries and inflated n_queries. Failures are excluded from value,
     // n_queries, and the queries map.
+    // Host-contention self-adjudication (BENCH.md's "compare warm runs
+    // only" rule, machine-readable): record the 1-min load average before
+    // and after the battery so a contended run carries its own evidence —
+    // on the 32-cpu box, load far above the battery's own footprint means
+    // the total is noise-inflated and per-query A/B re-runs decide.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -71,10 +79,17 @@ object Bench {
     // filter restricts the run, the complete map goes to a separate file so
     // a partial (e.g. A/B) run can never overwrite the battery record.
     val fullPath = if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
+    val loadEnd = osBean.getSystemLoadAverage
+    // cold = fresh JVM over a fresh fixture read (the default for a
+    // driver run); a caller doing warm A/B re-runs marks them explicitly
+    val mode = sys.env.getOrElse("GRAFT_BENCH_MODE", "cold")
+    val hostMeta =
+      s""""mode":"$mode","host_cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadEnd)}"""
     try {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},$hostMeta,"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $fullPath write failed: $e")
     }

@@ -479,6 +479,34 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // round-7 legs: the de-broadcast scale paths under load.
+    //  - neardup_canon: keepNearDupCanonical against a 50%-dup pair graph
+    //    (every even doc pairs its successor), the real-crawl regime the
+    //    old forced broadcast would OOM on — nonReps is O(corpus/2), and
+    //    the left-anti join must track corpus size linearly;
+    //  - sorted_nbhd: sortedNeighborhoodPairs' global rank + window
+    //    bucket join (bucket population is FIXED at `window` by
+    //    construction, so unlike the JW prefix blocks there is no hot
+    //    block to salt — the leg proves the claim by measurement);
+    //  - lm_score: the bigram-LM shuffle join (was broadcast).
+    println("mult |     docs | dup_pairs | neardup_canon (kept) | sorted_nbhd | lm_score")
+    sweep("r7") { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val pairs = docs.select((col("doc_id") - (col("doc_id") % 2)).as("doc_a"),
+          col("doc_id").as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val np = pairs.count()
+      val (tCanon, nKept) = time(mat(ext.Dedup.keepNearDupCanonical(docs, pairs)))
+      val (tSn, _) = time(mat(ext.Dedup.sortedNeighborhoodPairs(docs)))
+      val (tLm, _) = time(mat(ext.TextAnalysis.lmScore(docs)))
+      println(f"$m%4d | $nd%8d | $np%9d | $tCanon%7.2f ($nKept%8d) | $tSn%11.2f | $tLm%8.2f")
+      pairs.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall@k of the approximate ANN paths against the exact brute-force
+  * oracle on the sf0.01 embedding fixture. The oracles already pin each
+  * path's OUTPUT deterministically; these specs pin its QUALITY as a
+  * number, so a parameter regression (fewer tables, lazier probing, a
+  * broken codebook) that still produces deterministic-but-worse
+  * neighbors goes red. Floors sit ~10 points under the measured value
+  * (fixture vectors are random, the hard case for ANN — real embedding
+  * clusters only raise recall). */
+class RecallSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.Tables.embeddings(spark, sf("sf0.01")).select("vec_id", "embedding")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF recall@10 vs brute force stays above 0.60 (nprobe 4/16)") {
+    val queries = emb.where(col("vec_id") < 8)
+    val gt = Similarity.annTopK(emb, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gt intersect ivf).size.toDouble / gt.size
+    info(f"ivf recall@10 = $recall%.3f (${gt.size} truths)")
+    assert(recall >= 0.60, f"IVF recall collapsed: $recall%.3f")
+  }
+
+  test("LSH top-10 pair recall (battery params) stays above its floor") {
+    // Random fixture vectors are the adversarial case for sign-LSH: the
+    // best pairs peak near cosine 0.5, where an 8-bit signature collides
+    // with probability (1−θ/π)⁸ ≈ 0.04 per table → ~27% across 8 tables
+    // — so ~0.3 IS the theoretical recall of this configuration on this
+    // fixture, and the pin guards the configured path (the battery's
+    // ext_lsh_topk params) against parameter/bucketing regressions, not
+    // an absolute quality bar. Real embedding clusters (cos ≥ 0.9,
+    // per-bit ~0.86, ~65% per 8 tables) would score far higher.
+    val exact = pairSet(Similarity.cosinePairsTopK(emb, 20))
+    val lsh = pairSet(
+      Similarity.lshPairsTopK(emb, 20, nBits = 8, dim = 64, seed = 42L))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"lsh pair recall@20 = $recall%.3f")
+    assert(recall >= 0.20, f"LSH pair recall collapsed: $recall%.3f")
+  }
+
+  test("IVF-PQ top-10 recall vs exact max-IP neighbors of query 0 above 0.35") {
+    // ivfPqTopK approximates MAX-INNER-PRODUCT search, so the ground
+    // truth is the exact IP top-10 (not cosine)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = e.where(col("vec_id") === 0L).select(col("e").as("qe"))
+    val gt = e.crossJoin(q).where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Similarity.dot(col("e"), col("qe")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfPqTopK(emb).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val recall = (gt intersect approx).size.toDouble / gt.size
+    // measured 0.400 (1-iteration codebooks, nprobe 2/8, random
+    // vectors); floor leaves margin for legitimate grid-rounding drift
+    info(f"ivfpq recall@10 = $recall%.3f")
+    assert(recall >= 0.35, f"IVF-PQ recall collapsed: $recall%.3f")
+  }
+}
