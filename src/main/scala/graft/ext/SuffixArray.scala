@@ -184,14 +184,15 @@ object SuffixArray {
       col("text").as("ta"), col("pos").as("pa"), col("slen").as("la"))
     val b = reps.select((col("srank") - 1).as("srank"),
       col("text").as("tb"), col("pos").as("pb"), col("slen").as("lb"))
+    // LCP by the native zero-allocation byte-walk expression (stays in
+    // the whole-stage span); equals the substring-per-position SQL form
+    // the oracle uses — LcpSpec pins the equivalence including
+    // multi-byte codepoints
     val adj = a.join(b, "srank")
       .select(col("doc_id"), col("pos"),
-        expr("""coalesce(
-                  array_min(filter(transform(sequence(1, least(la, lb)),
-                    i -> IF(substring(ta, pa + i - 1, 1) <> substring(tb, pb + i - 1, 1),
-                            i, CAST(NULL AS INT))),
-                    x -> x IS NOT NULL)),
-                  least(la, lb) + 1) - 1""").cast("long").as("len"))
+        graft.functions.SuffixLcp.suffixLcp(
+          col("ta"), col("pa").cast("int"),
+          col("tb"), col("pb").cast("int")).as("len"))
       .where(col("len") > 0)
     val ties = reps.where(col("cnt") >= 2)
       .select(col("doc_id"), col("pos"), col("slen").cast("long").as("len"))

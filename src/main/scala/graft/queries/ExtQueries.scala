@@ -21,8 +21,16 @@ object ExtQueries {
     * components read the SAME candidate table. Mirrors LdaQueries.fitted. */
   private val candCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def candidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate(d, Dedup.minhashCandidates(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    candCache.getOrElseUpdate(sessionKey(s, d),
+      Dedup.minhashCandidates(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Session-qualified cache key: cached DataFrames / checkpoints belong
+    * to ONE SparkContext — a second session in the same JVM must rebuild
+    * rather than inherit handles into a stopped context (the same
+    * failure mode the bucketedPair tableExists guard closes). */
+  private def sessionKey(s: SparkSession, d: String): String =
+    java.lang.System.identityHashCode(s.sparkContext).toHexString + ":" + d
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     candidates(s, d).orderBy("doc_a", "doc_b")
@@ -142,7 +150,7 @@ object ExtQueries {
   private val bpeCache =
     scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]()
   private def bpeTrained(s: SparkSession, d: String) =
-    bpeCache.getOrElseUpdate(d, {
+    bpeCache.getOrElseUpdate(sessionKey(s, d), {
       val (m, v) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
       (m, v.localCheckpoint(true))
     })
@@ -279,7 +287,7 @@ object ExtQueries {
   private def suffixSlice(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).where(col("doc_id") % 10 === 0)
   private def sharedSuffixRanks(s: SparkSession, d: String): DataFrame =
-    saCache.getOrElseUpdate(d,
+    saCache.getOrElseUpdate(sessionKey(s, d),
       SuffixArray.suffixRanks(suffixSlice(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -799,7 +807,7 @@ object ExtQueries {
     * ordered-set build, so the battery should pay for it once too. */
   private val shingleSetCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def orderedSets(s: SparkSession, d: String): DataFrame =
-    shingleSetCache.getOrElseUpdate(d,
+    shingleSetCache.getOrElseUpdate(sessionKey(s, d),
       Dedup.orderedShingleSets(Tables.documents(s, d)))
 
   /** Exact Jaccard ≥ 0.5 pairs over distinct 3-shingle sets via the

@@ -13,8 +13,12 @@ object LdaQueries {
 
   private val cache = scala.collection.concurrent.TrieMap[String, LdaModel]()
 
+  // key carries the SparkContext identity: a model's RDD/broadcast
+  // handles die with their context, so a second session in one JVM
+  // refits instead of inheriting them (the ExtQueries.sessionKey rule)
   private def fitted(s: SparkSession, dir: String): LdaModel =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate(
+      java.lang.System.identityHashCode(s.sparkContext).toHexString + ":" + dir, {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       Lda(LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
         totalIterations = 10, burnInIterations = 5,
