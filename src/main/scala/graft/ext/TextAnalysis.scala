@@ -1330,14 +1330,33 @@ object TextAnalysis {
     val curve = firstSeen.crossJoin(broadcast(grid))
       .where(col("fp") <= col("c"))
       .groupBy("i", "c").agg(count(lit(1)).as("v"))
+    // The OLS moments are sums of IRRATIONAL logs, so parallel
+    // accumulation order (schedule-dependent on Spark, thread-dependent
+    // in DuckDB — observed flipping ext_heaps' 4th decimal once) is not
+    // reproducible. The curve is ≤ `checkpoints` points: collect it into
+    // ONE ordered array and fold the moments left-to-right in-row — a
+    // fixed-order chain the oracle mirrors with list_reduce over
+    // list(· ORDER BY i), bit-identical on any schedule/thread count.
+    def fold(arr: String) =
+      s"aggregate($arr, CAST(0 AS DOUBLE), (a, x) -> a + x)"
     curve
-      .select(log(col("v").cast("double")).as("y"),
-        log(col("c").cast("double")).as("x"), col("v"))
-      .agg((covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("b"),
-        avg("y").as("my"), avg("x").as("mx"), max("v").as("v_types"))
+      .agg(sort_array(collect_list(struct(col("i"), col("v"), col("c")))).as("ps"),
+        max("v").as("v_types"))
+      .select(col("v_types"),
+        expr(fold("transform(ps, p -> ln(CAST(p.c AS DOUBLE)))")).as("sx"),
+        expr(fold("transform(ps, p -> ln(CAST(p.v AS DOUBLE)))")).as("sy"),
+        expr(fold("transform(ps, p -> ln(CAST(p.v AS DOUBLE)) * ln(CAST(p.c AS DOUBLE)))")).as("sxy"),
+        expr(fold("transform(ps, p -> ln(CAST(p.c AS DOUBLE)) * ln(CAST(p.c AS DOUBLE)))")).as("sxx"),
+        size(col("ps")).cast("double").as("m"))
+      // NULL (not ANSI divide-by-zero) on a degenerate grid — empty
+      // corpus or a single point has no slope, like var_pop's NULL
+      .withColumn("d", col("m") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b", when(col("d") =!= 0.0,
+        (col("m") * col("sxy") - col("sx") * col("sy")) / col("d")))
       .select(lit(n).as("n_tokens"), col("v_types"),
         round(col("b"), 4).as("beta"),
-        round(exp(col("my") - col("b") * col("mx")), 4).as("k"))
+        round(when(col("b").isNotNull,
+          exp(col("sy") / col("m") - col("b") * (col("sx") / col("m")))), 4).as("k"))
   }
 
   /** Zipf log-log fit of the corpus token distribution: OLS slope and
@@ -1349,7 +1368,7 @@ object TextAnalysis {
     * and the fit is closed-form from population moments (covar_pop /
     * var_pop), one aggregation over V rows. Output: one row
     * (n_types, slope, intercept), ROUND(·,4). */
-  def zipfFit(docs: DataFrame): DataFrame = {
+  def zipfFit(docs: DataFrame, maxRanks: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = docs
@@ -1359,13 +1378,31 @@ object TextAnalysis {
       .sortBy({ case (tok, c) => (-c, tok) })
       .zipWithIndex()
       .map { case ((_, c), i) => (c, i + 1) }.toDF("c", "rk")
-    ranked
-      .select(log(col("c").cast("double")).as("y"),
-        log(col("rk").cast("double")).as("x"))
-      .agg(count(lit(1)).as("n_types"),
-        (covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("s"),
-        avg("y").as("my"), avg("x").as("mx"))
-      .select(col("n_types"), round(col("s"), 4).as("slope"),
-        round(col("my") - col("s") * col("mx"), 4).as("intercept"))
+      .localCheckpoint() // read twice (count + fit) past the RDD sort
+    // Fit over the top `maxRanks` ranks only (the head is where Zipf
+    // lives; the tail is hapax noise every practical fit drops), folded
+    // left-to-right over ONE rank-ordered in-row array — same
+    // deterministic-moment rationale as [[heapsFit]]: parallel
+    // covar_pop over irrational logs is schedule/thread-dependent in
+    // the 4th decimal on both engines. The cap bounds the collected
+    // array independent of corpus vocabulary.
+    def fold(arr: String) =
+      s"aggregate($arr, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    val nTypes = ranked.count()
+    ranked.where(col("rk") <= maxRanks)
+      .agg(sort_array(collect_list(struct(col("rk"), col("c")))).as("ps"))
+      .select(
+        expr(fold("transform(ps, p -> ln(CAST(p.rk AS DOUBLE)))")).as("sx"),
+        expr(fold("transform(ps, p -> ln(CAST(p.c AS DOUBLE)))")).as("sy"),
+        expr(fold("transform(ps, p -> ln(CAST(p.c AS DOUBLE)) * ln(CAST(p.rk AS DOUBLE)))")).as("sxy"),
+        expr(fold("transform(ps, p -> ln(CAST(p.rk AS DOUBLE)) * ln(CAST(p.rk AS DOUBLE)))")).as("sxx"),
+        size(col("ps")).cast("double").as("m"))
+      // NULL (not ANSI divide-by-zero) when the fit is degenerate
+      .withColumn("d", col("m") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("s", when(col("d") =!= 0.0,
+        (col("m") * col("sxy") - col("sx") * col("sy")) / col("d")))
+      .select(lit(nTypes).as("n_types"), round(col("s"), 4).as("slope"),
+        round(when(col("s").isNotNull,
+          col("sy") / col("m") - col("s") * (col("sx") / col("m"))), 4).as("intercept"))
   }
 }

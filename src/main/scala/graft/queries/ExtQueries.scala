@@ -2624,28 +2624,71 @@ object ExtQueries {
         |), curve AS (
         |  SELECT grid.i, grid.c, COUNT(*) AS v
         |  FROM fs JOIN grid ON fs.fp <= grid.c GROUP BY 1, 2
-        |), l AS (
-        |  SELECT ln(CAST(v AS DOUBLE)) AS y, ln(CAST(c AS DOUBLE)) AS x, v
+        |), arr AS (
+        |  -- fixed-order moment fold (mirrors the engine's in-row
+        |  -- left-to-right aggregate over the i-sorted point array):
+        |  -- parallel covar_pop/var_pop accumulate irrational logs in
+        |  -- thread-dependent order and can flip the 4th decimal
+        |  SELECT list(v ORDER BY i) AS vs, list(c ORDER BY i) AS cs,
+        |         MAX(v) AS v_types
         |  FROM curve
+        |), mo AS (
+        |  SELECT v_types,
+        |    list_reduce(list_transform(cs, c -> ln(CAST(c AS DOUBLE))),
+        |      (a, x) -> a + x) AS sx,
+        |    list_reduce(list_transform(vs, v -> ln(CAST(v AS DOUBLE))),
+        |      (a, x) -> a + x) AS sy,
+        |    list_reduce(list_transform(list_zip(vs, cs),
+        |      s -> ln(CAST(s[1] AS DOUBLE)) * ln(CAST(s[2] AS DOUBLE))),
+        |      (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_transform(cs,
+        |      c -> ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))),
+        |      (a, x) -> a + x) AS sxx,
+        |    CAST(len(cs) AS DOUBLE) AS m
+        |  FROM arr
+        |), fit AS (
+        |  SELECT v_types, (m*sxy - sx*sy) / (m*sxx - sx*sx) AS b,
+        |         sy/m AS my, sx/m AS mx
+        |  FROM mo
         |)
-        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_tokens,
-        |  MAX(v) AS v_types,
-        |  ROUND(covar_pop(y, x) / var_pop(x), 4) AS beta,
-        |  ROUND(exp(AVG(y) - covar_pop(y, x) / var_pop(x) * AVG(x)), 4) AS k
-        |FROM l ORDER BY n_tokens""".stripMargin,
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_tokens, v_types,
+        |  ROUND(b, 4) AS beta, ROUND(exp(my - b * mx), 4) AS k
+        |FROM fit ORDER BY n_tokens""".stripMargin,
 
-    // Zipf fit: OLS of ln(freq) ~ ln(rank) over the type histogram
+    // Zipf fit: OLS of ln(freq) ~ ln(rank) over the top-100k ranks,
+    // moments folded in rank order (fixed-order chain — see ext_heaps)
     "ext_zipf" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
         |  FROM documents
         |), c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM c),
-        |l AS (SELECT ln(CAST(c AS DOUBLE)) AS y, ln(CAST(rk AS DOUBLE)) AS x FROM r)
-        |SELECT COUNT(*) AS n_types,
-        |  ROUND(covar_pop(y, x) / var_pop(x), 4) AS slope,
-        |  ROUND(AVG(y) - covar_pop(y, x) / var_pop(x) * AVG(x), 4) AS intercept
-        |FROM l ORDER BY n_types""".stripMargin,
+        |arr AS (
+        |  SELECT (SELECT COUNT(*) FROM r) AS n_types,
+        |    list(c ORDER BY rk) AS cs, list(rk ORDER BY rk) AS rks
+        |  FROM r WHERE rk <= 100000
+        |), mo AS (
+        |  SELECT n_types,
+        |    list_reduce(list_transform(rks, k -> ln(CAST(k AS DOUBLE))),
+        |      (a, x) -> a + x) AS sx,
+        |    list_reduce(list_transform(cs, c -> ln(CAST(c AS DOUBLE))),
+        |      (a, x) -> a + x) AS sy,
+        |    list_reduce(list_transform(list_zip(cs, rks),
+        |      s -> ln(CAST(s[1] AS DOUBLE)) * ln(CAST(s[2] AS DOUBLE))),
+        |      (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_transform(rks,
+        |      k -> ln(CAST(k AS DOUBLE)) * ln(CAST(k AS DOUBLE))),
+        |      (a, x) -> a + x) AS sxx,
+        |    CAST(len(cs) AS DOUBLE) AS m
+        |  FROM arr
+        |), fit AS (
+        |  SELECT n_types, (m*sxy - sx*sy) / (m*sxx - sx*sx) AS s,
+        |         sy/m AS my, sx/m AS mx
+        |  FROM mo
+        |)
+        |SELECT n_types, ROUND(s, 4) AS slope,
+        |  ROUND(my - s * mx, 4) AS intercept
+        |FROM fit ORDER BY n_types""".stripMargin,
 
     // sorted-neighborhood linkage: rank by sort key, score only pairs
     // within 4 ranks (the window join the Spark side does bucketed)
