@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * by its first k chars; sorting the pairs (rank_k(i), rank_k(i+k))
   * yields ranks by the first 2k chars. Every step is rows of three
   * longs — the TEXT is only touched once, at seeding. Per round:
-  *   - successor lookup = one self equi-join on (doc_id, pos+k);
+  *   - successor lookup = lead(r, k) over the per-doc pos window
+  *     (positions are contiguous, so the +k row IS the +k suffix; one
+  *     doc-keyed shuffle serves all radix shifts);
   *   - pair ranking = sortBy + zipWithIndex on the DISTINCT pair set
   *     (the [[graft.lda.Corpus.sortedVocabLarge]] two-job scheme — no
   *     single-partition window anywhere);
@@ -107,11 +109,21 @@ object SuffixArray {
       // rank(i+2k), rank(i+3k)) — order by the first 4k chars in ONE
       // round. Per-round cost here is job-scheduling overhead, not data
       // volume, so quartering the round count beats halving per-round
-      // work; the three shifted self-joins share one shuffle key.
-      val paired = Seq(1L, 2L, 3L).foldLeft(cur) { (acc, m) =>
-        acc.join(cur.select(col("doc_id"), (col("pos") - m * k).as("pos"),
-            col("r").as(s"r$m")), Seq("doc_id", "pos"), "left")
-      }.na.fill(-1L, Seq("r1", "r2", "r3"))
+      // work. Suffix positions are CONTIGUOUS 1..len per doc (seeding
+      // emits every position, nothing filters rows), so rank(i+mk) is
+      // `lead(r, mk)` over the per-doc pos order — all three shifts ride
+      // ONE doc-keyed window shuffle instead of three hash self-joins;
+      // window partition size is bounded by the longest single document,
+      // the same per-doc-task assumption the rest of the engine makes.
+      // An offset past the doc end yields the -1 sentinel either way, so
+      // capping at Int.MaxValue (lead takes an Int) loses nothing.
+      def off(m: Long): Int = math.min(m * k, Int.MaxValue.toLong).toInt
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val paired = cur.select(col("doc_id"), col("pos"), col("r"),
+        lead(col("r"), off(1), -1L).over(w).as("r1"),
+        lead(col("r"), off(2), -1L).over(w).as("r2"),
+        lead(col("r"), off(3), -1L).over(w).as("r3"))
       val keys = paired.select("r", "r1", "r2", "r3").distinct()
         .as[(Long, Long, Long, Long)].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
