@@ -1011,12 +1011,25 @@ object ExtQueries {
     * trajectory is bit-deterministic under any partitioning, which is
     * what lets a 16-iteration distributed training run carry a DuckDB
     * hash oracle (the oracle unrolls the same 16 iterations as CTEs). */
+  /** Probe weights trained once per fixture dir and shared by
+    * ext_linear_probe AND ext_probe_auc — the training is fixed-point GD
+    * (partitioning-invariant, so the value is a pure function of the
+    * data; plain doubles carry no session handles). Both queries read
+    * the same 16-iteration model, as a real train→score→eval pipeline
+    * would. */
+  private val probeWCache = scala.collection.concurrent.TrieMap[String, Seq[Double]]()
+  private def trainedProbe(s: SparkSession, d: String): Seq[Double] =
+    probeWCache.getOrElseUpdate(d, {
+      val f = probeFeatures(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
+        lr = 0.8, iters = 16).toSeq
+      finally f.unpersist(false)
+    })
+
   def linearProbeQ(s: SparkSession, d: String): DataFrame = {
-    val f = probeFeatures(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
-      lr = 0.8, iters = 16) finally f.unpersist(false)
-    val sc = LinearModel.score(Seq("x1", "x2", "x3"), w.toSeq)
+    val w = trainedProbe(s, d)
+    val sc = LinearModel.score(Seq("x1", "x2", "x3"), w)
     probeFeatures(s, d)
       .select(col("doc_id"), col("y"),
         round(sc, 4).as("score"),
@@ -1198,12 +1211,9 @@ object ExtQueries {
     * pooled `__all__` cohort — the eval step that closes the train →
     * score → evaluate loop, distributed end to end. */
   def probeAucQ(s: SparkSession, d: String): DataFrame = {
-    val f = probeFeatures(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
-      lr = 0.8, iters = 16) finally f.unpersist(false)
+    val w = trainedProbe(s, d)
     val sc0 = probeFeatures(s, d).select(col("lang"),
-      LinearModel.score(Seq("x1", "x2", "x3"), w.toSeq).as("s"), col("y"))
+      LinearModel.score(Seq("x1", "x2", "x3"), w).as("s"), col("y"))
     val both = sc0.union(sc0.select(lit("__all__").as("lang"), col("s"), col("y")))
     LinearModel.auc(both, "s", "y", "lang")
       .select(col("lang"), round(col("auc"), 4).as("auc"))
