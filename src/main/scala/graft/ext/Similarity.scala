@@ -608,6 +608,29 @@ object Similarity {
       .agg(round(avg(col("v")), 4).as("c"))
       .orderBy("label", "pos")
 
+  /** Per-dimension z-score standardization of the embedding matrix —
+    * the feature-scaling step in front of k-means / linear probes /
+    * drift tests, where one high-variance dimension would otherwise
+    * dominate every distance. Two passes over a posexploded view: the
+    * per-dimension (mean, population σ) table is DIMENSION-bounded (d
+    * rows — broadcast-safe at any corpus size, unlike anything keyed by
+    * the corpus), then z = (v − μ)/σ joins it back in-row. Constant
+    * dimensions (σ = 0) yield z = 0 rather than NaN, the convention
+    * that keeps downstream dot products finite. Output:
+    * (vec_id, pos, z ROUND·,4). */
+  def standardize(embeddings: DataFrame): DataFrame = {
+    val v = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+    val stats = v.groupBy("pos")
+      .agg(avg(col("v")).as("_mu"),
+        stddev_pop(col("v")).as("_sd"))
+    v.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("_sd") === 0.0, 0.0)
+          .otherwise(round((col("v") - col("_mu")) / col("_sd"), 4)).as("z"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {

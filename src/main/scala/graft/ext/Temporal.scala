@@ -674,6 +674,70 @@ object Temporal {
       .orderBy(key)
   }
 
+  /** Time-weighted average per key — the step-function mean of a sampled
+    * signal ("what was the average price/load, weighted by how LONG each
+    * observation held"): Σ vᵢ·Δtᵢ / Σ Δtᵢ where Δtᵢ spans observation i
+    * to the next one, last observation spanning nothing. The plain AVG
+    * over-weights bursts of samples; TWA is the estimator billing/SLO
+    * pipelines actually need. Δt stays in exact integer µs (lead() on the
+    * one per-key window), so only the final ratio is floating-point. Keys
+    * whose observations all share one timestamp have no span and are
+    * dropped (an AVG there is a different, unweighted question). Output:
+    * (key, n, twa ROUND·,4). */
+  def timeWeightedAvg(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", valueCol: String = "value",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    events.select(col(key), col(ts), col(valueCol), col(tieBreak))
+      .withColumn("_dt",
+        unix_micros(lead(col(ts), 1).over(w)) - unix_micros(col(ts)))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol) * col("_dt")).as("_num"),
+        sum(col("_dt")).as("_den"))
+      // an explicit span>0 guard, NOT a post-hoc null filter: 0/0 is NaN
+      // in Spark but NULL in most SQL engines — the degenerate key must
+      // be excluded before the division so both agree
+      .where(col("_den").isNotNull && col("_den") > 0)
+      .select(col(key), col("n"), round(col("_num") / col("_den"), 4).as("twa"))
+      .orderBy(key)
+  }
+
+  /** Merge overlapping per-key intervals (gaps-and-islands): each event
+    * opens the interval [ts, ts + lenSec); touching/overlapping intervals
+    * coalesce into islands. The classic sibling of [[sessionize]] — a
+    * session closes after a QUIET GAP of any length, an island closes
+    * exactly when coverage stops — and the primitive behind "total
+    * covered time" billing, availability windows, and span-coalescing.
+    * One per-key window: an island opens where ts exceeds the running
+    * max end over all PRIOR intervals (frame `UNBOUNDED PRECEDING, -1`),
+    * island id is the running count of opens. Everything stays exact
+    * integer µs end-to-end — coverage sums (max end − min start) longs,
+    * so the hash compare never meets a float. Output:
+    * (key, n_events, n_islands, coverage_us). */
+  def mergeIntervals(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", lenSec: Long = 300L,
+      tieBreak: String = "event_id"): DataFrame = {
+    val lenUs = lenSec * 1000000L
+    val w = Window.partitionBy(key).orderBy(col("_t"), col(tieBreak))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col(key), unix_micros(col(ts)).as("_t"), col(tieBreak))
+      // sentinel for the key's first row (empty prior frame): t-1 < t,
+      // so the first interval always opens an island
+      .withColumn("_open",
+        when(col("_t") > coalesce(max(col("_t") + lenUs).over(prior),
+          col("_t") - 1), 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_open")).over(w))
+      .groupBy(col(key), col("_island"))
+      .agg(count(lit(1)).as("_n"),
+        (max(col("_t")) + lenUs - min(col("_t"))).as("_cov"))
+      .groupBy(key)
+      .agg(sum(col("_n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_cov")).as("coverage_us"))
+      .orderBy(key)
+  }
+
   /** The frozen robust-stats table behind [[madOutliers]]: per group,
     * exact median `_med` and MAD `_mad`. Exposed separately so the
     * STREAMING anomaly gate ([[graft.streaming.Streams.robustAnomalyGate]])

@@ -154,6 +154,52 @@ object TextAnalysis {
         (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** Top-k keyword extraction per document: the k highest-tf-idf tokens
+    * — the "what is this document about" tagging primitive (and the
+    * classic cheap summarizer for corpus browsing / topic labeling).
+    * Ranking happens on ROUND(tfidf, 4): the raw double's last ulp can
+    * differ across engines when two (tf, df) pairs are mathematically
+    * tied (tf₁·ln(n/df₁) = tf₂·ln(n/df₂) has integer solutions), and a
+    * rank must not hinge on which libm rounded last; ties then break on
+    * the token itself, making the order total. The per-doc top-k is a
+    * row_number over the doc-keyed window [[tfIdf]] already shuffled by
+    * — no new exchange, never a global sort. Output:
+    * (doc_id, rk 1..k, tok, tfidf ROUND·,4). */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok"))
+    tfIdf(docs)
+      .select(col("doc_id"), col("tok"), round(col("tfidf"), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "tok", "tfidf")
+  }
+
+  /** Word-complexity profile per document — the word-level half of the
+    * classic readability indices (Flesch / Gunning-Fog), the half that
+    * survives a corpus without sentence punctuation: syllables
+    * approximated as maximal vowel runs per token, "complex" = ≥ 3
+    * runs (Fog's polysyllable rule). Everything is an in-row HOF over
+    * the token array (regexp count per token, one fold) — a pure
+    * projection, no shuffle, scan-speed at any corpus size. Tokens
+    * without vowels (digits, CJK) count 0 runs, matching the indices'
+    * blindness outside alphabetic scripts. Output: (doc_id, n_toks,
+    * n_syllables, n_complex, avg_syllables ROUND·,4). */
+  def syllableStats(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_toks"),
+        aggregate(col("ts"),
+          lit(0), (a, t) => a + size(regexp_extract_all(t, lit("[aeiou]+"), lit(0))))
+          .as("n_syllables"),
+        size(filter(col("ts"),
+          t => size(regexp_extract_all(t, lit("[aeiou]+"), lit(0))) >= 3))
+          .as("n_complex"))
+      .withColumn("avg_syllables",
+        when(col("n_toks") === 0, lit(null))
+          .otherwise(round(col("n_syllables").cast("double") / col("n_toks"), 4)))
+  }
+
   /** Deterministic train/val/test split by content hash: bucket =
     * md5(text)[0,4) as int mod 100 → <80 train, <90 val, else test.
     * Content-keyed (not doc-id-keyed) so re-ingested duplicates land in

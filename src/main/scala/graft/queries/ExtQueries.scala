@@ -443,6 +443,67 @@ object ExtQueries {
       "graft_stream_interval_join", "append")
       .orderBy("view_id", "purchase_id")
 
+  /** Streaming exact dedup run to completion over a DOUBLED feed — the
+    * events file unioned with itself, the at-least-once-delivery regime
+    * dedup exists for. `dropDuplicatesWithinWatermark("event_id")` keeps
+    * one arrival per id (the duplicates are byte-identical rows, so
+    * "which arrival won" cannot leak into the output and the result is
+    * arrival-order-independent); state per id is evicted once the
+    * watermark passes. Oracle = the events table itself: dedup of a
+    * duplicated stream must reproduce the original, hash-exactly. */
+  def streamDedupQ(s: SparkSession, d: String): DataFrame = {
+    val feed = graft.streaming.Streams.eventStream(s, d + "/events.parquet")
+      .unionAll(graft.streaming.Streams.eventStream(s, d + "/events.parquet"))
+    runStream(graft.streaming.Streams.dedupEvents(feed)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value")),
+      "graft_stream_dedup", "append")
+      .orderBy("event_id")
+  }
+
+  /** Top-3 tf-idf keywords per document (rank on ROUND(tfidf,4), token
+    * tie-break — see [[TextAnalysis.keywords]] for why the raw double
+    * must not order the ranks). */
+  def keywordsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.keywords(Tables.documents(s, d), 3).orderBy("doc_id", "rk")
+
+  /** Per-doc syllable-run complexity profile (the word-level half of
+    * Flesch/Fog readability). */
+  def syllablesQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.syllableStats(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Step-function time-weighted average event value per user. */
+  def twaQ(s: SparkSession, d: String): DataFrame =
+    Temporal.timeWeightedAvg(Tables.events(s, d))
+
+  /** 5-minute per-user interval coalescing (gaps-and-islands coverage). */
+  def intervalMergeQ(s: SparkSession, d: String): DataFrame =
+    Temporal.mergeIntervals(Tables.events(s, d))
+
+  /** Per-dimension z-scored embedding matrix. */
+  def standardizeQ(s: SparkSession, d: String): DataFrame =
+    Similarity.standardize(Tables.embeddings(s, d)).orderBy("vec_id", "pos")
+
+  /** Frequency-based curriculum ordering: difficulty = mean corpus
+    * frequency of the doc's tokens (common words → easy), docs ranked
+    * easy→hard with NTILE deciles for pacing-schedule cutoffs. The
+    * difficulty is an EXACT long/long division (no libm anywhere), so
+    * the global order is bit-identical across engines; the rank+decile
+    * come from the same two-pass range-partition scheme as
+    * ext_length_deciles — never a global window. */
+  def curriculumQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.docsTokenized(s, d)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val diff = toks.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg((sum("c").cast("double") / count(lit(1))).as("mf"))
+      .withColumn("neg_mf", -col("mf"))
+    exactNtile(diff, Seq("neg_mf", "doc_id"), 10, "decile", "crank")
+      .select(col("doc_id"), round(col("mf"), 4).as("mean_tok_freq"),
+        col("decile"), col("crank"))
+      .orderBy("doc_id")
+  }
+
   /** Naive Bayes source classifier, trained and scored on the corpus. */
   def nbClassifyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.nbClassify(Tables.documents(s, d)).orderBy("doc_id")
@@ -568,7 +629,7 @@ object ExtQueries {
     * every partition in parallel. Output: the input columns + `bucketCol`
     * (1-based int). */
   private[queries] def exactNtile(input: DataFrame, orderCols: Seq[String],
-      buckets: Int, bucketCol: String): DataFrame = {
+      buckets: Int, bucketCol: String, rankCol: String = null): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val s = input.sparkSession
@@ -586,6 +647,7 @@ object ExtQueries {
     val r = n % buckets
     val bc = s.sparkContext.broadcast(offsets)
     val width = prepared.schema.fields.length
+    val emitRank = rankCol != null
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var rk = bc.value(pid) // 0-based global rank under orderCols
       it.map { row =>
@@ -593,12 +655,16 @@ object ExtQueries {
           if (q == 0L) (rk + 1).toInt // n < buckets: one row per bucket
           else if (rk < r * (q + 1)) (rk / (q + 1) + 1).toInt
           else (r + (rk - r * (q + 1)) / q + 1).toInt
+        val base = (0 until width).map(row.get) :+ bucket
+        val cells = if (emitRank) base :+ rk else base
         rk += 1
-        Row.fromSeq((0 until width).map(row.get) :+ bucket)
+        Row.fromSeq(cells)
       }
     }
-    s.createDataFrame(out, StructType(prepared.schema.fields :+
-      StructField(bucketCol, IntegerType, nullable = false)))
+    val fields = prepared.schema.fields :+
+      StructField(bucketCol, IntegerType, nullable = false)
+    s.createDataFrame(out, StructType(if (emitRank)
+      fields :+ StructField(rankCol, LongType, nullable = false) else fields))
   }
 
   /** Bigram conditional probabilities p(w2|w1) = c(w1 w2)/c(w1·) — the
@@ -1449,6 +1515,13 @@ object ExtQueries {
     "ext_winsorize" -> winsorizeQ _,
     "ext_trigram_backoff" -> trigramBackoffQ _,
     "ext_stream_tumbling" -> streamTumblingQ _,
+    "ext_stream_dedup" -> streamDedupQ _,
+    "ext_keywords" -> keywordsQ _,
+    "ext_syllables" -> syllablesQ _,
+    "ext_twa" -> twaQ _,
+    "ext_interval_merge" -> intervalMergeQ _,
+    "ext_standardize" -> standardizeQ _,
+    "ext_curriculum" -> curriculumQ _,
     "ext_stream_ewma" -> streamEwmaQ _,
     "ext_stream_sessions" -> streamSessionsQ _,
     "ext_stream_interval_join" -> streamIntervalJoinQ _,
@@ -2309,6 +2382,100 @@ object ExtQueries {
          |SELECT b.doc_id, b.tok, b.tf, b.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
          |FROM bow b JOIN df d USING (tok), n
          |ORDER BY doc_id, tok""".stripMargin,
+
+    // same tf-idf chain as ext_tfidf; ranks on ROUND(tfidf,4) + token
+    // tie-break (raw-double ranks can flip across libms on mathematical
+    // ties — see TextAnalysis.keywords)
+    "ext_keywords" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |bow AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+         |ti AS (SELECT b.doc_id, b.tok,
+         |  ROUND(b.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+         |  FROM bow b JOIN df d USING (tok), n),
+         |rkd AS (SELECT doc_id, tok, tfidf,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+         |  FROM ti)
+         |SELECT doc_id, rk, tok, tfidf FROM rkd WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "ext_syllables" ->
+      s"""WITH $toksCte,
+         |sy AS (SELECT doc_id, len(ts) AS n_toks,
+         |  CAST(COALESCE(list_sum(list_transform(ts,
+         |    t -> len(regexp_extract_all(t, '[aeiou]+')))), 0) AS BIGINT) AS n_syllables,
+         |  len(list_filter(ts,
+         |    t -> len(regexp_extract_all(t, '[aeiou]+')) >= 3)) AS n_complex
+         |  FROM toks)
+         |SELECT doc_id, n_toks, n_syllables, n_complex,
+         |  CASE WHEN n_toks = 0 THEN NULL
+         |       ELSE ROUND(CAST(n_syllables AS DOUBLE) / n_toks, 4) END AS avg_syllables
+         |FROM sy ORDER BY doc_id""".stripMargin,
+
+    // Δt in exact integer µs via LEAD; keys with zero span are excluded
+    // BEFORE the division (0/0: NaN in Spark, NULL here)
+    "ext_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n,
+        |  ROUND(SUM(value * dt) / SUM(dt), 4) AS twa
+        |FROM e GROUP BY user_id
+        |HAVING COALESCE(SUM(dt), 0) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // gaps-and-islands over [t, t+300s) intervals: island opens where t
+    // exceeds the running max end of all PRIOR intervals (sentinel t-1
+    // for the first row); everything integer µs
+    "ext_interval_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+        |o AS (SELECT user_id, t, event_id,
+        |  CASE WHEN t > COALESCE(MAX(t + 300000000) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t - 1)
+        |    THEN 1 ELSE 0 END AS op
+        |  FROM e),
+        |i AS (SELECT user_id, t,
+        |  SUM(op) OVER (PARTITION BY user_id ORDER BY t, event_id) AS island
+        |  FROM o),
+        |g AS (SELECT user_id, island, COUNT(*) AS n,
+        |  MAX(t) + 300000000 - MIN(t) AS cov FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_islands, CAST(SUM(cov) AS BIGINT) AS coverage_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ext_standardize" ->
+      s"""WITH $embCte,
+         |v AS (SELECT vec_id, CAST(t.j - 1 AS INT) AS pos, e[CAST(t.j AS INT)] AS v
+         |      FROM e, unnest(range(1, len(e) + 1)) AS t(j)),
+         |st AS (SELECT pos, AVG(v) AS mu, stddev_pop(v) AS sd FROM v GROUP BY pos)
+         |SELECT v.vec_id, v.pos,
+         |  CASE WHEN st.sd = 0.0 THEN 0.0
+         |       ELSE ROUND((v.v - st.mu) / st.sd, 4) + 0.0 END AS z
+         |FROM v JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+
+    // difficulty = mean corpus token frequency (exact long/long division,
+    // no libm) — the global easy→hard order is bit-identical across
+    // engines, so NTILE/ROW_NUMBER replicate exactNtile's two-pass ranks
+    "ext_curriculum" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |f AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+         |m AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mf
+         |      FROM dt JOIN f USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, ROUND(mf, 4) AS mean_tok_freq,
+         |  CAST(NTILE(10) OVER (ORDER BY -mf, doc_id) AS INT) AS decile,
+         |  ROW_NUMBER() OVER (ORDER BY -mf, doc_id) - 1 AS crank
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // dedup of the doubled feed must reproduce the original exactly
+    "ext_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "ext_hash_split" ->
       """SELECT doc_id,

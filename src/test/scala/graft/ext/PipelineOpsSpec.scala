@@ -1,0 +1,132 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 pipeline operators: time-weighted average,
+  * interval coalescing, keyword extraction, syllable complexity,
+  * embedding standardization, curriculum ordering, streaming dedup.
+  * Each gets a hand-computed micro-case; the DuckDB hash oracles cover
+  * the fixture-scale behavior. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
+
+  test("timeWeightedAvg weights values by hold time; degenerate keys drop") {
+    val e = Seq(
+      // user 1: v=10 holds 10s, v=20 holds 20s, last value holds nothing
+      (1L, 1L, ts(0), 10.0),
+      (2L, 1L, ts(10), 20.0),
+      (3L, 1L, ts(30), 999.0),
+      // user 2: single event — no span, must be excluded
+      (4L, 2L, ts(0), 5.0),
+      // user 3: two events at the SAME ts — zero span, excluded (0/0
+      // would be NaN in Spark and NULL in SQL engines)
+      (5L, 3L, ts(0), 1.0),
+      (6L, 3L, ts(0), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.timeWeightedAvg(e)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, math.rint((10.0 * 10 + 20.0 * 20) / 30 * 10000) / 10000)))
+  }
+
+  test("mergeIntervals coalesces overlapping spans into islands") {
+    val e = Seq(
+      // user 1, len=300s: events at 0 and 100 overlap ([0,300)+[100,400)
+      // -> one island covering 400s); 700 starts fresh (+300s)
+      (1L, 1L, ts(0)),
+      (2L, 1L, ts(100)),
+      (3L, 1L, ts(700)),
+      // user 2: back-to-back at exactly the touch point 300 — t=300 is
+      // NOT > end(0+300), so touching intervals merge
+      (4L, 2L, ts(0)),
+      (5L, 2L, ts(300))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal.mergeIntervals(e)
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(got(1L) == ((3L, 2L, 700L * 1000000)))
+    assert(got(2L) == ((2L, 1L, 600L * 1000000)))
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+  }
+
+  test("keywords returns the k top-tf-idf tokens per doc, token tie-break") {
+    // 3 docs; 'rare' appears 3x in doc 1 only -> dominant keyword there;
+    // 'common' is in every doc -> idf = ln(1) = 0, never a keyword above
+    // a positive-idf token
+    val docs = Seq(
+      (1L, "rare rare rare mid common"),
+      (2L, "mid mid common x"),
+      (3L, "common y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toList).toMap
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val l3 = r4(math.log(3.0))
+    assert(got(1L) == List(("rare", r4(3 * math.log(3.0))), ("mid", r4(math.log(1.5)))))
+    // doc 2: the unique singleton 'x' (ln 3) outranks 'mid' (2·ln 1.5)
+    assert(got(2L) == List(("x", l3), ("mid", r4(2 * math.log(1.5)))))
+    // doc 3: y and z tie on tfidf — token order breaks it
+    assert(got(3L) == List(("y", l3), ("z", l3)))
+  }
+
+  test("syllableStats counts vowel runs; complex = >=3 runs") {
+    val docs = Seq(
+      // hello=2 runs, world=1, xyz=0, banana=3 (complex)
+      (1L, "hello world xyz banana"),
+      (2L, "zh1 zh2") // vowel-free tokens: 0 syllables, avg 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.syllableStats(docs)
+      .as[(Long, Int, Int, Int, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4, 6, 1, Some(1.5))))
+    assert(got(2L) == ((2, 0, 0, Some(0.0))))
+  }
+
+  test("standardize z-scores per dimension; constant dims give 0") {
+    val emb = Seq(
+      (1L, Array(0.0f, 7.0f)),
+      (2L, Array(2.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(emb)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 0)) == -1.0 && got((2L, 0)) == 1.0) // mu=1, sd=1
+    assert(got((1L, 1)) == 0.0 && got((2L, 1)) == 0.0)  // sd=0 dim
+  }
+
+  test("curriculum rank is a permutation and deciles follow the rank") {
+    val out = graft.queries.ExtQueries.curriculumQ(spark, sf()).cache()
+    val n = out.count()
+    // crank is exactly 0..n-1
+    assert(out.agg(countDistinct("crank")).as[Long].head == n)
+    assert(out.agg(min("crank"), max("crank")).as[(Long, Long)].head == ((0L, n - 1)))
+    // decile is NTILE(10)'s piecewise formula applied to crank
+    val q = n / 10; val r = n % 10
+    val bad = out.where(col("decile") =!=
+      when(lit(q) === 0, col("crank") + 1)
+        .when(col("crank") < r * (q + 1), (col("crank") / (q + 1)).cast("int") + 1)
+        .otherwise(lit(r) + ((col("crank") - r * (q + 1)) / q).cast("int") + 1))
+      .count()
+    assert(bad == 0, s"$bad rows with decile inconsistent with crank")
+    // easiest decile holds the highest mean token frequency
+    val d1 = out.where(col("decile") === 1).agg(min("mean_tok_freq")).as[Double].head
+    val d10 = out.where(col("decile") === 10).agg(max("mean_tok_freq")).as[Double].head
+    assert(d1 >= d10)
+    out.unpersist()
+  }
+
+  test("streaming dedup of a doubled feed reproduces the events table") {
+    val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
+    val want = graft.Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+}
