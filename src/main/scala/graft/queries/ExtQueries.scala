@@ -155,6 +155,25 @@ object ExtQueries {
       (m, v.localCheckpoint(true))
     })
 
+  /** Shared WordPiece piece table per fixture (vocab mining is the
+    * expensive step; the vocab dump and the encoder read the SAME table
+    * — the bpeTrained memo pattern). */
+  private val wpCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def wpVocab(s: SparkSession, d: String): DataFrame =
+    wpCache.getOrElseUpdate(sessionKey(s, d),
+      graft.ext.Wordpiece.vocab(Tables.documents(s, d)).localCheckpoint(true))
+
+  /** Frequency-mined WordPiece piece table (top-50 multi-char pieces per
+    * form + the single-char coverage floor). */
+  def wordpieceVocabQ(s: SparkSession, d: String): DataFrame =
+    wpVocab(s, d).orderBy("cont", "piece")
+
+  /** Greedy longest-match-first WordPiece encode of every distinct
+    * corpus word under the shared piece table. */
+  def wordpieceEncodeQ(s: SparkSession, d: String): DataFrame =
+    graft.ext.Wordpiece.encode(Tables.documents(s, d), wpVocab(s, d))
+      .orderBy("tok")
+
   /** IVF-PQ top-10 against query vector 0: coarse 8-list quantizer,
     * 2 probes, 4×8 subspace codebooks — the composed production ANN
     * index (FAISS IVFPQ, direct-coding variant). */
@@ -1516,6 +1535,8 @@ object ExtQueries {
     "ext_trigram_backoff" -> trigramBackoffQ _,
     "ext_stream_tumbling" -> streamTumblingQ _,
     "ext_stream_dedup" -> streamDedupQ _,
+    "ext_wordpiece_vocab" -> wordpieceVocabQ _,
+    "ext_wordpiece_encode" -> wordpieceEncodeQ _,
     "ext_keywords" -> keywordsQ _,
     "ext_syllables" -> syllablesQ _,
     "ext_twa" -> twaQ _,
@@ -1579,6 +1600,42 @@ object ExtQueries {
 
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** WordPiece vocab-mining CTE chain (word histogram → weighted
+    * prefix/interior candidates → top-50 per form + char floor), shared
+    * by the vocab dump and the recursive-CTE encoder. RECURSIVE is
+    * declared here so the encode entry can append its `enc` member.
+    * Mirrors [[graft.ext.Wordpiece.vocab]]. */
+  private val wordpieceCtes =
+    """RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |),
+      |occ AS (SELECT unnest(ts) AS tok FROM toks),
+      |wf AS (SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok),
+      |pref AS (
+      |  SELECT substr(tok, 1, CAST(l AS INT)) AS piece, SUM(c) AS w
+      |  FROM wf, unnest(range(2, least(7, len(tok) + 1))) AS t(l)
+      |  GROUP BY 1),
+      |topi AS (SELECT piece, 0 AS cont, CAST(w AS BIGINT) AS w FROM pref
+      |         ORDER BY w DESC, piece LIMIT 50),
+      |subs AS (
+      |  SELECT substr(tok, CAST(s AS INT), CAST(l AS INT)) AS piece, SUM(c) AS w
+      |  FROM wf,
+      |    unnest(range(2, len(tok))) AS tts(s),
+      |    unnest(range(2, 7)) AS tl(l)
+      |  WHERE l <= len(tok) - s + 1
+      |  GROUP BY 1),
+      |topc AS (SELECT piece, 1 AS cont, CAST(w AS BIGINT) AS w FROM subs
+      |         ORDER BY w DESC, piece LIMIT 50),
+      |chi AS (SELECT substr(tok, 1, 1) AS piece, 0 AS cont,
+      |        CAST(SUM(c) AS BIGINT) AS w FROM wf GROUP BY 1),
+      |chc AS (SELECT substr(tok, CAST(s AS INT), 1) AS piece, 1 AS cont,
+      |        CAST(SUM(c) AS BIGINT) AS w
+      |        FROM wf, unnest(range(2, len(tok) + 1)) AS t(s) GROUP BY 1),
+      |vocab AS (
+      |  SELECT * FROM topi UNION ALL SELECT * FROM topc
+      |  UNION ALL SELECT * FROM chi UNION ALL SELECT * FROM chc)""".stripMargin
 
   /** SimHash signature CTE chain (toks → per-token md5 → 60-bit signature),
     * shared by the signature dump and the banded-pairs oracle. Mirrors
@@ -2382,6 +2439,40 @@ object ExtQueries {
          |SELECT b.doc_id, b.tok, b.tf, b.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
          |FROM bow b JOIN df d USING (tok), n
          |ORDER BY doc_id, tok""".stripMargin,
+
+    // frequency-mined WordPiece piece table: top-50 multi-char pieces
+    // per form (prefixes / interior substrings, word-frequency weighted,
+    // (w desc, piece) tie order) + the single-char coverage floor.
+    // Multi-char and single-char pools are disjoint by length.
+    "ext_wordpiece_vocab" ->
+      s"""WITH $wordpieceCtes
+         |SELECT piece, cont, w FROM vocab ORDER BY cont, piece""".stripMargin,
+
+    // greedy longest-match-first encode as a recursive CTE: each step
+    // consumes the longest vocab piece matching the remaining prefix
+    // (NOT EXISTS kills any match with a longer competitor of the same
+    // form); np=0 selects the word-initial form. Mirrors
+    // graft.ext.Wordpiece.encode's imperative loop exactly.
+    "ext_wordpiece_encode" ->
+      s"""WITH $wordpieceCtes,
+         |enc AS (
+         |  SELECT tok, tok AS rest, CAST('' AS VARCHAR) AS acc, 0 AS np FROM wf
+         |  UNION ALL
+         |  SELECT e.tok, substr(e.rest, len(v.piece) + 1) AS rest,
+         |    CASE WHEN e.acc = '' THEN v.piece
+         |         ELSE e.acc || ' ##' || v.piece END AS acc,
+         |    e.np + 1 AS np
+         |  FROM enc e JOIN vocab v
+         |    ON v.cont = CASE WHEN e.np = 0 THEN 0 ELSE 1 END
+         |   AND v.piece = substr(e.rest, 1, len(v.piece))
+         |  WHERE e.rest <> ''
+         |    AND NOT EXISTS (SELECT 1 FROM vocab v2
+         |      WHERE v2.cont = v.cont AND len(v2.piece) > len(v.piece)
+         |        AND v2.piece = substr(e.rest, 1, len(v2.piece)))
+         |)
+         |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
+         |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
+         |ORDER BY e.tok""".stripMargin,
 
     // same tf-idf chain as ext_tfidf; ranks on ROUND(tfidf,4) + token
     // tie-break (raw-double ranks can flip across libms on mathematical
