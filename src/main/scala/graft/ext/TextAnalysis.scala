@@ -1162,6 +1162,63 @@ object TextAnalysis {
           .as("alloc"))
   }
 
+  /** DoReMi-flavor domain reweighting (Xie et al. 2023's
+    * excess-loss-driven mixture, the static-reference declarative form):
+    * each domain's difficulty is its average per-token NLL under the
+    * corpus unigram LM, its EXCESS is the clipped gap above the blend's
+    * average, and the new mixture exponentially upweights excess —
+    * w_s ∝ exp(η·excess_s) — then apportions an integer token budget by
+    * the same Hamilton scheme as [[temperatureAllocation]]. (Full DoReMi
+    * re-estimates losses against a training proxy each round; with a
+    * static reference the multiplicative-weights loop telescopes to this
+    * one exponential tilt, so the loop is not pretended.)
+    *
+    * Determinism: losses are computed from the V·S-bounded
+    * (stratum, token) COUNT table — ln only ever sees exact integers,
+    * and the weighted fold runs over ≤ V·S terms, never the token
+    * stream — loss_s = ln N − (Σ_t c_{t,s}·ln c_t)/n_s. Corpus volume
+    * touches one count shuffle; everything after is vocab-bounded.
+    * Output: (stratum, n_toks, loss, excess, share ROUND·,4, alloc). */
+  def domainReweight(docs: DataFrame, budget: Long = 100000L,
+      eta: Double = 2.0, stratumCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val bow = occ.groupBy("stratum", "tok").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true) // V·S rows; corpus touched exactly once
+    val cnt = bow.groupBy("tok").agg(sum(col("cs")).as("c"))
+    val n = cnt.agg(sum(col("c")).as("nn"))
+    val dom = bow.join(broadcast(cnt), "tok").crossJoin(broadcast(n))
+      .groupBy("stratum")
+      .agg(sum(col("cs")).as("n_toks"),
+        (log(first(col("nn"))) -
+          sum(col("cs") * log(col("c"))) / sum(col("cs"))).as("loss"))
+    val blend = bow.join(broadcast(cnt), "tok").crossJoin(broadcast(n))
+      .agg((log(first(col("nn"))) -
+        sum(col("cs") * log(col("c"))) / first(col("nn"))).as("l0"))
+    val ex = dom.crossJoin(broadcast(blend))
+      .select(col("stratum"), col("n_toks"), col("loss"),
+        greatest(col("loss") - col("l0"), lit(0.0)).as("excess"))
+    val z = ex.agg(sum(exp(lit(eta) * col("excess"))).as("z"))
+    val scaled = ex.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_toks"), col("loss"), col("excess"),
+        (exp(lit(eta) * col("excess")) / col("z")).as("share"))
+      .withColumn("bp", lit(budget) * col("share") + lit(1e-9))
+    val fl = scaled
+      .withColumn("base", floor(col("bp")).cast("long"))
+      .withColumn("rem", col("bp") - floor(col("bp")))
+    val sb = fl.agg(sum(col("base")).as("sb"))
+    fl.withColumn("r",
+        row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
+      .crossJoin(broadcast(sb))
+      .select(col("stratum"), col("n_toks"),
+        round(col("loss"), 4).as("loss"),
+        round(col("excess"), 4).as("excess"),
+        round(col("share"), 4).as("share"),
+        (col("base") + when(col("r") <= lit(budget) - col("sb"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Out-of-vocabulary rate per stratum against a frozen vocabulary —
     * the tokenizer/vocab coverage report (which domains a fixed vocab
     * serves worst). `vocab` is one column of tokens; rate =

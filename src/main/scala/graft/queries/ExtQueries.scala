@@ -174,6 +174,30 @@ object ExtQueries {
     graft.ext.Wordpiece.encode(Tables.documents(s, d), wpVocab(s, d))
       .orderBy("tok")
 
+  /** DoReMi-style excess-loss domain reweighting of the 20 sources with
+    * a 100k-token budget (η = 2). */
+  def doremiQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.domainReweight(Tables.documents(s, d)).orderBy("stratum")
+
+  /** Per-source WordPiece fertility (pieces per token occurrence) under
+    * the shared piece table — the standard tokenizer-quality report
+    * ("which domains does this tokenizer fragment worst"). Integer
+    * piece/token sums, one exact division. */
+  def tokenizerFertilityQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val np = graft.ext.Wordpiece.encode(docs, wpVocab(s, d))
+      .select(col("tok"), col("n_pieces"))
+    docs.select(col("source"),
+        explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
+      .join(broadcast(np), "tok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("n_pieces")).as("n_pieces"),
+        round(sum(col("n_pieces")).cast("double") / count(lit(1)), 4)
+          .as("fertility"))
+      .orderBy("source")
+  }
+
   /** IVF-PQ top-10 against query vector 0: coarse 8-list quantizer,
     * 2 probes, 4×8 subspace codebooks — the composed production ANN
     * index (FAISS IVFPQ, direct-coding variant). */
@@ -1537,6 +1561,8 @@ object ExtQueries {
     "ext_stream_dedup" -> streamDedupQ _,
     "ext_wordpiece_vocab" -> wordpieceVocabQ _,
     "ext_wordpiece_encode" -> wordpieceEncodeQ _,
+    "ext_tokenizer_fertility" -> tokenizerFertilityQ _,
+    "ext_doremi" -> doremiQ _,
     "ext_keywords" -> keywordsQ _,
     "ext_syllables" -> syllablesQ _,
     "ext_twa" -> twaQ _,
@@ -2473,6 +2499,67 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // per-source pieces-per-token under the shared WordPiece table;
+    // integer sums + one exact division
+    "ext_tokenizer_fertility" ->
+      s"""WITH $wordpieceCtes,
+         |enc AS (
+         |  SELECT tok, tok AS rest, CAST('' AS VARCHAR) AS acc, 0 AS np FROM wf
+         |  UNION ALL
+         |  SELECT e.tok, substr(e.rest, len(v.piece) + 1) AS rest,
+         |    CASE WHEN e.acc = '' THEN v.piece
+         |         ELSE e.acc || ' ##' || v.piece END AS acc,
+         |    e.np + 1 AS np
+         |  FROM enc e JOIN vocab v
+         |    ON v.cont = CASE WHEN e.np = 0 THEN 0 ELSE 1 END
+         |   AND v.piece = substr(e.rest, 1, len(v.piece))
+         |  WHERE e.rest <> ''
+         |    AND NOT EXISTS (SELECT 1 FROM vocab v2
+         |      WHERE v2.cont = v.cont AND len(v2.piece) > len(v.piece)
+         |        AND v2.piece = substr(e.rest, 1, len(v2.piece)))
+         |),
+         |npt AS (SELECT tok, np AS n_pieces FROM enc WHERE rest = ''),
+         |so AS (SELECT source,
+         |  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+         |  FROM documents)
+         |SELECT so.source, COUNT(*) AS n_toks,
+         |  CAST(SUM(npt.n_pieces) AS BIGINT) AS n_pieces,
+         |  ROUND(CAST(SUM(npt.n_pieces) AS DOUBLE) / COUNT(*), 4) AS fertility
+         |FROM so JOIN npt USING (tok)
+         |GROUP BY so.source ORDER BY so.source""".stripMargin,
+
+    // losses from the V·S-bounded count table (ln only sees exact
+    // integers); exponential tilt + the mixture_alloc Hamilton scheme
+    "ext_doremi" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |bow AS (SELECT stratum, tok, COUNT(*) AS cs FROM occ GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM bow GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt),
+        |dom AS (SELECT stratum, CAST(SUM(cs) AS BIGINT) AS n_toks,
+        |        ln(n.nn) - SUM(cs * ln(cnt.c)) / SUM(cs) AS loss
+        |        FROM bow JOIN cnt USING (tok), n GROUP BY stratum, n.nn),
+        |blend AS (SELECT ln(n.nn) - SUM(cs * ln(cnt.c)) / n.nn AS l0
+        |          FROM bow JOIN cnt USING (tok), n GROUP BY n.nn),
+        |ex AS (SELECT stratum, n_toks, loss,
+        |       GREATEST(loss - l0, 0.0) AS excess FROM dom, blend),
+        |z AS (SELECT SUM(exp(2.0 * excess)) AS z FROM ex),
+        |sc AS (SELECT stratum, n_toks, loss, excess,
+        |       exp(2.0 * excess) / z.z AS share,
+        |       100000 * (exp(2.0 * excess) / z.z) + 0.000000001 AS bp
+        |       FROM ex, z),
+        |fl AS (SELECT stratum, n_toks, loss, excess, share,
+        |       CAST(floor(bp) AS BIGINT) AS base, bp - floor(bp) AS rem FROM sc),
+        |s AS (SELECT CAST(SUM(base) AS BIGINT) AS sb FROM fl),
+        |rk AS (SELECT stratum, row_number() OVER (ORDER BY rem DESC, stratum) AS r
+        |       FROM fl)
+        |SELECT fl.stratum, fl.n_toks, ROUND(fl.loss, 4) AS loss,
+        |  ROUND(fl.excess, 4) AS excess, ROUND(fl.share, 4) AS share,
+        |  fl.base + CASE WHEN rk.r <= 100000 - s.sb THEN 1 ELSE 0 END AS alloc
+        |FROM fl JOIN rk USING (stratum), s ORDER BY fl.stratum""".stripMargin,
 
     // same tf-idf chain as ext_tfidf; ranks on ROUND(tfidf,4) + token
     // tie-break (raw-double ranks can flip across libms on mathematical

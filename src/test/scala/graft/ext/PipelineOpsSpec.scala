@@ -121,6 +121,36 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("domainReweight conserves the budget and upweights hard domains") {
+    // source a: common token soup; source b: rare vocabulary -> higher
+    // unigram NLL -> positive excess -> larger share than its n_toks
+    // alone would give
+    val docs = Seq(
+      (1L, "x x x x x x x x", "a"),
+      (2L, "x x x x x x x x", "a"),
+      (3L, "q r s t u v w y", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainReweight(docs, budget = 1000L)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.values.map(_._6).sum == 1000L) // Hamilton: exact budget
+    assert(got("a")._4 == 0.0)                // common domain: no excess
+    assert(got("b")._4 > 0.0 && got("b")._5 > got("a")._5)
+    // loss sanity: -avg ln p; source a sees only p = 16/24
+    val la = math.rint(-math.log(16.0 / 24.0) * 10000) / 10000
+    assert(got("a")._3 == la)
+  }
+
+  test("tokenizer fertility is the occurrence-weighted pieces-per-token") {
+    val out = graft.queries.ExtQueries.tokenizerFertilityQ(spark, sf())
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, nt, np, f) =>
+      assert(np >= nt, "every token takes at least one piece")
+      assert(f == math.rint(np.toDouble / nt * 10000) / 10000)
+    }
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
