@@ -163,6 +163,15 @@ object ExtQueries {
     wpCache.getOrElseUpdate(sessionKey(s, d),
       graft.ext.Wordpiece.vocab(Tables.documents(s, d)).localCheckpoint(true))
 
+  /** Encoded word table, shared by the encode dump and the fertility
+    * report (the piece table is the same `wpVocab`; the greedy matcher
+    * runs once per fixture). */
+  private val wpEncCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def wpEncoded(s: SparkSession, d: String): DataFrame =
+    wpEncCache.getOrElseUpdate(sessionKey(s, d),
+      graft.ext.Wordpiece.encode(Tables.documents(s, d), wpVocab(s, d))
+        .localCheckpoint(true))
+
   /** Frequency-mined WordPiece piece table (top-50 multi-char pieces per
     * form + the single-char coverage floor). */
   def wordpieceVocabQ(s: SparkSession, d: String): DataFrame =
@@ -171,8 +180,7 @@ object ExtQueries {
   /** Greedy longest-match-first WordPiece encode of every distinct
     * corpus word under the shared piece table. */
   def wordpieceEncodeQ(s: SparkSession, d: String): DataFrame =
-    graft.ext.Wordpiece.encode(Tables.documents(s, d), wpVocab(s, d))
-      .orderBy("tok")
+    wpEncoded(s, d).orderBy("tok")
 
   /** DoReMi-style excess-loss domain reweighting of the 20 sources with
     * a 100k-token budget (η = 2). */
@@ -185,8 +193,7 @@ object ExtQueries {
     * piece/token sums, one exact division. */
   def tokenizerFertilityQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val np = graft.ext.Wordpiece.encode(docs, wpVocab(s, d))
-      .select(col("tok"), col("n_pieces"))
+    val np = wpEncoded(s, d).select(col("tok"), col("n_pieces"))
     docs.select(col("source"),
         explode(graft.ext.Dedup.tokens(col("text"))).as("tok"))
       .join(broadcast(np), "tok")
