@@ -206,6 +206,37 @@ object Dedup {
       .limit(k)
   }
 
+  /** Dedup-rate-vs-threshold governance curve: how many near-dup pairs
+    * would each Jaccard threshold declare? The number every dedup rollout
+    * wants BEFORE picking its t — a threshold choice is a corpus-size
+    * decision, and this one report shows the whole tradeoff. Same
+    * shared-shingle chain as [[jaccardTopPairs]] (zero-overlap pairs
+    * never materialize); the threshold test is INTEGER-exact
+    * (10·inter ≥ t10·union — no float ever decides membership), each
+    * pair folded into all |thresholds| cells by one tiny cross join.
+    * Output: (t10, n_pairs) — pairs with Jaccard ≥ t10/10. */
+  def jaccardThresholdCurve(docs: DataFrame, tenths: Seq[Int] = Seq(5, 6, 7, 8, 9),
+      shingleLen: Int = 3): DataFrame = {
+    val docSh = spreadForCompute(docs)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), shingleLen)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val l = docSh.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val r = docSh.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    val pairs = l.join(r, Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("inter"), (col("na") + col("nb") - col("inter")).as("u"))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(tenths.map(lit): _*)).as("t10"))
+    th.join(pairs, lit(true), "left")
+      .groupBy("t10")
+      .agg(coalesce(sum(when(col("inter") * 10 >= col("t10") * col("u"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_pairs"))
+      .orderBy("t10")
+  }
+
   /** Exact threshold set-similarity self-join with PREFIX FILTERING (the
     * AllPairs/ppjoin scheme): token sets ordered by ascending global
     * document frequency (rarest first, ties by token), each doc exposes

@@ -310,6 +310,24 @@ object Temporal {
         .as("n_rows"))
   }
 
+  /** Point-in-time lookup against an [[scd2]] interval history — the
+    * "what was this key's attribute AS OF time t" probe (time-travel
+    * dimension serving, the read side of the SCD2 story): each probe row
+    * matches the history run with valid_from ≤ t < valid_to (open tail
+    * = NULL valid_to). Implemented as the equi-key join + range filter
+    * (the [[intervalJoin]] doctrine: a sort-merge join on the key, never
+    * a nested-loop over time); per-key history is runs-bounded, so the
+    * fan-out is the run count, and empty runs ([from, from)) match
+    * nothing by construction. Probes before the key's first run drop
+    * (inner join — there IS no state to serve). Output: probe columns +
+    * the run's attribute, run_idx. */
+  def scd2Lookup(hist: DataFrame, probes: DataFrame, key: String,
+      probeTs: String): DataFrame = {
+    probes.join(hist, Seq(key))
+      .where(col("valid_from") <= col(probeTs) &&
+        (col("valid_to").isNull || col(probeTs) < col("valid_to")))
+  }
+
   /** Hourly resample + forward fill per key — the time-series
     * regularization step (metrics pipelines, feature stores): keep each
     * key's LAST observation per hour (latest (ts, tiebreak) wins),

@@ -1013,6 +1013,47 @@ object ExtQueries {
         "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
       .orderBy("o_custkey", "run_idx")
 
+  /** Point-in-time (AS OF) lookup against the SCD2 order-status history:
+    * every order probes the history 3 days after its own date — which
+    * status RUN was in force then? The read side of ext_scd2's write
+    * side; inner join drops probes before a customer's first run. */
+  def scd2AsofQ(s: SparkSession, d: String): DataFrame = {
+    val hist = Temporal.scd2(
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+      "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    val probes = Tables.orders(s, d).select(
+      col("o_orderkey").as("probe_id"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("pts"))
+    Temporal.scd2Lookup(hist, probes, "o_custkey", "pts")
+      .select(col("probe_id"), col("o_custkey"), col("pts"),
+        col("o_orderstatus"), col("run_idx"))
+      .orderBy("probe_id")
+  }
+
+  /** Stream-static broadcast enrichment run to completion: the live
+    * event feed picks up its user's dimension row (customer attributes)
+    * per micro-batch — stateless, the stream side never shuffles.
+    * Oracle = the batch left join. */
+  def streamEnrichQ(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"),
+        col("c_mktsegment"))
+    runStream(graft.streaming.Streams.enrich(
+        graft.streaming.Streams.eventStream(s, d + "/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        dim, "user_id"),
+      "graft_stream_enrich", "append")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_nationkey"), col("c_mktsegment"))
+      .orderBy("event_id")
+  }
+
+  /** Dedup-rate-vs-threshold curve: candidate pairs that each Jaccard
+    * threshold (0.5..0.9) would declare duplicates. */
+  def jaccardCurveQ(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardThresholdCurve(Tables.documents(s, d))
+
   /** Phrase-blocklist report with the corpus's own top-8 bigrams as the
     * mined boilerplate list (the in-row contains-HOF path; BlocklistSpec
     * pins the Aho–Corasick path to identical output). */
@@ -1570,6 +1611,9 @@ object ExtQueries {
     "ext_wordpiece_encode" -> wordpieceEncodeQ _,
     "ext_tokenizer_fertility" -> tokenizerFertilityQ _,
     "ext_doremi" -> doremiQ _,
+    "ext_scd2_asof" -> scd2AsofQ _,
+    "ext_stream_enrich" -> streamEnrichQ _,
+    "ext_jaccard_curve" -> jaccardCurveQ _,
     "ext_keywords" -> keywordsQ _,
     "ext_syllables" -> syllablesQ _,
     "ext_twa" -> twaQ _,
@@ -2506,6 +2550,55 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // the ext_scd2 history probed 3 days after each order date:
+    // valid_from <= t < valid_to (open tail NULL), inner join
+    "ext_scd2_asof" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders
+        |),
+        |sr AS (SELECT * FROM r WHERE prev IS NULL OR prev <> o_orderstatus),
+        |hist AS (SELECT o_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY rn) AS run_idx,
+        |  o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY rn) AS valid_to
+        |  FROM sr),
+        |probes AS (SELECT o_orderkey AS probe_id, o_custkey,
+        |  o_orderdate + INTERVAL 3 DAY AS pts FROM orders)
+        |SELECT p.probe_id, p.o_custkey, p.pts, h.o_orderstatus, h.run_idx
+        |FROM probes p JOIN hist h ON p.o_custkey = h.o_custkey
+        |WHERE h.valid_from <= p.pts AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+        |ORDER BY p.probe_id""".stripMargin,
+
+    // the stream-static enrichment must emit exactly the batch left join
+    "ext_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    // dedup-rate-vs-threshold curve over the shared-shingle pair chain;
+    // membership decided by 10*inter >= t10*union — integer-exact
+    "ext_jaccard_curve" ->
+      s"""WITH $toksCte, $sh3Cte,
+         |dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |j AS (SELECT i, sa.n + sb.n - i AS u
+         |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |                 JOIN sizes sb ON sb.doc_id = doc_b),
+         |th AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10)
+         |SELECT th.t10, CAST(COALESCE(SUM(
+         |    CASE WHEN j.i * 10 >= th.t10 * j.u THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         |FROM th LEFT JOIN j ON TRUE
+         |GROUP BY th.t10 ORDER BY th.t10""".stripMargin,
 
     // per-source pieces-per-token under the shared WordPiece table;
     // integer sums + one exact division

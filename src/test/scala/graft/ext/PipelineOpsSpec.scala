@@ -151,6 +151,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Lookup serves the run in force at the probe time") {
+    val hist = Seq(
+      // key 1: status A [0, 100), B [100, open)
+      (1L, 1, "A", ts(0), Some(ts(100))),
+      (1L, 2, "B", ts(100), None),
+      // key 2: empty run [50, 50) then C [50, open)
+      (2L, 1, "X", ts(50), Some(ts(50))),
+      (2L, 2, "C", ts(50), None)
+    ).toDF("k", "run_idx", "status", "valid_from", "valid_to")
+    val probes = Seq(
+      (10L, 1L, ts(99)),   // inside run 1
+      (11L, 1L, ts(100)),  // exactly at the boundary -> run 2 (half-open)
+      (12L, 1L, ts(-5)),   // before history -> dropped
+      (13L, 2L, ts(50))    // empty run matches nothing -> run 2
+    ).toDF("probe_id", "k", "pts")
+    val got = Temporal.scd2Lookup(hist, probes, "k", "pts")
+      .select("probe_id", "status", "run_idx")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(10L -> (("A", 1)), 11L -> (("B", 2)), 13L -> (("C", 2))))
+  }
+
+  test("jaccardThresholdCurve counts pairs integer-exactly, monotone down") {
+    // docs 1,2 share 2 of 3 distinct trigrams each: J = 2/4 = 0.5 — in
+    // the t10=5 cell only; doc 3 overlaps nothing
+    val docs = Seq(
+      (1L, "a b c d e"),   // trigrams: abc bcd cde
+      (2L, "a b c d x"),   // trigrams: abc bcd cdx -> inter=2, union=4
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardThresholdCurve(docs)
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(5 -> 1L, 6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 0L))
+    val curve = Dedup.jaccardThresholdCurve(graft.Tables.documents(spark, sf()))
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
