@@ -1162,6 +1162,68 @@ object TextAnalysis {
           .as("alloc"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020's denoising objective,
+    * the span sibling of [[maskTokens]]' MLM masking): tokens are tiled
+    * into fixed blocks of `spanLen`, each block masks with probability
+    * maskPct% by content hash (md5(doc_id:block) — deterministic, so
+    * the oracle replays every decision), and a masked block collapses to
+    * ONE numbered sentinel `<extra_id_N>` (N = 0-based masked-block
+    * ordinal within the doc, exactly the T5 input encoding). Pure in-row
+    * fold over the token array — no shuffle, no window; the sentinel
+    * numbering rides in the fold state. Output: (doc_id, corrupted,
+    * n_spans, n_masked). */
+  def spanCorrupt(docs: DataFrame, spanLen: Int = 3, maskPct: Int = 10): DataFrame = {
+    def masked(block: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        block.cast("string"))), 1, 4), 16, 10).cast("int") % (100 / maskPct) === 0
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        aggregate(
+          sequence(lit(0), size(col("ts")) - 1),
+          struct(lit("").as("acc"), lit(0).as("nsp"), lit(0).as("nm")),
+          (st, i) => {
+            val blk = (i / spanLen).cast("int")
+            val isMasked = masked(blk)
+            val firstOfBlock = (i % spanLen) === 0
+            val tok = element_at(col("ts"), i + 1)
+            when(!isMasked, struct(
+                when(st.getField("acc") === "", tok)
+                  .otherwise(concat(st.getField("acc"), lit(" "), tok)).as("acc"),
+                st.getField("nsp").as("nsp"), st.getField("nm").as("nm")))
+              .when(firstOfBlock, struct(
+                when(st.getField("acc") === "",
+                    concat(lit("<extra_id_"), st.getField("nsp").cast("string"), lit(">")))
+                  .otherwise(concat(st.getField("acc"), lit(" <extra_id_"),
+                    st.getField("nsp").cast("string"), lit(">"))).as("acc"),
+                (st.getField("nsp") + 1).as("nsp"),
+                (st.getField("nm") + 1).as("nm")))
+              .otherwise(struct(st.getField("acc").as("acc"),
+                st.getField("nsp").as("nsp"),
+                (st.getField("nm") + 1).as("nm")))
+          }).as("st"))
+      .select(col("doc_id"), col("st.acc").as("corrupted"),
+        col("st.nsp").as("n_spans"), col("st.nm").as("n_masked"))
+  }
+
+  /** Per-stratum exact-size-k Efraimidis–Spirakis weighted sampling —
+    * [[prioritySample]]'s grouped form (a fixed PER-DOMAIN budget, the
+    * shape mixture plans actually need): same md5-uniform priorities
+    * u^(1/w), top-k per stratum by one stratum-keyed ranking window
+    * (never a global sort; the per-group k is a row_number cutoff on the
+    * SAME shuffle). Output: (stratum, doc_id, es_key ROUND·,4). */
+  def groupPrioritySample(docs: DataFrame, weightCol: String, k: Int,
+      stratumCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol))
+    docs.select(col(stratumCol).as("stratum"), col("doc_id"), key.as("k0"))
+      .withColumn("r", row_number().over(Window.partitionBy("stratum")
+        .orderBy(col("k0").desc, col("doc_id"))))
+      .where(col("r") <= k)
+      .select(col("stratum"), col("doc_id"), round(col("k0"), 4).as("es_key"))
+  }
+
   /** DoReMi-flavor domain reweighting (Xie et al. 2023's
     * excess-loss-driven mixture, the static-reference declarative form):
     * each domain's difficulty is its average per-token NLL under the

@@ -974,6 +974,19 @@ object ExtQueries {
         ((col("n_chars") % 100) + 1) / 100.0),
       "w", 50)
 
+  /** T5 span corruption at block length 3, 10% mask rate. */
+  def spanCorruptQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.spanCorrupt(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Per-language exact-5 Efraimidis–Spirakis weighted sample (same
+    * integer-derived weight as ext_priority_sample). */
+  def groupSampleQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.groupPrioritySample(
+      Tables.documents(s, d).withColumn("w",
+        ((col("n_chars") % 100) + 1) / 100.0),
+      "w", 5)
+      .orderBy("stratum", "doc_id")
+
   /** DEFLATE compressibility per doc (rows-only: no SQL DEFLATE). */
   def compressRatioQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.compressionRatio(Tables.documents(s, d)).orderBy("doc_id")
@@ -1614,6 +1627,8 @@ object ExtQueries {
     "ext_scd2_asof" -> scd2AsofQ _,
     "ext_stream_enrich" -> streamEnrichQ _,
     "ext_jaccard_curve" -> jaccardCurveQ _,
+    "ext_span_corrupt" -> spanCorruptQ _,
+    "ext_group_sample" -> groupSampleQ _,
     "ext_keywords" -> keywordsQ _,
     "ext_syllables" -> syllablesQ _,
     "ext_twa" -> twaQ _,
@@ -2550,6 +2565,54 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // T5 span corruption: block b of doc d masks iff
+    // md5(d:b)[0,4) % 10 == 0; a masked block collapses to ONE numbered
+    // sentinel (N = 0-based masked-block ordinal). The window's inclusive
+    // running count at a block's first token is N+1, hence sent-1.
+    "ext_span_corrupt" ->
+      s"""WITH $toksCte,
+         |pos AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS i, ts[CAST(i AS INT)] AS tok,
+         |    CAST((i - 1) // 3 AS INT) AS blk
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+         |),
+         |m AS (SELECT doc_id, i, tok, blk,
+         |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |     CAST(blk AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0) AS msk
+         |  FROM pos),
+         |r AS (SELECT doc_id, i, tok, msk,
+         |  SUM(CASE WHEN msk AND i % 3 = 0 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i) AS sent
+         |  FROM m),
+         |kept AS (SELECT doc_id, i,
+         |  CASE WHEN NOT msk THEN tok
+         |       ELSE '<extra_id_' || CAST(sent - 1 AS VARCHAR) || '>' END AS out
+         |  FROM r WHERE NOT msk OR i % 3 = 0),
+         |agg AS (SELECT doc_id,
+         |  CAST(SUM(CASE WHEN msk AND i % 3 = 0 THEN 1 ELSE 0 END) AS INT) AS n_spans,
+         |  CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS INT) AS n_masked
+         |  FROM m GROUP BY doc_id),
+         |txt AS (SELECT doc_id, string_agg(out, ' ' ORDER BY i) AS corrupted
+         |        FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, COALESCE(t.corrupted, '') AS corrupted,
+         |  a.n_spans, a.n_masked
+         |FROM agg a LEFT JOIN txt t USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // grouped ES sampling: same md5-uniform priority as
+    // ext_priority_sample, top-5 per language
+    "ext_group_sample" ->
+      """WITH s AS (SELECT lang AS stratum, doc_id,
+        |  pow((CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) + 0.5)
+        |        / 4294967296.0,
+        |      1.0 / (((n_chars % 100) + 1) / 100.0)) AS k0
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id, k0,
+        |      ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY k0 DESC, doc_id) AS r
+        |      FROM s)
+        |SELECT stratum, doc_id, ROUND(k0, 4) AS es_key FROM r WHERE r <= 5
+        |ORDER BY stratum, doc_id""".stripMargin,
 
     // the ext_scd2 history probed 3 days after each order date:
     // valid_from <= t < valid_to (open tail NULL), inner join

@@ -188,6 +188,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
   }
 
+  test("spanCorrupt numbers sentinels sequentially and keeps unmasked tokens") {
+    val docs = graft.Tables.documents(spark, sf())
+    val orig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val out = TextAnalysis.spanCorrupt(docs)
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, corrupted, nSpans, nMasked) =>
+      val toks = corrupted.split(" ").filter(_.nonEmpty).toSeq
+      val (sentinels, plain) = toks.partition(_.startsWith("<extra_id_"))
+      // sentinel ids are exactly 0..n_spans-1 in order
+      assert(sentinels == (0 until nSpans).map(i => s"<extra_id_$i>"))
+      assert(nMasked >= nSpans) // each span hides >= 1 token
+      // unmasked tokens survive in order; kept + masked = original count
+      assert(plain.size + nMasked == orig(id).size)
+      // plain tokens appear in the original in the same relative order
+      // (subsequence check)
+      val it = orig(id).iterator
+      assert(plain.forall(p => it.contains(p)),
+        s"doc $id: corrupted tokens are not a subsequence")
+    }
+    // ~10% of blocks mask corpus-wide (binomial, loose band)
+    val nBlocks = orig.values.map(ts => (ts.size + 2) / 3).sum.toDouble
+    val p = out.map(_._3).sum / nBlocks
+    assert(p > 0.05 && p < 0.15, s"mask rate $p out of band")
+  }
+
+  test("groupPrioritySample returns exactly k per stratum, members of it") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+      .withColumn("w", ((col("n_chars") % 100) + 1) / 100.0)
+    val got = TextAnalysis.groupPrioritySample(docs, "w", 5).cache()
+    val sizes = got.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 5L)) // every lang has >= 5 docs here
+    // sampled ids belong to their stratum
+    val bad = got.join(docs.select(col("lang").as("stratum"), col("doc_id")),
+      Seq("stratum", "doc_id"), "left_anti").count()
+    assert(bad == 0)
+    got.unpersist()
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
