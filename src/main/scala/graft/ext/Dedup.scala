@@ -237,6 +237,25 @@ object Dedup {
       .orderBy("t10")
   }
 
+  /** Exact Jaccard-≥-threshold pair list on the shared-shingle chain
+    * (threshold as integer tenths; 10·inter ≥ t10·union decides — no
+    * float membership). The ground-truth side of banding-quality evals;
+    * [[setSimilarityJoin]] is the prefix-filtered production form. */
+  def jaccardPairsAtLeast(docs: DataFrame, t10: Int, shingleLen: Int = 3): DataFrame = {
+    val docSh = spreadForCompute(docs)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), shingleLen)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val l = docSh.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val r = docSh.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    l.join(r, Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") * 10 >= lit(t10) * (col("na") + col("nb") - col("inter")))
+      .select("doc_a", "doc_b")
+  }
+
   /** Exact threshold set-similarity self-join with PREFIX FILTERING (the
     * AllPairs/ppjoin scheme): token sets ordered by ascending global
     * document frequency (rarest first, ties by token), each doc exposes

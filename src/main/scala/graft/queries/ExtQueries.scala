@@ -987,6 +987,73 @@ object ExtQueries {
       "w", 5)
       .orderBy("stratum", "doc_id")
 
+  /** Language-ID confusion matrix: predicted vs true language cell
+    * counts — the eval rollup of ext_langid (which domains the n-gram
+    * heuristic confuses). */
+  def langidConfusionQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.languageId(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** Banding-quality eval: the shared MinHash/LSH candidate set scored
+    * against the EXACT Jaccard ≥ 0.5 ground truth — TP/FP/FN counts and
+    * integer-derived precision/recall as ONE hash-checked row. The
+    * recall of an approximation becomes a regression-guarded number, not
+    * a spec-only assertion. */
+  def dedupEvalQ(s: SparkSession, d: String): DataFrame = {
+    val cand = candidates(s, d).select("doc_a", "doc_b")
+    val truth = Dedup.jaccardPairsAtLeast(Tables.documents(s, d), 5)
+    // three scalar counts on the driver (bounded); ROUND stays a Spark
+    // expression so the rendering semantics match every other entry
+    val tp = cand.join(truth, Seq("doc_a", "doc_b")).count()
+    val nc = cand.count()
+    val nt = truth.count()
+    val s2 = s
+    import s2.implicits._
+    Seq((nc, nt, tp)).toDF("n_cand", "n_truth", "tp")
+      .select(col("n_cand"), col("n_truth"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_cand") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / col("n_cand"), 4))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / col("n_truth"), 4))
+          .as("recall"))
+  }
+
+  /** Trailing-24h distinct active users per hour — the classic sliding
+    * DISTINCT that window frames can't express: each (user, active
+    * hour) covers the next 24 result hours via an IN-ROW sequence
+    * explode (bounded 24× fan-out, grid capped at the corpus's last
+    * hour), then one distinct-count aggregation. Never a per-hour
+    * re-scan of the raw events. */
+  def slidingActiveQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val uh = e.select(col("user_id"), date_trunc("hour", col("ts")).as("h")).distinct()
+    val bounds = e.agg(max(date_trunc("hour", col("ts"))).as("hmax"))
+    uh.crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("h"),
+        least(col("h") + expr("INTERVAL 23 HOURS"), col("hmax")),
+        expr("INTERVAL 1 HOUR"))).as("hh"))
+      .groupBy("hh").agg(countDistinct(col("user_id")).as("n_active_24h"))
+      .orderBy("hh")
+  }
+
+  /** Sliding-window (1h long, 30m slide) per-user value average run to
+    * completion — the streaming sliding agg; oracle = the two-window
+    * expansion (every event lands in exactly two epoch-aligned
+    * windows). */
+  def streamSlidingQ(s: SparkSession, d: String): DataFrame =
+    runStream(graft.streaming.Streams.slidingUserValue(
+        graft.streaming.Streams.eventStream(s, d + "/events.parquet")),
+      "graft_stream_sliding", "complete")
+      .select(col("w"), col("user_id"), round(col("avg_value"), 4).as("avg_value"))
+      .orderBy("w", "user_id")
+
   /** DEFLATE compressibility per doc (rows-only: no SQL DEFLATE). */
   def compressRatioQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.compressionRatio(Tables.documents(s, d)).orderBy("doc_id")
@@ -1629,6 +1696,10 @@ object ExtQueries {
     "ext_jaccard_curve" -> jaccardCurveQ _,
     "ext_span_corrupt" -> spanCorruptQ _,
     "ext_group_sample" -> groupSampleQ _,
+    "ext_langid_confusion" -> langidConfusionQ _,
+    "ext_dedup_eval" -> dedupEvalQ _,
+    "ext_sliding_active" -> slidingActiveQ _,
+    "ext_stream_sliding" -> streamSlidingQ _,
     "ext_keywords" -> keywordsQ _,
     "ext_syllables" -> syllablesQ _,
     "ext_twa" -> twaQ _,
@@ -1728,6 +1799,27 @@ object ExtQueries {
       |vocab AS (
       |  SELECT * FROM topi UNION ALL SELECT * FROM topc
       |  UNION ALL SELECT * FROM chi UNION ALL SELECT * FROM chc)""".stripMargin
+
+  /** Language-ID prediction CTE chain (stopword hit counts → argmax with
+    * the stopword-seq tie order), shared by the per-doc dump and the
+    * confusion-matrix rollup. Mirrors [[graft.ext.TextAnalysis.languageId]]. */
+  private lazy val langidPredCtes =
+    s"""$toksCte,
+       |s AS (SELECT doc_id,
+       |  len(list_filter(ts, t -> list_contains(${stopList("de")}, t))) AS s_de,
+       |  len(list_filter(ts, t -> list_contains(${stopList("en")}, t))) AS s_en,
+       |  len(list_filter(ts, t -> list_contains(${stopList("es")}, t))) AS s_es,
+       |  len(list_filter(ts, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
+       |  len(list_filter(ts, t -> list_contains(${stopList("zh")}, t))) AS s_zh
+       |  FROM toks),
+       |pred AS (SELECT doc_id, CASE
+       |  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+       |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |  WHEN s_fr >= s_zh THEN 'fr'
+       |  ELSE 'zh' END AS lang_pred
+       |FROM s)""".stripMargin
 
   /** SimHash signature CTE chain (toks → per-token md5 → 60-bit signature),
     * shared by the signature dump and the banded-pairs oracle. Mirrors
@@ -2477,22 +2569,15 @@ object ExtQueries {
          |ORDER BY query_id, rnk""".stripMargin,
 
     "ext_langid" ->
-      s"""WITH $toksCte,
-         |s AS (SELECT doc_id,
-         |  len(list_filter(ts, t -> list_contains(${stopList("de")}, t))) AS s_de,
-         |  len(list_filter(ts, t -> list_contains(${stopList("en")}, t))) AS s_en,
-         |  len(list_filter(ts, t -> list_contains(${stopList("es")}, t))) AS s_es,
-         |  len(list_filter(ts, t -> list_contains(${stopList("fr")}, t))) AS s_fr,
-         |  len(list_filter(ts, t -> list_contains(${stopList("zh")}, t))) AS s_zh
-         |  FROM toks)
-         |SELECT doc_id, CASE
-         |  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
-         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |  WHEN s_fr >= s_zh THEN 'fr'
-         |  ELSE 'zh' END AS lang_pred
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidPredCtes
+         |SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""".stripMargin,
+
+    // eval rollup of ext_langid: predicted vs true language cell counts
+    "ext_langid_confusion" ->
+      s"""WITH $langidPredCtes
+         |SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |FROM pred p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ext_quality" ->
       s"""WITH $toksCte,
@@ -2565,6 +2650,55 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // banding-quality eval: LSH candidates vs exact Jaccard >= 0.5 truth
+    // (integer membership), TP/FP/FN + precision/recall as one row
+    "ext_dedup_eval" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |                     JOIN sizes sb ON sb.doc_id = doc_b
+         |          WHERE i * 10 >= 5 * (sa.n + sb.n - i)),
+         |c AS (SELECT COUNT(*) AS n_cand FROM cand),
+         |t AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |x AS (SELECT COUNT(*) AS tp FROM cand JOIN truth USING (doc_a, doc_b))
+         |SELECT c.n_cand, t.n_truth, x.tp,
+         |  c.n_cand - x.tp AS fp, t.n_truth - x.tp AS fn,
+         |  CASE WHEN c.n_cand = 0 THEN NULL
+         |       ELSE ROUND(CAST(x.tp AS DOUBLE) / c.n_cand, 4) END AS precision,
+         |  CASE WHEN t.n_truth = 0 THEN NULL
+         |       ELSE ROUND(CAST(x.tp AS DOUBLE) / t.n_truth, 4) END AS recall
+         |FROM c, t, x""".stripMargin,
+
+    // each (user, active hour) covers the next 24 result hours (grid
+    // capped at the corpus's last hour); distinct users per result hour
+    "ext_sliding_active" ->
+      """WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT MAX(date_trunc('hour', ts)) AS hmax FROM events),
+        |x AS (SELECT user_id,
+        |  unnest(generate_series(h, least(h + INTERVAL 23 HOUR, b.hmax),
+        |         INTERVAL 1 HOUR)) AS hh
+        |  FROM uh, b)
+        |SELECT hh, COUNT(DISTINCT user_id) AS n_active_24h
+        |FROM x GROUP BY hh ORDER BY hh""".stripMargin,
+
+    // every event lands in exactly two epoch-aligned 1h/30m windows
+    "ext_stream_sliding" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS t FROM events),
+        |wx AS (SELECT user_id, value,
+        |  unnest([(t // 1800000000) * 1800000000,
+        |          (t // 1800000000) * 1800000000 - 1800000000]) AS ws FROM e)
+        |SELECT make_timestamp(ws) AS w, user_id, ROUND(AVG(value), 4) AS avg_value
+        |FROM wx GROUP BY ws, user_id ORDER BY w, user_id""".stripMargin,
 
     // T5 span corruption: block b of doc d masks iff
     // md5(d:b)[0,4) % 10 == 0; a masked block collapses to ONE numbered

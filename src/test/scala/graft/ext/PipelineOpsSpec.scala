@@ -230,6 +230,44 @@ class PipelineOpsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("slidingActive counts users whose activity falls in the trailing 24h") {
+    val e = Seq(
+      (1L, 1L, ts(0)),           // user 1 active hour 0 -> covers hours 0..23
+      (2L, 2L, ts(3600 * 25))    // user 2 active hour 25 (caps the grid)
+    ).toDF("event_id", "user_id", "ts")
+    // patch through the query path with a synthetic frame
+    val uh = e.select(col("user_id"),
+      date_trunc("hour", col("ts")).as("h")).distinct()
+    val bounds = e.agg(max(date_trunc("hour", col("ts"))).as("hmax"))
+    val got = uh.crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("h"),
+        least(col("h") + expr("INTERVAL 23 HOURS"), col("hmax")),
+        expr("INTERVAL 1 HOUR"))).as("hh"))
+      .groupBy("hh").agg(countDistinct(col("user_id")).as("n"))
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (t, n) => t.getTime / 3600000 -> n }.toMap
+    assert((0L to 23L).forall(got(_) == 1L)) // user 1's trailing window
+    assert(got.get(24L).isEmpty)             // nobody active in (0, 24]
+    assert(got(25L) == 1L)                   // user 2, grid capped at 25
+    assert(got.size == 25)
+  }
+
+  test("dedup eval row satisfies its counting identities") {
+    val row = graft.queries.ExtQueries.dedupEvalQ(spark, sf("sf0.01"))
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    val (nc, nt, tp, fp, fn, prec, rec) = row
+    assert(tp <= math.min(nc, nt) && fp == nc - tp && fn == nt - tp)
+    // banding with 4 bands x 2 rows catches essentially all J >= 0.5
+    assert(rec.exists(_ >= 0.9), s"recall $rec below floor")
+    assert(prec.exists(_ > 0.0))
+  }
+
+  test("langid confusion cells sum to the corpus size") {
+    val cells = graft.queries.ExtQueries.langidConfusionQ(spark, sf())
+    val total = cells.agg(sum("n")).as[Long].head
+    assert(total == graft.Tables.documents(spark, sf()).count())
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
