@@ -157,6 +157,65 @@ object Temporal {
     }.select(col(key), col("stages_reached"))
   }
 
+  /** Stage-to-stage funnel LATENCY: for the strictly-ordered funnel of
+    * [[funnel]], how long do users take to advance? Per adjacent stage
+    * pair: users who advanced, exact interpolating p50/p90 of the
+    * advance latency in SECONDS (µs-magnitude values would put the
+    * 4-decimal rendering at double-ULP scale, where the two engines'
+    * percentile interpolations legitimately disagree in the last bit —
+    * DuckDB `quantile_cont` parity, the ext_percentiles pairing). Same
+    * sequential min-ts semantics as [[funnel]]: stage i+1 counts only
+    * strictly after the user's stage-i time. Output:
+    * (pair, n, p50, p90). */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      key: String = "user_id", ts: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "need at least two stages")
+    val stageTimes: Seq[DataFrame] = stages.zipWithIndex.scanLeft(null: DataFrame) {
+      case (prev, (stage, i)) =>
+        val ofStage = events.where(col(typeCol) === stage)
+        if (i == 0) ofStage.groupBy(key).agg(min(col(ts)).as("_t"))
+        else ofStage.join(prev.select(col(key), col("_t").as("_pt")), key)
+          .where(col(ts) > col("_pt"))
+          .groupBy(key).agg(min(col(ts)).as("_t"))
+    }.drop(1)
+    val lats = stages.sliding(2).zipWithIndex.zip(stageTimes.sliding(2).toSeq).map {
+      case ((Seq(a, b), i), Seq(ta, tb)) =>
+        tb.join(ta.select(col(key), col("_t").as("_pt")), key)
+          .select(lit(s"${i + 1}:$a->$b").as("pair"),
+            ((unix_micros(col("_t")) - unix_micros(col("_pt"))) / lit(1e6))
+              .as("lat"))
+      case _ => sys.error("unreachable")
+    }.reduce(_ unionAll _)
+    lats.groupBy("pair")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(lat, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(lat, 0.9D)"), 4).as("p90"))
+      .orderBy("pair")
+  }
+
+  /** Event-type co-occurrence affinity: which behaviors share users —
+    * the item-item collaborative-filtering primitive over the (user,
+    * type) bipartite graph. Distinct (user, type) once, one user-keyed
+    * self-join (fan-out |types|² per user, types-bounded), Jaccard
+    * affinity from integer counts only. Output:
+    * (type_a, type_b, n_users, affinity ROUND·,4). */
+  def typeCooccurrence(events: DataFrame, key: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val ut = events.select(col(key).as("u"), col(typeCol).as("t")).distinct()
+    val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val both = ut.toDF("u", "type_a").join(ut.toDF("u", "type_b"), "u")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_users"))
+    both
+      .join(broadcast(sizes.toDF("type_a", "na")), "type_a")
+      .join(broadcast(sizes.toDF("type_b", "nb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        round(col("n_users").cast("double") /
+          (col("na") + col("nb") - col("n_users")), 4).as("affinity"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Distributed global running sum over a total order — the scalable
     * form of `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`, which
     * Spark's WindowExec executes in ONE partition (the q18 warning).

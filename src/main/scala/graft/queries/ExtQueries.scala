@@ -376,6 +376,14 @@ object ExtQueries {
     Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** Stage-advance latency percentiles of the same funnel. */
+  def funnelLatencyQ(s: SparkSession, d: String): DataFrame =
+    Temporal.funnelLatency(Tables.events(s, d), Seq("view", "click", "purchase"))
+
+  /** Event-type co-occurrence affinity (item-item CF primitive). */
+  def typeCooccurQ(s: SparkSession, d: String): DataFrame =
+    Temporal.typeCooccurrence(Tables.events(s, d))
+
   /** Batch interval join: (view, purchase) pairs of the same user within
     * one hour — the batch twin of the streaming interval join. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
@@ -1698,6 +1706,8 @@ object ExtQueries {
     "ext_group_sample" -> groupSampleQ _,
     "ext_langid_confusion" -> langidConfusionQ _,
     "ext_dedup_eval" -> dedupEvalQ _,
+    "ext_funnel_latency" -> funnelLatencyQ _,
+    "ext_type_cooccur" -> typeCooccurQ _,
     "ext_sliding_active" -> slidingActiveQ _,
     "ext_stream_sliding" -> streamSlidingQ _,
     "ext_keywords" -> keywordsQ _,
@@ -2650,6 +2660,44 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // stage-advance latency of the view->click->purchase funnel;
+    // integer-µs latencies, interpolating percentile (quantile_cont =
+    // Spark's exact percentile, the ext_percentiles pairing)
+    "ext_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |l AS (
+        |  SELECT '1:view->click' AS pair,
+        |    (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0 AS lat
+        |  FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+        |  UNION ALL
+        |  SELECT '2:click->purchase' AS pair,
+        |    (epoch_us(s3.t) - epoch_us(s2.t)) / 1000000.0 AS lat
+        |  FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+        |SELECT pair, COUNT(*) AS n,
+        |  ROUND(quantile_cont(lat, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(lat, 0.9), 4) AS p90
+        |FROM l GROUP BY pair ORDER BY pair""".stripMargin,
+
+    // (user, type) bipartite projection: types sharing users, Jaccard
+    // affinity from integer counts only
+    "ext_type_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |sz AS (SELECT t, COUNT(*) AS n FROM ut GROUP BY t),
+        |b AS (SELECT a.t AS type_a, c.t AS type_b, COUNT(*) AS n_users
+        |      FROM ut a JOIN ut c ON a.u = c.u AND a.t < c.t
+        |      GROUP BY 1, 2)
+        |SELECT b.type_a, b.type_b, b.n_users,
+        |  ROUND(CAST(b.n_users AS DOUBLE) / (sa.n + sb.n - b.n_users), 4) AS affinity
+        |FROM b JOIN sz sa ON sa.t = b.type_a JOIN sz sb ON sb.t = b.type_b
+        |ORDER BY b.type_a, b.type_b""".stripMargin,
 
     // banding-quality eval: LSH candidates vs exact Jaccard >= 0.5 truth
     // (integer membership), TP/FP/FN + precision/recall as one row

@@ -268,6 +268,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(total == graft.Tables.documents(spark, sf()).count())
   }
 
+  test("funnelLatency measures strictly-ordered stage advances in seconds") {
+    val e = Seq(
+      // user 1: view@0, click@10s, purchase@70s -> lat 10 and 60
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(10), "click"),
+      (3L, 1L, ts(70), "purchase"),
+      // user 2: click BEFORE view -> never advances past view
+      (4L, 2L, ts(5), "click"), (5L, 2L, ts(9), "view"),
+      // user 3: view then click at the SAME ts -> strict > excludes it
+      (6L, 3L, ts(0), "view"), (7L, 3L, ts(0), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.funnelLatency(e, Seq("view", "click", "purchase"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("1:view->click") == ((1L, 10.0, 10.0)))
+    assert(got("2:click->purchase") == ((1L, 60.0, 60.0)))
+  }
+
+  test("typeCooccurrence is a symmetric Jaccard over user sets") {
+    val e = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"),
+      (3L, 2L, ts(0), "a"), (4L, 2L, ts(1), "b"), (5L, 2L, ts(2), "c"),
+      (6L, 3L, ts(0), "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.typeCooccurrence(e)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // a:{1,2,3} b:{1,2} c:{2}
+    assert(got(("a", "b")) == ((2L, math.rint(2.0 / 3 * 10000) / 10000)))
+    assert(got(("a", "c")) == ((1L, math.rint(1.0 / 3 * 10000) / 10000)))
+    assert(got(("b", "c")) == ((1L, 0.5)))
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

@@ -503,6 +503,35 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("TakeOrderedAndProject"), ps.take(3000))
   }
 
+  test("standardize: the per-dimension stats table joins via broadcast") {
+    val p = plan("ext_standardize")
+    // the (mu, sd) side is dimension-bounded — a shuffle join here would
+    // shuffle the full posexploded corpus against 64 rows
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("keywords: ranking reuses tfIdf's doc-keyed shuffle (one window pass)") {
+    val p = plan("ext_keywords")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("span corruption is a pure projection: no join, no window, no extra shuffle") {
+    val p = plan("ext_span_corrupt")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).isEmpty, p.take(3000))
+  }
+
+  test("TWA and interval merge are one key-shuffle window pipelines") {
+    for (q <- Seq("ext_twa", "ext_interval_merge")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("partitioned read prunes directories: lang filter lands in PartitionFilters") {
     val p = plan("ext_partition_prune")
     // FileScan renders both filter lists on one line — slice each bracket
