@@ -320,6 +320,21 @@ object Temporal {
     df.withColumn("rolling_mean", round(avg(col(valueCol)).over(w), 4))
   }
 
+  /** Rolling MEDIAN over the trailing `nPreceding+1` rows per key — the
+    * robust sibling of [[rollingMean]] (one outlier poisons a mean; the
+    * median feature survives it). Exact interpolating percentile as a
+    * frame-bounded window aggregate on the same single key shuffle; the
+    * frame holds ≤ n+1 values, so the per-row cost is a constant-size
+    * sort, not a running sketch. */
+  def rollingMedian(df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String, nPreceding: Int): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-nPreceding, Window.currentRow)
+    df.withColumn("rolling_median",
+      round(expr(s"percentile($valueCol, 0.5D)").over(w), 4))
+  }
+
   /** CDC-style compaction: keep each key's LATEST row under `orderCols`
     * (descending, later columns as tie-breakers) — the "upsert merge"
     * that turns an append-only change log into current state. One

@@ -1162,6 +1162,29 @@ object TextAnalysis {
           .as("alloc"))
   }
 
+  /** Per-doc character-bigram entropy — the gibberish/binary-noise
+    * detector (natural text has low char-bigram entropy vs its size;
+    * random bytes max it out): H = ln n − (Σ c·ln c)/n over the doc's
+    * char-bigram counts, the same exact-integer-ln form as
+    * [[domainReweight]] so ln never sees a float. One (doc, bigram)
+    * count shuffle — rows = total chars, the narrowest shape an n-gram
+    * distribution allows. Docs shorter than 2 chars are dropped (no
+    * bigram distribution exists). Output: (doc_id, n_bigrams,
+    * n_distinct, entropy ROUND·,4). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val bg = Dedup.spreadForCompute(docs)
+      .where(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    bg.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020's denoising objective,
     * the span sibling of [[maskTokens]]' MLM masking): tokens are tiled
     * into fixed blocks of `spanLen`, each block masks with probability

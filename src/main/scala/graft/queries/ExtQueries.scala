@@ -376,6 +376,19 @@ object ExtQueries {
     Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** Per-doc char-bigram entropy (gibberish detector). */
+  def charEntropyQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Rolling median of the last 10 event values per user. */
+  def rollingMedianQ(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingMedian(
+        Tables.events(s, d).select("event_id", "user_id", "value"),
+        "user_id", Seq("event_id"), "value", 9)
+      .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"),
+        col("rolling_median"))
+      .orderBy("event_id")
+
   /** Stage-advance latency percentiles of the same funnel. */
   def funnelLatencyQ(s: SparkSession, d: String): DataFrame =
     Temporal.funnelLatency(Tables.events(s, d), Seq("view", "click", "purchase"))
@@ -1708,6 +1721,8 @@ object ExtQueries {
     "ext_dedup_eval" -> dedupEvalQ _,
     "ext_funnel_latency" -> funnelLatencyQ _,
     "ext_type_cooccur" -> typeCooccurQ _,
+    "ext_char_entropy" -> charEntropyQ _,
+    "ext_rolling_median" -> rollingMedianQ _,
     "ext_sliding_active" -> slidingActiveQ _,
     "ext_stream_sliding" -> streamSlidingQ _,
     "ext_keywords" -> keywordsQ _,
@@ -2660,6 +2675,28 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // char-bigram entropy: H = ln n - (sum c*ln c)/n — ln only sees
+    // exact integer counts (the ext_doremi form)
+    "ext_char_entropy" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg, COUNT(*) AS c
+        |  FROM documents, unnest(range(1, len(text))) AS t(i)
+        |  WHERE len(text) >= 2
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  COUNT(*) AS n_distinct,
+        |  ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact interpolating median over the trailing 10-row frame — the
+    // quantile_cont/percentile pairing, frame-bounded
+    "ext_rolling_median" ->
+      """SELECT event_id, user_id, ROUND(value, 4) AS value,
+        |  ROUND(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // stage-advance latency of the view->click->purchase funnel;
     // integer-µs latencies, interpolating percentile (quantile_cont =

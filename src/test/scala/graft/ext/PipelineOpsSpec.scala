@@ -300,6 +300,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(("b", "c")) == ((1L, 0.5)))
   }
 
+  test("charEntropy: uniform bigrams max it, constant text zeroes it") {
+    val docs = Seq(
+      (1L, "aaaa"),  // bigrams: aa x3 -> H = 0
+      (2L, "abcd"),  // ab bc cd, all distinct -> H = ln 3
+      (3L, "x")      // too short: dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 0.0)))
+    assert(got(2L) == ((3L, 3L, math.rint(math.log(3.0) * 10000) / 10000)))
+    assert(!got.contains(3L))
+  }
+
+  test("rollingMedian is frame-bounded and robust to a spike") {
+    val e = (1L to 12L).map(i =>
+      (i, 1L, if (i == 6) 1000.0 else i.toDouble)).toDF("event_id", "user_id", "value")
+    val got = Temporal.rollingMedian(e, "user_id", Seq("event_id"), "value", 9)
+      .select("event_id", "rolling_median")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 1.5)              // median of {1, 2}
+    assert(got(5L) == 3.0)              // {1..5}
+    assert(got(6L) == 3.5)              // {1..5, 1000}: spike barely moves it
+    // row 12 frame = rows 3..12: {3,4,5,1000,7..12} -> median 8.5
+    assert(got(12L) == 8.5)
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
