@@ -830,6 +830,27 @@ object Temporal {
       .orderBy(key)
   }
 
+  /** Per-group TRIMMED mean: drop the lowest and highest `pct`% of rows
+    * by exact integer rank (cut = (n·pct) div 100 — never a float
+    * boundary) and average the middle — the robust location estimate
+    * between the mean (outlier-poisoned) and the median (throws away
+    * 98% of the data). One key shuffle carries both ranking windows and
+    * the final aggregate. Output: (grp, n, n_kept, tmean ROUND·,4). */
+  def trimmedMean(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", tieBreak: String = "event_id",
+      pct: Int = 10): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieBreak))
+    events.select(col(groupCol), col(valueCol), col(tieBreak))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("_cut", expr(s"(_n * $pct) div 100"))
+      .where(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
+      .groupBy(groupCol)
+      .agg(first(col("_n")).as("n"), count(lit(1)).as("n_kept"),
+        round(avg(col(valueCol)), 4).as("tmean"))
+      .orderBy(groupCol)
+  }
+
   /** The frozen robust-stats table behind [[madOutliers]]: per group,
     * exact median `_med` and MAD `_mad`. Exposed separately so the
     * STREAMING anomaly gate ([[graft.streaming.Streams.robustAnomalyGate]])

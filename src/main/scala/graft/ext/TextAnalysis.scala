@@ -1185,6 +1185,46 @@ object TextAnalysis {
           sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
   }
 
+  /** Token↔label mutual information — the classic feature-selection
+    * ranking (which tokens carry signal about a label; the filter run
+    * before training a BoW classifier like [[nbClassify]]): over token
+    * OCCURRENCES, MI(tok) = Σ_{label} p(t,l)·ln(N·c_tl/(c_t·c_l)) with
+    * every log argument a ratio of exact integer products (≤ N² < 2⁵³ —
+    * ln never meets an accumulated float), plus the marginal-absent
+    * cells contributing their own terms via p(t̄,l). Everything past the
+    * one (tok, label) count shuffle is V·L-bounded. Output: top-k by
+    * (mi ROUND·,4 desc, tok) — (tok, n, mi). */
+  def tokenLabelMi(docs: DataFrame, labelCol: String = "lang",
+      topK: Int = 20): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(labelCol).as("l"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val ctl = occ.groupBy("tok", "l").agg(count(lit(1)).as("ctl"))
+      .localCheckpoint(true) // V·L rows; corpus touched once
+    val ct = ctl.groupBy("tok").agg(sum(col("ctl")).as("ct"))
+    val cl = ctl.groupBy("l").agg(sum(col("ctl")).as("cl"))
+    val n = ctl.agg(sum(col("ctl")).as("nn"))
+    // full (tok × label) grid: absent cells carry ctl = 0 and contribute
+    // only through the complement term (t̄, l)
+    val grid = ct.crossJoin(broadcast(cl))
+      .join(ctl, Seq("tok", "l"), "left").na.fill(0L, Seq("ctl"))
+      .crossJoin(broadcast(n))
+    // two cells per (tok, label): (t, l) and (t-absent, l); the other two
+    // of the 2x2 table belong to other tokens' rows and must not repeat
+    val present = when(col("ctl") > 0,
+      (col("ctl") / col("nn")) *
+        log(col("ctl") * col("nn") / (col("ct") * col("cl"))))
+      .otherwise(lit(0.0))
+    val absent = when(col("cl") - col("ctl") > 0,
+      ((col("cl") - col("ctl")) / col("nn")) *
+        log((col("cl") - col("ctl")) * col("nn") /
+          ((col("nn") - col("ct")) * col("cl"))))
+      .otherwise(lit(0.0))
+    grid.groupBy("tok")
+      .agg(first(col("ct")).as("n"), round(sum(present + absent), 4).as("mi"))
+      .orderBy(col("mi").desc, col("tok"))
+      .limit(topK)
+  }
+
   /** T5-style span corruption (Raffel et al. 2020's denoising objective,
     * the span sibling of [[maskTokens]]' MLM masking): tokens are tiled
     * into fixed blocks of `spanLen`, each block masks with probability

@@ -376,6 +376,14 @@ object ExtQueries {
     Temporal.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
       .orderBy("user_id")
 
+  /** Top-20 tokens by mutual information with the language label. */
+  def tokenMiQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenLabelMi(Tables.documents(s, d))
+
+  /** 10%-trimmed mean event value per type. */
+  def trimmedMeanQ(s: SparkSession, d: String): DataFrame =
+    Temporal.trimmedMean(Tables.events(s, d))
+
   /** Per-doc char-bigram entropy (gibberish detector). */
   def charEntropyQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.charEntropy(Tables.documents(s, d)).orderBy("doc_id")
@@ -1723,6 +1731,8 @@ object ExtQueries {
     "ext_type_cooccur" -> typeCooccurQ _,
     "ext_char_entropy" -> charEntropyQ _,
     "ext_rolling_median" -> rollingMedianQ _,
+    "ext_token_mi" -> tokenMiQ _,
+    "ext_trimmed_mean" -> trimmedMeanQ _,
     "ext_sliding_active" -> slidingActiveQ _,
     "ext_stream_sliding" -> streamSlidingQ _,
     "ext_keywords" -> keywordsQ _,
@@ -2675,6 +2685,43 @@ object ExtQueries {
          |SELECT e.tok, w.c, e.np AS n_pieces, e.acc AS pieces
          |FROM enc e JOIN wf w USING (tok) WHERE e.rest = ''
          |ORDER BY e.tok""".stripMargin,
+
+    // binary-feature MI per token vs the language label: every log
+    // argument is a ratio of exact integer products (<= N^2 < 2^53)
+    "ext_token_mi" ->
+      """WITH occ AS (
+        |  SELECT lang AS l,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |ctl AS (SELECT tok, l, COUNT(*) AS ctl FROM occ GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(SUM(ctl) AS BIGINT) AS ct FROM ctl GROUP BY tok),
+        |cl AS (SELECT l, CAST(SUM(ctl) AS BIGINT) AS cl FROM ctl GROUP BY l),
+        |nt AS (SELECT CAST(SUM(ctl) AS BIGINT) AS nn FROM ctl),
+        |grid AS (SELECT ct.tok, cl.l, ct.ct, cl.cl,
+        |           CAST(COALESCE(x.ctl, 0) AS BIGINT) AS ctl, nt.nn
+        |         FROM ct CROSS JOIN cl
+        |         LEFT JOIN ctl x ON x.tok = ct.tok AND x.l = cl.l, nt),
+        |mi AS (SELECT tok, MAX(ct) AS n, ROUND(SUM(
+        |    CASE WHEN ctl > 0 THEN (CAST(ctl AS DOUBLE) / nn)
+        |           * ln(CAST(ctl * nn AS DOUBLE) / (ct * cl)) ELSE 0.0 END
+        |  + CASE WHEN cl - ctl > 0 THEN (CAST(cl - ctl AS DOUBLE) / nn)
+        |           * ln(CAST((cl - ctl) * nn AS DOUBLE) / ((nn - ct) * cl))
+        |    ELSE 0.0 END), 4) AS mi
+        |  FROM grid GROUP BY tok)
+        |SELECT tok, n, mi FROM mi ORDER BY mi DESC, tok LIMIT 20""".stripMargin,
+
+    // exact integer rank cuts: drop lowest/highest (n*10) div 100 rows
+    "ext_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |k AS (SELECT event_type, value, n, (n * 10) // 100 AS cut FROM r
+        |      WHERE rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_kept,
+        |  ROUND(AVG(value), 4) AS tmean
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // char-bigram entropy: H = ln n - (sum c*ln c)/n — ln only sees
     // exact integer counts (the ext_doremi form)

@@ -328,6 +328,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(12L) == 8.5)
   }
 
+  test("tokenLabelMi ranks label-exclusive tokens above shared ones") {
+    val docs = Seq(
+      (1L, "only_a only_a shared", "a"),
+      (2L, "only_b shared shared", "b")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenLabelMi(docs, topK = 10)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // exclusive tokens carry positive MI; 'shared' carries less
+    assert(got("only_a") > got("shared") && got("only_b") > got("shared"))
+    assert(got.values.forall(_ >= 0.0)) // MI is non-negative
+  }
+
+  test("trimmedMean drops exact rank cuts and resists a spike") {
+    // group g: values 1..10 -> cut = 1 each side -> mean of 2..9 = 5.5
+    // even after replacing value 10 with a 1e6 spike (rank cut eats it)
+    val e = ((1L to 9L).map(i => (i, "g", i.toDouble)) :+ ((10L, "g", 1e6)))
+      .toDF("event_id", "event_type", "value")
+    val got = Temporal.trimmedMean(e)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got == (("g", 10L, 8L, 5.5)))
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
