@@ -507,6 +507,58 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // round-7 session-2 ops over replicated docs: all pure projections /
+    // one-shuffle shapes — the legs prove the in-row fold (span corrupt),
+    // the (doc,bigram) count shuffle (char entropy), and the doc-keyed
+    // ranking window (keywords) stay linear.
+    println("mult |     docs | span_corrupt | char_entropy | keywords | syllables")
+    sweep("r7b") { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val (tSc, _) = time(mat(ext.TextAnalysis.spanCorrupt(docs)))
+      val (tCe, _) = time(mat(ext.TextAnalysis.charEntropy(docs)))
+      val (tKw, _) = time(mat(ext.TextAnalysis.keywords(docs)))
+      val (tSy, _) = time(mat(ext.TextAnalysis.syllableStats(docs)))
+      println(f"$m%4d | $nd%8d | $tSc%12.2f | $tCe%12.2f | $tKw%8.2f | $tSy%9.2f")
+      docs.unpersist(blocking = true)
+    }
+
+    // round-7 session-2 temporal ops over replicated events (fresh user
+    // and event ids per replica — every op below rides one user-keyed
+    // shuffle, so wall-clock must track m; sliding_active's 24× fan-out
+    // is a constant factor, not a growth term).
+    println("mult |   events |   twa | interval_merge | trimmed | roll_med | cooccur | sliding24")
+    sweep("r7c") { m =>
+      val ev0 = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev0
+        else ev0.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tTwa, _) = time(mat(ext.Temporal.timeWeightedAvg(evm)))
+      val (tIm, _) = time(mat(ext.Temporal.mergeIntervals(evm)))
+      val (tTm, _) = time(mat(ext.Temporal.trimmedMean(evm)))
+      val (tRm, _) = time(mat(ext.Temporal.rollingMedian(
+        evm.select("event_id", "user_id", "value"),
+        "user_id", Seq("event_id"), "value", 9)))
+      val (tCo, _) = time(mat(ext.Temporal.typeCooccurrence(evm)))
+      val (tSl, _) = time {
+        val uh = evm.select(col("user_id"), date_trunc("hour", col("ts")).as("h")).distinct()
+        val bounds = evm.agg(max(date_trunc("hour", col("ts"))).as("hmax"))
+        mat(uh.crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(sequence(col("h"),
+            least(col("h") + expr("INTERVAL 23 HOURS"), col("hmax")),
+            expr("INTERVAL 1 HOUR"))).as("hh"))
+          .groupBy("hh").agg(countDistinct(col("user_id")).as("n")))
+      }
+      println(f"$m%4d | $nEv%8d | $tTwa%5.2f | $tIm%14.2f | $tTm%7.2f | $tRm%8.2f | $tCo%7.2f | $tSl%9.2f")
+      evm.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
