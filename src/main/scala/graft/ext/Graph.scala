@@ -124,4 +124,36 @@ object Graph {
     ranks.unpersist(blocking = false)
     out
   }
+
+  /** Per-node LOCAL clustering coefficient — the node-level refinement of
+    * [[triangleStats]]' global census: lcc(v) = 2·Δ(v)/(d(v)·(d(v)−1)),
+    * the fraction of v's neighbor pairs that are themselves connected
+    * (1.0 ⇒ v sits inside a clique — a mirror cluster; ~0 ⇒ v is a hub of
+    * otherwise-unrelated near-dup pairs, the "template glues everything"
+    * smell). Same ordered-path closure as the census — each triangle
+    * materializes ONCE as (a<b<c) and credits its three corners via an
+    * in-row explode, so per-node cost stays O(deg²), never all-pairs.
+    * Counts are exact integers; lcc is one division. Nodes with d < 2 are
+    * excluded (coefficient undefined). Output: (v, degree, n_tri, lcc). */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val e2 = e.toDF("b2", "c")
+    val e3 = e.toDF("a3", "c3")
+    val tris = e.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("degree") >= 2)
+      .join(tris, Seq("v"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("v"), col("degree"), col("n_tri"),
+        round(lit(2.0) * col("n_tri").cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 4).as("lcc"))
+      .orderBy("v")
+  }
 }

@@ -47,4 +47,43 @@ object Profile {
         round(min(col("vn")), 4).as("min_num"),
         round(max(col("vn")), 4).as("max_num"))
   }
+
+  /** Benford first-digit audit of a numeric column — the classic
+    * fabricated-/synthetic-data screen: organically-grown magnitudes
+    * follow P(d) = log₁₀(1 + 1/d); generator artifacts (uniform draws,
+    * capped fields, copy-pasted constants) show up as a digit histogram
+    * that rejects it. Output: one row per leading digit 1–9 with its
+    * observed count, Benford-expected count, χ² contribution, and the
+    * total χ² riding along.
+    *
+    * Determinism contract: the leading digit is taken from the DECIMAL
+    * STRING of the value scaled to an exact 4-decimal integer
+    * (`round(x·10⁴)` → BIGINT → first char), never from
+    * `floor(log10(x))` — libm log differences can flip the floor at
+    * power-of-ten boundaries, integer string rendering cannot. Expected
+    * shares use ln of exact integers only (log₁₀(1+1/d) =
+    * (ln(d+1)−ln d)/ln 10), and the χ² total folds its nine
+    * contributions in digit order, so the double association is
+    * engine-identical. Shape: one pure map + one 9-group aggregate —
+    * scan-speed, 9-row reduce state at any scale. */
+  def benford(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val iv = round(col(valueCol) * lit(10000)).cast("long")
+    val digits = df.where(col(valueCol).isNotNull && iv > 0)
+      .select(substring(iv.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = digits.agg(sum("n_obs").as("n"))
+    val expected = (log((col("digit") + 1).cast("double")) - log(col("digit").cast("double"))) /
+      log(lit(10.0)) * col("n").cast("double")
+    val k = digits.crossJoin(broadcast(n))
+      .withColumn("n_exp", expected)
+      .withColumn("contrib",
+        (col("n_obs").cast("double") - col("n_exp")) *
+          (col("n_obs").cast("double") - col("n_exp")) / col("n_exp"))
+    val chi2 = k.agg(aggregate(sort_array(collect_list(struct(col("digit"), col("contrib")))),
+      lit(0.0), (a, x) => a + x.getField("contrib")).as("chi2"))
+    k.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), round(col("n_exp"), 4).as("n_exp"),
+        round(col("contrib"), 4).as("contrib"), round(col("chi2"), 4).as("chi2"))
+      .orderBy("digit")
+  }
 }

@@ -160,4 +160,48 @@ object Retrieval {
         round(Similarity.dot(col("e"), col("qe")) / (col("n") * col("qn")), 4).as("cos"))
     rrfFusion(lex, vec, n, k)
   }
+
+  /** Exact-phrase search served from a POSITIONAL posting list — the
+    * index structure behind quoted-phrase queries (and n-gram
+    * decontamination lookups): postings carry (doc, position), and an
+    * m-token phrase resolves as m−1 equi-joins on (doc, pos+offset) —
+    * never a substring scan over the corpus. Each join is keyed on the
+    * token's postings (pruned to the phrase's terms first, so the work is
+    * proportional to the RAREST term's posting list, not the corpus).
+    * Positions are 1-based. Returns (doc_id, pos) of every occurrence.
+    *
+    * At 100 TB the postings table is the persisted nightly artifact
+    * ([[invertedIndex]] with positions); this builds it inline because
+    * the fixture query is self-contained. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val dt = docs
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("tok"))
+    val first = dt.where(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, off)) =>
+      val nxt = dt.where(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - off).as("pos"))
+      acc.join(nxt, Seq("doc_id", "pos"), "left_semi")
+    }
+  }
+
+  /** The battery-shaped phrase query: find the corpus's most frequent
+    * bigram (count desc, then lexicographic — a total order), then
+    * locate every occurrence through the positional index. Output:
+    * (doc_id, pos, phrase). */
+  def topBigramOccurrences(docs: DataFrame): DataFrame = {
+    val top = Dedup.explodedShingles(docs, 2)
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sh")).limit(1)
+      .select(col("sh").as("phrase"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = top.as[String].collect().headOption.getOrElse("")
+    val ws = ph.split(" ").toSeq
+    phraseSearch(docs, ws)
+      .select(col("doc_id"), col("pos"), lit(ph).as("phrase"))
+      .orderBy("doc_id", "pos")
+  }
 }

@@ -866,4 +866,219 @@ object Temporal {
       .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
     meds.join(mads, groupCol)
   }
+
+  /** CUSUM change-point detection per event type: the point where the
+    * cumulative deviation from the series mean peaks — the standard
+    * "when did the level shift" screen on a metric stream. Everything
+    * is exact integer arithmetic: values quantize to 2-decimal longs
+    * v = round(100·x), and the mean never materializes as a double —
+    * the cumulative deviation is held n×-scaled as
+    * Cᵢ = n·Σ_{j≤i} vⱼ − i·Σv (bounded by n²·max v ≈ 10¹³ at 10⁶
+    * rows/type, far under 2⁵³), so the argmax is a deterministic
+    * integer comparison with the row number as tie-break. The reported
+    * `cusum_peak` de-scales to value units only at the end. Shape: one
+    * type-keyed window cumsum + one per-type max — a single shuffle on
+    * event_type. */
+  def cusumChangePoint(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val v = events.select(col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * lit(100)).cast("long").as("v"))
+    val cum = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p", sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    cum.join(broadcast(tot), "event_type")
+      .withColumn("c", col("n") * col("p") - col("rn") * col("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("c")).desc, col("rn"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("rn").cast("long").as("cp_rank"),
+        col("event_id").as("cp_event_id"), col("ts").as("cp_ts"),
+        round(abs(col("c")).cast("double") / (col("n") * lit(100)).cast("double"), 4)
+          .as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
+  /** Tukey IQR-fence outlier census per group — the boxplot complement
+    * of [[madOutliers]] (IQR fences are what BI dashboards draw; MAD is
+    * the robust-z screen): exact interpolating quartiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` — the proven pairing), fences
+    * at q1 − 1.5·IQR / q3 + 1.5·IQR, and low/high outlier counts. The
+    * fences are computed from identical doubles in both engines, so the
+    * strict comparisons count identically. Two same-key aggregation
+    * rounds with the quartiles broadcast back — one shuffle twice, never
+    * a global sort. */
+  def iqrOutliers(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val q = events.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.25)").as("_q1"),
+        expr(s"percentile($valueCol, 0.75)").as("_q3"))
+      .withColumn("_lo", col("_q1") - lit(1.5) * (col("_q3") - col("_q1")))
+      .withColumn("_hi", col("_q3") + lit(1.5) * (col("_q3") - col("_q1")))
+    events.select(col(groupCol), col(valueCol))
+      .join(broadcast(q), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("_lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col(valueCol) > col("_hi"), 1L).otherwise(0L)).as("n_high"),
+        round(first(col("_q1")), 4).as("q1"), round(first(col("_q3")), 4).as("q3"),
+        round(first(col("_lo")), 4).as("fence_lo"),
+        round(first(col("_hi")), 4).as("fence_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** Two-proportion z-test on user conversion between two deterministic
+    * variants (user_id parity — the hash-bucket assignment an
+    * experimentation platform uses): conversion = the user emitted ≥1
+    * `convEvent`. All counts are exact integers off ONE user-keyed
+    * aggregate; the z statistic is a closed form over four longs
+    * (pooled-variance form), so both engines divide the same exact
+    * numerators. Output: one row with per-variant n/conversions/rates
+    * and z. */
+  def abTest(events: DataFrame, convEvent: String = "purchase"): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === convEvent, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val wide = v.where(col("variant") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"))
+      .crossJoin(v.where(col("variant") === 1)
+        .select(col("n").as("n1"), col("c").as("c1")))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 4).as("rate0"), round(p1, 4).as("rate1"),
+      round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
+  }
+
+  /** XmR (individuals + moving-range) control chart summary per group —
+    * the SPC screen behind "is this metric stream in statistical
+    * control": mean of the 2-decimal-quantized values, mean moving range
+    * MR̄ = Σ|vᵢ−vᵢ₋₁|/(n−1), control limits mean ± 2.66·MR̄, and the
+    * count of points outside them. Sums are over exact integer
+    * 2-decimal units (one lag window + one aggregate on the same key
+    * shuffle), so the limit doubles and the strict comparisons are
+    * engine-identical. Groups need n ≥ 2 (no moving range otherwise). */
+  def controlChart(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val v = events.select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * lit(100)).cast("long").as("v"))
+      .withColumn("mr", abs(col("v") - lag(col("v"), 1).over(w)))
+    val agg = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("mr").as("smr"))
+      .where(col("n") >= 2)
+      .withColumn("mean", col("sv").cast("double") / (col("n") * lit(100)).cast("double"))
+      .withColumn("mrbar",
+        col("smr").cast("double") / ((col("n") - 1) * lit(100)).cast("double"))
+      .withColumn("ucl", col("mean") + lit(2.66) * col("mrbar"))
+      .withColumn("lcl", col("mean") - lit(2.66) * col("mrbar"))
+    v.join(broadcast(agg), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        round(first(col("mean")), 4).as("mean"),
+        round(first(col("mrbar")), 4).as("mrbar"),
+        round(first(col("ucl")), 4).as("ucl"),
+        round(first(col("lcl")), 4).as("lcl"),
+        sum(when(col("v").cast("double") / lit(100.0) > col("ucl"), 1L)
+          .when(col("v").cast("double") / lit(100.0) < col("lcl"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .orderBy("event_type")
+  }
+
+  /** Stationary distribution of the per-user event-type Markov chain
+    * (where does the process spend its time in the long run) by power
+    * iteration from uniform. The transition-count table is built
+    * DISTRIBUTED (one user-keyed lag window — the same shuffle as
+    * [[eventTransitions]]); only the S×S probability matrix is
+    * collected, guarded by `maxStates` (S = event-type cardinality — a
+    * handful in any real schema; the iteration is O(S²) driver work on
+    * exact count ratios). Rows with no outgoing transitions would leak
+    * mass, so states absent as a `from` keep their mass (self-loop) —
+    * the standard dangling fix. Folds run in ascending state order so
+    * the double association is engine-identical. */
+  def markovStationary(events: DataFrame, iters: Int = 25,
+      maxStates: Int = 1000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("f"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .where(col("t").isNotNull)
+      .groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val mat = trans.as[(String, String, Long)].collect()
+    val states = events.select(col("event_type")).distinct()
+      .as[String].collect().sorted
+    require(states.length <= maxStates,
+      s"markovStationary: ${states.length} states exceeds maxStates=$maxStates")
+    val idx = states.zipWithIndex.toMap
+    val n = states.length
+    val outTot = new Array[Long](n)
+    mat.foreach { case (f, _, c) => outTot(idx(f)) += c }
+    // p(i)(j): exact count ratios; dangling states self-loop
+    val p = Array.tabulate(n, n) { (i, j) =>
+      if (outTot(i) == 0L) { if (i == j) 1.0 else 0.0 } else 0.0
+    }
+    mat.foreach { case (f, t, c) => p(idx(f))(idx(t)) = c.toDouble / outTot(idx(f)) }
+    var pi = Array.fill(n)(1.0 / n)
+    (0 until iters).foreach { _ =>
+      val next = Array.tabulate(n) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += pi(i) * p(i)(j); i += 1 } // ascending-i fold
+        acc
+      }
+      pi = next
+    }
+    spark.createDataset(states.indices.map(i => (states(i), pi(i))))
+      .toDF("event_type", "pi")
+      .select(col("event_type"), graft.functions.StableRound.col4(col("pi")).as("pi"))
+      .orderBy("event_type")
+  }
+
+  /** Lag-k autocorrelation of the hourly event-count series per type —
+    * the seasonality/self-similarity probe behind "is this stream
+    * periodic or memoryless" (white noise ⇒ r≈0 at every lag; a daily
+    * cycle ⇒ a positive bump at lag 24). The hour grid is made
+    * CONTIGUOUS first (missing hours count 0 — skipping them would
+    * silently splice non-adjacent hours into 'adjacent' pairs), then
+    * each lag pairs the series with its lead and Pearson r comes out of
+    * integer moment sums (counts are exact ints, so nΣxy, ΣxΣy,… are
+    * exact and both engines divide the same numerators) — the
+    * Heaps/Zipf deterministic-moment pattern. Shape: one (type, hour)
+    * count aggregate, a per-type hour-sequence explode (bounded by the
+    * time span, not the event count), and one window lead per lag. */
+  def hourlyAutocorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val lags = (1 to maxLag).map { lag =>
+      grid.withColumn("y", lead(col("c"), lag).over(w))
+        .where(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("c").as("sx"), sum("y").as("sy"),
+          sum(col("c") * col("y")).as("sxy"),
+          sum(col("c") * col("c")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("lag", lit(lag))
+    }
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    lags.reduce(_.unionAll(_))
+      .select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+        when(col("m") > 1 && dx > 0 && dy > 0,
+          round(num / (sqrt(dx) * sqrt(dy)), 4)).as("r"))
+      .orderBy("event_type", "lag")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (SURVEY §2.4): language
@@ -1632,5 +1633,121 @@ object TextAnalysis {
       .select(lit(nTypes).as("n_types"), round(col("s"), 4).as("slope"),
         round(when(col("s").isNotNull,
           col("sy") / col("m") - col("s") * (col("sx") / col("m"))), 4).as("intercept"))
+  }
+
+  /** Per-doc readability scores (Flesch–Kincaid grade + Flesch reading
+    * ease) over the [[syllableStats]] vowel-group syllable heuristic.
+    * Sentence count is `max(1, '.' occurrences)` — a pure character
+    * count, so both engines agree exactly (no sentence-splitter
+    * semantics to match). Words-per-sentence and syllables-per-word are
+    * ratios of exact integers; the score is a fixed left-to-right
+    * affine combination of the two, so the doubles are engine-identical
+    * before ROUND(·,4). Pure per-row map: no shuffle, scan-speed at any
+    * scale. Docs with zero tokens are excluded (score undefined). */
+  def readability(docs: DataFrame): DataFrame = {
+    val dots = length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"),
+        greatest(lit(1L), dots.cast("long")).as("n_sent"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"), col("n_sent"),
+        aggregate(col("ts"), lit(0),
+          (a, t) => a + size(regexp_extract_all(t, lit("[aeiou]+"), lit(0))))
+          .cast("long").as("n_syll"))
+      .where(col("n_toks") > 0)
+      .withColumn("wps", col("n_toks").cast("double") / col("n_sent"))
+      .withColumn("spw", col("n_syll").cast("double") / col("n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("n_sent"), col("n_syll"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
+          .as("fk_grade"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
+          .as("ease"))
+  }
+
+  /** Lexical-diversity measures per source — the corpus-health numbers a
+    * data-mixing dashboard tracks (a source whose diversity collapses is
+    * template spam): type–token ratio, Herdan's C = ln V / ln N (the
+    * length-robust TTR), Yule's K = 10⁴·(Σc² − N)/N², and Simpson's
+    * repeat-rate Σc(c−1)/(N(N−1)). Everything up to the final division
+    * is exact 64-bit integer arithmetic (Σc² ≤ N·max(c) ≪ 2⁵³ at any
+    * per-source shard this runs on), and the lns see only exact
+    * integers, so both engines produce bit-identical doubles. Shape:
+    * one (source, token) count shuffle + one per-source fold — the
+    * token count table is the same one tf-idf builds. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("c2"))
+      .where(col("n_tokens") > 1)
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(log(col("n_types").cast("double")) / log(col("n_tokens").cast("double")), 4)
+          .as("herdan_c"),
+        round(lit(10000.0) * (col("c2") - col("n_tokens")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 4).as("yule_k"),
+        round((col("c2") - col("n_tokens")).cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6)
+          .as("simpson"))
+      .orderBy("source")
+
+  /** Jensen–Shannon divergence of each stratum's unigram distribution vs
+    * the pooled corpus — the SYMMETRIC, bounded (≤ ln 2) complement of
+    * [[domainKl]] (JSD is what mixture-design papers report, because a
+    * stratum missing pooled mass and the pool missing stratum mass count
+    * alike). Same V×S smoothed grid and scale shape as domainKl — one
+    * (stratum, token) count shuffle, V-row vocab side distributed,
+    * S-row totals broadcast; the two ln terms share one midpoint. The
+    * per-stratum sum is a shuffle-order float fold, stabilized by
+    * [[graft.functions.StableRound]] exactly as domainKl's. */
+  def jsDivergence(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val sc = occ.groupBy("stratum", "tok").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val cc = sc.groupBy("tok").agg(sum(col("c_s")).as("c_a"))
+    val totals = cc.agg(sum(col("c_a")).as("n_a"), count(lit(1)).as("v"))
+    val sTotals = sc.groupBy("stratum").agg(sum(col("c_s")).as("n_s"))
+    val grid = cc.crossJoin(broadcast(sTotals.crossJoin(totals)))
+      .join(sc, Seq("stratum", "tok"), "left")
+      .na.fill(0L, Seq("c_s"))
+    val p = (col("c_s") + lit(1.0)) / (col("n_s") + col("v"))
+    val q = (col("c_a") + lit(1.0)) / (col("n_a") + col("v"))
+    val m = (p + q) / lit(2.0)
+    grid.select(col("stratum"),
+        (p * log(p / m) * lit(0.5) + q * log(q / m) * lit(0.5)).as("term"))
+      .groupBy("stratum")
+      .agg(graft.functions.StableRound.col4(sum(col("term"))).as("jsd"))
+      .orderBy("stratum")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * doc under the corpus bigram LM ([[lmScore]]) and split each SOURCE
+    * into head/middle/tail tertiles of NLL — the quality-stratified
+    * sampling table a pretraining mix draws from ("head" = most fluent
+    * third). Bucket cuts are EXACT integer ranks (rn·3 vs n, never a
+    * float quantile boundary) over (round(nll,4), doc_id) — rank
+    * decisions on rounded values per the cross-engine contract. The
+    * per-bucket mean NLL goes through exact integer µ-units
+    * (round(nll·10⁴) summed as longs, one final division) so no float
+    * accumulation order enters the output. Shape: lmScore's joins + one
+    * source-keyed rank window + one 3·S-row aggregate. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val nll = lmScore(docs).join(docs.select("doc_id", "source"), "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("nll"), col("doc_id"))
+    nll
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("inll", round(col("nll") * lit(10000)).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("nll")), 4).as("nll_min"),
+        round(max(col("nll")), 4).as("nll_max"),
+        round(sum(col("inll")).cast("double")
+          / (count(lit(1)) * lit(10000)).cast("double"), 4).as("nll_mean"))
+      .orderBy("source", "bucket")
   }
 }

@@ -405,6 +405,58 @@ object ExtQueries {
   def typeCooccurQ(s: SparkSession, d: String): DataFrame =
     Temporal.typeCooccurrence(Tables.events(s, d))
 
+  /** Per-doc Flesch–Kincaid grade + reading ease. */
+  def readabilityQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** TTR / Herdan / Yule's K / Simpson per source. */
+  def lexicalDiversityQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lexicalDiversity(Tables.documents(s, d))
+
+  /** Benford first-digit audit of event values. */
+  def benfordQ(s: SparkSession, d: String): DataFrame =
+    Profile.benford(Tables.events(s, d))
+
+  /** CUSUM level-shift change point per event type. */
+  def cusumQ(s: SparkSession, d: String): DataFrame =
+    Temporal.cusumChangePoint(Tables.events(s, d))
+
+  /** Lag-1..3 autocorrelation of hourly event counts per type. */
+  def autocorrQ(s: SparkSession, d: String): DataFrame =
+    Temporal.hourlyAutocorr(Tables.events(s, d))
+
+  /** Positional-index phrase search for the corpus's top bigram. */
+  def phraseSearchQ(s: SparkSession, d: String): DataFrame =
+    Retrieval.topBigramOccurrences(Tables.documents(s, d))
+
+  /** Per-node local clustering coefficient over the minhash pair graph. */
+  def clusteringCoefQ(s: SparkSession, d: String): DataFrame =
+    Graph.localClustering(candidates(s, d))
+
+  /** CCNet-style per-source perplexity tertiles under the bigram LM. */
+  def pplBucketsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pplBuckets(Tables.documents(s, d))
+
+  /** Tukey IQR-fence outlier census per event type. */
+  def iqrOutliersQ(s: SparkSession, d: String): DataFrame =
+    Temporal.iqrOutliers(Tables.events(s, d))
+
+  /** Two-proportion z-test on purchase conversion by user-id parity. */
+  def abTestQ(s: SparkSession, d: String): DataFrame =
+    Temporal.abTest(Tables.events(s, d))
+
+  /** XmR control-chart summary per event type. */
+  def controlChartQ(s: SparkSession, d: String): DataFrame =
+    Temporal.controlChart(Tables.events(s, d))
+
+  /** Stationary distribution of the event-type Markov chain. */
+  def markovStationaryQ(s: SparkSession, d: String): DataFrame =
+    Temporal.markovStationary(Tables.events(s, d))
+
+  /** Jensen–Shannon divergence of each source vs the pooled corpus. */
+  def jsDivergenceQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.jsDivergence(Tables.documents(s, d))
+
   /** Batch interval join: (view, purchase) pairs of the same user within
     * one hour — the batch twin of the streaming interval join. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
@@ -1779,6 +1831,19 @@ object ExtQueries {
     "ext_triangles" -> trianglesQ _,
     "ext_ppmi_direction" -> ppmiDirectionQ _,
     "ext_pseudonymize" -> pseudonymizeQ _,
+    "ext_readability" -> readabilityQ _,
+    "ext_lexical_diversity" -> lexicalDiversityQ _,
+    "ext_benford" -> benfordQ _,
+    "ext_cusum" -> cusumQ _,
+    "ext_autocorr" -> autocorrQ _,
+    "ext_phrase_search" -> phraseSearchQ _,
+    "ext_clustering_coef" -> clusteringCoefQ _,
+    "ext_ppl_buckets" -> pplBucketsQ _,
+    "ext_iqr_outliers" -> iqrOutliersQ _,
+    "ext_ab_test" -> abTestQ _,
+    "ext_control_chart" -> controlChartQ _,
+    "ext_markov_stationary" -> markovStationaryQ _,
+    "ext_js_divergence" -> jsDivergenceQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1907,6 +1972,44 @@ object ExtQueries {
        |  FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src, nn
        |  GROUP BY e.dst
        |)""".stripMargin
+
+  /** 25 unrolled power-iteration CTEs over the event-type transition
+    * matrix (mirrors [[graft.ext.Temporal.markovStationary]]): the full
+    * S×S matrix incl. dangling self-loops, each iteration's per-state
+    * fold in ascending source-state order via `list_reduce(list(... ORDER
+    * BY i))` — matching the Spark side's ascending-i accumulator, so the
+    * double association is identical. */
+  private val markovStationarySql: String = {
+    val iters = (1 to 25).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""p$k AS (SELECT pm.j AS i,
+         |  list_reduce(list($prev.r * pm.p ORDER BY pm.i), (a, b) -> a + b) AS r
+         |  FROM pm JOIN $prev ON $prev.i = pm.i GROUP BY pm.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS f,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events),
+       |tr AS (SELECT f, t, COUNT(*) AS c FROM seq WHERE t IS NOT NULL GROUP BY f, t),
+       |states AS (SELECT event_type AS st,
+       |    ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS i
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |ot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS tot FROM tr GROUP BY f),
+       |pm AS (
+       |  SELECT si.i AS i, sj.i AS j,
+       |    CASE WHEN ot.tot IS NULL
+       |         THEN CASE WHEN si.i = sj.i THEN 1.0 ELSE 0.0 END
+       |         ELSE CAST(COALESCE(tr.c, 0) AS DOUBLE) / ot.tot END AS p
+       |  FROM states si CROSS JOIN states sj
+       |  LEFT JOIN ot ON ot.f = si.st
+       |  LEFT JOIN tr ON tr.f = si.st AND tr.t = sj.st),
+       |nn AS (SELECT COUNT(*) AS n FROM states),
+       |p0 AS (SELECT i, 1.0 / nn.n AS r FROM states, nn),
+       |$iters
+       |SELECT s.st AS event_type,
+       |  ROUND(p25.r + SIGN(p25.r) * 0.000000001, 4) AS pi
+       |FROM p25 JOIN states s ON s.i = p25.i ORDER BY event_type""".stripMargin
+  }
 
   /** Winnowing CTE chain (toks → k=4 shingle hashes → window-5 selected
     * fingerprints per doc), shared by the fingerprint dump and the
@@ -4355,6 +4458,308 @@ object ExtQueries {
         |         AS user_id_pseud,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS v
         |FROM events GROUP BY 1 ORDER BY user_id_pseud""".stripMargin,
+
+    // readability: sentence count is a pure '.' char count (no splitter
+    // semantics), syllable heuristic = vowel groups; the score is a fixed
+    // left-to-right affine combination of two exact-integer ratios
+    "ext_readability" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+         |  GREATEST(1, CAST(len(text) - len(replace(text, '.', '')) AS BIGINT))
+         |    AS n_sent,
+         |  CAST(COALESCE(list_sum(list_transform(ts,
+         |    t -> len(regexp_extract_all(t, '[aeiou]+')))), 0) AS BIGINT) AS n_syll
+         |  FROM toks),
+         |r AS (SELECT doc_id, n_toks, n_sent, n_syll,
+         |  CAST(n_toks AS DOUBLE) / n_sent AS wps,
+         |  CAST(n_syll AS DOUBLE) / n_toks AS spw
+         |  FROM m WHERE n_toks > 0)
+         |SELECT doc_id, n_toks, n_sent, n_syll,
+         |  ROUND(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade,
+         |  ROUND(206.835 - 1.015 * wps - 84.6 * spw, 4) AS ease
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // all diversity measures are ratios of exact integer token moments;
+    // the lns see only exact integers (Herdan's C = ln V / ln N)
+    "ext_lexical_diversity" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT t.source, u.tok
+         |        FROM (SELECT d.source, toks.ts FROM toks
+         |              JOIN documents d USING (doc_id)) t,
+         |        unnest(t.ts) AS u(tok)),
+         |tc AS (SELECT source, tok, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+         |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS c2
+         |      FROM tc GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+         |  ROUND(ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 4)
+         |    AS herdan_c,
+         |  ROUND(10000.0 * CAST(c2 - n_tokens AS DOUBLE)
+         |    / CAST(n_tokens * n_tokens AS DOUBLE), 4) AS yule_k,
+         |  ROUND(CAST(c2 - n_tokens AS DOUBLE)
+         |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) AS simpson
+         |FROM m WHERE n_tokens > 1 ORDER BY source""".stripMargin,
+
+    // Benford: leading digit from the DECIMAL STRING of round(x*1e4) (an
+    // exact integer — no floor(log10) libm risk); expected shares use ln
+    // of exact integers; chi2 folds the nine contributions in digit order
+    "ext_benford" ->
+      """WITH iv AS (
+        |  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS iv FROM events
+        |  WHERE value IS NOT NULL AND CAST(ROUND(value * 10000) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        COUNT(*) AS n_obs
+        |      FROM iv GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d),
+        |k AS (SELECT digit, n_obs,
+        |        (ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))
+        |          / ln(10.0) * CAST(n.n AS DOUBLE) AS n_exp
+        |      FROM d, n),
+        |c AS (SELECT digit, n_obs, n_exp,
+        |        (CAST(n_obs AS DOUBLE) - n_exp) * (CAST(n_obs AS DOUBLE) - n_exp)
+        |          / n_exp AS contrib
+        |      FROM k),
+        |chi AS (SELECT list_reduce(list(contrib ORDER BY digit),
+        |          (a, b) -> a + b) AS chi2 FROM c)
+        |SELECT c.digit, c.n_obs, ROUND(c.n_exp, 4) AS n_exp,
+        |  ROUND(c.contrib, 4) AS contrib, ROUND(chi.chi2, 4) AS chi2
+        |FROM c, chi ORDER BY digit""".stripMargin,
+
+    // CUSUM on 2-decimal integer values; the cumulative deviation is held
+    // n-scaled (C_i = n*P_i - i*S, all exact BIGINTs) so the argmax is an
+    // integer comparison — no double mean enters the ordering
+    "ext_cusum" ->
+      """WITH v AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT event_type, ts, event_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS p,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(v) OVER (PARTITION BY event_type) AS s
+        |  FROM v),
+        |x AS (SELECT event_type, ts, event_id, rn, n,
+        |    n * p - rn * s AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(n * p - rn * s) DESC, rn) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS cp_rank,
+        |  event_id AS cp_event_id, ts AS cp_ts,
+        |  ROUND(CAST(ABS(c) AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4) AS cusum_peak
+        |FROM x WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // hourly autocorrelation: CONTIGUOUS hour grid (missing hours = 0),
+    // lag pairing on exact epoch-hour integers, Pearson r from exact
+    // integer moment sums (the Heaps/Zipf deterministic-moment pattern)
+    "ext_autocorr" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(lag)),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        |  FROM grid a JOIN lags l ON TRUE
+        |  JOIN grid b ON b.event_type = a.event_type AND b.eh = a.eh + l.lag),
+        |m AS (SELECT event_type, lag, COUNT(*) AS m,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM pairs GROUP BY 1, 2),
+        |f AS (SELECT event_type, lag, m,
+        |        CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(m * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(m * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m)
+        |SELECT event_type, lag, m AS n_pairs,
+        |  CASE WHEN m > 1 AND dx > 0 AND dy > 0
+        |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
+        |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // Tukey fences from the proven quantile_cont/percentile pairing; the
+    // fence doubles are identical in both engines so strict counts match
+    "ext_iqr_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  ROUND(MIN(f.q1), 4) AS q1, ROUND(MIN(f.q3), 4) AS q3,
+        |  ROUND(MIN(f.lo), 4) AS fence_lo, ROUND(MIN(f.hi), 4) AS fence_hi
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // two-proportion z: four exact longs into one closed form, identical
+    // operation order both engines
+    "ext_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+        |        CAST(SUM(conv) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |  (SELECT n FROM v WHERE variant = 0) AS n0,
+        |  (SELECT c FROM v WHERE variant = 0) AS c0,
+        |  (SELECT n FROM v WHERE variant = 1) AS n1,
+        |  (SELECT c FROM v WHERE variant = 1) AS c1),
+        |z AS (SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+        |  CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp FROM w)
+        |SELECT n0, c0, n1, c1,
+        |  ROUND(p0, 4) AS rate0, ROUND(p1, 4) AS rate1,
+        |  ROUND((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 4) AS z
+        |FROM z""".stripMargin,
+
+    // XmR: moving ranges over 2-decimal integer values; limit doubles and
+    // strict comparisons are engine-identical
+    "ext_control_chart" ->
+      """WITH v AS (SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+        |l AS (SELECT event_type, v,
+        |    ABS(v - LAG(v) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS mr
+        |  FROM v),
+        |a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+        |        CAST(SUM(mr) AS BIGINT) AS smr
+        |      FROM l GROUP BY 1 HAVING COUNT(*) >= 2),
+        |b AS (SELECT event_type, n,
+        |    CAST(sv AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean,
+        |    CAST(smr AS DOUBLE) / CAST((n - 1) * 100 AS DOUBLE) AS mrbar
+        |  FROM a),
+        |c AS (SELECT event_type, n, mean, mrbar,
+        |    mean + 2.66 * mrbar AS ucl, mean - 2.66 * mrbar AS lcl FROM b)
+        |SELECT l.event_type, MAX(c.n) AS n, ROUND(MAX(c.mean), 4) AS mean,
+        |  ROUND(MAX(c.mrbar), 4) AS mrbar,
+        |  ROUND(MAX(c.ucl), 4) AS ucl, ROUND(MAX(c.lcl), 4) AS lcl,
+        |  CAST(SUM(CASE WHEN CAST(l.v AS DOUBLE) / 100.0 > c.ucl THEN 1
+        |                WHEN CAST(l.v AS DOUBLE) / 100.0 < c.lcl THEN 1
+        |                ELSE 0 END) AS BIGINT) AS n_out
+        |FROM l JOIN c USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Markov stationary: same exact-count transition matrix (dangling
+    // states self-loop), 25 unrolled power iterations with every fold in
+    // ascending state order — the engine-identical double association
+    "ext_markov_stationary" -> markovStationarySql,
+
+    // symmetric complement of ext_domain_kl: same smoothed V×S grid, two
+    // ln terms sharing one midpoint, StableRound on the shuffle-order sum
+    "ext_js_divergence" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |sc AS (SELECT stratum, tok, COUNT(*) AS c_s FROM occ GROUP BY 1, 2),
+        |cc AS (SELECT tok, SUM(c_s) AS c_a FROM sc GROUP BY tok),
+        |tot AS (SELECT SUM(c_a) AS n_a, COUNT(*) AS v FROM cc),
+        |st AS (SELECT stratum, SUM(c_s) AS n_s FROM sc GROUP BY stratum),
+        |grid AS (SELECT st.stratum, cc.tok, cc.c_a, st.n_s, tot.n_a, tot.v,
+        |           COALESCE(sc.c_s, 0) AS c_s
+        |         FROM cc CROSS JOIN st CROSS JOIN tot
+        |         LEFT JOIN sc ON sc.stratum = st.stratum AND sc.tok = cc.tok),
+        |terms AS (SELECT stratum,
+        |  ((c_s + 1.0) / (n_s + v)) *
+        |    ln(((c_s + 1.0) / (n_s + v))
+        |       / ((((c_s + 1.0) / (n_s + v)) + ((c_a + 1.0) / (n_a + v))) / 2.0))
+        |    * 0.5
+        |  + ((c_a + 1.0) / (n_a + v)) *
+        |    ln(((c_a + 1.0) / (n_a + v))
+        |       / ((((c_s + 1.0) / (n_s + v)) + ((c_a + 1.0) / (n_a + v))) / 2.0))
+        |    * 0.5 AS term
+        |  FROM grid),
+        |agg AS (SELECT stratum, SUM(term) AS v FROM terms GROUP BY stratum)
+        |SELECT stratum, ROUND(v + SIGN(v) * 0.000000001, 4) AS jsd
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    // phrase search: top bigram by (count desc, phrase), occurrences via
+    // the positional self-join — 1-based positions both sides
+    "ext_phrase_search" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS sh
+         |       FROM toks WHERE len(ts) >= 2),
+         |top AS (SELECT sh AS phrase FROM (
+         |          SELECT sh, COUNT(*) AS c FROM bi GROUP BY sh)
+         |        ORDER BY c DESC, sh LIMIT 1),
+         |dt AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok
+         |       FROM toks, unnest(range(1, len(ts) + 1)) AS u(i))
+         |SELECT a.doc_id, a.pos, top.phrase
+         |FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1, top
+         |WHERE a.tok || ' ' || b.tok = top.phrase
+         |ORDER BY a.doc_id, a.pos""".stripMargin,
+
+    // per-node triangle credit: each ordered (a<b<c) closure credits its
+    // three corners; lcc = 2*tri/(d*(d-1)) — integer counts, one division
+    "ext_clustering_coef" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |deg AS (SELECT v, COUNT(*) AS degree FROM (
+         |          SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+         |        GROUP BY v),
+         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |        FROM cand e1 JOIN cand e2 ON e1.b = e2.a
+         |        JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT v, COUNT(*) AS n_tri FROM (
+         |         SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+         |         UNION ALL SELECT c AS v FROM tri)
+         |       GROUP BY v)
+         |SELECT deg.v, deg.degree,
+         |  CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_tri,
+         |  ROUND(2.0 * COALESCE(tv.n_tri, 0)
+         |    / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 4) AS lcc
+         |FROM deg LEFT JOIN tv USING (v)
+         |WHERE deg.degree >= 2 ORDER BY v""".stripMargin,
+
+    // CCNet tertiles: rank cuts are exact integer comparisons (rn*3 vs n)
+    // over (ROUND(nll,4), doc_id); the bucket mean goes through exact
+    // integer 1e-4 units so no float accumulation order enters the output
+    "ext_ppl_buckets" ->
+      s"""WITH $toksCte,
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i+1])) AS sh
+         |       FROM toks WHERE len(ts) >= 2),
+         |bc AS (SELECT sh, COUNT(*) AS c FROM bi GROUP BY sh),
+         |tot AS (SELECT string_split(sh, ' ')[1] AS w1, SUM(c) AS n1 FROM bc GROUP BY 1),
+         |lm AS (SELECT sh, CAST(c AS DOUBLE) / n1 AS p
+         |       FROM bc JOIN tot ON string_split(bc.sh, ' ')[1] = tot.w1),
+         |nll AS (SELECT doc_id, ROUND(-AVG(ln(p)), 4) AS nll
+         |        FROM bi JOIN lm USING (sh) GROUP BY doc_id),
+         |r AS (SELECT d.source, nll.nll,
+         |        CAST(ROUND(nll.nll * 10000) AS BIGINT) AS inll,
+         |        ROW_NUMBER() OVER (PARTITION BY d.source
+         |          ORDER BY nll.nll, nll.doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY d.source) AS n
+         |      FROM nll JOIN documents d USING (doc_id)),
+         |b AS (SELECT source, nll, inll,
+         |        CASE WHEN rn * 3 <= n THEN 'head'
+         |             WHEN rn * 3 <= n * 2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |      FROM r)
+         |SELECT source, bucket, COUNT(*) AS n_docs,
+         |  ROUND(MIN(nll), 4) AS nll_min, ROUND(MAX(nll), 4) AS nll_max,
+         |  ROUND(CAST(SUM(inll) AS DOUBLE) / CAST(COUNT(*) * 10000 AS DOUBLE), 4)
+         |    AS nll_mean
+         |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
 
     // KS via explicit step functions: per-type cumulative over the full
     // distinct-value grid vs the pooled cumulative; sup at a jump point,

@@ -78,4 +78,18 @@ class GraphSpec extends SparkSpec {
     val o = Graph.triangleStats(one).as[(Long, Long, Long, Option[Double])].head()
     assert(o == ((1L, 0L, 0L, None)), o.toString)
   }
+
+  test("localClustering: clique corner = 1.0, hub of strangers = 0.0, pendant excluded") {
+    // triangle 1-2-3; node 3 also bridges to 4 and 5 (4,5 unconnected)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (3L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.localClustering(g)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))          // both neighbors connected
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    // node 3: degree 4, 6 neighbor pairs, 1 connected -> 1/6
+    assert(got(3L) == ((4L, 1L, math.rint(1.0 / 6 * 10000) / 10000)))
+    assert(!got.contains(4L) && !got.contains(5L)) // degree 1: undefined
+  }
 }

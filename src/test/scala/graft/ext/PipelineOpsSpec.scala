@@ -350,6 +350,96 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == (("g", 10L, 8L, 5.5)))
   }
 
+  test("readability: counts and a hand-computed FK grade") {
+    val docs = Seq(
+      (1L, "the cat sat. it sat on a mat."),   // 8 toks (incl '.' glued), 2 sentences
+      (2L, ""),                                // zero tokens: dropped
+      (3L, "incomprehensibility")              // 1 tok, 0 dots -> n_sent = 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(2L))
+    val (_, w1, s1, sy1, fk1, _) = got(1L)
+    assert(w1 == 8L && s1 == 2L)
+    // vowel groups: the(1) cat(1) sat.(1) it(1) sat(1) on(1) a(1) mat.(1) = 8
+    assert(sy1 == 8L)
+    assert(fk1 == math.rint((0.39 * 4.0 + 11.8 * 1.0 - 15.59) * 10000) / 10000)
+    // i-o-e-e-i-i-i-y: vowel groups of 'incomprehensibility' = 7 ('y' not a vowel here)
+    val (_, w3, s3, sy3, _, _) = got(3L)
+    assert(w3 == 1L && s3 == 1L && sy3 == 7L)
+  }
+
+  test("lexicalDiversity: exact integer identities on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a a b", "s1"),    // N=3 V=2 c2=4+1=5
+      (2L, "c", "s1"),        // s1 total: N=4 V=3 c2=4+1+1=6
+      (3L, "x y z w", "s2")   // N=4 V=4 c2=4 -> yule 0, simpson 0
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lexicalDiversity(docs)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, v1, ttr1, _, yk1, sim1) = got("s1")
+    assert(n1 == 4L && v1 == 3L && ttr1 == 0.75)
+    assert(yk1 == math.rint(10000.0 * (6 - 4) / 16.0 * 10000) / 10000)
+    assert(sim1 == math.rint((6 - 4) / 12.0 * 1e6) / 1e6)
+    val (_, _, _, _, _, yk2, sim2) = got("s2")
+    assert(yk2 == 0.0 && sim2 == 0.0)
+  }
+
+  test("benford: digits from the 4-decimal integer string; chi2 = 0 on exact Benford") {
+    // craft counts exactly proportional to log10(1+1/d) is impossible in
+    // integers; instead check digit extraction + the expected-count column
+    val df = Seq(0.00009, 0.1234, 1.0, 25.0, 999.99, 0.0, -3.0)
+      .toDF("value")
+    val got = Profile.benford(df)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // 0.00009 -> round(0.9)=1 -> digit 1; 0.1234 -> 1234 -> 1; 1.0 -> 10000 -> 1
+    // 25.0 -> 250000 -> 2; 999.99 -> 9999900 -> 9; 0.0 and -3.0 dropped (iv <= 0)
+    assert(got == Map(1 -> 3L, 2 -> 1L, 9 -> 1L))
+    val n = Profile.benford(df).agg(sum("n_obs")).as[Long].head()
+    assert(n == 5L)
+  }
+
+  test("cusumChangePoint finds a planted level shift") {
+    // type g: 20 events at value 10, then 20 at value 50 — the cumulative
+    // deviation peaks exactly at the boundary (rank 20)
+    val e = (1L to 40L).map(i =>
+      (i, ts(i * 60), "g", if (i <= 20) 10.0 else 50.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = Temporal.cusumChangePoint(e)
+      .as[(String, Long, Long, Long, java.sql.Timestamp, Double)].collect().head
+    assert(got._1 == "g" && got._2 == 40L && got._3 == 20L && got._4 == 20L)
+    // peak = |sum_{j<=20}(v_j - mean)| = 20 * |10 - 30| = 400
+    assert(got._6 == 400.0)
+  }
+
+  test("hourlyAutocorr: a strict 2-hour alternation has r = -1 at lag 1, +1 at lag 2") {
+    // counts alternate 3,1,3,1,... over 12 contiguous hours
+    val e = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1
+      (0 until n).map(k => (h * 10L + k, ts(h * 3600L + k), 1L, "g"))
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.hourlyAutocorr(e)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got(1).contains(-1.0))
+    assert(got(2).contains(1.0))
+    // lag 3 pairs even with odd again -> -1
+    assert(got(3).contains(-1.0))
+  }
+
+  test("hourlyAutocorr fills missing hours with zero counts") {
+    // hours 0 and 2 have events, hour 1 none: the grid must be length 3
+    // per lag-1 pairing (2 pairs), not a spliced length-2 series
+    val e = Seq((1L, ts(0), 1L, "g"), (2L, ts(2 * 3600L), 1L, "g"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.hourlyAutocorr(e, maxLag = 1)
+      .as[(String, Int, Long, Option[Double])].collect().head
+    assert(got._3 == 2L) // (h0,h1) and (h1,h2) — h1 exists with c=0
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

@@ -192,4 +192,42 @@ class RetrievalSpec extends SparkSpec {
     val ips = a.map(_.getDouble(1))
     assert(ips == ips.sortBy(-(_: Double)))
   }
+
+  test("phraseSearch finds every occurrence at 1-based positions, adjacency strict") {
+    val docs = Seq(
+      (1L, "a b c a b"),     // "a b" at pos 1 and 4
+      (2L, "b a"),           // reversed: no match
+      (3L, "a x b"),         // non-adjacent: no match
+      (4L, "a b a b a b")    // overlapping occurrences at 1, 3, 5
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, Seq("a", "b"))
+      .as[(Long, Long)].collect().sorted.toList
+    assert(got == List((1L, 1L), (1L, 4L), (4L, 1L), (4L, 3L), (4L, 5L)))
+    // 3-token phrase chains two position joins
+    val tri = Retrieval.phraseSearch(docs, Seq("a", "b", "a"))
+      .as[(Long, Long)].collect().sorted.toList
+    assert(tri == List((4L, 1L), (4L, 3L)))
+  }
+
+  test("pplBuckets: tertile ranks are exact and bucket stats are order-free") {
+    // 6 docs in one source with strictly increasing NLL -> 2/2/2 split;
+    // craft texts whose bigram perplexities separate cleanly: doc text
+    // repeated common bigrams score low, rare transitions score high
+    val docs = Seq(
+      (1L, "x x x x x x", "s"),   // all bigrams "x x" (very common)
+      (2L, "x x x x x y", "s"),
+      (3L, "x x x y x x", "s"),
+      (4L, "x y x y x x", "s"),
+      (5L, "y x y y x x", "s"),
+      (6L, "y y q r s t", "s")    // rare transitions
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.pplBuckets(docs)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(got.map(_._3).sum == 6L)
+    val byBucket = got.map(r => r._2 -> r._3).toMap
+    assert(byBucket == Map("head" -> 2L, "middle" -> 2L, "tail" -> 2L))
+    // bucket boundaries respect NLL order: head max <= middle min, etc.
+    val m = got.map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(m("head")._2 <= m("middle")._1 && m("middle")._2 <= m("tail")._1)
+  }
 }
