@@ -900,6 +900,60 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Per-hour Shannon entropy of the event-type mix — the traffic-
+    * diversity monitor (a collapse to one type = an incident or a bot
+    * flood even when volume looks normal): H = ln n − (Σc·ln c)/n with
+    * every ln over exact integer counts (the proven cross-engine
+    * entropy form). One (hour, type) count aggregate collapsing to an
+    * H×T grid, then an H-row rollup. */
+  def hourlyTypeEntropy(events: DataFrame): DataFrame =
+    events.select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy("h", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("h")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("h"), col("n"), col("n_types"),
+        round(log(col("n").cast("double"))
+          - col("clnc") / col("n").cast("double"), 4).as("entropy"))
+      .orderBy("h")
+
+  /** Peak detection on the hourly count series per type: a peak is a
+    * STRICT local maximum over the contiguous hour grid (missing hours
+    * = 0, so a spike after a quiet gap still has real neighbors) that
+    * also clears mean + 2σ, with mean/σ from exact integer moments
+    * (σ² = (H·Σc² − (Σc)²)/H²) — the alerting primitive behind "which
+    * hours actually spiked". Comparisons pit exact integer counts
+    * against engine-identical threshold doubles. Shape: one (type,
+    * hour) count shuffle, span-bounded grid explode, one window. */
+  def hourlyPeaks(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val m = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("nh").cast("double"))
+      .withColumn("sd", sqrt(
+        (col("nh") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("nh") * col("nh")).cast("double")))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    grid
+      .withColumn("prev", coalesce(lag(col("c"), 1).over(w), lit(-1L)))
+      .withColumn("next", coalesce(lead(col("c"), 1).over(w), lit(-1L)))
+      .join(broadcast(m.select(col("event_type"), col("mean"), col("sd"))), "event_type")
+      .where(col("c") > col("prev") && col("c") > col("next") &&
+        col("c").cast("double") > col("mean") + lit(2.0) * col("sd"))
+      .select(col("event_type"),
+        expr("unix_micros(h) div 3600000000").as("epoch_hour"), col("c"),
+        round(col("mean") + lit(2.0) * col("sd"), 4).as("threshold"))
+      .orderBy("event_type", "epoch_hour")
+  }
+
   /** Tukey IQR-fence outlier census per group — the boxplot complement
     * of [[madOutliers]] (IQR fences are what BI dashboards draw; MAD is
     * the robust-z screen): exact interpolating quartiles (Spark
@@ -928,20 +982,21 @@ object Temporal {
       .orderBy(groupCol)
   }
 
-  /** Two-proportion z-test on user conversion between two deterministic
-    * variants (user_id parity — the hash-bucket assignment an
-    * experimentation platform uses): conversion = the user emitted ≥1
-    * `convEvent`. All counts are exact integers off ONE user-keyed
-    * aggregate; the z statistic is a closed form over four longs
+  /** Two-proportion z-test on the `convEvent` share of traffic between
+    * two deterministic variants (user_id parity — the hash-bucket
+    * assignment an experimentation platform uses): n = events in the
+    * variant, c = its `convEvent` events. All counts are exact integers
+    * off ONE aggregate; the z statistic is a closed form over four longs
     * (pooled-variance form), so both engines divide the same exact
-    * numerators. Output: one row with per-variant n/conversions/rates
-    * and z. */
+    * numerators. Degenerate pooled rates (0 or 1 — zero variance) yield
+    * NULL z rather than an ANSI divide-by-zero. Output: one row with
+    * per-variant n/conversions/rates and z. */
   def abTest(events: DataFrame, convEvent: String = "purchase"): DataFrame = {
-    val users = events.groupBy("user_id")
-      .agg(max(when(col("event_type") === convEvent, 1L).otherwise(0L)).as("conv"))
+    val v = events
       .withColumn("variant", (col("user_id") % 2).cast("int"))
-    val v = users.groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === convEvent, 1L).otherwise(0L)).as("c"))
     val wide = v.where(col("variant") === 0)
       .select(col("n").as("n0"), col("c").as("c0"))
       .crossJoin(v.where(col("variant") === 1)
@@ -951,8 +1006,9 @@ object Temporal {
     val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
     wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
       round(p0, 4).as("rate0"), round(p1, 4).as("rate1"),
-      round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
+      when(pp > 0.0 && pp < 1.0,
+        round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
   }
 
   /** XmR (individuals + moving-range) control chart summary per group —

@@ -1690,6 +1690,60 @@ object TextAnalysis {
           .as("simpson"))
       .orderBy("source")
 
+  /** Token BURSTINESS census (Church & Gale 1995): variance-to-mean
+    * ratio of a token's per-doc count across the WHOLE corpus (absent
+    * docs count 0) — function words are ~Poisson (b ≈ 1−p), topical
+    * content words are bursty (b ≫ 1): the statistical "is this token a
+    * keyword anywhere" screen that needs no labels. With integer moments
+    * s1 = Σc, s2 = Σc² over the df docs containing the token and N total
+    * docs, b = var/mean = (N·s2 − s1²)/(N·s1) — ONE division of exact
+    * 64-bit products, so ranking on the raw double is engine-safe.
+    * Shape: one (doc, token) count shuffle + one per-token aggregate;
+    * `minDf` floors away hapax noise; top-k via TakeOrdered. */
+  def tokenBurstiness(docs: DataFrame, minDf: Long = 5L, k: Int = 20): DataFrame = {
+    val withToks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+    val nDocs = withToks.agg(count(lit(1)).as("nd"))
+    val tc = withToks.select(explode(col("ts")).as("tok"), col("doc_id"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"),
+        sum(col("c") * col("c")).as("s2"))
+      .where(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("burstiness",
+        (col("nd") * col("s2") - col("cf") * col("cf")).cast("double")
+          / (col("nd") * col("cf")).cast("double"))
+      .orderBy(col("burstiness").desc, col("tok")).limit(k)
+      .select(col("tok"), col("df"), col("cf"),
+        round(col("burstiness"), 4).as("burstiness"))
+  }
+
+  /** Language-mix profile per source — the "is this source actually
+    * monolingual" ingest check: doc counts, distinct languages, Shannon
+    * entropy of the language mix (H = ln n − (Σc·ln c)/n, lns over exact
+    * integers only), and the dominant language with its share (rank on
+    * (count desc, lang) — a total order). One (source, lang) count
+    * aggregate; everything downstream is S·L rows. */
+  def sourceLangMix(docs: DataFrame): DataFrame = {
+    val slc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val ent = slc.groupBy("source")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(log(col("n_docs").cast("double"))
+          - col("clnc") / col("n_docs").cast("double"), 4).as("entropy"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+    val top = slc.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_c"))
+    ent.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("entropy"),
+        col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs").cast("double"), 4)
+          .as("top_share"))
+      .orderBy("source")
+  }
+
   /** Jensen–Shannon divergence of each stratum's unigram distribution vs
     * the pooled corpus — the SYMMETRIC, bounded (≤ ln 2) complement of
     * [[domainKl]] (JSD is what mixture-design papers report, because a

@@ -457,6 +457,22 @@ object ExtQueries {
   def jsDivergenceQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.jsDivergence(Tables.documents(s, d))
 
+  /** Top-20 burstiest tokens (variance-to-mean of per-doc counts). */
+  def tokenBurstinessQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenBurstiness(Tables.documents(s, d))
+
+  /** Per-source language-mix profile. */
+  def sourceLangMixQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceLangMix(Tables.documents(s, d))
+
+  /** Per-hour Shannon entropy of the event-type mix. */
+  def hourlyEntropyQ(s: SparkSession, d: String): DataFrame =
+    Temporal.hourlyTypeEntropy(Tables.events(s, d))
+
+  /** Strict local maxima clearing mean + 2 sigma on the hourly grid. */
+  def peaksQ(s: SparkSession, d: String): DataFrame =
+    Temporal.hourlyPeaks(Tables.events(s, d))
+
   /** Batch interval join: (view, purchase) pairs of the same user within
     * one hour — the batch twin of the streaming interval join. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
@@ -1844,6 +1860,10 @@ object ExtQueries {
     "ext_control_chart" -> controlChartQ _,
     "ext_markov_stationary" -> markovStationaryQ _,
     "ext_js_divergence" -> jsDivergenceQ _,
+    "ext_token_burstiness" -> tokenBurstinessQ _,
+    "ext_source_lang_mix" -> sourceLangMixQ _,
+    "ext_hourly_entropy" -> hourlyEntropyQ _,
+    "ext_peaks" -> peaksQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -1980,9 +2000,11 @@ object ExtQueries {
     * BY i))` — matching the Spark side's ascending-i accumulator, so the
     * double association is identical. */
   private val markovStationarySql: String = {
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs at each reference,
+    // which makes a 25-deep chain exponential to plan
     val iters = (1 to 25).map { k =>
       val prev = if (k == 1) "p0" else s"p${k - 1}"
-      s"""p$k AS (SELECT pm.j AS i,
+      s"""p$k AS MATERIALIZED (SELECT pm.j AS i,
          |  list_reduce(list($prev.r * pm.p ORDER BY pm.i), (a, b) -> a + b) AS r
          |  FROM pm JOIN $prev ON $prev.i = pm.i GROUP BY pm.j)""".stripMargin
     }.mkString(",\n")
@@ -1995,7 +2017,7 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS i
        |  FROM (SELECT DISTINCT event_type FROM events)),
        |ot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS tot FROM tr GROUP BY f),
-       |pm AS (
+       |pm AS MATERIALIZED (
        |  SELECT si.i AS i, sj.i AS j,
        |    CASE WHEN ot.tot IS NULL
        |         THEN CASE WHEN si.i = sj.i THEN 1.0 ELSE 0.0 END
@@ -2004,7 +2026,7 @@ object ExtQueries {
        |  LEFT JOIN ot ON ot.f = si.st
        |  LEFT JOIN tr ON tr.f = si.st AND tr.t = sj.st),
        |nn AS (SELECT COUNT(*) AS n FROM states),
-       |p0 AS (SELECT i, 1.0 / nn.n AS r FROM states, nn),
+       |p0 AS MATERIALIZED (SELECT i, 1.0 / nn.n AS r FROM states, nn),
        |$iters
        |SELECT s.st AS event_type,
        |  ROUND(p25.r + SIGN(p25.r) * 0.000000001, 4) AS pi
@@ -4591,6 +4613,92 @@ object ExtQueries {
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
 
+    // burstiness b = (N*s2 - cf^2)/(N*cf): one division of exact integer
+    // products, so the DESC ranking is engine-safe
+    "ext_token_burstiness" ->
+      s"""WITH $toksCte,
+         |wt AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+         |nd AS (SELECT COUNT(*) AS nd FROM wt),
+         |occ AS (SELECT doc_id, unnest(ts) AS tok FROM wt),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+         |m AS (SELECT tok, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
+         |        CAST(SUM(c * c) AS BIGINT) AS s2
+         |      FROM c GROUP BY tok),
+         |b AS (SELECT tok, df, cf,
+         |        CAST(nd.nd * s2 - cf * cf AS DOUBLE)
+         |          / CAST(nd.nd * cf AS DOUBLE) AS burstiness
+         |      FROM m, nd WHERE df >= 5)
+         |SELECT tok, df, cf, ROUND(burstiness, 4) AS burstiness
+         |FROM b ORDER BY burstiness DESC, tok LIMIT 20""".stripMargin,
+
+    // language-mix entropy in the exact-integer ln form; dominant
+    // language by (count desc, lang) — a total order
+    "ext_source_lang_mix" ->
+      """WITH slc AS (SELECT source, lang, COUNT(*) AS c
+        |             FROM documents GROUP BY 1, 2),
+        |e AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        COUNT(*) AS n_langs,
+        |        ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+        |      FROM slc GROUP BY source),
+        |t AS (SELECT source, lang AS top_lang, c AS top_c,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY c DESC, lang) AS rk
+        |      FROM slc)
+        |SELECT e.source, e.n_docs, e.n_langs, e.entropy, t.top_lang,
+        |  ROUND(CAST(t.top_c AS DOUBLE) / e.n_docs, 4) AS top_share
+        |FROM e JOIN t ON t.source = e.source AND t.rk = 1
+        |ORDER BY e.source""".stripMargin,
+
+    // traffic-mix entropy per hour: H = ln n - (sum c*ln c)/n, lns over
+    // exact integer counts only
+    "ext_hourly_entropy" ->
+      """WITH hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |              COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2)
+        |SELECT h, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+        |  ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+        |FROM hc GROUP BY h ORDER BY h""".stripMargin,
+
+    // strict local maxima over the CONTIGUOUS hour grid (missing hours
+    // = 0; boundary neighbors coalesce to -1) clearing mean + 2*sd from
+    // exact integer moments
+    "ext_peaks" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |m AS (SELECT event_type, COUNT(*) AS nh, CAST(SUM(c) AS BIGINT) AS s1,
+        |        CAST(SUM(c * c) AS BIGINT) AS s2
+        |      FROM grid GROUP BY event_type),
+        |ms AS (SELECT event_type,
+        |        CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
+        |        sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE)
+        |          / CAST(nh * nh AS DOUBLE)) AS sd
+        |      FROM m),
+        |nb AS (SELECT event_type, eh, c,
+        |        COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY eh), -1)
+        |          AS prev,
+        |        COALESCE(LEAD(c) OVER (PARTITION BY event_type ORDER BY eh), -1)
+        |          AS next
+        |      FROM grid)
+        |SELECT nb.event_type, nb.eh AS epoch_hour, nb.c,
+        |  ROUND(ms.mean + 2.0 * ms.sd, 4) AS threshold
+        |FROM nb JOIN ms USING (event_type)
+        |WHERE nb.c > nb.prev AND nb.c > nb.next
+        |  AND CAST(nb.c AS DOUBLE) > ms.mean + 2.0 * ms.sd
+        |ORDER BY event_type, epoch_hour""".stripMargin,
+
     // Tukey fences from the proven quantile_cont/percentile pairing; the
     // fence doubles are identical in both engines so strict counts match
     "ext_iqr_outliers" ->
@@ -4610,12 +4718,10 @@ object ExtQueries {
     // two-proportion z: four exact longs into one closed form, identical
     // operation order both engines
     "ext_ab_test" ->
-      """WITH u AS (SELECT user_id,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY user_id),
-        |v AS (SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
-        |        CAST(SUM(conv) AS BIGINT) AS c
-        |      FROM u GROUP BY 1),
+      """WITH v AS (SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
         |w AS (SELECT
         |  (SELECT n FROM v WHERE variant = 0) AS n0,
         |  (SELECT c FROM v WHERE variant = 0) AS c0,
@@ -4626,7 +4732,9 @@ object ExtQueries {
         |  CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp FROM w)
         |SELECT n0, c0, n1, c1,
         |  ROUND(p0, 4) AS rate0, ROUND(p1, 4) AS rate1,
-        |  ROUND((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 4) AS z
+        |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |    ROUND((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 4)
+        |  END AS z
         |FROM z""".stripMargin,
 
     // XmR: moving ranges over 2-decimal integer values; limit doubles and

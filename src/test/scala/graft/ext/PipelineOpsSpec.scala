@@ -440,6 +440,130 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._3 == 2L) // (h0,h1) and (h1,h2) — h1 exists with c=0
   }
 
+  test("iqrOutliers: hand-set quartiles and fence counts") {
+    // type g: 1..11 plus spikes -30 and 40 (n=13)
+    // sorted: -30,1..11,40 -> q1 = 3, q3 = 9 (exact interpolation),
+    // iqr 6, fences -6 / 18 -> one low (-30), one high (40)
+    val e = ((1L to 11L).map(i => (i, "g", i.toDouble)) ++
+      Seq((12L, "g", -30.0), (13L, "g", 40.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = Temporal.iqrOutliers(e)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(got == (("g", 13L, 1L, 1L, 3.0, 9.0, -6.0, 18.0)), got.toString)
+  }
+
+  test("abTest: exact counts and a hand-computed z") {
+    // variant 0 (even users): 4 events, 1 purchase; variant 1: 4, 3
+    val e = Seq(
+      (1L, 2L, "purchase"), (2L, 2L, "view"), (3L, 4L, "view"), (4L, 4L, "view"),
+      (5L, 1L, "purchase"), (6L, 1L, "purchase"), (7L, 3L, "purchase"), (8L, 3L, "view")
+    ).toDF("event_id", "user_id", "event_type")
+    val r = Temporal.abTest(e)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert((r._1, r._2, r._3, r._4, r._5, r._6) == ((4L, 1L, 4L, 3L, 0.25, 0.75)))
+    val pp = 0.5
+    val z = (0.75 - 0.25) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert(r._7.contains(math.rint(z * 10000) / 10000))
+    // degenerate: every event converts -> z NULL, not a crash
+    val allConv = e.withColumn("event_type", lit("purchase"))
+    assert(Temporal.abTest(allConv)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head._7.isEmpty)
+  }
+
+  test("controlChart: constant series has zero MR and no out-of-limit points") {
+    val flat = (1L to 5L).map(i => (i, ts(i * 60), "g", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = Temporal.controlChart(flat)
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect().head
+    assert(r == (("g", 5L, 7.0, 0.0, 7.0, 7.0, 0L)), r.toString)
+    // one spike: MRbar > 0 and the spike escapes the limits
+    val spiky = flat.unionAll(Seq((6L, ts(600L), "g", 100.0))
+      .toDF("event_id", "ts", "event_type", "value"))
+    val s = Temporal.controlChart(spiky)
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect().head
+    assert(s._4 > 0 && s._7 >= 1L)
+  }
+
+  test("markovStationary: a deterministic 2-cycle settles at 50/50; dangling self-loops") {
+    // user 1 alternates a,b,a,b,... -> P(a->b)=P(b->a)=1
+    val cyc = (1L to 10L).map(i =>
+      (i, ts(i * 60), 1L, if (i % 2 == 1) "a" else "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.markovStationary(cyc)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.5, "b" -> 0.5))
+    // absorbing state: a->b always, b dangling (self-loop) -> all mass in b
+    val abs = Seq((1L, ts(0), 1L, "a"), (2L, ts(60), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val g2 = Temporal.markovStationary(abs).as[(String, Double)].collect().toMap
+    assert(g2("b") == 1.0 && g2("a") == 0.0)
+  }
+
+  test("jsDivergence is symmetric-bounded: identical strata ~0, disjoint near ln 2") {
+    val same = Seq((1L, "x y z", "a"), (2L, "x y z", "b")).toDF("doc_id", "text", "source")
+    val g1 = TextAnalysis.jsDivergence(same).as[(String, Double)].collect().toMap
+    // each stratum == pooled distribution -> JSD ~ 0 (smoothing keeps it tiny)
+    assert(g1.values.forall(v => v >= 0.0 && v < 0.02))
+    val disj = Seq((1L, "x x x x", "a"), (2L, "y y y y", "b")).toDF("doc_id", "text", "source")
+    val g2 = TextAnalysis.jsDivergence(disj).as[(String, Double)].collect().toMap
+    // stratum vs pooled mix: JSD substantial but <= ln 2
+    assert(g2.values.forall(v => v > 0.05 && v <= math.log(2.0)))
+  }
+
+  test("tokenBurstiness: a concentrated token outranks an evenly spread one") {
+    // 6 docs; 'f' once in every doc (Poisson-ish); 'b' 6 times in one doc
+    val docs = (1L to 6L).map(i =>
+      (i, if (i == 1) "f b b b b b b" else "f")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenBurstiness(docs, minDf = 1L, k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // f: df 6 cf 6 s2 6 -> b = (36-36)/36 = 0
+    assert(got("f") == (("f", 6L, 6L, 0.0)))
+    // b: df 1 cf 6 s2 36 -> (6*36 - 36)/(6*6) = 5.0
+    assert(got("b") == (("b", 1L, 6L, 5.0)))
+  }
+
+  test("sourceLangMix: entropy and dominant language with exact shares") {
+    val docs = Seq(
+      (1L, "t", "en", "s1"), (2L, "t", "en", "s1"), (3L, "t", "de", "s1"),
+      (4L, "t", "zh", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sourceLangMix(docs)
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val h = math.log(3.0) - (2.0 * math.log(2.0)) / 3.0
+    assert(got("s1") == (("s1", 3L, 2L, math.rint(h * 10000) / 10000, "en",
+      math.rint(2.0 / 3 * 10000) / 10000)))
+    assert(got("s2") == (("s2", 1L, 1L, 0.0, "zh", 1.0)))
+  }
+
+  test("hourlyTypeEntropy: uniform mix = ln T, single type = 0") {
+    val e = Seq(
+      (1L, ts(100), "a"), (2L, ts(200), "b"), (3L, ts(300), "c"),
+      (4L, ts(3700), "a"), (5L, ts(3800), "a")
+    ).toDF("event_id", "ts", "event_type")
+    val got = Temporal.hourlyTypeEntropy(e)
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got(3L) == math.rint(math.log(3.0) * 10000) / 10000)
+    assert(got(2L) == 0.0)
+  }
+
+  test("hourlyPeaks: an isolated spike is a strict local max over the filled grid") {
+    // type g over 10 contiguous hours: count 1 everywhere except hour 5 = 20;
+    // hour 7 has NO events (grid must fill 0, not splice)
+    val e = (0 until 10).filter(_ != 7).flatMap { h =>
+      val n = if (h == 5) 20 else 1
+      (0 until n).map(k => (h * 100L + k, ts(h * 3600L + 10 + k), "g"))
+    }.toDF("event_id", "ts", "event_type")
+    val got = Temporal.hourlyPeaks(e)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._2 == 5L && got.head._3 == 20L) // the spike hour only
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
