@@ -1,0 +1,39 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Plan pins for the round-7 session-3 operators: none of them may plan
+  * a CartesianProduct, and none except the documented 1-row scalar
+  * cross joins (token burstiness' corpus-size factor, the A/B variant
+  * pair) may plan a BroadcastNestedLoopJoin. Guards against a future
+  * refactor silently turning an equi-join into an all-pairs plan —
+  * the difference between one shuffle and an O(n²) job at 100 TB. */
+class SessionOpsPlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // scalar cross joins (1-row or S-row side by construction: corpus
+  // totals, the chi-square scalar, the variant pair, stratum totals)
+  // are fine; a true cartesian between data-sized relations never is
+  private val scalarCrossOk = Set("ext_token_burstiness", "ext_ab_test",
+    "ext_benford", "ext_js_divergence")
+
+  private val ops = Seq(
+    "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
+    "ext_autocorr", "ext_phrase_search", "ext_clustering_coef",
+    "ext_ppl_buckets", "ext_iqr_outliers", "ext_ab_test", "ext_control_chart",
+    "ext_markov_stationary", "ext_js_divergence", "ext_token_burstiness",
+    "ext_source_lang_mix", "ext_hourly_entropy", "ext_peaks")
+
+  test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
+    ops.foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, d)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      if (!scalarCrossOk(q))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a BroadcastNestedLoopJoin")
+    }
+  }
+}
