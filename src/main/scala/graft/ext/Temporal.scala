@@ -873,9 +873,12 @@ object Temporal {
     * is exact integer arithmetic: values quantize to 2-decimal longs
     * v = round(100·x), and the mean never materializes as a double —
     * the cumulative deviation is held n×-scaled as
-    * Cᵢ = n·Σ_{j≤i} vⱼ − i·Σv (bounded by n²·max v ≈ 10¹³ at 10⁶
-    * rows/type, far under 2⁵³), so the argmax is a deterministic
-    * integer comparison with the row number as tie-break. The reported
+    * Cᵢ = n·Σ_{j≤i} vⱼ − i·Σv, so the argmax is a deterministic
+    * integer comparison with the row number as tie-break. |Cᵢ| ≤
+    * n²·max v, which stays under 2⁵³ up to ~4·10⁵ rows per key at
+    * 3-digit values; beyond that, quantize coarser (or pre-aggregate
+    * to a bounded grid, as the hourly ops do) before this pass — the
+    * n×-scaling trades headroom for exactness deliberately. The reported
     * `cusum_peak` de-scales to value units only at the end. Shape: one
     * type-keyed window cumsum + one per-type max — a single shuffle on
     * event_type. */
@@ -897,6 +900,77 @@ object Temporal {
         col("event_id").as("cp_event_id"), col("ts").as("cp_ts"),
         round(abs(col("c")).cast("double") / (col("n") * lit(100)).cast("double"), 4)
           .as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
+  /** DAU/WAU/MAU + stickiness — the engagement dashboard row: per day,
+    * distinct active users that day, over the trailing 7 days, over the
+    * trailing 30 days, and DAU/MAU. Computed WITHOUT per-day rescans:
+    * each (user, active-day) row covers the next 7 (resp. 30) result
+    * days via an in-row integer sequence explode — a constant-factor
+    * fan-out (the sliding-distinct-actives scheme), then one distinct
+    * count per day. Days ride as exact epoch-day integers; stickiness
+    * is one division of exact longs. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("ed"))
+      .distinct()
+    val bounds = ud.agg(min("ed").as("ed0"), max("ed").as("ed1"))
+    def cover(win: Int) = ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("ed"), least(col("ed") + lit(win - 1), col("ed1"))))
+          .as("d"))
+      .groupBy("d").agg(countDistinct(col("user_id")).as(s"au$win"))
+    val dau = ud.groupBy(col("ed").as("d")).agg(countDistinct("user_id").as("dau"))
+    val grid = bounds.select(explode(sequence(col("ed0"), col("ed1"))).as("d"))
+    grid
+      .join(dau, Seq("d"), "left")
+      .join(cover(7), Seq("d"), "left")
+      .join(cover(30), Seq("d"), "left")
+      .select(col("d").as("epoch_day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("au7"), lit(0L)).as("wau"),
+        coalesce(col("au30"), lit(0L)).as("mau"))
+      .withColumn("stickiness",
+        when(col("mau") > 0,
+          round(col("dau").cast("double") / col("mau").cast("double"), 4)))
+      .orderBy("epoch_day")
+  }
+
+  /** Seasonal-naive forecast error per type — the baseline every real
+    * forecaster must beat, and the cheapest seasonality detector (if
+    * lag-24 MAE ≪ lag-1 MAE the series has a daily cycle): forecast
+    * ĉ(h) = c(h−24) (and the lag-1 naive twin) over the CONTIGUOUS
+    * hourly grid, scored by MAE and RMSE on the hours where both lags
+    * exist. Counts and error sums are exact integers; the divisions and
+    * sqrt are single engine-identical ops. One (type, hour) count
+    * shuffle + one window. */
+  def seasonalNaiveError(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    grid
+      .withColumn("l24", lag(col("c"), 24).over(w))
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .where(col("l24").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("c") - col("l24"))).as("ae24"),
+        sum((col("c") - col("l24")) * (col("c") - col("l24"))).as("se24"),
+        sum(abs(col("c") - col("l1"))).as("ae1"),
+        sum((col("c") - col("l1")) * (col("c") - col("l1"))).as("se1"))
+      .select(col("event_type"), col("n"),
+        round(col("ae24").cast("double") / col("n").cast("double"), 4).as("mae24"),
+        round(sqrt(col("se24").cast("double") / col("n").cast("double")), 4).as("rmse24"),
+        round(col("ae1").cast("double") / col("n").cast("double"), 4).as("mae1"),
+        round(sqrt(col("se1").cast("double") / col("n").cast("double")), 4).as("rmse1"))
       .orderBy("event_type")
   }
 

@@ -473,6 +473,30 @@ object ExtQueries {
   def peaksQ(s: SparkSession, d: String): DataFrame =
     Temporal.hourlyPeaks(Tables.events(s, d))
 
+  /** DAU/WAU/MAU + stickiness per epoch day. */
+  def stickinessQ(s: SparkSession, d: String): DataFrame =
+    Temporal.stickiness(Tables.events(s, d))
+
+  /** Seasonal-naive (lag-24) vs naive (lag-1) forecast error per type. */
+  def seasonalNaiveQ(s: SparkSession, d: String): DataFrame =
+    Temporal.seasonalNaiveError(Tables.events(s, d))
+
+  /** Streaming per-(user, hour) quota gate, run to completion; admission
+    * order within the single in-order batch is (ts, event_id), so the
+    * admitted set matches the batch row_number() twin exactly. */
+  def streamQuotaQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = graft.streaming.Streams.eventStream(s, d + "/events.parquet")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("eh"),
+        col("event_id"), expr("unix_micros(ts)").as("tsu"))
+      .as[(Long, Long, Long, Long)]
+    runStream(graft.streaming.Streams.quotaGate(in, maxPerKey = 1L)
+        .toDF("event_id", "user_id", "epoch_hour"),
+      "graft_stream_quota", "append")
+      .orderBy("event_id")
+  }
+
   /** Batch interval join: (view, purchase) pairs of the same user within
     * one hour — the batch twin of the streaming interval join. */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
@@ -1864,6 +1888,9 @@ object ExtQueries {
     "ext_source_lang_mix" -> sourceLangMixQ _,
     "ext_hourly_entropy" -> hourlyEntropyQ _,
     "ext_peaks" -> peaksQ _,
+    "ext_stickiness" -> stickinessQ _,
+    "ext_seasonal_naive" -> seasonalNaiveQ _,
+    "ext_stream_quota" -> streamQuotaQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -4612,6 +4639,79 @@ object ExtQueries {
         |  CASE WHEN m > 1 AND dx > 0 AND dy > 0
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // engagement: each (user, active-day) covers its next 7/30 result
+    // days via an integer explode (constant fan-out), one distinct count
+    // per day — all exact integers, one division for stickiness
+    "ext_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS ed
+        |  FROM events),
+        |b AS (SELECT MIN(ed) AS ed0, MAX(ed) AS ed1 FROM ud),
+        |grid AS MATERIALIZED (
+        |  SELECT CAST(g.d AS BIGINT) AS d FROM b, unnest(range(b.ed0, b.ed1 + 1)) AS g(d)),
+        |dau AS (SELECT ed AS d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |c7 AS MATERIALIZED (
+        |  SELECT CAST(g.d AS BIGINT) AS d, ud.user_id
+        |  FROM ud, b, unnest(range(ud.ed, least(ud.ed + 7, b.ed1 + 1))) AS g(d)),
+        |wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM c7 GROUP BY d),
+        |c30 AS MATERIALIZED (
+        |  SELECT CAST(g.d AS BIGINT) AS d, ud.user_id
+        |  FROM ud, b, unnest(range(ud.ed, least(ud.ed + 30, b.ed1 + 1))) AS g(d)),
+        |mau AS (SELECT d, COUNT(DISTINCT user_id) AS mau FROM c30 GROUP BY d)
+        |SELECT grid.d AS epoch_day,
+        |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+        |  CAST(COALESCE(mau.mau, 0) AS BIGINT) AS mau,
+        |  CASE WHEN COALESCE(mau.mau, 0) > 0 THEN
+        |    ROUND(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / mau.mau, 4)
+        |  END AS stickiness
+        |FROM grid LEFT JOIN dau USING (d) LEFT JOIN wau USING (d)
+        |LEFT JOIN mau USING (d)
+        |ORDER BY epoch_day""".stripMargin,
+
+    // seasonal-naive baseline: lag-24 and lag-1 forecasts over the
+    // contiguous hour grid; MAE/RMSE from exact integer error sums
+    "ext_seasonal_naive" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |lagged AS (
+        |  SELECT event_type, c,
+        |    LAG(c, 24) OVER (PARTITION BY event_type ORDER BY eh) AS l24,
+        |    LAG(c, 1) OVER (PARTITION BY event_type ORDER BY eh) AS l1
+        |  FROM grid)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(ABS(c - l24)) AS DOUBLE) / COUNT(*), 4) AS mae24,
+        |  ROUND(sqrt(CAST(SUM((c - l24) * (c - l24)) AS DOUBLE) / COUNT(*)), 4)
+        |    AS rmse24,
+        |  ROUND(CAST(SUM(ABS(c - l1)) AS DOUBLE) / COUNT(*), 4) AS mae1,
+        |  ROUND(sqrt(CAST(SUM((c - l1) * (c - l1)) AS DOUBLE) / COUNT(*)), 4)
+        |    AS rmse1
+        |FROM lagged WHERE l24 IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // streaming quota gate parity: the batch row_number() twin
+    "ext_stream_quota" ->
+      """WITH x AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, eh AS epoch_hour
+        |FROM x WHERE rn <= 1 ORDER BY event_id""".stripMargin,
 
     // burstiness b = (N*s2 - cf^2)/(N*cf): one division of exact integer
     // products, so the DESC ranking is engine-safe

@@ -302,4 +302,33 @@ object Streams {
           }
       }
   }
+
+  /** Streaming QUOTA gate (ingest rate limiter): admit at most
+    * `maxPerKey` events per (user, event-time hour), drop the rest — the
+    * per-tenant throttle every multi-tenant ingest front door needs.
+    * Keyed O(1) state: one admitted-count long per (user, hour); rows
+    * within a batch are processed in (ts, event_id) order so admission
+    * is deterministic and exactly matches the batch row_number() twin
+    * (the oracle). At scale the hour component keeps the key space
+    * rolling — old (user, hour) states are dead weight the watermark
+    * epoch would evict in a production config. Input tuples:
+    * (user_id, epoch_hour, event_id, ts_micros). Emits admitted
+    * (event_id, user_id, epoch_hour). */
+  def quotaGate(events: Dataset[(Long, Long, Long, Long)],
+      maxPerKey: Long = 10L): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._4, r._3)).flatMap { r =>
+            if (admitted < maxPerKey) { admitted += 1; Some((r._3, key._1, key._2)) }
+            else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
 }

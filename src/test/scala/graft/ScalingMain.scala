@@ -559,6 +559,35 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // round-7 session-3 temporal/monitoring ops over the same replicated
+    // events: each is one type- or user-keyed shuffle (+ a span-bounded
+    // hour-grid explode for the grid ops), so wall-clock must track m;
+    // note the hour-grid ops' grid size is span-bounded (constant in m —
+    // replicas share the time span), so their cost grows only through
+    // the count shuffle.
+    println("mult |   events | cusum | autocorr |  iqr | xmr | entropy | peaks | stick | snaive")
+    sweep("r7d") { m =>
+      val ev0 = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev0
+        else ev0.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tCu, _) = time(mat(ext.Temporal.cusumChangePoint(evm)))
+      val (tAc, _) = time(mat(ext.Temporal.hourlyAutocorr(evm)))
+      val (tIq, _) = time(mat(ext.Temporal.iqrOutliers(evm)))
+      val (tXm, _) = time(mat(ext.Temporal.controlChart(evm)))
+      val (tHe, _) = time(mat(ext.Temporal.hourlyTypeEntropy(evm)))
+      val (tPk, _) = time(mat(ext.Temporal.hourlyPeaks(evm)))
+      val (tSt, _) = time(mat(ext.Temporal.stickiness(evm)))
+      val (tSn, _) = time(mat(ext.Temporal.seasonalNaiveError(evm)))
+      println(f"$m%4d | $nEv%8d | $tCu%5.2f | $tAc%8.2f | $tIq%4.2f | $tXm%3.2f | $tHe%7.2f | $tPk%5.2f | $tSt%5.2f | $tSn%6.2f")
+      evm.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

@@ -564,6 +564,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.head._2 == 5L && got.head._3 == 20L) // the spike hour only
   }
 
+  test("stickiness: windows cover trailing days, gaps fill, ratio exact") {
+    // user 1 active day 0; user 2 active days 0 and 2; day 1 has nobody
+    val e = Seq(
+      (1L, ts(100), 1L), (2L, ts(200), 2L), (3L, ts(2 * 86400L + 100), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Temporal.stickiness(e)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    assert(got(0L) == ((0L, 2L, 2L, 2L, Some(1.0))))
+    assert(got(1L) == ((1L, 0L, 2L, 2L, Some(0.0)))) // day with no activity
+    assert(got(2L) == ((2L, 1L, 2L, 2L, Some(0.5)))) // both users in trailing 7/30
+  }
+
+  test("seasonalNaiveError: an exact 24h cycle has zero lag-24 error, nonzero lag-1") {
+    // 48 contiguous hours, count = 3 on even hours, 1 on odd
+    val e = (0 until 48).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1
+      (0 until n).map(k => (h * 100L + k, ts(h * 3600L + k), "g"))
+    }.toDF("event_id", "ts", "event_type")
+    val r = Temporal.seasonalNaiveError(e)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(r._1 == "g" && r._2 == 24L)
+    assert(r._3 == 0.0 && r._4 == 0.0)  // period divides 24 -> perfect
+    assert(r._5 == 2.0 && r._6 == 2.0)  // lag-1 always off by 2
+  }
+
+  test("quotaGate admits the first k per (user, hour) in (ts, id) order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 hour 0: events 1,2,3 (quota 2 -> 3 dropped); hour 1: event 4
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    ms.addData((1L, 0L, 3L, 300L), (1L, 0L, 1L, 100L),
+      (1L, 0L, 2L, 200L), (1L, 1L, 4L, 400L))
+    val q = graft.streaming.Streams.quotaGate(ms.toDS(), maxPerKey = 2L)
+      .toDF("event_id", "user_id", "epoch_hour")
+      .writeStream.format("memory").queryName("quota_spec").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quota_spec")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L, 0L), (2L, 1L, 0L), (4L, 1L, 1L)))
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())
