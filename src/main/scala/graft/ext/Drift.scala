@@ -159,4 +159,42 @@ object Drift {
           col("av").as("at_value"))
     } finally vc.unpersist(false)
   }
+
+  /** Chi-square HOMOGENEITY test of the event-type mix between the two
+    * user-id-parity variants — the categorical complement of the
+    * two-proportion z ([[graft.ext.Temporal.abTest]]): did the
+    * treatment change WHAT users do, not just how much. The full
+    * variant×type grid keeps zero cells; expected counts are single
+    * divisions of exact integer products (rowΣ·colΣ/N ≪ 2⁵³), and the
+    * χ² total folds its cells in (variant, type) order — the
+    * engine-identical double association. Output: one row per cell
+    * with observed/expected/contribution and the χ²+dof riders. */
+  def chi2Homogeneity(events: DataFrame): DataFrame = {
+    val g = events
+      .select((col("user_id") % 2).cast("int").as("variant"), col("event_type"))
+      .groupBy("variant", "event_type").agg(count(lit(1)).as("c"))
+    val grid = g.select("variant").distinct()
+      .crossJoin(g.select("event_type").distinct())
+      .join(g, Seq("variant", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val rt = grid.groupBy("variant").agg(sum("c").as("rt"))
+    val ct = grid.groupBy("event_type").agg(sum("c").as("ct"))
+    val nn = grid.agg(sum("c").as("n"))
+    val k = grid.join(broadcast(rt), "variant").join(broadcast(ct), "event_type")
+      .crossJoin(broadcast(nn))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (col("c").cast("double") - col("e")) * (col("c").cast("double") - col("e"))
+          / col("e"))
+    val tot = k.agg(
+      aggregate(sort_array(collect_list(struct(col("variant"), col("event_type"),
+          col("contrib")))),
+        lit(0.0), (a, x) => a + x.getField("contrib")).as("chi2"),
+      ((countDistinct("variant") - 1) * (countDistinct("event_type") - 1)).as("dof"))
+    k.crossJoin(broadcast(tot))
+      .select(col("variant"), col("event_type"), col("c"),
+        round(col("e"), 4).as("expected"), round(col("contrib"), 4).as("contrib"),
+        round(col("chi2"), 4).as("chi2"), col("dof"))
+      .orderBy("variant", "event_type")
+  }
 }

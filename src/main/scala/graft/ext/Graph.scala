@@ -125,6 +125,99 @@ object Graph {
     out
   }
 
+  /** Degree distribution + Hill power-law exponent of the pair graph —
+    * "is this near-dup graph scale-free hubs or uniform noise": the
+    * histogram is (degree, node count) over exact integers, and α =
+    * 1 + N/Σln(dᵥ) (Hill MLE at dmin = 1) folds Σ c_d·ln d over the
+    * FEW distinct degree values in degree order — lns of exact
+    * integers, engine-identical association. NULL α when every node
+    * has degree 1 (Σ = 0: no tail to fit). Output: one row per degree
+    * with n_nodes and the α rider. */
+  def degreeDistribution(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val alpha = hist.agg(
+        sum(col("n_nodes")).as("nn"),
+        aggregate(sort_array(collect_list(struct(col("degree"), col("n_nodes")))),
+          lit(0.0), (a, x) => a + x.getField("n_nodes").cast("double")
+            * log(x.getField("degree").cast("double"))).as("slnd"))
+      .select(when(col("slnd") > 0.0,
+        round(lit(1.0) + col("nn").cast("double") / col("slnd"), 4)).as("alpha"))
+    hist.crossJoin(broadcast(alpha)).orderBy("degree")
+  }
+
+  /** Degree ASSORTATIVITY of the pair graph (Newman 2002): Pearson r of
+    * endpoint degrees over all directed edge stubs — positive means
+    * hubs pair with hubs (mirror farms), negative means hubs bridge
+    * leaves (template + variations). Every moment (M, Σx, Σxy, Σx²…)
+    * is an exact 64-bit integer off one edge⋈degree join, so both
+    * engines divide identical numerators; NULL when degenerate (all
+    * degrees equal). Output: one row (n_edges, r). */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val stubs = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .join(deg.toDF("src", "dx"), "src")
+      .join(deg.toDF("dst", "dy"), "dst")
+    val m = stubs.agg(count(lit(1)).as("m"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(expr("m div 2").as("n_edges"),
+      when(dx > 0.0 && dy > 0.0, round(num / (sqrt(dx) * sqrt(dy)), 4)).as("r"))
+  }
+
+  /** Conductance of each connected component of the pair graph —
+    * "is this dup cluster a sealed mirror farm (φ = 0) or does it bleed
+    * borderline edges into the rest of the graph": φ(C) = cut(C) /
+    * min(vol(C), vol(V∖C)). Components with no external edges (the
+    * common case for true dup clusters — they ARE the components, so
+    * cut ≡ 0 here by construction) make this the degenerate-but-honest
+    * audit that the labeling is consistent; feed it labels from a
+    * COARSER grouping (e.g. source or band buckets) to measure real
+    * leakage. All counts exact integers off one edge⋈label join; one
+    * division. `labels` must be (doc_id, cluster). */
+  def clusterConductance(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val el = e
+      .join(labels.toDF("a", "la"), "a")
+      .join(labels.toDF("b", "lb"), "b")
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val vol = labels.toDF("v", "cluster").join(deg, "v")
+      .groupBy("cluster").agg(count(lit(1)).as("n_nodes"), sum("d").as("vol"))
+    val volAll = e.agg((count(lit(1)) * 2).as("vol_all"))
+    val cut = el.where(col("la") =!= col("lb"))
+      .select(explode(array(col("la"), col("lb"))).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("cluster"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .crossJoin(broadcast(volAll))
+      .withColumn("mn", least(col("vol"), col("vol_all") - col("vol")))
+      .select(col("cluster"), col("n_nodes"), col("vol"), col("cut"),
+        when(col("mn") > 0,
+          round(col("cut").cast("double") / col("mn").cast("double"), 4))
+          .as("phi"))
+      .orderBy("cluster")
+  }
+
   /** Per-node LOCAL clustering coefficient — the node-level refinement of
     * [[triangleStats]]' global census: lcc(v) = 2·Δ(v)/(d(v)·(d(v)−1)),
     * the fraction of v's neighbor pairs that are themselves connected

@@ -187,6 +187,71 @@ object Retrieval {
     }
   }
 
+  /** Sparse tf-idf "MORE LIKE THIS" through the postings — the sparse
+    * twin of the dense-embedding top-k: score every doc against ONE
+    * probe document's tf-idf vector by joining the probe's (V-bounded,
+    * broadcast) term weights onto the postings, so the work is
+    * Σ_{t ∈ query} df(t) — the query terms' posting lists, never an
+    * all-pairs or full-matrix pass. Norms are full-vector, so scores
+    * are true cosines. Ranking happens on the boundary-stabilized
+    * ROUND(cos, 4) with doc-id tie-breaks (the keywords rationale: a
+    * rank must not hinge on which libm rounded last). One (doc, tok)
+    * shuffle + one broadcast join + one doc-keyed aggregate. */
+  def sparseMoreLikeThis(docs: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val w = TextAnalysis.tfIdf(docs)
+    val wq = w.where(col("doc_id") === queryId)
+      .select(col("tok"), col("tfidf").as("qw"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("nrm"))
+    val qn = norms.where(col("doc_id") === queryId).select(col("nrm").as("qn"))
+    w.where(col("doc_id") =!= queryId)
+      .join(broadcast(wq), "tok")
+      .groupBy("doc_id").agg(sum(col("tfidf") * col("qw")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        graft.functions.StableRound.col4(col("dot") / (col("nrm") * col("qn")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(k)
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-`depth`
+    * rankings — the IR-standard answer to "how much do these two
+    * retrieval systems agree", weighting agreement at the TOP of the
+    * lists geometrically (persistence `p`): RBO@D = Σ_{d≤D}
+    * (1−p)·p^{d−1}·|A_d ∩ B_d|/d. Overlap counts are exact integers
+    * over the two ≤D-row rank lists (everything after the two top-k
+    * cuts is constant-size work); the geometric weights are the one
+    * float path, folded in depth order under StableRound. Inputs are
+    * scored frames as [[rrfFusion]] takes them. */
+  def rboEval(lexical: DataFrame, vector: DataFrame, depth: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    def top(df: DataFrame, score: String, id: String, rank: String) = {
+      val t = df.orderBy(col(score).desc, col(id)).limit(depth)
+      t.select(col(id).as("doc_id"),
+        row_number().over(Window.orderBy(col(score).desc, col(id))).as(rank))
+    }
+    val j = top(lexical, "bm25", "doc_id", "ra")
+      .join(top(vector, "cos", "vec_id", "rb"), Seq("doc_id"), "full_outer")
+    val spark = lexical.sparkSession
+    val grid = spark.range(1, depth + 1).toDF("d")
+    val xd = grid.crossJoin(broadcast(j))
+      .where(col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("overlap"))
+    val full = grid.join(xd, Seq("d"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("term", lit(1 - p) * pow(lit(p), col("d") - 1)
+        * col("overlap").cast("double") / col("d").cast("double"))
+    val rbo = full.agg(
+      aggregate(sort_array(collect_list(struct(col("d"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("rbo"))
+    full.crossJoin(broadcast(rbo))
+      .select(col("d"), col("overlap"),
+        graft.functions.StableRound.col4(col("term")).as("term"),
+        graft.functions.StableRound.col4(col("rbo")).as("rbo"))
+      .orderBy("d")
+  }
+
   /** The battery-shaped phrase query: find the corpus's most frequent
     * bigram (count desc, then lexicographic — a total order), then
     * locate every occurrence through the positional index. Output:

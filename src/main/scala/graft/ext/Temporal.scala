@@ -903,6 +903,88 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier survival curve of user LIFETIME (days between first
+    * and last event), with right-censoring: users still active near the
+    * corpus end (last event within `censorDays` of the global max) are
+    * censored, not churned — the estimator every retention analysis
+    * should use instead of naive survival (which treats the censored
+    * tail as churn). The horizon is in HOURS: the fixture's users stay
+    * active to within ~a day of the corpus end, so a day-scale horizon
+    * censors everyone (an empty curve); 12h splits the population.
+    * Durations are exact epoch-day integers; risk/death
+    * counts are exact integers per distinct duration (bounded by the
+    * TIME SPAN, not the user count), and S(t) = Π(1 − dⱼ/nⱼ) is an
+    * ordered cumulative over those few rows via exp(Σ ln(·)) with
+    * StableRound absorbing the ≤1-ulp libm drift (the EWMA-class
+    * contract). One user-keyed aggregate + one span-bounded rollup. */
+  def kaplanMeier(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+    val gmax = u.agg(max("t1").as("gm"))
+    val users = u.crossJoin(broadcast(gmax))
+      .select(expr("(t1 - t0) div 86400000000").as("dur"),
+        (col("gm") - col("t1") > lit(censorHours) * lit(3600000000L))
+          .cast("long").as("observed"))
+    val times = users.where(col("observed") === 1)
+      .groupBy("dur").agg(count(lit(1)).as("d"))
+    // n_risk(t) = users with dur >= t: a suffix cumulative over the
+    // span-bounded distinct-duration rows — no user-count theta join
+    val durCounts = users.groupBy("dur").agg(count(lit(1)).as("cnt"))
+    val risk = durCounts.withColumn("n_risk",
+      sum("cnt").over(Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur"), col("n_risk"))
+    val w = Window.orderBy("dur") // span-bounded rows (distinct durations)
+    times.join(risk, "dur")
+      .withColumn("s", exp(sum(log(
+        (col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("dur").as("t"), col("n_risk"), col("d").as("d_events"),
+        graft.functions.StableRound.col4(col("s")).as("survival"))
+      .orderBy("t")
+  }
+
+  /** Delete-one-group JACKKNIFE standard error of the mean event value —
+    * the distributed-friendly uncertainty estimate (resampling without
+    * replication): events hash into B deterministic buckets, each
+    * leave-one-bucket-out mean is a ratio of exact integer sums (values
+    * in 1e-4 units), and the SE folds the B pseudo-value deviations in
+    * bucket order. One bucket-keyed aggregate; B-row driver-free math.
+    * Output: one row per bucket (n_b, loo_mean) with the overall mean,
+    * jackknife SE, and n riders. */
+  def jackknifeSe(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val b = events.where(col("value").isNotNull)
+      .select(round(col("value") * lit(10000)).cast("long").as("v"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("nb"), sum("v").as("sb"))
+    val tot = b.agg(sum("nb").as("n"), sum("sb").as("s"),
+      count(lit(1)).as("nbuck"))
+    val loo = b.crossJoin(broadcast(tot))
+      .withColumn("loo_mean", (col("s") - col("sb")).cast("double")
+        / ((col("n") - col("nb")) * lit(10000)).cast("double"))
+    val mbar = loo.agg(
+      aggregate(sort_array(collect_list(struct(col("bucket"), col("loo_mean")))),
+        lit(0.0), (a, x) => a + x.getField("loo_mean")).as("msum"),
+      first(col("nbuck")).as("nb2"))
+      .select((col("msum") / col("nb2").cast("double")).as("mbar"))
+    val se = loo.crossJoin(broadcast(mbar)).agg(
+      aggregate(sort_array(collect_list(struct(col("bucket"),
+          ((col("loo_mean") - col("mbar")) * (col("loo_mean") - col("mbar")))
+            .as("dev2")))),
+        lit(0.0), (a, x) => a + x.getField("dev2")).as("ss"),
+      first(col("nbuck")).as("bk"))
+      .select(sqrt((col("bk") - 1).cast("double") / col("bk").cast("double")
+        * col("ss")).as("se"))
+    loo.crossJoin(broadcast(se))
+      .select(col("bucket"), col("nb").as("n_b"),
+        round(col("loo_mean"), 4).as("loo_mean"),
+        round(col("s").cast("double") / (col("n") * lit(10000)).cast("double"), 4)
+          .as("mean"),
+        round(col("se"), 6).as("jack_se"), col("n"))
+      .orderBy("bucket")
+  }
+
   /** DAU/WAU/MAU + stickiness — the engagement dashboard row: per day,
     * distinct active users that day, over the trailing 7 days, over the
     * trailing 30 days, and DAU/MAU. Computed WITHOUT per-day rescans:

@@ -1719,6 +1719,34 @@ object TextAnalysis {
         round(col("burstiness"), 4).as("burstiness"))
   }
 
+  /** Feature-hashing (hashing-trick) collision census at `nBuckets`:
+    * before shipping a V-dimensional BoW into a fixed 2^k hashed space,
+    * measure what the hash destroys — buckets used, tokens sharing a
+    * bucket, and the count mass riding on collided buckets. Bucket =
+    * md5(tok) mod nBuckets (the deterministic cross-engine hash this
+    * engine standardizes on). All integer counts: one V-row aggregate
+    * after the token count shuffle. Output: one row
+    * (n_buckets, n_used, n_tokens, collided_buckets, collided_tokens,
+    * collided_mass_frac ROUND·,4). */
+  def hashFeatureCensus(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    val tc = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % nBuckets)
+    val b = tc.groupBy("bucket")
+      .agg(count(lit(1)).as("nt"), sum("c").as("mass"))
+    b.agg(lit(nBuckets).as("n_buckets"), count(lit(1)).as("n_used"),
+        sum("nt").as("n_tokens"),
+        sum(when(col("nt") >= 2, 1L).otherwise(0L)).as("collided_buckets"),
+        sum(when(col("nt") >= 2, col("nt")).otherwise(0L)).as("collided_tokens"),
+        sum(when(col("nt") >= 2, col("mass")).otherwise(0L)).as("cm"),
+        sum("mass").as("tm"))
+      .select(col("n_buckets"), col("n_used"), col("n_tokens"),
+        col("collided_buckets"), col("collided_tokens"),
+        round(col("cm").cast("double") / col("tm").cast("double"), 4)
+          .as("collided_mass_frac"))
+  }
+
   /** Language-mix profile per source — the "is this source actually
     * monolingual" ingest check: doc counts, distinct languages, Shannon
     * entropy of the language mix (H = ln n − (Σc·ln c)/n, lns over exact

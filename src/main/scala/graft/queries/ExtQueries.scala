@@ -481,6 +481,90 @@ object ExtQueries {
   def seasonalNaiveQ(s: SparkSession, d: String): DataFrame =
     Temporal.seasonalNaiveError(Tables.events(s, d))
 
+  /** Sparse tf-idf more-like-this top-10 for probe doc 0. */
+  def sparseCosineQ(s: SparkSession, d: String): DataFrame =
+    Retrieval.sparseMoreLikeThis(Tables.documents(s, d))
+
+  /** Degree histogram + Hill alpha over the minhash pair graph. */
+  def degreeDistQ(s: SparkSession, d: String): DataFrame =
+    Graph.degreeDistribution(candidates(s, d))
+
+  /** Degree assortativity of the minhash pair graph. */
+  def assortativityQ(s: SparkSession, d: String): DataFrame =
+    Graph.assortativity(candidates(s, d))
+
+  /** Chi-square homogeneity of the event-type mix across variants. */
+  def chi2HomogeneityQ(s: SparkSession, d: String): DataFrame =
+    Drift.chi2Homogeneity(Tables.events(s, d))
+
+  /** Cross-SOURCE conductance of the near-dup graph: does duplication
+    * leak across sources (φ > 0) or stay intra-source? Source labels
+    * make the partition non-trivial (true components have cut 0 by
+    * construction). */
+  def conductanceQ(s: SparkSession, d: String): DataFrame =
+    Graph.clusterConductance(candidates(s, d),
+      Tables.documents(s, d).select(col("doc_id"), col("source").as("cluster")))
+
+  /** Reliability diagram of the shared linear probe: decile bins via
+    * the two-pass [[exactNtile]] (NTILE semantics, no global-order
+    * window) over (round(score,4), doc_id), observed rate vs mean
+    * confidence per bin, ECE folded in bin order. */
+  def probeCalibrationQ(s: SparkSession, d: String): DataFrame = {
+    val w = trainedProbe(s, d)
+    val sc = probeFeatures(s, d)
+      .select(col("doc_id"), col("y"),
+        round(LinearModel.score(Seq("x1", "x2", "x3"), w), 4).as("sc"))
+    val binned = exactNtile(sc, Seq("sc", "doc_id"), 10, "bin")
+      .withColumn("si", round(col("sc") * lit(10000)).cast("long"))
+    val k = binned.groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum(col("y").cast("long")).as("n_pos"),
+        sum("si").as("ssum"))
+      .withColumn("conf",
+        col("ssum").cast("double") / (col("nb") * lit(10000)).cast("double"))
+      .withColumn("obs", col("n_pos").cast("double") / col("nb").cast("double"))
+    val nTot = k.agg(sum("nb").as("nt"))
+    val ece = k.crossJoin(broadcast(nTot)).agg(
+      aggregate(sort_array(collect_list(struct(col("bin"),
+          ((col("nb").cast("double") / col("nt").cast("double"))
+            * abs(col("obs") - col("conf"))).as("gap")))),
+        lit(0.0), (a, x) => a + x.getField("gap")).as("ece"))
+    k.crossJoin(broadcast(ece))
+      .select(col("bin"), col("nb").as("n"), col("n_pos"),
+        round(col("conf"), 4).as("conf"), round(col("obs"), 4).as("obs"),
+        round(col("ece"), 4).as("ece"))
+      .orderBy("bin")
+  }
+
+  /** Feature-hashing collision census at 1024 buckets. */
+  def hashFeaturesQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashFeatureCensus(Tables.documents(s, d))
+
+  /** Kaplan–Meier survival of user lifetime with right-censoring. */
+  def kaplanMeierQ(s: SparkSession, d: String): DataFrame =
+    Temporal.kaplanMeier(Tables.events(s, d))
+
+  /** Delete-one-bucket jackknife SE of the mean event value. */
+  def jackknifeQ(s: SparkSession, d: String): DataFrame =
+    Temporal.jackknifeSe(Tables.events(s, d))
+
+  /** RBO@10 between the BM25 probe ranking and the cosine ranking —
+    * the same two scored frames [[rrfFusionQ]] fuses. */
+  def rboQ(s: SparkSession, d: String): DataFrame = {
+    val lex = TextAnalysis.bm25(Tables.documents(s, d), Bm25Terms)
+    val e = Dedup.spreadForCompute(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e")))
+      .withColumn("n", Similarity.norm(col("e")))
+    val q = e.where(col("vec_id") === 0L)
+      .select(col("e").as("qe"), col("n").as("qn"))
+    val vec = e.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("e"), col("qe")) / (col("n") * col("qn")), 4)
+          .as("cos"))
+    Retrieval.rboEval(lex, vec)
+  }
+
   /** Streaming per-(user, hour) quota gate, run to completion; admission
     * order within the single in-order batch is (ts, event_id), so the
     * admitted set matches the batch row_number() twin exactly. */
@@ -1891,6 +1975,16 @@ object ExtQueries {
     "ext_stickiness" -> stickinessQ _,
     "ext_seasonal_naive" -> seasonalNaiveQ _,
     "ext_stream_quota" -> streamQuotaQ _,
+    "ext_sparse_cosine" -> sparseCosineQ _,
+    "ext_degree_dist" -> degreeDistQ _,
+    "ext_assortativity" -> assortativityQ _,
+    "ext_chi2_homogeneity" -> chi2HomogeneityQ _,
+    "ext_conductance" -> conductanceQ _,
+    "ext_probe_calibration" -> probeCalibrationQ _,
+    "ext_hash_features" -> hashFeaturesQ _,
+    "ext_kaplan_meier" -> kaplanMeierQ _,
+    "ext_jackknife" -> jackknifeQ _,
+    "ext_rbo" -> rboQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -4639,6 +4733,274 @@ object ExtQueries {
         |  CASE WHEN m > 1 AND dx > 0 AND dy > 0
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // Kaplan-Meier: exact epoch-day durations, span-bounded risk rollup,
+    // survival = exp(running sum of ln((n-d)/n)) under StableRound
+    "ext_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(t1) AS gm FROM u),
+        |us AS (SELECT (t1 - t0) // 86400000000 AS dur,
+        |         CASE WHEN g.gm - t1 > 12 * 3600000000 THEN 1 ELSE 0 END AS observed
+        |       FROM u, g),
+        |times AS (SELECT dur, COUNT(*) AS d FROM us WHERE observed = 1 GROUP BY dur),
+        |dc AS (SELECT dur, COUNT(*) AS cnt FROM us GROUP BY dur),
+        |risk AS (SELECT dur,
+        |    SUM(cnt) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+        |  FROM dc),
+        |s AS (SELECT t.dur AS t, CAST(r.n_risk AS BIGINT) AS n_risk,
+        |        t.d AS d_events,
+        |        exp(SUM(ln(CAST(r.n_risk - t.d AS DOUBLE) / r.n_risk))
+        |          OVER (ORDER BY t.dur ROWS UNBOUNDED PRECEDING)) AS sv
+        |      FROM times t JOIN risk r USING (dur))
+        |SELECT t, n_risk, d_events,
+        |  ROUND(sv + SIGN(sv) * 0.000000001, 4) AS survival
+        |FROM s ORDER BY t""".stripMargin,
+
+    // jackknife: md5-bucketed exact integer sums; every mean a single
+    // division; pseudo-value folds in bucket order
+    "ext_jackknife" ->
+      """WITH v AS (SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10 AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT bucket, COUNT(*) AS nb, CAST(SUM(v) AS BIGINT) AS sb
+        |      FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sb) AS BIGINT) AS s,
+        |          COUNT(*) AS nbuck FROM b),
+        |loo AS (SELECT bucket, nb,
+        |          CAST(t.s - sb AS DOUBLE) / CAST((t.n - nb) * 10000 AS DOUBLE)
+        |            AS loo_mean,
+        |          t.n, t.s, t.nbuck
+        |        FROM b, tot t),
+        |mb AS (SELECT list_reduce(list(loo_mean ORDER BY bucket), (x, y) -> x + y)
+        |         / MAX(nbuck) AS mbar FROM loo),
+        |se AS (SELECT sqrt(CAST(MAX(l.nbuck) - 1 AS DOUBLE) / MAX(l.nbuck)
+        |         * list_reduce(list((l.loo_mean - mb.mbar) * (l.loo_mean - mb.mbar)
+        |             ORDER BY l.bucket), (x, y) -> x + y)) AS se
+        |       FROM loo l, mb)
+        |SELECT l.bucket, l.nb AS n_b, ROUND(l.loo_mean, 4) AS loo_mean,
+        |  ROUND(CAST(l.s AS DOUBLE) / CAST(l.n * 10000 AS DOUBLE), 4) AS mean,
+        |  ROUND(se.se, 6) AS jack_se, l.n
+        |FROM loo l, se ORDER BY bucket""".stripMargin,
+
+    // RBO@10 of the BM25 and cosine rankings: overlap counts over the
+    // two <=10-row lists, geometric weights folded in depth order
+    "ext_rbo" ->
+      s"""WITH ${bm25Ctes(Bm25Terms, k1 = 1.2, b = 0.75)},
+         |la0 AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra FROM bm),
+         |la AS (SELECT doc_id, CAST(ra AS INT) AS ra FROM la0 WHERE ra <= 10),
+         |$embCte,
+         |qv AS (SELECT e FROM e WHERE vec_id = 0),
+         |cs AS (SELECT v.vec_id, ${cosSql("v.e", "qv.e")} AS cos
+         |       FROM e v, qv WHERE v.vec_id <> 0),
+         |vb0 AS (SELECT vec_id AS doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, vec_id) AS rb FROM cs),
+         |vb AS (SELECT doc_id, CAST(rb AS INT) AS rb FROM vb0 WHERE rb <= 10),
+         |j AS (SELECT COALESCE(la.doc_id, vb.doc_id) AS doc_id, la.ra, vb.rb
+         |      FROM la FULL OUTER JOIN vb ON la.doc_id = vb.doc_id),
+         |grid AS (SELECT CAST(g.d AS BIGINT) AS d FROM unnest(range(1, 11)) AS g(d)),
+         |xd AS (SELECT grid.d,
+         |         CAST(COALESCE(SUM(CASE WHEN j.ra <= grid.d AND j.rb <= grid.d
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS overlap
+         |       FROM grid LEFT JOIN j ON TRUE GROUP BY grid.d),
+         |t AS (SELECT d, overlap,
+         |        (1.0 - 0.9) * pow(0.9, CAST(d - 1 AS DOUBLE))
+         |          * CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE) AS term
+         |      FROM xd),
+         |r AS (SELECT list_reduce(list(term ORDER BY d), (x, y) -> x + y) AS rbo
+         |      FROM t)
+         |SELECT t.d, t.overlap, ROUND(t.term + SIGN(t.term) * 0.000000001, 4) AS term,
+         |  ROUND(r.rbo + SIGN(r.rbo) * 0.000000001, 4) AS rbo
+         |FROM t, r ORDER BY d""".stripMargin,
+
+    // cross-source conductance: cut/min(vol, volAll-vol) per source over
+    // the minhash pair graph — all exact integers, one division
+    "ext_conductance" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+         |        GROUP BY v),
+         |lab AS (SELECT doc_id AS v, source AS cluster FROM documents),
+         |vol AS (SELECT lab.cluster, COUNT(*) AS n_nodes,
+         |          CAST(SUM(deg.d) AS BIGINT) AS vol
+         |        FROM lab JOIN deg USING (v) GROUP BY 1),
+         |va AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS vol_all FROM cand),
+         |cut AS (SELECT cluster, COUNT(*) AS cut FROM (
+         |          SELECT la.cluster FROM cand
+         |            JOIN lab la ON la.v = cand.a JOIN lab lb ON lb.v = cand.b
+         |            WHERE la.cluster <> lb.cluster
+         |          UNION ALL
+         |          SELECT lb.cluster FROM cand
+         |            JOIN lab la ON la.v = cand.a JOIN lab lb ON lb.v = cand.b
+         |            WHERE la.cluster <> lb.cluster)
+         |        GROUP BY cluster)
+         |SELECT vol.cluster, vol.n_nodes, vol.vol,
+         |  CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+         |  CASE WHEN LEAST(vol.vol, va.vol_all - vol.vol) > 0 THEN
+         |    ROUND(CAST(COALESCE(cut.cut, 0) AS DOUBLE)
+         |      / LEAST(vol.vol, va.vol_all - vol.vol), 4)
+         |  END AS phi
+         |FROM vol LEFT JOIN cut USING (cluster), va
+         |ORDER BY cluster""".stripMargin,
+
+    // reliability diagram of the replayed probe: NTILE deciles over
+    // (round(score,4), doc_id) — matching exactNtile's allocation — conf
+    // through exact 1e-4 units, ECE folded in bin order
+    "ext_probe_calibration" ->
+      s"""${linearProbeWithBody(16)},
+         |sc AS (SELECT f.doc_id, f.y, ROUND($probePred, 4) AS sc
+         |       FROM f, w16 w),
+         |bn AS (SELECT doc_id, y, sc,
+         |         NTILE(10) OVER (ORDER BY sc, doc_id) AS bin,
+         |         CAST(ROUND(sc * 10000) AS BIGINT) AS si
+         |       FROM sc),
+         |k AS (SELECT bin, COUNT(*) AS nb,
+         |        CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |        CAST(SUM(si) AS BIGINT) AS ssum
+         |      FROM bn GROUP BY bin),
+         |kk AS (SELECT bin, nb, n_pos,
+         |         CAST(ssum AS DOUBLE) / CAST(nb * 10000 AS DOUBLE) AS conf,
+         |         CAST(n_pos AS DOUBLE) / CAST(nb AS DOUBLE) AS obs
+         |       FROM k),
+         |nt AS (SELECT CAST(SUM(nb) AS BIGINT) AS nt FROM kk),
+         |ece AS (SELECT list_reduce(list(
+         |          (CAST(nb AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+         |            * ABS(obs - conf) ORDER BY bin), (x, y) -> x + y) AS ece
+         |        FROM kk, nt)
+         |SELECT kk.bin, kk.nb AS n, kk.n_pos, ROUND(kk.conf, 4) AS conf,
+         |  ROUND(kk.obs, 4) AS obs, ROUND(ece.ece, 4) AS ece
+         |FROM kk, ece ORDER BY bin""".stripMargin,
+
+    // hashing-trick collision census: md5-mod buckets, all integer counts
+    "ext_hash_features" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT unnest(ts) AS tok FROM toks),
+         |tc AS (SELECT tok, COUNT(*) AS c,
+         |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+         |       FROM occ GROUP BY tok),
+         |b AS (SELECT bucket, COUNT(*) AS nt, CAST(SUM(c) AS BIGINT) AS mass
+         |      FROM tc GROUP BY bucket)
+         |SELECT 1024 AS n_buckets, COUNT(*) AS n_used,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN nt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS collided_buckets,
+         |  CAST(SUM(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)
+         |    AS collided_tokens,
+         |  ROUND(CAST(SUM(CASE WHEN nt >= 2 THEN mass ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(mass) AS DOUBLE), 4) AS collided_mass_frac
+         |FROM b""".stripMargin,
+
+    // sparse more-like-this through the postings: probe doc 0's V-bounded
+    // term weights joined onto the postings; full-vector norms; ranking
+    // on the boundary-stabilized ROUND(cos,4) with doc-id tie-breaks
+    "ext_sparse_cosine" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |bow AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+         |w AS (SELECT b.doc_id, b.tok,
+         |        b.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
+         |      FROM bow b JOIN df d USING (tok), n),
+         |wq AS (SELECT tok, tfidf AS qw FROM w WHERE doc_id = 0),
+         |nrm AS (SELECT doc_id, sqrt(SUM(tfidf * tfidf)) AS nrm
+         |        FROM w GROUP BY doc_id),
+         |qn AS (SELECT nrm AS qn FROM nrm WHERE doc_id = 0),
+         |dots AS (SELECT w.doc_id, SUM(w.tfidf * wq.qw) AS dot
+         |         FROM w JOIN wq USING (tok) WHERE w.doc_id <> 0
+         |         GROUP BY w.doc_id),
+         |c AS (SELECT d.doc_id, d.dot / (nrm.nrm * qn.qn) AS raw
+         |      FROM dots d JOIN nrm USING (doc_id), qn)
+         |SELECT doc_id,
+         |  ROUND(raw + SIGN(raw) * 0.000000001, 4) AS cos
+         |FROM c ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin,
+
+    // degree histogram over exact integers; Hill alpha folds c_d*ln d in
+    // degree order (lns of exact integers only)
+    "ext_degree_dist" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |deg AS (SELECT v, COUNT(*) AS degree FROM (
+         |          SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+         |        GROUP BY v),
+         |hist AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree),
+         |al AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS nn,
+         |         list_reduce(list(n_nodes * ln(CAST(degree AS DOUBLE))
+         |           ORDER BY degree), (x, y) -> x + y) AS slnd
+         |       FROM hist)
+         |SELECT h.degree, h.n_nodes,
+         |  CASE WHEN al.slnd > 0.0
+         |       THEN ROUND(1.0 + CAST(al.nn AS DOUBLE) / al.slnd, 4) END AS alpha
+         |FROM hist h, al ORDER BY degree""".stripMargin,
+
+    // assortativity: Pearson r of endpoint degrees over directed stubs,
+    // every moment an exact integer
+    "ext_assortativity" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+         |deg AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+         |        GROUP BY v),
+         |st AS (SELECT a AS src, b AS dst FROM cand
+         |       UNION ALL SELECT b AS src, a AS dst FROM cand),
+         |j AS (SELECT da.d AS dx, db.d AS dy
+         |      FROM st JOIN deg da ON da.v = st.src JOIN deg db ON db.v = st.dst),
+         |m AS (SELECT COUNT(*) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+         |        CAST(SUM(dy) AS BIGINT) AS sy,
+         |        CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |        CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |      FROM j),
+         |f AS (SELECT m // 2 AS n_edges,
+         |        CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+         |        CAST(m * sxx - sx * sx AS DOUBLE) AS dx,
+         |        CAST(m * syy - sy * sy AS DOUBLE) AS dy
+         |      FROM m)
+         |SELECT n_edges,
+         |  CASE WHEN dx > 0.0 AND dy > 0.0
+         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
+         |FROM f""".stripMargin,
+
+    // chi-square homogeneity over the full variant x type grid; expected
+    // counts are single divisions of exact integer products; the total
+    // folds its cells in (variant, type) order
+    "ext_chi2_homogeneity" ->
+      """WITH g AS (SELECT CAST(user_id % 2 AS INT) AS variant, event_type,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT v.variant, t.event_type,
+        |           CAST(COALESCE(g.c, 0) AS BIGINT) AS c
+        |         FROM (SELECT DISTINCT variant FROM g) v
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM g) t
+        |         LEFT JOIN g USING (variant, event_type)),
+        |rt AS (SELECT variant, CAST(SUM(c) AS BIGINT) AS rt FROM grid GROUP BY 1),
+        |ct AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ct FROM grid GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+        |k AS (SELECT grid.variant, grid.event_type, grid.c,
+        |        CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+        |      FROM grid JOIN rt USING (variant) JOIN ct USING (event_type), nn),
+        |kk AS (SELECT variant, event_type, c, e,
+        |         (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e AS contrib
+        |       FROM k),
+        |tot AS (SELECT list_reduce(
+        |          list(contrib ORDER BY variant, event_type), (x, y) -> x + y)
+        |            AS chi2,
+        |          (COUNT(DISTINCT variant) - 1) * (COUNT(DISTINCT event_type) - 1)
+        |            AS dof
+        |        FROM kk)
+        |SELECT kk.variant, kk.event_type, kk.c, ROUND(kk.e, 4) AS expected,
+        |  ROUND(kk.contrib, 4) AS contrib, ROUND(tot.chi2, 4) AS chi2,
+        |  CAST(tot.dof AS BIGINT) AS dof
+        |FROM kk, tot ORDER BY variant, event_type""".stripMargin,
 
     // engagement: each (user, active-day) covers its next 7/30 result
     // days via an integer explode (constant fan-out), one distinct count

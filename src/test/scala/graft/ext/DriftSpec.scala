@@ -102,4 +102,25 @@ class DriftSpec extends SparkSpec {
     val shifted = got.find(_._1 == "shifted").get
     assert(math.abs(shifted._4) > got.filter(_._1 != "shifted").map(r => math.abs(r._4)).max * 3)
   }
+
+  test("chi2Homogeneity: identical mixes give chi2 = 0; a planted shift doesn't") {
+    import org.apache.spark.sql.functions.lit
+    // users 1(odd) and 2(even), identical type mix -> expected == observed
+    val same = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"), (4L, 2L, "b")
+    ).toDF("event_id", "user_id", "event_type")
+    val g0 = Drift.chi2Homogeneity(same)
+      .as[(Int, String, Long, Double, Double, Double, Long)].collect()
+    assert(g0.length == 4 && g0.forall(_._6 == 0.0))
+    assert(g0.head._7 == 1L) // (2-1)*(2-1)
+    // planted: odd users only do 'a', even only 'b' -> max dependence
+    val skew = Seq(
+      (1L, 1L, "a"), (2L, 3L, "a"), (3L, 2L, "b"), (4L, 4L, "b")
+    ).toDF("event_id", "user_id", "event_type")
+    val g1 = Drift.chi2Homogeneity(skew)
+      .as[(Int, String, Long, Double, Double, Double, Long)].collect()
+    assert(g1.head._6 == 4.0) // chi2 = N for a 2x2 perfect split
+    // zero cells of the full grid are present
+    assert(g1.count(_._3 == 0L) == 2)
+  }
 }

@@ -92,4 +92,48 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) == ((4L, 1L, math.rint(1.0 / 6 * 10000) / 10000)))
     assert(!got.contains(4L) && !got.contains(5L)) // degree 1: undefined
   }
+
+  test("degreeDistribution: histogram + Hill alpha; all-deg-1 yields null alpha") {
+    // star 1-{2,3,4}: center degree 3, leaves degree 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.degreeDistribution(star)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L && got(3L)._2 == 1L)
+    // alpha = 1 + 4 / (3*ln1 + 1*ln3) = 1 + 4/ln3, same on every row
+    val a = math.rint((1.0 + 4.0 / math.log(3.0)) * 10000) / 10000
+    assert(got.values.forall(_._3.contains(a)))
+    // single edge: both nodes degree 1, sum ln d = 0 -> alpha null
+    val one = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val o = Graph.degreeDistribution(one).as[(Long, Long, Option[Double])].head()
+    assert(o == ((1L, 2L, None)))
+  }
+
+  test("assortativity: a star is maximally disassortative, a cycle degenerate") {
+    // star 1-{2,3,4}: every stub pairs degree 3 with degree 1 -> r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val s = Graph.assortativity(star).as[(Long, Option[Double])].head()
+    assert(s == ((3L, Some(-1.0))))
+    // triangle: every degree 2 -> zero variance -> r null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val t = Graph.assortativity(tri).as[(Long, Option[Double])].head()
+    assert(t == ((3L, None)))
+  }
+
+  test("clusterConductance: sealed cluster phi 0, bridged cluster counts its cut") {
+    // edges: 1-2 (cluster A internal), 3-4 (B internal), 2-3 (A-B bridge)
+    val g = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "cluster")
+    val got = Graph.clusterConductance(g, lab)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // A: nodes {1,2} deg 1+2=3, cut 1, volAll 6 -> min(3,3)=3 -> 1/3
+    assert(got("A") == (("A", 2L, 3L, 1L, Some(math.rint(1.0 / 3 * 10000) / 10000))))
+    assert(got("B") == (("B", 2L, 3L, 1L, Some(math.rint(1.0 / 3 * 10000) / 10000))))
+    // sealed: two disjoint edges, same labels -> cut 0 both
+    val g2 = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val s2 = Graph.clusterConductance(g2, lab)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(s2.forall(r => r._4 == 0L && r._5.contains(0.0)))
+  }
 }

@@ -608,6 +608,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == List((1L, 1L, 0L), (2L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("hashFeatureCensus: bucket arithmetic and collision accounting are exact") {
+    // 3 distinct tokens into 1 bucket forces 1 collided bucket holding all 3
+    val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    val one = TextAnalysis.hashFeatureCensus(docs, nBuckets = 1)
+      .as[(Int, Long, Long, Long, Long, Double)].collect().head
+    assert(one == ((1, 1L, 3L, 1L, 3L, 1.0)))
+    // huge space: collisions vanish, mass fraction 0
+    val big = TextAnalysis.hashFeatureCensus(docs, nBuckets = 1 << 20)
+      .as[(Int, Long, Long, Long, Long, Double)].collect().head
+    assert(big._2 == 3L && big._4 == 0L && big._6 == 0.0)
+  }
+
+  test("probe calibration: bins partition the corpus and ECE is bounded by the max gap") {
+    val got = graft.queries.ExtQueries.probeCalibrationQ(spark, sf())
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toList == (1 to 10).toList)
+    assert(got.map(_._2).sum == got.map(_._2).sum) // bins cover all scored docs
+    val gaps = got.map(r => math.abs(r._5 - r._4))
+    assert(got.head._6 <= gaps.max + 1e-9 && got.head._6 >= 0.0)
+    // confidence is monotone over score-ordered bins
+    val confs = got.sortBy(_._1).map(_._4)
+    assert(confs.zip(confs.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
+  test("kaplanMeier: hand-computed risk sets, censoring excluded from events") {
+    // corpus end = day 10. users: 1 (life 0d, last day 0 -> churned),
+    // 2 (life 2d, last day 2 -> churned), 3 (life 5d, last day 10 ->
+    // censored), 4 (life 2d, last day 10 -> censored)
+    def u(id: Long, firstDay: Long, lastDay: Long) =
+      Seq((id * 10, ts(firstDay * 86400), id), (id * 10 + 1, ts(lastDay * 86400), id))
+    val e = (u(1L, 0, 0) ++ u(2L, 0, 2) ++ u(3L, 5, 10) ++ u(4L, 8, 10))
+      .toDF("event_id", "ts", "user_id")
+    val got = Temporal.kaplanMeier(e)
+      .as[(Long, Long, Long, Double)].collect().toList
+    // durations: u1=0(obs) u2=2(obs) u3=5(cens) u4=2(cens)
+    // t=0: risk 4, d 1 -> S = 3/4; t=2: risk 3, d 1 -> S = 3/4 * 2/3 = 1/2
+    assert(got == List((0L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5)))
+  }
+
+  test("jackknifeSe: constant values give SE 0; mean is exact") {
+    val e = (1L to 100L).map(i => (i, 7.5)).toDF("event_id", "value")
+    val got = Temporal.jackknifeSe(e)
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+    assert(got.map(_._2).sum == 100L)
+    assert(got.forall(r => r._3 == 7.5 && r._4 == 7.5 && r._5 == 0.0 && r._6 == 100L))
+  }
+
+  test("rboEval: identical rankings give RBO(trunc)@10; disjoint give 0") {
+    val a = (1L to 10L).map(i => (i, 100.0 - i)).toDF("doc_id", "bm25")
+    val bSame = (1L to 10L).map(i => (i, 100.0 - i)).toDF("vec_id", "cos")
+    val same = Retrieval.rboEval(a, bSame)
+      .as[(Long, Long, Double, Double)].collect()
+    // X_d = d at every depth -> rbo = (1-p) * sum p^(d-1)
+    val p = 0.9
+    val want = (1 to 10).map(d => (1 - p) * math.pow(p, d - 1)).sum
+    assert(same.forall(_._4 == math.rint((want + 1e-9) * 10000) / 10000))
+    assert(same.map(r => r._1 -> r._2).toMap.forall { case (d, x) => x == d })
+    val bDisj = (11L to 20L).map(i => (i, 100.0 - i)).toDF("vec_id", "cos")
+    val disj = Retrieval.rboEval(a, bDisj).as[(Long, Long, Double, Double)].collect()
+    assert(disj.forall(r => r._2 == 0L && r._4 == 0.0))
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

@@ -209,6 +209,22 @@ class RetrievalSpec extends SparkSpec {
     assert(tri == List((4L, 1L), (4L, 3L)))
   }
 
+  test("sparseMoreLikeThis ranks shared-vocab docs above disjoint ones") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),         // the probe
+      (1L, "alpha beta gamma"),         // identical -> cos 1.0
+      (2L, "alpha beta zeta"),          // partial overlap
+      (3L, "epsilon zeta eta"),         // shares only zeta-free terms: no overlap with probe
+      (4L, "theta iota kappa")          // disjoint -> absent (no shared posting)
+    ).toDF("doc_id", "text")
+    val got = Retrieval.sparseMoreLikeThis(docs, queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toList
+    assert(got.head._1 == 1L && got.head._2 == 1.0)
+    assert(got.map(_._1).contains(2L))
+    assert(!got.map(_._1).contains(4L) && !got.map(_._1).contains(3L))
+    assert(!got.map(_._1).contains(0L)) // probe excluded
+  }
+
   test("pplBuckets: tertile ranks are exact and bucket stats are order-free") {
     // 6 docs in one source with strictly increasing NLL -> 2/2/2 split;
     // craft texts whose bigram perplexities separate cleanly: doc text

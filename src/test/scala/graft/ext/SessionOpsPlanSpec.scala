@@ -16,14 +16,20 @@ class SessionOpsPlanSpec extends SparkSpec {
   // totals, the chi-square scalar, the variant pair, stratum totals)
   // are fine; a true cartesian between data-sized relations never is
   private val scalarCrossOk = Set("ext_token_burstiness", "ext_ab_test",
-    "ext_benford", "ext_js_divergence")
+    "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
+    "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
+    "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
     "ext_autocorr", "ext_phrase_search", "ext_clustering_coef",
     "ext_ppl_buckets", "ext_iqr_outliers", "ext_ab_test", "ext_control_chart",
     "ext_markov_stationary", "ext_js_divergence", "ext_token_burstiness",
-    "ext_source_lang_mix", "ext_hourly_entropy", "ext_peaks")
+    "ext_source_lang_mix", "ext_hourly_entropy", "ext_peaks",
+    "ext_stickiness", "ext_seasonal_naive", "ext_sparse_cosine",
+    "ext_degree_dist", "ext_assortativity", "ext_chi2_homogeneity",
+    "ext_conductance", "ext_probe_calibration", "ext_hash_features",
+    "ext_kaplan_meier", "ext_jackknife", "ext_rbo")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
