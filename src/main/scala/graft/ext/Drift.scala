@@ -160,6 +160,112 @@ object Drift {
     } finally vc.unpersist(false)
   }
 
+  /** Wasserstein-1 (earth-mover) distance between each group's
+    * distribution of an integer-valued column and the POOLED
+    * distribution — the drift-family completion: KS is the sup of the
+    * CDF gap, PSI its binned form, W1 its AREA (magnitude-aware, in
+    * value units). For discrete values W1 = Σ_sorted |F_g(v) − F(v)|·Δv:
+    * cumulative counts are exact integers over the (group × distinct
+    * value) grid, each term is one division pair times an exact integer
+    * gap, and the sum folds in value order (engine-identical
+    * association). Shape: one (group, value) count shuffle, a
+    * grid-bounded window, a per-group fold. */
+  def wassersteinVsPool(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val e = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val gv = e.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val vs = e.groupBy("v").agg(count(lit(1)).as("ca"))
+    val grid = gv.select("g").distinct().crossJoin(vs.select("v"))
+      .join(gv, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wg = Window.partitionBy("g").orderBy("v")
+    val cum = grid
+      .withColumn("cum_g", sum("c").over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(vs.withColumn("cum_a", sum("ca").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+        "v")
+      .withColumn("dv", lead(col("v"), 1).over(wg) - col("v"))
+      .where(col("dv").isNotNull)
+    val ng = e.groupBy("g").agg(count(lit(1)).as("n_g"))
+    val nn = e.agg(count(lit(1)).as("n"))
+    cum.join(broadcast(ng), "g").crossJoin(broadcast(nn))
+      .withColumn("term",
+        abs(col("cum_g").cast("double") / col("n_g").cast("double")
+          - col("cum_a").cast("double") / col("n").cast("double"))
+          * col("dv").cast("double"))
+      .groupBy("g")
+      .agg(first(col("n_g")).as("n_g"),
+        aggregate(sort_array(collect_list(struct(col("v"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("w1raw"))
+      .select(col("g").as(groupCol), col("n_g"),
+        graft.functions.StableRound.col4(col("w1raw")).as("w1"))
+      .orderBy(groupCol)
+  }
+
+  /** One-way ANOVA F across groups on an integer-valued column — the
+    * k-group generalization of [[welchVsRest]] (equal-variance form):
+    * does the group factor explain the variance at all. With exact
+    * integer values, every sum of squares comes from integer moments
+    * (SSB = Σnᵢ·m̄ᵢ² − N·m̄² computed as Σ(Sᵢ²/nᵢ) − S²/N over exact
+    * Sᵢ = Σx), so both engines divide identical numerators: the one
+    * float stage is the final ratio. Per-group means ride along.
+    * Shape: one group aggregate; the F assembly is G-row math. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("s2"))
+    val tot = g.agg(sum("n").as("nn"), sum("s").as("ss"), sum("s2").as("ss2"),
+      count(lit(1)).as("k"))
+    // Σ Sᵢ²/nᵢ folded in group order (double association engine-identical)
+    val sb = g.agg(aggregate(
+      sort_array(collect_list(struct(col("g"),
+        (col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double")).as("t")))),
+      lit(0.0), (a, x) => a + x.getField("t")).as("sbs"))
+    val f = tot.crossJoin(broadcast(sb))
+      .withColumn("ssb", col("sbs")
+        - col("ss").cast("double") * col("ss").cast("double") / col("nn").cast("double"))
+      .withColumn("ssw", col("ss2").cast("double") - col("sbs"))
+      .withColumn("f_stat",
+        when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0.0,
+          (col("ssb") / (col("k") - 1).cast("double"))
+            / (col("ssw") / (col("nn") - col("k")).cast("double"))))
+    g.crossJoin(broadcast(f.select(col("k"), col("nn"), col("f_stat"))))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 4).as("mean"),
+        col("k").as("n_groups"), col("nn").as("n_total"),
+        round(col("f_stat"), 4).as("f_stat"))
+      .orderBy(groupCol)
+  }
+
+  /** Mutual information between two categorical columns (the
+    * token-label-MI pattern on a bounded grid): every log argument is a
+    * ratio of exact integer products ≤ N² < 2⁵³, the grid keeps zero
+    * cells out of the sum (0·ln0 = 0), and the total folds its cells in
+    * (x, y) order. Output: one row per observed cell with its PMI
+    * contribution and the MI + normalized-MI riders. */
+  def categoricalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val c = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val cx = c.groupBy("x").agg(sum("c").as("cx"))
+    val cy = c.groupBy("y").agg(sum("c").as("cy"))
+    val nn = c.agg(sum("c").as("n"))
+    val k = c.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(nn))
+      .withColumn("contrib", (col("c").cast("double") / col("n").cast("double"))
+        * log((col("c") * col("n")).cast("double") / (col("cx") * col("cy")).cast("double")))
+    val mi = k.agg(aggregate(
+      sort_array(collect_list(struct(col("x"), col("y"), col("contrib")))),
+      lit(0.0), (a, v) => a + v.getField("contrib")).as("mi"))
+    k.crossJoin(broadcast(mi))
+      .select(col("x").as(xCol), col("y").as(yCol), col("c"),
+        round(col("contrib"), 4).as("contrib"), round(col("mi"), 4).as("mi"))
+      .orderBy(xCol, yCol)
+  }
+
   /** Chi-square HOMOGENEITY test of the event-type mix between the two
     * user-id-parity variants — the categorical complement of the
     * two-proportion z ([[graft.ext.Temporal.abTest]]): did the

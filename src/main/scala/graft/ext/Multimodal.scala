@@ -158,6 +158,47 @@ object Multimodal {
 
   /** Build a synthetic media table from the documents fixture (payload =
     * UTF-8 of text): exercises the binary-column path with real data. */
+  /** (media_id, phash) projection through the decode seam — the narrow
+    * mapPartitions where a real perceptual hasher (pHash/dHash over
+    * decoded pixels) would slot in; bytes never shuffle. */
+  def mediaPhashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => (m.media_id, StubCodec.phash(m.payload))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Perceptual-hash media DEDUP via Hamming-band bucketing — the
+    * image/video twin of [[Dedup.simhashBandedPairs]]: the 60-bit phash
+    * splits into `bands` fixed windows; any pair within `maxHamming`
+    * bits must agree on at least one band (pigeonhole for
+    * maxHamming < bands), so candidates come from band-key equi-joins —
+    * never an all-pairs scan — and the exact `bit_count(xor)` distance
+    * verifies each candidate. All integer arithmetic. With the md5 stub
+    * codec only byte-identical payloads collide (avalanche), which is
+    * exactly the re-encoded-duplicate case the fixture plants; a real
+    * pHash makes near-misses land in the same bands the same way. */
+  def phashBandedPairs(phashes: DataFrame, bands: Int = 4,
+      bandBits: Int = 15, maxHamming: Int = 8): DataFrame = {
+    val banded = phashes.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map { k =>
+        struct(lit(k).as("band"),
+          (expr(s"phash div ${1L << (k * bandBits)}") % lit(1L << bandBits))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.toDF("media_a", "pa", "band", "key")
+    val r = banded.toDF("media_b", "pb", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "pa", "pb").distinct()
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
   def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]

@@ -48,6 +48,62 @@ object Profile {
         round(max(col("vn")), 4).as("max_num"))
   }
 
+  /** Hill tail-index estimate of a positive numeric column — "how heavy
+    * is this tail really" (α ≈ 1–2 ⇒ power-law-heavy: means unstable,
+    * salting/capping needed downstream; α large ⇒ light tail): α =
+    * k / Σ_{i≤k} ln(xᵢ/x_ref) over the top-k order statistics with
+    * x_ref the (k+1)-th. The top-(k+1) cut is a TakeOrdered (never a
+    * global sort); ranks are ROW_NUMBER over (value desc, id) so ties
+    * can't float; the k lns see engine-identical doubles and fold in
+    * rank order under StableRound. Output: one row (k, x_ref, alpha). */
+  def tailIndex(df: DataFrame, valueCol: String, idCol: String,
+      k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.where(col(valueCol) > 0)
+      .select(col(valueCol).as("v"), col(idCol).as("id"))
+      .orderBy(col("v").desc, col("id")).limit(k + 1)
+    // window over <= k+1 rows by construction
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").desc, col("id"))))
+    val ref = ranked.where(col("rn") === k + 1).select(col("v").as("x_ref"))
+    ranked.where(col("rn") <= k)
+      .crossJoin(broadcast(ref))
+      .agg(count(lit(1)).as("k"),
+        round(first(col("x_ref")), 4).as("x_ref"),
+        aggregate(sort_array(collect_list(struct(col("rn"),
+            log(col("v") / col("x_ref")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("sln"))
+      .select(col("k"), col("x_ref"),
+        when(col("sln") > 0.0,
+          graft.functions.StableRound.col4(col("k").cast("double") / col("sln")))
+          .as("alpha"))
+  }
+
+  /** k-anonymity census over a quasi-identifier tuple — the privacy
+    * pre-flight before releasing or joining a dataset: every record's
+    * equivalence class is its QI group, and records in classes smaller
+    * than k are re-identifiable. Reports, per class-size bucket, how
+    * many classes and records sit there, plus the share of records
+    * below the 2/5/10 thresholds — all exact integer counts off ONE
+    * QI-keyed aggregate (the class-size histogram is O(√N) rows at
+    * worst, tiny in practice). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("k"))
+    val hist = classes.groupBy("k")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_records"))
+    val tot = hist.agg(sum("n_records").as("n"),
+      sum(when(col("k") < 2, col("n_records")).otherwise(0L)).as("lt2"),
+      sum(when(col("k") < 5, col("n_records")).otherwise(0L)).as("lt5"),
+      sum(when(col("k") < 10, col("n_records")).otherwise(0L)).as("lt10"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("k").as("class_size"), col("n_classes"), col("n_records"),
+        round(col("lt2").cast("double") / col("n").cast("double"), 4).as("frac_lt2"),
+        round(col("lt5").cast("double") / col("n").cast("double"), 4).as("frac_lt5"),
+        round(col("lt10").cast("double") / col("n").cast("double"), 4).as("frac_lt10"))
+      .orderBy("class_size")
+  }
+
   /** Benford first-digit audit of a numeric column — the classic
     * fabricated-/synthetic-data screen: organically-grown magnitudes
     * follow P(d) = log₁₀(1 + 1/d); generator artifacts (uniform draws,

@@ -631,6 +631,43 @@ object Similarity {
           .otherwise(round((col("v") - col("_mu")) / col("_sd"), 4)).as("z"))
   }
 
+  /** Embedding-space ISOTROPY probe: cosine statistics over a
+    * deterministic 1-regular pairing (vec i ↔ vec (i+stride) mod N) —
+    * the cheap stand-in for "mean cosine of random pairs", the
+    * anisotropy diagnostic (a healthy embedding space has mean pair
+    * cosine ≈ 0; a collapsed/anisotropic one sits far above — Ethayarajh
+    * 2019). N pairs, ONE equi-join on the shifted id (never all-pairs);
+    * each cosine rounds to an exact 1e-4 integer BEFORE aggregation, so
+    * the means are exact integer ratios and min/max are order
+    * statistics — no float accumulation anywhere. Norm mean rides along
+    * the same way. Output: one row. */
+  def isotropyProbe(embeddings: DataFrame, stride: Long = 501L): DataFrame = {
+    val e = withNorm(embeddings)
+    val nn = e.agg(count(lit(1)).as("n"))
+    val a = e.toDF("vec_a", "ea", "na").crossJoin(broadcast(nn))
+      .withColumn("partner", (col("vec_a") + stride) % col("n"))
+      .where(col("partner") =!= col("vec_a"))
+    val b = e.toDF("partner", "eb", "nb")
+    val pairs = a.join(b, "partner")
+      .select(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+        .as("cos"))
+      .withColumn("ic", round(col("cos") * lit(10000)).cast("long"))
+    val norms = e.select(round(col("n") * lit(10000)).cast("long").as("inrm"))
+      .agg(sum("inrm").as("snrm"), count(lit(1)).as("nv"))
+    pairs.agg(count(lit(1)).as("n_pairs"), sum("ic").as("sic"),
+        sum(abs(col("ic"))).as("sabs"),
+        min(col("cos")).as("cos_min"), max(col("cos")).as("cos_max"))
+      .crossJoin(broadcast(norms))
+      .select(col("n_pairs"),
+        round(col("sic").cast("double") / (col("n_pairs") * lit(10000)).cast("double"), 4)
+          .as("mean_cos"),
+        round(col("sabs").cast("double") / (col("n_pairs") * lit(10000)).cast("double"), 4)
+          .as("mean_abs_cos"),
+        col("cos_min"), col("cos_max"),
+        round(col("snrm").cast("double") / (col("nv") * lit(10000)).cast("double"), 4)
+          .as("norm_mean"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold. Exact
     * all-pairs form; compose with [[lshBuckets]] at scale. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -903,6 +903,59 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Behavioral anomaly score: mean SURPRISAL of each user's event-type
+    * path under the corpus's own first-order Markov model — the event
+    * twin of the bigram-LM doc score ([[graft.ext.TextAnalysis.lmScore]]):
+    * users whose transition patterns are atypical (bots, fraud,
+    * instrumentation bugs) surface at the top. Transition probabilities
+    * are exact count ratios; the per-user mean is the lmScore-class
+    * AVG-of-ln (schedule-order drift ≪ the 1e-4 grid); ranking on the
+    * ROUNDED score with user-id tie-break. Two passes over one
+    * user-keyed lag window (model + scoring), model joined back on the
+    * (from, to) key. */
+  def pathSurprisal(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("f"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .where(col("t").isNotNull)
+    val counts = tr.groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("f").agg(sum("c").as("n"))
+    val lm = counts.join(broadcast(tot), "f")
+      .select(col("f"), col("t"), (col("c").cast("double") / col("n")).as("p"))
+    tr.join(broadcast(lm), Seq("f", "t"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"), round(-avg(log(col("p"))), 4).as("nll"))
+      .orderBy(col("nll").desc, col("user_id")).limit(k)
+  }
+
+  /** Session-count sensitivity to the gap parameter — the
+    * banding-quality-eval sibling for sessionization: for each candidate
+    * gap, #sessions = #users + #(Δt > gap) over ONE lag pass (every new
+    * session after the first opens at a gap exceedance), plus the
+    * continuation share. All exact integer µs comparisons; the Δt pass
+    * is computed once and each gap is a conditional count over it. */
+  def sessionGapCurve(events: DataFrame,
+      gapsMinutes: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dt = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("dt", unix_micros(col("ts"))
+        - lag(unix_micros(col("ts")), 1).over(w))
+    val base = dt.agg(countDistinct("user_id").as("n_users"),
+      count(col("dt")).as("n_gaps"))
+    val counts = gapsMinutes.map { g =>
+      dt.agg(sum(when(col("dt") > g * 60000000L, 1L).otherwise(0L)).as("n_breaks"))
+        .withColumn("gap_minutes", lit(g))
+    }.reduce(_.unionAll(_))
+    counts.crossJoin(broadcast(base))
+      .select(col("gap_minutes"), col("n_users"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        round(lit(1.0) - col("n_breaks").cast("double") / col("n_gaps").cast("double"), 4)
+          .as("continuation_rate"))
+      .orderBy("gap_minutes")
+  }
+
   /** Kaplan–Meier survival curve of user LIFETIME (days between first
     * and last event), with right-censoring: users still active near the
     * corpus end (last event within `censorDays` of the global max) are

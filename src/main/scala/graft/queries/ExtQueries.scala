@@ -543,6 +543,56 @@ object ExtQueries {
   def kaplanMeierQ(s: SparkSession, d: String): DataFrame =
     Temporal.kaplanMeier(Tables.events(s, d))
 
+  /** Top-20 users by mean path surprisal under the corpus Markov model. */
+  def pathSurprisalQ(s: SparkSession, d: String): DataFrame =
+    Temporal.pathSurprisal(Tables.events(s, d))
+
+  /** Session-count sensitivity curve over gaps of 5/15/30/60 minutes. */
+  def sessionGapCurveQ(s: SparkSession, d: String): DataFrame =
+    Temporal.sessionGapCurve(Tables.events(s, d))
+
+  /** k-anonymity census over (event_type, hour-of-day, 10-unit value
+    * bucket) quasi-identifiers. */
+  def kAnonymityQ(s: SparkSession, d: String): DataFrame =
+    Profile.kAnonymity(
+      Tables.events(s, d).select(col("event_type"), hour(col("ts")).as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb")),
+      Seq("event_type", "hr", "vb"))
+
+  /** One-way ANOVA F of n_chars across languages. */
+  def anovaFQ(s: SparkSession, d: String): DataFrame =
+    Drift.anovaF(Tables.documents(s, d), "lang", "n_chars")
+
+  /** Mutual information between event type and hour-of-day. */
+  def typeHourMiQ(s: SparkSession, d: String): DataFrame =
+    Drift.categoricalMi(
+      Tables.events(s, d).select(col("event_type"), hour(col("ts")).as("hr")),
+      "event_type", "hr")
+
+  /** Embedding isotropy probe over the stride-501 pairing. */
+  def isotropyQ(s: SparkSession, d: String): DataFrame =
+    Similarity.isotropyProbe(Tables.embeddings(s, d))
+
+  /** W1 distance of each source's length distribution vs the pool. */
+  def wassersteinQ(s: SparkSession, d: String): DataFrame =
+    Drift.wassersteinVsPool(Tables.documents(s, d), "source", "n_chars")
+
+  /** Hill tail index of the top-100 event values. */
+  def tailIndexQ(s: SparkSession, d: String): DataFrame =
+    Profile.tailIndex(Tables.events(s, d), "value", "event_id")
+
+  /** Perceptual-hash media dedup over the synthetic media table plus
+    * planted re-encodes (doc_id % 7 stored twice — the same bytes under
+    * two media ids, the multi-URL duplicate case). */
+  def mediaDedupQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = Multimodal.syntheticMedia(s, docs)
+    val re = Multimodal.syntheticMedia(s, docs.where(col("doc_id") % 7 === 0))
+      .map(m => m.copy(media_id = m.media_id + 10000000L))
+    Multimodal.phashBandedPairs(Multimodal.mediaPhashes(base.union(re)))
+  }
+
   /** Delete-one-bucket jackknife SE of the mean event value. */
   def jackknifeQ(s: SparkSession, d: String): DataFrame =
     Temporal.jackknifeSe(Tables.events(s, d))
@@ -1985,6 +2035,15 @@ object ExtQueries {
     "ext_kaplan_meier" -> kaplanMeierQ _,
     "ext_jackknife" -> jackknifeQ _,
     "ext_rbo" -> rboQ _,
+    "ext_path_surprisal" -> pathSurprisalQ _,
+    "ext_session_gap_curve" -> sessionGapCurveQ _,
+    "ext_k_anonymity" -> kAnonymityQ _,
+    "ext_multimodal_dedup" -> mediaDedupQ _,
+    "ext_anova_f" -> anovaFQ _,
+    "ext_type_hour_mi" -> typeHourMiQ _,
+    "ext_isotropy" -> isotropyQ _,
+    "ext_wasserstein" -> wassersteinQ _,
+    "ext_tail_index" -> tailIndexQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -4733,6 +4792,206 @@ object ExtQueries {
         |  CASE WHEN m > 1 AND dx > 0 AND dy > 0
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // W1 = sum over sorted distinct values of |F_g - F|*dv: exact integer
+    // cumulatives, per-value term one division pair, fold in value order
+    "ext_wasserstein" ->
+      """WITH e AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |gv AS (SELECT g, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |vs AS (SELECT v, COUNT(*) AS ca FROM e GROUP BY v),
+        |grid AS (SELECT gg.g, vs.v, CAST(COALESCE(gv.c, 0) AS BIGINT) AS c
+        |         FROM (SELECT DISTINCT g FROM gv) gg
+        |         CROSS JOIN vs LEFT JOIN gv USING (g, v)),
+        |cg AS (SELECT g, v, c,
+        |         SUM(c) OVER (PARTITION BY g ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |         LEAD(v) OVER (PARTITION BY g ORDER BY v) - v AS dv
+        |       FROM grid),
+        |caa AS (SELECT v, SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS cum_a FROM vs),
+        |ng AS (SELECT g, COUNT(*) AS n_g FROM e GROUP BY g),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |t AS (SELECT cg.g, cg.v,
+        |        ABS(CAST(cg.cum_g AS DOUBLE) / ng.n_g
+        |          - CAST(caa.cum_a AS DOUBLE) / nn.n) * CAST(cg.dv AS DOUBLE)
+        |          AS term
+        |      FROM cg JOIN caa USING (v) JOIN ng USING (g), nn
+        |      WHERE cg.dv IS NOT NULL),
+        |w AS (SELECT g, list_reduce(list(term ORDER BY v), (a, b) -> a + b)
+        |        AS w1raw FROM t GROUP BY g)
+        |SELECT w.g AS source, ng.n_g,
+        |  ROUND(w.w1raw + SIGN(w.w1raw) * 0.000000001, 4) AS w1
+        |FROM w JOIN ng USING (g) ORDER BY source""".stripMargin,
+
+    // Hill tail index over the top-100 order statistics: unique ranks on
+    // (value desc, id), lns of engine-identical doubles folded in rank
+    // order under StableRound
+    "ext_tail_index" ->
+      """WITH top AS (SELECT value AS v, event_id AS id FROM events
+        |  WHERE value > 0 ORDER BY value DESC, event_id LIMIT 101),
+        |rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, id) AS rn FROM top),
+        |ref AS (SELECT v AS x_ref FROM rk WHERE rn = 101),
+        |s AS (SELECT COUNT(*) AS k, MIN(ref.x_ref) AS x_ref,
+        |        list_reduce(list(ln(rk.v / ref.x_ref) ORDER BY rk.rn),
+        |          (a, b) -> a + b) AS sln
+        |      FROM rk, ref WHERE rk.rn <= 100)
+        |SELECT k, ROUND(x_ref, 4) AS x_ref,
+        |  CASE WHEN sln > 0.0 THEN
+        |    ROUND(CAST(k AS DOUBLE) / sln
+        |      + SIGN(CAST(k AS DOUBLE) / sln) * 0.000000001, 4)
+        |  END AS alpha
+        |FROM s""".stripMargin,
+
+    // one-way ANOVA over exact integer moments: SSB/SSW assembled from
+    // sum-of-squares identities, the per-group S^2/n fold in group order
+    "ext_anova_f" ->
+      """WITH g AS (SELECT lang AS g, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+        |          CAST(SUM(s2) AS BIGINT) AS ss2, COUNT(*) AS k FROM g),
+        |sb AS (SELECT list_reduce(list(
+        |         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |           ORDER BY g), (a, b) -> a + b) AS sbs FROM g),
+        |f AS (SELECT tot.k, tot.nn,
+        |        sb.sbs - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE)
+        |          / CAST(tot.nn AS DOUBLE) AS ssb,
+        |        CAST(tot.ss2 AS DOUBLE) - sb.sbs AS ssw
+        |      FROM tot, sb),
+        |ff AS (SELECT k, nn,
+        |         CASE WHEN k > 1 AND nn > k AND ssw > 0.0 THEN
+        |           (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(nn - k AS DOUBLE))
+        |         END AS f_stat
+        |       FROM f)
+        |SELECT g.g AS lang, g.n,
+        |  ROUND(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 4) AS mean,
+        |  ff.k AS n_groups, ff.nn AS n_total, ROUND(ff.f_stat, 4) AS f_stat
+        |FROM g, ff ORDER BY lang""".stripMargin,
+
+    // categorical MI: every log argument a ratio of exact integer
+    // products; total folded in (x, y) cell order
+    "ext_type_hour_mi" ->
+      """WITH c AS (SELECT event_type AS x, hour(ts) AS y, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM c GROUP BY x),
+        |cy AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM c GROUP BY y),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+        |k AS (SELECT c.x, c.y, c.c,
+        |        (CAST(c.c AS DOUBLE) / nn.n)
+        |          * ln(CAST(c.c * nn.n AS DOUBLE) / CAST(cx.cx * cy.cy AS DOUBLE))
+        |          AS contrib
+        |      FROM c JOIN cx USING (x) JOIN cy USING (y), nn),
+        |mi AS (SELECT list_reduce(list(contrib ORDER BY x, y),
+        |         (a, b) -> a + b) AS mi FROM k)
+        |SELECT k.x AS event_type, CAST(k.y AS INT) AS hr, k.c,
+        |  ROUND(k.contrib, 4) + 0.0 AS contrib, ROUND(mi.mi, 4) + 0.0 AS mi
+        |FROM k, mi ORDER BY event_type, hr""".stripMargin,
+
+    // isotropy: cosines round to exact 1e-4 integers BEFORE aggregation,
+    // so the means are integer ratios and min/max order statistics
+    "ext_isotropy" ->
+      s"""WITH $embCte,
+         |nv AS (SELECT COUNT(*) AS n FROM e),
+         |a AS (SELECT e.vec_id AS vec_a, e.e AS ea,
+         |        (e.vec_id + 501) % nv.n AS partner
+         |      FROM e, nv WHERE (e.vec_id + 501) % nv.n <> e.vec_id),
+         |p AS (SELECT ${cosSql("a.ea", "b.e")} AS cos
+         |      FROM a JOIN e b ON b.vec_id = a.partner),
+         |ic AS (SELECT cos, CAST(ROUND(cos * 10000) AS BIGINT) AS ic FROM p),
+         |nrm AS (SELECT CAST(SUM(CAST(ROUND(sqrt(list_dot_product(e, e)) * 10000)
+         |          AS BIGINT)) AS BIGINT) AS snrm, COUNT(*) AS nv FROM e)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ROUND(CAST(SUM(ic.ic) AS DOUBLE) / CAST(COUNT(*) * 10000 AS DOUBLE), 4)
+         |    AS mean_cos,
+         |  ROUND(CAST(SUM(ABS(ic.ic)) AS DOUBLE) / CAST(COUNT(*) * 10000 AS DOUBLE), 4)
+         |    AS mean_abs_cos,
+         |  MIN(ic.cos) AS cos_min, MAX(ic.cos) AS cos_max,
+         |  ROUND(CAST(MIN(nrm.snrm) AS DOUBLE) / CAST(MIN(nrm.nv) * 10000 AS DOUBLE), 4)
+         |    AS norm_mean
+         |FROM ic, nrm""".stripMargin,
+
+    // phash banding over the stub codec (md5-slice hashes): bands are
+    // 15-bit integer windows, candidates from band-key joins, hamming
+    // verified by bit_count(xor) — all integers
+    "ext_multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hex FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 7 = 0),
+        |p AS (SELECT media_id, CAST('0x' || substr(hex, 1, 15) AS BIGINT) AS phash
+        |      FROM m),
+        |b AS (SELECT media_id, phash, k.band,
+        |        (phash // (CASE k.band WHEN 0 THEN 1 WHEN 1 THEN 32768
+        |           WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) % 32768 AS key
+        |      FROM p, (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(band)) k),
+        |pr AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
+        |         a.phash AS pa, b2.phash AS pb
+        |       FROM b a JOIN b b2
+        |         ON a.band = b2.band AND a.key = b2.key
+        |        AND a.media_id < b2.media_id)
+        |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM pr WHERE bit_count(xor(pa, pb)) <= 8
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // path surprisal: the lmScore pattern over the event-type Markov
+    // model — exact count-ratio probs, AVG-of-ln per user, rounded rank
+    "ext_path_surprisal" ->
+      """WITH seq AS (SELECT user_id, event_type AS f,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |tr AS (SELECT user_id, f, t FROM seq WHERE t IS NOT NULL),
+        |c AS (SELECT f, t, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY f),
+        |lm AS (SELECT c.f, c.t, CAST(c.c AS DOUBLE) / tot.n AS p
+        |       FROM c JOIN tot USING (f))
+        |SELECT tr.user_id, COUNT(*) AS n_trans, ROUND(-AVG(ln(p)), 4) AS nll
+        |FROM tr JOIN lm USING (f, t)
+        |GROUP BY tr.user_id ORDER BY nll DESC, user_id LIMIT 20""".stripMargin,
+
+    // gap sensitivity: one lag pass, each gap a conditional count over
+    // exact integer microsecond deltas
+    "ext_session_gap_curve" ->
+      """WITH dt AS (SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+        |  FROM events),
+        |base AS (SELECT COUNT(DISTINCT user_id) AS n_users,
+        |           COUNT(dt) AS n_gaps FROM dt),
+        |g AS (SELECT * FROM (VALUES (5), (15), (30), (60)) AS t(gap_minutes)),
+        |k AS (SELECT g.gap_minutes,
+        |        CAST(SUM(CASE WHEN dt.dt > CAST(g.gap_minutes AS BIGINT) * 60000000
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+        |      FROM g, dt GROUP BY 1)
+        |SELECT k.gap_minutes, base.n_users,
+        |  base.n_users + k.n_breaks AS n_sessions,
+        |  ROUND(1.0 - CAST(k.n_breaks AS DOUBLE) / base.n_gaps, 4)
+        |    AS continuation_rate
+        |FROM k, base ORDER BY gap_minutes""".stripMargin,
+
+    // k-anonymity: class-size histogram over the QI tuple; every number
+    // an exact integer, shares single divisions
+    "ext_k_anonymity" ->
+      """WITH q AS (SELECT event_type, hour(ts) AS hr,
+        |    CAST(ROUND(value * 100) AS BIGINT) // 1000 AS vb
+        |  FROM events),
+        |cls AS (SELECT event_type, hr, vb, COUNT(*) AS k FROM q GROUP BY 1, 2, 3),
+        |hist AS (SELECT k, COUNT(*) AS n_classes,
+        |           CAST(SUM(k) AS BIGINT) AS n_records FROM cls GROUP BY k),
+        |tot AS (SELECT CAST(SUM(n_records) AS BIGINT) AS n,
+        |          CAST(SUM(CASE WHEN k < 2 THEN n_records ELSE 0 END) AS BIGINT)
+        |            AS lt2,
+        |          CAST(SUM(CASE WHEN k < 5 THEN n_records ELSE 0 END) AS BIGINT)
+        |            AS lt5,
+        |          CAST(SUM(CASE WHEN k < 10 THEN n_records ELSE 0 END) AS BIGINT)
+        |            AS lt10
+        |        FROM hist)
+        |SELECT hist.k AS class_size, hist.n_classes, hist.n_records,
+        |  ROUND(CAST(tot.lt2 AS DOUBLE) / tot.n, 4) AS frac_lt2,
+        |  ROUND(CAST(tot.lt5 AS DOUBLE) / tot.n, 4) AS frac_lt5,
+        |  ROUND(CAST(tot.lt10 AS DOUBLE) / tot.n, 4) AS frac_lt10
+        |FROM hist, tot ORDER BY class_size""".stripMargin,
 
     // Kaplan-Meier: exact epoch-day durations, span-bounded risk rollup,
     // survival = exp(running sum of ln((n-d)/n)) under StableRound

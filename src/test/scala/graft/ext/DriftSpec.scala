@@ -103,6 +103,53 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(shifted._4) > got.filter(_._1 != "shifted").map(r => math.abs(r._4)).max * 3)
   }
 
+  test("wassersteinVsPool: a constant shift yields W1 = shift x pool-share complement") {
+    // group a: values {0, 10}; group b: {100, 110} — each vs the pooled
+    // {0,10,100,110}. By symmetry both W1s are equal; hand-compute:
+    // pooled CDF at 0:.25 10:.5 100:.75; group a CDF at 0:.5 10:1 100:1
+    // W1(a) = |.5-.25|*10 + |1-.5|*90 + |1-.75|*10 = 2.5+45+2.5 = 50
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 100L), ("b", 110L)).toDF("g", "v")
+    val got = Drift.wassersteinVsPool(df, "g", "v")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("a") == 50.0 && got("b") == 50.0)
+    // identical distributions -> 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    assert(Drift.wassersteinVsPool(same, "g", "v")
+      .as[(String, Long, Double)].collect().forall(_._3 == 0.0))
+  }
+
+  test("anovaF: identical group means give F = 0; separated means a large F") {
+    val same = Seq(("a", 10L), ("a", 20L), ("b", 10L), ("b", 20L))
+      .toDF("g", "v")
+    val f0 = Drift.anovaF(same, "g", "v")
+      .as[(String, Long, Double, Long, Long, Option[Double])].collect()
+    assert(f0.forall(_._6.contains(0.0)))
+    assert(f0.head._3 == 15.0)
+    val sep = Seq(("a", 10L), ("a", 11L), ("b", 100L), ("b", 101L))
+      .toDF("g", "v")
+    val f1 = Drift.anovaF(sep, "g", "v")
+      .as[(String, Long, Double, Long, Long, Option[Double])].collect()
+    // SSB = 2*(45)^2*2... large vs SSW = 1 -> F huge
+    assert(f1.head._6.exists(_ > 1000.0))
+    // constant values in every group: ssw = 0 -> F null, not a crash
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Drift.anovaF(const, "g", "v")
+      .as[(String, Long, Double, Long, Long, Option[Double])]
+      .collect().forall(_._6.isEmpty))
+  }
+
+  test("categoricalMi: independent columns give MI ~ 0, a bijection gives ln k") {
+    val indep = (0 until 100).map(i => (s"x${i % 2}", s"y${i % 5}"))
+      .toDF("a", "b")
+    val g0 = Drift.categoricalMi(indep, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(math.abs(g0.head._5) < 1e-9)
+    val bij = (0 until 100).map(i => (s"x${i % 4}", s"y${i % 4}")).toDF("a", "b")
+    val g1 = Drift.categoricalMi(bij, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(g1.head._5 == math.rint(math.log(4.0) * 10000) / 10000)
+  }
+
   test("chi2Homogeneity: identical mixes give chi2 = 0; a planted shift doesn't") {
     import org.apache.spark.sql.functions.lit
     // users 1(odd) and 2(even), identical type mix -> expected == observed

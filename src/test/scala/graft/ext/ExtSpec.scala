@@ -981,6 +981,22 @@ class ExtSpec extends SparkSpec {
     assert(got._4 > 0.0)
   }
 
+  test("phashBandedPairs finds byte-identical media, never unrelated payloads") {
+    val docs = Seq(
+      (1L, "same payload"), (2L, "same payload"),  // dup pair
+      (3L, "different one"), (4L, "yet another")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val pairs = Multimodal.phashBandedPairs(Multimodal.mediaPhashes(media))
+      .as[(Long, Long, Int)].collect().toList
+    assert(pairs == List((1L, 2L, 0)))
+    // banding is partition-invariant
+    val again = Multimodal.phashBandedPairs(
+      Multimodal.mediaPhashes(media.repartition(7)))
+      .as[(Long, Long, Int)].collect().toList
+    assert(again == pairs)
+  }
+
   test("zipfFit is invariant to input partitioning") {
     val d = graft.Tables.documents(spark, sf())
     val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head

@@ -670,6 +670,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(disj.forall(r => r._2 == 0L && r._4 == 0.0))
   }
 
+  test("pathSurprisal: the one user deviating from a deterministic pattern tops the list") {
+    // users 1..4 all do a->b->a->b; user 5 does a->c once (rare transition)
+    val e = (1L to 4L).flatMap { u =>
+      (0 until 6).map(i => (u * 100 + i, ts(i * 60), u,
+        if (i % 2 == 0) "a" else "b"))
+    } ++ Seq((500L, ts(0), 5L, "a"), (501L, ts(60), 5L, "c"))
+    val df = e.toDF("event_id", "ts", "user_id", "event_type")
+    val got = Temporal.pathSurprisal(df)
+      .as[(Long, Long, Double)].collect()
+    assert(got.head._1 == 5L)             // the anomalous user ranks first
+    assert(got.head._3 > got.last._3)     // strictly more surprising
+  }
+
+  test("sessionGapCurve: session counts drop monotonically as the gap widens") {
+    // user 1: events at 0, 10min, 40min -> gaps 10m, 30m
+    val e = Seq((1L, ts(0), 1L), (2L, ts(600), 1L), (3L, ts(2400), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val got = Temporal.sessionGapCurve(e)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(5) == 3L)   // both gaps break
+    assert(got(15) == 2L)  // only the 30m gap breaks
+    assert(got(30) == 1L)  // 30m gap is NOT > 30m: one session
+    assert(got(60) == 1L)
+  }
+
+  test("kAnonymity: class-size histogram and below-k shares are exact") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),   // class of 3
+      ("b", 1), ("b", 1),             // class of 2
+      ("c", 1)                        // class of 1
+    ).toDF("q1", "q2")
+    val got = Profile.kAnonymity(df, Seq("q1", "q2"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L && got(1L)._3 == 1L)
+    assert(got(2L)._2 == 1L && got(3L)._2 == 1L)
+    // frac below 2 = 1/6; below 5 = all 6/6
+    assert(got(1L)._4 == math.rint(1.0 / 6 * 10000) / 10000)
+    assert(got(1L)._5 == 1.0 && got(1L)._6 == 1.0)
+  }
+
+  test("tailIndex: an exact Pareto sample recovers its exponent") {
+    // x_i = (N/i)^(1/a) for i = 1..N is a deterministic Pareto(a) sample;
+    // Hill over the top-100 should land near a = 2
+    val a = 2.0
+    val e = (1L to 2000L).map(i =>
+      (i, math.pow(2000.0 / i, 1.0 / a))).toDF("event_id", "value")
+    val got = Profile.tailIndex(e, "value", "event_id")
+      .as[(Long, Double, Option[Double])].collect().head
+    assert(got._1 == 100L)
+    assert(got._3.exists(al => math.abs(al - a) < 0.25), got.toString)
+    // constant positive values: sln = 0 -> alpha null, not a crash
+    val const = (1L to 200L).map(i => (i, 5.0)).toDF("event_id", "value")
+    assert(Profile.tailIndex(const, "value", "event_id")
+      .as[(Long, Double, Option[Double])].collect().head._3.isEmpty)
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

@@ -225,6 +225,21 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.map(_._1).contains(0L)) // probe excluded
   }
 
+  test("isotropyProbe: orthonormal basis vectors pair to cosine 0, norms 1") {
+    // 8 standard-basis vectors in R^8: any stride pairing is orthogonal
+    val e = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.isotropyProbe(e, stride = 3L)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r == ((8L, 0.0, 0.0, 0.0, 0.0, 1.0)), r.toString)
+    // identical vectors: every pair cosine 1
+    val same = (0L until 4L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val s = Similarity.isotropyProbe(same, stride = 1L)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(s._2 == 1.0 && s._4 == 1.0 && s._5 == 1.0)
+  }
+
   test("pplBuckets: tertile ranks are exact and bucket stats are order-free") {
     // 6 docs in one source with strictly increasing NLL -> 2/2/2 split;
     // craft texts whose bigram perplexities separate cleanly: doc text

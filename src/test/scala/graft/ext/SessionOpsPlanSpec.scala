@@ -18,7 +18,9 @@ class SessionOpsPlanSpec extends SparkSpec {
   private val scalarCrossOk = Set("ext_token_burstiness", "ext_ab_test",
     "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
-    "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo")
+    "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
+    "ext_session_gap_curve", "ext_k_anonymity", "ext_anova_f",
+    "ext_type_hour_mi", "ext_isotropy", "ext_wasserstein", "ext_tail_index")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -29,7 +31,10 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_stickiness", "ext_seasonal_naive", "ext_sparse_cosine",
     "ext_degree_dist", "ext_assortativity", "ext_chi2_homogeneity",
     "ext_conductance", "ext_probe_calibration", "ext_hash_features",
-    "ext_kaplan_meier", "ext_jackknife", "ext_rbo")
+    "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
+    "ext_path_surprisal", "ext_session_gap_curve", "ext_k_anonymity",
+    "ext_multimodal_dedup", "ext_anova_f", "ext_type_hour_mi", "ext_isotropy",
+    "ext_wasserstein", "ext_tail_index")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
