@@ -903,6 +903,75 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Per-group stats of an integer field EXTRACTED FROM the JSON props
+    * column — the semi-structured → numeric pipeline every event schema
+    * with a payload blob needs: n, mean, sd from exact integer moments
+    * (sd² = (n·Σx² − (Σx)²)/n², one sqrt). One extraction projection +
+    * one group aggregate. */
+  def jsonFieldStats(events: DataFrame, path: String = "$.k",
+      groupCol: String = "event_type"): DataFrame = {
+    val x = events
+      .select(col(groupCol), get_json_object(col("props"), path).cast("long").as("x"))
+      .where(col("x").isNotNull)
+    x.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col(groupCol), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 4).as("mean"),
+        round(sqrt((col("n") * col("s2") - col("s") * col("s")).cast("double")
+          / (col("n") * col("n")).cast("double")), 4).as("sd"))
+      .orderBy(groupCol)
+  }
+
+  /** Per-user behavioral-diversity entropy: Shannon entropy of each
+    * user's event-type mix (the exact-integer ln form) — bots and
+    * single-purpose scripts sit near 0 while organic users spread
+    * across types; the per-entity sibling of [[hourlyTypeEntropy]].
+    * One (user, type) count shuffle collapsing to a per-user rollup. */
+  def userTypeEntropy(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(log(col("n").cast("double"))
+          - col("clnc") / col("n").cast("double"), 4).as("entropy"))
+      .orderBy("user_id")
+
+  /** Circular (directional) statistics of the hour-of-day per event
+    * type: the mean hour as a DIRECTION (23:00 and 01:00 average to
+    * midnight, not noon — the bug every linear mean-of-hours has) and
+    * the resultant length R (1 = perfectly peaked, 0 = uniform). Hours
+    * collapse to 24 exact integer counts; S = Σc·sin(2πh/24) and C
+    * likewise fold their 24 terms in hour order (sin/cos of the same 24
+    * doubles in both engines), and the one atan2/sqrt goes through
+    * StableRound. One (type, hour) count shuffle. */
+  def circularHourStats(events: DataFrame): DataFrame = {
+    val hc = events.select(col("event_type"), hour(col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val twoPi = 2.0 * math.Pi
+    val ang = col("h").cast("double") * lit(twoPi / 24.0)
+    val folded = hc
+      .select(col("event_type"), col("h"), col("c"),
+        (col("c").cast("double") * sin(ang)).as("sv"),
+        (col("c").cast("double") * cos(ang)).as("cv"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n"),
+        aggregate(sort_array(collect_list(struct(col("h"), col("sv")))),
+          lit(0.0), (a, x) => a + x.getField("sv")).as("ss"),
+        aggregate(sort_array(collect_list(struct(col("h"), col("cv")))),
+          lit(0.0), (a, x) => a + x.getField("cv")).as("cc"))
+    folded.select(col("event_type"), col("n"),
+        graft.functions.StableRound.col4(
+          (atan2(col("ss"), col("cc")) / lit(twoPi) * lit(24.0) + lit(24.0)) % lit(24.0))
+          .as("mean_hour"),
+        graft.functions.StableRound.col4(
+          sqrt(col("ss") * col("ss") + col("cc") * col("cc")) / col("n").cast("double"))
+          .as("r"))
+      .orderBy("event_type")
+  }
+
   /** Behavioral anomaly score: mean SURPRISAL of each user's event-type
     * path under the corpus's own first-order Markov model — the event
     * twin of the bigram-LM doc score ([[graft.ext.TextAnalysis.lmScore]]):

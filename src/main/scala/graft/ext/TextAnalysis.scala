@@ -1719,6 +1719,60 @@ object TextAnalysis {
         round(col("burstiness"), 4).as("burstiness"))
   }
 
+  /** Character-class census per source — the ingest QC that catches a
+    * feed gone binary/markup/numeric before any tokenizer runs: letter /
+    * digit / whitespace / punctuation fractions of the raw text. Counts
+    * come from regexp strip-lengths (exact integers, one projection +
+    * one group aggregate); fractions are single divisions. */
+  def charClassCensus(docs: DataFrame): DataFrame = {
+    def countClass(re: String) =
+      length(col("text")) - length(regexp_replace(col("text"), re, ""))
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("n"),
+        countClass("[a-zA-Z]").cast("long").as("alpha"),
+        countClass("[0-9]").cast("long").as("digit"),
+        countClass("\\s").cast("long").as("space"))
+      .groupBy("source")
+      .agg(sum("n").as("n_chars"), sum("alpha").as("a"),
+        sum("digit").as("d"), sum("space").as("sp"))
+      .where(col("n_chars") > 0)
+      .select(col("source"), col("n_chars"),
+        round(col("a").cast("double") / col("n_chars").cast("double"), 4)
+          .as("alpha_frac"),
+        round(col("d").cast("double") / col("n_chars").cast("double"), 4)
+          .as("digit_frac"),
+        round(col("sp").cast("double") / col("n_chars").cast("double"), 4)
+          .as("space_frac"),
+        round((col("n_chars") - col("a") - col("d") - col("sp")).cast("double")
+          / col("n_chars").cast("double"), 4).as("other_frac"))
+      .orderBy("source")
+  }
+
+  /** Boilerplate BOUNDARY-token census: the most frequent doc-INITIAL
+    * and doc-FINAL tokens — headers and footers show up as boundary
+    * tokens whose boundary share dwarfs their corpus share (the signal a
+    * header/footer stripper keys on). Exact integer counts, one in-row
+    * boundary projection + one count aggregate, top-k per position by
+    * (count desc, token). */
+  def boilerplateTokens(docs: DataFrame, k: Int = 10): DataFrame = {
+    val ts = docs.select(Dedup.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+    val nd = ts.agg(count(lit(1)).as("n_docs"))
+    val bounds = ts.select(explode(array(
+        struct(lit("first").as("position"), col("ts").getItem(0).as("tok")),
+        struct(lit("last").as("position"),
+          element_at(col("ts"), -1).as("tok")))).as("b"))
+      .select(col("b.position"), col("b.tok"))
+      .groupBy("position", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("position").orderBy(col("c").desc, col("tok"))
+    bounds.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .crossJoin(broadcast(nd))
+      .select(col("position"), col("rank"), col("tok"), col("c"),
+        round(col("c").cast("double") / col("n_docs").cast("double"), 4)
+          .as("doc_share"))
+      .orderBy("position", "rank")
+  }
+
   /** Feature-hashing (hashing-trick) collision census at `nBuckets`:
     * before shipping a V-dimensional BoW into a fixed 2^k hashed space,
     * measure what the hash destroys — buckets used, tokens sharing a

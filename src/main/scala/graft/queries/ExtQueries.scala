@@ -581,6 +581,42 @@ object ExtQueries {
   def tailIndexQ(s: SparkSession, d: String): DataFrame =
     Profile.tailIndex(Tables.events(s, d), "value", "event_id")
 
+  /** Per-type stats of the integer `k` field inside the props JSON. */
+  def jsonFieldStatsQ(s: SparkSession, d: String): DataFrame =
+    Temporal.jsonFieldStats(Tables.events(s, d))
+
+  /** Character-class census per source. */
+  def charCensusQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charClassCensus(Tables.documents(s, d))
+
+  /** Top-10 doc-initial and doc-final tokens (header/footer census). */
+  def boilerplateTokensQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.boilerplateTokens(Tables.documents(s, d))
+
+  /** Per-user behavioral-diversity entropy. */
+  def userEntropyQ(s: SparkSession, d: String): DataFrame =
+    Temporal.userTypeEntropy(Tables.events(s, d))
+
+  /** Circular mean hour + resultant length per event type. */
+  def circularHourQ(s: SparkSession, d: String): DataFrame =
+    Temporal.circularHourStats(Tables.events(s, d))
+
+  /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
+    * sweep (the banding-eval pattern applied to retrieval scoring).
+    * Ranks on the ROUNDED score with doc-id tie-breaks. */
+  def bm25SweepQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Seq(9, 12, 15).map { k1x10 =>
+      val scored = TextAnalysis.bm25(docs, Bm25Terms, k1 = k1x10 / 10.0)
+      val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      // window over <= 10 rows by construction
+      top.select(lit(k1x10).as("k1x10"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).as("rank"),
+        col("doc_id"), col("bm25"))
+    }.reduce(_.unionAll(_)).orderBy("k1x10", "rank")
+  }
+
   /** Perceptual-hash media dedup over the synthetic media table plus
     * planted re-encodes (doc_id % 7 stored twice — the same bytes under
     * two media ids, the multi-URL duplicate case). */
@@ -2044,6 +2080,12 @@ object ExtQueries {
     "ext_isotropy" -> isotropyQ _,
     "ext_wasserstein" -> wassersteinQ _,
     "ext_tail_index" -> tailIndexQ _,
+    "ext_json_field_stats" -> jsonFieldStatsQ _,
+    "ext_circular_hour" -> circularHourQ _,
+    "ext_bm25_sweep" -> bm25SweepQ _,
+    "ext_char_census" -> charCensusQ _,
+    "ext_boilerplate_tokens" -> boilerplateTokensQ _,
+    "ext_user_entropy" -> userEntropyQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -4793,6 +4835,89 @@ object ExtQueries {
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
 
+    // char-class census: regexp strip-lengths are exact integers
+    "ext_char_census" ->
+      """WITH m AS (SELECT source, CAST(len(text) AS BIGINT) AS n,
+        |    CAST(len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |      AS BIGINT) AS a,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS d,
+        |    CAST(len(text) - len(regexp_replace(text, '\s', '', 'g'))
+        |      AS BIGINT) AS sp
+        |  FROM documents),
+        |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars,
+        |        CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(d) AS BIGINT) AS d,
+        |        CAST(SUM(sp) AS BIGINT) AS sp
+        |      FROM m GROUP BY source)
+        |SELECT source, n_chars,
+        |  ROUND(CAST(a AS DOUBLE) / n_chars, 4) AS alpha_frac,
+        |  ROUND(CAST(d AS DOUBLE) / n_chars, 4) AS digit_frac,
+        |  ROUND(CAST(sp AS DOUBLE) / n_chars, 4) AS space_frac,
+        |  ROUND(CAST(n_chars - a - d - sp AS DOUBLE) / n_chars, 4) AS other_frac
+        |FROM g WHERE n_chars > 0 ORDER BY source""".stripMargin,
+
+    // boundary-token census: first/last token per doc, top-10 each by
+    // (count desc, token)
+    "ext_boilerplate_tokens" ->
+      s"""WITH $toksCte,
+         |nz AS (SELECT ts FROM toks WHERE len(ts) > 0),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM nz),
+         |b AS (SELECT 'first' AS position, ts[1] AS tok FROM nz
+         |      UNION ALL SELECT 'last', ts[len(ts)] FROM nz),
+         |c AS (SELECT position, tok, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |r AS (SELECT position, tok, c,
+         |        CAST(row_number() OVER (PARTITION BY position
+         |          ORDER BY c DESC, tok) AS INT) AS rank
+         |      FROM c)
+         |SELECT r.position, r.rank, r.tok, r.c,
+         |  ROUND(CAST(r.c AS DOUBLE) / nd.n_docs, 4) AS doc_share
+         |FROM r, nd WHERE r.rank <= 10
+         |ORDER BY position, rank""".stripMargin,
+
+    // per-user type-mix entropy in the exact-integer ln form
+    "ext_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+        |  ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // JSON-extracted integer field: n/mean/sd from exact integer moments
+    "ext_json_field_stats" ->
+      """WITH x AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 4) AS mean,
+        |  ROUND(sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+        |    / CAST(COUNT(*) * COUNT(*) AS DOUBLE)), 4) AS sd
+        |FROM x WHERE x IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // circular hour stats: 24 exact counts per type, sin/cos terms folded
+    // in hour order, the one atan2/sqrt through StableRound
+    "ext_circular_hour" ->
+      """WITH hc AS (SELECT event_type, hour(ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |        list_reduce(list(CAST(c AS DOUBLE) * sin(h * 2 * pi() / 24)
+        |          ORDER BY h), (a, b) -> a + b) AS ss,
+        |        list_reduce(list(CAST(c AS DOUBLE) * cos(h * 2 * pi() / 24)
+        |          ORDER BY h), (a, b) -> a + b) AS cc
+        |      FROM hc GROUP BY event_type),
+        |m AS (SELECT event_type, n,
+        |        (atan2(ss, cc) / (2 * pi()) * 24.0 + 24.0) % 24.0 AS mh,
+        |        sqrt(ss * ss + cc * cc) / n AS r
+        |      FROM f)
+        |SELECT event_type, n,
+        |  ROUND(mh + SIGN(mh) * 0.000000001, 4) AS mean_hour,
+        |  ROUND(r + SIGN(r) * 0.000000001, 4) AS r
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // BM25 k1 sweep: ONE tf/df table scored three ways, each ranking on
+    // the rounded score with doc-id tie-breaks
+    "ext_bm25_sweep" -> bm25SweepSql,
+
     // W1 = sum over sorted distinct values of |F_g - F|*dv: exact integer
     // cumulatives, per-value term one division pair, fold in value order
     "ext_wasserstein" ->
@@ -5840,6 +5965,45 @@ object ExtQueries {
     * `bm(doc_id, bm25)` with the ROUND(·,4) score — shared by ext_bm25
     * and the RRF fusion oracle (which ranks on the verified rounded
     * score). */
+  /** BM25 k1-sweep oracle: ONE dls/st tf table scored at k1 ∈
+    * {0.9, 1.2, 1.5} (b = 0.75), each list ranked on the ROUNDED score
+    * with doc-id tie-breaks — mirrors [[bm25SweepQ]]. */
+  private def bm25SweepSql: String = {
+    val terms = Bm25Terms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n|  ")
+    def score(k1: Double, b: Double) = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1.0})
+         |      / (tf$i + $k1 * (1.0 - $b + $b * dl / (CAST(sdl AS DOUBLE) / n)))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString("\n|  + ")
+    val any = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    val legs = Seq(9, 12, 15).map { k =>
+      s"""bm$k AS (SELECT doc_id, ROUND(${score(k / 10.0, 0.75)}, 4) AS bm25
+         |  FROM dls, st WHERE $any),
+         |r$k AS (SELECT $k AS k1x10, doc_id, bm25,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+         |  FROM bm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $toksCte,
+       |dls AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM toks WHERE len(ts) > 0),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+       |  $dfCols
+       |  FROM dls),
+       |$legs,
+       |u AS (SELECT * FROM r9 UNION ALL SELECT * FROM r12
+       |      UNION ALL SELECT * FROM r15)
+       |SELECT k1x10, rank, doc_id, bm25 FROM u
+       |WHERE rank <= 10 ORDER BY k1x10, rank""".stripMargin
+  }
+
   private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"

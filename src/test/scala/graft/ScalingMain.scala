@@ -588,6 +588,44 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // round-7 session-3b: survival/uncertainty/behavioral ops over the
+    // same replicated events (every one a single user- or bucket-keyed
+    // shuffle; KM's risk rollup is span-bounded) plus the text QC ops
+    // over replicated docs (pure projections + one count shuffle each).
+    println("mult |   events |  km | jack | surprisal | gapcurve | circular | uentropy")
+    sweep("r7e") { m =>
+      val ev0 = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev0
+        else ev0.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tKm, _) = time(mat(ext.Temporal.kaplanMeier(evm)))
+      val (tJk, _) = time(mat(ext.Temporal.jackknifeSe(evm)))
+      val (tPs, _) = time(mat(ext.Temporal.pathSurprisal(evm)))
+      val (tGc, _) = time(mat(ext.Temporal.sessionGapCurve(evm)))
+      val (tCi, _) = time(mat(ext.Temporal.circularHourStats(evm)))
+      val (tUe, _) = time(mat(ext.Temporal.userTypeEntropy(evm)))
+      println(f"$m%4d | $nEv%8d | $tKm%4.2f | $tJk%4.2f | $tPs%9.2f | $tGc%8.2f | $tCi%8.2f | $tUe%8.2f")
+      evm.unpersist(blocking = true)
+    }
+    println("mult |     docs | burstiness | char_census | boilerplate | readability")
+    sweep("r7e") { m =>
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val (tBu, _) = time(mat(ext.TextAnalysis.tokenBurstiness(docs)))
+      val (tCc, _) = time(mat(ext.TextAnalysis.charClassCensus(
+        docs.withColumn("source", col("doc_id") % 20))))
+      val (tBt, _) = time(mat(ext.TextAnalysis.boilerplateTokens(docs)))
+      val (tRd, _) = time(mat(ext.TextAnalysis.readability(docs)))
+      println(f"$m%4d | $nd%8d | $tBu%10.2f | $tCc%11.2f | $tBt%11.2f | $tRd%11.2f")
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

@@ -727,6 +727,77 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Option[Double])].collect().head._3.isEmpty)
   }
 
+  test("jsonFieldStats: extracted-integer moments, missing/malformed dropped") {
+    val e = Seq(
+      (1L, "a", """{"k": 10}"""), (2L, "a", """{"k": 20}"""),
+      (3L, "a", """{"other": 5}"""),  // no k: dropped
+      (4L, "b", """{"k": 7}""")
+    ).toDF("event_id", "event_type", "props")
+    val got = Temporal.jsonFieldStats(e)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 15.0, 5.0)))
+    assert(got("b") == (("b", 1L, 7.0, 0.0)))
+  }
+
+  test("circularHourStats: hours straddling midnight average to midnight, not noon") {
+    // type g: equal mass at 23:00 and 01:00 -> circular mean 0 (or 24), R = cos(pi/12)
+    val e = Seq(
+      (1L, ts(23 * 3600), "g"), (2L, ts(25 * 3600), "g"),
+      (3L, ts(6 * 3600), "u"), (4L, ts(18 * 3600), "u") // antipodal: R = 0
+    ).toDF("event_id", "ts", "event_type")
+    val got = Temporal.circularHourStats(e)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, _, mh, r) = got("g")
+    assert(mh < 0.01 || mh > 23.99, got("g").toString) // midnight, not 12
+    assert(math.abs(r - math.cos(math.Pi / 12)) < 1e-3)
+    assert(got("u")._4 < 1e-9) // antipodal hours cancel
+  }
+
+  test("bm25 k1 sweep: three complete top-10 lists, rank 1 stable here") {
+    val got = graft.queries.ExtQueries.bm25SweepQ(spark, sf())
+      .as[(Int, Int, Long, Double)].collect()
+    assert(got.length == 30)
+    assert(got.map(_._1).distinct.sorted.toList == List(9, 12, 15))
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toList == (1 to 10).toList)
+      // scores non-increasing down each list
+      val sc = g.sortBy(_._2).map(_._4)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("charClassCensus: fractions partition the char mass exactly") {
+    val docs = Seq((1L, "ab 12!", "s")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.charClassCensus(docs)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    // 6 chars: 2 alpha, 2 digit, 1 space, 1 other
+    assert(got == (("s", 6L,
+      math.rint(2.0 / 6 * 10000) / 10000, math.rint(2.0 / 6 * 10000) / 10000,
+      math.rint(1.0 / 6 * 10000) / 10000, math.rint(1.0 / 6 * 10000) / 10000)))
+  }
+
+  test("boilerplateTokens surfaces a planted header above organic tokens") {
+    val docs = (1L to 20L).map(i => (i, s"HEADER body$i tail$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateTokens(docs)
+      .as[(String, Int, String, Long, Double)].collect()
+    val first = got.filter(_._1 == "first")
+    assert(first.head._3 == "HEADER" && first.head._4 == 20L && first.head._5 == 1.0)
+    val last = got.filter(_._1 == "last")
+    assert(last.forall(_._4 == 1L)) // tails are all distinct
+  }
+
+  test("userTypeEntropy: single-type bot at 0, uniform user at ln k") {
+    val e = Seq(
+      (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "a"),        // bot
+      (4L, 2L, "a"), (5L, 2L, "b"), (6L, 2L, "c")         // diverse
+    ).toDF("event_id", "user_id", "event_type")
+    val got = Temporal.userTypeEntropy(e)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == math.rint(math.log(3.0) * 10000) / 10000)
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

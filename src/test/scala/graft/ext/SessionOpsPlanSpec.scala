@@ -20,7 +20,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
     "ext_session_gap_curve", "ext_k_anonymity", "ext_anova_f",
-    "ext_type_hour_mi", "ext_isotropy", "ext_wasserstein", "ext_tail_index")
+    "ext_type_hour_mi", "ext_isotropy", "ext_wasserstein", "ext_tail_index",
+    "ext_bm25_sweep", "ext_boilerplate_tokens")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -34,7 +35,9 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
     "ext_path_surprisal", "ext_session_gap_curve", "ext_k_anonymity",
     "ext_multimodal_dedup", "ext_anova_f", "ext_type_hour_mi", "ext_isotropy",
-    "ext_wasserstein", "ext_tail_index")
+    "ext_wasserstein", "ext_tail_index", "ext_json_field_stats",
+    "ext_circular_hour", "ext_bm25_sweep", "ext_char_census",
+    "ext_boilerplate_tokens", "ext_user_entropy")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
