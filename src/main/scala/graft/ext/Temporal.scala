@@ -923,6 +923,47 @@ object Temporal {
       .orderBy(groupCol)
   }
 
+  /** Weekly event-type share drift: each type's share of traffic per
+    * ISO-ish week (epoch-week integers) and its max weekly swing
+    * (max − min share) — the "did the mix shift week over week"
+    * ops-dashboard row. Counts exact integers off one (week, type)
+    * aggregate; shares single divisions; the swing is an order statistic
+    * over identical doubles. */
+  def weeklyShareDrift(events: DataFrame): DataFrame = {
+    val wk = expr("unix_micros(ts) div 604800000000").as("week")
+    val c = events.select(col("event_type"), wk)
+      .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+    val tot = c.groupBy("week").agg(sum("c").as("n"))
+    val shares = c.join(broadcast(tot), "week")
+      .withColumn("share", col("c").cast("double") / col("n").cast("double"))
+    val swing = shares.groupBy("event_type")
+      .agg(round(max(col("share")) - min(col("share")), 4).as("max_swing"))
+    shares.join(broadcast(swing), "event_type")
+      .select(col("week"), col("event_type"), col("c"),
+        round(col("share"), 4).as("share"), col("max_swing"))
+      .orderBy("week", "event_type")
+  }
+
+  /** New-vs-returning daily split: per epoch day, active users, the
+    * users whose FIRST-ever event lands that day, the returning
+    * remainder, and the new-user fraction — the growth-dashboard row
+    * distinguishing acquisition from retention. One user-keyed min +
+    * one day rollup; all exact integers, one division. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val ed = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+    val ud = events.select(col("user_id"), ed.as("d")).distinct()
+    val firstDay = ud.groupBy("user_id").agg(min("d").as("d0"))
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val news = firstDay.groupBy(col("d0").as("d")).agg(count(lit(1)).as("new_users"))
+    dau.join(news, Seq("d"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .select(col("d").as("epoch_day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning"),
+        round(col("new_users").cast("double") / col("dau").cast("double"), 4)
+          .as("new_frac"))
+      .orderBy("epoch_day")
+  }
+
   /** Per-user behavioral-diversity entropy: Shannon entropy of each
     * user's event-type mix (the exact-integer ln form) — bots and
     * single-purpose scripts sit near 0 while organic users spread

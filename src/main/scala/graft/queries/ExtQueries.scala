@@ -597,6 +597,14 @@ object ExtQueries {
   def userEntropyQ(s: SparkSession, d: String): DataFrame =
     Temporal.userTypeEntropy(Tables.events(s, d))
 
+  /** Weekly type-share drift with per-type max swing. */
+  def weeklyShareDriftQ(s: SparkSession, d: String): DataFrame =
+    Temporal.weeklyShareDrift(Tables.events(s, d))
+
+  /** New vs returning users per day. */
+  def newVsReturningQ(s: SparkSession, d: String): DataFrame =
+    Temporal.newVsReturning(Tables.events(s, d))
+
   /** Circular mean hour + resultant length per event type. */
   def circularHourQ(s: SparkSession, d: String): DataFrame =
     Temporal.circularHourStats(Tables.events(s, d))
@@ -2086,6 +2094,8 @@ object ExtQueries {
     "ext_char_census" -> charCensusQ _,
     "ext_boilerplate_tokens" -> boilerplateTokensQ _,
     "ext_user_entropy" -> userEntropyQ _,
+    "ext_weekly_share_drift" -> weeklyShareDriftQ _,
+    "ext_new_vs_returning" -> newVsReturningQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -4834,6 +4844,38 @@ object ExtQueries {
         |  CASE WHEN m > 1 AND dx > 0 AND dy > 0
         |       THEN ROUND(num / (sqrt(dx) * sqrt(dy)), 4) END AS r
         |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // weekly type shares + per-type max swing: exact integer counts,
+    // single divisions, swing an order statistic over identical doubles
+    "ext_weekly_share_drift" ->
+      """WITH c AS (SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY week),
+        |sh AS (SELECT c.week, c.event_type, c.c,
+        |         CAST(c.c AS DOUBLE) / tot.n AS share
+        |       FROM c JOIN tot USING (week)),
+        |sw AS (SELECT event_type, ROUND(MAX(share) - MIN(share), 4) AS max_swing
+        |       FROM sh GROUP BY event_type)
+        |SELECT sh.week, sh.event_type, sh.c, ROUND(sh.share, 4) AS share,
+        |  sw.max_swing
+        |FROM sh JOIN sw USING (event_type)
+        |ORDER BY week, event_type""".stripMargin,
+
+    // new vs returning per day: first-seen day per user, one rollup
+    "ext_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |fd AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id),
+        |dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+        |nw AS (SELECT d0 AS d, COUNT(*) AS new_users FROM fd GROUP BY d0)
+        |SELECT dau.d AS epoch_day, dau.dau,
+        |  CAST(COALESCE(nw.new_users, 0) AS BIGINT) AS new_users,
+        |  dau.dau - CAST(COALESCE(nw.new_users, 0) AS BIGINT) AS returning,
+        |  ROUND(CAST(COALESCE(nw.new_users, 0) AS DOUBLE) / dau.dau, 4) AS new_frac
+        |FROM dau LEFT JOIN nw USING (d)
+        |ORDER BY epoch_day""".stripMargin,
 
     // char-class census: regexp strip-lengths are exact integers
     "ext_char_census" ->

@@ -798,6 +798,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) == math.rint(math.log(3.0) * 10000) / 10000)
   }
 
+  test("weeklyShareDrift: shares sum to 1 per week; planted shift shows in max_swing") {
+    // week 0: a=3 b=1; week 1: a=1 b=3 -> a share swings .75 -> .25
+    val e = Seq(
+      (1L, ts(0), "a"), (2L, ts(10), "a"), (3L, ts(20), "a"), (4L, ts(30), "b"),
+      (5L, ts(604800), "a"), (6L, ts(604810), "b"), (7L, ts(604820), "b"),
+      (8L, ts(604830), "b")
+    ).toDF("event_id", "ts", "event_type")
+    val got = Temporal.weeklyShareDrift(e)
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(got.groupBy(_._1).values.forall(w => math.abs(w.map(_._4).sum - 1.0) < 1e-9))
+    assert(got.forall(_._5 == 0.5)) // both types swing .75 <-> .25
+  }
+
+  test("newVsReturning: first day all new, later days split exactly") {
+    val e = Seq(
+      (1L, ts(0), 1L), (2L, ts(10), 2L),                  // day 0: both new
+      (3L, ts(86400), 1L), (4L, ts(86410), 3L)            // day 1: 1 returns, 3 new
+    ).toDF("event_id", "ts", "user_id")
+    val got = Temporal.newVsReturning(e)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 2L, 2L, 0L, 1.0)))
+    assert(got(1L) == ((1L, 2L, 1L, 1L, 0.5)))
+  }
+
   test("streaming dedup of a doubled feed reproduces the events table") {
     val got = graft.queries.ExtQueries.streamDedupQ(spark, sf())
     val want = graft.Tables.events(spark, sf())

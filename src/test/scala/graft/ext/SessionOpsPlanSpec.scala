@@ -37,7 +37,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_multimodal_dedup", "ext_anova_f", "ext_type_hour_mi", "ext_isotropy",
     "ext_wasserstein", "ext_tail_index", "ext_json_field_stats",
     "ext_circular_hour", "ext_bm25_sweep", "ext_char_census",
-    "ext_boilerplate_tokens", "ext_user_entropy")
+    "ext_boilerplate_tokens", "ext_user_entropy",
+    "ext_weekly_share_drift", "ext_new_vs_returning")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
