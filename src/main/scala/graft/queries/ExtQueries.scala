@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, RankStats, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -608,6 +608,29 @@ object ExtQueries {
   /** Circular mean hour + resultant length per event type. */
   def circularHourQ(s: SparkSession, d: String): DataFrame =
     Temporal.circularHourStats(Tables.events(s, d))
+
+  /** Per-source Spearman rho between doc length and distinct-token
+    * count — the heavy-tail-robust "does longer mean richer" check. */
+  def spearmanQ(s: SparkSession, d: String): DataFrame =
+    RankStats.spearman(Tables.documents(s, d), "source", col("n_chars"),
+        expr("size(array_distinct(filter(split(text, ' '), t -> t != '')))"))
+      .withColumnRenamed("grp", "source")
+
+  /** Mann–Whitney U of event value, click vs view. */
+  def mannWhitneyQ(s: SparkSession, d: String): DataFrame =
+    RankStats.mannWhitney(Tables.events(s, d), "event_type", "value",
+      "click", "view")
+
+  /** Kruskal–Wallis H of event value across all event types. */
+  def kruskalWallisQ(s: SparkSession, d: String): DataFrame =
+    RankStats.kruskalWallis(Tables.events(s, d), "event_type", "value")
+      .withColumnRenamed("grp", "event_type")
+
+  /** Kendall tau-b between hour-of-day and the 10-unit value bucket
+    * (the [[kAnonymityQ]] binning), on the contingency grid. */
+  def kendallTauQ(s: SparkSession, d: String): DataFrame =
+    RankStats.kendallTauBinned(Tables.events(s, d), hour(col("ts")),
+      expr("CAST(ROUND(value * 100) AS BIGINT) div 1000"))
 
   /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
     * sweep (the banding-eval pattern applied to retrieval scoring).
@@ -2096,6 +2119,10 @@ object ExtQueries {
     "ext_user_entropy" -> userEntropyQ _,
     "ext_weekly_share_drift" -> weeklyShareDriftQ _,
     "ext_new_vs_returning" -> newVsReturningQ _,
+    "ext_spearman" -> spearmanQ _,
+    "ext_mann_whitney" -> mannWhitneyQ _,
+    "ext_kruskal_wallis" -> kruskalWallisQ _,
+    "ext_kendall_tau" -> kendallTauQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -5912,6 +5939,113 @@ object ExtQueries {
         |  FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id
         |  ORDER BY raw DESC, doc_a, doc_b LIMIT 10)
         |ORDER BY raw DESC, doc_a, doc_b""".stripMargin,
+
+    // Spearman: doubled average ranks (2·rank + tiecount − 1, exact
+    // integers), HUGEINT moments, doubles only in the final ratio
+    "ext_spearman" ->
+      """WITH t AS (SELECT source AS grp, n_chars AS x,
+        |    len(list_distinct(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))) AS y
+        |  FROM documents),
+        |r AS (SELECT grp,
+        |    2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS u,
+        |    2 * RANK() OVER (PARTITION BY grp ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS v
+        |  FROM t),
+        |m AS (SELECT grp, COUNT(*) AS n,
+        |    SUM(CAST(u AS HUGEINT)) AS su, SUM(CAST(v AS HUGEINT)) AS sv,
+        |    SUM(CAST(u AS HUGEINT) * u) AS suu,
+        |    SUM(CAST(v AS HUGEINT) * v) AS svv,
+        |    SUM(CAST(u AS HUGEINT) * v) AS suv
+        |  FROM r GROUP BY grp)
+        |SELECT grp AS source, CAST(n AS BIGINT) AS n,
+        |  ROUND(CASE WHEN n * suu - su * su > 0 AND n * svv - sv * sv > 0 THEN
+        |    CAST(n * suv - su * sv AS DOUBLE) /
+        |      sqrt(CAST(n * suu - su * su AS DOUBLE)
+        |        * CAST(n * svv - sv * sv AS DOUBLE)) END, 4) + 0.0 AS rho
+        |FROM m ORDER BY source""".stripMargin,
+
+    // Mann–Whitney from per-distinct-value counts: 2U_a is an exact
+    // integer fold over the cumulative count of the other group
+    "ext_mann_whitney" ->
+      """WITH vc AS (SELECT value AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL GROUP BY value),
+        |r AS (SELECT v, ca, cb, SUM(cb) OVER (ORDER BY v) AS cumb FROM vc),
+        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * (cumb - cb) + cb)) AS u2,
+        |    SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb))
+        |      AS ties
+        |  FROM r)
+        |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+        |  ROUND(CAST(u2 AS DOUBLE) / 2.0, 1) AS u_a,
+        |  ROUND((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))),
+        |    4) + 0.0 AS z
+        |FROM a""".stripMargin,
+
+    // Kruskal–Wallis: global doubled tied ranks (2·cum − c + 1), HUGEINT
+    // rank sums, the H fold in category order
+    "ext_kruskal_wallis" ->
+      """WITH rows0 AS (SELECT event_type AS grp, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY v),
+        |r2 AS (SELECT v, c, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM vc),
+        |gv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cg FROM rows0
+        |  GROUP BY grp, v),
+        |g AS (SELECT grp, CAST(SUM(cg) AS BIGINT) AS n,
+        |    SUM(CAST(cg AS HUGEINT) * r2.r2) AS r2sum
+        |  FROM gv JOIN r2 USING (v) GROUP BY grp),
+        |tt AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS t,
+        |    CAST(SUM(c) AS BIGINT) AS nn FROM vc),
+        |terms AS (SELECT grp, n, r2sum,
+        |    CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+        |      / (4.0 * CAST(n AS DOUBLE)) AS term FROM g),
+        |s AS (SELECT list_reduce(list(term ORDER BY grp), (a, b) -> a + b)
+        |        AS s FROM terms)
+        |SELECT t.grp AS event_type, t.n,
+        |  ROUND(CAST(t.r2sum AS DOUBLE) / (2.0 * CAST(t.n AS DOUBLE)), 4)
+        |    AS mean_rank,
+        |  ROUND(12.0 / (CAST(tt.nn AS DOUBLE) * (CAST(tt.nn AS DOUBLE) + 1.0))
+        |    * s.s - 3.0 * (CAST(tt.nn AS DOUBLE) + 1.0), 4) + 0.0 AS h,
+        |  ROUND((12.0 / (CAST(tt.nn AS DOUBLE) * (CAST(tt.nn AS DOUBLE) + 1.0))
+        |    * s.s - 3.0 * (CAST(tt.nn AS DOUBLE) + 1.0)) /
+        |    (1.0 - CAST(tt.t AS DOUBLE) / (CAST(tt.nn AS DOUBLE)
+        |      * CAST(tt.nn AS DOUBLE) * CAST(tt.nn AS DOUBLE)
+        |      - CAST(tt.nn AS DOUBLE))), 4) + 0.0 AS h_c
+        |FROM terms t, tt, s ORDER BY event_type""".stripMargin,
+
+    // Kendall tau-b on the (hour, value-bucket) contingency grid: the
+    // pair scan is cell×cell (domain-bounded), all counts HUGEINT-exact
+    "ext_kendall_tau" ->
+      """WITH b AS (SELECT hour(ts) AS i,
+        |    CAST(ROUND(value * 100) AS BIGINT) // 1000 AS j FROM events),
+        |cells AS (SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS c FROM b
+        |  GROUP BY i, j),
+        |cd AS (SELECT
+        |    SUM(CASE WHEN b.j > a.j THEN a.c * b.c ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN b.j < a.j THEN a.c * b.c ELSE 0 END) AS nd
+        |  FROM cells a JOIN cells b ON b.i > a.i AND b.j <> a.j),
+        |t1 AS (SELECT SUM(r * (r - 1)) AS t1x2 FROM
+        |  (SELECT SUM(c) AS r FROM cells GROUP BY i)),
+        |t2 AS (SELECT SUM(r * (r - 1)) AS t2x2 FROM
+        |  (SELECT SUM(c) AS r FROM cells GROUP BY j)),
+        |nn AS (SELECT SUM(c) AS n FROM cells)
+        |SELECT CAST(nn.n AS BIGINT) AS n, CAST(cd.nc AS BIGINT) AS nc,
+        |  CAST(cd.nd AS BIGINT) AS nd,
+        |  ROUND(CAST(cd.nc - cd.nd AS DOUBLE) /
+        |    sqrt((CAST(nn.n * (nn.n - 1) - t1.t1x2 AS DOUBLE) / 2.0) *
+        |      (CAST(nn.n * (nn.n - 1) - t2.t2x2 AS DOUBLE) / 2.0)), 4) + 0.0
+        |    AS tau_b
+        |FROM cd, t1, t2, nn""".stripMargin,
   )
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit

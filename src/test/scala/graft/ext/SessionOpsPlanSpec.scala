@@ -14,8 +14,11 @@ class SessionOpsPlanSpec extends SparkSpec {
 
   // scalar cross joins (1-row or S-row side by construction: corpus
   // totals, the chi-square scalar, the variant pair, stratum totals)
-  // are fine; a true cartesian between data-sized relations never is
+  // are fine; a true cartesian between data-sized relations never is.
+  // ext_kendall_tau's non-equi join is cell×cell over the contingency
+  // GRID (≤ |hours|·|buckets| rows by construction), not over rows.
   private val scalarCrossOk = Set("ext_token_burstiness", "ext_ab_test",
+    "ext_kruskal_wallis", "ext_kendall_tau",
     "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
@@ -38,7 +41,9 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_wasserstein", "ext_tail_index", "ext_json_field_stats",
     "ext_circular_hour", "ext_bm25_sweep", "ext_char_census",
     "ext_boilerplate_tokens", "ext_user_entropy",
-    "ext_weekly_share_drift", "ext_new_vs_returning")
+    "ext_weekly_share_drift", "ext_new_vs_returning",
+    "ext_spearman", "ext_mann_whitney", "ext_kruskal_wallis",
+    "ext_kendall_tau")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
