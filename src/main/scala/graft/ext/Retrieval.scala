@@ -252,6 +252,82 @@ object Retrieval {
       .orderBy("d")
   }
 
+  /** Ranking-quality metrics — NDCG@depth, MRR@depth, AP@depth — of a
+    * scored ranking against graded pseudo-relevance labels (rel = how
+    * many distinct query terms the doc contains, 0..|terms|; "relevant"
+    * for the binary metrics means rel ≥ relThreshold). The offline eval
+    * a retrieval stack runs after every scorer change.
+    *
+    * Determinism: ranks come from the ROUNDED score with doc-id
+    * tie-breaks (the verified [[rboEval]]/bm25 ordering); every
+    * precision/recall ratio is a ratio of exact integers; the only
+    * transcendental is log2(r+1) of small integer ranks, written as
+    * ln(r+1)/ln 2 in BOTH engines and folded in rank order. The ideal
+    * DCG comes from the corpus-wide relevance-level counts (a ≤(L+1)-row
+    * table joined to the depth positions), never a global sort of docs.
+    *
+    * Scale shape: one orderBy().limit(depth) (TakeOrdered — no global
+    * sort materialized), one broadcast join of the depth rows against
+    * per-doc labels, and a relevance-level rollup; everything after the
+    * top-k is O(depth·levels). Output (one row): n_rel, dcg, idcg,
+    * ndcg, mrr, ap. */
+  def rankingEval(scored: DataFrame, docs: DataFrame, terms: Seq[String],
+      depth: Int = 10, relThreshold: Int = 2): DataFrame = {
+    val spark = scored.sparkSession
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .where(size(col("ts")) > 0)
+    val rel = toks.select(col("doc_id"),
+      terms.map(t => when(array_contains(col("ts"), lit(t)), 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("rel"))
+    // top-depth by (rounded score, doc_id); the window ranks ≤depth rows
+    val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(depth)
+      .select(row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .as("r"), col("doc_id"))
+      .join(rel, "doc_id")
+    val log2 = log(lit(2.0))
+    def gain(relCol: Column, rankCol: Column): Column =
+      (pow(lit(2.0), relCol) - 1.0) / (log(rankCol.cast("double") + 1.0) / log2)
+    // DCG + the binary-relevance metrics, all folded in rank order
+    val hits = top.withColumn("isrel",
+        when(col("rel") >= relThreshold, 1L).otherwise(0L))
+      .withColumn("cumrel", sum("isrel")
+        .over(Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)))
+    val dcg = hits.agg(
+      aggregate(sort_array(collect_list(struct(col("r"), gain(col("rel"), col("r")).as("g")))),
+        lit(0.0), (a, x) => a + x.getField("g")).as("dcg"),
+      min(when(col("isrel") === 1L, col("r"))).as("first_rel"),
+      aggregate(sort_array(collect_list(struct(col("r"),
+          when(col("isrel") === 1L,
+            col("cumrel").cast("double") / col("r").cast("double"))
+            .otherwise(lit(0.0)).as("p")))),
+        lit(0.0), (a, x) => a + x.getField("p")).as("ap_num"))
+    // ideal DCG from corpus-wide relevance-level counts: position p's
+    // ideal grade = max level with ≥p docs at-or-above it
+    val lv = rel.groupBy("rel").agg(count(lit(1)).as("c"))
+    val cum = lv.select(col("rel"), col("c"),
+      sum("c").over(Window.orderBy(col("rel").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)).as("cum_ge"))
+    val pos = spark.range(1, depth + 1).toDF("p")
+    val ideal = pos.join(broadcast(cum.where(col("rel") > 0)),
+        col("cum_ge") >= col("p"), "left")
+      .groupBy("p").agg(coalesce(max("rel"), lit(0L)).as("irel"))
+    val idcg = ideal.agg(
+      aggregate(sort_array(collect_list(struct(col("p"), gain(col("irel"), col("p")).as("g")))),
+        lit(0.0), (a, x) => a + x.getField("g")).as("idcg"))
+    val rtot = rel.agg(sum(when(col("rel") >= relThreshold, 1L).otherwise(0L))
+      .as("n_rel"))
+    dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(rtot))
+      .select(col("n_rel"),
+        graft.functions.StableRound.col4(col("dcg")).as("dcg"),
+        graft.functions.StableRound.col4(col("idcg")).as("idcg"),
+        graft.functions.StableRound.col4(col("dcg") / col("idcg")).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 4)
+          .as("mrr"),
+        round(col("ap_num") / least(col("n_rel"), lit(depth.toLong)).cast("double"), 4)
+          .as("ap"))
+  }
+
   /** The battery-shaped phrase query: find the corpus's most frequent
     * bigram (count desc, then lexicographic — a total order), then
     * locate every occurrence through the positional index. Output:

@@ -632,6 +632,37 @@ object ExtQueries {
     RankStats.kendallTauBinned(Tables.events(s, d), hour(col("ts")),
       expr("CAST(ROUND(value * 100) AS BIGINT) div 1000"))
 
+  /** NDCG@10 / MRR / AP of the BM25 probe ranking against graded
+    * term-overlap pseudo-relevance (relevant = ≥2 distinct terms). */
+  def retrievalEvalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Retrieval.rankingEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
+  }
+
+  /** Adamic–Adar link prediction over the user CO-ACTIVITY graph
+    * (edge = two users sharing ≥4 distinct (epoch-hour, type) activity
+    * cells): top-20 non-adjacent pairs by shared-neighbor score — the
+    * "who behaves alike but hasn't been linked yet" ranking. The
+    * minhash near-dup graph is pure cliques at fixture scale (every
+    * wedge closed), so the co-activity graph is the one with open
+    * structure for link prediction to rank. */
+  def adamicAdarQ(s: SparkSession, d: String): DataFrame = {
+    val ua = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+        col("event_type"))
+      .distinct()
+    val l = ua.toDF("ua", "h", "t")
+    val r = ua.toDF("ub", "h", "t")
+    val edges = l.join(r, Seq("h", "t"))
+      .where(col("ua") < col("ub"))
+      .groupBy(col("ua").as("doc_a"), col("ub").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 4)
+      .select("doc_a", "doc_b")
+    Graph.adamicAdar(edges)
+  }
+
   /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
     * sweep (the banding-eval pattern applied to retrieval scoring).
     * Ranks on the ROUNDED score with doc-id tie-breaks. */
@@ -2123,6 +2154,8 @@ object ExtQueries {
     "ext_mann_whitney" -> mannWhitneyQ _,
     "ext_kruskal_wallis" -> kruskalWallisQ _,
     "ext_kendall_tau" -> kendallTauQ _,
+    "ext_retrieval_eval" -> retrievalEvalQ _,
+    "ext_adamic_adar" -> adamicAdarQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6046,7 +6079,84 @@ object ExtQueries {
         |      (CAST(nn.n * (nn.n - 1) - t2.t2x2 AS DOUBLE) / 2.0)), 4) + 0.0
         |    AS tau_b
         |FROM cd, t1, t2, nn""".stripMargin,
+
+    // NDCG/MRR/AP over the verified bm25 ranking: every ratio exact
+    // integers, gains folded in rank order, ln(r+1)/ln 2 in both engines
+    "ext_retrieval_eval" -> rankingEvalSql(Bm25Terms, 10, 2),
+
+    // Adamic–Adar on the user co-activity graph: contributions grouped
+    // by exact integer degree, folded ascending — engine-identical sum
+    "ext_adamic_adar" ->
+      s"""WITH ua AS (SELECT DISTINCT user_id,
+         |        epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         |        event_type FROM events),
+         |cand AS (SELECT l.user_id AS a, r.user_id AS b
+         |         FROM ua l JOIN ua r
+         |           ON l.h = r.h AND l.event_type = r.event_type
+         |             AND l.user_id < r.user_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         |adj AS (SELECT a AS v, b AS n FROM cand
+         |        UNION ALL SELECT b AS v, a AS n FROM cand),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+         |w AS (SELECT l.n AS x, r.n AS y, l.v AS z
+         |      FROM adj l JOIN adj r ON l.v = r.v AND l.n < r.n),
+         |nw AS (SELECT w.x, w.y, w.z FROM w
+         |       ANTI JOIN cand ON cand.a = w.x AND cand.b = w.y),
+         |gd AS (SELECT x, y, d, COUNT(*) AS cnt FROM nw
+         |       JOIN deg ON deg.v = nw.z GROUP BY x, y, d),
+         |sc AS (SELECT x, y, list_reduce(
+         |         list(CAST(cnt AS DOUBLE) / ln(CAST(d AS DOUBLE)) ORDER BY d),
+         |         (a, b) -> a + b) AS score FROM gd GROUP BY x, y),
+         |top AS (SELECT x, y, ROUND(score, 4) AS aa FROM sc
+         |        ORDER BY aa DESC, x, y LIMIT 20)
+         |SELECT x AS doc_a, y AS doc_b, aa FROM top
+         |ORDER BY aa DESC, doc_a, doc_b""".stripMargin,
   )
+
+  /** Generated ranking-eval oracle mirroring [[graft.ext.Retrieval
+    * .rankingEval]] over the [[bm25Ctes]] scored set: graded relevance
+    * from the SAME tf columns, ideal DCG from relevance-level counts
+    * (never a global sort), StableRound on the gain sums. */
+  private def rankingEvalSql(terms: Seq[String], depth: Int, th: Int): String = {
+    val relExpr = terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    def sr(v: String) = s"ROUND($v + SIGN($v) * 0.000000001, 4)"
+    s"""WITH ${bm25Ctes(terms, 1.2, 0.75)},
+       |rel AS (SELECT doc_id, CAST($relExpr AS BIGINT) AS rel FROM dls),
+       |top AS (SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r,
+       |          doc_id, bm25
+       |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT $depth),
+       |t2 AS (SELECT t.r, rel.rel,
+       |         CASE WHEN rel.rel >= $th THEN 1 ELSE 0 END AS isrel
+       |       FROM top t JOIN rel USING (doc_id)),
+       |t3 AS (SELECT r, rel, isrel, SUM(isrel) OVER (ORDER BY r) AS cumrel
+       |       FROM t2),
+       |dd AS (SELECT
+       |    list_reduce(list((pow(2.0, rel) - 1.0)
+       |      / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)) ORDER BY r),
+       |      (a, b) -> a + b) AS dcg,
+       |    MIN(CASE WHEN isrel = 1 THEN r END) AS first_rel,
+       |    list_reduce(list(CASE WHEN isrel = 1
+       |        THEN CAST(cumrel AS DOUBLE) / r ELSE 0.0 END ORDER BY r),
+       |      (a, b) -> a + b) AS ap_num
+       |  FROM t3),
+       |lv AS (SELECT rel, COUNT(*) AS c FROM rel GROUP BY rel),
+       |cg AS (SELECT rel, SUM(c) OVER (ORDER BY rel DESC) AS cum_ge FROM lv
+       |       WHERE rel > 0),
+       |pos AS (SELECT unnest(range(1, ${depth + 1})) AS p),
+       |id0 AS (SELECT pos.p, COALESCE(MAX(cg.rel), 0) AS irel
+       |        FROM pos LEFT JOIN cg ON cg.cum_ge >= pos.p GROUP BY pos.p),
+       |ii AS (SELECT list_reduce(list((pow(2.0, irel) - 1.0)
+       |          / (ln(CAST(p AS DOUBLE) + 1.0) / ln(2.0)) ORDER BY p),
+       |          (a, b) -> a + b) AS idcg FROM id0),
+       |rt AS (SELECT CAST(SUM(CASE WHEN rel >= $th THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_rel FROM rel)
+       |SELECT rt.n_rel, ${sr("dd.dcg")} AS dcg, ${sr("ii.idcg")} AS idcg,
+       |  ${sr("dd.dcg / ii.idcg")} AS ndcg,
+       |  ROUND(COALESCE(1.0 / first_rel, 0.0), 4) AS mrr,
+       |  ROUND(dd.ap_num / CAST(LEAST(rt.n_rel, $depth) AS DOUBLE), 4) AS ap
+       |FROM dd, ii, rt""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ext.Layout.zorderKey]]: the same bit
     * interleave as an OR of 2·bits shift/mask terms. */

@@ -136,4 +136,21 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].collect()
     assert(s2.forall(r => r._4 == 0L && r._5.contains(0.0)))
   }
+
+  test("adamic-adar: path opens one pair, star opens three") {
+    import spark.implicits._
+    // path 1-2-3: open pair (1,3) through center 2 (deg 2) -> 1/ln2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val a = Graph.adamicAdar(path).as[(Long, Long, Double)].collect().toSeq
+    assert(a == Seq((1L, 3L, 1.4427)), a.toString)
+    // star center 1 with leaves 2,3,4: three open pairs, each 1/ln3
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val b = Graph.adamicAdar(star).as[(Long, Long, Double)].collect().toSeq
+    assert(b == Seq((2L, 3L, 0.9102), (2L, 4L, 0.9102), (3L, 4L, 0.9102)),
+      b.toString)
+    // triangle: every wedge closed -> empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.adamicAdar(tri).count() == 0L)
+  }
+
 }

@@ -261,4 +261,19 @@ class RetrievalSpec extends SparkSpec {
     val m = got.map(r => r._2 -> ((r._4, r._5))).toMap
     assert(m("head")._2 <= m("middle")._1 && m("middle")._2 <= m("tail")._1)
   }
+
+  test("rankingEval matches the hand-computed NDCG/MRR/AP") {
+    import spark.implicits._
+    // ranking d3(rel1), d1(rel3), d2(rel2); d4 irrelevant, unranked
+    // DCG = 1/1 + 7/log2(3) + 3/2 = 6.9165; IDCG = 7 + 3/log2(3) + 1/2
+    //     = 9.3928; NDCG = .7364; first rel>=2 at r2 -> MRR .5;
+    // AP = (1/2 + 2/3)/2 = .5833
+    val docs = Seq((1L, "join hash scan"), (2L, "join hash x"),
+      (3L, "join x y"), (4L, "z z z")).toDF("doc_id", "text")
+    val scored = Seq((3L, 3.0), (1L, 2.0), (2L, 1.0)).toDF("doc_id", "bm25")
+    val got = Retrieval.rankingEval(scored, docs, Seq("join", "hash", "scan"))
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(got == ((2L, 6.9165, 9.3928, 0.7364, 0.5, 0.5833)), got.toString)
+  }
+
 }
