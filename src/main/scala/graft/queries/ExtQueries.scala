@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Drift, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, RankStats, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, FeaturePrep, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, RankStats, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -534,6 +534,52 @@ object ExtQueries {
         round(col("ece"), 4).as("ece"))
       .orderBy("bin")
   }
+
+  /** Cumulative gains/lift table of the shared linear probe: decile 1 =
+    * top scores (asc [[exactNtile]] + the 11−bin remap so BOTH engines
+    * bucket identically, remainder and all), capture rate and lift from
+    * exact integer cumulative counts over the 10-row rollup. */
+  def liftGainsQ(s: SparkSession, d: String): DataFrame = {
+    val w = trainedProbe(s, d)
+    val sc = probeFeatures(s, d)
+      .select(col("doc_id"), col("y"),
+        round(LinearModel.score(Seq("x1", "x2", "x3"), w), 4).as("sc"))
+    val binned = exactNtile(sc, Seq("sc", "doc_id"), 10, "bin")
+      .withColumn("decile", lit(11) - col("bin"))
+    val k = binned.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("pos"))
+    val t = k.agg(sum("n").as("nt"), sum("pos").as("pt"))
+    // the cumulative window ranks the 10-row decile rollup, not rows
+    val win = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    k.withColumn("cum_n", sum("n").over(win))
+      .withColumn("cum_pos", sum("pos").over(win))
+      .crossJoin(broadcast(t))
+      .select(col("decile"), col("n"), col("pos"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("pt").cast("double"), 4)
+          .as("gain"),
+        round((col("cum_pos").cast("double") / col("pt").cast("double"))
+          / (col("cum_n").cast("double") / col("nt").cast("double")), 4)
+          .as("lift"))
+      .orderBy("decile")
+  }
+
+  /** Leave-one-out target encoding of event_type against the value>50
+    * label. */
+  def targetEncodingQ(s: SparkSession, d: String): DataFrame =
+    FeaturePrep.targetEncodingLoo(
+      Tables.events(s, d).select(col("event_type"),
+        when(col("value") > 50.0, 1L).otherwise(0L).as("y")),
+      "event_type", "y")
+      .withColumnRenamed("cat", "event_type")
+
+  /** WoE / IV of the 10-unit value bucket against the purchase label. */
+  def woeIvQ(s: SparkSession, d: String): DataFrame =
+    FeaturePrep.woeIv(
+      Tables.events(s, d).select(
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+      "vb", "y")
 
   /** Feature-hashing collision census at 1024 buckets. */
   def hashFeaturesQ(s: SparkSession, d: String): DataFrame =
@@ -2156,6 +2202,9 @@ object ExtQueries {
     "ext_kendall_tau" -> kendallTauQ _,
     "ext_retrieval_eval" -> retrievalEvalQ _,
     "ext_adamic_adar" -> adamicAdarQ _,
+    "ext_lift_gains" -> liftGainsQ _,
+    "ext_target_encoding" -> targetEncodingQ _,
+    "ext_woe_iv" -> woeIvQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6083,6 +6132,70 @@ object ExtQueries {
     // NDCG/MRR/AP over the verified bm25 ranking: every ratio exact
     // integers, gains folded in rank order, ln(r+1)/ln 2 in both engines
     "ext_retrieval_eval" -> rankingEvalSql(Bm25Terms, 10, 2),
+
+    // gains/lift from the shared probe: asc NTILE + 11−bin remap keeps
+    // bucket membership engine-identical; cumulative counts exact
+    "ext_lift_gains" ->
+      s"""${linearProbeWithBody(16)},
+         |sc AS (SELECT f.doc_id, f.y, ROUND($probePred, 4) AS sc
+         |       FROM f, w16 w),
+         |bn AS (SELECT y, 11 - NTILE(10) OVER (ORDER BY sc, doc_id) AS decile
+         |       FROM sc),
+         |k AS (SELECT decile, COUNT(*) AS n,
+         |        CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |      FROM bn GROUP BY decile),
+         |c AS (SELECT decile, n, pos,
+         |        CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         |        CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+         |      FROM k),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         |        CAST(SUM(pos) AS BIGINT) AS pt FROM k)
+         |SELECT c.decile, c.n, c.pos, c.cum_pos,
+         |  ROUND(CAST(c.cum_pos AS DOUBLE) / CAST(t.pt AS DOUBLE), 4) AS gain,
+         |  ROUND((CAST(c.cum_pos AS DOUBLE) / CAST(t.pt AS DOUBLE))
+         |    / (CAST(c.cum_n AS DOUBLE) / CAST(t.nt AS DOUBLE)), 4) AS lift
+         |FROM c, t ORDER BY decile""".stripMargin,
+
+    // LOO target encoding: two encoded values per binary-label category,
+    // each an exact integer ratio
+    "ext_target_encoding" ->
+      """WITH r AS (SELECT event_type,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n, pos,
+        |  ROUND(CASE WHEN n > 1 AND pos >= 1 THEN
+        |    CAST(pos - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 4) AS te_pos,
+        |  ROUND(CASE WHEN n > 1 AND n - pos >= 1 THEN
+        |    CAST(pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 4) AS te_neg
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // WoE/IV with add-one smoothing: ln of an exact integer-product
+    // ratio, IV folded in bin order
+    "ext_woe_iv" ->
+      """WITH r AS (SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS g
+        |      FROM r GROUP BY bin),
+        |g2 AS (SELECT bin, n, g, n - g AS b FROM g),
+        |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt,
+        |          CAST(SUM(b) AS BIGINT) AS bt, COUNT(*) AS k FROM g2),
+        |sm AS (SELECT bin, n, g, b, g + 1 AS g1, b + 1 AS b1,
+        |         tot.gt + tot.k AS gd, tot.bt + tot.k AS bd,
+        |         ln(CAST((g + 1) * (tot.bt + tot.k) AS DOUBLE)
+        |           / CAST((b + 1) * (tot.gt + tot.k) AS DOUBLE)) AS woe
+        |       FROM g2, tot),
+        |sc AS (SELECT bin, n, g, woe,
+        |         (CAST(g1 AS DOUBLE) / CAST(gd AS DOUBLE)
+        |           - CAST(b1 AS DOUBLE) / CAST(bd AS DOUBLE)) * woe AS contrib
+        |       FROM sm),
+        |iv AS (SELECT list_reduce(list(contrib ORDER BY bin),
+        |         (a, b) -> a + b) AS iv FROM sc)
+        |SELECT sc.bin, sc.n, sc.g AS pos, ROUND(sc.woe, 4) + 0.0 AS woe,
+        |  ROUND(iv.iv, 4) + 0.0 AS iv
+        |FROM sc, iv ORDER BY bin""".stripMargin,
 
     // Adamic–Adar on the user co-activity graph: contributions grouped
     // by exact integer degree, folded ascending — engine-identical sum
