@@ -104,6 +104,56 @@ object Profile {
       .orderBy("class_size")
   }
 
+  /** l-diversity census — [[kAnonymity]]'s sensitive-attribute
+    * companion (Machanavajjhala et al. 2007): a QI class can be large
+    * (k-anonymous) yet still leak if every member shares the same
+    * sensitive value, so the metric that matters is l = #distinct
+    * sensitive values per class. Reports the class histogram by l plus
+    * the share of records in classes below l=2 / l=3 — all exact
+    * integer counts off one QI-keyed distinct aggregate. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col(sensitiveCol)).as("l"))
+    val hist = classes.groupBy("l")
+      .agg(count(lit(1)).as("n_classes"), sum("n").as("n_records"))
+    val tot = hist.agg(sum("n_records").as("n"),
+      sum(when(col("l") < 2, col("n_records")).otherwise(0L)).as("lt2"),
+      sum(when(col("l") < 3, col("n_records")).otherwise(0L)).as("lt3"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("l"), col("n_classes"), col("n_records"),
+        round(col("lt2").cast("double") / col("n").cast("double"), 4).as("frac_lt2"),
+        round(col("lt3").cast("double") / col("n").cast("double"), 4).as("frac_lt3"))
+      .orderBy("l")
+  }
+
+  /** ε-differentially-private release of per-category counts via the
+    * Laplace mechanism (sensitivity 1 for a count query ⇒ scale
+    * b = 1/ε). The noise draw is the engine's standard DETERMINISTIC
+    * substitute for RNG: a uniform from the category's md5 (the
+    * [[TextAnalysis.prioritySample]] idiom), inverse-CDF'd to
+    * Laplace — noise = −b·sign(v)·ln(1 − 2|v|), v = u − ½ ∈ (−½,½)\{0}
+    * (u = (h + 0.5)/2³² can never hit ½ exactly). Same hash → same
+    * release, replayable in SQL; swap the salt to redraw. One
+    * aggregation; output (cat, noisy_n, b) — the true count never
+    * leaves the operator. */
+  def dpCounts(df: DataFrame, catCol: String, epsilon: Double = 1.0,
+      salt: String = "dp1"): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val u = (conv(substring(md5(concat(lit(salt + ":"), col("cat").cast("string"))),
+      1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val v = u - lit(0.5)
+    df.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cat"),
+        round(col("n").cast("double") +
+          lit(-b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 4)
+          .as("noisy_n"),
+        lit(b).as("b"))
+      .orderBy("cat")
+  }
+
   /** Benford first-digit audit of a numeric column — the classic
     * fabricated-/synthetic-data screen: organically-grown magnitudes
     * follow P(d) = log₁₀(1 + 1/d); generator artifacts (uniform draws,

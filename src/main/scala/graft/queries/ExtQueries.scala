@@ -581,6 +581,22 @@ object ExtQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
       "vb", "y")
 
+  /** l-diversity census of the k-anonymity quasi-identifiers against
+    * the user-cohort sensitive attribute. */
+  def lDiversityQ(s: SparkSession, d: String): DataFrame =
+    Profile.lDiversity(
+      Tables.events(s, d).select(col("event_type"), hour(col("ts")).as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb"),
+        (col("user_id") % 10).as("sens")),
+      Seq("event_type", "hr", "vb"), "sens")
+
+  /** ε=1 Laplace-noised per-type counts (hash-derived deterministic
+    * noise, replayable in SQL). */
+  def dpCountsQ(s: SparkSession, d: String): DataFrame =
+    Profile.dpCounts(
+      Tables.events(s, d).select(col("event_type").as("cat")), "cat")
+      .withColumnRenamed("cat", "event_type")
+
   /** Feature-hashing collision census at 1024 buckets. */
   def hashFeaturesQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.hashFeatureCensus(Tables.documents(s, d))
@@ -2205,6 +2221,8 @@ object ExtQueries {
     "ext_lift_gains" -> liftGainsQ _,
     "ext_target_encoding" -> targetEncodingQ _,
     "ext_woe_iv" -> woeIvQ _,
+    "ext_l_diversity" -> lDiversityQ _,
+    "ext_dp_counts" -> dpCountsQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6170,6 +6188,41 @@ object ExtQueries {
         |  ROUND(CASE WHEN n > 1 AND n - pos >= 1 THEN
         |    CAST(pos AS DOUBLE) / CAST(n - 1 AS DOUBLE) END, 4) AS te_neg
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // l-diversity: distinct sensitive values per QI class, all exact
+    // integer counts off one grouped distinct aggregate
+    "ext_l_diversity" ->
+      """WITH r AS (SELECT event_type, hour(ts) AS hr,
+        |    CAST(ROUND(value * 100) AS BIGINT) // 1000 AS vb,
+        |    user_id % 10 AS sens FROM events),
+        |cl AS (SELECT event_type, hr, vb, COUNT(*) AS n,
+        |         COUNT(DISTINCT sens) AS l FROM r GROUP BY 1, 2, 3),
+        |h AS (SELECT l, COUNT(*) AS n_classes,
+        |        CAST(SUM(n) AS BIGINT) AS n_records FROM cl GROUP BY l),
+        |t AS (SELECT CAST(SUM(n_records) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN l < 2 THEN n_records ELSE 0 END)
+        |          AS BIGINT) AS lt2,
+        |        CAST(SUM(CASE WHEN l < 3 THEN n_records ELSE 0 END)
+        |          AS BIGINT) AS lt3 FROM h)
+        |SELECT h.l, h.n_classes, h.n_records,
+        |  ROUND(CAST(t.lt2 AS DOUBLE) / t.n, 4) AS frac_lt2,
+        |  ROUND(CAST(t.lt3 AS DOUBLE) / t.n, 4) AS frac_lt3
+        |FROM h, t ORDER BY l""".stripMargin,
+
+    // Laplace mechanism with the md5-uniform inverse CDF — the same
+    // deterministic draw in both engines
+    "ext_dp_counts" ->
+      """WITH g AS (SELECT event_type AS cat, COUNT(*) AS n FROM events
+        |  GROUP BY 1),
+        |u AS (SELECT cat, n,
+        |        (CAST('0x' || substr(md5('dp1:' || cat), 1, 8) AS BIGINT)
+        |          + 0.5) / 4294967296.0 AS u FROM g),
+        |v AS (SELECT cat, n, u - 0.5 AS v FROM u)
+        |SELECT cat AS event_type,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    + (-1.0) * SIGN(v) * ln(1.0 - 2.0 * ABS(v)), 4) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS b
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // WoE/IV with add-one smoothing: ln of an exact integer-product
     // ratio, IV folded in bin order
