@@ -1456,4 +1456,92 @@ object Temporal {
           round(num / (sqrt(dx) * sqrt(dy)), 4)).as("r"))
       .orderBy("event_type", "lag")
   }
+
+  /** Holt double-exponential smoothing (level + trend) of the hourly
+    * count series per event type, with an h-step-ahead linear forecast
+    * — the first trend-aware baseline after [[seasonalNaiveError]]'s
+    * naive ones. Defaults α = 0.5, β = 0.25 are EXACT binary fractions,
+    * so 1−α / 1−β are too and the recurrence's double sequence is
+    * bit-identical in any engine that folds in time order.
+    *
+    * The recurrence (l ← αx + (1−α)(l+t); t ← β(l−l_prev) + (1−β)t)
+    * is inherently sequential, so it folds IN-ROW over the per-type
+    * hourly array — bounded by the TIME SPAN in hours (a year is 8.8k
+    * doubles), never by the row count; the heavy lifting (the hourly
+    * rollup) is one combine-shuffle. Init l = x₀, t = x₁ − x₀; updates
+    * fold x₁..x_{n−1} in order. Output per type: n_hours, level,
+    * trend, fc1..fc3. */
+  def holtForecast(events: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
+      horizon: Int = 3): DataFrame = {
+    require(horizon >= 1 && horizon <= 24, "horizon out of range")
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val arr = grid.groupBy("event_type").agg(
+      transform(sort_array(collect_list(struct(col("h"), col("c")))),
+        x => x.getField("c").cast("double")).as("vs"))
+      .where(size(col("vs")) >= 2)
+    val a = lit(alpha); val oma = lit(1.0) - lit(alpha)
+    val b = lit(beta); val omb = lit(1.0) - lit(beta)
+    // acc and elements share type array<double>: acc = [l, t], e = [x]
+    val lt = arr.withColumn("lt",
+      aggregate(
+        slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+        array(element_at(col("vs"), 1),
+          element_at(col("vs"), 2) - element_at(col("vs"), 1)),
+        (acc, x) => {
+          val l = element_at(acc, 1); val t = element_at(acc, 2)
+          val nl = a * x + oma * (l + t)
+          array(nl, b * (nl - l) + omb * t)
+        }))
+    val outCols = Seq(col("event_type"), size(col("vs")).as("n_hours"),
+      round(element_at(col("lt"), 1), 4).as("level"),
+      round(element_at(col("lt"), 2), 4).as("trend")) ++
+      (1 to horizon).map(h =>
+        round(element_at(col("lt"), 1) + lit(h.toDouble) * element_at(col("lt"), 2), 4)
+          .as(s"fc$h"))
+    lt.select(outCols: _*).orderBy("event_type")
+  }
+
+  /** Wald–Wolfowitz runs test of the DAILY total value series against
+    * its median — "is the day-to-day metric a random scatter around its
+    * level, or trending/cyclic?" (too few runs = trend, too many =
+    * alternation). Day totals are exact 2-decimal integer sums; the
+    * median is the proven interpolating-percentile pairing; runs count
+    * from one lag over the day-grid rollup (bounded by the time span,
+    * never row count). z from the exact-integer closed form:
+    *   μ = 2n₁n₂/n + 1,  σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)),  n = n₁+n₂.
+    * Days exactly AT the median are excluded (the standard treatment).
+    * Output (one row): n_days, n_above, n_below, runs, z. */
+  def runsTest(events: DataFrame, valueCol: String = "value"): DataFrame = {
+    val day = events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)").as("v"))
+      .groupBy("d").agg(sum("v").as("s"))
+    val med = day.agg(expr("percentile(s, 0.5)").as("m"))
+    val signed = day.crossJoin(broadcast(med))
+      .where(col("s").cast("double") =!= col("m"))
+      .withColumn("above", (col("s").cast("double") > col("m")).cast("int"))
+    // the lag window ranks the day-grid rollup (span-bounded), not rows
+    val w = Window.orderBy("d")
+    val runs = signed
+      .withColumn("prev", lag("above", 1).over(w))
+      .agg(count(lit(1)).as("n_days"),
+        sum("above").cast("long").as("n_above"),
+        sum(lit(1) - col("above")).cast("long").as("n_below"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))).as("runs"))
+    val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+    val nn = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val v2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    runs.select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+      (round(when(col("n_above") > 0 && col("n_below") > 0 && v2 > 0.0,
+        (col("runs").cast("double") - mu) / sqrt(v2)), 4) + lit(0.0)).as("z"))
+  }
 }

@@ -581,6 +581,15 @@ object ExtQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
       "vb", "y")
 
+  /** Holt level+trend smoothing of the hourly count series per type,
+    * with a 3-step forecast (α = ½, β = ¼ — exact binary fractions). */
+  def holtQ(s: SparkSession, d: String): DataFrame =
+    Temporal.holtForecast(Tables.events(s, d))
+
+  /** Wald–Wolfowitz runs test of the daily total value vs its median. */
+  def runsTestQ(s: SparkSession, d: String): DataFrame =
+    Temporal.runsTest(Tables.events(s, d))
+
   /** l-diversity census of the k-anonymity quasi-identifiers against
     * the user-cohort sensitive attribute. */
   def lDiversityQ(s: SparkSession, d: String): DataFrame =
@@ -2223,6 +2232,8 @@ object ExtQueries {
     "ext_woe_iv" -> woeIvQ _,
     "ext_l_diversity" -> lDiversityQ _,
     "ext_dp_counts" -> dpCountsQ _,
+    "ext_holt" -> holtQ _,
+    "ext_runs_test" -> runsTestQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6223,6 +6234,85 @@ object ExtQueries {
         |    + (-1.0) * SIGN(v) * ln(1.0 - 2.0 * ABS(v)), 4) AS noisy_n,
         |  CAST(1.0 AS DOUBLE) AS b
         |FROM v ORDER BY event_type""".stripMargin,
+
+    // Holt smoothing: the recurrence folded over the hourly grid as a
+    // LIST(DOUBLE) accumulator; α/β exact binary fractions, every cast
+    // forced to DOUBLE so the literal arithmetic matches Spark's
+    "ext_holt" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |arr AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY eh) AS vs
+        |        FROM grid GROUP BY event_type),
+        |f AS (SELECT event_type, CAST(len(vs) AS INT) AS n_hours,
+        |        list_reduce(
+        |          list_prepend([vs[1], vs[2] - vs[1]],
+        |            list_transform(vs[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+        |          (acc, e) -> [
+        |            CAST(0.5 AS DOUBLE) * e[1]
+        |              + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+        |                * (acc[1] + acc[2]),
+        |            CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * e[1]
+        |                + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+        |                  * (acc[1] + acc[2])) - acc[1])
+        |              + (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * acc[2]])
+        |          AS lt
+        |      FROM arr WHERE len(vs) >= 2)
+        |SELECT event_type, n_hours, ROUND(lt[1], 4) AS level,
+        |  ROUND(lt[2], 4) AS trend,
+        |  ROUND(lt[1] + CAST(1.0 AS DOUBLE) * lt[2], 4) AS fc1,
+        |  ROUND(lt[1] + CAST(2.0 AS DOUBLE) * lt[2], 4) AS fc2,
+        |  ROUND(lt[1] + CAST(3.0 AS DOUBLE) * lt[2], 4) AS fc3
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // runs test: exact 2-decimal day totals, quantile_cont/percentile
+    // median pairing, z from the integer closed form
+    "ext_runs_test" ->
+      """WITH day AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(s, 0.5) AS m FROM day),
+        |sg AS (SELECT d, CASE WHEN CAST(s AS DOUBLE) > m THEN 1 ELSE 0 END
+        |         AS above
+        |       FROM day, med WHERE CAST(s AS DOUBLE) <> m),
+        |r AS (SELECT d, above, LAG(above) OVER (ORDER BY d) AS prev FROM sg),
+        |agg AS (SELECT COUNT(*) AS n_days, CAST(SUM(above) AS BIGINT) AS n_above,
+        |          CAST(SUM(1 - above) AS BIGINT) AS n_below,
+        |          CAST(SUM(CASE WHEN prev IS NULL OR prev <> above
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |        FROM r)
+        |SELECT n_days, n_above, n_below, runs,
+        |  ROUND(CASE WHEN n_above > 0 AND n_below > 0
+        |      AND 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |          - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+        |        / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          * ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) - 1.0))
+        |        > 0.0 THEN
+        |    (CAST(runs AS DOUBLE)
+        |      - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0))
+        |    / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |        * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |          - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+        |        / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          * ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) - 1.0)))
+        |  END, 4) + 0.0 AS z
+        |FROM agg""".stripMargin,
 
     // WoE/IV with add-one smoothing: ln of an exact integer-product
     // ratio, IV folded in bin order

@@ -621,4 +621,41 @@ class TemporalSpec extends SparkSpec {
     // h: MAD 0 → no deviation exceeds 0, nothing flagged
     assert(got == Seq(("g", 5L, 1L, 3.0, 1.0), ("h", 3L, 0L, 5.0, 0.0)))
   }
+
+  test("holt smoothing matches the hand recurrence; linear series is exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // hour h gets h+1 events -> series [1,2,3,4]: perfectly linear, so
+    // level=4, trend=1, forecasts 5,6,7
+    val base = 1700000000000000L // us
+    val ev = (0 until 4).flatMap(h => (0 to h).map(i =>
+      ("a", new Timestamp((base + h * 3600000000L + i * 60000000L) / 1000))))
+      .toDF("event_type", "ts")
+    val got = Temporal.holtForecast(ev)
+      .as[(String, Int, Double, Double, Double, Double, Double)].collect().head
+    assert(got == (("a", 4, 4.0, 1.0, 5.0, 6.0, 7.0)), got.toString)
+    // two-point series: init only + one update -> l=3, t=2
+    val ev2 = Seq(("b", new Timestamp(base / 1000)),
+      ("b", new Timestamp((base + 3600000000L) / 1000)),
+      ("b", new Timestamp((base + 3600000000L + 1000000L) / 1000)),
+      ("b", new Timestamp((base + 3600000000L + 2000000L) / 1000)))
+      .toDF("event_type", "ts")
+    val g2 = Temporal.holtForecast(ev2)
+      .as[(String, Int, Double, Double, Double, Double, Double)].collect().head
+    assert(g2 == (("b", 2, 3.0, 2.0, 5.0, 7.0, 9.0)), g2.toString)
+  }
+
+  test("runs test matches the hand computation (alternating series)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one event per day, values 1,5,1,5,1,5 -> 6 runs, z = 2/sqrt(1.2)
+    val base = 1700000000000000L
+    val ev = (0 until 6).map(d =>
+      (new Timestamp((base + d * 86400000000L) / 1000),
+        if (d % 2 == 0) 1.0 else 5.0)).toDF("ts", "value")
+    val got = Temporal.runsTest(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((6L, 3L, 3L, 6L, 1.8257)), got.toString)
+  }
+
 }
