@@ -275,6 +275,48 @@ object Drift {
     * χ² total folds its cells in (variant, type) order — the
     * engine-identical double association. Output: one row per cell
     * with observed/expected/contribution and the χ²+dof riders. */
+  /** Cramér's V (plus the Bergsma bias-corrected variant) of the
+    * association between two bounded categorical columns — the
+    * normalized 0..1 effect size the raw χ² ([[chi2Homogeneity]],
+    * hod-χ²) lacks: comparable across tables of different size and
+    * shape. Full r×c grid with zero cells; expected counts are single
+    * divisions of exact integer products; the χ² fold runs in (x, y)
+    * cell order. V = √(φ²/min(r−1, c−1)); the corrected form subtracts
+    * the φ² bias (r−1)(c−1)/(N−1) and shrinks r, c the same way.
+    * Output (one row): n, r, c, chi2, v, v_corrected. */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val g = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val grid = g.select("x").distinct().crossJoin(g.select("y").distinct())
+      .join(g, Seq("x", "y"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val rt = grid.groupBy("x").agg(sum("c").as("rt"))
+    val ct = grid.groupBy("y").agg(sum("c").as("ct"))
+    val nn = grid.agg(sum("c").as("n"),
+      countDistinct("x").as("r"), countDistinct("y").as("cc"))
+    val k = grid.join(broadcast(rt), "x").join(broadcast(ct), "y")
+      .crossJoin(broadcast(nn))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (col("c").cast("double") - col("e")) * (col("c").cast("double") - col("e"))
+          / col("e"))
+    val chi2 = k.agg(
+      aggregate(sort_array(collect_list(struct(col("x"), col("y"), col("contrib")))),
+        lit(0.0), (a, x) => a + x.getField("contrib")).as("chi2"))
+    val nd = col("n").cast("double"); val rd = col("r").cast("double")
+    val cd = col("cc").cast("double")
+    val phi2 = col("chi2") / nd
+    val phi2c = greatest(lit(0.0),
+      phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0))
+    val rc = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    val cc2 = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    nn.crossJoin(broadcast(chi2))
+      .select(col("n"), col("r"), col("cc").as("c"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(phi2 / least(rd - 1.0, cd - 1.0)), 4).as("v"),
+        round(sqrt(phi2c / least(rc - 1.0, cc2 - 1.0)), 4).as("v_corrected"))
+  }
+
   def chi2Homogeneity(events: DataFrame): DataFrame = {
     val g = events
       .select((col("user_id") % 2).cast("int").as("variant"), col("event_type"))

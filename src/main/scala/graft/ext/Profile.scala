@@ -154,6 +154,24 @@ object Profile {
       .orderBy("cat")
   }
 
+  /** Herfindahl–Hirschman concentration of the event-type mix per
+    * hour-of-day — "is 3am traffic one bot type or a healthy mix".
+    * HHI = Σ share² = Σc²/N² and the effective type count 1/HHI = N²/Σc²
+    * are RATIOS OF EXACT INTEGERS (no per-type double fold at all), off
+    * one (hr, type) rollup. Output: (hr, n, n_types, hhi, n_eff). */
+  def hourlyHhi(events: DataFrame): DataFrame = {
+    val c = events.select(hour(col("ts")).as("hr"), col("event_type"))
+      .groupBy("hr", "event_type").agg(count(lit(1)).as("c"))
+    c.groupBy("hr").agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("hr"), col("n"), col("n_types"),
+        round(col("ss").cast("double") / (col("n") * col("n")).cast("double"), 4)
+          .as("hhi"),
+        round((col("n") * col("n")).cast("double") / col("ss").cast("double"), 4)
+          .as("n_eff"))
+      .orderBy("hr")
+  }
+
   /** Benford first-digit audit of a numeric column — the classic
     * fabricated-/synthetic-data screen: organically-grown magnitudes
     * follow P(d) = log₁₀(1 + 1/d); generator artifacts (uniform draws,

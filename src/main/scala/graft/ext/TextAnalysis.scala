@@ -1067,6 +1067,33 @@ object TextAnalysis {
     * are owned by the returned DataFrame's plan and are reclaimed by
     * ContextCleaner when the caller drops the result — constructing the
     * result runs the tokenize+count jobs eagerly. */
+  /** Per-token log odds ratio of document presence between a target
+    * slice and the rest (Haldane–Anscombe +½ correction, so zero cells
+    * stay finite) — the keyness/marker-term screen: which tokens mark
+    * the slice. With the ½s cleared, OR = (2a+1)(2d+1)/((2b+1)(2c+1))
+    * is a ratio of EXACT INTEGER products, so ln sees the same argument
+    * in both engines; (a,b,c,d) come from one distinct-(doc,token)
+    * rollup + a broadcast doc-count row. Output per token:
+    * (tok, in_target, in_rest, lnor). */
+  def tokenOddsRatio(docs: DataFrame, isTarget: Column): DataFrame = {
+    val dt = docs.select(col("doc_id"), isTarget.cast("int").as("tgt"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct()
+    val counts = dt.groupBy("tok").agg(
+      sum("tgt").cast("long").as("a"),
+      sum(lit(1) - col("tgt")).cast("long").as("b"))
+    val tot = docs.agg(
+      sum(isTarget.cast("long")).as("nt"),
+      sum(lit(1L) - isTarget.cast("long")).as("nr"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"), col("a").as("in_target"), col("b").as("in_rest"),
+        round(log(
+          ((lit(2) * col("a") + 1) * (lit(2) * (col("nr") - col("b")) + 1)).cast("double") /
+          ((lit(2) * col("b") + 1) * (lit(2) * (col("nt") - col("a")) + 1)).cast("double")),
+          4).as("lnor"))
+      .orderBy("tok")
+  }
+
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val bow = Dedup.spreadForCompute(docs)
       .select(col("doc_id"), isTarget.as("is_t"),

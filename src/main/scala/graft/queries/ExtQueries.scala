@@ -581,6 +581,43 @@ object ExtQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
       "vb", "y")
 
+  /** Lorenz curve of per-user total value by user decile (ascending
+    * total, exact 2-decimal integer sums, exactNtile buckets). */
+  def lorenzQ(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.events(s, d)
+      .select(col("user_id").as("key"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("v"))
+      .groupBy("key").agg(sum("v").as("t"))
+    val binned = exactNtile(totals, Seq("t", "key"), 10, "decile")
+    val k = binned.groupBy("decile")
+      .agg(count(lit(1)).as("n_keys"), sum("t").as("dv"))
+    val tot = k.agg(sum("dv").as("tv"))
+    // the cumulative window ranks the 10-row decile rollup, not rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    k.withColumn("cum", sum("dv").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_keys"),
+        round(col("dv").cast("double") / 100.0, 4).as("decile_value"),
+        round(col("cum").cast("double") / col("tv").cast("double"), 4)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Cramér's V (+ bias-corrected) of event_type × hour-of-day. */
+  def cramersVQ(s: SparkSession, d: String): DataFrame =
+    Drift.cramersV(
+      Tables.events(s, d).select(col("event_type"), hour(col("ts")).as("hr")),
+      "event_type", "hr")
+
+  /** Haldane-corrected per-token log odds ratio, English vs rest. */
+  def oddsRatioQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenOddsRatio(Tables.documents(s, d), col("lang") === "en")
+
+  /** HHI concentration of the type mix per hour-of-day. */
+  def hhiQ(s: SparkSession, d: String): DataFrame =
+    Profile.hourlyHhi(Tables.events(s, d))
+
   /** Holt level+trend smoothing of the hourly count series per type,
     * with a 3-step forecast (α = ½, β = ¼ — exact binary fractions). */
   def holtQ(s: SparkSession, d: String): DataFrame =
@@ -2234,6 +2271,10 @@ object ExtQueries {
     "ext_dp_counts" -> dpCountsQ _,
     "ext_holt" -> holtQ _,
     "ext_runs_test" -> runsTestQ _,
+    "ext_lorenz" -> lorenzQ _,
+    "ext_cramers_v" -> cramersVQ _,
+    "ext_odds_ratio" -> oddsRatioQ _,
+    "ext_hhi" -> hhiQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6234,6 +6275,89 @@ object ExtQueries {
         |    + (-1.0) * SIGN(v) * ln(1.0 - 2.0 * ABS(v)), 4) AS noisy_n,
         |  CAST(1.0 AS DOUBLE) AS b
         |FROM v ORDER BY event_type""".stripMargin,
+
+    // Lorenz deciles: asc NTILE pairing, cumulative exact integer sums
+    "ext_lorenz" ->
+      """WITH t AS (SELECT user_id AS key,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1),
+        |bn AS (SELECT key, t, NTILE(10) OVER (ORDER BY t, key) AS decile
+        |       FROM t),
+        |k AS (SELECT decile, COUNT(*) AS n_keys, CAST(SUM(t) AS BIGINT) AS dv
+        |      FROM bn GROUP BY decile),
+        |c AS (SELECT decile, n_keys, dv,
+        |        CAST(SUM(dv) OVER (ORDER BY decile) AS BIGINT) AS cum FROM k),
+        |tv AS (SELECT CAST(SUM(dv) AS BIGINT) AS tv FROM k)
+        |SELECT c.decile, c.n_keys,
+        |  ROUND(CAST(c.dv AS DOUBLE) / 100.0, 4) AS decile_value,
+        |  ROUND(CAST(c.cum AS DOUBLE) / CAST(tv.tv AS DOUBLE), 4) AS cum_share
+        |FROM c, tv ORDER BY decile""".stripMargin,
+
+    // Cramér's V over the full r×c grid: χ² fold in cell order, the
+    // normalizations mirror the Spark expression exactly
+    "ext_cramers_v" ->
+      """WITH g AS (SELECT event_type AS x, hour(ts) AS y, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT xs.x, ys.y, CAST(COALESCE(g.c, 0) AS BIGINT) AS c
+        |         FROM (SELECT DISTINCT x FROM g) xs
+        |         CROSS JOIN (SELECT DISTINCT y FROM g) ys
+        |         LEFT JOIN g ON g.x = xs.x AND g.y = ys.y),
+        |rt AS (SELECT x, CAST(SUM(c) AS BIGINT) AS rt FROM grid GROUP BY x),
+        |ct AS (SELECT y, CAST(SUM(c) AS BIGINT) AS ct FROM grid GROUP BY y),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(DISTINCT x) AS r,
+        |         COUNT(DISTINCT y) AS cc FROM grid),
+        |k AS (SELECT grid.x, grid.y, grid.c,
+        |        CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+        |      FROM grid JOIN rt USING (x) JOIN ct USING (y), nn),
+        |k2 AS (SELECT x, y,
+        |         (CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e
+        |           AS contrib FROM k),
+        |c2 AS (SELECT list_reduce(list(contrib ORDER BY x, y),
+        |         (a, b) -> a + b) AS chi2 FROM k2)
+        |SELECT nn.n, nn.r, nn.cc AS c, ROUND(c2.chi2, 4) AS chi2,
+        |  ROUND(sqrt((c2.chi2 / CAST(nn.n AS DOUBLE))
+        |    / LEAST(CAST(nn.r AS DOUBLE) - 1.0, CAST(nn.cc AS DOUBLE) - 1.0)),
+        |    4) AS v,
+        |  ROUND(sqrt(GREATEST(0.0, c2.chi2 / CAST(nn.n AS DOUBLE)
+        |      - (CAST(nn.r AS DOUBLE) - 1.0) * (CAST(nn.cc AS DOUBLE) - 1.0)
+        |        / (CAST(nn.n AS DOUBLE) - 1.0))
+        |    / LEAST((CAST(nn.r AS DOUBLE) - (CAST(nn.r AS DOUBLE) - 1.0)
+        |        * (CAST(nn.r AS DOUBLE) - 1.0) / (CAST(nn.n AS DOUBLE) - 1.0))
+        |        - 1.0,
+        |      (CAST(nn.cc AS DOUBLE) - (CAST(nn.cc AS DOUBLE) - 1.0)
+        |        * (CAST(nn.cc AS DOUBLE) - 1.0) / (CAST(nn.n AS DOUBLE) - 1.0))
+        |        - 1.0)), 4) AS v_corrected
+        |FROM nn, c2""".stripMargin,
+
+    // Haldane-corrected odds ratios: ln of exact integer products
+    "ext_odds_ratio" ->
+      """WITH tl AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, tgt, unnest(ts) AS tok FROM tl),
+        |c AS (SELECT tok, CAST(SUM(tgt) AS BIGINT) AS a,
+        |        CAST(SUM(1 - tgt) AS BIGINT) AS b FROM dt GROUP BY tok),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nr
+        |  FROM documents)
+        |SELECT c.tok, c.a AS in_target, c.b AS in_rest,
+        |  ROUND(ln(CAST((2 * c.a + 1) * (2 * (tot.nr - c.b) + 1) AS DOUBLE)
+        |    / CAST((2 * c.b + 1) * (2 * (tot.nt - c.a) + 1) AS DOUBLE)), 4)
+        |    AS lnor
+        |FROM c, tot ORDER BY tok""".stripMargin,
+
+    // HHI: both concentration numbers are ratios of exact integers
+    "ext_hhi" ->
+      """WITH c AS (SELECT hour(ts) AS hr, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT hr, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+        |        CAST(SUM(c * c) AS BIGINT) AS ss FROM c GROUP BY hr)
+        |SELECT hr, n, n_types,
+        |  ROUND(CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE), 4) AS hhi,
+        |  ROUND(CAST(n * n AS DOUBLE) / CAST(ss AS DOUBLE), 4) AS n_eff
+        |FROM g ORDER BY hr""".stripMargin,
 
     // Holt smoothing: the recurrence folded over the hourly grid as a
     // LIST(DOUBLE) accumulator; α/β exact binary fractions, every cast

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the concentration / association /
+  * keyness scalar ops. */
+class MiscStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly HHI matches the hand computation") {
+    import java.sql.Timestamp
+    val base = 1700000000000L // ms, aligned to an hour? irrelevant: one hour used
+    val ev = (Seq.fill(3)("a") ++ Seq.fill(1)("b")).map(t =>
+      (new Timestamp(base), t)).toDF("ts", "event_type")
+    val got = Profile.hourlyHhi(ev)
+      .as[(Int, Long, Long, Double, Double)].collect().head
+    // shares 3/4, 1/4 → HHI = 10/16 = .625, n_eff = 1.6
+    assert((got._2, got._3, got._4, got._5) == ((4L, 2L, 0.625, 1.6)),
+      got.toString)
+  }
+
+  test("cramers V is 1 for a perfect 2x2 association (and bias-corrected stays 1)") {
+    val d = (Seq.fill(10)(("a", 1)) ++ Seq.fill(10)(("b", 2))).toDF("x", "y")
+    val got = Drift.cramersV(d, "x", "y")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got == ((20L, 2L, 2L, 20.0, 1.0, 1.0)), got.toString)
+  }
+
+  test("token odds ratio matches the hand computation (Haldane correction)") {
+    val docs = Seq((1L, "x y", "en"), (2L, "y z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenOddsRatio(docs, col("lang") === "en")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(got("x") == 2.1972 && got("y") == 0.0 && got("z") == -2.1972,
+      got.toString)
+  }
+
+  test("lorenz deciles: shares monotone, last share 1, total preserved") {
+    val g = graft.SparkEntry.queries("ext_lorenz")(spark, sf())
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(g.length == 10)
+    assert(g.last._4 == 1.0, g.last.toString)
+    assert(g.map(_._4).sliding(2).forall(p => p(0) <= p(1)), g.toSeq.toString)
+    // ascending deciles: the PER-KEY mean must not decrease head→tail
+    // (bucket totals can, when the remainder lands in the first buckets)
+    assert(g.head._3 / g.head._2 <= g.last._3 / g.last._2, g.toSeq.toString)
+  }
+}
