@@ -293,4 +293,58 @@ object Graph {
         round(col("score"), 4).as("aa"))
     scored.orderBy(col("aa").desc, col("doc_a"), col("doc_b")).limit(topK)
   }
+
+  /** k-core decomposition summary — iterative peeling: repeatedly drop
+    * nodes of degree &lt; k until a fixpoint; what survives is the
+    * k-core, the standard "dense nucleus vs peripheral fuzz" cut of a
+    * candidate/link graph (a near-dup cluster's core survives k=3;
+    * chains of borderline pairs don't). Pure integer set computation —
+    * no floats anywhere, so the result is trivially engine-exact.
+    *
+    * Scale shape: each round is one degree rollup + two semi-joins,
+    * all shuffle-bounded; `localCheckpoint` truncates the per-round
+    * lineage. Rounds to fixpoint are ≤ the graph's degeneracy-peeling
+    * depth — small for real graphs; `maxRounds` caps the loop and the
+    * operator THROWS if the fixpoint isn't reached (the oracle unrolls
+    * exactly `maxRounds` rounds, so a non-converged result would be
+    * silently wrong — fail loudly instead). Output per k:
+    * (k, n_nodes, n_edges) of the surviving core. */
+  def kCoreSummary(pairs: DataFrame, ks: Seq[Int] = Seq(2, 3, 4),
+      maxRounds: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e0 = pairs.select(
+        least(col("doc_a"), col("doc_b")).cast("long").as("a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e0.count()
+    val rows = ks.sorted.map { k =>
+      var edges = e0
+      var prev = -1L
+      var n = edges.count()
+      var r = 0
+      while (n != prev && n > 0 && r < maxRounds) {
+        prev = n
+        val deg = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .where(col("dg") >= k)
+        edges = edges
+          .join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+        n = edges.count(); r += 1
+      }
+      require(n == prev || n == 0,
+        s"k-core peeling not converged within $maxRounds rounds (k=$k)")
+      val nodes =
+        if (n == 0) 0L
+        else edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+          .distinct().count()
+      (k, nodes, n)
+    }
+    e0.unpersist(blocking = false)
+    spark.createDataset(rows).toDF("k", "n_nodes", "n_edges").orderBy("k")
+  }
 }

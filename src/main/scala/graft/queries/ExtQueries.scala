@@ -754,7 +754,12 @@ object ExtQueries {
     * minhash near-dup graph is pure cliques at fixture scale (every
     * wedge closed), so the co-activity graph is the one with open
     * structure for link prediction to rank. */
-  def adamicAdarQ(s: SparkSession, d: String): DataFrame = {
+  def adamicAdarQ(s: SparkSession, d: String): DataFrame =
+    Graph.adamicAdar(coActivityEdges(s, d))
+
+  /** The user co-activity pair graph both link-prediction entries rank:
+    * edge = two users sharing ≥4 distinct (epoch-hour, type) cells. */
+  private def coActivityEdges(s: SparkSession, d: String): DataFrame = {
     val ua = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
@@ -762,14 +767,17 @@ object ExtQueries {
       .distinct()
     val l = ua.toDF("ua", "h", "t")
     val r = ua.toDF("ub", "h", "t")
-    val edges = l.join(r, Seq("h", "t"))
+    l.join(r, Seq("h", "t"))
       .where(col("ua") < col("ub"))
       .groupBy(col("ua").as("doc_a"), col("ub").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= 4)
       .select("doc_a", "doc_b")
-    Graph.adamicAdar(edges)
   }
+
+  /** k-core peeling summary of the co-activity graph, k ∈ {2,3,4}. */
+  def kCoreQ(s: SparkSession, d: String): DataFrame =
+    Graph.kCoreSummary(coActivityEdges(s, d))
 
   /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
     * sweep (the banding-eval pattern applied to retrieval scoring).
@@ -2275,6 +2283,7 @@ object ExtQueries {
     "ext_cramers_v" -> cramersVQ _,
     "ext_odds_ratio" -> oddsRatioQ _,
     "ext_hhi" -> hhiQ _,
+    "ext_kcore" -> kCoreQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6348,6 +6357,9 @@ object ExtQueries {
         |    AS lnor
         |FROM c, tot ORDER BY tok""".stripMargin,
 
+    // k-core: pure integer set computation, 8-round unrolled peel
+    "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
     // HHI: both concentration numbers are ratios of exact integers
     "ext_hhi" ->
       """WITH c AS (SELECT hour(ts) AS hr, event_type, COUNT(*) AS c
@@ -6467,14 +6479,7 @@ object ExtQueries {
     // Adamic–Adar on the user co-activity graph: contributions grouped
     // by exact integer degree, folded ascending — engine-identical sum
     "ext_adamic_adar" ->
-      s"""WITH ua AS (SELECT DISTINCT user_id,
-         |        epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
-         |        event_type FROM events),
-         |cand AS (SELECT l.user_id AS a, r.user_id AS b
-         |         FROM ua l JOIN ua r
-         |           ON l.h = r.h AND l.event_type = r.event_type
-         |             AND l.user_id < r.user_id
-         |         GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      s"""WITH $coActivityCtes,
          |adj AS (SELECT a AS v, b AS n FROM cand
          |        UNION ALL SELECT b AS v, a AS n FROM cand),
          |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
@@ -6492,6 +6497,47 @@ object ExtQueries {
          |SELECT x AS doc_a, y AS doc_b, aa FROM top
          |ORDER BY aa DESC, doc_a, doc_b""".stripMargin,
   )
+
+  /** DuckDB twin of [[coActivityEdges]], ending in `cand(a, b)`.
+    * lazy: declared after `oracles`, which forces `oraclesTail` (and
+    * thus this) during object init — the [[bpeSql]] ordering rule. */
+  private lazy val coActivityCtes: String =
+    """ua AS (SELECT DISTINCT user_id,
+      |        epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |        event_type FROM events),
+      |cand AS (SELECT l.user_id AS a, r.user_id AS b
+      |         FROM ua l JOIN ua r
+      |           ON l.h = r.h AND l.event_type = r.event_type
+      |             AND l.user_id < r.user_id
+      |         GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
+
+  /** Generated k-core oracle mirroring [[graft.ext.Graph.kCoreSummary]]:
+    * per k an 8-round unrolled peel (each round a degree rollup + a
+    * both-endpoints filter, MATERIALIZED so the chain doesn't inline
+    * exponentially); the Spark side THROWS if its fixpoint needs more
+    * rounds than unrolled here, so extra oracle rounds are no-ops. */
+  private def kcoreSql(ks: Seq[Int], rounds: Int): String = {
+    def leg(k: Int): String = {
+      val chain = (1 to rounds).map { i =>
+        s"""d${k}_$i AS (SELECT v, COUNT(*) AS dg FROM (
+           |  SELECT a AS v FROM e${k}_${i - 1}
+           |  UNION ALL SELECT b AS v FROM e${k}_${i - 1}) GROUP BY v),
+           |e${k}_$i AS MATERIALIZED (SELECT e.a, e.b FROM e${k}_${i - 1} e
+           |  JOIN d${k}_$i da ON da.v = e.a AND da.dg >= $k
+           |  JOIN d${k}_$i db ON db.v = e.b AND db.dg >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"e${k}_0 AS (SELECT a, b FROM cand),\n$chain"
+    }
+    val legs = ks.map(leg).mkString(",\n")
+    val sums = ks.map { k =>
+      s"""s$k AS (SELECT CAST($k AS INT) AS k,
+         |  (SELECT COUNT(*) FROM (SELECT a AS v FROM e${k}_$rounds
+         |     UNION SELECT b AS v FROM e${k}_$rounds)) AS n_nodes,
+         |  (SELECT COUNT(*) FROM e${k}_$rounds) AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    val union = ks.map(k => s"SELECT * FROM s$k").mkString("\nUNION ALL\n")
+    s"WITH $coActivityCtes,\n$legs,\n$sums\n$union\nORDER BY k"
+  }
 
   /** Generated ranking-eval oracle mirroring [[graft.ext.Retrieval
     * .rankingEval]] over the [[bm25Ctes]] scored set: graded relevance

@@ -153,4 +153,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(tri).count() == 0L)
   }
 
+
+  test("k-core peeling: path dissolves, triangle is the 2-core, K4 the 3-core") {
+    import spark.implicits._
+    // path 1-2-3-4: no 2-core; triangle 5-6-7: 2-core, no 3-core
+    val g = Seq((1L,2L),(2L,3L),(3L,4L),(5L,6L),(6L,7L),(5L,7L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kCoreSummary(g, Seq(2, 3))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((2, 3L, 3L), (3, 0L, 0L)), got.toString)
+    // K4: 3-core is the whole graph
+    val k4 = (for (a <- 1 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong))
+      .toDF("doc_a", "doc_b")
+    val g2 = Graph.kCoreSummary(k4, Seq(3)).as[(Int, Long, Long)].collect()
+    assert(g2.toSeq == Seq((3, 4L, 6L)), g2.toSeq.toString)
+  }
+
 }

@@ -48,7 +48,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_kendall_tau", "ext_retrieval_eval", "ext_adamic_adar",
     "ext_lift_gains", "ext_target_encoding", "ext_woe_iv",
     "ext_l_diversity", "ext_dp_counts", "ext_holt", "ext_runs_test",
-    "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_hhi")
+    "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_hhi", "ext_kcore")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
