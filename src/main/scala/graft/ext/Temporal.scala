@@ -1508,6 +1508,42 @@ object Temporal {
     lt.select(outCols: _*).orderBy("event_type")
   }
 
+  /** Last-touch attribution: each conversion event credits the LATEST
+    * touch event (of the given touch types) by the same user within the
+    * lookback window — the marketing-analytics sibling of the as-of
+    * join (as-of returns the row; attribution aggregates the credit).
+    * One user-keyed equi-join with a range predicate (sort-merge, never
+    * a time nested-loop; fan-out bounded by a user's touches inside the
+    * window), argmax per conversion via max(struct(ts, id, type)) —
+    * deterministic under the (ts, event_id) total order. Unattributed
+    * conversions report as channel '(none)'. Output:
+    * (channel, n_conversions, share). */
+  def lastTouchAttribution(events: DataFrame, conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackHours: Int = 24): DataFrame = {
+    val p = events.where(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val t = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("ts").as("tts"), col("event_id").as("tid"),
+        col("event_type").as("ttype"))
+    val lb = expr(s"INTERVAL $lookbackHours HOURS")
+    val last = p.join(t, Seq("user_id"))
+      .where(col("tts") <= col("pts") && col("tts") >= col("pts") - lb)
+      .groupBy("pid")
+      .agg(max(struct(col("tts"), col("tid"), col("ttype"))).as("w"))
+      .select(col("pid"), col("w").getField("ttype").as("channel"))
+    val byChannel = last.groupBy("channel").agg(count(lit(1)).as("n"))
+    val total = p.agg(count(lit(1)).as("np"))
+    val attributed = byChannel.agg(coalesce(sum("n"), lit(0L)).as("na"))
+    val withNone = byChannel.unionAll(
+      total.crossJoin(broadcast(attributed))
+        .select(lit("(none)").as("channel"), (col("np") - col("na")).as("n")))
+    withNone.crossJoin(broadcast(total))
+      .select(col("channel"), col("n").as("n_conversions"),
+        round(col("n").cast("double") / col("np").cast("double"), 4).as("share"))
+      .orderBy("channel")
+  }
+
   /** Wald–Wolfowitz runs test of the DAILY total value series against
     * its median — "is the day-to-day metric a random scatter around its
     * level, or trending/cyclic?" (too few runs = trend, too many =

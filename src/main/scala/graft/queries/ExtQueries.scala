@@ -779,6 +779,37 @@ object ExtQueries {
   def kCoreQ(s: SparkSession, d: String): DataFrame =
     Graph.kCoreSummary(coActivityEdges(s, d))
 
+  /** TextRank keyword scores: PageRank over the adjacent-token
+    * co-occurrence graph (Mihalcea & Tarau 2004 with window 2). Token
+    * node ids come from a row_number over the DISTINCT token table —
+    * V-bounded, the accepted vocab-window pattern; the oracle runs the
+    * same chain on the token strings directly (labels don't change the
+    * rank values). */
+  def textrankQ(s: SparkSession, d: String): DataFrame = {
+    val bi = Dedup.explodedShingles(Tables.documents(s, d), 2)
+      .select(split(col("sh"), " ").as("w"))
+      .select(element_at(col("w"), 1).as("t1"), element_at(col("w"), 2).as("t2"))
+      .where(col("t1") =!= col("t2"))
+      .select(least(col("t1"), col("t2")).as("ta"),
+        greatest(col("t1"), col("t2")).as("tb"))
+      .distinct()
+    val vocab = bi.select(col("ta").as("tok"))
+      .union(bi.select(col("tb").as("tok"))).distinct()
+      .withColumn("id", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy("tok"))
+        .cast("long"))
+    val e = bi.join(vocab.toDF("ta", "ida"), "ta")
+      .join(vocab.toDF("tb", "idb"), "tb")
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"))
+    Graph.pageRank(e)
+      .join(vocab.withColumnRenamed("id", "doc_id"), "doc_id")
+      .select(col("tok"), col("pr")).orderBy("tok")
+  }
+
+  /** Last-touch purchase attribution over a 24h lookback. */
+  def attributionQ(s: SparkSession, d: String): DataFrame =
+    Temporal.lastTouchAttribution(Tables.events(s, d))
+
   /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
     * sweep (the banding-eval pattern applied to retrieval scoring).
     * Ranks on the ROUNDED score with doc-id tie-breaks. */
@@ -2284,6 +2315,8 @@ object ExtQueries {
     "ext_odds_ratio" -> oddsRatioQ _,
     "ext_hhi" -> hhiQ _,
     "ext_kcore" -> kCoreQ _,
+    "ext_textrank" -> textrankQ _,
+    "ext_attribution" -> attributionQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6359,6 +6392,59 @@ object ExtQueries {
 
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
+    // TextRank: the verified pagerank chain on the adjacent-token graph,
+    // run directly on token strings (labels don't change rank values)
+    "ext_textrank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS id, 0.15 / MAX(nn.n) + 0.85 * SUM(r${i - 1}.r / deg.dg) AS r
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+           |  JOIN deg ON deg.src = e.src, nn
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |tb AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+         |      i -> ts[i] || ' ' || ts[i+1])) AS g
+         |    FROM toks WHERE len(ts) >= 2)),
+         |ed AS (SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b
+         |       FROM tb WHERE w1 <> w2),
+         |e AS (SELECT a AS src, b AS dst FROM ed
+         |      UNION ALL SELECT b, a FROM ed),
+         |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS id, 1.0 / n AS r FROM deg, nn),
+         |$iters
+         |SELECT id AS tok, ROUND(r + SIGN(r) * 0.000000001, 4) AS pr
+         |FROM r5 ORDER BY tok""".stripMargin
+    },
+
+    // last-touch attribution: argmax under the (ts, event_id) total
+    // order, all shares exact integer ratios
+    "ext_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS tid,
+        |        event_type AS ttype FROM events
+        |      WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, t.tts, t.tid, t.ttype
+        |      FROM p JOIN t ON t.user_id = p.user_id
+        |        AND t.tts <= p.pts
+        |        AND t.tts >= p.pts - INTERVAL 24 HOURS),
+        |last AS (SELECT pid, ttype AS channel FROM (
+        |    SELECT pid, ttype, row_number() OVER (
+        |      PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn FROM j)
+        |  WHERE rn = 1),
+        |bc AS (SELECT channel, COUNT(*) AS n FROM last GROUP BY channel),
+        |tot AS (SELECT COUNT(*) AS np FROM p),
+        |na AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS na FROM bc),
+        |allc AS (SELECT channel, CAST(n AS BIGINT) AS n FROM bc
+        |         UNION ALL
+        |         SELECT '(none)' AS channel, tot.np - na.na AS n FROM tot, na)
+        |SELECT channel, n AS n_conversions,
+        |  ROUND(CAST(n AS DOUBLE) / tot.np, 4) AS share
+        |FROM allc, tot ORDER BY channel""".stripMargin,
 
     // HHI: both concentration numbers are ratios of exact integers
     "ext_hhi" ->

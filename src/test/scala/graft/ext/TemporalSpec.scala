@@ -658,4 +658,36 @@ class TemporalSpec extends SparkSpec {
     assert(got == ((6L, 3L, 3L, 6L, 1.8257)), got.toString)
   }
 
+
+  test("last-touch attribution credits the latest touch within the window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    def t(min: Long) = new Timestamp(base + min * 60000L)
+    val ev = Seq(
+      (1L, 1L, "click", t(0)), (1L, 2L, "view", t(5)),
+      (1L, 3L, "purchase", t(10)),                      // credited to view
+      (2L, 4L, "purchase", t(100)),                     // no touch -> none
+      (3L, 5L, "view", t(0)), (3L, 6L, "purchase", t(60 * 25))) // stale
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Temporal.lastTouchAttribution(ev)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("(none)", 2L, 0.6667), ("view", 1L, 0.3333)),
+      got.toString)
+  }
+
+  test("ties on touch timestamp break by event_id (larger id wins)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, 1L, "click", new Timestamp(base)),
+      (1L, 2L, "view", new Timestamp(base)),
+      (1L, 3L, "purchase", new Timestamp(base + 1000L)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Temporal.lastTouchAttribution(ev)
+      .as[(String, Long, Double)].collect().map(_._1)
+    assert(got.toSet == Set("(none)", "view"))
+  }
+
 }
