@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Blocklist, Dedup, Drift, FeaturePrep, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, RankStats, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
+import graft.ext.{Blocklist, Dedup, Drift, Experiment, FeaturePrep, Graph, Unigram, Incremental, Layout, LinearModel, Multimodal, Profile, RankStats, Retrieval, ScaleJoins, Similarity, Sketches, Spectral, SuffixArray, Temporal, TextAnalysis}
 import graft.sources.Formats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -809,6 +809,34 @@ object ExtQueries {
   /** Last-touch purchase attribution over a 24h lookback. */
   def attributionQ(s: SparkSession, d: String): DataFrame =
     Temporal.lastTouchAttribution(Tables.events(s, d))
+
+  /** Events tagged with variant (user parity), relative day, and the
+    * exact 2-decimal value — the shared base of the experiment trio. */
+  private def taggedEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("u"), (col("user_id") % 2).cast("int").as("v"),
+        expr("unix_micros(ts) div 86400000000").as("dd"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
+    val d0 = ev.agg(min("dd").as("d0"))
+    ev.crossJoin(broadcast(d0))
+      .withColumn("p", (col("dd") - col("d0") >= 15).cast("int"))
+  }
+
+  /** Sample-ratio-mismatch guardrail on the user-parity split. */
+  def abSrmQ(s: SparkSession, d: String): DataFrame =
+    Experiment.sampleRatioCheck(Tables.events(s, d))
+
+  /** CUPED variance reduction: pre-period (days 0–14) value as the
+    * covariate for the experiment-period (days 15+) value. */
+  def cupedQ(s: SparkSession, d: String): DataFrame =
+    Experiment.cuped(taggedEvents(s, d).groupBy("u", "v")
+      .agg(sum(when(col("p") === 0, col("vc")).otherwise(0L)).as("x"),
+        sum(when(col("p") === 1, col("vc")).otherwise(0L)).as("y")))
+
+  /** Difference-in-differences of event value across variant × period. */
+  def didQ(s: SparkSession, d: String): DataFrame =
+    Experiment.diffInDiff(
+      taggedEvents(s, d).select(col("v"), col("p"), col("vc").as("val")))
 
   /** BM25 top-10 under k1 in {0.9, 1.2, 1.5} — the ranking-robustness
     * sweep (the banding-eval pattern applied to retrieval scoring).
@@ -2317,6 +2345,9 @@ object ExtQueries {
     "ext_kcore" -> kCoreQ _,
     "ext_textrank" -> textrankQ _,
     "ext_attribution" -> attributionQ _,
+    "ext_ab_srm" -> abSrmQ _,
+    "ext_cuped" -> cupedQ _,
+    "ext_did" -> didQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6419,6 +6450,117 @@ object ExtQueries {
          |SELECT id AS tok, ROUND(r + SIGN(r) * 0.000000001, 4) AS pr
          |FROM r5 ORDER BY tok""".stripMargin
     },
+
+    // SRM: χ² of the distinct-unit split vs 50/50, exact counts in
+    "ext_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id AS u,
+        |    CAST(user_id % 2 AS INT) AS v FROM events),
+        |c AS (SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n_a,
+        |      CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM u)
+        |SELECT n_a, n_b,
+        |  ROUND((CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    + (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0), 4) AS chi2,
+        |  ROUND(SIGN(CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * sqrt((CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_a AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    + (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    * (CAST(n_b AS DOUBLE)
+        |      - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+        |    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)), 4) + 0.0
+        |    AS z
+        |FROM c""".stripMargin,
+
+    // CUPED: θ and var(y') from DECIMAL/HUGEINT raw moments, every
+    // double expression mirrored term-for-term
+    "ext_cuped" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(user_id % 2 AS INT) AS v,
+        |    epoch_us(ts) // 86400000000 AS dd,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |d0 AS (SELECT MIN(dd) AS d0 FROM ev),
+        |pu AS (SELECT u, v,
+        |    CAST(SUM(CASE WHEN dd - d0.d0 >= 15 THEN 0 ELSE vc END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN dd - d0.d0 >= 15 THEN vc ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ev, d0 GROUP BY u, v),
+        |m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |        SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy FROM pu),
+        |pool AS (SELECT
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    1.0 - (CAST(n * syy - sy * sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / CAST(n * syy - sy * sy AS DOUBLE) AS var_reduction
+        |  FROM m),
+        |g AS (SELECT v AS variant, COUNT(*) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS gx, SUM(CAST(y AS HUGEINT)) AS gy
+        |      FROM pu GROUP BY v)
+        |SELECT g.variant, g.n,
+        |  ROUND(CAST(g.gy AS DOUBLE) / CAST(g.n AS DOUBLE) / 100.0, 4)
+        |    AS mean_y,
+        |  ROUND((CAST(g.gy AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |    - pool.theta * (CAST(g.gx AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      - pool.xbar)) / 100.0, 4) AS mean_y_adj,
+        |  ROUND(pool.theta, 4) AS theta,
+        |  ROUND(pool.var_reduction, 4) AS var_reduction
+        |FROM g, pool ORDER BY variant""".stripMargin,
+
+    // DiD over the four variant×period cells: means and unpooled SE
+    // from HUGEINT raw moments
+    "ext_did" ->
+      """WITH ev AS (SELECT CAST(user_id % 2 AS INT) AS v,
+        |    epoch_us(ts) // 86400000000 AS dd,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS val FROM events),
+        |d0 AS (SELECT MIN(dd) AS d0 FROM ev),
+        |c AS (SELECT v, CASE WHEN dd - d0.d0 >= 15 THEN 1 ELSE 0 END AS p,
+        |        val FROM ev, d0),
+        |g AS (SELECT v, p, COUNT(*) AS n, SUM(CAST(val AS HUGEINT)) AS s,
+        |        SUM(CAST(val AS HUGEINT) * val) AS ss FROM c GROUP BY v, p),
+        |w AS (SELECT v, p, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |        CAST(n * ss - s * s AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2
+        |      FROM g),
+        |f AS (SELECT
+        |    MAX(CASE WHEN v = 0 AND p = 0 THEN m END) AS m00,
+        |    MAX(CASE WHEN v = 0 AND p = 1 THEN m END) AS m01,
+        |    MAX(CASE WHEN v = 1 AND p = 0 THEN m END) AS m10,
+        |    MAX(CASE WHEN v = 1 AND p = 1 THEN m END) AS m11,
+        |    MAX(CASE WHEN v = 0 AND p = 0 THEN s2 / CAST(n AS DOUBLE) END) AS q00,
+        |    MAX(CASE WHEN v = 0 AND p = 1 THEN s2 / CAST(n AS DOUBLE) END) AS q01,
+        |    MAX(CASE WHEN v = 1 AND p = 0 THEN s2 / CAST(n AS DOUBLE) END) AS q10,
+        |    MAX(CASE WHEN v = 1 AND p = 1 THEN s2 / CAST(n AS DOUBLE) END) AS q11
+        |  FROM w)
+        |SELECT ROUND(m00 / 100.0, 4) AS ctrl_pre,
+        |  ROUND(m01 / 100.0, 4) AS ctrl_post,
+        |  ROUND(m10 / 100.0, 4) AS treat_pre,
+        |  ROUND(m11 / 100.0, 4) AS treat_post,
+        |  ROUND(((m11 - m10) - (m01 - m00)) / 100.0, 4) + 0.0 AS did,
+        |  ROUND(sqrt(q00 + q01 + q10 + q11) / 100.0, 4) AS se,
+        |  ROUND(CASE WHEN sqrt(q00 + q01 + q10 + q11) > 0.0 THEN
+        |    ((m11 - m10) - (m01 - m00)) / sqrt(q00 + q01 + q10 + q11)
+        |  END, 4) + 0.0 AS t
+        |FROM f""".stripMargin,
 
     // last-touch attribution: argmax under the (ts, event_id) total
     // order, all shares exact integer ratios
