@@ -680,4 +680,67 @@ object Similarity {
       .where(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    * λ = ½): greedily pick k results that are RELEVANT to the query but
+    * DISSIMILAR to what's already picked — the diversity re-ranker that
+    * stops a near-dup corpus from returning five copies of one page.
+    * With λ = ½ the argmax reduces to rel − max-sim in EXACT 1e-4
+    * integer units (both cosines ROUND(·,4)-scaled), so every greedy
+    * decision is an integer comparison with vec_id tie-breaks.
+    *
+    * Scale shape: relevance is one broadcast-query scan + TakeOrdered
+    * to `topN`; the pairwise sim matrix and the greedy loop run over
+    * topN² / k·topN cells — BOUNDED BY CONSTRUCTION (topN ≤ 1000
+    * enforced), the [[graft.ext.TextAnalysis.prioritySample]] k·P
+    * pattern, so the driver step is O(topN²) regardless of corpus
+    * size. Output: (step 1..k, vec_id, mmr = score/1e4). */
+  def mmrSelect(embeddings: DataFrame, queryId: Long = 0L, topN: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(topN >= k && topN <= 1000, "topN out of the bounded-driver range")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("nrm", norm(col("e")))
+    val q = e.where(col("vec_id") === queryId)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val rel = e.where(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        round(dot(col("e"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos"))
+    val cand = rel.orderBy(col("cos").desc, col("vec_id")).limit(topN)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        round(col("cos") * 10000).cast("long").as("ri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cand.select(col("vec_id").as("va"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val b = cand.select(col("vec_id").as("vb"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    val sims = a.crossJoin(broadcast(b)).where(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          * 10000).cast("long").as("si"))
+    val cs = cand.select(col("vec_id"), col("ri")).as[(Long, Long)]
+      .collect().sortBy(c => (-c._2, c._1))
+    val simMap = sims.as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    cand.unpersist(blocking = false)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to math.min(k, cs.length)).foreach { step =>
+      val best = cs.iterator.filterNot(c => chosen.contains(c._1))
+        .map { case (v, ri) =>
+          val maxSim = if (chosen.isEmpty) 0L
+            else chosen.map(sv => simMap((v, sv))).max
+          (v, if (chosen.isEmpty) ri else ri - maxSim)
+        }
+        .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      picked += ((step, best._1, best._2))
+      chosen += best._1
+    }
+    spark.createDataset(picked.toSeq).toDF("step", "vec_id", "sc")
+      .select(col("step"), col("vec_id"),
+        (col("sc").cast("double") / 10000.0).as("mmr"))
+      .orderBy("step")
+  }
 }

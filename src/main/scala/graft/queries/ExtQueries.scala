@@ -826,6 +826,10 @@ object ExtQueries {
   def abSrmQ(s: SparkSession, d: String): DataFrame =
     Experiment.sampleRatioCheck(Tables.events(s, d))
 
+  /** MMR diverse top-5 from the cosine top-20 (λ = ½, query vec 0). */
+  def mmrQ(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrSelect(Tables.embeddings(s, d))
+
   /** CUPED variance reduction: pre-period (days 0–14) value as the
     * covariate for the experiment-period (days 15+) value. */
   def cupedQ(s: SparkSession, d: String): DataFrame =
@@ -2348,6 +2352,7 @@ object ExtQueries {
     "ext_ab_srm" -> abSrmQ _,
     "ext_cuped" -> cupedQ _,
     "ext_did" -> didQ _,
+    "ext_mmr" -> mmrQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6451,6 +6456,10 @@ object ExtQueries {
          |FROM r5 ORDER BY tok""".stripMargin
     },
 
+    // MMR: every greedy decision an integer comparison in 1e-4 units;
+    // the oracle unrolls the k-step selection
+    "ext_mmr" -> mmrSql(0L, 20, 5),
+
     // SRM: χ² of the distinct-unit split vs 50/50, exact counts in
     "ext_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id AS u,
@@ -6738,6 +6747,43 @@ object ExtQueries {
       |           ON l.h = r.h AND l.event_type = r.event_type
       |             AND l.user_id < r.user_id
       |         GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
+
+  /** Generated MMR oracle mirroring [[graft.ext.Similarity.mmrSelect]]:
+    * the greedy loop unrolled — per step an integer argmax of
+    * ri − MAX(si over the selected set), (sc DESC, vec_id) order. */
+  private def mmrSql(queryId: Long, topN: Int, k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.vec_id, c.ri - MAX(s.si) AS sc FROM cand c
+         |  JOIN sims s ON s.va = c.vec_id
+         |    AND s.vb IN (SELECT vec_id FROM sel${i - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id, c.ri),
+         |s$i AS (SELECT vec_id, sc FROM p$i ORDER BY sc DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1}
+         |          UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT $i AS step, vec_id, sc FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM e WHERE vec_id = $queryId),
+       |rel AS (SELECT c.vec_id, c.e,
+       |    ROUND(list_dot_product(c.e, q.qe) / (sqrt(list_dot_product(c.e, c.e))
+       |      * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+       |  FROM e c, q WHERE c.vec_id <> $queryId),
+       |cand AS (SELECT vec_id, e, CAST(ROUND(cos * 10000) AS BIGINT) AS ri
+       |  FROM (SELECT * FROM rel ORDER BY cos DESC, vec_id LIMIT $topN)),
+       |sims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(ROUND(ROUND(list_dot_product(a.e, b.e)
+       |      / (sqrt(list_dot_product(a.e, a.e))
+       |        * sqrt(list_dot_product(b.e, b.e))), 4) * 10000) AS BIGINT) AS si
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, ri AS sc FROM cand ORDER BY ri DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT step, vec_id, CAST(sc AS DOUBLE) / 10000.0 AS mmr FROM (
+       |$union) ORDER BY step""".stripMargin
+  }
 
   /** Generated k-core oracle mirroring [[graft.ext.Graph.kCoreSummary]]:
     * per k an 8-round unrolled peel (each round a degree rollup + a

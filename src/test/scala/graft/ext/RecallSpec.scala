@@ -68,4 +68,19 @@ class RecallSpec extends SparkSpec {
     info(f"ivfpq recall@10 = $recall%.3f")
     assert(recall >= 0.35, f"IVF-PQ recall collapsed: $recall%.3f")
   }
+
+  test("mmr: first pick is most relevant, second pick trades rel for diversity") {
+    import spark.implicits._
+    // unit vectors: rel(1)=.9, rel(2)=.89 but sim(2,1)≈.99 → score −.10;
+    // rel(3)=.85 with sim(3,1)≈.54 → score +.31 → greedy takes 1 then 3
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.43589f)),
+      (2L, Array(0.89f, 0.45602f)), (3L, Array(0.85f, -0.52678f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(e, queryId = 0L, topN = 3, k = 2)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L), got.toString)
+    assert(got.head._3 == 0.9, got.toString) // step-1 score = its relevance
+  }
+
 }

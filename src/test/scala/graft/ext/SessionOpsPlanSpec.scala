@@ -21,7 +21,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_kruskal_wallis", "ext_kendall_tau", "ext_retrieval_eval",
     "ext_lift_gains", "ext_woe_iv", "ext_l_diversity", "ext_runs_test",
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
-    "ext_cuped", "ext_did",
+    "ext_cuped", "ext_did", "ext_mmr",
     "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
@@ -50,8 +50,9 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_lift_gains", "ext_target_encoding", "ext_woe_iv",
     "ext_l_diversity", "ext_dp_counts", "ext_holt", "ext_runs_test",
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
-    "ext_cuped", "ext_did", "ext_hhi", "ext_kcore",
-    "ext_textrank", "ext_attribution", "ext_ab_srm", "ext_cuped", "ext_did")
+    "ext_cuped", "ext_did", "ext_mmr", "ext_hhi", "ext_kcore",
+    "ext_textrank", "ext_attribution", "ext_ab_srm", "ext_cuped", "ext_did", "ext_mmr",
+    "ext_mmr")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
