@@ -1508,6 +1508,69 @@ object Temporal {
     lt.select(outCols: _*).orderBy("event_type")
   }
 
+  /** WEIGHTED quantiles per group — "the median request weighted by
+    * bytes served", the percentile that matters when rows carry very
+    * different mass. Type-7-style lower weighted quantile: the smallest
+    * value whose cumulative weight reaches q·W. Every decision is an
+    * integer comparison (100·cumw ≥ q100·W over exact integer weights);
+    * the cumulative runs over the per-group DISTINCT-value table (the
+    * [[RankStats]] grouped-ranks shape — bounded by the value domain,
+    * never a per-row window). Output per group: (grp, w_total, one
+    * column per requested q100). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, q100s: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(q100s.nonEmpty && q100s.forall(q => q > 0 && q <= 100), "bad q100s")
+    val vw = df.select(col(groupCol).as("grp"), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("w").isNotNull && col("w") > 0)
+      .groupBy("grp", "v").agg(sum("w").as("wv"))
+    val win = Window.partitionBy("grp").orderBy("v")
+    val cum = vw.withColumn("cw", sum("wv").over(win))
+    val tot = vw.groupBy("grp").agg(sum("wv").as("wt"))
+    val j = cum.join(tot, "grp")
+    val qCols = q100s.map { q =>
+      min(when(col("cw") * 100 >= lit(q.toLong) * col("wt"), col("v")))
+        .as(s"wp$q")
+    }
+    j.groupBy("grp")
+      .agg(first(col("wt")).as("w_total"), qCols: _*)
+      .select(col("grp") +: col("w_total") +: q100s.map(q => col(s"wp$q")): _*)
+      .orderBy("grp")
+  }
+
+  /** Additive seasonal decomposition of the hourly count series per
+    * type: trend = centered 25-hour moving sum (full windows only),
+    * seasonal = hour-of-day mean of the detrended series. All
+    * engine-visible numbers stay exact until one final division by
+    * holding the series 25×-SCALED: trend25 = Σ±12 c (integer),
+    * detr25 = 25c − trend25 (integer), seasonal = Σdetr25/(25·n_h).
+    * The windows run over the span-bounded hour grid, partitioned per
+    * type. Output: (event_type, hod, n_h, seasonal). */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        expr("unix_micros(h) div 3600000000").as("eh"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("eh").rowsBetween(-12, 12)
+    val tr = grid
+      .withColumn("t25", sum("c").over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .where(col("nw") === 25)
+      .withColumn("d25", lit(25L) * col("c") - col("t25"))
+    tr.groupBy(col("event_type"), (((col("eh") % 24) + 24) % 24).as("hod"))
+      .agg(count(lit(1)).as("n_h"), sum("d25").as("sd25"))
+      .select(col("event_type"), col("hod"), col("n_h"),
+        (round(col("sd25").cast("double")
+          / (lit(25.0) * col("n_h").cast("double")), 4) + lit(0.0)).as("seasonal"))
+      .orderBy("event_type", "hod")
+  }
+
   /** Last-touch attribution: each conversion event credits the LATEST
     * touch event (of the given touch types) by the same user within the
     * lookback window — the marketing-analytics sibling of the as-of

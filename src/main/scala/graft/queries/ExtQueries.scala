@@ -830,6 +830,18 @@ object ExtQueries {
   def mmrQ(s: SparkSession, d: String): DataFrame =
     Similarity.mmrSelect(Tables.embeddings(s, d))
 
+  /** Weighted p50/p90 of event value, weighted by the props-k mass. */
+  def weightedQuantileQ(s: SparkSession, d: String): DataFrame =
+    Temporal.weightedQuantiles(
+      Tables.events(s, d).select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("w")),
+      "event_type", "value", "w")
+      .withColumnRenamed("grp", "event_type")
+
+  /** Additive hourly seasonal decomposition per event type. */
+  def seasonalDecomposeQ(s: SparkSession, d: String): DataFrame =
+    Temporal.seasonalDecompose(Tables.events(s, d))
+
   /** CUPED variance reduction: pre-period (days 0–14) value as the
     * covariate for the experiment-period (days 15+) value. */
   def cupedQ(s: SparkSession, d: String): DataFrame =
@@ -2353,6 +2365,8 @@ object ExtQueries {
     "ext_cuped" -> cupedQ _,
     "ext_did" -> didQ _,
     "ext_mmr" -> mmrQ _,
+    "ext_weighted_quantile" -> weightedQuantileQ _,
+    "ext_seasonal_decompose" -> seasonalDecomposeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6459,6 +6473,56 @@ object ExtQueries {
     // MMR: every greedy decision an integer comparison in 1e-4 units;
     // the oracle unrolls the k-step selection
     "ext_mmr" -> mmrSql(0L, 20, 5),
+
+    // weighted quantiles: 100·cumw ≥ q·W integer threshold over the
+    // per-group distinct-value cumulative
+    "ext_weighted_quantile" ->
+      """WITH r AS (SELECT event_type, value AS v,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        |  FROM events),
+        |vw AS (SELECT event_type, v, CAST(SUM(w) AS BIGINT) AS wv
+        |       FROM r WHERE w IS NOT NULL AND w > 0 GROUP BY event_type, v),
+        |c AS (SELECT event_type, v, wv,
+        |        CAST(SUM(wv) OVER (PARTITION BY event_type ORDER BY v)
+        |          AS BIGINT) AS cw FROM vw),
+        |t AS (SELECT event_type, CAST(SUM(wv) AS BIGINT) AS wt FROM vw
+        |      GROUP BY event_type)
+        |SELECT c.event_type, t.wt AS w_total,
+        |  MIN(CASE WHEN c.cw * 100 >= 50 * t.wt THEN c.v END) AS wp50,
+        |  MIN(CASE WHEN c.cw * 100 >= 90 * t.wt THEN c.v END) AS wp90
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type, t.wt ORDER BY event_type""".stripMargin,
+
+    // seasonal decomposition: 25×-scaled integer detrending, one final
+    // division per (type, hod) cell
+    "ext_seasonal_decompose" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |tr AS (SELECT event_type, eh, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY eh
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS t25,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY eh
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nw
+        |  FROM grid),
+        |d AS (SELECT event_type, ((eh % 24) + 24) % 24 AS hod,
+        |        25 * c - t25 AS d25 FROM tr WHERE nw = 25)
+        |SELECT event_type, hod, COUNT(*) AS n_h,
+        |  ROUND(CAST(SUM(d25) AS DOUBLE)
+        |    / (25.0 * CAST(COUNT(*) AS DOUBLE)), 4) + 0.0 AS seasonal
+        |FROM d GROUP BY event_type, hod ORDER BY event_type, hod""".stripMargin,
 
     // SRM: χ² of the distinct-unit split vs 50/50, exact counts in
     "ext_ab_srm" ->

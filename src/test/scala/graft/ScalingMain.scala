@@ -626,6 +626,78 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // round-7 session-4: rank statistics (distributed global tied ranks
+    // — distinct values grow ~linearly in m, the runningSum two-pass must
+    // track it), the experiment trio (one user rollup each), attribution
+    // (one user-keyed range join), Holt (span-bounded grid), and the
+    // graph pair (co-activity edges grow linearly — replicas add users,
+    // not density, so wedge fan-out per node stays constant).
+    println("mult |   events |  mw | kruskal | holt | attrib | cuped | lorenz | kcore | adamic")
+    sweep("r7f") { m =>
+      val ev0 = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev0
+        else ev0.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            // replicas occupy DISJOINT 40-day windows: co-activity cell
+            // sizes stay constant (users m×, edges m× — linear), instead
+            // of packing m× users into the same hours (a quadratic
+            // fan-out that would measure the fixture, not the engine)
+            expr("timestampadd(DAY, CAST(rep * 40 AS INT), ts)").as("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"),
+            // jitter values per replica so distinct-value count grows
+            // with m (verbatim copies would only deepen per-value ties)
+            (col("value") + col("rep").cast("double") * lit(0.0001)).as("value"),
+            col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val (tMw, _) = time(mat(
+        ext.RankStats.mannWhitney(evm, "event_type", "value", "click", "view")))
+      val (tKw, _) = time(mat(
+        ext.RankStats.kruskalWallis(evm, "event_type", "value")))
+      val (tHo, _) = time(mat(ext.Temporal.holtForecast(evm)))
+      val (tAt, _) = time(mat(ext.Temporal.lastTouchAttribution(evm)))
+      val cupedIn = {
+        val ev = evm.select(col("user_id").as("u"),
+          (col("user_id") % 2).cast("int").as("v"),
+          expr("unix_micros(ts) div 86400000000").as("dd"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
+        val d0 = ev.agg(min("dd").as("d0"))
+        ev.crossJoin(broadcast(d0))
+          .withColumn("p", (col("dd") - col("d0") >= 15).cast("int"))
+          .groupBy("u", "v")
+          .agg(sum(when(col("p") === 0, col("vc")).otherwise(0L)).as("x"),
+            sum(when(col("p") === 1, col("vc")).otherwise(0L)).as("y"))
+      }
+      val (tCp, _) = time(mat(ext.Experiment.cuped(cupedIn)))
+      val lorenzIn = evm.select(col("user_id").as("key"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("v"))
+        .groupBy("key").agg(sum("v").as("t"))
+      val (tLz, _) = time {
+        // the exactNtile path lives in queries; the decile rollup itself
+        // is the measured part (two-pass range partition + offsets)
+        mat(ext.Temporal.runningSum(
+          lorenzIn.groupBy("t").agg(count(lit(1)).as("c")), "t", "c"))
+      }
+      val coact = {
+        val ua = evm.select(col("user_id"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+          col("event_type")).distinct()
+        val l = ua.toDF("ua", "h", "t"); val r = ua.toDF("ub", "h", "t")
+        l.join(r, Seq("h", "t")).where(col("ua") < col("ub"))
+          .groupBy(col("ua").as("doc_a"), col("ub").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 4).select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      coact.count()
+      val (tKc, _) = time(mat(ext.Graph.kCoreSummary(coact)))
+      val (tAa, _) = time(mat(ext.Graph.adamicAdar(coact)))
+      coact.unpersist(blocking = false)
+      println(f"$m%4d | $nEv%8d | $tMw%4.2f | $tKw%7.2f | $tHo%4.2f | $tAt%6.2f | $tCp%5.2f | $tLz%6.2f | $tKc%5.2f | $tAa%6.2f")
+      evm.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

@@ -52,7 +52,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
     "ext_cuped", "ext_did", "ext_mmr", "ext_hhi", "ext_kcore",
     "ext_textrank", "ext_attribution", "ext_ab_srm", "ext_cuped", "ext_did", "ext_mmr",
-    "ext_mmr")
+    "ext_mmr", "ext_weighted_quantile", "ext_seasonal_decompose")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>

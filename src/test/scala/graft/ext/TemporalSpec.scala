@@ -690,4 +690,35 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSet == Set("(none)", "view"))
   }
 
+
+  test("weighted quantiles: mass concentrates the median on the heavy value") {
+    import spark.implicits._
+    val d = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 8L),
+      ("h", 1.0, 1L), ("h", 2.0, 1L), ("h", 3.0, 1L), ("h", 4.0, 1L))
+      .toDF("t", "v", "w")
+    val got = Temporal.weightedQuantiles(d, "t", "v", "w")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g") == ((10L, 3.0, 3.0)), got.toString)
+    assert(got("h") == ((4L, 2.0, 4.0)), got.toString)
+  }
+
+  test("seasonal decomposition: flat series is all-zero, planted diurnal peak surfaces") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val baseS = 1700006400L // divisible by 86400 -> hod 0 at offset 0
+    def at(h: Int, i: Int) = new Timestamp((baseS + h * 3600L) * 1000L + i)
+    val flat = (0 until 72).map(h => ("a", at(h, 0))).toDF("event_type", "ts")
+    val f = Temporal.seasonalDecompose(flat)
+      .as[(String, Long, Long, Double)].collect()
+    assert(f.forall(_._4 == 0.0), f.toSeq.toString)
+    // doubled count at hod 0: seasonal(0) = 24/25; hod 12's windows
+    // straddle TWO peaks (eh 12 sees eh 0 and 24) -> -2/25; rest -1/25
+    val diurnal = (0 until 72).flatMap(h =>
+      (0 until (if (h % 24 == 0) 2 else 1)).map(i => ("a", at(h, i))))
+      .toDF("event_type", "ts")
+    val g = Temporal.seasonalDecompose(diurnal)
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(g(0L) == 0.96 && g(12L) == -0.08 && g(1L) == -0.04, g.toString)
+  }
+
 }
