@@ -319,8 +319,12 @@ object Graph {
       .where(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e0.count()
+    // k-cores are nested (k-core ⊆ (k−1)-core), so each k peels from the
+    // PREVIOUS core's edges instead of the full graph — same fixpoint,
+    // far fewer rounds/jobs for the higher ks
+    var start = e0
     val rows = ks.sorted.map { k =>
-      var edges = e0
+      var edges = start
       var prev = -1L
       var n = edges.count()
       var r = 0
@@ -342,6 +346,7 @@ object Graph {
         if (n == 0) 0L
         else edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
           .distinct().count()
+      start = edges
       (k, nodes, n)
     }
     e0.unpersist(blocking = false)

@@ -1508,6 +1508,34 @@ object Temporal {
     lt.select(outCols: _*).orderBy("event_type")
   }
 
+  /** Directed association rules over per-user event-type baskets —
+    * the market-basket readout [[typeCooccurrence]]'s symmetric Jaccard
+    * can't give: confidence(a→b) = n_ab/n_a is directional, and
+    * lift = n_ab·N/(n_a·n_b) says whether b is genuinely more likely
+    * GIVEN a. One distinct-(user, type) rollup + one user-keyed
+    * self-join (|types|²-bounded fan-out); every metric a ratio of
+    * exact integers. Output per ordered pair: (ante, cons, n_ante,
+    * n_both, confidence, lift). */
+  def associationRules(events: DataFrame, key: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val ut = events.select(col(key).as("u"), col(typeCol).as("t")).distinct()
+    val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
+    val nn = ut.select("u").distinct().agg(count(lit(1)).as("nu"))
+    val both = ut.toDF("u", "ante").join(ut.toDF("u", "cons"), "u")
+      .where(col("ante") =!= col("cons"))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.toDF("ante", "na")), "ante")
+      .join(broadcast(sizes.toDF("cons", "nc")), "cons")
+      .crossJoin(broadcast(nn))
+      .select(col("ante"), col("cons"), col("na").as("n_ante"), col("n_both"),
+        round(col("n_both").cast("double") / col("na").cast("double"), 4)
+          .as("confidence"),
+        round((col("n_both") * col("nu")).cast("double")
+          / (col("na") * col("nc")).cast("double"), 4).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
   /** WEIGHTED quantiles per group — "the median request weighted by
     * bytes served", the percentile that matters when rows carry very
     * different mass. Type-7-style lower weighted quantile: the smallest

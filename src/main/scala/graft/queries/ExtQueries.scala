@@ -757,9 +757,19 @@ object ExtQueries {
   def adamicAdarQ(s: SparkSession, d: String): DataFrame =
     Graph.adamicAdar(coActivityEdges(s, d))
 
-  /** The user co-activity pair graph both link-prediction entries rank:
-    * edge = two users sharing ≥4 distinct (epoch-hour, type) cells. */
-  private def coActivityEdges(s: SparkSession, d: String): DataFrame = {
+  private val coActCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The user co-activity pair graph both graph entries consume (edge =
+    * two users sharing ≥4 distinct (epoch-hour, type) cells), built
+    * once per (session, fixture) and persisted — the [[candidates]]
+    * memoization pattern: Adamic–Adar and k-core pay the self-join
+    * once between them. */
+  private def coActivityEdges(s: SparkSession, d: String): DataFrame =
+    coActCache.getOrElseUpdate(sessionKey(s, d),
+      buildCoActivityEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildCoActivityEdges(s: SparkSession, d: String): DataFrame = {
     val ua = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
@@ -841,6 +851,10 @@ object ExtQueries {
   /** Additive hourly seasonal decomposition per event type. */
   def seasonalDecomposeQ(s: SparkSession, d: String): DataFrame =
     Temporal.seasonalDecompose(Tables.events(s, d))
+
+  /** Directed association rules over per-user event-type baskets. */
+  def assocRulesQ(s: SparkSession, d: String): DataFrame =
+    Temporal.associationRules(Tables.events(s, d))
 
   /** CUPED variance reduction: pre-period (days 0–14) value as the
     * covariate for the experiment-period (days 15+) value. */
@@ -2367,6 +2381,7 @@ object ExtQueries {
     "ext_mmr" -> mmrQ _,
     "ext_weighted_quantile" -> weightedQuantileQ _,
     "ext_seasonal_decompose" -> seasonalDecomposeQ _,
+    "ext_assoc_rules" -> assocRulesQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6473,6 +6488,26 @@ object ExtQueries {
     // MMR: every greedy decision an integer comparison in 1e-4 units;
     // the oracle unrolls the k-step selection
     "ext_mmr" -> mmrSql(0L, 20, 5),
+
+    // association rules: every metric a ratio of exact integers off
+    // one distinct rollup + a types²-bounded self-join
+    "ext_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events),
+        |sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t),
+        |nn AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM ut),
+        |b AS (SELECT a.t AS ante, c.t AS cons, CAST(COUNT(*) AS BIGINT)
+        |        AS n_both
+        |      FROM ut a JOIN ut c ON a.u = c.u AND a.t <> c.t
+        |      GROUP BY 1, 2)
+        |SELECT b.ante, b.cons, sa.n AS n_ante, b.n_both,
+        |  ROUND(CAST(b.n_both AS DOUBLE) / CAST(sa.n AS DOUBLE), 4)
+        |    AS confidence,
+        |  ROUND(CAST(b.n_both * nn.nu AS DOUBLE)
+        |    / CAST(sa.n * sc.n AS DOUBLE), 4) AS lift
+        |FROM b JOIN sizes sa ON sa.t = b.ante
+        |  JOIN sizes sc ON sc.t = b.cons, nn
+        |ORDER BY ante, cons""".stripMargin,
 
     // weighted quantiles: 100·cumw ≥ q·W integer threshold over the
     // per-group distinct-value cumulative
