@@ -294,6 +294,61 @@ object Graph {
     scored.orderBy(col("aa").desc, col("doc_a"), col("doc_b")).limit(topK)
   }
 
+  /** BFS distance layers from a source node over an undirected pair
+    * graph — "how far does influence/contamination spread" in hops.
+    * Pregel-lite frontier expansion: each round joins the frontier to
+    * the adjacency list and anti-joins the known set (one shuffle per
+    * round, localCheckpoint-truncated); pure INTEGER set computation.
+    * Rounds stop when the frontier empties; if it hasn't by
+    * `maxDepth` the operator THROWS (the oracle unrolls exactly
+    * `maxDepth` rounds — same contract as [[kCoreSummary]]). The
+    * default source is the graph's MINIMUM node id (deterministic).
+    * Output: (dist, n_nodes) histogram, plus a dist = −1 row counting
+    * nodes unreached from the source. */
+  def bfsLayers(pairs: DataFrame, source: Option[Long] = None,
+      maxDepth: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).cast("long").as("a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select("v").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val src = source.getOrElse(nodes.agg(min("v")).as[Long].head())
+    var known = spark.createDataset(Seq((src, 0)))
+      .toDF("v", "dist").localCheckpoint()
+    var frontier = known
+    var depth = 0
+    var frontierN = 1L
+    while (frontierN > 0 && depth < maxDepth) {
+      depth += 1
+      val next = adj.join(frontier.select(col("v")), Seq("v"), "left_semi")
+        .select(col("n").as("v")).distinct()
+        .join(known, Seq("v"), "left_anti")
+        .select(col("v"), lit(depth).as("dist"))
+        .localCheckpoint()
+      frontierN = next.count()
+      known = known.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    require(frontierN == 0,
+      s"BFS frontier still expanding at maxDepth=$maxDepth")
+    val hist = known.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(known, Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).as("dist"), col("n_nodes"))
+      .where(col("n_nodes") > 0)
+    // materialize the ≤(maxDepth+2)-row result so the cached adjacency
+    // can be dropped before returning
+    val rows = hist.unionAll(unreached).as[(Int, Long)].collect().sortBy(_._1)
+    adj.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    spark.createDataset(rows.toSeq).toDF("dist", "n_nodes").orderBy("dist")
+  }
+
   /** k-core decomposition summary — iterative peeling: repeatedly drop
     * nodes of degree &lt; k until a fixpoint; what survives is the
     * k-core, the standard "dense nucleus vs peripheral fuzz" cut of a

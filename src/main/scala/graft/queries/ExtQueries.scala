@@ -856,6 +856,52 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** BFS hop-distance layers over the co-activity graph (source = min
+    * node id; unreached nodes report as dist −1). */
+  def bfsQ(s: SparkSession, d: String): DataFrame =
+    Graph.bfsLayers(coActivityEdges(s, d))
+
+  /** Precision/recall/F1/MCC of the shared probe at thresholds
+    * 0.3/0.5/0.7 — every decision an integer comparison on the
+    * 1e-4-scaled score; MCC's four marginals multiply in DECIMAL. */
+  def probePrQ(s: SparkSession, d: String): DataFrame = {
+    val w = trainedProbe(s, d)
+    val sc = probeFeatures(s, d)
+      .select(col("y").cast("int").as("y"),
+        round(round(LinearModel.score(Seq("x1", "x2", "x3"), w), 4) * 10000)
+          .cast("long").as("si"))
+    val dec = "decimal(38,0)"
+    Seq(3000L, 5000L, 7000L).map { th =>
+      sc.agg(
+        sum(when(col("y") === 1 && col("si") >= th, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("si") >= th, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("si") < th, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && col("si") < th, 1L).otherwise(0L)).as("tn"))
+        .select(lit((th / 100).toInt).as("th100"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          round(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double")), 4)
+            .as("prec"),
+          round(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double")), 4)
+            .as("recall"),
+          round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            (lit(2L) * col("tp")).cast("double")
+              / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")), 4)
+            .as("f1"),
+          (round(when(
+            (col("tp") + col("fp")) * (col("tp") + col("fn")) > 0 &&
+              (col("tn") + col("fp")) * (col("tn") + col("fn")) > 0,
+            (col("tp").cast(dec) * col("tn").cast(dec)
+              - col("fp").cast(dec) * col("fn").cast(dec)).cast("double")
+              / sqrt(((col("tp") + col("fp")).cast(dec)
+                * (col("tp") + col("fn")).cast(dec)
+                * (col("tn") + col("fp")).cast(dec)
+                * (col("tn") + col("fn")).cast(dec)).cast("double"))), 4)
+            + lit(0.0)).as("mcc"))
+    }.reduce(_.unionAll(_)).orderBy("th100")
+  }
+
   /** CUPED variance reduction: pre-period (days 0–14) value as the
     * covariate for the experiment-period (days 15+) value. */
   def cupedQ(s: SparkSession, d: String): DataFrame =
@@ -2382,6 +2428,8 @@ object ExtQueries {
     "ext_weighted_quantile" -> weightedQuantileQ _,
     "ext_seasonal_decompose" -> seasonalDecomposeQ _,
     "ext_assoc_rules" -> assocRulesQ _,
+    "ext_bfs" -> bfsQ _,
+    "ext_probe_pr" -> probePrQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6458,6 +6506,14 @@ object ExtQueries {
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
 
+    // BFS layers: 8-round unrolled frontier expansion, MIN-distance
+    // merge per round — integer set computation like the k-core twin
+    "ext_bfs" -> bfsSql(8),
+
+    // probe PR sweep: all decisions on the 1e-4-scaled integer score;
+    // MCC marginals multiply in HUGEINT
+    "ext_probe_pr" -> probePrSql(Seq(30, 50, 70)),
+
     // TextRank: the verified pagerank chain on the adjacent-token graph,
     // run directly on token strings (labels don't change rank values)
     "ext_textrank" -> {
@@ -6846,6 +6902,68 @@ object ExtQueries {
       |           ON l.h = r.h AND l.event_type = r.event_type
       |             AND l.user_id < r.user_id
       |         GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
+
+  /** Generated BFS oracle mirroring [[graft.ext.Graph.bfsLayers]] over
+    * the co-activity graph: `rounds` unrolled MATERIALIZED frontier
+    * expansions with a MIN-distance merge; the Spark side throws if its
+    * frontier outlives the unroll. Unreached nodes → dist −1. */
+  private def bfsSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v, MIN(d) AS d FROM (
+         |  SELECT v, d FROM k${i - 1}
+         |  UNION ALL
+         |  SELECT adj.n AS v, $i AS d FROM adj
+         |  JOIN k${i - 1} f ON f.v = adj.v AND f.d = ${i - 1})
+         |GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActivityCtes,
+       |adj AS (SELECT a AS v, b AS n FROM cand
+       |        UNION ALL SELECT b AS v, a AS n FROM cand),
+       |nodes AS (SELECT DISTINCT v FROM adj),
+       |src AS (SELECT MIN(v) AS s FROM nodes),
+       |k0 AS (SELECT s AS v, 0 AS d FROM src),
+       |$chain,
+       |hist AS (SELECT CAST(d AS INT) AS dist, COUNT(*) AS n_nodes
+       |         FROM k$rounds GROUP BY d),
+       |unreached AS (SELECT CAST(-1 AS INT) AS dist, COUNT(*) AS n_nodes
+       |  FROM nodes WHERE v NOT IN (SELECT v FROM k$rounds)
+       |  HAVING COUNT(*) > 0)
+       |SELECT dist, n_nodes FROM hist
+       |UNION ALL SELECT dist, n_nodes FROM unreached
+       |ORDER BY dist""".stripMargin
+  }
+
+  /** Generated probe precision/recall oracle mirroring [[probePrQ]]. */
+  private def probePrSql(th100s: Seq[Int]): String = {
+    val legs = th100s.map { t =>
+      val th = t * 100
+      s"""SELECT $t AS th100,
+         |  CAST(SUM(CASE WHEN y = 1 AND si >= $th THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN y = 0 AND si >= $th THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN y = 1 AND si < $th THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN y = 0 AND si < $th THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM sc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${linearProbeWithBody(16)},
+       |sc AS (SELECT CAST(f.y AS INT) AS y,
+       |         CAST(ROUND(ROUND($probePred, 4) * 10000) AS BIGINT) AS si
+       |       FROM f, w16 w),
+       |cm AS ($legs)
+       |SELECT th100, tp, fp, fn, tn,
+       |  ROUND(CASE WHEN tp + fp > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 4) AS prec,
+       |  ROUND(CASE WHEN tp + fn > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 4) AS recall,
+       |  ROUND(CASE WHEN 2 * tp + fp + fn > 0 THEN
+       |    CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 4)
+       |    AS f1,
+       |  ROUND(CASE WHEN (tp + fp) * (tp + fn) > 0
+       |      AND (tn + fp) * (tn + fn) > 0 THEN
+       |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+       |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+       |        * (tn + fp) * (tn + fn) AS DOUBLE)) END, 4) + 0.0 AS mcc
+       |FROM cm ORDER BY th100""".stripMargin
+  }
 
   /** Generated MMR oracle mirroring [[graft.ext.Similarity.mmrSelect]]:
     * the greedy loop unrolled — per step an integer argmax of

@@ -169,4 +169,22 @@ class GraphSpec extends SparkSpec {
     assert(g2.toSeq == Seq((3, 4L, 6L)), g2.toSeq.toString)
   }
 
+
+  test("bfs layers: path distances from min node, disconnected reports -1") {
+    import spark.implicits._
+    // path 1-2-3-4 plus island 9-10: from node 1, dists 0,1,2,3; island -1
+    val g = Seq((1L,2L),(2L,3L),(3L,4L),(9L,10L)).toDF("doc_a", "doc_b")
+    val got = Graph.bfsLayers(g).as[(Int, Long)].collect().toSeq
+    assert(got == Seq((-1, 2L), (0, 1L), (1, 1L), (2, 1L), (3, 1L)),
+      got.toString)
+    // explicit source in the island
+    val fromIsland = Graph.bfsLayers(g, source = Some(9L))
+      .as[(Int, Long)].collect().toSeq
+    assert(fromIsland == Seq((-1, 4L), (0, 1L), (1, 1L)), fromIsland.toString)
+    // maxDepth too small for the path -> loud failure, not a wrong answer
+    intercept[IllegalArgumentException] {
+      Graph.bfsLayers(g, maxDepth = 2)
+    }
+  }
+
 }
