@@ -509,6 +509,40 @@ object Temporal {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Cohort LTV curve — [[cohortRetention]]'s revenue companion: per
+    * (first-seen week, week age), total value and the CUMULATIVE value
+    * per cohort user — "how much is a week-N cohort worth by age k",
+    * the payback-period readout. Value held as exact 2-decimal
+    * integers; the cumulative window runs per cohort over its ≤span
+    * week offsets (span-bounded rollup, not rows). Cohort size =
+    * week-0 distinct users (every user appears at offset 0 by
+    * construction). Output: (cohort_week, week_offset, n_active, rev,
+    * cum_ltv). */
+  def cohortLtv(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", valueCol: String = "value"): DataFrame = {
+    val base = events.select(col(key).as("u"),
+      date_trunc("week", col(ts)).cast("date").as("_wk"),
+      expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)").as("vc"))
+    val cohort = base.groupBy("u").agg(min(col("_wk")).as("cohort_week"))
+    val tagged = base.join(cohort, "u")
+      .select(col("u"), col("cohort_week"),
+        (datediff(col("_wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"), col("vc"))
+    val cells = tagged.groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("u").as("n_active"), sum("vc").as("rev"))
+    val sizes = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("n_cohort"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum", sum("rev").over(w))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("rev").cast("double") / 100.0, 4).as("rev"),
+        round(col("cum").cast("double") / 100.0
+          / col("n_cohort").cast("double"), 4).as("cum_ltv"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** First-order Markov transition statistics of the per-user event-type
     * sequence: count of each (from_type, to_type) adjacent pair in
     * (ts, event_id) order, with the row-normalized transition probability

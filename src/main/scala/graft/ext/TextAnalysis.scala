@@ -1555,6 +1555,28 @@ object TextAnalysis {
       .orderBy("grp")
   }
 
+  /** Chao1 richness estimate of the UNSEEN vocabulary per source — the
+    * ecology species estimator on tokens: how many types exist beyond
+    * what this sample showed (the "how much new vocab will more
+    * crawling buy" projection next to the Heaps fit). Bias-corrected
+    * form Chao1 = D + f1(f1−1)/(2(f2+1)) from the singleton/doubleton
+    * counts of one (source, token) rollup — every number a ratio of
+    * exact integers. Output: (source, n_types, f1, f2, chao1). */
+  def chao1(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val tc = docs.select(col(groupCol).as("grp"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("grp").agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp"), col("n_types"), col("f1"), col("f2"),
+        round(col("n_types").cast("double")
+          + (col("f1") * (col("f1") - 1)).cast("double")
+            / (lit(2L) * (col("f2") + 1)).cast("double"), 4).as("chao1"))
+      .orderBy("grp")
+  }
+
   /** Heaps' law fit — vocabulary growth V(n) ≈ K·n^β, the companion
     * diagnostic to [[zipfFit]] (natural text: β ≈ 0.4–0.6; templated or
     * looping corpora flatten early). The growth curve is measured at

@@ -856,6 +856,15 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** Chao1 unseen-vocabulary estimate per source. */
+  def chao1Q(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chao1(Tables.documents(s, d))
+      .withColumnRenamed("grp", "source")
+
+  /** Cohort LTV curve: cumulative value per cohort user by week age. */
+  def cohortLtvQ(s: SparkSession, d: String): DataFrame =
+    Temporal.cohortLtv(Tables.events(s, d))
+
   /** BFS hop-distance layers over the co-activity graph (source = min
     * node id; unreached nodes report as dist −1). */
   def bfsQ(s: SparkSession, d: String): DataFrame =
@@ -2430,6 +2439,8 @@ object ExtQueries {
     "ext_assoc_rules" -> assocRulesQ _,
     "ext_bfs" -> bfsQ _,
     "ext_probe_pr" -> probePrQ _,
+    "ext_chao1" -> chao1Q _,
+    "ext_cohort_ltv" -> cohortLtvQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6505,6 +6516,50 @@ object ExtQueries {
 
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
+    // Chao1: singleton/doubleton ratios of exact integers
+    "ext_chao1" ->
+      """WITH tl AS (SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |tc AS (SELECT source, unnest(ts) AS tok FROM tl),
+        |c AS (SELECT source, tok, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+        |g AS (SELECT source, COUNT(*) AS n_types,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |      FROM c GROUP BY source)
+        |SELECT source, n_types, f1, f2,
+        |  ROUND(CAST(n_types AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE), 4)
+        |    AS chao1
+        |FROM g ORDER BY source""".stripMargin,
+
+    // cohort LTV: 2-decimal integer revenue, span-bounded per-cohort
+    // cumulative, size = the week-0 cell
+    "ext_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |ch AS (SELECT u, MIN(wk) AS cohort_week FROM b GROUP BY u),
+        |t AS (SELECT b.u, ch.cohort_week,
+        |        CAST(datediff('day', ch.cohort_week, b.wk) // 7 AS BIGINT)
+        |          AS week_offset, b.vc
+        |      FROM b JOIN ch USING (u)),
+        |cells AS (SELECT cohort_week, week_offset,
+        |        CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active,
+        |        CAST(SUM(vc) AS BIGINT) AS rev
+        |      FROM t GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, n_active AS n_cohort FROM cells
+        |          WHERE week_offset = 0),
+        |cum AS (SELECT cohort_week, week_offset, n_active, rev,
+        |          CAST(SUM(rev) OVER (PARTITION BY cohort_week
+        |            ORDER BY week_offset) AS BIGINT) AS cum FROM cells)
+        |SELECT c.cohort_week, c.week_offset, c.n_active,
+        |  ROUND(CAST(c.rev AS DOUBLE) / 100.0, 4) AS rev,
+        |  ROUND(CAST(c.cum AS DOUBLE) / 100.0
+        |    / CAST(s.n_cohort AS DOUBLE), 4) AS cum_ltv
+        |FROM cum c JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // BFS layers: 8-round unrolled frontier expansion, MIN-distance
     // merge per round — integer set computation like the k-core twin

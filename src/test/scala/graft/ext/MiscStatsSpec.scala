@@ -46,4 +46,14 @@ class MiscStatsSpec extends SparkSpec {
     // (bucket totals can, when the remainder lands in the first buckets)
     assert(g.head._3 / g.head._2 <= g.last._3 / g.last._2, g.toSeq.toString)
   }
+
+  test("chao1 matches the hand computation") {
+    import spark.implicits._
+    // "a a b c": D=3, f1=2, f2=1 -> 3 + 2·1/(2·2) = 3.5
+    val d = Seq((1L, "a a b c", "s")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.chao1(d)
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(got == (("s", 3L, 2L, 1L, 3.5)), got.toString)
+  }
+
 }

@@ -53,7 +53,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_hhi", "ext_kcore",
     "ext_textrank", "ext_attribution", "ext_ab_srm", "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs",
     "ext_mmr", "ext_weighted_quantile", "ext_seasonal_decompose",
-    "ext_assoc_rules", "ext_bfs", "ext_probe_pr")
+    "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>

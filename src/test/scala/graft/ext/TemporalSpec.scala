@@ -721,4 +721,18 @@ class TemporalSpec extends SparkSpec {
     assert(g(0L) == 0.96 && g(12L) == -0.08 && g(1L) == -0.04, g.toString)
   }
 
+
+  test("cohort LTV: cumulative per-user value by week age") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val w0 = 1700438400000L // 2023-11-20, a Monday
+    val wk = 7L * 86400000L
+    val ev = Seq((1L, new Timestamp(w0), 1.0), (1L, new Timestamp(w0 + wk), 2.0),
+      (2L, new Timestamp(w0 + 1000L), 3.0)).toDF("user_id", "ts", "value")
+    val got = Temporal.cohortLtv(ev)
+      .as[(java.sql.Date, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((0L, 2L, 4.0, 2.0), (1L, 1L, 2.0, 3.0)), got.toString)
+  }
+
 }
