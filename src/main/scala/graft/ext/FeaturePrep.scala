@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Supervised feature-preparation operators — the encodings a tabular
@@ -34,6 +34,61 @@ object FeaturePrep {
           col("pos").cast("double") / (col("n") - 1).cast("double")), 4)
           .as("te_neg"))
       .orderBy("cat")
+
+  /** Best decision-stump split of a binned feature against a binary
+    * label by Gini impurity — the single-feature screen a tree
+    * ensemble's first split would make, and the standard "does this
+    * feature carry signal at all" check before training anything.
+    *
+    * EXACT argmin: for split t, the weighted child impurity is
+    * W(t)/(n_L·n_R·n) with W(t) = (n_L²−ΣcL²)·n_R + (n_R²−ΣcR²)·n_L —
+    * all DECIMAL integers from one bin rollup + a bins-bounded
+    * cumulative. The argmin compares candidates by CROSS-MULTIPLIED
+    * decimal products (W_a·d_b vs W_b·d_a), never by a floating
+    * division, via a bins²-bounded anti-join — bin tie-breaks low.
+    * Output (one row): split_bin (left = bin ≤ split), n_left/right,
+    * pos_left/right, gini_parent, gini_children, gain. */
+  def giniStump(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
+    val g = df.select(col(binCol).as("bin"), col(labelCol).cast("long").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    // cumulative over the bins-bounded rollup (never rows)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = g.agg(sum("n").as("nt"), sum("pos").as("pt"))
+    val cand = g.withColumn("nl", sum("n").over(w))
+      .withColumn("pl", sum("pos").over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("nl") < col("nt")) // the all-left "split" is no split
+      .select(col("bin"), col("nl"), col("pl"),
+        (col("nt") - col("nl")).as("nr"), (col("pt") - col("pl")).as("pr"),
+        col("nt"), col("pt"))
+    val D = "decimal(38,0)"
+    def sq(c: Column) = c.cast(D) * c.cast(D)
+    val scored = cand
+      .withColumn("wnum",
+        (sq(col("nl")) - sq(col("pl")) - sq(col("nl") - col("pl"))) * col("nr").cast(D)
+          + (sq(col("nr")) - sq(col("pr")) - sq(col("nr") - col("pr"))) * col("nl").cast(D))
+      .withColumn("den", col("nl").cast(D) * col("nr").cast(D))
+    val other = scored.select(col("bin").as("b2"), col("wnum").as("w2"),
+      col("den").as("d2"))
+    val best = scored.join(broadcast(other),
+        other("w2") * scored("den") < scored("wnum") * other("d2") ||
+          (other("w2") * scored("den") === scored("wnum") * other("d2") &&
+            other("b2") < scored("bin")),
+        "left_anti")
+    best.select(col("bin").as("split_bin"), col("nl").as("n_left"),
+      col("nr").as("n_right"), col("pl").as("pos_left"), col("pr").as("pos_right"),
+      round(lit(1.0) - (sq(col("pt")) + sq(col("nt") - col("pt"))).cast("double")
+        / sq(col("nt")).cast("double"), 4).as("gini_parent"),
+      round(col("wnum").cast("double")
+        / (col("nl").cast("double") * col("nr").cast("double")
+          * col("nt").cast("double")), 4).as("gini_children"),
+      round((lit(1.0) - (sq(col("pt")) + sq(col("nt") - col("pt"))).cast("double")
+        / sq(col("nt")).cast("double"))
+        - col("wnum").cast("double")
+          / (col("nl").cast("double") * col("nr").cast("double")
+            * col("nt").cast("double")), 4).as("gain"))
+  }
 
   /** Weight of evidence + information value of a binned feature against
     * a binary label: per bin, WoE = ln(share_good/share_bad) with

@@ -856,6 +856,14 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** Best Gini decision-stump split of the value bucket vs purchase. */
+  def giniStumpQ(s: SparkSession, d: String): DataFrame =
+    FeaturePrep.giniStump(
+      Tables.events(s, d).select(
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+      "vb", "y")
+
   /** Chao1 unseen-vocabulary estimate per source. */
   def chao1Q(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chao1(Tables.documents(s, d))
@@ -2441,6 +2449,7 @@ object ExtQueries {
     "ext_probe_pr" -> probePrQ _,
     "ext_chao1" -> chao1Q _,
     "ext_cohort_ltv" -> cohortLtvQ _,
+    "ext_gini_stump" -> giniStumpQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6516,6 +6525,43 @@ object ExtQueries {
 
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
+    // Gini stump: cross-multiplied HUGEINT argmin, no float decisions
+    "ext_gini_stump" ->
+      """WITH r AS (SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS pos FROM r GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |          CAST(SUM(pos) AS BIGINT) AS pt FROM g),
+        |c AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+        |        CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS pl,
+        |        tot.nt, tot.pt FROM g, tot),
+        |cand AS (SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt
+        |         FROM c WHERE nl < nt),
+        |sc AS (SELECT bin, nl, pl, nr, pr, nt, pt,
+        |    (CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+        |      - CAST(nl - pl AS HUGEINT) * (nl - pl)) * nr
+        |    + (CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+        |      - CAST(nr - pr AS HUGEINT) * (nr - pr)) * nl AS wnum,
+        |    CAST(nl AS HUGEINT) * nr AS den FROM cand),
+        |best AS (SELECT * FROM sc a WHERE NOT EXISTS (
+        |    SELECT 1 FROM sc b WHERE b.wnum * a.den < a.wnum * b.den
+        |      OR (b.wnum * a.den = a.wnum * b.den AND b.bin < a.bin)))
+        |SELECT bin AS split_bin, nl AS n_left, nr AS n_right,
+        |  pl AS pos_left, pr AS pos_right,
+        |  ROUND(1.0 - CAST(CAST(pt AS HUGEINT) * pt
+        |      + CAST(nt - pt AS HUGEINT) * (nt - pt) AS DOUBLE)
+        |    / CAST(CAST(nt AS HUGEINT) * nt AS DOUBLE), 4) AS gini_parent,
+        |  ROUND(CAST(wnum AS DOUBLE) / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)
+        |    * CAST(nt AS DOUBLE)), 4) AS gini_children,
+        |  ROUND((1.0 - CAST(CAST(pt AS HUGEINT) * pt
+        |      + CAST(nt - pt AS HUGEINT) * (nt - pt) AS DOUBLE)
+        |    / CAST(CAST(nt AS HUGEINT) * nt AS DOUBLE))
+        |    - CAST(wnum AS DOUBLE) / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)
+        |      * CAST(nt AS DOUBLE)), 4) AS gain
+        |FROM best""".stripMargin,
 
     // Chao1: singleton/doubleton ratios of exact integers
     "ext_chao1" ->

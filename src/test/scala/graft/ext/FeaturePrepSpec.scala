@@ -40,4 +40,23 @@ class FeaturePrepSpec extends SparkSpec {
     // decile 1 (top scores) must capture at least its share: lift >= 1
     assert(g.head._6 >= 1.0, g.head.toString)
   }
+
+  test("gini stump finds the perfect split") {
+    import spark.implicits._
+    val d = (Seq.fill(4)((1, 1L)) ++ Seq.fill(4)((2, 0L))).toDF("bin", "y")
+    val got = FeaturePrep.giniStump(d, "bin", "y")
+      .as[(Int, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got == ((1, 4L, 4L, 4L, 0L, 0.5, 0.0, 0.5)), got.toString)
+  }
+
+  test("gini stump: uninformative feature has zero gain, ties break low") {
+    import spark.implicits._
+    // every bin 50/50 -> every split leaves impurity at .5; argmin ties
+    // on the cross-multiplied compare and the LOWEST bin must win
+    val d = (1 to 3).flatMap(b => Seq((b, 1L), (b, 0L))).toDF("bin", "y")
+    val got = FeaturePrep.giniStump(d, "bin", "y")
+      .as[(Int, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 1 && got._8 == 0.0, got.toString)
+  }
+
 }
