@@ -681,6 +681,88 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** k-NN label-agreement evaluation — "do embedding neighborhoods
+    * respect the labels?", the intrinsic embedding-quality check run
+    * before trusting vectors for retrieval or dedup. Each vector's k
+    * nearest (by ROUND(cos,4), vec_id tie-break) vote; majority label
+    * (count desc, label asc) vs the vector's own label, rolled up per
+    * label. The pairwise scan is the BRUTE eval harness (this is an
+    * offline metric over an eval slice — the serving path is the ANN
+    * stack); per-vector ranking is a vec-keyed window, never global.
+    * Output: (label, n, n_correct, acc). */
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("e")))
+      .withColumn("nrm", norm(col("e")))
+    val l = e.toDF("a", "la", "ea", "na")
+    val top = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")), col("a") =!= col("b"))
+      .select(col("a"), col("la"), col("b"), col("lb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rk") <= k)
+    val votes = top.groupBy("a", "la", "lb").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("a", "la").agg(
+      max(struct(col("c"), (-col("lb")).as("nl"))).as("m"))
+      .select(col("a"), col("la"), (-col("m").getField("nl")).as("pred"))
+    pred.groupBy(col("la").as("label")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") === col("la"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 4)
+          .as("acc"))
+      .orderBy("label")
+  }
+
+  /** Mean silhouette per cluster over cosine DISTANCE (1 − cos) — the
+    * "are these clusters real" readout for [[kmeansAssign]]-style or
+    * ground-truth labels. Distances quantize to exact 1e-4 integers
+    * BEFORE any aggregation (the isotropy pattern), so the per-(vector,
+    * cluster) mean distances are identical doubles in both engines; the
+    * per-vector s = (b−a)/max(a,b) then re-quantizes through StableRound
+    * ×1e4 so the final per-cluster MEAN is a ratio of exact integers —
+    * shuffle-order-proof. Singleton clusters score 0 by convention.
+    * Brute pairwise, like [[knnLabelEval]]: the offline eval harness.
+    * Output: (label, n, silhouette). */
+  def silhouette(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), col(labelCol).as("lab"),
+          asDouble(col("embedding")).as("e")))
+      .withColumn("nrm", norm(col("e")))
+    val sizes = e.groupBy(col("lab").as("lb")).agg(count(lit(1)).as("nc"))
+    val l = e.toDF("a", "la", "ea", "na")
+    val r = e.toDF("b", "lb", "eb", "nb")
+    val d4 = l.join(broadcast(r), col("a") =!= col("b"))
+      .select(col("a"), col("la"), col("lb"),
+        (lit(10000L) - round(
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4) * 10000)
+          .cast("long")).as("d4"))
+    val perCluster = d4.groupBy("a", "la", "lb").agg(sum("d4").as("sd4"))
+      .join(broadcast(sizes), "lb")
+      .withColumn("mean4", when(col("lb") === col("la"),
+        when(col("nc") > 1, col("sd4").cast("double") / (col("nc") - 1).cast("double")))
+        .otherwise(col("sd4").cast("double") / col("nc").cast("double")))
+    val ab = perCluster.groupBy("a", "la").agg(
+      max(when(col("lb") === col("la"), col("mean4"))).as("a4"),
+      min(when(col("lb") =!= col("la"), col("mean4"))).as("b4"))
+    val si = ab.select(col("a"), col("la"),
+      // singleton cluster (no a) or single-cluster corpus (no b) → s = 0
+      when(col("a4").isNull || col("b4").isNull, lit(0L))
+        .otherwise(round(round(
+          (col("b4") - col("a4")) / greatest(col("a4"), col("b4"))
+            + signum((col("b4") - col("a4")) / greatest(col("a4"), col("b4")))
+            * lit(1e-9), 4) * 10000))
+        .cast("long").as("si4"))
+    si.groupBy(col("la").as("label")).agg(
+        count(lit(1)).as("n"), sum("si4").as("s4"))
+      .select(col("label"), col("n"),
+        (round(col("s4").cast("double") / (lit(10000.0) * col("n").cast("double")), 4)
+          + lit(0.0)).as("silhouette"))
+      .orderBy("label")
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
     * λ = ½): greedily pick k results that are RELEVANT to the query but
     * DISSIMILAR to what's already picked — the diversity re-ranker that

@@ -856,6 +856,14 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** k-NN label agreement per label over the embedding table. */
+  def knnEvalQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLabelEval(Tables.embeddings(s, d))
+
+  /** Mean silhouette per ground-truth label over cosine distance. */
+  def silhouetteQ(s: SparkSession, d: String): DataFrame =
+    Similarity.silhouette(Tables.embeddings(s, d))
+
   /** Best Gini decision-stump split of the value bucket vs purchase. */
   def giniStumpQ(s: SparkSession, d: String): DataFrame =
     FeaturePrep.giniStump(
@@ -2450,6 +2458,8 @@ object ExtQueries {
     "ext_chao1" -> chao1Q _,
     "ext_cohort_ltv" -> cohortLtvQ _,
     "ext_gini_stump" -> giniStumpQ _,
+    "ext_knn_eval" -> knnEvalQ _,
+    "ext_silhouette" -> silhouetteQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6525,6 +6535,63 @@ object ExtQueries {
 
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
+    // kNN label eval: votes from the rounded-cosine ranking, majority
+    // by (count desc, label asc), all rollups exact integers
+    "ext_knn_eval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b,
+        |        b.label AS lb,
+        |        ROUND(list_dot_product(a.e, b.e)
+        |          / (sqrt(list_dot_product(a.e, a.e))
+        |            * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |t AS (SELECT a, la, lb FROM (SELECT a, la, lb,
+        |        row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rk
+        |      FROM p) WHERE rk <= 5),
+        |v AS (SELECT a, la, lb, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+        |pr AS (SELECT a, la, lb AS pred FROM (SELECT a, la, lb,
+        |        row_number() OVER (PARTITION BY a ORDER BY c DESC, lb) AS r
+        |      FROM v) WHERE r = 1)
+        |SELECT la AS label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pred = la THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS acc
+        |FROM pr GROUP BY la ORDER BY label""".stripMargin,
+
+    // silhouette: 1e-4-integer distances, identical-double means, s
+    // re-quantized through StableRound so the cluster mean is exact
+    "ext_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |d4 AS (SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
+        |        10000 - CAST(ROUND(ROUND(list_dot_product(a.e, b.e)
+        |          / (sqrt(list_dot_product(a.e, a.e))
+        |            * sqrt(list_dot_product(b.e, b.e))), 4) * 10000)
+        |          AS BIGINT) AS d4
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |pc AS (SELECT a, la, lb, CAST(SUM(d4) AS BIGINT) AS sd4 FROM d4
+        |       GROUP BY 1, 2, 3),
+        |sz AS (SELECT label AS lb, CAST(COUNT(*) AS BIGINT) AS nc FROM e
+        |       GROUP BY label),
+        |m AS (SELECT a, la, lb, CASE WHEN lb = la THEN
+        |        CASE WHEN nc > 1 THEN
+        |          CAST(sd4 AS DOUBLE) / CAST(nc - 1 AS DOUBLE) END
+        |      ELSE CAST(sd4 AS DOUBLE) / CAST(nc AS DOUBLE) END AS mean4
+        |      FROM pc JOIN sz USING (lb)),
+        |ab AS (SELECT a, la, MAX(CASE WHEN lb = la THEN mean4 END) AS a4,
+        |        MIN(CASE WHEN lb <> la THEN mean4 END) AS b4
+        |       FROM m GROUP BY a, la),
+        |si AS (SELECT a, la, CASE WHEN a4 IS NULL OR b4 IS NULL THEN 0
+        |    ELSE CAST(ROUND(ROUND((b4 - a4) / GREATEST(a4, b4)
+        |      + SIGN((b4 - a4) / GREATEST(a4, b4)) * 0.000000001, 4)
+        |      * 10000) AS BIGINT) END AS si4 FROM ab)
+        |SELECT la AS label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(si4) AS DOUBLE)
+        |    / (10000.0 * CAST(COUNT(*) AS DOUBLE)), 4) + 0.0 AS silhouette
+        |FROM si GROUP BY la ORDER BY label""".stripMargin,
 
     // Gini stump: cross-multiplied HUGEINT argmin, no float decisions
     "ext_gini_stump" ->

@@ -83,4 +83,32 @@ class RecallSpec extends SparkSpec {
     assert(got.head._3 == 0.9, got.toString) // step-1 score = its relevance
   }
 
+
+  test("knn label eval: tight same-label neighborhoods score perfectly at k=1") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.14f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.14f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelEval(e, k = 1)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 2L, 1.0), (1, 2L, 2L, 1.0)), got.toString)
+  }
+
+  test("silhouette: separated clusters positive, singletons zero") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.14f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.14f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(e)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.forall(_._3 > 0.5), got.toString)
+    // all-distinct labels: every cluster a singleton -> s = 0 everywhere
+    val single = Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val g2 = Similarity.silhouette(single).as[(Int, Long, Double)].collect()
+    assert(g2.forall(_._3 == 0.0), g2.toSeq.toString)
+  }
+
 }

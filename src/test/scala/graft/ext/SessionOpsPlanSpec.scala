@@ -22,6 +22,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_lift_gains", "ext_woe_iv", "ext_l_diversity", "ext_runs_test",
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
     "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_gini_stump",
+    "ext_knn_eval", "ext_silhouette",
     "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
@@ -50,10 +51,13 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_lift_gains", "ext_target_encoding", "ext_woe_iv",
     "ext_l_diversity", "ext_dp_counts", "ext_holt", "ext_runs_test",
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
-    "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_gini_stump", "ext_hhi", "ext_kcore",
+    "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_gini_stump",
+    "ext_knn_eval", "ext_silhouette", "ext_hhi", "ext_kcore",
     "ext_textrank", "ext_attribution", "ext_ab_srm", "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_gini_stump",
+    "ext_knn_eval", "ext_silhouette",
     "ext_mmr", "ext_weighted_quantile", "ext_seasonal_decompose",
-    "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv", "ext_gini_stump")
+    "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv", "ext_gini_stump",
+    "ext_knn_eval", "ext_silhouette")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
