@@ -1141,6 +1141,41 @@ object Temporal {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin
+    * (H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, preferred for hazard-rate reading and
+    * small samples; S ≈ e^{−H} links the two). Same censoring
+    * convention, same span-bounded distinct-duration rollup + suffix
+    * risk cumulative; the hazard increments are exact integer ratios
+    * and both the H and variance (Σ dᵢ/nᵢ²) cumulatives fold in
+    * duration order. Output: (t, n_risk, d_events, hazard, var_h). */
+  def nelsonAalen(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+    val gmax = u.agg(max("t1").as("gm"))
+    val users = u.crossJoin(broadcast(gmax))
+      .select(expr("(t1 - t0) div 86400000000").as("dur"),
+        (col("gm") - col("t1") > lit(censorHours) * lit(3600000000L))
+          .cast("long").as("observed"))
+    val times = users.where(col("observed") === 1)
+      .groupBy("dur").agg(count(lit(1)).as("d"))
+    val durCounts = users.groupBy("dur").agg(count(lit(1)).as("cnt"))
+    val risk = durCounts.withColumn("n_risk",
+      sum("cnt").over(Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("dur"), col("n_risk"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    times.join(risk, "dur")
+      .withColumn("h", sum(col("d").cast("double") / col("n_risk").cast("double"))
+        .over(w))
+      .withColumn("vh", sum(col("d").cast("double")
+        / (col("n_risk") * col("n_risk")).cast("double")).over(w))
+      .select(col("dur").as("t"), col("n_risk"), col("d").as("d_events"),
+        graft.functions.StableRound.col4(col("h")).as("hazard"),
+        graft.functions.StableRound.col4(col("vh")).as("var_h"))
+      .orderBy("t")
+  }
+
   /** Delete-one-group JACKKNIFE standard error of the mean event value —
     * the distributed-friendly uncertainty estimate (resampling without
     * replication): events hash into B deterministic buckets, each

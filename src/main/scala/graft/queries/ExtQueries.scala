@@ -856,6 +856,10 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** Nelson–Aalen cumulative hazard of user lifetime. */
+  def nelsonAalenQ(s: SparkSession, d: String): DataFrame =
+    Temporal.nelsonAalen(Tables.events(s, d))
+
   /** k-NN label agreement per label over the embedding table. */
   def knnEvalQ(s: SparkSession, d: String): DataFrame =
     Similarity.knnLabelEval(Tables.embeddings(s, d))
@@ -2460,6 +2464,7 @@ object ExtQueries {
     "ext_gini_stump" -> giniStumpQ _,
     "ext_knn_eval" -> knnEvalQ _,
     "ext_silhouette" -> silhouetteQ _,
+    "ext_nelson_aalen" -> nelsonAalenQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6535,6 +6540,35 @@ object ExtQueries {
 
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
+
+    // Nelson-Aalen: the KM chain with additive d/n cumulatives
+    "ext_nelson_aalen" ->
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MAX(epoch_us(ts)) AS t1 FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(t1) AS gm FROM u),
+        |us AS (SELECT (t1 - t0) // 86400000000 AS dur,
+        |         CASE WHEN g.gm - t1 > 12 * 3600000000 THEN 1 ELSE 0 END
+        |           AS observed
+        |       FROM u, g),
+        |times AS (SELECT dur, COUNT(*) AS d FROM us WHERE observed = 1
+        |          GROUP BY dur),
+        |dc AS (SELECT dur, COUNT(*) AS cnt FROM us GROUP BY dur),
+        |risk AS (SELECT dur,
+        |    SUM(cnt) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+        |      AS n_risk
+        |  FROM dc),
+        |s AS (SELECT t.dur AS t, CAST(r.n_risk AS BIGINT) AS n_risk,
+        |        t.d AS d_events,
+        |        SUM(CAST(t.d AS DOUBLE) / CAST(r.n_risk AS DOUBLE))
+        |          OVER (ORDER BY t.dur ROWS UNBOUNDED PRECEDING) AS h,
+        |        SUM(CAST(t.d AS DOUBLE)
+        |            / CAST(r.n_risk * r.n_risk AS DOUBLE))
+        |          OVER (ORDER BY t.dur ROWS UNBOUNDED PRECEDING) AS vh
+        |      FROM times t JOIN risk r USING (dur))
+        |SELECT t, n_risk, d_events,
+        |  ROUND(h + SIGN(h) * 0.000000001, 4) AS hazard,
+        |  ROUND(vh + SIGN(vh) * 0.000000001, 4) AS var_h
+        |FROM s ORDER BY t""".stripMargin,
 
     // kNN label eval: votes from the rounded-cosine ranking, majority
     // by (count desc, label asc), all rollups exact integers

@@ -735,4 +735,26 @@ class TemporalSpec extends SparkSpec {
       Seq((0L, 2L, 4.0, 2.0), (1L, 1L, 2.0, 3.0)), got.toString)
   }
 
+
+  test("nelson-aalen: hazard increments are d/n in duration order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // users with lifetimes 0,0,1,2 days; global max at day 3 so all four
+    // are censored-eligible (gap > 12h) -> observed, except the day-2
+    // user whose end IS near the max... construct a far-future sentinel
+    val base = 1700000000000L
+    def t(d: Long) = new Timestamp(base + d * 86400000L)
+    val ev = Seq((1L, t(0)), (1L, t(0)), (2L, t(0)), (2L, t(0)),
+      (3L, t(0)), (3L, t(1)), (4L, t(0)), (4L, t(2)), (9L, t(10)))
+      .toDF("user_id", "ts")
+    // lifetimes: u1=0, u2=0, u3=1, u4=2, u9=0 (ends AT the global max ->
+    // censored); observed events: dur0 d=2 (u1,u2), dur1 d=1, dur2 d=1
+    // risk suffix over dur counts {0:3, 1:1, 2:1}: n(0)=5, n(1)=2, n(2)=1
+    // H: .4; .4+1/2 = .9; .9+1/1 = 1.9; varH: .08; .33; 1.33
+    val got = Temporal.nelsonAalen(ev)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 5L, 2L, 0.4, 0.08), (1L, 2L, 1L, 0.9, 0.33),
+      (2L, 1L, 1L, 1.9, 1.33)), got.toString)
+  }
+
 }
