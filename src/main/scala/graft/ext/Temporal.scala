@@ -1176,6 +1176,62 @@ object Temporal {
       .orderBy("t")
   }
 
+  /** Log-rank test comparing the survival of two user cohorts (user-id
+    * parity — the fixture's deterministic split): did variant B's users
+    * churn on a different clock? The survival-family completion next to
+    * [[kaplanMeier]] / [[nelsonAalen]]. At each observed event time
+    *   E₁ += d·n₁/n,  V += d·(n₁/n)(1−n₁/n)(n−d)/(n−1)
+    * with all d/n counts exact integers off the same censoring + suffix
+    * risk machinery (per-group risk via two cumulative columns on the
+    * span-bounded distinct-duration rollup); the E/V accumulations fold
+    * in duration order. χ² = (O₁−E₁)²/V (1 df), z signed by O₁−E₁.
+    * Output (one row): n_times, o1, e1, v, chi2, z. */
+  def logRank(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      .withColumn("grp", (col("user_id") % 2).cast("int"))
+    val gmax = u.agg(max("t1").as("gm"))
+    val users = u.crossJoin(broadcast(gmax))
+      .select(col("grp"), expr("(t1 - t0) div 86400000000").as("dur"),
+        (col("gm") - col("t1") > lit(censorHours) * lit(3600000000L))
+          .cast("long").as("observed"))
+    val dc = users.groupBy("dur").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cnt1"),
+      sum(col("observed")).as("d"),
+      sum(when(col("grp") === 1, col("observed")).otherwise(0L)).as("d1"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = dc
+      .withColumn("n", sum("cnt").over(wDesc))
+      .withColumn("n1", sum("cnt1").over(wDesc))
+      .where(col("d") > 0)
+    val terms = risk.select(col("dur"), col("d"), col("d1"),
+      (col("d").cast("double") * col("n1").cast("double") / col("n").cast("double"))
+        .as("e1"),
+      when(col("n") > 1,
+        col("d").cast("double") * (col("n1").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("n1").cast("double") / col("n").cast("double"))
+          * (col("n") - col("d")).cast("double") / (col("n") - 1).cast("double"))
+        .otherwise(lit(0.0)).as("v"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_times"), sum("d1").as("o1"),
+      aggregate(sort_array(collect_list(struct(col("dur"), col("e1")))),
+        lit(0.0), (a, x) => a + x.getField("e1")).as("e1"),
+      aggregate(sort_array(collect_list(struct(col("dur"), col("v")))),
+        lit(0.0), (a, x) => a + x.getField("v")).as("v"))
+    agg.select(col("n_times"), col("o1"),
+      round(col("e1"), 4).as("e1"), round(col("v"), 4).as("v"),
+      (round(when(col("v") > 0.0,
+        (col("o1").cast("double") - col("e1")) * (col("o1").cast("double") - col("e1"))
+          / col("v")), 4) + lit(0.0)).as("chi2"),
+      (round(when(col("v") > 0.0,
+        signum(col("o1").cast("double") - col("e1")) *
+          sqrt((col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1")) / col("v"))), 4) + lit(0.0))
+        .as("z"))
+  }
+
   /** Delete-one-group JACKKNIFE standard error of the mean event value —
     * the distributed-friendly uncertainty estimate (resampling without
     * replication): events hash into B deterministic buckets, each

@@ -856,6 +856,10 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** Log-rank survival comparison between user-parity cohorts. */
+  def logRankQ(s: SparkSession, d: String): DataFrame =
+    Temporal.logRank(Tables.events(s, d))
+
   /** Nelson–Aalen cumulative hazard of user lifetime. */
   def nelsonAalenQ(s: SparkSession, d: String): DataFrame =
     Temporal.nelsonAalen(Tables.events(s, d))
@@ -927,7 +931,16 @@ object ExtQueries {
                 * (col("tp") + col("fn")).cast(dec)
                 * (col("tn") + col("fp")).cast(dec)
                 * (col("tn") + col("fn")).cast(dec)).cast("double"))), 4)
-            + lit(0.0)).as("mcc"))
+            + lit(0.0)).as("mcc"),
+          (round({
+            val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")
+            val po = (col("tp") + col("tn")).cast("double") / n
+            val pe = ((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double")
+              + (col("fn") + col("tn")).cast("double")
+                * (col("fp") + col("tn")).cast("double")) / (n * n)
+            when(pe < 1.0, (po - pe) / (lit(1.0) - pe))
+          }, 4) + lit(0.0)).as("kappa"))
     }.reduce(_.unionAll(_)).orderBy("th100")
   }
 
@@ -2465,6 +2478,7 @@ object ExtQueries {
     "ext_knn_eval" -> knnEvalQ _,
     "ext_silhouette" -> silhouetteQ _,
     "ext_nelson_aalen" -> nelsonAalenQ _,
+    "ext_logrank" -> logRankQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6541,6 +6555,49 @@ object ExtQueries {
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
 
+    // log-rank: per-time E/V from exact integer risk counts, folded in
+    // duration order; chi-square 1 df
+    "ext_logrank" ->
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
+        |    MAX(epoch_us(ts)) AS t1, CAST(user_id % 2 AS INT) AS grp
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(t1) AS gm FROM u),
+        |us AS (SELECT grp, (t1 - t0) // 86400000000 AS dur,
+        |         CASE WHEN g.gm - t1 > 12 * 3600000000 THEN 1 ELSE 0 END
+        |           AS observed FROM u, g),
+        |dc AS (SELECT dur, COUNT(*) AS cnt,
+        |        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cnt1,
+        |        CAST(SUM(observed) AS BIGINT) AS d,
+        |        CAST(SUM(CASE WHEN grp = 1 THEN observed ELSE 0 END)
+        |          AS BIGINT) AS d1
+        |      FROM us GROUP BY dur),
+        |risk AS (SELECT dur, d, d1,
+        |    CAST(SUM(cnt) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS n,
+        |    CAST(SUM(cnt1) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS n1
+        |  FROM dc),
+        |t AS (SELECT dur, d, d1,
+        |    CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+        |    CASE WHEN n > 1 THEN CAST(d AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    ELSE 0.0 END AS v
+        |  FROM risk WHERE d > 0),
+        |a AS (SELECT COUNT(*) AS n_times, CAST(SUM(d1) AS BIGINT) AS o1,
+        |    list_reduce(list(e1 ORDER BY dur), (x, y) -> x + y) AS e1,
+        |    list_reduce(list(v ORDER BY dur), (x, y) -> x + y) AS v FROM t)
+        |SELECT n_times, o1, ROUND(e1, 4) AS e1, ROUND(v, 4) AS v,
+        |  ROUND(CASE WHEN v > 0.0 THEN
+        |    (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v END, 4)
+        |    + 0.0 AS chi2,
+        |  ROUND(CASE WHEN v > 0.0 THEN SIGN(CAST(o1 AS DOUBLE) - e1)
+        |    * sqrt((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v)
+        |  END, 4) + 0.0 AS z
+        |FROM a""".stripMargin,
+
     // Nelson-Aalen: the KM chain with additive d/n cumulatives
     "ext_nelson_aalen" ->
       """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS t0,
@@ -7163,7 +7220,20 @@ object ExtQueries {
        |      AND (tn + fp) * (tn + fn) > 0 THEN
        |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
        |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
-       |        * (tn + fp) * (tn + fn) AS DOUBLE)) END, 4) + 0.0 AS mcc
+       |        * (tn + fp) * (tn + fn) AS DOUBLE)) END, 4) + 0.0 AS mcc,
+       |  ROUND(CASE WHEN (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |      + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+       |      / (CAST(tp + fp + fn + tn AS DOUBLE)
+       |        * CAST(tp + fp + fn + tn AS DOUBLE)) < 1.0 THEN
+       |    (CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+       |      - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+       |        / (CAST(tp + fp + fn + tn AS DOUBLE)
+       |          * CAST(tp + fp + fn + tn AS DOUBLE)))
+       |    / (1.0 - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+       |        / (CAST(tp + fp + fn + tn AS DOUBLE)
+       |          * CAST(tp + fp + fn + tn AS DOUBLE))) END, 4) + 0.0 AS kappa
        |FROM cm ORDER BY th100""".stripMargin
   }
 

@@ -757,4 +757,28 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, 1L, 1.9, 1.33)), got.toString)
   }
 
+
+  test("log-rank: identical cohorts give chi2 ~ 0, planted shift fires") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    def t(d: Long) = new Timestamp(base + d * 86400000L)
+    // even users (grp 0) live 1 day, odd (grp 1) live 5 days; sentinel
+    // far out so all are observed
+    val ev = (0L until 20L).flatMap(u =>
+      Seq((u, t(0)), (u, t(if (u % 2 == 0) 1 else 5)))) ++ Seq((99L, t(30)))
+    val got = Temporal.logRank(ev.toDF("user_id", "ts"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    // grp1 deaths all happen LATE: O1 >> E1 at late times → big chi2
+    assert(got._5 > 10.0, got.toString)
+    // both PARITY groups get the same lifetime mix (1 or 5 days by u/2
+    // parity) → O1 = E1 at every time → chi2 exactly 0
+    val same = (0L until 20L).flatMap(u =>
+      Seq((u, t(0)), (u, t(if ((u / 2) % 2 == 0) 1 else 5)))) ++
+      Seq((99L, t(30)))
+    val g2 = Temporal.logRank(same.toDF("user_id", "ts"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(g2._5 == 0.0, g2.toString)
+  }
+
 }
