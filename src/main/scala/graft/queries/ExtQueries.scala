@@ -856,6 +856,51 @@ object ExtQueries {
   def assocRulesQ(s: SparkSession, d: String): DataFrame =
     Temporal.associationRules(Tables.events(s, d))
 
+  /** Brier score + Murphy decomposition of the shared probe: overall
+    * mean squared error in EXACT 1e-8 integer units
+    * (Σ(si − 10000·y)², si the 1e-4-scaled score), with
+    * reliability / resolution over the same exactNtile decile bins the
+    * calibration entry uses and uncertainty = ȳ(1−ȳ). The bin folds
+    * run in bin order; every engine-visible ratio divides exact
+    * integers. Output (one row): n, brier, reliability, resolution,
+    * uncertainty. */
+  def brierQ(s: SparkSession, d: String): DataFrame = {
+    val w = trainedProbe(s, d)
+    val sc = probeFeatures(s, d)
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        round(LinearModel.score(Seq("x1", "x2", "x3"), w), 4).as("sc"))
+      .withColumn("si", round(col("sc") * 10000).cast("long"))
+    val binned = exactNtile(sc, Seq("sc", "doc_id"), 10, "bin")
+    val k = binned.groupBy("bin").agg(count(lit(1)).as("nb"),
+      sum("y").as("pb"), sum("si").as("sb"),
+      sum(((col("si") - lit(10000L) * col("y"))
+        * (col("si") - lit(10000L) * col("y"))).cast("decimal(38,0)")).as("se2"))
+    val tot = k.agg(sum("nb").as("n"), sum("pb").as("p"),
+      sum("se2").as("se2t"))
+    val terms = k.crossJoin(broadcast(tot))
+      .withColumn("conf", col("sb").cast("double")
+        / (col("nb") * lit(10000L)).cast("double"))
+      .withColumn("obs", col("pb").cast("double") / col("nb").cast("double"))
+      .withColumn("ybar", col("p").cast("double") / col("n").cast("double"))
+      .withColumn("rel_t", col("nb").cast("double") / col("n").cast("double")
+        * (col("conf") - col("obs")) * (col("conf") - col("obs")))
+      .withColumn("res_t", col("nb").cast("double") / col("n").cast("double")
+        * (col("obs") - col("ybar")) * (col("obs") - col("ybar")))
+    terms.agg(
+        first(col("n")).as("n"),
+        first(col("se2t").cast("double") /
+          (col("n").cast("double") * lit(1.0e8))).as("brier"),
+        aggregate(sort_array(collect_list(struct(col("bin"), col("rel_t")))),
+          lit(0.0), (a, x) => a + x.getField("rel_t")).as("rel"),
+        aggregate(sort_array(collect_list(struct(col("bin"), col("res_t")))),
+          lit(0.0), (a, x) => a + x.getField("res_t")).as("res"),
+        first(col("ybar") * (lit(1.0) - col("ybar"))).as("unc"))
+      .select(col("n"), round(col("brier"), 4).as("brier"),
+        round(col("rel"), 4).as("reliability"),
+        round(col("res"), 4).as("resolution"),
+        round(col("unc"), 4).as("uncertainty"))
+  }
+
   /** Log-rank survival comparison between user-parity cohorts. */
   def logRankQ(s: SparkSession, d: String): DataFrame =
     Temporal.logRank(Tables.events(s, d))
@@ -2479,6 +2524,7 @@ object ExtQueries {
     "ext_silhouette" -> silhouetteQ _,
     "ext_nelson_aalen" -> nelsonAalenQ _,
     "ext_logrank" -> logRankQ _,
+    "ext_brier" -> brierQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6555,6 +6601,10 @@ object ExtQueries {
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
 
+    // Brier + Murphy decomposition: 1e-8-integer squared errors, the
+    // calibration decile bins, bin-ordered folds
+    "ext_brier" -> brierSql,
+
     // log-rank: per-time E/V from exact integer risk counts, folded in
     // duration order; chi-square 1 df
     "ext_logrank" ->
@@ -7191,6 +7241,47 @@ object ExtQueries {
        |UNION ALL SELECT dist, n_nodes FROM unreached
        |ORDER BY dist""".stripMargin
   }
+
+  /** Generated Brier oracle mirroring [[brierQ]]. */
+  private def brierSql: String =
+    s"""${linearProbeWithBody(16)},
+       |sc AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       |         ROUND($probePred, 4) AS sc,
+       |         CAST(ROUND(ROUND($probePred, 4) * 10000) AS BIGINT) AS si
+       |       FROM f, w16 w),
+       |bn AS (SELECT y, si, NTILE(10) OVER (ORDER BY sc, doc_id) AS bin
+       |       FROM sc),
+       |k AS (SELECT bin, COUNT(*) AS nb, CAST(SUM(y) AS BIGINT) AS pb,
+       |        CAST(SUM(si) AS BIGINT) AS sb,
+       |        SUM(CAST(si - 10000 * y AS HUGEINT) * (si - 10000 * y)) AS se2
+       |      FROM bn GROUP BY bin),
+       |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+       |          CAST(SUM(pb) AS BIGINT) AS p, SUM(se2) AS se2 FROM k),
+       |terms AS (SELECT k.bin,
+       |    CAST(k.nb AS DOUBLE) / CAST(tot.n AS DOUBLE)
+       |      * (CAST(k.sb AS DOUBLE) / CAST(k.nb * 10000 AS DOUBLE)
+       |        - CAST(k.pb AS DOUBLE) / CAST(k.nb AS DOUBLE))
+       |      * (CAST(k.sb AS DOUBLE) / CAST(k.nb * 10000 AS DOUBLE)
+       |        - CAST(k.pb AS DOUBLE) / CAST(k.nb AS DOUBLE)) AS rel_t,
+       |    CAST(k.nb AS DOUBLE) / CAST(tot.n AS DOUBLE)
+       |      * (CAST(k.pb AS DOUBLE) / CAST(k.nb AS DOUBLE)
+       |        - CAST(tot.p AS DOUBLE) / CAST(tot.n AS DOUBLE))
+       |      * (CAST(k.pb AS DOUBLE) / CAST(k.nb AS DOUBLE)
+       |        - CAST(tot.p AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS res_t
+       |  FROM k, tot),
+       |agg2 AS (SELECT
+       |    list_reduce(list(rel_t ORDER BY bin), (a, b) -> a + b) AS rel,
+       |    list_reduce(list(res_t ORDER BY bin), (a, b) -> a + b) AS res
+       |  FROM terms)
+       |SELECT tot.n,
+       |  ROUND(CAST(tot.se2 AS DOUBLE)
+       |    / (CAST(tot.n AS DOUBLE) * 100000000.0), 4) AS brier,
+       |  ROUND(agg2.rel, 4) AS reliability,
+       |  ROUND(agg2.res, 4) AS resolution,
+       |  ROUND(CAST(tot.p AS DOUBLE) / CAST(tot.n AS DOUBLE)
+       |    * (1.0 - CAST(tot.p AS DOUBLE) / CAST(tot.n AS DOUBLE)), 4)
+       |    AS uncertainty
+       |FROM tot, agg2""".stripMargin
 
   /** Generated probe precision/recall oracle mirroring [[probePrQ]]. */
   private def probePrSql(th100s: Seq[Int]): String = {

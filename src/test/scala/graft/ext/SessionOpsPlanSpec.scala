@@ -22,7 +22,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_lift_gains", "ext_woe_iv", "ext_l_diversity", "ext_runs_test",
     "ext_lorenz", "ext_cramers_v", "ext_odds_ratio", "ext_attribution",
     "ext_cuped", "ext_did", "ext_mmr", "ext_assoc_rules", "ext_bfs", "ext_gini_stump",
-    "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
+    "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank", "ext_brier",
     "ext_benford", "ext_js_divergence", "ext_stickiness", "ext_sparse_cosine",
     "ext_degree_dist", "ext_chi2_homogeneity", "ext_conductance",
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
@@ -57,7 +57,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_knn_eval", "ext_silhouette",
     "ext_mmr", "ext_weighted_quantile", "ext_seasonal_decompose",
     "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv", "ext_gini_stump",
-    "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank")
+    "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
+    "ext_brier")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
