@@ -763,6 +763,140 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** B-cubed precision/recall/F1 of a clustering against ground-truth
+    * labels (Bagga & Baldwin 1998) — THE cluster-eval for dedup /
+    * entity-resolution output: per-item credit, robust to a
+    * cluster-count mismatch, unlike pair-F1 it doesn't let one giant
+    * cluster dominate. With cells c = |cluster ∩ label| and N items:
+    * P = Σ c²/n_cluster / N, R = Σ c²/n_label / N — every term a ratio
+    * of exact integers, folded in (cluster, label) cell order so the
+    * double sum is engine-identical.
+    *
+    * Scale shape: one equi-join on item id + a cells-bounded rollup;
+    * the per-cluster / per-label size tables are CLUSTER/LABEL-bounded
+    * → broadcast-safe at any corpus size. */
+  def bcubed(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val j = assign.join(truth, "vec_id")
+    val cells = j.groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val nc = cells.groupBy("cluster").agg(sum("c").as("ncl"))
+    val nl = cells.groupBy("label").agg(sum("c").as("nlb"))
+    val nn = cells.agg(sum("c").as("n"))
+    val t = cells.join(broadcast(nc), "cluster").join(broadcast(nl), "label")
+      .crossJoin(broadcast(nn))
+      .withColumn("pt", (col("c") * col("c")).cast("double")
+        / (col("ncl") * col("n")).cast("double"))
+      .withColumn("rt", (col("c") * col("c")).cast("double")
+        / (col("nlb") * col("n")).cast("double"))
+    t.agg(first(col("n")).as("n"),
+        aggregate(sort_array(collect_list(struct(col("cluster"), col("label"),
+            col("pt")))), lit(0.0), (a, x) => a + x.getField("pt")).as("p"),
+        aggregate(sort_array(collect_list(struct(col("cluster"), col("label"),
+            col("rt")))), lit(0.0), (a, x) => a + x.getField("rt")).as("r"))
+      .select(col("n"), round(col("p"), 4).as("bcubed_precision"),
+        round(col("r"), 4).as("bcubed_recall"),
+        round(lit(2.0) * col("p") * col("r") / (col("p") + col("r")), 4)
+          .as("bcubed_f1"))
+  }
+
+  /** Rand index + ADJUSTED Rand index of a clustering against ground
+    * truth (Hubert & Arabie 1985) — the pair-counting agreement family
+    * next to [[bcubed]]'s per-item one. Works on DOUBLED pair counts
+    * (s_c = Σc(c−1), s_a = Σa(a−1), s_b = Σb(b−1), m = N(N−1)) so
+    * everything stays integer: RI = (m + 2s_c − s_a − s_b)/m,
+    * ARI = 2(m·s_c − s_a·s_b) / (m(s_a+s_b) − 2·s_a·s_b). The N⁴-scale
+    * products are carried in DECIMAL(38,0) — exact far past int64 (N up
+    * to ~3·10⁹ items before 38 digits run out).
+    *
+    * Scale shape: one id equi-join + a cells-bounded rollup into four
+    * scalars — nothing here grows past the contingency table. */
+  def randIndex(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val D = "decimal(38,0)"
+    val cells = assign.join(truth, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val sc = cells.agg(sum(col("c") * (col("c") - 1)).cast(D).as("sc"))
+    val sa = cells.groupBy("cluster").agg(sum("c").as("a"))
+      .agg(sum(col("a") * (col("a") - 1)).cast(D).as("sa"),
+        sum("a").cast(D).as("n"))
+    val sb = cells.groupBy("label").agg(sum("c").as("b"))
+      .agg(sum(col("b") * (col("b") - 1)).cast(D).as("sb"))
+    sc.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("m", (col("n") * (col("n") - 1)).cast(D))
+      .select(col("n").cast("long").as("n"),
+        round((col("m") + lit(2) * col("sc") - col("sa") - col("sb"))
+          .cast("double") / col("m").cast("double"), 4).as("rand_index"),
+        round((lit(2) * (col("m") * col("sc") - col("sa") * col("sb")))
+          .cast("double")
+          / (col("m") * (col("sa") + col("sb"))
+            - lit(2) * col("sa") * col("sb")).cast("double"), 4).as("ari"))
+  }
+
+  /** Normalized mutual information between a clustering and ground-truth
+    * labels — the information-theoretic member of the cluster-agreement
+    * trio (pair-counting [[randIndex]], per-item [[bcubed]]). Integer-ln
+    * form throughout: N·MI = Σ c·(ln N + ln c − ln a − ln b) and
+    * N·H = N·ln N − Σ a·ln a, every ln argument an exact integer; sums
+    * folded in (cluster, label) order so the doubles are
+    * engine-identical. NMI = 2·MI/(H_cluster + H_label). */
+  def clusterNmi(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val cells = assign.join(truth, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val nc = cells.groupBy("cluster").agg(sum("c").as("a"))
+    val nl = cells.groupBy("label").agg(sum("c").as("b"))
+    val nn = cells.agg(sum("c").as("n"))
+    val mi = cells.join(broadcast(nc), "cluster").join(broadcast(nl), "label")
+      .crossJoin(broadcast(nn))
+      .withColumn("t", col("c").cast("double")
+        * (log(col("n")) + log(col("c")) - log(col("a")) - log(col("b"))))
+      .agg(aggregate(sort_array(collect_list(struct(col("cluster"),
+          col("label"), col("t")))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("smi"))
+    val ha = nc
+      .agg(aggregate(sort_array(collect_list(struct(col("cluster"),
+          (col("a").cast("double") * log(col("a"))).as("t")))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("sa"))
+    val hb = nl
+      .agg(aggregate(sort_array(collect_list(struct(col("label"),
+          (col("b").cast("double") * log(col("b"))).as("t")))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("sb"))
+    nn.crossJoin(broadcast(mi)).crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .withColumn("mi", col("smi") / col("n"))
+      .withColumn("hc", log(col("n")) - col("sa") / col("n"))
+      .withColumn("hl", log(col("n")) - col("sb") / col("n"))
+      .select(col("n"), round(col("mi"), 4).as("mi"),
+        round(col("hc"), 4).as("h_cluster"), round(col("hl"), 4).as("h_label"),
+        round(lit(2.0) * col("mi") / (col("hc") + col("hl")), 4).as("nmi"))
+  }
+
+  /** Dunn index of a labeled embedding set: min inter-cluster vs max
+    * intra-cluster cosine distance — the compactness/separation scalar
+    * (>1 ⇒ clusters farther apart than their widest member spread).
+    * Both extremes are EXACT 1e-4 integers off the pairwise distance
+    * table — no float decision anywhere, so min/max are order-free.
+    *
+    * Scale shape: deliberately exact-pairwise (n²/2 in-row dot
+    * products, no shuffle beyond the final scalar agg) — an EVAL op
+    * for sampled/bounded eval sets, not a corpus-scale pipeline stage;
+    * at corpus scale run it on a per-label sample. */
+  def dunnIndex(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), col(labelCol).as("lab"),
+          asDouble(col("embedding")).as("e")))
+      .withColumn("nrm", norm(col("e")))
+    val l = e.toDF("a", "la", "ea", "na")
+    val d4 = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")),
+        col("a") < col("b"))
+      .select(col("la"), col("lb"),
+        (lit(10000L) - round(round(
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          * 10000).cast("long")).as("d4"))
+    d4.agg(
+        min(when(col("la") =!= col("lb"), col("d4"))).as("min_inter"),
+        max(when(col("la") === col("lb"), col("d4"))).as("max_intra"))
+      .select(col("min_inter"), col("max_intra"),
+        round(col("min_inter").cast("double") / col("max_intra").cast("double"),
+          4).as("dunn"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
     * λ = ½): greedily pick k results that are RELEVANT to the query but
     * DISSIMILAR to what's already picked — the diversity re-ranker that

@@ -85,8 +85,29 @@ object ExtQueries {
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 5)
   }
 
+  /** k-means assignment (k=8, 1 Lloyd iter), computed once per fixture
+    * dir and shared by ext_kmeans + the cluster-agreement family
+    * (B-cubed, Rand/ARI, NMI) — same compute-once shape as
+    * [[candidates]]: training the clustering is the expensive step,
+    * every eval reads the SAME assignment table. */
+  private val clusterCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def clusterAssign(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate(sessionKey(s, d),
+      Similarity.kmeans(Tables.embeddings(s, d), k = 8, iters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def kmeansAssign(s: SparkSession, d: String): DataFrame =
-    Similarity.kmeans(Tables.embeddings(s, d), k = 8, iters = 1).orderBy("vec_id")
+    clusterAssign(s, d).orderBy("vec_id")
+
+  /** Rand index + ARI of the kmeans clustering vs ground-truth labels. */
+  def clusterAriQ(s: SparkSession, d: String): DataFrame =
+    Similarity.randIndex(clusterAssign(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")))
+
+  /** Normalized mutual information of the same clustering vs labels. */
+  def clusterNmiQ(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterNmi(clusterAssign(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")))
 
   def quantizeInt8(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id", "pos")
@@ -900,6 +921,20 @@ object ExtQueries {
         round(col("res"), 4).as("resolution"),
         round(col("unc"), 4).as("uncertainty"))
   }
+
+  /** B-cubed precision/recall/F1 of the kmeans clustering against the
+    * ground-truth labels — THE cluster-eval for dedup/entity-resolution
+    * output (per-item credit, robust to cluster-count mismatch). With
+    * cells c = |cluster ∩ label|: P = Σc²/n_cluster / N,
+    * R = Σc²/n_label / N — all ratios of exact integers, folded in
+    * (cluster, label) cell order. */
+  def bcubedQ(s: SparkSession, d: String): DataFrame =
+    Similarity.bcubed(clusterAssign(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")))
+
+  /** Dunn index over the ground-truth labels. */
+  def dunnQ(s: SparkSession, d: String): DataFrame =
+    Similarity.dunnIndex(Tables.embeddings(s, d))
 
   /** Log-rank survival comparison between user-parity cohorts. */
   def logRankQ(s: SparkSession, d: String): DataFrame =
@@ -2525,6 +2560,10 @@ object ExtQueries {
     "ext_nelson_aalen" -> nelsonAalenQ _,
     "ext_logrank" -> logRankQ _,
     "ext_brier" -> brierQ _,
+    "ext_bcubed" -> bcubedQ _,
+    "ext_dunn" -> dunnQ _,
+    "ext_cluster_ari" -> clusterAriQ _,
+    "ext_cluster_nmi" -> clusterNmiQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6601,6 +6640,32 @@ object ExtQueries {
     // k-core: pure integer set computation, 8-round unrolled peel
     "ext_kcore" -> kcoreSql(Seq(2, 3, 4), 8),
 
+    // B-cubed over the kmeans assignment vs labels: cell-ordered folds
+    // of exact integer ratios
+    "ext_bcubed" -> bcubedSql,
+
+    // Rand/ARI: doubled pair counts, HUGEINT/DECIMAL(38,0) products
+    "ext_cluster_ari" -> clusterAriSql,
+
+    // NMI: integer-ln MI + entropies, cell-ordered folds
+    "ext_cluster_nmi" -> clusterNmiSql,
+
+    // Dunn index: min/max over exact 1e-4-integer distances
+    "ext_dunn" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |d4 AS (SELECT a.label AS la, b.label AS lb,
+        |        10000 - CAST(ROUND(ROUND(list_dot_product(a.e, b.e)
+        |          / (sqrt(list_dot_product(a.e, a.e))
+        |            * sqrt(list_dot_product(b.e, b.e))), 4) * 10000)
+        |          AS BIGINT) AS d4
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT MIN(CASE WHEN la <> lb THEN d4 END) AS min_inter,
+        |  MAX(CASE WHEN la = lb THEN d4 END) AS max_intra,
+        |  ROUND(CAST(MIN(CASE WHEN la <> lb THEN d4 END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN la = lb THEN d4 END) AS DOUBLE), 4) AS dunn
+        |FROM d4""".stripMargin,
+
     // Brier + Murphy decomposition: 1e-8-integer squared errors, the
     // calibration decile bins, bin-ordered folds
     "ext_brier" -> brierSql,
@@ -7241,6 +7306,89 @@ object ExtQueries {
        |UNION ALL SELECT dist, n_nodes FROM unreached
        |ORDER BY dist""".stripMargin
   }
+
+  /** Generated B-cubed oracle over the [[kmeansCtes]] assignment. */
+  private def bcubedSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |j AS (SELECT a1.vec_id, a1.cid AS cluster, em.label
+       |      FROM a1 JOIN embeddings em ON em.vec_id = a1.vec_id),
+       |cells AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+       |          FROM j GROUP BY 1, 2),
+       |nc AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS ncl FROM cells
+       |       GROUP BY cluster),
+       |nl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS nlb FROM cells
+       |       GROUP BY label),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |t AS (SELECT cells.cluster, cells.label,
+       |        CAST(cells.c * cells.c AS DOUBLE)
+       |          / CAST(nc.ncl * nn.n AS DOUBLE) AS pt,
+       |        CAST(cells.c * cells.c AS DOUBLE)
+       |          / CAST(nl.nlb * nn.n AS DOUBLE) AS rt
+       |      FROM cells JOIN nc USING (cluster) JOIN nl USING (label), nn),
+       |agg2 AS (SELECT
+       |    list_reduce(list(pt ORDER BY cluster, label), (a, b) -> a + b) AS p,
+       |    list_reduce(list(rt ORDER BY cluster, label), (a, b) -> a + b) AS r
+       |  FROM t)
+       |SELECT nn.n, ROUND(agg2.p, 4) AS bcubed_precision,
+       |  ROUND(agg2.r, 4) AS bcubed_recall,
+       |  ROUND(2.0 * agg2.p * agg2.r / (agg2.p + agg2.r), 4) AS bcubed_f1
+       |FROM nn, agg2""".stripMargin
+
+  /** Rand/ARI oracle: same kmeans CTEs, doubled pair counts in HUGEINT
+    * (Spark side carries them in DECIMAL(38,0) — both exact). */
+  private def clusterAriSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |j AS (SELECT a1.vec_id, a1.cid AS cluster, em.label
+       |      FROM a1 JOIN embeddings em ON em.vec_id = a1.vec_id),
+       |cells AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+       |          FROM j GROUP BY 1, 2),
+       |sc AS (SELECT CAST(SUM(c * (c - 1)) AS HUGEINT) AS sc FROM cells),
+       |sa AS (SELECT CAST(SUM(a * (a - 1)) AS HUGEINT) AS sa,
+       |         CAST(SUM(a) AS HUGEINT) AS n
+       |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS a FROM cells
+       |             GROUP BY cluster)),
+       |sb AS (SELECT CAST(SUM(b * (b - 1)) AS HUGEINT) AS sb
+       |       FROM (SELECT CAST(SUM(c) AS BIGINT) AS b FROM cells
+       |             GROUP BY label)),
+       |f AS (SELECT sc.sc, sa.sa, sa.n, sb.sb, sa.n * (sa.n - 1) AS m
+       |      FROM sc, sa, sb)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ROUND(CAST(m + 2 * sc - sa - sb AS DOUBLE) / CAST(m AS DOUBLE), 4)
+       |    AS rand_index,
+       |  ROUND(CAST(2 * (m * sc - sa * sb) AS DOUBLE)
+       |    / CAST(m * (sa + sb) - 2 * sa * sb AS DOUBLE), 4) AS ari
+       |FROM f""".stripMargin
+
+  /** NMI oracle: integer-ln terms folded in cell order. */
+  private def clusterNmiSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |j AS (SELECT a1.vec_id, a1.cid AS cluster, em.label
+       |      FROM a1 JOIN embeddings em ON em.vec_id = a1.vec_id),
+       |cells AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+       |          FROM j GROUP BY 1, 2),
+       |nc AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS a FROM cells
+       |       GROUP BY cluster),
+       |nl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS b FROM cells
+       |       GROUP BY label),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |t AS (SELECT cells.cluster, cells.label,
+       |        CAST(cells.c AS DOUBLE)
+       |          * (ln(nn.n) + ln(cells.c) - ln(nc.a) - ln(nl.b)) AS t
+       |      FROM cells JOIN nc USING (cluster) JOIN nl USING (label), nn),
+       |smi AS (SELECT list_reduce(list(t ORDER BY cluster, label),
+       |          (x, y) -> x + y) AS smi FROM t),
+       |sha AS (SELECT list_reduce(list(CAST(a AS DOUBLE) * ln(a)
+       |          ORDER BY cluster), (x, y) -> x + y) AS sa FROM nc),
+       |shb AS (SELECT list_reduce(list(CAST(b AS DOUBLE) * ln(b)
+       |          ORDER BY label), (x, y) -> x + y) AS sb FROM nl),
+       |f AS (SELECT nn.n, smi.smi / nn.n AS mi,
+       |        ln(nn.n) - sha.sa / nn.n AS hc,
+       |        ln(nn.n) - shb.sb / nn.n AS hl
+       |      FROM nn, smi, sha, shb)
+       |SELECT n, ROUND(mi, 4) AS mi, ROUND(hc, 4) AS h_cluster,
+       |  ROUND(hl, 4) AS h_label,
+       |  ROUND(2.0 * mi / (hc + hl), 4) AS nmi
+       |FROM f""".stripMargin
 
   /** Generated Brier oracle mirroring [[brierQ]]. */
   private def brierSql: String =

@@ -111,4 +111,63 @@ class RecallSpec extends SparkSpec {
     assert(g2.forall(_._3 == 0.0), g2.toSeq.toString)
   }
 
+  test("bcubed: perfect clustering scores 1/1/1; one mega-cluster keeps R=1") {
+    import spark.implicits._
+    val truth = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("vec_id", "label")
+    val perfect = Seq((0L, 10), (1L, 10), (2L, 20), (3L, 20))
+      .toDF("vec_id", "cluster")
+    val p = Similarity.bcubed(perfect, truth)
+      .as[(Long, Double, Double, Double)].head()
+    assert(p == ((4L, 1.0, 1.0, 1.0)), p.toString)
+    // everything in one cluster: recall stays 1, precision = mean
+    // same-label share = (2/4 + 2/4 + 2/4 + 2/4)/4 = 0.5
+    val mega = Seq((0L, 7), (1L, 7), (2L, 7), (3L, 7)).toDF("vec_id", "cluster")
+    val m = Similarity.bcubed(mega, truth)
+      .as[(Long, Double, Double, Double)].head()
+    assert(m._2 == 0.5 && m._3 == 1.0, m.toString)
+    assert(math.abs(m._4 - 0.6667) < 1e-9, m.toString)
+  }
+
+  test("rand/ARI: perfect clustering 1/1; one mega-cluster ARI exactly 0") {
+    import spark.implicits._
+    val truth = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("vec_id", "label")
+    val perfect = Seq((0L, 10), (1L, 10), (2L, 20), (3L, 20))
+      .toDF("vec_id", "cluster")
+    val p = Similarity.randIndex(perfect, truth)
+      .as[(Long, Double, Double)].head()
+    assert(p == ((4L, 1.0, 1.0)), p.toString)
+    // one mega-cluster: RI = 2/6 pairs agree, ARI = chance level = 0
+    val mega = Seq((0L, 7), (1L, 7), (2L, 7), (3L, 7)).toDF("vec_id", "cluster")
+    val m = Similarity.randIndex(mega, truth)
+      .as[(Long, Double, Double)].head()
+    assert(m == ((4L, 0.3333, 0.0)), m.toString)
+  }
+
+  test("NMI: perfect clustering 1 with H = ln 2; mega-cluster 0") {
+    import spark.implicits._
+    val truth = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("vec_id", "label")
+    val perfect = Seq((0L, 10), (1L, 10), (2L, 20), (3L, 20))
+      .toDF("vec_id", "cluster")
+    val p = Similarity.clusterNmi(perfect, truth)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(p._5 == 1.0 && p._2 == 0.6931 && p._3 == 0.6931, p.toString)
+    val mega = Seq((0L, 7), (1L, 7), (2L, 7), (3L, 7)).toDF("vec_id", "cluster")
+    val m = Similarity.clusterNmi(mega, truth)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(m._2 == 0.0 && m._3 == 0.0 && m._5 == 0.0, m.toString)
+  }
+
+  test("dunn: separated clusters > 1, inter-min exceeds intra-max") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.14f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.14f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dunnIndex(e).as[(Long, Long, Double)].head()
+    assert(got._1 > got._2 && got._3 > 1.0, got.toString)
+  }
+
 }

@@ -28,7 +28,10 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_probe_calibration", "ext_kaplan_meier", "ext_jackknife", "ext_rbo",
     "ext_session_gap_curve", "ext_k_anonymity", "ext_anova_f",
     "ext_type_hour_mi", "ext_isotropy", "ext_wasserstein", "ext_tail_index",
-    "ext_bm25_sweep", "ext_boilerplate_tokens")
+    "ext_bm25_sweep", "ext_boilerplate_tokens",
+    // bcubed's 1-row corpus-total cross; dunn's bounded a<b pair join;
+    // ari/nmi cross scalar 1-row aggregates
+    "ext_bcubed", "ext_dunn", "ext_cluster_ari", "ext_cluster_nmi")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -58,7 +61,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_mmr", "ext_weighted_quantile", "ext_seasonal_decompose",
     "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv", "ext_gini_stump",
     "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
-    "ext_brier")
+    "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
+    "ext_cluster_nmi")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
