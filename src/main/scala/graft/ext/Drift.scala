@@ -241,6 +241,93 @@ object Drift {
       .orderBy(groupCol)
   }
 
+  /** Jarque–Bera normality test per group over INTEGER-ROUNDED values —
+    * the distribution-shape monitor (are the per-event values even
+    * plausibly normal, or should the drift gates use rank tests).
+    * Rounding to integer units keeps every raw-moment sum Σx⁴ below
+    * 2⁵³ at fixture value ranges (x ≤ ~10³, n ≤ ~10⁷), so all four
+    * sums are EXACT longs, their double casts are exact, and both
+    * engines evaluate the identical central-moment expression:
+    * m_k from raw moments, skew = m₃/(m₂√m₂), excess kurtosis
+    * = m₄/m₂² − 3, JB = n(skew²/6 + kurt²/24).
+    * Shape: one group aggregate; the assembly is G-row math. */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol)).cast("long").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mu * mu
+    val m3 = (col("s3").cast("double") / n
+      - lit(3.0) * mu * col("s2").cast("double") / n
+      + lit(2.0) * mu * mu * mu)
+    val m4 = (col("s4").cast("double") / n
+      - lit(4.0) * mu * col("s3").cast("double") / n
+      + lit(6.0) * mu * mu * col("s2").cast("double") / n
+      - lit(3.0) * mu * mu * mu * mu)
+    g.withColumn("skw", when(m2 > 0.0, m3 / (m2 * sqrt(m2))))
+      .withColumn("krt", when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)))
+      .select(col("g").as(groupCol), col("n"), round(mu, 4).as("mean"),
+        round(col("skw"), 4).as("skewness"),
+        round(col("krt"), 4).as("kurtosis_excess"),
+        round(n * (col("skw") * col("skw") / lit(6.0)
+          + col("krt") * col("krt") / lit(24.0)), 4).as("jb"))
+      .orderBy("g")
+  }
+
+  /** Brown–Forsythe test (the robust Levene variant) of variance
+    * homogeneity across groups: one-way ANOVA on z = |x − median_group|
+    * — the check that should gate any equal-variance assumption
+    * [[anovaF]] makes. Medians are interpolating percentiles over
+    * 2-decimal-scaled longs, so 2·median is an exact integer and every
+    * z is an exact long in half-cent units; from there it is exactly
+    * [[anovaF]]'s machinery (S_i²/n_i as double products of exact
+    * sums, group-ordered folds, one float ratio at the end).
+    * Shape: one percentile aggregate + one moment aggregate. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("v"))
+    val med = v.groupBy("g")
+      .agg(round(expr("percentile(v, 0.5)") * 2).cast("long").as("m2x"))
+    val z = v.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") * 2 - col("m2x")).as("z"))
+    val g = z.groupBy("g").agg(count(lit(1)).as("n"), sum("z").as("s"),
+      sum(col("z") * col("z")).as("q"))
+    val tot = g.agg(sum("n").as("nn"), sum("s").as("ss"), count(lit(1)).as("k"))
+    val sb = g.agg(aggregate(
+      sort_array(collect_list(struct(col("g"),
+        (col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double")).as("t")))),
+      lit(0.0), (a, x) => a + x.getField("t")).as("sbs"),
+      aggregate(
+        sort_array(collect_list(struct(col("g"),
+          (col("q").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n").cast("double")).as("t")))),
+        lit(0.0), (a, x) => a + x.getField("t")).as("sws"))
+    val w = tot.crossJoin(broadcast(sb))
+      .withColumn("ssb", col("sbs")
+        - col("ss").cast("double") * col("ss").cast("double")
+          / col("nn").cast("double"))
+      .withColumn("w_stat",
+        when(col("k") > 1 && col("nn") > col("k") && col("sws") > 0.0,
+          (col("ssb") / (col("k") - 1).cast("double"))
+            / (col("sws") / (col("nn") - col("k")).cast("double"))))
+    g.crossJoin(broadcast(w.select(col("k"), col("nn"), col("w_stat"))))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("s").cast("double") / (col("n") * 200).cast("double"), 4)
+          .as("mean_abs_dev"),
+        col("k").as("n_groups"), col("nn").as("n_total"),
+        round(col("w_stat"), 4).as("w_stat"))
+      .orderBy(groupCol)
+  }
+
   /** Mutual information between two categorical columns (the
     * token-label-MI pattern on a bounded grid): every log argument is a
     * ratio of exact integer products ≤ N² < 2⁵³, the grid keeps zero

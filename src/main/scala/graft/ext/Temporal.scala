@@ -1582,6 +1582,89 @@ object Temporal {
       .orderBy("event_type", "lag")
   }
 
+  /** Durbin–Watson statistic of the hourly count series per event type
+    * (contiguous grid, missing hours = 0, the [[hourlyAutocorr]]
+    * series): DW = Σ(c_t − c_{t−1})² / Σ(c_t − c̄)² ≈ 2(1 − ρ₁) — the
+    * residual-autocorrelation check a seasonal/trend model readout
+    * should quote. The mean cancels in the differences, so both sums
+    * are exact integers (Σd² and n·Σc² − S² over count longs) and the
+    * one float stage is the final ratio. Shape: one rollup + one
+    * key-windowed lag on the same shuffle. */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    grid.withColumn("p", lag(col("c"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(when(col("p").isNotNull,
+          (col("c") - col("p")) * (col("c") - col("p")))).as("sd2"))
+      .select(col("event_type"), col("n_hours"),
+        when(col("n_hours") * col("s2") - col("s") * col("s") > 0,
+          round((col("n_hours") * col("sd2")).cast("double")
+            / (col("n_hours") * col("s2") - col("s") * col("s")).cast("double"),
+            4)).as("dw"))
+      .orderBy("event_type")
+  }
+
+  /** Mann–Kendall trend test + Theil–Sen slope of the hourly count
+    * series per event type — the nonparametric "is traffic trending"
+    * readout (no normality assumption, robust to spikes). S = Σ_{i<j}
+    * sign(c_j − c_i) and the tie-corrected 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) are exact integers; z applies the ±1 continuity
+    * correction; the Theil–Sen slope is the interpolating median of
+    * the pairwise slopes QUANTIZED to exact 1e-4 longs (integer ÷
+    * integer is IEEE-identical in both engines, and percentile /
+    * quantile_cont agree on longs).
+    *
+    * Scale shape: the pair table is SPAN²-bounded (time grid, never
+    * row count) — hours² per type; for multi-year spans run it on the
+    * daily rollup instead. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        (unix_timestamp(col("h")) / 3600).cast("long").as("i"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val pairs = grid.toDF("event_type", "i", "ca")
+      .join(grid.toDF("event_type", "j", "cb"), "event_type")
+      .where(col("i") < col("j"))
+      .select(col("event_type"),
+        signum((col("cb") - col("ca")).cast("double")).cast("long").as("sg"),
+        round((col("cb") - col("ca")).cast("double") * 10000.0
+          / (col("j") - col("i")).cast("double")).cast("long").as("sl4"))
+    val sAgg = pairs.groupBy("event_type")
+      .agg(sum("sg").as("s"), expr("percentile(sl4, 0.5)").as("med4"))
+    val ties = grid.groupBy("event_type", "c").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum("t").as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+      .withColumn("v18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tsum"))
+    sAgg.join(ties, "event_type")
+      .select(col("event_type"), col("n").as("n_hours"), col("s"),
+        round(col("v18").cast("double") / 18.0, 4).as("var_s"),
+        when(col("v18") > 0, round(
+          when(col("s") > 0, (col("s") - 1).cast("double"))
+            .when(col("s") < 0, (col("s") + 1).cast("double"))
+            .otherwise(lit(0.0))
+          / sqrt(col("v18").cast("double") / 18.0), 4)).as("z"),
+        round(col("med4") / 10000.0, 4).as("sen_slope"))
+      .orderBy("event_type")
+  }
+
   /** Holt double-exponential smoothing (level + trend) of the hourly
     * count series per event type, with an h-step-ahead linear forecast
     * — the first trend-aware baseline after [[seasonalNaiveError]]'s

@@ -936,6 +936,22 @@ object ExtQueries {
   def dunnQ(s: SparkSession, d: String): DataFrame =
     Similarity.dunnIndex(Tables.embeddings(s, d))
 
+  /** Durbin–Watson of the hourly count series per event type. */
+  def durbinWatsonQ(s: SparkSession, d: String): DataFrame =
+    Temporal.durbinWatson(Tables.events(s, d))
+
+  /** Mann–Kendall trend test + Theil–Sen slope of the hourly series. */
+  def mannKendallQ(s: SparkSession, d: String): DataFrame =
+    Temporal.mannKendall(Tables.events(s, d))
+
+  /** Jarque–Bera normality of the per-type value distribution. */
+  def jarqueBeraQ(s: SparkSession, d: String): DataFrame =
+    Drift.jarqueBera(Tables.events(s, d), "event_type", "value")
+
+  /** Brown–Forsythe variance-homogeneity across event types. */
+  def brownForsytheQ(s: SparkSession, d: String): DataFrame =
+    Drift.brownForsythe(Tables.events(s, d), "event_type", "value")
+
   /** Log-rank survival comparison between user-parity cohorts. */
   def logRankQ(s: SparkSession, d: String): DataFrame =
     Temporal.logRank(Tables.events(s, d))
@@ -2564,6 +2580,10 @@ object ExtQueries {
     "ext_dunn" -> dunnQ _,
     "ext_cluster_ari" -> clusterAriQ _,
     "ext_cluster_nmi" -> clusterNmiQ _,
+    "ext_durbin_watson" -> durbinWatsonQ _,
+    "ext_mann_kendall" -> mannKendallQ _,
+    "ext_jarque_bera" -> jarqueBeraQ _,
+    "ext_brown_forsythe" -> brownForsytheQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6643,6 +6663,150 @@ object ExtQueries {
     // B-cubed over the kmeans assignment vs labels: cell-ordered folds
     // of exact integer ratios
     "ext_bcubed" -> bcubedSql,
+
+    // Durbin–Watson: exact integer Σd² / (nΣc² − S²), one final ratio
+    "ext_durbin_watson" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |d AS (SELECT event_type, c,
+        |        c - lag(c) OVER (PARTITION BY event_type ORDER BY eh) AS dd
+        |      FROM grid),
+        |a AS (SELECT event_type, COUNT(*) AS n_hours,
+        |        CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS s2,
+        |        CAST(SUM(CASE WHEN dd IS NOT NULL THEN dd * dd END) AS BIGINT)
+        |          AS sd2
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  CASE WHEN n_hours * s2 - s * s > 0 THEN
+        |    ROUND(CAST(n_hours * sd2 AS DOUBLE)
+        |      / CAST(n_hours * s2 - s * s AS DOUBLE), 4) END AS dw
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Mann–Kendall + Theil–Sen: integer S and 18·Var(S), quantized
+    // pairwise slopes, quantile_cont/percentile median pairing
+    "ext_mann_kendall" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type,
+        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+        |         FROM hc GROUP BY event_type),
+        |hours AS MATERIALIZED (
+        |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+        |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+        |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+        |        FROM hc),
+        |grid AS (
+        |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+        |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+        |p AS (SELECT a.event_type,
+        |        CAST(SIGN(b.c - a.c) AS BIGINT) AS sg,
+        |        CAST(ROUND(CAST(b.c - a.c AS DOUBLE) * 10000.0
+        |          / CAST(b.eh - a.eh AS DOUBLE)) AS BIGINT) AS sl4
+        |      FROM grid a JOIN grid b
+        |        ON b.event_type = a.event_type AND a.eh < b.eh),
+        |sa AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s,
+        |         quantile_cont(sl4, 0.5) AS med4
+        |       FROM p GROUP BY 1),
+        |ties AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+        |         FROM grid GROUP BY 1, 2),
+        |tv AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+        |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |       FROM ties GROUP BY 1),
+        |v AS (SELECT event_type, n,
+        |        n * (n - 1) * (2 * n + 5) - tsum AS v18 FROM tv)
+        |SELECT sa.event_type, v.n AS n_hours, sa.s,
+        |  ROUND(CAST(v.v18 AS DOUBLE) / 18.0, 4) AS var_s,
+        |  CASE WHEN v.v18 > 0 THEN ROUND(
+        |    (CASE WHEN sa.s > 0 THEN CAST(sa.s - 1 AS DOUBLE)
+        |          WHEN sa.s < 0 THEN CAST(sa.s + 1 AS DOUBLE)
+        |          ELSE 0.0 END)
+        |    / sqrt(CAST(v.v18 AS DOUBLE) / 18.0), 4) END AS z,
+        |  ROUND(med4 / 10000.0, 4) AS sen_slope
+        |FROM sa JOIN v USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Jarque–Bera: integer-rounded values keep Σx⁴ < 2^53 → exact longs,
+    // identical double central-moment expressions in both engines
+    "ext_jarque_bera" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2,
+        |    CAST(SUM(x * x * x) AS BIGINT) AS s3,
+        |    CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+        |  FROM (SELECT event_type, CAST(ROUND(value) AS BIGINT) AS x
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |        CAST(s1 AS DOUBLE) / n AS mu,
+        |        CAST(s2 AS DOUBLE) / n
+        |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+        |        CAST(s3 AS DOUBLE) / n
+        |          - 3.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
+        |          + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |            * (CAST(s1 AS DOUBLE) / n) AS m3,
+        |        CAST(s4 AS DOUBLE) / n
+        |          - 4.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s3 AS DOUBLE) / n
+        |          + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |            * CAST(s2 AS DOUBLE) / n
+        |          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |            * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+        |      FROM g),
+        |k AS (SELECT event_type, n, mu,
+        |        CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skw,
+        |        CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END AS krt
+        |      FROM m)
+        |SELECT event_type, n, ROUND(mu, 4) AS mean,
+        |  ROUND(skw, 4) AS skewness, ROUND(krt, 4) AS kurtosis_excess,
+        |  ROUND(n * (skw * skw / 6.0 + krt * krt / 24.0), 4) AS jb
+        |FROM k ORDER BY event_type""".stripMargin,
+
+    // Brown–Forsythe: ANOVA on |x − group median|, exact half-cent z
+    "ext_brown_forsythe" ->
+      """WITH v AS (SELECT event_type AS g,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, CAST(ROUND(quantile_cont(v, 0.5) * 2) AS BIGINT)
+        |          AS m2x FROM v GROUP BY g),
+        |z AS (SELECT v.g, ABS(v.v * 2 - med.m2x) AS z
+        |      FROM v JOIN med USING (g)),
+        |gr AS (SELECT g, COUNT(*) AS n, CAST(SUM(z) AS BIGINT) AS s,
+        |         CAST(SUM(z * z) AS BIGINT) AS q
+        |       FROM z GROUP BY g),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |          CAST(SUM(s) AS BIGINT) AS ss, COUNT(*) AS k FROM gr),
+        |sb AS (SELECT
+        |    list_reduce(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) ORDER BY g), (a, b) -> a + b) AS sbs,
+        |    list_reduce(list(CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      ORDER BY g), (a, b) -> a + b) AS sws
+        |  FROM gr),
+        |w AS (SELECT tot.k, tot.nn, sb.sws,
+        |        sb.sbs - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE)
+        |          / CAST(tot.nn AS DOUBLE) AS ssb
+        |      FROM tot, sb),
+        |f AS (SELECT k, nn, CASE WHEN k > 1 AND nn > k AND sws > 0.0 THEN
+        |        (ssb / CAST(k - 1 AS DOUBLE)) / (sws / CAST(nn - k AS DOUBLE))
+        |        END AS w_stat FROM w)
+        |SELECT gr.g AS event_type, gr.n,
+        |  ROUND(CAST(gr.s AS DOUBLE) / CAST(gr.n * 200 AS DOUBLE), 4)
+        |    AS mean_abs_dev,
+        |  f.k AS n_groups, f.nn AS n_total, ROUND(f.w_stat, 4) AS w_stat
+        |FROM gr, f ORDER BY event_type""".stripMargin,
 
     // Rand/ARI: doubled pair counts, HUGEINT/DECIMAL(38,0) products
     "ext_cluster_ari" -> clusterAriSql,

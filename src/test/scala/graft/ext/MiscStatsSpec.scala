@@ -56,4 +56,52 @@ class MiscStatsSpec extends SparkSpec {
     assert(got == (("s", 3L, 2L, 1L, 3.5)), got.toString)
   }
 
+  private def hts(h: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+
+  test("durbinWatson: alternating hourly counts give DW = 3 exactly") {
+    import spark.implicits._
+    // counts per hour = [1,2,1,2]: Σd²=3, n·Σc²−S² = 40−36=4 → 12/4
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 1, 3 -> 2).flatMap { case (h, k) =>
+      (1 to k).map(i => (h.toLong * 10 + i, hts(h), "a"))
+    }
+    val got = Temporal.durbinWatson(
+        rows.toDF("event_id", "ts", "event_type"))
+      .as[(String, Long, Double)].head()
+    assert(got == (("a", 4L, 3.0)), got.toString)
+  }
+
+  test("mannKendall: strictly increasing counts, S = 6, sen slope 1") {
+    import spark.implicits._
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 4).flatMap { case (h, k) =>
+      (1 to k).map(i => (h.toLong * 10 + i, hts(h), "a"))
+    }
+    val got = Temporal.mannKendall(
+        rows.toDF("event_id", "ts", "event_type"))
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    // v18 = 4·3·13 = 156 → var 8.6667; z = 5/sqrt(156/18) = 1.6984
+    assert(got._1 == "a" && got._2 == 4L && got._3 == 6L, got.toString)
+    assert(got._4 == 8.6667 && got._5 == 1.6984 && got._6 == 1.0, got.toString)
+  }
+
+  test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")
+    val got = Drift.jarqueBera(df, "t", "value")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    // jb = 3·(0 + 2.25/24) = 0.28125 → 0.2813 (half-up)
+    assert(got == (("a", 3L, 2.0, 0.0, -1.5, 0.2813)), got.toString)
+  }
+
+  test("brownForsythe: identical spreads across groups give W = 0") {
+    import spark.implicits._
+    // both groups' |x − median| sets are {20, 0, 20} → SSB = 0 → W = 0
+    val df = Seq(("a", 0.0), ("a", 10.0), ("a", 20.0),
+      ("b", 100.0), ("b", 110.0), ("b", 120.0)).toDF("t", "value")
+    val got = Drift.brownForsythe(df, "t", "value")
+      .as[(String, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 6.6667, 2L, 6L, 0.0),
+      ("b", 3L, 6.6667, 2L, 6L, 0.0)), got.toString)
+  }
+
 }

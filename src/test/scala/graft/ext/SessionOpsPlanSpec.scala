@@ -62,7 +62,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_assoc_rules", "ext_bfs", "ext_probe_pr", "ext_chao1", "ext_cohort_ltv", "ext_gini_stump",
     "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
-    "ext_cluster_nmi")
+    "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
+    "ext_jarque_bera", "ext_brown_forsythe")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
