@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
 
@@ -125,6 +126,56 @@ object Profile {
         round(col("lt2").cast("double") / col("n").cast("double"), 4).as("frac_lt2"),
         round(col("lt3").cast("double") / col("n").cast("double"), 4).as("frac_lt3"))
       .orderBy("l")
+  }
+
+  /** t-closeness census (Li, Li & Venkatasubramanian 2007) over
+    * quasi-identifier classes against an ORDINAL sensitive attribute:
+    * per class, the ordered earth-mover's distance between the class's
+    * sensitive distribution and the global one,
+    * t = Σ_j |Σ_{i≤j}(p_i − q_i)| / (m−1). Everything decision-bearing
+    * is integer-exact: the cumulative is over c_i·N − g_i·n longs (the
+    * common-denominator form), and the threshold fractions compare
+    * 5·Σ|cum| vs (m−1)·n·N / 2·Σ|cum| vs (m−1)·n·N — never a float.
+    * Output is the census (class count, records, max t, record share
+    * in classes with t > 0.2 / > 0.5) — per-class t stays inside.
+    *
+    * Scale shape: one QI rollup + an m-bounded grid expansion + one
+    * QI-keyed window cumsum — the [[lDiversity]] plan plus one ordered
+    * pass; the global distribution is m rows, broadcast. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensCol).as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.groupBy(qi: _*).agg(sum("c").as("n"))
+    val globalD = cells.groupBy("sv").agg(sum("c").as("g"))
+    val tot = globalD.agg(sum("g").as("nn"), count(lit(1)).as("m"))
+    // full class × sensitive-domain grid so zero cells enter the EMD
+    val grid = classes.crossJoin(broadcast(globalD))
+      .join(cells, qiCols :+ "sv", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", col("c") * col("nn") - col("g") * col("n"))
+    val w = Window.partitionBy(qi: _*).orderBy("sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid.withColumn("cum", sum("d").over(w))
+      .groupBy(qi :+ col("n") :+ col("nn") :+ col("m"): _*)
+      .agg(sum(abs(col("cum"))).as("acum"))
+      // t = acum / ((m−1)·n·nn); threshold tests cross-multiplied exact
+      .withColumn("den", (col("m") - 1) * col("n") * col("nn"))
+    perClass.agg(count(lit(1)).as("n_classes"), sum("n").as("n_records"),
+        max(col("acum").cast("double") / col("den").cast("double")).as("tmax"),
+        sum(when(col("acum") * 5 > col("den"), col("n")).otherwise(0L))
+          .as("gt02"),
+        sum(when(col("acum") * 2 > col("den"), col("n")).otherwise(0L))
+          .as("gt05"))
+      .select(col("n_classes"), col("n_records"),
+        round(col("tmax"), 4).as("max_t"),
+        round(col("gt02").cast("double") / col("n_records").cast("double"), 4)
+          .as("frac_t_gt_02"),
+        round(col("gt05").cast("double") / col("n_records").cast("double"), 4)
+          .as("frac_t_gt_05"))
   }
 
   /** ε-differentially-private release of per-category counts via the

@@ -107,6 +107,46 @@ object Retrieval {
         round(TextAnalysis.bm25ScoreExpr(terms, k1, b), 4).as("bm25"))
   }
 
+  /** Query-likelihood retrieval scoring with Dirichlet smoothing (Zhai
+    * & Lafferty 2001) — the language-modeling alternative to BM25:
+    * score(d) = Σ_t ln((tf + μ·p(t|C)) / (dl + μ)) with the collection
+    * model p(t|C) = ctf/|C|. Multiplying through by |C| makes every ln
+    * argument an EXACT integer — term = ln(tf·|C| + μ·ctf) −
+    * ln(|C|·(dl+μ)) — and the per-term contributions sum in fixed
+    * left-to-right term order, so the score is engine-identical.
+    * Missing query terms contribute their smoothed mass automatically
+    * (tf = 0 keeps the first ln finite via μ·ctf).
+    *
+    * Scale shape: one tokenize scan → per-doc tf pivot + one broadcast
+    * scalar row (|C|, ctf per term) — the [[TextAnalysis.bm25]] plan
+    * with ctf totals instead of dfs; only docs matching ≥1 term are
+    * emitted. */
+  def queryLikelihood(docs: DataFrame, terms: Seq[String],
+      mu: Long = 2000L): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size,
+      "terms must be distinct")
+    require(mu > 0L, "mu must be positive")
+    val toks = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"tf$i")
+    }
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val ctfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"ctf$i")
+    }
+    val stats = toks.agg(count(lit(1)).as("cl"), ctfCols: _*)
+    val score = terms.indices.map { i =>
+      log((col(s"tf$i") * col("cl") + lit(mu) * col(s"ctf$i")).cast("double"))
+    }.reduceLeft[Column](_ + _) -
+      lit(terms.size.toDouble) *
+        log((col("cl") * (col("dl") + lit(mu))).cast("double"))
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 4).as("qld"))
+  }
+
   /** Reciprocal-rank fusion of a lexical (BM25) and a vector (cosine)
     * ranking — hybrid retrieval's standard combiner (Cormack et al. 2009:
     * score = Σ 1/(rrfK + rank)).

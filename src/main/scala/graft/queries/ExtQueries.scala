@@ -680,6 +680,20 @@ object ExtQueries {
   def sessionGapCurveQ(s: SparkSession, d: String): DataFrame =
     Temporal.sessionGapCurve(Tables.events(s, d))
 
+  /** t-closeness census of the same quasi-identifiers against the
+    * ordinal user-cohort sensitive attribute. */
+  def tClosenessQ(s: SparkSession, d: String): DataFrame =
+    Profile.tCloseness(
+      Tables.events(s, d).select(col("event_type"), hour(col("ts")).as("hr"),
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb"),
+        (col("user_id") % 10).as("sens")),
+      Seq("event_type", "hr", "vb"), "sens")
+
+  /** Dirichlet-smoothed query-likelihood scores for the probe terms. */
+  def queryLikelihoodQ(s: SparkSession, d: String): DataFrame =
+    Retrieval.queryLikelihood(Tables.documents(s, d), Bm25Terms)
+      .orderBy("doc_id")
+
   /** k-anonymity census over (event_type, hour-of-day, 10-unit value
     * bucket) quasi-identifiers. */
   def kAnonymityQ(s: SparkSession, d: String): DataFrame =
@@ -2584,6 +2598,8 @@ object ExtQueries {
     "ext_mann_kendall" -> mannKendallQ _,
     "ext_jarque_bera" -> jarqueBeraQ _,
     "ext_brown_forsythe" -> brownForsytheQ _,
+    "ext_t_closeness" -> tClosenessQ _,
+    "ext_qld" -> queryLikelihoodQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6664,6 +6680,44 @@ object ExtQueries {
     // of exact integer ratios
     "ext_bcubed" -> bcubedSql,
 
+    // Dirichlet query likelihood: every ln argument an exact integer
+    "ext_qld" -> qldSql(Bm25Terms, mu = 2000L),
+
+    // t-closeness: integer common-denominator EMD cumulatives,
+    // cross-multiplied threshold decisions
+    "ext_t_closeness" ->
+      """WITH base AS (SELECT event_type, hour(ts) AS hr,
+        |    CAST(ROUND(value * 100) AS BIGINT) // 1000 AS vb,
+        |    user_id % 10 AS sv
+        |  FROM events),
+        |cells AS (SELECT event_type, hr, vb, sv, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM base GROUP BY 1, 2, 3, 4),
+        |classes AS (SELECT event_type, hr, vb, CAST(SUM(c) AS BIGINT) AS n
+        |            FROM cells GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS nn, COUNT(*) AS m FROM gdist),
+        |grid AS (SELECT cl.event_type, cl.hr, cl.vb, cl.n, gl.sv, gl.g,
+        |           COALESCE(ce.c, 0) AS c, t.nn, t.m
+        |         FROM classes cl CROSS JOIN gdist gl
+        |         LEFT JOIN cells ce ON ce.event_type = cl.event_type
+        |           AND ce.hr = cl.hr AND ce.vb = cl.vb AND ce.sv = gl.sv
+        |         CROSS JOIN tot t),
+        |cum AS (SELECT event_type, hr, vb, n, nn, m,
+        |          SUM(c * nn - g * n) OVER (PARTITION BY event_type, hr, vb
+        |            ORDER BY sv ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM grid),
+        |pc AS (SELECT event_type, hr, vb, n, nn, m,
+        |         CAST(SUM(ABS(cum)) AS BIGINT) AS acum
+        |       FROM cum GROUP BY 1, 2, 3, 4, 5, 6),
+        |pd AS (SELECT n, acum, (m - 1) * n * nn AS den FROM pc)
+        |SELECT COUNT(*) AS n_classes, CAST(SUM(n) AS BIGINT) AS n_records,
+        |  ROUND(MAX(CAST(acum AS DOUBLE) / CAST(den AS DOUBLE)), 4) AS max_t,
+        |  ROUND(CAST(SUM(CASE WHEN acum * 5 > den THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE), 4) AS frac_t_gt_02,
+        |  ROUND(CAST(SUM(CASE WHEN acum * 2 > den THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE), 4) AS frac_t_gt_05
+        |FROM pd""".stripMargin,
+
     // Durbin–Watson: exact integer Σd² / (nΣc² − S²), one final ratio
     "ext_durbin_watson" ->
       """WITH hc AS (
@@ -7821,6 +7875,33 @@ object ExtQueries {
     * could differ one ulp from Scala's `k1 + 1.0`), per-term contributions
     * summed in fixed left-to-right term order (Spark-side single-pass
     * shape: per-doc (dl, tf_i) columns + one-row corpus stats). */
+  /** Dirichlet query-likelihood oracle mirroring
+    * [[graft.ext.Retrieval.queryLikelihood]]: tf pivot + collection
+    * totals, score = Σ ln(tf·cl + μ·ctf) − |q|·ln(cl·(dl+μ)) in the
+    * same left-to-right term order. */
+  private def qldSql(terms: Seq[String], mu: Long): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val ctfCols = terms.indices.map { i =>
+      s"CAST(SUM(tf$i) AS BIGINT) AS ctf$i"
+    }.mkString(",\n|  ")
+    val score = terms.indices.map { i =>
+      s"ln(CAST(tf$i * cl + $mu * ctf$i AS DOUBLE))"
+    }.mkString("\n|  + ") +
+      s"\n|  - ${terms.size}.0 * ln(CAST(cl * (dl + $mu) AS DOUBLE))"
+    val any = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH $toksCte,
+       |dls AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM toks WHERE len(ts) > 0),
+       |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS cl,
+       |  $ctfCols
+       |  FROM dls)
+       |SELECT doc_id, ROUND($score, 4) AS qld
+       |FROM dls, st WHERE $any ORDER BY doc_id""".stripMargin
+  }
+
   private def bm25Oracle(terms: Seq[String], k1: Double, b: Double): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ts, t -> t = '$t')) AS BIGINT) AS tf$i"

@@ -31,4 +31,14 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Double, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(c("a") != m("a"), "salt change must redraw the noise")
   }
+
+  test("tCloseness: two pure classes against a 50/50 global give t = 0.5") {
+    import spark.implicits._
+    // class A all cohort 0, class B all cohort 1; m=2, per class
+    // acum=4, den=(m−1)·2·4=8 → t=0.5 exactly: counted by >0.2, not >0.5
+    val df = Seq(("A", 0), ("A", 0), ("B", 1), ("B", 1)).toDF("qi", "sens")
+    val got = Profile.tCloseness(df, Seq("qi"), "sens")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((2L, 4L, 0.5, 1.0, 0.0)), got.toString)
+  }
 }

@@ -276,4 +276,13 @@ class RetrievalSpec extends SparkSpec {
     assert(got == ((2L, 6.9165, 9.3928, 0.7364, 0.5, 0.5833)), got.toString)
   }
 
+  test("queryLikelihood: hand-computed Dirichlet scores, smoothing favors tf") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val got = Retrieval.queryLikelihood(docs, Seq("a"), mu = 2L)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    // cl=4, ctf=3: ln(tf·4 + 2·3) − ln(4·(dl+2))
+    assert(got == Seq((1L, -0.47), (2L, -0.1335)), got.toString)
+  }
+
 }

@@ -30,8 +30,12 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_type_hour_mi", "ext_isotropy", "ext_wasserstein", "ext_tail_index",
     "ext_bm25_sweep", "ext_boilerplate_tokens",
     // bcubed's 1-row corpus-total cross; dunn's bounded a<b pair join;
-    // ari/nmi cross scalar 1-row aggregates
-    "ext_bcubed", "ext_dunn", "ext_cluster_ari", "ext_cluster_nmi")
+    // ari/nmi cross scalar 1-row aggregates; t-closeness' m-bounded
+    // sensitive-domain grid; qld's 1-row collection-stats cross
+    "ext_bcubed", "ext_dunn", "ext_cluster_ari", "ext_cluster_nmi",
+    "ext_t_closeness", "ext_qld",
+    // Brown–Forsythe's 1-row totals/fold crosses (the anovaF shape)
+    "ext_brown_forsythe")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -63,7 +67,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
-    "ext_jarque_bera", "ext_brown_forsythe")
+    "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
