@@ -407,4 +407,67 @@ object Graph {
     e0.unpersist(blocking = false)
     spark.createDataset(rows).toDF("k", "n_nodes", "n_edges").orderBy("k")
   }
+
+  /** Closeness + harmonic centrality per node by ALL-PAIRS BFS — who
+    * sits nearest the middle of the co-activity graph (the influence /
+    * hub readout next to [[pageRank]]'s flow-based one). Distances are
+    * exact integers (unweighted layered BFS); closeness =
+    * n_reached/sum_dist is one division of exact longs, harmonic folds
+    * the ≤maxDepth-term distance histogram in distance order —
+    * disconnected components cost 0 there instead of ∞. Eccentricity
+    * rides along (its max over nodes = the component diameter).
+    *
+    * Scale shape: the BFS state is (src, v) pairs — V²-bounded, an
+    * EVAL op for bounded entity graphs (users, domains, sources), not
+    * a billion-node pipeline stage; each round is one frontier⋈adj
+    * semi-expansion + one anti-join, localCheckpoint truncating
+    * lineage. THROWS if a frontier outlives `maxDepth` (the oracle
+    * unrolls exactly that many rounds). */
+  def closenessCentrality(pairs: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    val e = pairs.select(
+        least(col("doc_a"), col("doc_b")).cast("long").as("a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var known = adj.select(col("v").as("src"), col("v"), lit(0).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = known
+    var depth = 0
+    var frontierN = 1L
+    while (frontierN > 0 && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(adj, "v")
+        .select(col("src"), col("n").as("v")).distinct()
+        .join(known, Seq("src", "v"), "left_anti")
+        .select(col("src"), col("v"), lit(depth).as("dist"))
+        .localCheckpoint()
+      frontierN = next.count()
+      known = known.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    adj.unpersist(blocking = false)
+    require(frontierN == 0,
+      s"all-pairs BFS frontier still expanding at maxDepth=$maxDepth")
+    val per = known.groupBy("src")
+      .agg((count(lit(1)) - 1).as("n_reached"), max("dist").as("ecc"),
+        sum("dist").cast("long").as("sum_dist"))
+    val hist = known.where(col("dist") > 0)
+      .groupBy("src", "dist").agg(count(lit(1)).as("cnt"))
+      .groupBy("src")
+      .agg(aggregate(sort_array(collect_list(struct(col("dist").as("d"),
+          col("cnt").as("cnt")))), lit(0.0),
+          (a, x) => a + x.getField("cnt").cast("double") / x.getField("d"))
+        .as("harmonic"))
+    per.join(hist, Seq("src"), "left")
+      .select(col("src").as("user_id"), col("n_reached"), col("ecc"),
+        col("sum_dist"),
+        when(col("sum_dist") > 0,
+          round(col("n_reached").cast("double")
+            / col("sum_dist").cast("double"), 4)).as("closeness"),
+        round(coalesce(col("harmonic"), lit(0.0)), 4).as("harmonic"))
+      .orderBy("user_id")
+  }
 }

@@ -824,6 +824,10 @@ object ExtQueries {
   def kCoreQ(s: SparkSession, d: String): DataFrame =
     Graph.kCoreSummary(coActivityEdges(s, d))
 
+  /** Closeness/harmonic centrality per user on the same shared graph. */
+  def closenessQ(s: SparkSession, d: String): DataFrame =
+    Graph.closenessCentrality(coActivityEdges(s, d))
+
   /** TextRank keyword scores: PageRank over the adjacent-token
     * co-occurrence graph (Mihalcea & Tarau 2004 with window 2). Token
     * node ids come from a row_number over the DISTINCT token table —
@@ -2600,6 +2604,7 @@ object ExtQueries {
     "ext_brown_forsythe" -> brownForsytheQ _,
     "ext_t_closeness" -> tClosenessQ _,
     "ext_qld" -> queryLikelihoodQ _,
+    "ext_closeness" -> closenessQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6683,6 +6688,9 @@ object ExtQueries {
     // Dirichlet query likelihood: every ln argument an exact integer
     "ext_qld" -> qldSql(Bm25Terms, mu = 2000L),
 
+    // closeness/harmonic centrality: 8-round unrolled all-pairs BFS
+    "ext_closeness" -> closenessSql(8),
+
     // t-closeness: integer common-denominator EMD cumulatives,
     // cross-multiplied threshold decisions
     "ext_t_closeness" ->
@@ -7523,6 +7531,42 @@ object ExtQueries {
        |SELECT dist, n_nodes FROM hist
        |UNION ALL SELECT dist, n_nodes FROM unreached
        |ORDER BY dist""".stripMargin
+  }
+
+  /** Generated all-pairs-BFS closeness oracle mirroring
+    * [[graft.ext.Graph.closenessCentrality]]: the [[bfsSql]] unroll
+    * with a `src` dimension (k0 = every node at distance 0 from
+    * itself), then per-src exact integer distance sums and the
+    * distance-ordered harmonic fold. */
+  private def closenessSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src, v, MIN(d) AS d FROM (
+         |  SELECT src, v, d FROM k${i - 1}
+         |  UNION ALL
+         |  SELECT f.src, adj.n AS v, $i AS d FROM adj
+         |  JOIN k${i - 1} f ON f.v = adj.v AND f.d = ${i - 1})
+         |GROUP BY src, v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActivityCtes,
+       |adj AS (SELECT a AS v, b AS n FROM cand
+       |        UNION ALL SELECT b AS v, a AS n FROM cand),
+       |nodes AS (SELECT DISTINCT v FROM adj),
+       |k0 AS (SELECT v AS src, v, 0 AS d FROM nodes),
+       |$chain,
+       |per AS (SELECT src, COUNT(*) - 1 AS n_reached,
+       |          MAX(d) AS ecc, CAST(SUM(d) AS BIGINT) AS sum_dist
+       |        FROM k$rounds GROUP BY src),
+       |h AS (SELECT src, list_reduce(list(CAST(cnt AS DOUBLE) / d ORDER BY d),
+       |        (a, b) -> a + b) AS harmonic
+       |      FROM (SELECT src, d, COUNT(*) AS cnt FROM k$rounds
+       |            WHERE d > 0 GROUP BY 1, 2)
+       |      GROUP BY src)
+       |SELECT per.src AS user_id, per.n_reached, per.ecc, per.sum_dist,
+       |  CASE WHEN per.sum_dist > 0 THEN
+       |    ROUND(CAST(per.n_reached AS DOUBLE)
+       |      / CAST(per.sum_dist AS DOUBLE), 4) END AS closeness,
+       |  ROUND(COALESCE(h.harmonic, 0.0), 4) AS harmonic
+       |FROM per LEFT JOIN h USING (src) ORDER BY user_id""".stripMargin
   }
 
   /** Generated B-cubed oracle over the [[kmeansCtes]] assignment. */

@@ -187,4 +187,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("closenessCentrality: path 1-2-3 + island pair, hand values") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val got = Graph.closenessCentrality(g)
+      .as[(Long, Long, Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2, 3L, 0.6667, 1.5),   // 1: d(2)=1, d(3)=2
+      (2L, 2L, 1, 2L, 1.0, 2.0),      // middle of the path
+      (3L, 2L, 2, 3L, 0.6667, 1.5),
+      (9L, 1L, 1, 1L, 1.0, 1.0),      // island pair sees only its twin
+      (10L, 1L, 1, 1L, 1.0, 1.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Graph.closenessCentrality(g, maxDepth = 1)
+    }
+  }
+
 }

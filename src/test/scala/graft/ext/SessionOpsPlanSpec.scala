@@ -67,7 +67,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_knn_eval", "ext_silhouette", "ext_nelson_aalen", "ext_logrank",
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
-    "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld")
+    "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
+    "ext_closeness")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
