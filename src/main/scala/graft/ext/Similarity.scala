@@ -798,6 +798,119 @@ object Similarity {
           .as("bcubed_f1"))
   }
 
+  /** Shared geometry for the internal cluster-validity indices
+    * ([[chIndex]], [[dbIndex]]): train the [[kmeans]] clustering, then
+    * per row emit (cluster, d2) — the assignment AND its squared
+    * distance in one expression (the array_min struct carries both), so
+    * the validity scan costs exactly the assignment scan. Returns
+    * (scored rows, final centroids). */
+  private def clusterGeometry(embeddings: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Array[Double], Double)]) = {
+    val e = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .withColumn("n2", dot(col("e"), col("e")))
+    val cent = lloyd(e, k, iters)
+    val m = array_min(array(cent.map { case (cid, cv, cn2) =>
+      struct(
+        (col("n2") - lit(2.0) * dot(col("e"), array(cv.map(lit): _*)) + lit(cn2)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val scored = e.select(col("vec_id"), col("e"),
+      m.getField("cid").as("cluster"), m.getField("d").as("d2"))
+    (scored, cent)
+  }
+
+  /** Global grid-rounded centroid of an (vec_id, e) frame — the lloyd
+    * update step run on the whole corpus as one cluster. */
+  private def globalCentroid(scored: DataFrame): Array[Double] = {
+    val cells = scored
+      .select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect()
+    val g = new Array[Double](cells.length)
+    cells.foreach(r => g(r.getInt(0)) = gridRound(r.getDouble(1) / r.getLong(2)))
+    g
+  }
+
+  /** Calinski–Harabasz index of the [[kmeans]] clustering — the
+    * between/within variance-ratio validity score (higher = tighter,
+    * better-separated clusters; THE "pick k" curve). Per-row squared
+    * distances to the assigned centroid and per-cluster
+    * centroid-to-global distances are each quantized to exact 1e-4
+    * longs BEFORE summation, so W and B are exact integers and
+    * CH = (B·(N−k)) / (W·(k−1)) is one division of exact products.
+    * The global centroid is grid-rounded like every lloyd mean.
+    *
+    * Scale shape: the kmeans training shuffles + one assignment scan +
+    * one k-row rollup — nothing pairwise anywhere. */
+  def chIndex(embeddings: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val (scored, cent) = clusterGeometry(embeddings, k, iters)
+    val g = globalCentroid(scored)
+    val gn2 = centNorm2(g)
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    val centDf = cent.toDF("cid", "ce", "cn2")
+    val w = scored.groupBy("cluster").agg(count(lit(1)).as("n"),
+      sum(round(round(greatest(col("d2"), lit(0.0)), 4) * 10000).cast("long"))
+        .as("w4c"))
+    val b = centDf.select(col("cid").as("cluster"),
+      (col("cn2") - lit(2.0) * dot(col("ce"), array(g.map(lit): _*)) + lit(gn2))
+        .as("b2"))
+    w.join(broadcast(b), "cluster")
+      .agg(sum("n").as("n"), count(lit(1)).as("k"), sum("w4c").as("w4"),
+        sum(col("n") * round(round(greatest(col("b2"), lit(0.0)), 4) * 10000)
+          .cast("long")).as("b4"))
+      .select(col("n"), col("k"),
+        round(col("b4") / 10000.0, 4).as("ssb"),
+        round(col("w4") / 10000.0, 4).as("ssw"),
+        when(col("k") > 1 && col("n") > col("k") && col("w4") > 0,
+          round((col("b4") * (col("n") - col("k"))).cast("double")
+            / (col("w4") * (col("k") - 1)).cast("double"), 4)).as("ch"))
+  }
+
+  /** Davies–Bouldin index of the [[kmeans]] clustering — the
+    * scatter-vs-separation validity score (lower = better): per cluster
+    * R_i = max_{j≠i} (s_i + s_j)/d_ij with s = mean member distance to
+    * the centroid and d = centroid separation. Scatter sums and pair
+    * distances are exact 1e-4 longs (the 1e-4 scale cancels in R), so
+    * every R is the same two-exact-ratio expression in both engines;
+    * per-cluster rows carry (n, scatter, r_max) with the k-term
+    * cid-ordered DB mean as a rider. Zero-separation pairs are dropped
+    * identically on both sides. Same scale shape as [[chIndex]]. */
+  def dbIndex(embeddings: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val (scored, cent) = clusterGeometry(embeddings, k, iters)
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    val sc = scored.groupBy("cluster").agg(count(lit(1)).as("n"),
+      sum(round(round(sqrt(greatest(col("d2"), lit(0.0))), 4) * 10000)
+        .cast("long")).as("s4"))
+    val centDf = cent.toDF("cid", "ce", "cn2")
+    val pair = centDf.toDF("ci", "cei", "cn2i")
+      .crossJoin(broadcast(centDf.toDF("cj", "cej", "cn2j")))
+      .where(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        round(round(sqrt(greatest(
+          col("cn2i") - lit(2.0) * dot(col("cei"), col("cej")) + col("cn2j"),
+          lit(0.0))), 4) * 10000).cast("long").as("d4"))
+      .where(col("d4") > 0)
+    val r = pair
+      .join(broadcast(sc.toDF("ci", "ni", "s4i")), "ci")
+      .join(broadcast(sc.toDF("cj", "nj", "s4j")), "cj")
+      .groupBy("ci")
+      .agg(max((col("s4i").cast("double") / col("ni")
+        + col("s4j").cast("double") / col("nj"))
+        / col("d4").cast("double")).as("rmax"))
+    val db = r.agg((aggregate(sort_array(collect_list(struct(col("ci"),
+        col("rmax")))), lit(0.0), (a, x) => a + x.getField("rmax"))
+      / count(lit(1))).as("db"))
+    sc.toDF("ci", "n", "s4").join(r, "ci").crossJoin(broadcast(db))
+      .select(col("ci").as("cluster"), col("n"),
+        round(col("s4").cast("double") / (col("n") * 10000).cast("double"), 4)
+          .as("scatter"),
+        round(col("rmax"), 4).as("r_max"), round(col("db"), 4).as("db"))
+      .orderBy("cluster")
+  }
+
   /** Rand index + ADJUSTED Rand index of a clustering against ground
     * truth (Hubert & Arabie 1985) — the pair-counting agreement family
     * next to [[bcubed]]'s per-item one. Works on DOUBLED pair counts

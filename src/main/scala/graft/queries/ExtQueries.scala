@@ -99,6 +99,14 @@ object ExtQueries {
   def kmeansAssign(s: SparkSession, d: String): DataFrame =
     clusterAssign(s, d).orderBy("vec_id")
 
+  /** Calinski–Harabasz variance-ratio validity of the kmeans clustering. */
+  def chIndexQ(s: SparkSession, d: String): DataFrame =
+    Similarity.chIndex(Tables.embeddings(s, d))
+
+  /** Davies–Bouldin scatter/separation validity of the same clustering. */
+  def dbIndexQ(s: SparkSession, d: String): DataFrame =
+    Similarity.dbIndex(Tables.embeddings(s, d))
+
   /** Rand index + ARI of the kmeans clustering vs ground-truth labels. */
   def clusterAriQ(s: SparkSession, d: String): DataFrame =
     Similarity.randIndex(clusterAssign(s, d),
@@ -2605,6 +2613,8 @@ object ExtQueries {
     "ext_t_closeness" -> tClosenessQ _,
     "ext_qld" -> queryLikelihoodQ _,
     "ext_closeness" -> closenessQ _,
+    "ext_calinski" -> chIndexQ _,
+    "ext_davies_bouldin" -> dbIndexQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6870,6 +6880,13 @@ object ExtQueries {
         |  f.k AS n_groups, f.nn AS n_total, ROUND(f.w_stat, 4) AS w_stat
         |FROM gr, f ORDER BY event_type""".stripMargin,
 
+    // Calinski–Harabasz: exact 1e-4-long W/B sums, one final division
+    "ext_calinski" -> chSql,
+
+    // Davies–Bouldin: 1e-4-long scatters + centroid separations,
+    // cid-ordered DB fold
+    "ext_davies_bouldin" -> dbSql,
+
     // Rand/ARI: doubled pair counts, HUGEINT/DECIMAL(38,0) products
     "ext_cluster_ari" -> clusterAriSql,
 
@@ -7568,6 +7585,73 @@ object ExtQueries {
        |  ROUND(COALESCE(h.harmonic, 0.0), 4) AS harmonic
        |FROM per LEFT JOIN h USING (src) ORDER BY user_id""".stripMargin
   }
+
+  /** Shared CTE tail for the CH/DB validity oracles: the final-round
+    * per-row min (d, cid) over the [[kmeansCtes]] score table s1, plus
+    * the grid-rounded GLOBAL centroid. */
+  private def validityCtes(dim: Int): String =
+    s"""w0 AS (SELECT vec_id, cid, d FROM (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+       |  FROM s1) WHERE r = 1),
+       |gm AS (SELECT t.j AS j,
+       |         floor(SUM(e.e[CAST(t.j AS INT)]) / COUNT(*) * 1048576.0 + 0.5)
+       |           / 1048576.0 AS gc
+       |       FROM e, unnest(range(1, ${dim + 1})) AS t(j) GROUP BY j),
+       |gg AS (SELECT list(gc ORDER BY j) AS ge FROM gm)""".stripMargin
+
+  /** Calinski–Harabasz oracle mirroring [[graft.ext.Similarity.chIndex]]. */
+  private def chSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |${validityCtes(64)},
+       |w AS (SELECT cid AS cluster, COUNT(*) AS n,
+       |        CAST(SUM(CAST(ROUND(ROUND(GREATEST(d, 0.0), 4) * 10000)
+       |          AS BIGINT)) AS BIGINT) AS w4c
+       |      FROM w0 GROUP BY cid),
+       |b AS (SELECT c1.cid AS cluster,
+       |        list_dot_product(c1.ce, c1.ce)
+       |          - 2.0 * list_dot_product(c1.ce, gg.ge)
+       |          + list_dot_product(gg.ge, gg.ge) AS b2
+       |      FROM c1, gg),
+       |f AS (SELECT CAST(SUM(w.n) AS BIGINT) AS n, COUNT(*) AS k,
+       |        CAST(SUM(w.w4c) AS BIGINT) AS w4,
+       |        CAST(SUM(w.n * CAST(ROUND(ROUND(GREATEST(b.b2, 0.0), 4) * 10000)
+       |          AS BIGINT)) AS BIGINT) AS b4
+       |      FROM w JOIN b USING (cluster))
+       |SELECT n, k, ROUND(b4 / 10000.0, 4) AS ssb, ROUND(w4 / 10000.0, 4) AS ssw,
+       |  CASE WHEN k > 1 AND n > k AND w4 > 0 THEN
+       |    ROUND(CAST(b4 * (n - k) AS DOUBLE)
+       |      / CAST(w4 * (k - 1) AS DOUBLE), 4) END AS ch
+       |FROM f""".stripMargin
+
+  /** Davies–Bouldin oracle mirroring [[graft.ext.Similarity.dbIndex]]. */
+  private def dbSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |${validityCtes(64)},
+       |sc AS (SELECT cid, COUNT(*) AS n,
+       |         CAST(SUM(CAST(ROUND(ROUND(sqrt(GREATEST(d, 0.0)), 4) * 10000)
+       |           AS BIGINT)) AS BIGINT) AS s4
+       |       FROM w0 GROUP BY cid),
+       |pair AS (SELECT i.cid AS ci, j.cid AS cj,
+       |           CAST(ROUND(ROUND(sqrt(GREATEST(
+       |             list_dot_product(i.ce, i.ce)
+       |               - 2.0 * list_dot_product(i.ce, j.ce)
+       |               + list_dot_product(j.ce, j.ce), 0.0)), 4) * 10000)
+       |             AS BIGINT) AS d4
+       |         FROM c1 i JOIN c1 j ON i.cid <> j.cid),
+       |r AS (SELECT p.ci,
+       |        MAX((CAST(si.s4 AS DOUBLE) / si.n + CAST(sj.s4 AS DOUBLE) / sj.n)
+       |          / CAST(p.d4 AS DOUBLE)) AS rmax
+       |      FROM pair p JOIN sc si ON si.cid = p.ci
+       |      JOIN sc sj ON sj.cid = p.cj
+       |      WHERE p.d4 > 0 GROUP BY p.ci),
+       |db AS (SELECT list_reduce(list(rmax ORDER BY ci), (a, b) -> a + b)
+       |         / COUNT(*) AS db FROM r)
+       |SELECT sc.cid AS cluster, sc.n,
+       |  ROUND(CAST(sc.s4 AS DOUBLE) / CAST(sc.n * 10000 AS DOUBLE), 4)
+       |    AS scatter,
+       |  ROUND(r.rmax, 4) AS r_max, ROUND(db.db, 4) AS db
+       |FROM sc JOIN r ON r.ci = sc.cid, db ORDER BY cluster""".stripMargin
 
   /** Generated B-cubed oracle over the [[kmeansCtes]] assignment. */
   private def bcubedSql: String =

@@ -160,6 +160,24 @@ class RecallSpec extends SparkSpec {
     assert(m._2 == 0.0 && m._3 == 0.0 && m._5 == 0.0, m.toString)
   }
 
+  test("calinski/davies-bouldin: separated pairs give huge CH, tiny DB") {
+    import spark.implicits._
+    // two tight far-apart pairs; k=2 init (vec_id<2) splits them cleanly
+    val e = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(0.0f, 10.0f)),
+      (2L, Array(10.1f, 0.0f)), (3L, Array(0.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val ch = Similarity.chIndex(e, k = 2, iters = 1)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(ch._1 == 4L && ch._2 == 2L, ch.toString)
+    assert(ch._4 == 0.01 && ch._5 > 10000.0, ch.toString) // ssw, ch
+    val db = Similarity.dbIndex(e, k = 2, iters = 1)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    // scatter 0.05 each; R = (500+500)/round4(√2·10.05 · 1e4) = 0.007
+    assert(db.map(_._3) == Seq(0.05, 0.05), db.toString)
+    assert(db.forall(r => r._4 == 0.007 && r._5 == 0.007), db.toString)
+  }
+
   test("dunn: separated clusters > 1, inter-min exceeds intra-max") {
     import spark.implicits._
     val e = Seq(
