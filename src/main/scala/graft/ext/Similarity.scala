@@ -980,6 +980,48 @@ object Similarity {
         round(lit(2.0) * col("mi") / (col("hc") + col("hl")), 4).as("nmi"))
   }
 
+  /** V-measure (Rosenberg & Hirschberg 2007): homogeneity h = 1 −
+    * H(label|cluster)/H(label), completeness c = 1 −
+    * H(cluster|label)/H(cluster), V = 2hc/(h+c) — the entropy-based
+    * member of the agreement family that separates "each cluster is
+    * pure" from "each class is whole" (NMI's single number can't).
+    * Same integer-ln discipline as [[clusterNmi]]: N·H(L|C) =
+    * Σ_c a·ln a − Σ_cells c·ln c, every ln argument an exact integer,
+    * folds in (cluster, label) / cluster / label order. */
+  def vMeasure(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val cells = assign.join(truth, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    val nc = cells.groupBy("cluster").agg(sum("c").as("a"))
+    val nl = cells.groupBy("label").agg(sum("c").as("b"))
+    val nn = cells.agg(sum("c").as("n"))
+    val sCells = cells.agg(aggregate(sort_array(collect_list(struct(
+        col("cluster"), col("label"),
+        (col("c").cast("double") * log(col("c"))).as("t")))), lit(0.0),
+        (acc, x) => acc + x.getField("t")).as("scc"))
+    val sa = nc.agg(aggregate(sort_array(collect_list(struct(col("cluster"),
+        (col("a").cast("double") * log(col("a"))).as("t")))), lit(0.0),
+        (acc, x) => acc + x.getField("t")).as("sa"))
+    val sb = nl.agg(aggregate(sort_array(collect_list(struct(col("label"),
+        (col("b").cast("double") * log(col("b"))).as("t")))), lit(0.0),
+        (acc, x) => acc + x.getField("t")).as("sb"))
+    nn.crossJoin(broadcast(sCells)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb))
+      // N·H(label|cluster) = Σa·ln a − Σc·ln c; N·H(label) = N ln N − Σb ln b
+      .withColumn("hlc", (col("sa") - col("scc")) / col("n"))
+      .withColumn("hcl", (col("sb") - col("scc")) / col("n"))
+      .withColumn("hl", log(col("n")) - col("sb") / col("n"))
+      .withColumn("hc", log(col("n")) - col("sa") / col("n"))
+      .withColumn("h", when(col("hl") > 0.0, lit(1.0) - col("hlc") / col("hl"))
+        .otherwise(lit(1.0)))
+      .withColumn("cm", when(col("hc") > 0.0, lit(1.0) - col("hcl") / col("hc"))
+        .otherwise(lit(1.0)))
+      .select(col("n"), round(col("h"), 4).as("homogeneity"),
+        round(col("cm"), 4).as("completeness"),
+        when(col("h") + col("cm") > 0.0,
+          round(lit(2.0) * col("h") * col("cm") / (col("h") + col("cm")), 4))
+          .otherwise(lit(0.0)).as("v_measure"))
+  }
+
   /** Dunn index of a labeled embedding set: min inter-cluster vs max
     * intra-cluster cosine distance — the compactness/separation scalar
     * (>1 ⇒ clusters farther apart than their widest member spread).

@@ -107,6 +107,11 @@ object ExtQueries {
   def dbIndexQ(s: SparkSession, d: String): DataFrame =
     Similarity.dbIndex(Tables.embeddings(s, d))
 
+  /** V-measure (homogeneity/completeness) of the same clustering. */
+  def vMeasureQ(s: SparkSession, d: String): DataFrame =
+    Similarity.vMeasure(clusterAssign(s, d),
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")))
+
   /** Rand index + ARI of the kmeans clustering vs ground-truth labels. */
   def clusterAriQ(s: SparkSession, d: String): DataFrame =
     Similarity.randIndex(clusterAssign(s, d),
@@ -2615,6 +2620,7 @@ object ExtQueries {
     "ext_closeness" -> closenessQ _,
     "ext_calinski" -> chIndexQ _,
     "ext_davies_bouldin" -> dbIndexQ _,
+    "ext_vmeasure" -> vMeasureQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6893,6 +6899,9 @@ object ExtQueries {
     // NMI: integer-ln MI + entropies, cell-ordered folds
     "ext_cluster_nmi" -> clusterNmiSql,
 
+    // V-measure: conditional entropies from the same integer-ln folds
+    "ext_vmeasure" -> vMeasureSql,
+
     // Dunn index: min/max over exact 1e-4-integer distances
     "ext_dunn" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
@@ -7735,6 +7744,40 @@ object ExtQueries {
        |  ROUND(hl, 4) AS h_label,
        |  ROUND(2.0 * mi / (hc + hl), 4) AS nmi
        |FROM f""".stripMargin
+
+  /** V-measure oracle: the [[clusterNmiSql]] entropy folds rearranged
+    * into conditional entropies. */
+  private def vMeasureSql: String =
+    s"""WITH ${kmeansCtes(8, 1, 64)},
+       |j AS (SELECT a1.vec_id, a1.cid AS cluster, em.label
+       |      FROM a1 JOIN embeddings em ON em.vec_id = a1.vec_id),
+       |cells AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+       |          FROM j GROUP BY 1, 2),
+       |nc AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS a FROM cells
+       |       GROUP BY cluster),
+       |nl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS b FROM cells
+       |       GROUP BY label),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |scc AS (SELECT list_reduce(list(CAST(c AS DOUBLE) * ln(c)
+       |          ORDER BY cluster, label), (x, y) -> x + y) AS scc FROM cells),
+       |sha AS (SELECT list_reduce(list(CAST(a AS DOUBLE) * ln(a)
+       |          ORDER BY cluster), (x, y) -> x + y) AS sa FROM nc),
+       |shb AS (SELECT list_reduce(list(CAST(b AS DOUBLE) * ln(b)
+       |          ORDER BY label), (x, y) -> x + y) AS sb FROM nl),
+       |f AS (SELECT nn.n,
+       |        (sha.sa - scc.scc) / nn.n AS hlc,
+       |        (shb.sb - scc.scc) / nn.n AS hcl,
+       |        ln(nn.n) - shb.sb / nn.n AS hl,
+       |        ln(nn.n) - sha.sa / nn.n AS hc
+       |      FROM nn, scc, sha, shb),
+       |g AS (SELECT n,
+       |        CASE WHEN hl > 0.0 THEN 1.0 - hlc / hl ELSE 1.0 END AS h,
+       |        CASE WHEN hc > 0.0 THEN 1.0 - hcl / hc ELSE 1.0 END AS cm
+       |      FROM f)
+       |SELECT n, ROUND(h, 4) AS homogeneity, ROUND(cm, 4) AS completeness,
+       |  CASE WHEN h + cm > 0.0 THEN ROUND(2.0 * h * cm / (h + cm), 4)
+       |       ELSE 0.0 END AS v_measure
+       |FROM g""".stripMargin
 
   /** Generated Brier oracle mirroring [[brierQ]]. */
   private def brierSql: String =

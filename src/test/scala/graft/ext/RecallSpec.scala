@@ -178,6 +178,23 @@ class RecallSpec extends SparkSpec {
     assert(db.forall(r => r._4 == 0.007 && r._5 == 0.007), db.toString)
   }
 
+  test("vMeasure: perfect 1/1/1; mega-cluster complete but not homogeneous") {
+    import spark.implicits._
+    val truth = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("vec_id", "label")
+    val perfect = Seq((0L, 10), (1L, 10), (2L, 20), (3L, 20))
+      .toDF("vec_id", "cluster")
+    val p = Similarity.vMeasure(perfect, truth)
+      .as[(Long, Double, Double, Double)].head()
+    assert(p == ((4L, 1.0, 1.0, 1.0)), p.toString)
+    // one mega-cluster: every class inside one cluster (complete, c=1)
+    // but the cluster is maximally impure (h=0) -> V=0
+    val mega = Seq((0L, 7), (1L, 7), (2L, 7), (3L, 7)).toDF("vec_id", "cluster")
+    val m = Similarity.vMeasure(mega, truth)
+      .as[(Long, Double, Double, Double)].head()
+    assert(m == ((4L, 0.0, 1.0, 0.0)), m.toString)
+  }
+
   test("dunn: separated clusters > 1, inter-min exceeds intra-max") {
     import spark.implicits._
     val e = Seq(

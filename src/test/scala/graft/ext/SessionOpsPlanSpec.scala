@@ -36,7 +36,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_t_closeness", "ext_qld",
     // Brown–Forsythe's 1-row totals/fold crosses (the anovaF shape);
     // CH/DB's k-row centroid crosses and 1-row DB rider
-    "ext_brown_forsythe", "ext_calinski", "ext_davies_bouldin")
+    "ext_brown_forsythe", "ext_calinski", "ext_davies_bouldin",
+    "ext_vmeasure")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -69,7 +70,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
-    "ext_closeness", "ext_calinski", "ext_davies_bouldin")
+    "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
