@@ -1905,6 +1905,45 @@ object TextAnalysis {
       .orderBy("stratum")
   }
 
+  /** Distribution-distance suite per stratum vs the pooled corpus —
+    * TOTAL VARIATION, BHATTACHARYYA coefficient, and HELLINGER distance
+    * of the unigram distributions. Completes the drift family's
+    * geometry: KS = sup of the CDF gap, W1 = its area, JS = the
+    * smoothed f-divergence, TV = the L1 gap (the tightest bound on how
+    * differently any event can be scored), Hellinger = the metric the
+    * affinity BC induces. TV's numerator Σ|c_s·n_a − c_a·n_s| is an
+    * EXACT integer in common-denominator form (one division at the
+    * end); BC folds √(c_s·c_a) of exact integer products in token
+    * order, normalized by one √(n_s·n_a). Unsmoothed by design —
+    * absent tokens contribute their full mass to TV and 0 to BC.
+    * Shape: one (stratum, token) count shuffle + a V×S grid. */
+  def distributionDistances(docs: DataFrame,
+      stratumCol: String = "source"): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    val sc = occ.groupBy("stratum", "tok").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val cc = sc.groupBy("tok").agg(sum(col("c_s")).as("c_a"))
+    val tot = cc.agg(sum(col("c_a")).as("n_a"))
+    val st = sc.groupBy("stratum").agg(sum(col("c_s")).as("n_s"))
+    val grid = cc.crossJoin(broadcast(st.crossJoin(tot)))
+      .join(sc, Seq("stratum", "tok"), "left")
+      .na.fill(0L, Seq("c_s"))
+    val agg = grid.groupBy("stratum", "n_s", "n_a").agg(
+      sum(abs(col("c_s") * col("n_a") - col("c_a") * col("n_s"))).as("tvnum"),
+      aggregate(sort_array(collect_list(struct(col("tok"),
+          sqrt((col("c_s") * col("c_a")).cast("double")).as("t")))), lit(0.0),
+        (a, x) => a + x.getField("t")).as("sbc"))
+    val bc = col("sbc") / sqrt((col("n_s") * col("n_a")).cast("double"))
+    agg.select(col("stratum"),
+        round(col("tvnum").cast("double")
+          / (col("n_s") * col("n_a") * 2).cast("double"), 4).as("tv"),
+        round(bc, 4).as("bhattacharyya"),
+        round(sqrt(greatest(lit(1.0) - bc, lit(0.0))), 4).as("hellinger"))
+      .orderBy("stratum")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * doc under the corpus bigram LM ([[lmScore]]) and split each SOURCE
     * into head/middle/tail tertiles of NLL — the quality-stratified

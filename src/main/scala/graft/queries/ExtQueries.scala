@@ -491,6 +491,10 @@ object ExtQueries {
   def jsDivergenceQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.jsDivergence(Tables.documents(s, d))
 
+  /** TV / Bhattacharyya / Hellinger of each source vs the pool. */
+  def distDistancesQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.distributionDistances(Tables.documents(s, d))
+
   /** Top-20 burstiest tokens (variance-to-mean of per-doc counts). */
   def tokenBurstinessQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenBurstiness(Tables.documents(s, d))
@@ -2621,6 +2625,7 @@ object ExtQueries {
     "ext_calinski" -> chIndexQ _,
     "ext_davies_bouldin" -> dbIndexQ _,
     "ext_vmeasure" -> vMeasureQ _,
+    "ext_dist_distances" -> distDistancesQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6208,6 +6213,37 @@ object ExtQueries {
         |  FROM grid),
         |agg AS (SELECT stratum, SUM(term) AS v FROM terms GROUP BY stratum)
         |SELECT stratum, ROUND(v + SIGN(v) * 0.000000001, 4) AS jsd
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    // TV/BC/Hellinger: exact common-denominator TV, token-ordered
+    // sqrt folds for the affinity
+    "ext_dist_distances" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |),
+        |sc AS (SELECT stratum, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+        |       FROM occ GROUP BY 1, 2),
+        |cc AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c_a FROM sc
+        |       GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a FROM cc),
+        |st AS (SELECT stratum, CAST(SUM(c_s) AS BIGINT) AS n_s FROM sc
+        |       GROUP BY stratum),
+        |grid AS (SELECT st.stratum, cc.tok, cc.c_a, st.n_s, tot.n_a,
+        |           COALESCE(sc.c_s, 0) AS c_s
+        |         FROM cc CROSS JOIN st CROSS JOIN tot
+        |         LEFT JOIN sc ON sc.stratum = st.stratum AND sc.tok = cc.tok),
+        |agg AS (SELECT stratum, n_s, n_a,
+        |          CAST(SUM(ABS(c_s * n_a - c_a * n_s)) AS BIGINT) AS tvnum,
+        |          list_reduce(list(sqrt(CAST(c_s * c_a AS DOUBLE))
+        |            ORDER BY tok), (a, b) -> a + b) AS sbc
+        |        FROM grid GROUP BY 1, 2, 3)
+        |SELECT stratum,
+        |  ROUND(CAST(tvnum AS DOUBLE) / CAST(n_s * n_a * 2 AS DOUBLE), 4) AS tv,
+        |  ROUND(sbc / sqrt(CAST(n_s * n_a AS DOUBLE)), 4) AS bhattacharyya,
+        |  ROUND(sqrt(GREATEST(1.0 - sbc / sqrt(CAST(n_s * n_a AS DOUBLE)), 0.0)),
+        |    4) AS hellinger
         |FROM agg ORDER BY stratum""".stripMargin,
 
     // phrase search: top bigram by (count desc, phrase), occurrences via

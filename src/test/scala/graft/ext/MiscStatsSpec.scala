@@ -56,6 +56,17 @@ class MiscStatsSpec extends SparkSpec {
     assert(got == (("s", 3L, 2L, 1L, 3.5)), got.toString)
   }
 
+  test("distributionDistances: hand TV/BC/Hellinger on a 2-token corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y", "A"), (2L, "y y y", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.distributionDistances(docs)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    // A: TV=12/36, BC=(√4+√4)/√18; B: TV=12/36, BC=√12/√18
+    assert(got == Seq(("A", 0.3333, 0.9428, 0.2391),
+      ("B", 0.3333, 0.8165, 0.4284)), got.toString)
+  }
+
   private def hts(h: Int) =
     java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
 

@@ -70,7 +70,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
-    "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure")
+    "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
+    "ext_dist_distances")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
