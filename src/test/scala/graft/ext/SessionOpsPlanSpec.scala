@@ -37,7 +37,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     // Brown–Forsythe's 1-row totals/fold crosses (the anovaF shape);
     // CH/DB's k-row centroid crosses and 1-row DB rider
     "ext_brown_forsythe", "ext_calinski", "ext_davies_bouldin",
-    "ext_vmeasure")
+    "ext_vmeasure", "ext_dist_distances")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
