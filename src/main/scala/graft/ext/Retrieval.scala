@@ -368,6 +368,42 @@ object Retrieval {
           .as("ap"))
   }
 
+  /** Expected Reciprocal Rank @depth (Chapelle et al. 2009) of the BM25
+    * ranking against the [[rankingEval]] graded term-overlap labels —
+    * the cascade-model metric (user scans down, stops with probability
+    * R_r = (2^rel − 1)/2^gmax): ERR = Σ_r (R_r/r)·Π_{i<r}(1 − R_i).
+    * The product makes it inherently SEQUENTIAL, so it folds in-row
+    * over the rank-ordered top list with a (err, p-continue) accumulator
+    * — the Holt recurrence trick; ranks come from the verified rounded
+    * score, R_r from exact small-integer powers of 2, so the double
+    * sequence is engine-identical. Same TakeOrdered scale shape as
+    * [[rankingEval]]. */
+  def errEval(scored: DataFrame, docs: DataFrame, terms: Seq[String],
+      depth: Int = 10): DataFrame = {
+    val gmax = math.pow(2.0, terms.size).toLong
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .where(size(col("ts")) > 0)
+    val rel = toks.select(col("doc_id"),
+      terms.map(t => when(array_contains(col("ts"), lit(t)), 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("rel"))
+    val top = scored.orderBy(col("bm25").desc, col("doc_id")).limit(depth)
+      .select(row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .as("r"), col("doc_id"))
+      .join(rel, "doc_id")
+      .withColumn("rr",
+        (pow(lit(2.0), col("rel")) - 1.0) / lit(gmax.toDouble))
+    top.agg(count(lit(1)).as("n"),
+        aggregate(sort_array(collect_list(struct(col("r"), col("rr")))),
+          struct(lit(0.0).as("err"), lit(1.0).as("p")),
+          (acc, x) => struct(
+            (acc.getField("err") + acc.getField("p") * x.getField("rr")
+              / x.getField("r")).as("err"),
+            (acc.getField("p") * (lit(1.0) - x.getField("rr"))).as("p")),
+          acc => acc.getField("err")).as("e"))
+      .select(col("n"), lit(depth).as("depth"), round(col("e"), 4).as("err"))
+  }
+
   /** The battery-shaped phrase query: find the corpus's most frequent
     * bigram (count desc, then lexicographic — a total order), then
     * locate every occurrence through the positional index. Output:

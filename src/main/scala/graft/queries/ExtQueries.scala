@@ -799,6 +799,12 @@ object ExtQueries {
     Retrieval.rankingEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
   }
 
+  /** ERR@10 of the same BM25 ranking under the cascade click model. */
+  def errEvalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Retrieval.errEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
+  }
+
   /** Adamic–Adar link prediction over the user CO-ACTIVITY graph
     * (edge = two users sharing ≥4 distinct (epoch-hour, type) activity
     * cells): top-20 non-adjacent pairs by shared-neighbor score — the
@@ -2626,6 +2632,7 @@ object ExtQueries {
     "ext_davies_bouldin" -> dbIndexQ _,
     "ext_vmeasure" -> vMeasureQ _,
     "ext_dist_distances" -> distDistancesQ _,
+    "ext_err" -> errEvalQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6585,6 +6592,9 @@ object ExtQueries {
     // integers, gains folded in rank order, ln(r+1)/ln 2 in both engines
     "ext_retrieval_eval" -> rankingEvalSql(Bm25Terms, 10, 2),
 
+    // ERR@10: cascade-model fold over the same verified top list
+    "ext_err" -> errSql(Bm25Terms, 10),
+
     // gains/lift from the shared probe: asc NTILE + 11−bin remap keeps
     // bucket membership engine-identical; cumulative counts exact
     "ext_lift_gains" ->
@@ -7970,6 +7980,31 @@ object ExtQueries {
     * .rankingEval]] over the [[bm25Ctes]] scored set: graded relevance
     * from the SAME tf columns, ideal DCG from relevance-level counts
     * (never a global sort), StableRound on the gain sums. */
+  /** ERR@depth oracle mirroring [[graft.ext.Retrieval.errEval]]: the
+    * same bm25 top list, cascade fold via the LIST(DOUBLE)-accumulator
+    * list_reduce (acc = [err, p-continue], elements [R_r, r]). */
+  private def errSql(terms: Seq[String], depth: Int): String = {
+    val relExpr = terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val gmax = math.pow(2.0, terms.size)
+    s"""WITH ${bm25Ctes(terms, 1.2, 0.75)},
+       |rel AS (SELECT doc_id, CAST($relExpr AS BIGINT) AS rel FROM dls),
+       |top AS (SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r,
+       |          doc_id
+       |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT $depth),
+       |t2 AS (SELECT t.r,
+       |         (pow(2.0, rel.rel) - 1.0) / $gmax AS rr
+       |       FROM top t JOIN rel USING (doc_id)),
+       |f AS (SELECT COUNT(*) AS n,
+       |        list_reduce(
+       |          list_prepend([0.0, 1.0],
+       |            list([rr, CAST(r AS DOUBLE)] ORDER BY r)),
+       |          (acc, x) -> [acc[1] + acc[2] * x[1] / x[2],
+       |                       acc[2] * (1.0 - x[1])]) AS e
+       |      FROM t2)
+       |SELECT n, $depth AS depth, ROUND(e[1], 4) AS err FROM f""".stripMargin
+  }
+
   private def rankingEvalSql(terms: Seq[String], depth: Int, th: Int): String = {
     val relExpr = terms.indices
       .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")

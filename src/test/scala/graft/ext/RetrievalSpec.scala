@@ -276,6 +276,16 @@ class RetrievalSpec extends SparkSpec {
     assert(got == ((2L, 6.9165, 9.3928, 0.7364, 0.5, 0.5833)), got.toString)
   }
 
+  test("errEval: cascade fold matches the hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "a x"), (2L, "y z"), (3L, "a y")).toDF("doc_id", "text")
+    val scored = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "bm25")
+    val got = Retrieval.errEval(scored, docs, Seq("a"), depth = 3)
+      .as[(Long, Int, Double)].head()
+    // R = (.5, 0, .5): ERR = .5/1 + .5·0/2 + .5·.5/3 = 0.5833
+    assert(got == ((3L, 3, 0.5833)), got.toString)
+  }
+
   test("queryLikelihood: hand-computed Dirichlet scores, smoothing favors tf") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")

@@ -37,7 +37,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     // Brown–Forsythe's 1-row totals/fold crosses (the anovaF shape);
     // CH/DB's k-row centroid crosses and 1-row DB rider
     "ext_brown_forsythe", "ext_calinski", "ext_davies_bouldin",
-    "ext_vmeasure", "ext_dist_distances")
+    "ext_vmeasure", "ext_dist_distances", "ext_err")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -71,7 +71,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
     "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
-    "ext_dist_distances")
+    "ext_dist_distances", "ext_err")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
