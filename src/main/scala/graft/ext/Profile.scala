@@ -128,6 +128,46 @@ object Profile {
       .orderBy("l")
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * profiling pass that catches redundant features and broken derived
+    * columns (price ≈ qty·unit) before a model sees them. Values are
+    * 2-decimal-scaled longs; every raw moment (Σx, Σx², Σxy) is an
+    * exact DECIMAL(38,0) sum off ONE aggregate over one scan, and
+    * r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) assembles the
+    * C² pairs from that single row. NULL r on zero variance. Rows with
+    * a NULL in any profiled column are excluded (complete-case, the
+    * standard corr-matrix convention).
+    * Shape: one scan + one C²-column aggregate; C²-bounded assembly. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.toSet.size == cols.size,
+      "need >= 2 distinct columns")
+    val D = "decimal(38,0)"
+    val base = df
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        round(col(c) * 100).cast("long").cast(D).as(s"v_$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).cast(D).as("n") +:
+      (cols.flatMap(c => Seq(
+        sum(col(s"v_$c")).as(s"s_$c"),
+        sum(col(s"v_$c") * col(s"v_$c")).as(s"q_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"v_$a") * col(s"v_$b")).as(s"p_${a}_$b")
+        })
+    val t = base.agg(aggs.head, aggs.tail: _*)
+    def dvar(c: String) =
+      (col("n") * col(s"q_$c") - col(s"s_$c") * col(s"s_$c")).cast("double")
+    pairs.map { case (a, b) =>
+      t.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n"),
+        when(dvar(a) > 0.0 && dvar(b) > 0.0,
+          round((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double") / (sqrt(dvar(a)) * sqrt(dvar(b))), 4)).as("r"))
+    }.reduce(_ unionAll _).orderBy("col_a", "col_b")
+  }
+
   /** t-closeness census (Li, Li & Venkatasubramanian 2007) over
     * quasi-identifier classes against an ORDINAL sensitive attribute:
     * per class, the ordered earth-mover's distance between the class's

@@ -1582,6 +1582,32 @@ object Temporal {
       .orderBy("event_type", "lag")
   }
 
+  /** Pairwise cosine similarity of the event types' HOUR-OF-DAY count
+    * profiles — which behaviors share a daily shape (the "is `error`
+    * traffic-shaped or batch-shaped" readout, and the feature the
+    * hourly-seasonality ops summarize one type at a time). Dot products
+    * and norms are exact integer sums over the 24-cell profiles (absent
+    * hours contribute 0 to both, so the inner join IS the full-grid
+    * computation); one sqrt each at the end. Shape: one (type, hod)
+    * rollup + a |types|²-bounded hod equi-join. */
+  def profileCosine(events: DataFrame): DataFrame = {
+    val c = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy("event_type").agg(sum(col("c") * col("c")).as("n2"))
+    val dp = c.toDF("type_a", "hod", "ca")
+      .join(c.toDF("type_b", "hod", "cb"), "hod")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(sum(col("ca") * col("cb")).as("dp"))
+    dp.join(broadcast(n.toDF("type_a", "na")), "type_a")
+      .join(broadcast(n.toDF("type_b", "nb")), "type_b")
+      .select(col("type_a"), col("type_b"),
+        round(col("dp").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          4).as("cosine"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Durbin–Watson statistic of the hourly count series per event type
     * (contiguous grid, missing hours = 0, the [[hourlyAutocorr]]
     * series): DW = Σ(c_t − c_{t−1})² / Σ(c_t − c̄)² ≈ 2(1 − ρ₁) — the

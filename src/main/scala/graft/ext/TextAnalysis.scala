@@ -1905,6 +1905,55 @@ object TextAnalysis {
       .orderBy("stratum")
   }
 
+  /** ROUGE-1/ROUGE-2 overlap scores for CANDIDATE near-dup pairs — the
+    * content-overlap eval that grades what the banding stage surfaced
+    * (summarization's standard metric repurposed as a dedup-quality
+    * readout; ROUGE-L's LCS adds little for bag-similar web dups at
+    * many times the cost). Multiset n-gram overlap Σ min(c_a, c_b),
+    * recall vs doc_a, precision vs doc_b, F1 — every number a ratio of
+    * exact integer counts, no floats until the final divisions.
+    *
+    * Scale shape: n-gram counts are one tokenize rollup; each pair's
+    * overlap is two equi-joins on (doc, gram) — work ∝ candidate
+    * pairs × doc length, never corpus². */
+  def rougePairEval(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = Dedup.spreadForCompute(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) > 0)
+    val g1 = toks.select(col("doc_id"), explode(col("ts")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val g2 = toks.where(size(col("ts")) > 1)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val lens = toks.select(col("doc_id"), size(col("ts")).cast("long").as("l1"),
+      greatest(size(col("ts")) - 1, lit(0)).cast("long").as("l2"))
+    def overlap(g: DataFrame, name: String) = pairs
+      .join(g.toDF("doc_a", "g", "ca"), "doc_a")
+      .join(g.toDF("doc_b", "g", "cb"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(sum(least(col("ca"), col("cb"))).as(name))
+    // F1 = 2PR/(P+R) collapses to the exact integer ratio 2·ov/(la+lb)
+    def prf(ov: Column, la: Column, lb: Column, p: String, r: String, f: String) =
+      Seq(round(when(lb > 0, ov.cast("double") / lb.cast("double"))
+            .otherwise(lit(0.0)), 4).as(p),
+        round(when(la > 0, ov.cast("double") / la.cast("double"))
+            .otherwise(lit(0.0)), 4).as(r),
+        round(when(la + lb > 0, (ov * 2).cast("double")
+            / (la + lb).cast("double")).otherwise(lit(0.0)), 4).as(f))
+    val base = pairs
+      .join(overlap(g1, "ov1"), Seq("doc_a", "doc_b"), "left")
+      .join(overlap(g2, "ov2"), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ov1", "ov2"))
+      .join(lens.toDF("doc_a", "l1a", "l2a"), "doc_a")
+      .join(lens.toDF("doc_b", "l1b", "l2b"), "doc_b")
+    base.select(Seq(col("doc_a"), col("doc_b"), col("ov1"), col("ov2")) ++
+        prf(col("ov1"), col("l1a"), col("l1b"), "r1_p", "r1_r", "r1_f") ++
+        prf(col("ov2"), col("l2a"), col("l2b"), "r2_p", "r2_r", "r2_f"): _*)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Distribution-distance suite per stratum vs the pooled corpus —
     * TOTAL VARIATION, BHATTACHARYYA coefficient, and HELLINGER distance
     * of the unigram distributions. Completes the drift family's

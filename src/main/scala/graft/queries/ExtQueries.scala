@@ -799,6 +799,19 @@ object ExtQueries {
     Retrieval.rankingEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
   }
 
+  /** ROUGE-1/2 overlap grades for the shared minhash candidate pairs. */
+  def rougeQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rougePairEval(Tables.documents(s, d), candidates(s, d))
+
+  /** Hour-of-day profile cosine between event types. */
+  def profileCosineQ(s: SparkSession, d: String): DataFrame =
+    Temporal.profileCosine(Tables.events(s, d))
+
+  /** Pearson correlation matrix over lineitem's numeric columns. */
+  def corrMatrixQ(s: SparkSession, d: String): DataFrame =
+    Profile.corrMatrix(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** ERR@10 of the same BM25 ranking under the cascade click model. */
   def errEvalQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -2633,6 +2646,9 @@ object ExtQueries {
     "ext_vmeasure" -> vMeasureQ _,
     "ext_dist_distances" -> distDistancesQ _,
     "ext_err" -> errEvalQ _,
+    "ext_profile_cosine" -> profileCosineQ _,
+    "ext_corr_matrix" -> corrMatrixQ _,
+    "ext_rouge" -> rougeQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6595,6 +6611,81 @@ object ExtQueries {
     // ERR@10: cascade-model fold over the same verified top list
     "ext_err" -> errSql(Bm25Terms, 10),
 
+    // hour-of-day profile cosine: exact integer dots/norms, one sqrt each
+    "ext_profile_cosine" ->
+      """WITH c AS (SELECT event_type, hour(ts) AS hod,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS n2 FROM c
+        |      GROUP BY 1),
+        |dp AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(SUM(a.c * b.c) AS BIGINT) AS dp
+        |       FROM c a JOIN c b
+        |         ON a.hod = b.hod AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT dp.type_a, dp.type_b,
+        |  ROUND(CAST(dp.dp AS DOUBLE)
+        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+        |    AS cosine
+        |FROM dp JOIN n na ON na.event_type = dp.type_a
+        |JOIN n nb ON nb.event_type = dp.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // Pearson corr matrix: DECIMAL/HUGEINT raw moments, one scan
+    "ext_corr_matrix" -> corrMatrixSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    // ROUGE-1/2 pair grades: exact multiset n-gram overlaps over the
+    // minhash candidate pairs; F1 = 2·ov/(la+lb) exact
+    "ext_rouge" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.key = r.key
+         |             AND l.doc_id < r.doc_id),
+         |tkn AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+         |g1c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |          SELECT doc_id, unnest(ts) AS g FROM tkn) GROUP BY 1, 2),
+         |g2c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |            i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]))
+         |            AS g
+         |          FROM tkn WHERE len(ts) > 1) GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS l1,
+         |           CAST(GREATEST(len(ts) - 1, 0) AS BIGINT) AS l2 FROM tkn),
+         |o1 AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov1
+         |       FROM cand c JOIN g1c a ON a.doc_id = c.doc_a
+         |       JOIN g1c b ON b.doc_id = c.doc_b AND b.g = a.g
+         |       GROUP BY 1, 2),
+         |o2 AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov2
+         |       FROM cand c JOIN g2c a ON a.doc_id = c.doc_a
+         |       JOIN g2c b ON b.doc_id = c.doc_b AND b.g = a.g
+         |       GROUP BY 1, 2),
+         |f AS (SELECT c.doc_a, c.doc_b,
+         |        COALESCE(o1.ov1, 0) AS ov1, COALESCE(o2.ov2, 0) AS ov2,
+         |        la.l1 AS l1a, la.l2 AS l2a, lb.l1 AS l1b, lb.l2 AS l2b
+         |      FROM cand c
+         |      LEFT JOIN o1 ON o1.doc_a = c.doc_a AND o1.doc_b = c.doc_b
+         |      LEFT JOIN o2 ON o2.doc_a = c.doc_a AND o2.doc_b = c.doc_b
+         |      JOIN lens la ON la.doc_id = c.doc_a
+         |      JOIN lens lb ON lb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, ov1, ov2,
+         |  ROUND(CASE WHEN l1b > 0 THEN CAST(ov1 AS DOUBLE) / CAST(l1b AS DOUBLE)
+         |        ELSE 0.0 END, 4) AS r1_p,
+         |  ROUND(CASE WHEN l1a > 0 THEN CAST(ov1 AS DOUBLE) / CAST(l1a AS DOUBLE)
+         |        ELSE 0.0 END, 4) AS r1_r,
+         |  ROUND(CASE WHEN l1a + l1b > 0 THEN CAST(ov1 * 2 AS DOUBLE)
+         |        / CAST(l1a + l1b AS DOUBLE) ELSE 0.0 END, 4) AS r1_f,
+         |  ROUND(CASE WHEN l2b > 0 THEN CAST(ov2 AS DOUBLE) / CAST(l2b AS DOUBLE)
+         |        ELSE 0.0 END, 4) AS r2_p,
+         |  ROUND(CASE WHEN l2a > 0 THEN CAST(ov2 AS DOUBLE) / CAST(l2a AS DOUBLE)
+         |        ELSE 0.0 END, 4) AS r2_r,
+         |  ROUND(CASE WHEN l2a + l2b > 0 THEN CAST(ov2 * 2 AS DOUBLE)
+         |        / CAST(l2a + l2b AS DOUBLE) ELSE 0.0 END, 4) AS r2_f
+         |FROM f ORDER BY doc_a, doc_b""".stripMargin,
+
     // gains/lift from the shared probe: asc NTILE + 11−bin remap keeps
     // bucket membership engine-identical; cumulative counts exact
     "ext_lift_gains" ->
@@ -7980,6 +8071,38 @@ object ExtQueries {
     * .rankingEval]] over the [[bm25Ctes]] scored set: graded relevance
     * from the SAME tf columns, ideal DCG from relevance-level counts
     * (never a global sort), StableRound on the gain sums. */
+  /** Corr-matrix oracle mirroring [[graft.ext.Profile.corrMatrix]]:
+    * HUGEINT raw moments off one scan (Spark carries DECIMAL(38,0) —
+    * both exact), identical r assembly per pair. */
+  private def corrMatrixSql(cols: Seq[String]): String = {
+    val vCols = cols.map(c =>
+      s"CAST(ROUND($c * 100) AS HUGEINT) AS v_$c").mkString(",\n|    ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val moments = (cols.flatMap(c => Seq(
+      s"SUM(v_$c) AS s_$c", s"SUM(v_$c * v_$c) AS q_$c")) ++
+      pairs.map { case (a, b) => s"SUM(v_$a * v_$b) AS p_${a}_$b" })
+      .mkString(",\n|    ")
+    def dvar(c: String) = s"CAST(n * q_$c - s_$c * s_$c AS DOUBLE)"
+    val legs = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN ${dvar(a)} > 0.0 AND ${dvar(b)} > 0.0 THEN
+         |    ROUND(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |      / (sqrt(${dvar(a)}) * sqrt(${dvar(b)})), 4) END AS r
+         |FROM t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT
+       |    $vCols
+       |  FROM lineitem WHERE $notNull),
+       |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    $moments
+       |  FROM v)
+       |$legs
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** ERR@depth oracle mirroring [[graft.ext.Retrieval.errEval]]: the
     * same bm25 top list, cascade fold via the LIST(DOUBLE)-accumulator
     * list_reduce (acc = [err, p-continue], elements [R_r, r]). */

@@ -95,6 +95,37 @@ class MiscStatsSpec extends SparkSpec {
     assert(got._4 == 8.6667 && got._5 == 1.6984 && got._6 == 1.0, got.toString)
   }
 
+  test("profileCosine: proportional hourly profiles give cosine 1") {
+    import spark.implicits._
+    val rows = Seq.fill(1)(("a", hts(0))) ++ Seq.fill(2)(("a", hts(1))) ++
+      Seq.fill(2)(("b", hts(0))) ++ Seq.fill(4)(("b", hts(1)))
+    val got = Temporal.profileCosine(rows.toDF("event_type", "ts"))
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 1.0)), got.toString)
+  }
+
+  test("corrMatrix: perfect linear pair r=1, zero-variance column null") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
+      .toDF("x", "y", "w")
+    val got = Profile.corrMatrix(df, Seq("x", "y", "w"))
+      .as[(String, String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("x", "w", 3L, None), ("x", "y", 3L, Some(1.0)),
+      ("y", "w", 3L, None)), got.toString)
+  }
+
+  test("rougePairEval: hand multiset overlaps, exact F1 ratios") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = TextAnalysis.rougePairEval(docs, pairs)
+      .as[(Long, Long, Long, Long, Double, Double, Double,
+        Double, Double, Double)].head()
+    // ov1 = min(2,1)+min(1,1) = 2 over l=3/3; ov2 = 1 ("a b") over 2/2
+    assert(got == ((1L, 2L, 2L, 1L, 0.6667, 0.6667, 0.6667, 0.5, 0.5, 0.5)),
+      got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")

@@ -71,7 +71,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
     "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
-    "ext_dist_distances", "ext_err")
+    "ext_dist_distances", "ext_err", "ext_profile_cosine",
+    "ext_corr_matrix", "ext_rouge")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
