@@ -1742,6 +1742,65 @@ object Temporal {
     lt.select(outCols: _*).orderBy("event_type")
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing of the hourly count
+    * series per event type + h-step forecast — the daily-cycle-aware
+    * upgrade of [[holtForecast]] (which a 24h-seasonal series defeats).
+    * Recurrence per step: l ← α(x − s_old) + (1−α)(l + b);
+    * b ← β(l − l_prev) + (1−β)b; s ← γ(x − l) + (1−γ)s_old, with the
+    * (period+2)-element state [l, b, s_next..] folded IN-ROW over the
+    * per-type hourly array (bounded by the TIME SPAN, never row count).
+    * α=½, β=γ=¼ are exact binary fractions and the fold structure is
+    * spelled identically in the DuckDB twin (LIST accumulator,
+    * repeated-subexpression l′), so the double sequence is
+    * engine-identical. Init: l = mean of the first period, b = 0,
+    * s_i = x_i − l. Forecast: fc_h = l + h·b + s_{+h}. */
+  def holtWintersForecast(events: DataFrame, alpha: Double = 0.5,
+      beta: Double = 0.25, gamma: Double = 0.25, period: Int = 24,
+      horizon: Int = 3): DataFrame = {
+    require(horizon >= 1 && horizon <= period, "horizon out of range")
+    val hc = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val arr = grid.groupBy("event_type").agg(
+      transform(sort_array(collect_list(struct(col("h"), col("c")))),
+        x => x.getField("c").cast("double")).as("vs"))
+      .where(size(col("vs")) >= 2 * period)
+      .withColumn("m0",
+        aggregate(slice(col("vs"), lit(1), lit(period)), lit(0.0), _ + _)
+          / lit(period.toDouble))
+    val a = lit(alpha); val oma = lit(1.0 - alpha)
+    val bb = lit(beta); val omb = lit(1.0 - beta)
+    val g = lit(gamma); val omg = lit(1.0 - gamma)
+    val init = concat(array(col("m0"), lit(0.0)),
+      transform(slice(col("vs"), lit(1), lit(period)), x => x - col("m0")))
+    val st = arr.withColumn("st",
+      aggregate(
+        slice(col("vs"), lit(period + 1),
+          greatest(size(col("vs")) - period, lit(0))),
+        init,
+        (acc, x) => {
+          val l = element_at(acc, 1); val b = element_at(acc, 2)
+          val sOld = element_at(acc, 3)
+          val nl = a * (x - sOld) + oma * (l + b)
+          val nb = bb * (nl - l) + omb * b
+          val ns = g * (x - nl) + omg * sOld
+          concat(array(nl, nb), slice(acc, 4, period - 1), array(ns))
+        }))
+    val outCols = Seq(col("event_type"), size(col("vs")).as("n_hours"),
+      round(element_at(col("st"), 1), 4).as("level"),
+      round(element_at(col("st"), 2), 4).as("trend")) ++
+      (1 to horizon).map(h =>
+        round(element_at(col("st"), 1)
+          + lit(h.toDouble) * element_at(col("st"), 2)
+          + element_at(col("st"), 2 + h), 4).as(s"fc$h"))
+    st.select(outCols: _*).orderBy("event_type")
+  }
+
   /** Directed association rules over per-user event-type baskets —
     * the market-basket readout [[typeCooccurrence]]'s symmetric Jaccard
     * can't give: confidence(a→b) = n_ab/n_a is directional, and

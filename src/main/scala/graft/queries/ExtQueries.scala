@@ -799,6 +799,10 @@ object ExtQueries {
     Retrieval.rankingEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
   }
 
+  /** Holt–Winters additive seasonal forecast of the hourly series. */
+  def holtWintersQ(s: SparkSession, d: String): DataFrame =
+    Temporal.holtWintersForecast(Tables.events(s, d))
+
   /** ROUGE-1/2 overlap grades for the shared minhash candidate pairs. */
   def rougeQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.rougePairEval(Tables.documents(s, d), candidates(s, d))
@@ -2649,6 +2653,7 @@ object ExtQueries {
     "ext_profile_cosine" -> profileCosineQ _,
     "ext_corr_matrix" -> corrMatrixQ _,
     "ext_rouge" -> rougeQ _,
+    "ext_holt_winters" -> holtWintersQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6611,6 +6616,9 @@ object ExtQueries {
     // ERR@10: cascade-model fold over the same verified top list
     "ext_err" -> errSql(Bm25Terms, 10),
 
+    // Holt–Winters: the ext_holt fold with a 26-element seasonal state
+    "ext_holt_winters" -> hwSql(0.5, 0.25, 0.25, 24, 3),
+
     // hour-of-day profile cosine: exact integer dots/norms, one sqrt each
     "ext_profile_cosine" ->
       """WITH c AS (SELECT event_type, hour(ts) AS hod,
@@ -8101,6 +8109,58 @@ object ExtQueries {
        |  FROM v)
        |$legs
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Holt–Winters oracle mirroring
+    * [[graft.ext.Temporal.holtWintersForecast]]: the ext_holt LIST fold
+    * with a (period+2)-element accumulator; l′ is repeated textually
+    * exactly as Spark's shared subtree re-evaluates it. */
+  private def hwSql(alpha: Double, beta: Double, gamma: Double,
+      period: Int, horizon: Int): String = {
+    val (a, oma) = (s"CAST($alpha AS DOUBLE)", s"CAST(${1.0 - alpha} AS DOUBLE)")
+    val (b, omb) = (s"CAST($beta AS DOUBLE)", s"CAST(${1.0 - beta} AS DOUBLE)")
+    val (g, omg) = (s"CAST($gamma AS DOUBLE)", s"CAST(${1.0 - gamma} AS DOUBLE)")
+    val nl = s"$a * (e[1] - acc[3]) + $oma * (acc[1] + acc[2])"
+    val fcs = (1 to horizon).map(h =>
+      s"ROUND(st[1] + CAST($h.0 AS DOUBLE) * st[2] + st[${2 + h}], 4) AS fc$h")
+      .mkString(",\n|  ")
+    s"""WITH hc AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT event_type,
+       |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+       |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
+       |         FROM hc GROUP BY event_type),
+       |hours AS MATERIALIZED (
+       |  SELECT s.event_type, CAST(g.eh AS BIGINT) AS eh
+       |  FROM span s, unnest(range(s.eh0, s.eh1 + 1)) AS g(eh)),
+       |hce AS (SELECT event_type, CAST(epoch(h) AS BIGINT) // 3600 AS eh, c
+       |        FROM hc),
+       |grid AS (
+       |  SELECT hr.event_type, hr.eh, CAST(COALESCE(hce.c, 0) AS BIGINT) AS c
+       |  FROM hours hr LEFT JOIN hce USING (event_type, eh)),
+       |arr AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY eh) AS vs
+       |        FROM grid GROUP BY event_type),
+       |am AS (SELECT event_type, vs,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:$period]),
+       |           (x, y) -> x + y) / CAST($period.0 AS DOUBLE) AS m0
+       |       FROM arr WHERE len(vs) >= ${2 * period}),
+       |f AS (SELECT event_type, CAST(len(vs) AS INT) AS n_hours,
+       |        list_reduce(
+       |          list_prepend(
+       |            list_concat([m0, CAST(0.0 AS DOUBLE)],
+       |              list_transform(vs[1:$period], x -> x - m0)),
+       |            list_transform(vs[${period + 1}:], x -> [x])),
+       |          (acc, e) -> list_concat(list_concat(
+       |            [$nl,
+       |             $b * (($nl) - acc[1]) + $omb * acc[2]],
+       |            acc[4:${period + 2}]),
+       |            [$g * (e[1] - ($nl)) + $omg * acc[3]])) AS st
+       |      FROM am)
+       |SELECT event_type, n_hours, ROUND(st[1], 4) AS level,
+       |  ROUND(st[2], 4) AS trend,
+       |  $fcs
+       |FROM f ORDER BY event_type""".stripMargin
   }
 
   /** ERR@depth oracle mirroring [[graft.ext.Retrieval.errEval]]: the

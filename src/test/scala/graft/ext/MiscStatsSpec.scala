@@ -126,6 +126,17 @@ class MiscStatsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("holtWinters: period-2 alternating series is learned exactly") {
+    import spark.implicits._
+    // counts [1,3,1,3,1,3]: l=2, b=0, seasons (-1, 1) -> forecast 1, 3
+    val rows = Seq(0 -> 1, 1 -> 3, 2 -> 1, 3 -> 3, 4 -> 1, 5 -> 3)
+      .flatMap { case (h, k) => (1 to k).map(i => (h.toLong * 10 + i, hts(h), "a")) }
+    val got = Temporal.holtWintersForecast(
+        rows.toDF("event_id", "ts", "event_type"), period = 2, horizon = 2)
+      .as[(String, Int, Double, Double, Double, Double)].head()
+    assert(got == (("a", 6, 2.0, 0.0, 1.0, 3.0)), got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")

@@ -72,7 +72,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
     "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
     "ext_dist_distances", "ext_err", "ext_profile_cosine",
-    "ext_corr_matrix", "ext_rouge")
+    "ext_corr_matrix", "ext_rouge", "ext_holt_winters")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
