@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -239,6 +239,51 @@ object Drift {
         col("k").as("n_groups"), col("nn").as("n_total"),
         round(col("f_stat"), 4).as("f_stat"))
       .orderBy(groupCol)
+  }
+
+  /** Two-sample ENERGY DISTANCE between cohorts X and Y of a 2-decimal
+    * value column — the distribution-distance that needs no binning
+    * (metrizes weak convergence; 0 iff the distributions match):
+    * ED² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|. Each pairwise-|Δ| expectation
+    * is computed EXACTLY without materializing pairs, via the
+    * adjacent-gap identity on the distinct-value cumulative: Σ|x−y| =
+    * Σ_k gap_k · [A_k·(n_B−B_k) + B_k·(n_A−A_k)] — all integers, so all
+    * three sums are exact longs (bounded by value-range × n_A·n_B, not
+    * by pair count) and only the final three divisions are floats.
+    *
+    * Scale shape: one distinct-value rollup; the cumulative window is
+    * VALUE-DOMAIN-bounded (≤ 100·max_value rows for 2-decimal data),
+    * never row-bounded — the vocabCoverage count-histogram shape. */
+  def energyDistance(df: DataFrame, isY: Column,
+      valueCol: String = "value"): DataFrame = {
+    val v = df.where(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("v"),
+        isY.cast("int").as("y"))
+    val dv = v.groupBy("v").agg(
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("a"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("v")
+    val cum = dv
+      .withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .where(col("gap").isNotNull)
+    val tot = dv.agg(sum("a").as("na"), sum("b").as("nb"))
+    val s = cum.crossJoin(broadcast(tot)).agg(
+      first("na").as("na"), first("nb").as("nb"),
+      sum(col("gap") * (col("ca") * (col("nb") - col("cb"))
+        + col("cb") * (col("na") - col("ca")))).as("sxy"),
+      sum(col("gap") * col("ca") * (col("na") - col("ca")) * 2).as("sxx"),
+      sum(col("gap") * col("cb") * (col("nb") - col("cb")) * 2).as("syy"))
+    // expectations in original value units (the 1e-2 scale divides out)
+    val exy = col("sxy").cast("double") / (col("na") * col("nb")).cast("double") / 100.0
+    val exx = col("sxx").cast("double") / (col("na") * col("na")).cast("double") / 100.0
+    val eyy = col("syy").cast("double") / (col("nb") * col("nb")).cast("double") / 100.0
+    s.select(col("na"), col("nb"),
+        round(exy, 4).as("e_xy"), round(exx, 4).as("e_xx"),
+        round(eyy, 4).as("e_yy"),
+        round(sqrt(greatest(lit(2.0) * exy - exx - eyy, lit(0.0))), 4)
+          .as("energy_distance"))
   }
 
   /** Jarque–Bera normality test per group over INTEGER-ROUNDED values —

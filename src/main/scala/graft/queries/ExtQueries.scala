@@ -799,6 +799,11 @@ object ExtQueries {
     Retrieval.rankingEval(TextAnalysis.bm25(docs, Bm25Terms), docs, Bm25Terms)
   }
 
+  /** Energy distance between weekday and weekend value distributions. */
+  def energyDistanceQ(s: SparkSession, d: String): DataFrame =
+    Drift.energyDistance(Tables.events(s, d),
+      dayofweek(col("ts")).isin(1, 7))
+
   /** Holt–Winters additive seasonal forecast of the hourly series. */
   def holtWintersQ(s: SparkSession, d: String): DataFrame =
     Temporal.holtWintersForecast(Tables.events(s, d))
@@ -2654,6 +2659,7 @@ object ExtQueries {
     "ext_corr_matrix" -> corrMatrixQ _,
     "ext_rouge" -> rougeQ _,
     "ext_holt_winters" -> holtWintersQ _,
+    "ext_energy_distance" -> energyDistanceQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6618,6 +6624,42 @@ object ExtQueries {
 
     // Holt–Winters: the ext_holt fold with a 26-element seasonal state
     "ext_holt_winters" -> hwSql(0.5, 0.25, 0.25, 24, 3),
+
+    // energy distance: exact adjacent-gap pairwise-|Δ| sums, three
+    // final divisions
+    "ext_energy_distance" ->
+      """WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |dv AS (SELECT v,
+        |         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(SUM(y) AS BIGINT) AS b
+        |       FROM v GROUP BY v),
+        |cum AS (SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+        |          SUM(b) OVER (ORDER BY v) AS cb,
+        |          LEAD(v) OVER (ORDER BY v) - v AS gap
+        |        FROM dv),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |          CAST(SUM(b) AS BIGINT) AS nb FROM dv),
+        |s AS (SELECT tot.na, tot.nb,
+        |        CAST(SUM(gap * (ca * (tot.nb - cb) + cb * (tot.na - ca)))
+        |          AS BIGINT) AS sxy,
+        |        CAST(SUM(gap * ca * (tot.na - ca) * 2) AS BIGINT) AS sxx,
+        |        CAST(SUM(gap * cb * (tot.nb - cb) * 2) AS BIGINT) AS syy
+        |      FROM cum, tot WHERE gap IS NOT NULL GROUP BY 1, 2)
+        |SELECT na, nb,
+        |  ROUND(CAST(sxy AS DOUBLE) / CAST(na * nb AS DOUBLE) / 100.0, 4)
+        |    AS e_xy,
+        |  ROUND(CAST(sxx AS DOUBLE) / CAST(na * na AS DOUBLE) / 100.0, 4)
+        |    AS e_xx,
+        |  ROUND(CAST(syy AS DOUBLE) / CAST(nb * nb AS DOUBLE) / 100.0, 4)
+        |    AS e_yy,
+        |  ROUND(sqrt(GREATEST(
+        |    2.0 * (CAST(sxy AS DOUBLE) / CAST(na * nb AS DOUBLE) / 100.0)
+        |    - CAST(sxx AS DOUBLE) / CAST(na * na AS DOUBLE) / 100.0
+        |    - CAST(syy AS DOUBLE) / CAST(nb * nb AS DOUBLE) / 100.0, 0.0)), 4)
+        |    AS energy_distance
+        |FROM s""".stripMargin,
 
     // hour-of-day profile cosine: exact integer dots/norms, one sqrt each
     "ext_profile_cosine" ->

@@ -137,6 +137,15 @@ class MiscStatsSpec extends SparkSpec {
     assert(got == (("a", 6, 2.0, 0.0, 1.0, 3.0)), got.toString)
   }
 
+  test("energyDistance: hand pairwise expectations via the gap identity") {
+    import spark.implicits._
+    // X = {0, 1}, Y = {1}: E|X−Y| = .5, E|X−X'| = .5, E|Y−Y'| = 0
+    val df = Seq((0.0, 0), (1.0, 0), (1.0, 1)).toDF("value", "y")
+    val got = Drift.energyDistance(df, col("y") === 1)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got == ((2L, 1L, 0.5, 0.5, 0.0, 0.7071)), got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")

@@ -37,7 +37,9 @@ class SessionOpsPlanSpec extends SparkSpec {
     // Brown–Forsythe's 1-row totals/fold crosses (the anovaF shape);
     // CH/DB's k-row centroid crosses and 1-row DB rider
     "ext_brown_forsythe", "ext_calinski", "ext_davies_bouldin",
-    "ext_vmeasure", "ext_dist_distances", "ext_err")
+    "ext_vmeasure", "ext_dist_distances", "ext_err",
+    // energy distance: 1-row totals cross
+    "ext_energy_distance")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -72,7 +74,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
     "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
     "ext_dist_distances", "ext_err", "ext_profile_cosine",
-    "ext_corr_matrix", "ext_rouge", "ext_holt_winters")
+    "ext_corr_matrix", "ext_rouge", "ext_holt_winters",
+    "ext_energy_distance")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
