@@ -286,6 +286,40 @@ object Drift {
           .as("energy_distance"))
   }
 
+  /** Two-sample Cramér–von Mises statistic between cohorts X and Y —
+    * the INTEGRATED squared ECDF gap (KS is its sup, W1 its area,
+    * energy distance its binning-free cousin; CvM weights the whole
+    * curve, so it sees broad mid-distribution shifts KS's single sup
+    * point can miss): T = n·m/N² · Σ_pooled (F_n − G_m)². Exact form:
+    * U = Σ_k (a_k+b_k)·(A_k·n_B − B_k·n_A)² over the distinct-value
+    * cumulative, carried in DECIMAL(38,0) (N⁴·counts scale), then
+    * T = U/(N²·n_A·n_B) is one float division. Same value-domain-
+    * bounded shape as [[energyDistance]]. */
+  def cramerVonMises(df: DataFrame, isY: Column,
+      valueCol: String = "value"): DataFrame = {
+    val D = "decimal(38,0)"
+    val v = df.where(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("v"),
+        isY.cast("int").as("y"))
+    val dv = v.groupBy("v").agg(
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("a"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("v")
+    val cum = dv
+      .withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+    val tot = dv.agg(sum("a").as("na"), sum("b").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("dd",
+        (col("ca") * col("nb") - col("cb") * col("na")).cast(D))
+      .agg(first("na").as("na"), first("nb").as("nb"),
+        sum((col("a") + col("b")).cast(D) * col("dd") * col("dd")).as("u"))
+      .select(col("na"), col("nb"),
+        round(col("u").cast("double")
+          / ((col("na") + col("nb")) * (col("na") + col("nb"))).cast("double")
+          / (col("na") * col("nb")).cast("double"), 4).as("cvm_t"))
+  }
+
   /** Jarque–Bera normality test per group over INTEGER-ROUNDED values —
     * the distribution-shape monitor (are the per-event values even
     * plausibly normal, or should the drift gates use rank tests).

@@ -804,6 +804,11 @@ object ExtQueries {
     Drift.energyDistance(Tables.events(s, d),
       dayofweek(col("ts")).isin(1, 7))
 
+  /** Cramér–von Mises statistic between the same two cohorts. */
+  def cvmQ(s: SparkSession, d: String): DataFrame =
+    Drift.cramerVonMises(Tables.events(s, d),
+      dayofweek(col("ts")).isin(1, 7))
+
   /** Holt–Winters additive seasonal forecast of the hourly series. */
   def holtWintersQ(s: SparkSession, d: String): DataFrame =
     Temporal.holtWintersForecast(Tables.events(s, d))
@@ -2660,6 +2665,7 @@ object ExtQueries {
     "ext_rouge" -> rougeQ _,
     "ext_holt_winters" -> holtWintersQ _,
     "ext_energy_distance" -> energyDistanceQ _,
+    "ext_cvm" -> cvmQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6624,6 +6630,31 @@ object ExtQueries {
 
     // Holt–Winters: the ext_holt fold with a 26-element seasonal state
     "ext_holt_winters" -> hwSql(0.5, 0.25, 0.25, 24, 3),
+
+    // Cramér–von Mises: integrated squared ECDF gap, HUGEINT/DECIMAL U
+    "ext_cvm" ->
+      """WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |dv AS (SELECT v,
+        |         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(SUM(y) AS BIGINT) AS b
+        |       FROM v GROUP BY v),
+        |cum AS (SELECT v, a, b, SUM(a) OVER (ORDER BY v) AS ca,
+        |          SUM(b) OVER (ORDER BY v) AS cb
+        |        FROM dv),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |          CAST(SUM(b) AS BIGINT) AS nb FROM dv),
+        |s AS (SELECT tot.na, tot.nb,
+        |        SUM(CAST(a + b AS HUGEINT)
+        |          * CAST(ca * tot.nb - cb * tot.na AS HUGEINT)
+        |          * CAST(ca * tot.nb - cb * tot.na AS HUGEINT)) AS u
+        |      FROM cum, tot GROUP BY 1, 2)
+        |SELECT na, nb,
+        |  ROUND(CAST(u AS DOUBLE)
+        |    / CAST((na + nb) * (na + nb) AS DOUBLE)
+        |    / CAST(na * nb AS DOUBLE), 4) AS cvm_t
+        |FROM s""".stripMargin,
 
     // energy distance: exact adjacent-gap pairwise-|Δ| sums, three
     // final divisions

@@ -146,6 +146,15 @@ class MiscStatsSpec extends SparkSpec {
     assert(got == ((2L, 1L, 0.5, 0.5, 0.0, 0.7071)), got.toString)
   }
 
+  test("cramerVonMises: hand U over the pooled ECDF gap") {
+    import spark.implicits._
+    // X = {0,1}, Y = {1}: U = 1·1² + 2·0² = 1 → T = 1/(3²·2) = 0.0556
+    val df = Seq((0.0, 0), (1.0, 0), (1.0, 1)).toDF("value", "y")
+    val got = Drift.cramerVonMises(df, col("y") === 1)
+      .as[(Long, Long, Double)].head()
+    assert(got == ((2L, 1L, 0.0556)), got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")
