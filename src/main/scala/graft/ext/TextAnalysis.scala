@@ -1905,6 +1905,69 @@ object TextAnalysis {
       .orderBy("stratum")
   }
 
+  /** Gries' DP token dispersion across strata — "is this token's mass
+    * spread like the corpus, or parked in one source" (a high-frequency
+    * token concentrated in one crawl is boilerplate/template, not
+    * vocabulary; the complement of [[tokenBurstiness]]'s per-doc view).
+    * DP = ½ Σ_s |v_s/f − n_s/N| ∈ [0, 1): in common-denominator form
+    * Σ_s |v_s·N − n_s·f| / (2·f·N) — the numerator an exact integer sum,
+    * one division per token. Top-k ranked on ROUND(dp,4) with token
+    * tie-breaks (the engine's rank contract). Shape: one (stratum,
+    * token) count shuffle + the V×S grid + TakeOrdered. */
+  def tokenDispersion(docs: DataFrame, stratumCol: String = "source",
+      topK: Int = 20): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(col(stratumCol).as("stratum"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    val sc = occ.groupBy("stratum", "tok").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
+    val cc = sc.groupBy("tok").agg(sum(col("c_s")).as("f"))
+    val tot = cc.agg(sum(col("f")).as("n"))
+    val st = sc.groupBy("stratum").agg(sum(col("c_s")).as("n_s"))
+    val grid = cc.crossJoin(broadcast(st.crossJoin(tot)))
+      .join(sc, Seq("stratum", "tok"), "left")
+      .na.fill(0L, Seq("c_s"))
+    grid.groupBy("tok", "f", "n")
+      .agg(sum(abs(col("c_s") * col("n") - col("n_s") * col("f"))).as("num"))
+      .select(col("tok"), col("f"),
+        round(col("num").cast("double")
+          / (col("f") * col("n") * 2).cast("double"), 4).as("dp"))
+      .orderBy(col("dp").desc, col("tok")).limit(topK)
+  }
+
+  /** Dunning log-likelihood keyness G² per token between a TARGET
+    * stratum and the rest — the corpus-linguistics standard for "what
+    * words characterize this source" (more robust than [[tokenOddsRatio]]
+    * at small counts). For each token's 2×2 table, G² = 2·(Σ O·ln O −
+    * Σ R·ln R − Σ C·ln C + N·ln N) with 0·ln 0 = 0 — every ln argument
+    * an exact integer, so G² is the identical double in both engines;
+    * the sign (enriched vs depleted in the target) is the
+    * cross-multiplied integer comparison a·N_r vs b·N_t. Top-k on
+    * ROUND(g2,4) with token tie-breaks. Shape: one token count shuffle
+    * + a broadcast scalar row. */
+  def keynessG2(docs: DataFrame, isTarget: Column, topK: Int = 20): DataFrame = {
+    val occ = Dedup.spreadForCompute(docs)
+      .select(isTarget.cast("int").as("t"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    val tc = occ.groupBy("tok").agg(
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("b"))
+    val tot = tc.agg(sum("a").as("nt"), sum("b").as("nr"))
+    def xlx(c: Column) = when(c > 0, c.cast("double") * log(c)).otherwise(lit(0.0))
+    val g = tc.crossJoin(broadcast(tot))
+      .withColumn("n", col("nt") + col("nr"))
+      .withColumn("f", col("a") + col("b"))
+      .withColumn("g2", lit(2.0) * (xlx(col("a")) + xlx(col("b"))
+        + xlx(col("nt") - col("a")) + xlx(col("nr") - col("b"))
+        - xlx(col("f")) - xlx(col("n") - col("f"))
+        - xlx(col("nt")) - xlx(col("nr")) + xlx(col("n"))))
+    g.select(col("tok"), col("a"), col("b"),
+        when(col("a") * col("nr") >= col("b") * col("nt"), lit(1))
+          .otherwise(lit(-1)).as("direction"),
+        round(col("g2"), 4).as("g2"))
+      .orderBy(col("g2").desc, col("tok")).limit(topK)
+  }
+
   /** ROUGE-1/ROUGE-2 overlap scores for CANDIDATE near-dup pairs — the
     * content-overlap eval that grades what the banding stage surfaced
     * (summarization's standard metric repurposed as a dedup-quality

@@ -804,6 +804,14 @@ object ExtQueries {
     Drift.energyDistance(Tables.events(s, d),
       dayofweek(col("ts")).isin(1, 7))
 
+  /** Gries DP dispersion of token mass across sources, top 20. */
+  def tokenDispersionQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenDispersion(Tables.documents(s, d))
+
+  /** Dunning G² keyness of the Spanish slice vs the rest, top 20. */
+  def keynessQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.keynessG2(Tables.documents(s, d), col("lang") === "es")
+
   /** Cramér–von Mises statistic between the same two cohorts. */
   def cvmQ(s: SparkSession, d: String): DataFrame =
     Drift.cramerVonMises(Tables.events(s, d),
@@ -2666,6 +2674,8 @@ object ExtQueries {
     "ext_holt_winters" -> holtWintersQ _,
     "ext_energy_distance" -> energyDistanceQ _,
     "ext_cvm" -> cvmQ _,
+    "ext_token_dispersion" -> tokenDispersionQ _,
+    "ext_keyness" -> keynessQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6630,6 +6640,65 @@ object ExtQueries {
 
     // Holt–Winters: the ext_holt fold with a 26-element seasonal state
     "ext_holt_winters" -> hwSql(0.5, 0.25, 0.25, 24, 3),
+
+    // Gries DP dispersion: exact common-denominator numerators,
+    // rank on the rounded dp
+    "ext_token_dispersion" ->
+      """WITH occ AS (
+        |  SELECT source AS stratum,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT stratum, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+        |       FROM occ GROUP BY 1, 2),
+        |cc AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS f FROM sc GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM cc),
+        |st AS (SELECT stratum, CAST(SUM(c_s) AS BIGINT) AS n_s FROM sc
+        |       GROUP BY stratum),
+        |grid AS (SELECT st.stratum, cc.tok, cc.f, st.n_s, tot.n,
+        |           COALESCE(sc.c_s, 0) AS c_s
+        |         FROM cc CROSS JOIN st CROSS JOIN tot
+        |         LEFT JOIN sc ON sc.stratum = st.stratum AND sc.tok = cc.tok),
+        |d AS (SELECT tok, f,
+        |        ROUND(CAST(SUM(ABS(c_s * n - n_s * f)) AS DOUBLE)
+        |          / CAST(f * n * 2 AS DOUBLE), 4) AS dp
+        |      FROM grid GROUP BY tok, f, n)
+        |SELECT tok, f, dp FROM d ORDER BY dp DESC, tok LIMIT 20""".stripMargin,
+
+    // Dunning G² keyness: every ln argument an exact integer
+    "ext_keyness" ->
+      """WITH occ AS (
+        |  SELECT CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS t,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok,
+        |         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |       FROM occ GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS nt,
+        |          CAST(SUM(b) AS BIGINT) AS nr FROM tc),
+        |g AS (SELECT tok, a, b,
+        |        CASE WHEN a * nr >= b * nt THEN 1 ELSE -1 END AS direction,
+        |        ROUND(2.0 * (
+        |          (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(a) ELSE 0.0 END)
+        |          + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(b) ELSE 0.0 END)
+        |          + (CASE WHEN nt - a > 0 THEN CAST(nt - a AS DOUBLE)
+        |               * ln(nt - a) ELSE 0.0 END)
+        |          + (CASE WHEN nr - b > 0 THEN CAST(nr - b AS DOUBLE)
+        |               * ln(nr - b) ELSE 0.0 END)
+        |          - (CASE WHEN a + b > 0 THEN CAST(a + b AS DOUBLE)
+        |               * ln(a + b) ELSE 0.0 END)
+        |          - (CASE WHEN nt + nr - a - b > 0
+        |               THEN CAST(nt + nr - a - b AS DOUBLE)
+        |                 * ln(nt + nr - a - b) ELSE 0.0 END)
+        |          - (CASE WHEN nt > 0 THEN CAST(nt AS DOUBLE) * ln(nt)
+        |               ELSE 0.0 END)
+        |          - (CASE WHEN nr > 0 THEN CAST(nr AS DOUBLE) * ln(nr)
+        |               ELSE 0.0 END)
+        |          + (CASE WHEN nt + nr > 0 THEN CAST(nt + nr AS DOUBLE)
+        |               * ln(nt + nr) ELSE 0.0 END)), 4) AS g2
+        |      FROM tc, tot)
+        |SELECT tok, a, b, direction, g2 FROM g
+        |ORDER BY g2 DESC, tok LIMIT 20""".stripMargin,
 
     // Cramér–von Mises: integrated squared ECDF gap, HUGEINT/DECIMAL U
     "ext_cvm" ->

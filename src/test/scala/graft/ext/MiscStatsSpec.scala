@@ -155,6 +155,26 @@ class MiscStatsSpec extends SparkSpec {
     assert(got == ((2L, 1L, 0.0556)), got.toString)
   }
 
+  test("tokenDispersion: concentrated tokens DP=.5, spread token DP=0") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x z", "A"), (2L, "y y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenDispersion(docs)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", 2L, 0.5), ("y", 2L, 0.5), ("z", 2L, 0.0)),
+      got.toString)
+  }
+
+  test("keynessG2: fully-separated tokens score 8·ln2, signed by side") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a", "es"), (2L, "b b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.keynessG2(docs, col("lang") === "es")
+      .as[(String, Long, Long, Int, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 0L, 1, 5.5452), ("b", 0L, 2L, -1, 5.5452)),
+      got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")
