@@ -1582,6 +1582,63 @@ object Temporal {
       .orderBy("event_type", "lag")
   }
 
+  /** Poisson-BOOTSTRAP confidence interval for the mean value — the
+    * uncertainty number [[jackknifeSe]]'s normal approximation can't
+    * give when the distribution is skewed (percentile CI needs no
+    * normality). Classic distributed bootstrap (Poisson(1) weights ≈
+    * multinomial resampling without coordination): each row draws a
+    * DETERMINISTIC per-replicate weight from the md5-uniform inverse
+    * Poisson CDF (the [[Profile.dpCounts]] RNG substitute — same hash,
+    * same resample, replayable in SQL), each replicate's mean is a
+    * ratio of exact integer sums, and the CI is the interpolating
+    * percentile over the B replicate means (the proven
+    * percentile/quantile_cont pairing).
+    *
+    * Scale shape: a B× in-row fan-out into ONE map-side-combined
+    * aggregate of B rows — no data is ever materialized resampled. */
+  def bootstrapCi(events: DataFrame, b: Int = 50,
+      salt: String = "boot1"): DataFrame = {
+    require(b >= 10, "need at least 10 replicates")
+    // Poisson(1) inverse-CDF thresholds c_k = Σ_{j≤k} e⁻¹/j!, capped at 6
+    val thresholds = {
+      var fact = 1.0; var s = 0.0
+      (0 to 5).map { k =>
+        if (k > 0) fact *= k
+        s += math.exp(-1.0) / fact
+        s
+      }
+    }
+    val v = events.where(col("value").isNotNull)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("vc"))
+    val rep = v.select(col("event_id"), col("vc"),
+      explode(sequence(lit(1), lit(b))).as("bi"))
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+      col("event_id").cast("string"), lit(":"), col("bi").cast("string"))),
+      1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val k = thresholds.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (c, i)) =>
+        acc.when(col("u") < lit(c), i)
+      }.otherwise(6)
+    val means = rep.withColumn("u", u)
+      .withColumn("k", k)
+      .groupBy("bi")
+      .agg(sum(col("k") * col("vc")).as("skv"), sum("k").as("sk"))
+      .where(col("sk") > 0)
+      .select(col("bi"),
+        (col("skv").cast("double") / (col("sk") * 100).cast("double")).as("m"))
+    val tot = v.agg(count(lit(1)).as("n"), sum("vc").as("s"))
+    means.agg(count(lit(1)).as("b"),
+        expr("percentile(m, 0.025)").as("lo"),
+        expr("percentile(m, 0.5)").as("med"),
+        expr("percentile(m, 0.975)").as("hi"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), col("n"),
+        round(col("s").cast("double") / (col("n") * 100).cast("double"), 4)
+          .as("mean"),
+        round(col("lo"), 4).as("ci_lo"), round(col("med"), 4).as("ci_med"),
+        round(col("hi"), 4).as("ci_hi"))
+  }
+
   /** Pairwise cosine similarity of the event types' HOUR-OF-DAY count
     * profiles — which behaviors share a daily shape (the "is `error`
     * traffic-shaped or batch-shaped" readout, and the feature the

@@ -804,6 +804,10 @@ object ExtQueries {
     Drift.energyDistance(Tables.events(s, d),
       dayofweek(col("ts")).isin(1, 7))
 
+  /** Poisson-bootstrap percentile CI of the mean event value. */
+  def bootstrapCiQ(s: SparkSession, d: String): DataFrame =
+    Temporal.bootstrapCi(Tables.events(s, d))
+
   /** Gries DP dispersion of token mass across sources, top 20. */
   def tokenDispersionQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenDispersion(Tables.documents(s, d))
@@ -2676,6 +2680,7 @@ object ExtQueries {
     "ext_cvm" -> cvmQ _,
     "ext_token_dispersion" -> tokenDispersionQ _,
     "ext_keyness" -> keynessQ _,
+    "ext_bootstrap_ci" -> bootstrapCiQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6641,6 +6646,10 @@ object ExtQueries {
     // Holt–Winters: the ext_holt fold with a 26-element seasonal state
     "ext_holt_winters" -> hwSql(0.5, 0.25, 0.25, 24, 3),
 
+    // Poisson bootstrap: md5-uniform deterministic weights, exact
+    // integer replicate sums, quantile_cont/percentile CI pairing
+    "ext_bootstrap_ci" -> bootstrapSql(50, "boot1"),
+
     // Gries DP dispersion: exact common-denominator numerators,
     // rank on the rounded dp
     "ext_token_dispersion" ->
@@ -8251,6 +8260,45 @@ object ExtQueries {
        |  FROM v)
        |$legs
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Poisson-bootstrap oracle mirroring
+    * [[graft.ext.Temporal.bootstrapCi]]: identical md5-uniform draws,
+    * inverse-CDF thresholds interpolated from the SAME Scala doubles,
+    * quantile_cont over the replicate means. */
+  private def bootstrapSql(b: Int, salt: String): String = {
+    val thresholds = {
+      var fact = 1.0; var s = 0.0
+      (0 to 5).map { k =>
+        if (k > 0) fact *= k
+        s += math.exp(-1.0) / fact
+        s
+      }
+    }
+    val caseExpr = thresholds.zipWithIndex
+      .map { case (c, i) => s"WHEN u < $c THEN $i" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH v AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
+       |  FROM events WHERE value IS NOT NULL),
+       |rep AS (SELECT event_id, vc, CAST(t.bi AS INT) AS bi
+       |        FROM v, unnest(range(1, ${b + 1})) AS t(bi)),
+       |u AS (SELECT bi, vc,
+       |        (CAST('0x' || substr(md5('$salt:' || event_id || ':' || bi),
+       |          1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
+       |      FROM rep),
+       |kk AS (SELECT bi, vc, $caseExpr AS k FROM u),
+       |m AS (SELECT bi, CAST(SUM(k * vc) AS BIGINT) AS skv,
+       |        CAST(SUM(k) AS BIGINT) AS sk
+       |      FROM kk GROUP BY bi),
+       |mb AS (SELECT bi, CAST(skv AS DOUBLE) / CAST(sk * 100 AS DOUBLE) AS m
+       |       FROM m WHERE sk > 0),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS s FROM v)
+       |SELECT (SELECT COUNT(*) FROM mb) AS b, tot.n,
+       |  ROUND(CAST(tot.s AS DOUBLE) / CAST(tot.n * 100 AS DOUBLE), 4) AS mean,
+       |  (SELECT ROUND(quantile_cont(m, 0.025), 4) FROM mb) AS ci_lo,
+       |  (SELECT ROUND(quantile_cont(m, 0.5), 4) FROM mb) AS ci_med,
+       |  (SELECT ROUND(quantile_cont(m, 0.975), 4) FROM mb) AS ci_hi
+       |FROM tot""".stripMargin
   }
 
   /** Holt–Winters oracle mirroring

@@ -175,6 +175,22 @@ class MiscStatsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("bootstrapCi: constant values collapse the CI; CI ordered and deterministic") {
+    import spark.implicits._
+    val const = (1L to 100L).map(i => (i, 2.5)).toDF("event_id", "value")
+    val c = Temporal.bootstrapCi(const)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(c == ((50L, 100L, 2.5, 2.5, 2.5, 2.5)), c.toString)
+    val mixed = (1L to 40L).map(i => (i, if (i % 2 == 0) 10.0 else 0.0))
+      .toDF("event_id", "value")
+    val m1 = Temporal.bootstrapCi(mixed)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val m2 = Temporal.bootstrapCi(mixed)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(m1 == m2, s"$m1 vs $m2") // same hash → same resample
+    assert(m1._4 <= m1._5 && m1._5 <= m1._6 && m1._4 < m1._6, m1.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")
