@@ -1582,6 +1582,99 @@ object Temporal {
       .orderBy("event_type", "lag")
   }
 
+  /** Markov REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    * data-driven multi-touch model next to [[lastTouchAttribution]]'s
+    * heuristic one: build the first-order Markov chain over per-user
+    * touch journeys ((start) → touches → (conv) at the first
+    * conversion event, else (null)), compute the 25-step truncated
+    * absorption probability P(conv | start), and credit each channel
+    * by how much that probability drops when the channel is removed
+    * (removal = pin the channel's absorption value to 0 — exactly
+    * redirecting its inbound mass to (null)). Transition probabilities
+    * are exact count ratios; each iteration folds targets in ascending
+    * state order (the [[markovStationary]] double-association
+    * contract), so all six truncated chains replay bit-for-bit in the
+    * unrolled MATERIALIZED-CTE oracle.
+    *
+    * Scale shape: journeys are two windows on one user shuffle; only
+    * the S×S count matrix is collected (maxStates-guarded) — the
+    * (1+channels) chain evaluations are driver-side S²-flop loops.
+    * Output per channel: p_full, p_removed, removal_effect,
+    * share (= RE/ΣRE, channel-ordered fold). */
+  def markovAttribution(events: DataFrame, convType: String = "purchase",
+      iters: Int = 25, maxStates: Int = 50): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq0 = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstp = seq0.where(col("event_type") === convType)
+      .groupBy("user_id").agg(min("rn").as("pr"))
+    val touch = seq0.join(firstp, Seq("user_id"), "left")
+      .where(col("pr").isNull || col("rn") < col("pr"))
+    val lagW = Window.partitionBy("user_id").orderBy("rn")
+    val tr1 = touch.withColumn("prev", lag(col("event_type"), 1).over(lagW))
+      .select(coalesce(col("prev"), lit("(start)")).as("f"),
+        col("event_type").as("t"))
+    val lastT = touch
+      .withColumn("r", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("rn").desc)))
+      .where(col("r") === 1)
+      .select(col("event_type").as("f"),
+        when(col("pr").isNotNull, "(conv)").otherwise("(null)").as("t"))
+    val startConv = firstp.where(col("pr") === 1)
+      .select(lit("(start)").as("f"), lit("(conv)").as("t"))
+    val mat = tr1.unionAll(lastT).unionAll(startConv)
+      .groupBy("f", "t").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val states = (mat.map(_._1) ++ mat.map(_._2)).distinct.sorted
+    require(states.length <= maxStates,
+      s"markovAttribution: ${states.length} states exceeds maxStates=$maxStates")
+    val idx = states.zipWithIndex.toMap
+    val n = states.length
+    val outTot = new Array[Long](n)
+    mat.foreach { case (f, _, c) => outTot(idx(f)) += c }
+    val p = Array.fill(n, n)(0.0)
+    mat.foreach { case (f, t, c) =>
+      p(idx(f))(idx(t)) = c.toDouble / outTot(idx(f)) }
+    val conv = idx.get("(conv)"); val nul = idx.get("(null)")
+    val start = idx.get("(start)")
+    def absorb(removed: Option[Int]): Double = {
+      var x = Array.tabulate(n)(i => if (conv.contains(i)) 1.0 else 0.0)
+      (0 until iters).foreach { _ =>
+        val next = Array.tabulate(n) { i =>
+          if (conv.contains(i)) 1.0
+          else if (nul.contains(i) || removed.contains(i)) 0.0
+          else {
+            var acc = 0.0; var j = 0
+            while (j < n) { acc += p(i)(j) * x(j); j += 1 } // ascending-j fold
+            acc
+          }
+        }
+        x = next
+      }
+      start.map(x).getOrElse(0.0)
+    }
+    val pFull = absorb(None)
+    val channels = states
+      .filterNot(s => s == "(start)" || s == "(conv)" || s == "(null)")
+    val res = channels.map { c => (c, absorb(Some(idx(c)))) }
+    val reSum = res.map { case (_, pr) =>
+      if (pFull > 0.0) 1.0 - pr / pFull else 0.0 }.sum // channel-ordered
+    spark.createDataset(res.toSeq).toDF("channel", "p_removed")
+      .select(col("channel"), lit(pFull).as("p_full"), col("p_removed"),
+        when(lit(pFull) > 0.0,
+          round(lit(1.0) - col("p_removed") / lit(pFull), 4)).as("removal_effect"),
+        when(lit(reSum) > 0.0 && lit(pFull) > 0.0,
+          round((lit(1.0) - col("p_removed") / lit(pFull)) / lit(reSum), 4))
+          .as("share"))
+      .select(col("channel"), round(col("p_full"), 4).as("p_full"),
+        round(col("p_removed"), 4).as("p_removed"), col("removal_effect"),
+        col("share"))
+      .orderBy("channel")
+  }
+
   /** Poisson-BOOTSTRAP confidence interval for the mean value — the
     * uncertainty number [[jackknifeSe]]'s normal approximation can't
     * give when the distribution is skewed (percentile CI needs no

@@ -804,6 +804,10 @@ object ExtQueries {
     Drift.energyDistance(Tables.events(s, d),
       dayofweek(col("ts")).isin(1, 7))
 
+  /** Markov removal-effect multi-touch attribution toward purchase. */
+  def markovAttributionQ(s: SparkSession, d: String): DataFrame =
+    Temporal.markovAttribution(Tables.events(s, d))
+
   /** Poisson-bootstrap percentile CI of the mean event value. */
   def bootstrapCiQ(s: SparkSession, d: String): DataFrame =
     Temporal.bootstrapCi(Tables.events(s, d))
@@ -2681,6 +2685,7 @@ object ExtQueries {
     "ext_token_dispersion" -> tokenDispersionQ _,
     "ext_keyness" -> keynessQ _,
     "ext_bootstrap_ci" -> bootstrapCiQ _,
+    "ext_markov_attribution" -> markovAttributionQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6650,6 +6655,11 @@ object ExtQueries {
     // integer replicate sums, quantile_cont/percentile CI pairing
     "ext_bootstrap_ci" -> bootstrapSql(50, "boot1"),
 
+    // Markov removal-effect attribution: six unrolled 25-step
+    // truncated-absorption chains, ascending-target folds
+    "ext_markov_attribution" -> markovAttributionSql(
+      Seq("click", "error", "signup", "view"), 25),
+
     // Gries DP dispersion: exact common-denominator numerators,
     // rank on the rounded dp
     "ext_token_dispersion" ->
@@ -8260,6 +8270,89 @@ object ExtQueries {
        |  FROM v)
        |$legs
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Markov removal-effect attribution oracle mirroring
+    * [[graft.ext.Temporal.markovAttribution]]: the journey/transition
+    * CTEs, then one 25-step truncated-absorption chain per variant
+    * (full + each hardcoded fixture channel removed), every iteration
+    * a MATERIALIZED ≤S-row table with ascending-target list folds. */
+  private def markovAttributionSql(channels: Seq[String], iters: Int): String = {
+    def chain(tag: String, removed: Option[String]): String = {
+      val rm = removed.map(c => s"WHEN s.st = '$c' THEN 0.0").getOrElse("")
+      val steps = (1 to iters).map { k =>
+        s"""x${tag}_$k AS MATERIALIZED (SELECT s.st,
+           |  CASE WHEN s.st = '(conv)' THEN 1.0
+           |       WHEN s.st = '(null)' THEN 0.0
+           |       $rm
+           |       ELSE COALESCE(f.v, 0.0) END AS x
+           |  FROM states s LEFT JOIN (
+           |    SELECT pm.i AS st,
+           |      list_reduce(list(prev.x * pm.p ORDER BY pm.j),
+           |        (a, b) -> a + b) AS v
+           |    FROM pm JOIN x${tag}_${k - 1} prev ON prev.st = pm.j
+           |    GROUP BY pm.i) f ON f.st = s.st)""".stripMargin
+      }.mkString(",\n")
+      s"""x${tag}_0 AS MATERIALIZED (SELECT st,
+         |  CASE WHEN st = '(conv)' THEN 1.0 ELSE 0.0 END AS x FROM states),
+         |$steps""".stripMargin
+    }
+    val chains = (chain("f", None) +:
+      channels.zipWithIndex.map { case (c, i) => chain(s"c$i", Some(c)) })
+      .mkString(",\n")
+    val resRows = channels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, (SELECT x FROM xc${i}_$iters WHERE st = '(start)') AS p_removed"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq AS (SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn
+       |  FROM events),
+       |firstp AS (SELECT user_id, MIN(rn) AS pr FROM seq
+       |           WHERE event_type = 'purchase' GROUP BY user_id),
+       |touch AS (SELECT s.user_id, s.rn, s.event_type, f.pr
+       |          FROM seq s LEFT JOIN firstp f USING (user_id)
+       |          WHERE f.pr IS NULL OR s.rn < f.pr),
+       |tr1 AS (SELECT COALESCE(LAG(event_type) OVER (
+       |            PARTITION BY user_id ORDER BY rn), '(start)') AS f,
+       |          event_type AS t
+       |        FROM touch),
+       |lastt AS (SELECT event_type AS f,
+       |            CASE WHEN pr IS NOT NULL THEN '(conv)'
+       |                 ELSE '(null)' END AS t
+       |          FROM (SELECT user_id, event_type, pr,
+       |                  ROW_NUMBER() OVER (PARTITION BY user_id
+       |                    ORDER BY rn DESC) AS r
+       |                FROM touch) WHERE r = 1),
+       |sc AS (SELECT '(start)' AS f, '(conv)' AS t FROM firstp WHERE pr = 1),
+       |tr AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |         SELECT f, t FROM tr1
+       |         UNION ALL SELECT f, t FROM lastt
+       |         UNION ALL SELECT f, t FROM sc) GROUP BY f, t),
+       |states AS MATERIALIZED (
+       |  SELECT st FROM (SELECT f AS st FROM tr UNION SELECT t FROM tr)),
+       |ot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS tot FROM tr GROUP BY f),
+       |pm AS MATERIALIZED (SELECT si.st AS i, sj.st AS j,
+       |        CASE WHEN ot.tot IS NULL THEN 0.0
+       |             ELSE CAST(COALESCE(tr.c, 0) AS DOUBLE) / ot.tot END AS p
+       |      FROM states si CROSS JOIN states sj
+       |      LEFT JOIN ot ON ot.f = si.st
+       |      LEFT JOIN tr ON tr.f = si.st AND tr.t = sj.st),
+       |$chains,
+       |pf AS (SELECT (SELECT x FROM xf_$iters WHERE st = '(start)')
+       |         AS p_full),
+       |res AS ($resRows),
+       |tot2 AS (SELECT list_reduce(list(
+       |           CASE WHEN pf.p_full > 0.0 THEN 1.0 - p_removed / pf.p_full
+       |                ELSE 0.0 END ORDER BY channel),
+       |           (a, b) -> a + b) AS s
+       |         FROM res, pf)
+       |SELECT res.channel, ROUND(pf.p_full, 4) AS p_full,
+       |  ROUND(res.p_removed, 4) AS p_removed,
+       |  CASE WHEN pf.p_full > 0.0 THEN
+       |    ROUND(1.0 - res.p_removed / pf.p_full, 4) END AS removal_effect,
+       |  CASE WHEN tot2.s > 0.0 AND pf.p_full > 0.0 THEN
+       |    ROUND((1.0 - res.p_removed / pf.p_full) / tot2.s, 4) END AS share
+       |FROM res, pf, tot2 ORDER BY channel""".stripMargin
   }
 
   /** Poisson-bootstrap oracle mirroring

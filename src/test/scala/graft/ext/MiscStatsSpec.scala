@@ -191,6 +191,20 @@ class MiscStatsSpec extends SparkSpec {
     assert(m1._4 <= m1._5 && m1._5 <= m1._6 && m1._4 < m1._6, m1.toString)
   }
 
+  test("markovAttribution: converting channel gets full removal credit") {
+    import spark.implicits._
+    // user 1: click -> purchase; user 2: view -> nothing
+    val ev = Seq(
+      (1L, hts(0), 10L, "click"), (1L, hts(1), 11L, "purchase"),
+      (2L, hts(0), 20L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.markovAttribution(ev)
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    // p_full = .5; removing click kills all conversion, view none
+    assert(got == Seq(("click", 0.5, 0.0, 1.0, 1.0),
+      ("view", 0.5, 0.5, 0.0, 0.0)), got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")

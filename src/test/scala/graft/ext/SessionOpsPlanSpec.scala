@@ -77,7 +77,7 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_dist_distances", "ext_err", "ext_profile_cosine",
     "ext_corr_matrix", "ext_rouge", "ext_holt_winters",
     "ext_energy_distance", "ext_cvm", "ext_token_dispersion",
-    "ext_keyness", "ext_bootstrap_ci")
+    "ext_keyness", "ext_bootstrap_ci", "ext_markov_attribution")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
