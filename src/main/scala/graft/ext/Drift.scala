@@ -241,6 +241,45 @@ object Drift {
       .orderBy(groupCol)
   }
 
+  /** Cohen's d + Hedges' g standardized effect sizes between every
+    * group pair — the "is the difference big enough to CARE" companion
+    * to [[welchVsRest]]'s "is it significant" (at 100k rows everything
+    * is significant; d says whether it matters). Means and pooled SD
+    * come from exact 2-decimal integer moments (one group aggregate,
+    * G-row pair assembly), the one float stage per pair being the
+    * final ratio; g applies the small-sample correction
+    * (1 − 3/(4N−9)) as exact integer arithmetic inside the double. */
+  def effectSizes(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("t"),
+        round(col(valueCol) * 100).cast("long").as("v"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val pair = g.toDF("ta", "na", "sa", "qa")
+      .join(broadcast(g.toDF("tb", "nb", "sb", "qb")), col("ta") < col("tb"))
+    // (n−1)·s² held n×-SCALED: ss = n·Σv² − (Σv)² = n·(n−1)·s²
+    val ssa = (col("na") * col("qa") - col("sa") * col("sa")).cast("double")
+    val ssb = (col("nb") * col("qb") - col("sb") * col("sb")).cast("double")
+    val md = col("sa").cast("double") / col("na").cast("double") -
+      col("sb").cast("double") / col("nb").cast("double")
+    val sp = sqrt((ssa / col("na").cast("double")
+      + ssb / col("nb").cast("double"))
+      / (col("na") + col("nb") - 2).cast("double"))
+    val d = md / sp // the 1e-2 scale cancels in the ratio
+    val corr = lit(1.0) -
+      lit(3.0) / ((col("na") + col("nb")) * 4 - 9).cast("double")
+    pair.select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("na"), col("nb"),
+        round(md / 100.0, 4).as("mean_diff"),
+        when(ssa + ssb > 0.0 && col("na") + col("nb") > 2,
+          round(d, 4)).as("cohens_d"),
+        when(ssa + ssb > 0.0 && col("na") + col("nb") > 2,
+          round(d * corr, 4)).as("hedges_g"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Two-sample ENERGY DISTANCE between cohorts X and Y of a 2-decimal
     * value column — the distribution-distance that needs no binning
     * (metrizes weak convergence; 0 iff the distributions match):

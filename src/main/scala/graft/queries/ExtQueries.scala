@@ -804,6 +804,10 @@ object ExtQueries {
     Drift.energyDistance(Tables.events(s, d),
       dayofweek(col("ts")).isin(1, 7))
 
+  /** Cohen's d / Hedges' g effect sizes between event-type pairs. */
+  def effectSizesQ(s: SparkSession, d: String): DataFrame =
+    Drift.effectSizes(Tables.events(s, d), "event_type", "value")
+
   /** Markov removal-effect multi-touch attribution toward purchase. */
   def markovAttributionQ(s: SparkSession, d: String): DataFrame =
     Temporal.markovAttribution(Tables.events(s, d))
@@ -2686,6 +2690,7 @@ object ExtQueries {
     "ext_keyness" -> keynessQ _,
     "ext_bootstrap_ci" -> bootstrapCiQ _,
     "ext_markov_attribution" -> markovAttributionQ _,
+    "ext_effect_sizes" -> effectSizesQ _,
   )
 
   // ---------------- DuckDB oracle SQL ----------------
@@ -6659,6 +6664,36 @@ object ExtQueries {
     // truncated-absorption chains, ascending-target folds
     "ext_markov_attribution" -> markovAttributionSql(
       Seq("click", "error", "signup", "view"), 25),
+
+    // Cohen's d / Hedges' g: exact integer moments, one ratio per pair
+    "ext_effect_sizes" ->
+      """WITH g AS (SELECT event_type AS t, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+        |  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE value IS NOT NULL) GROUP BY 1),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, a.n AS na, b.n AS nb,
+        |        a.s AS sa, b.s AS sb, a.q AS qa, b.q AS qb
+        |      FROM g a JOIN g b ON a.t < b.t)
+        |SELECT type_a, type_b, na, nb,
+        |  ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 4) AS mean_diff,
+        |  CASE WHEN CAST(na * qa - sa * sa AS DOUBLE)
+        |         + CAST(nb * qb - sb * sb AS DOUBLE) > 0.0 AND na + nb > 2
+        |  THEN ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt((CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |        + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / CAST(na + nb - 2 AS DOUBLE)), 4) END AS cohens_d,
+        |  CASE WHEN CAST(na * qa - sa * sa AS DOUBLE)
+        |         + CAST(nb * qb - sb * sb AS DOUBLE) > 0.0 AND na + nb > 2
+        |  THEN ROUND(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt((CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |        + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / CAST(na + nb - 2 AS DOUBLE)))
+        |    * (1.0 - 3.0 / CAST((na + nb) * 4 - 9 AS DOUBLE)), 4)
+        |  END AS hedges_g
+        |FROM p ORDER BY type_a, type_b""".stripMargin,
 
     // Gries DP dispersion: exact common-denominator numerators,
     // rank on the rounded dp

@@ -205,6 +205,19 @@ class MiscStatsSpec extends SparkSpec {
       ("view", 0.5, 0.5, 0.0, 0.0)), got.toString)
   }
 
+  test("effectSizes: hand Cohen's d with the Hedges small-sample shrink") {
+    import spark.implicits._
+    // a = {0,2}, b = {10,12}: md = −10, pooled sd = √2 → d = −7.0711
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 10.0), ("b", 12.0))
+      .toDF("t", "value")
+    val got = Drift.effectSizes(df, "t", "value")
+      .as[(String, String, Long, Long, Double, Double, Double)].head()
+    assert((got._1, got._2, got._5, got._6) == (("a", "b", -10.0, -7.0711)),
+      got.toString)
+    // g = d·(1 − 3/7) = d·4/7 = −4.0406
+    assert(got._7 == -4.0406, got.toString)
+  }
+
   test("jarqueBera: symmetric trio has zero skew, excess kurtosis -1.5") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("t", "value")

@@ -40,7 +40,9 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_vmeasure", "ext_dist_distances", "ext_err",
     // energy distance / CvM: 1-row totals cross
     "ext_energy_distance", "ext_cvm", "ext_token_dispersion",
-    "ext_keyness", "ext_bootstrap_ci")
+    "ext_keyness", "ext_bootstrap_ci",
+    // effect sizes: G×G bounded group-pair cross
+    "ext_effect_sizes")
 
   private val ops = Seq(
     "ext_readability", "ext_lexical_diversity", "ext_benford", "ext_cusum",
@@ -77,7 +79,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_dist_distances", "ext_err", "ext_profile_cosine",
     "ext_corr_matrix", "ext_rouge", "ext_holt_winters",
     "ext_energy_distance", "ext_cvm", "ext_token_dispersion",
-    "ext_keyness", "ext_bootstrap_ci", "ext_markov_attribution")
+    "ext_keyness", "ext_bootstrap_ci", "ext_markov_attribution",
+    "ext_effect_sizes")
 
   test("session-3 ops plan no cartesian products (and no BNLJ beyond scalar crosses)") {
     ops.foreach { q =>
