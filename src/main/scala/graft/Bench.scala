@@ -48,6 +48,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
+        // attribute shared-cache builds to the entry whose timing pays
+        // them (CacheLog → the cache_builds field below)
+        CacheLog.currentQuery = name
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -56,7 +59,7 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
-        }
+        } finally CacheLog.currentQuery = ""
       }
     // The driver captures only the LAST 2000 chars of stdout (measured:
     // BENCH_r01/r02 tails are exactly 2000 and both cut the head of a
@@ -89,7 +92,7 @@ object Bench {
     try {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},$hostMeta,"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"relational_b3_sec":${f(b3)},$hostMeta,"cache_builds":${CacheLog.asJson},"queries":${qmap(results, f)},"sf":"$sfDir"}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $fullPath write failed: $e")
     }

@@ -259,16 +259,19 @@ object Graph {
     * Scale shape: one neighbor-keyed self-join for the wedges (per-node
     * cost O(deg²), the triangle counter's shape), one anti-join against
     * the existing edges, one rollup. `maxCenterDegree` drops
-    * super-hub centers (their 1/ln(deg) contribution is the smallest
-    * and their deg² fan-out the largest — the standard AA truncation);
-    * the default keeps every center, and the battery fixture caps
-    * nothing.
+    * super-hub centers BEFORE the wedge self-join (their 1/ln(deg)
+    * contribution is the smallest and their deg² fan-out the largest —
+    * the standard AA truncation): one hub at degree d costs d² wedge
+    * rows, so an unbounded default turns a single celebrity node into a
+    * quadratic blowup. The default (65536 ⇒ ≤4.3e9 wedges per center,
+    * truncation documented in the output contract) is far above any
+    * fixture degree, so the battery caps nothing.
     *
     * Determinism: contributions are grouped by EXACT integer degree and
     * the per-pair sum folds cnt/ln(deg) in ascending-degree order, so
     * both engines associate the same doubles identically. */
   def adamicAdar(pairs: DataFrame, topK: Int = 20,
-      maxCenterDegree: Long = Long.MaxValue): DataFrame = {
+      maxCenterDegree: Long = 65536L): DataFrame = {
     val e = pairs.select(
         least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
@@ -277,8 +280,11 @@ object Graph {
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
     val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
       .where(col("deg") <= maxCenterDegree)
-    val l = adj.toDF("z", "x")
-    val r = adj.toDF("z2", "y")
+    // cap the CENTERS before the self-join: the wedge fan-out is what
+    // maxCenterDegree exists to bound, not just the final scoring join
+    val adjC = adj.join(deg.select("v"), Seq("v"), "left_semi")
+    val l = adjC.toDF("z", "x")
+    val r = adjC.toDF("z2", "y")
     val wedges = l.join(r, col("z") === col("z2") && col("x") < col("y"))
       .select(col("x"), col("y"), col("z"))
     val open = wedges.join(e,

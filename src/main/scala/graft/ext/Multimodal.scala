@@ -171,15 +171,27 @@ object Multimodal {
   /** Perceptual-hash media DEDUP via Hamming-band bucketing — the
     * image/video twin of [[Dedup.simhashBandedPairs]]: the 60-bit phash
     * splits into `bands` fixed windows; any pair within `maxHamming`
-    * bits must agree on at least one band (pigeonhole for
-    * maxHamming < bands), so candidates come from band-key equi-joins —
-    * never an all-pairs scan — and the exact `bit_count(xor)` distance
-    * verifies each candidate. All integer arithmetic. With the md5 stub
-    * codec only byte-identical payloads collide (avalanche), which is
+    * bits differs in at most `maxHamming` bands, so it must AGREE on at
+    * least one band whenever maxHamming < bands (pigeonhole) — that
+    * precondition is `require`d, along with full bit coverage
+    * (bands·bandBits ≥ 60), because a banding that violates either
+    * silently drops true near-pairs (recall < 1) instead of failing.
+    * Candidates come from band-key equi-joins — never an all-pairs
+    * scan — and the exact `bit_count(xor)` distance verifies each
+    * candidate, so precision is exact and recall is 1 by construction.
+    * Defaults: 10 bands × 6 bits (covers the 60-bit phash, valid for
+    * maxHamming ≤ 9). All integer arithmetic. With the md5 stub codec
+    * only byte-identical payloads collide (avalanche), which is
     * exactly the re-encoded-duplicate case the fixture plants; a real
     * pHash makes near-misses land in the same bands the same way. */
-  def phashBandedPairs(phashes: DataFrame, bands: Int = 4,
-      bandBits: Int = 15, maxHamming: Int = 8): DataFrame = {
+  def phashBandedPairs(phashes: DataFrame, bands: Int = 10,
+      bandBits: Int = 6, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < bands; got " +
+        s"maxHamming=$maxHamming, bands=$bands")
+    require(bands * bandBits >= 60 && bands * bandBits <= 63,
+      s"bands*bandBits must cover the 60-bit phash (and fit a long); " +
+        s"got ${bands * bandBits}")
     val banded = phashes.select(col("media_id"), col("phash"),
       explode(array((0 until bands).map { k =>
         struct(lit(k).as("band"),

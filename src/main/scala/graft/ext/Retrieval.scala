@@ -361,11 +361,16 @@ object Retrieval {
       .select(col("n_rel"),
         graft.functions.StableRound.col4(col("dcg")).as("dcg"),
         graft.functions.StableRound.col4(col("idcg")).as("idcg"),
-        graft.functions.StableRound.col4(col("dcg") / col("idcg")).as("ndcg"),
+        // degenerate probe sets (no relevant docs anywhere → idcg/n_rel
+        // = 0) score 0, not NaN — same convention as the mrr coalesce
+        when(col("idcg") > 0.0,
+          graft.functions.StableRound.col4(col("dcg") / col("idcg")))
+          .otherwise(lit(0.0)).as("ndcg"),
         round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 4)
           .as("mrr"),
-        round(col("ap_num") / least(col("n_rel"), lit(depth.toLong)).cast("double"), 4)
-          .as("ap"))
+        when(col("n_rel") > 0L,
+          round(col("ap_num") / least(col("n_rel"), lit(depth.toLong)).cast("double"), 4))
+          .otherwise(lit(0.0)).as("ap"))
   }
 
   /** Expected Reciprocal Rank @depth (Chapelle et al. 2009) of the BM25

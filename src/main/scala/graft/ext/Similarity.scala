@@ -73,6 +73,27 @@ object Similarity {
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
       .withColumn("n", norm(col("e")))
 
+  /** Ceiling for the exact brute-pairwise EVAL harnesses
+    * ([[knnLabelEval]], [[silhouette]], [[dunnIndex]]): they broadcast
+    * the full vector table into an n² nested-loop join, which is the
+    * right plan for a bounded eval slice and an OOM at corpus scale.
+    * 65536 rows → 65536² ≈ 4.3e9 pair evals / ~35 MB broadcast — the
+    * practical single-eval ceiling. */
+  private[ext] val BruteEvalBound = 65536L
+
+  /** Fail-fast enforcement of the bounded-eval contract (the
+    * closenessCentrality `require(V <= 16384)` pattern): one cheap
+    * COUNT of the id column, then a hard `require` — an immediate,
+    * named error beats an executor OOM three stages in. Sample or
+    * pre-slice the input above the bound. */
+  private def requireBoundedEval(embeddings: DataFrame, op: String): Unit = {
+    val n = embeddings.select("vec_id").count()
+    require(n <= BruteEvalBound,
+      s"$op is an exact brute-pairwise eval harness bounded at " +
+        s"$BruteEvalBound vectors (got $n); run it on a sampled or " +
+        s"pre-sliced eval set, or use the ANN stack for the serving path")
+  }
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query side, scan the corpus once, per-query ranking window. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -691,6 +712,7 @@ object Similarity {
     * stack); per-vector ranking is a vec-keyed window, never global.
     * Output: (label, n, n_correct, acc). */
   def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    requireBoundedEval(embeddings, "knnLabelEval")
     val e = Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("e")))
@@ -727,6 +749,7 @@ object Similarity {
     * Brute pairwise, like [[knnLabelEval]]: the offline eval harness.
     * Output: (label, n, silhouette). */
   def silhouette(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
+    requireBoundedEval(embeddings, "silhouette")
     val e = Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))
@@ -1033,6 +1056,7 @@ object Similarity {
     * for sampled/bounded eval sets, not a corpus-scale pipeline stage;
     * at corpus scale run it on a per-label sample. */
   def dunnIndex(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
+    requireBoundedEval(embeddings, "dunnIndex")
     val e = Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))

@@ -819,10 +819,13 @@ object TextAnalysis {
     * keep the low-NLL tail).
     *
     * Scale shape: three grouped counts over the training slice (each
-    * partial+final), all broadcast into ONE pass over the eval trigrams
-    * (count tables are vocab-bounded, never corpus-bounded), then a
-    * per-doc mean. Seen-trigram ⇒ seen-prefix-bigram (same corpus), so
-    * the CASE never divides by null. */
+    * partial+final) join onto ONE pass over the eval trigrams, then a
+    * per-doc mean. Only the UNIGRAM tables (c1, vocab-bounded) carry a
+    * broadcast hint; the trigram/bigram TYPE tables grow with the corpus
+    * (billions of rows at web scale), so they take the scale-safe
+    * shuffle-join path — AQE still broadcasts them when they measure
+    * small at runtime. Seen-trigram ⇒ seen-prefix-bigram (same corpus),
+    * so the CASE never divides by null. */
   def stupidBackoff(docs: DataFrame, isTrain: Column,
       alpha: Double = 0.4): DataFrame = {
     val train = docs.where(isTrain)
@@ -846,9 +849,9 @@ object TextAnalysis {
           when(col("c23").isNotNull, col("c23") / col("c1_2"))
             .otherwise(lit(alpha) *
               (coalesce(col("c1_3"), lit(0L)) + 1.0) / (col("n1") + col("v"))))
-    ev.join(broadcast(c3), col("sh") === col("g3"), "left")
-      .join(broadcast(c2.toDF("g12", "c12")), col("w12") === col("g12"), "left")
-      .join(broadcast(c2.toDF("g23", "c23")), col("w23") === col("g23"), "left")
+    ev.join(c3, col("sh") === col("g3"), "left")
+      .join(c2.toDF("g12", "c12"), col("w12") === col("g12"), "left")
+      .join(c2.toDF("g23", "c23"), col("w23") === col("g23"), "left")
       .join(broadcast(c1.toDF("u2", "c1_2")), col("w2") === col("u2"), "left")
       .join(broadcast(c1.toDF("u3", "c1_3")), col("w3") === col("u3"), "left")
       .crossJoin(broadcast(totals))
@@ -871,8 +874,11 @@ object TextAnalysis {
     *
     * Scale shape: ONE bigram count table feeds everything — c(w1) and
     * N1+(w1·) are a regroup of it, N1+(·w2) another, B/V two scalars —
-    * then one pass over the eval bigrams with left joins (vocab-bounded
-    * model tables; AQE broadcasts them when small). */
+    * then one pass over the eval bigrams with left joins. The bigram
+    * TYPE table c12 grows with the corpus, so it takes the scale-safe
+    * shuffle-join path (AQE broadcasts it when it measures small); only
+    * the unigram-keyed regroups (c1, cont — vocab-bounded by
+    * construction) carry broadcast hints. */
   def knBigramNll(docs: DataFrame, isTrain: Column,
       discount: Double = 0.75): DataFrame = {
     val train = docs.where(isTrain)
@@ -897,7 +903,7 @@ object TextAnalysis {
     val seen = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(discount), lit(0.0))
       + lit(discount) * col("n1fw").cast("double") * pc) / col("c1").cast("double")
     val prob = when(col("c1").isNotNull, seen).otherwise(pc)
-    ev.join(broadcast(c12), col("ew1") === col("w1") && col("ew2") === col("w2"), "left")
+    ev.join(c12, col("ew1") === col("w1") && col("ew2") === col("w2"), "left")
       .join(broadcast(c1.toDF("p1", "c1", "n1fw")), col("ew1") === col("p1"), "left")
       .join(broadcast(cont.toDF("s2", "n1pw")), col("ew2") === col("s2"), "left")
       .crossJoin(broadcast(scalars))
@@ -1264,9 +1270,14 @@ object TextAnalysis {
     * numbering rides in the fold state. Output: (doc_id, corrupted,
     * n_spans, n_masked). */
   def spanCorrupt(docs: DataFrame, spanLen: Int = 3, maskPct: Int = 10): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100,
+      s"maskPct is a percentage in [0, 100], got $maskPct")
+    // hash % 100 < maskPct: exact maskPct% rate for EVERY maskPct (the
+    // previous % (100/maskPct) == 0 form shifted the rate for maskPct
+    // not dividing 100 and div-by-zero'd above 100)
     def masked(block: Column): Column =
       conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-        block.cast("string"))), 1, 4), 16, 10).cast("int") % (100 / maskPct) === 0
+        block.cast("string"))), 1, 4), 16, 10).cast("int") % 100 < maskPct
     docs.select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         aggregate(

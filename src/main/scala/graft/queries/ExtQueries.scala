@@ -21,9 +21,11 @@ object ExtQueries {
     * components read the SAME candidate table. Mirrors LdaQueries.fitted. */
   private val candCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def candidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate(sessionKey(s, d),
+    candCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("candCache")
       Dedup.minhashCandidates(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Session-qualified cache key: cached DataFrames / checkpoints belong
     * to ONE SparkContext — a second session in the same JVM must rebuild
@@ -92,9 +94,11 @@ object ExtQueries {
     * every eval reads the SAME assignment table. */
   private val clusterCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def clusterAssign(s: SparkSession, d: String): DataFrame =
-    clusterCache.getOrElseUpdate(sessionKey(s, d),
+    clusterCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("clusterCache")
       Similarity.kmeans(Tables.embeddings(s, d), k = 8, iters = 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def kmeansAssign(s: SparkSession, d: String): DataFrame =
     clusterAssign(s, d).orderBy("vec_id")
@@ -185,6 +189,7 @@ object ExtQueries {
     scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]()
   private def bpeTrained(s: SparkSession, d: String) =
     bpeCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("bpeCache")
       val (m, v) = graft.ext.Bpe.train(Tables.documents(s, d), 10)
       (m, v.localCheckpoint(true))
     })
@@ -194,17 +199,21 @@ object ExtQueries {
     * — the bpeTrained memo pattern). */
   private val wpCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def wpVocab(s: SparkSession, d: String): DataFrame =
-    wpCache.getOrElseUpdate(sessionKey(s, d),
-      graft.ext.Wordpiece.vocab(Tables.documents(s, d)).localCheckpoint(true))
+    wpCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("wpCache")
+      graft.ext.Wordpiece.vocab(Tables.documents(s, d)).localCheckpoint(true)
+    })
 
   /** Encoded word table, shared by the encode dump and the fertility
     * report (the piece table is the same `wpVocab`; the greedy matcher
     * runs once per fixture). */
   private val wpEncCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def wpEncoded(s: SparkSession, d: String): DataFrame =
-    wpEncCache.getOrElseUpdate(sessionKey(s, d),
+    wpEncCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("wpEncCache")
       graft.ext.Wordpiece.encode(Tables.documents(s, d), wpVocab(s, d))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    })
 
   /** Frequency-mined WordPiece piece table (top-50 multi-char pieces per
     * form + the single-char coverage floor). */
@@ -371,9 +380,11 @@ object ExtQueries {
   private def suffixSlice(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).where(col("doc_id") % 10 === 0)
   private def sharedSuffixRanks(s: SparkSession, d: String): DataFrame =
-    saCache.getOrElseUpdate(sessionKey(s, d),
+    saCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("saCache")
       SuffixArray.suffixRanks(suffixSlice(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Corpus-wide suffix ranks on a 10% doc slice (prefix doubling is
     * ~log(maxlen) global sort rounds — the slice keeps the battery entry
@@ -870,9 +881,11 @@ object ExtQueries {
     * memoization pattern: Adamic–Adar and k-core pay the self-join
     * once between them. */
   private def coActivityEdges(s: SparkSession, d: String): DataFrame =
-    coActCache.getOrElseUpdate(sessionKey(s, d),
+    coActCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("coActCache")
       buildCoActivityEdges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def buildCoActivityEdges(s: SparkSession, d: String): DataFrame = {
     val ua = Tables.events(s, d)
@@ -1753,8 +1766,10 @@ object ExtQueries {
     * ordered-set build, so the battery should pay for it once too. */
   private val shingleSetCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def orderedSets(s: SparkSession, d: String): DataFrame =
-    shingleSetCache.getOrElseUpdate(sessionKey(s, d),
-      Dedup.orderedShingleSets(Tables.documents(s, d)))
+    shingleSetCache.getOrElseUpdate(sessionKey(s, d), {
+      graft.CacheLog.built("shingleSetCache")
+      Dedup.orderedShingleSets(Tables.documents(s, d))
+    })
 
   /** Exact Jaccard ≥ 0.5 pairs over distinct 3-shingle sets via the
     * prefix-filtered set-similarity join. The oracle verifies
@@ -2087,6 +2102,7 @@ object ExtQueries {
   private val probeWCache = scala.collection.concurrent.TrieMap[String, Seq[Double]]()
   private def trainedProbe(s: SparkSession, d: String): Seq[Double] =
     probeWCache.getOrElseUpdate(d, {
+      graft.CacheLog.built("probeWCache")
       val f = probeFeatures(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try LinearModel.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
@@ -2306,7 +2322,8 @@ object ExtQueries {
         nl, "l_orderkey", 8)
       (no, nl)
     }
-    val cached = bucketedReady.getOrElseUpdate(d, build())
+    val cached = bucketedReady.getOrElseUpdate(d,
+      { graft.CacheLog.built("bucketedTables"); build() })
     val (to, tl) =
       if (s.catalog.tableExists(cached._1) && s.catalog.tableExists(cached._2))
         cached
@@ -3785,8 +3802,9 @@ object ExtQueries {
         |FROM wx GROUP BY ws, user_id ORDER BY w, user_id""".stripMargin,
 
     // T5 span corruption: block b of doc d masks iff
-    // md5(d:b)[0,4) % 10 == 0; a masked block collapses to ONE numbered
-    // sentinel (N = 0-based masked-block ordinal). The window's inclusive
+    // md5(d:b)[0,4) % 100 < 10 (exact 10% rate, the maskPct-general
+    // predicate); a masked block collapses to ONE numbered sentinel
+    // (N = 0-based masked-block ordinal). The window's inclusive
     // running count at a block's first token is N+1, hence sent-1.
     "ext_span_corrupt" ->
       s"""WITH $toksCte,
@@ -3797,7 +3815,7 @@ object ExtQueries {
          |),
          |m AS (SELECT doc_id, i, tok, blk,
          |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-         |     CAST(blk AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 0) AS msk
+         |     CAST(blk AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10) AS msk
          |  FROM pos),
          |r AS (SELECT doc_id, i, tok, msk,
          |  SUM(CASE WHEN msk AND i % 3 = 0 THEN 1 ELSE 0 END)
@@ -5674,9 +5692,10 @@ object ExtQueries {
          |    AS norm_mean
          |FROM ic, nrm""".stripMargin,
 
-    // phash banding over the stub codec (md5-slice hashes): bands are
-    // 15-bit integer windows, candidates from band-key joins, hamming
-    // verified by bit_count(xor) — all integers
+    // phash banding over the stub codec (md5-slice hashes): 10 bands of
+    // 6-bit integer windows (pigeonhole-valid for hamming <= 9; mirrors
+    // phashBandedPairs defaults), candidates from band-key joins,
+    // hamming verified by bit_count(xor) — all integers
     "ext_multimodal_dedup" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, md5(text) AS hex FROM documents
@@ -5685,9 +5704,8 @@ object ExtQueries {
         |p AS (SELECT media_id, CAST('0x' || substr(hex, 1, 15) AS BIGINT) AS phash
         |      FROM m),
         |b AS (SELECT media_id, phash, k.band,
-        |        (phash // (CASE k.band WHEN 0 THEN 1 WHEN 1 THEN 32768
-        |           WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) % 32768 AS key
-        |      FROM p, (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(band)) k),
+        |        (phash // (1::BIGINT << (6 * k.band))) % 64 AS key
+        |      FROM p, (SELECT unnest(range(0, 10)) AS band) k),
         |pr AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
         |         a.phash AS pa, b2.phash AS pb
         |       FROM b a JOIN b b2

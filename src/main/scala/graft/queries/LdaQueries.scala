@@ -19,6 +19,7 @@ object LdaQueries {
   private def fitted(s: SparkSession, dir: String): LdaModel =
     cache.getOrElseUpdate(
       java.lang.System.identityHashCode(s.sparkContext).toHexString + ":" + dir, {
+      graft.CacheLog.built("ldaFitted")
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       Lda(LdaConfig(numTopics = 4, alpha = 0.1, beta = 0.01,
         totalIterations = 10, burnInIterations = 5,

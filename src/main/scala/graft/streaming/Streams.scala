@@ -309,26 +309,45 @@ object Streams {
     * Keyed O(1) state: one admitted-count long per (user, hour); rows
     * within a batch are processed in (ts, event_id) order so admission
     * is deterministic and exactly matches the batch row_number() twin
-    * (the oracle). At scale the hour component keeps the key space
-    * rolling — old (user, hour) states are dead weight the watermark
-    * epoch would evict in a production config. Input tuples:
-    * (user_id, epoch_hour, event_id, ts_micros). Emits admitted
-    * (event_id, user_id, epoch_hour). */
+    * (the oracle).
+    *
+    * State is BOUNDED: the (user, hour) key space grows strictly with
+    * stream lifetime, so each key arms an event-time timeout at its
+    * hour's end and the state is `remove()`d once the watermark
+    * (event time minus `lateness`) passes it — live state is only the
+    * keys inside the watermark horizon, not the stream's full history.
+    * Input tuples: (user_id, epoch_hour, event_id, ts_micros). Emits
+    * admitted (event_id, user_id, epoch_hour). */
   def quotaGate(events: Dataset[(Long, Long, Long, Long)],
-      maxPerKey: Long = 10L): Dataset[(Long, Long, Long)] = {
+      maxPerKey: Long = 10L,
+      lateness: String = "1 hour"): Dataset[(Long, Long, Long)] = {
     import events.sparkSession.implicits._
-    events.groupByKey(r => (r._1, r._2))
+    events.toDF("user_id", "eh", "event_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
             state: GroupState[Long]) =>
-          var admitted = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (r._4, r._3)).flatMap { r =>
-            if (admitted < maxPerKey) { admitted += 1; Some((r._3, key._1, key._2)) }
-            else None
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var admitted = state.getOption.getOrElse(0L)
+            val out = rows.toSeq.sortBy(r => (r._4, r._3)).flatMap { r =>
+              if (admitted < maxPerKey) { admitted += 1; Some((r._3, key._1, key._2)) }
+              else None
+            }
+            state.update(admitted)
+            // evict once the watermark passes this key's hour end; the
+            // max() keeps the timestamp legal when a late row lands in an
+            // hour the watermark already crossed (evict next batch)
+            state.setTimeoutTimestamp(
+              math.max((key._2 + 1L) * 3600000L, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(admitted)
-          out.iterator
       }
   }
 }

@@ -63,6 +63,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.ivfTopK(oneVec, oneVec, 3, nlist = 1, nprobe = 1).count() == 0)
   }
 
+  test("brute-pairwise eval harnesses fail fast above the bounded-eval ceiling") {
+    // the n² evals broadcast the full table; above the bound the right
+    // outcome is an immediate named error, not an executor OOM
+    val big = spark.range(65537)
+      .select(col("id").as("vec_id"), (col("id") % 10).as("label"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    for (op <- Seq[org.apache.spark.sql.DataFrame => Any](
+        df => Similarity.knnLabelEval(df),
+        df => Similarity.silhouette(df),
+        df => Similarity.dunnIndex(df))) {
+      val e = intercept[IllegalArgumentException](op(big))
+      assert(e.getMessage.contains("bounded at"), e.getMessage)
+    }
+    // at-bound inputs are accepted (the require is <=, not <):
+    // a tiny labeled set flows through and scores
+    val small = spark.range(6)
+      .select(col("id").as("vec_id"), (col("id") % 2).as("label"),
+        array((col("id") % 2).cast("float"), lit(1.0f)).as("embedding"))
+    assert(Similarity.knnLabelEval(small, k = 2).count() == 2)
+  }
+
   test("round-3 operators handle empty and degenerate inputs") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

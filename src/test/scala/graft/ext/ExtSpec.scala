@@ -997,6 +997,30 @@ class ExtSpec extends SparkSpec {
     assert(again == pairs)
   }
 
+  test("phashBandedPairs: pigeonhole recall — a Hamming-6 pair spread across bands is found") {
+    // differing bits at 0, 15, 30, 45, 46, 47: under the old 4×15-bit
+    // banding EVERY band differs (bits 0 / 15 / 30 / 45-47 hit bands
+    // 0 / 1 / 2 / 3), so the pre-fix defaults silently dropped this
+    // true near-pair; 10×6-bit banding leaves 6 of 10 bands agreeing
+    val near = (1L << 0) | (1L << 15) | (1L << 30) |
+      (1L << 45) | (1L << 46) | (1L << 47)
+    val phashes = Seq((1L, 0L), (2L, near), (3L, ~0L >>> 4))
+      .toDF("media_id", "phash")
+    val got = Multimodal.phashBandedPairs(phashes)
+      .as[(Long, Long, Int)].collect().toList
+    assert(got == List((1L, 2L, 6)))
+    // the preconditions the defaults must satisfy are enforced, not
+    // silently recall-breaking
+    intercept[IllegalArgumentException] {
+      Multimodal.phashBandedPairs(phashes, bands = 4, bandBits = 15,
+        maxHamming = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashBandedPairs(phashes, bands = 9, bandBits = 6,
+        maxHamming = 8) // 54 bits — doesn't cover the 60-bit phash
+    }
+  }
+
   test("zipfFit is invariant to input partitioning") {
     val d = graft.Tables.documents(spark, sf())
     val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head

@@ -153,6 +153,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(tri).count() == 0L)
   }
 
+  test("adamic-adar: maxCenterDegree truncates super-hub centers before the wedge join") {
+    import spark.implicits._
+    // hub 0 touches 1..6 (deg 6), plus edges 1-2 and 2-7. Degrees:
+    // 0:6, 2:3, 1:2, rest 1. Cap 5 excludes exactly the hub as a center.
+    val hub = (1L to 6L).map(l => (0L, l)) ++ Seq((1L, 2L), (2L, 7L))
+    val full = Graph.adamicAdar(hub.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // uncapped: hub-mediated open pairs like (3,4) are present
+    assert(full.exists(p => p._1 == 3L && p._2 == 4L))
+    val capped = Graph.adamicAdar(hub.toDF("doc_a", "doc_b"),
+        maxCenterDegree = 5L)
+      .as[(Long, Long, Double)].collect().toSeq
+    // capped: no hub-mediated pair survives...
+    assert(!capped.exists(p => p._1 == 3L && p._2 == 4L))
+    // ...and the non-hub wedges keep their exact scores: (0,7) and (1,7)
+    // both open through center 2 (deg 3) -> 1/ln3
+    assert(capped.toSet == Set((0L, 7L, 0.9102), (1L, 7L, 0.9102)))
+  }
+
 
   test("k-core peeling: path dissolves, triangle is the 2-core, K4 the 3-core") {
     import spark.implicits._

@@ -4,9 +4,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Scale-safety plan pins for the four operators that used to FORCE a
+/** Scale-safety plan pins for the operators that used to FORCE a
   * `broadcast()` hint on a table whose cardinality grows with the corpus
-  * (shingle-frequency table, bigram LM, near-dup non-rep set). A forced
+  * (shingle-frequency table, bigram/trigram LM type tables, near-dup
+  * non-rep set). A forced
   * broadcast is a guaranteed driver OOM at 100 TB and disables AQE's
   * runtime choice; these specs prove the shuffle path exists by planning
   * under `autoBroadcastJoinThreshold = -1` and asserting NO
@@ -81,5 +82,30 @@ class NoForcedBroadcastSpec extends SparkSpec {
     val shBroadcastJoin = "Broadcast\\w*Join \\[sh#".r
     assert(shBroadcastJoin.findFirstIn(plan).isEmpty,
       s"lmScore still forces the bigram-LM broadcast:\n$plan")
+  }
+
+  test("stupidBackoff n-gram-type joins take the shuffle path (no hint)") {
+    // the unigram tables (c1 ×2, totals) keep their hints — vocab-bounded
+    // by construction; the trigram (g3) and bigram (g12/g23) TYPE tables
+    // grow with the corpus and must not carry one
+    val plan = plansWithoutBroadcast(
+      TextAnalysis.stupidBackoff(corpus, col("doc_id") <= 3))
+    for (key <- Seq("sh", "w12", "w23")) {
+      val r = ("Broadcast\\w*Join \\[" + key + "#").r
+      assert(r.findFirstIn(plan).isEmpty,
+        s"stupidBackoff still forces the $key n-gram-table broadcast:\n$plan")
+    }
+  }
+
+  test("knBigramNll bigram-type join takes the shuffle path (no hint)") {
+    // c1/cont (unigram-keyed regroups) keep their hints; the bigram TYPE
+    // table c12 (joined on ew1, ew2) must not
+    val plan = plansWithoutBroadcast(
+      TextAnalysis.knBigramNll(corpus, col("doc_id") <= 3))
+    // the c12 join is the only TWO-key (ew1, ew2) join; the single-key
+    // ew1/ew2 joins are the legitimately-hinted unigram regroups
+    val r = "Broadcast\\w*Join \\[ew1#\\d+, ew2#".r
+    assert(r.findFirstIn(plan).isEmpty,
+      s"knBigramNll still forces the bigram-type-table broadcast:\n$plan")
   }
 }

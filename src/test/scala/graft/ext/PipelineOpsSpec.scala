@@ -216,6 +216,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p > 0.05 && p < 0.15, s"mask rate $p out of band")
   }
 
+  test("spanCorrupt maskPct is an exact percentage for every value (30 works, 101 throws)") {
+    val docs = graft.Tables.documents(spark, sf())
+    val blocks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (_, t) =>
+        (t.split(" ").count(_.nonEmpty) + 2) / 3 }.sum.toDouble
+    // 30 doesn't divide 100: the old % (100/30) predicate masked 1/3 of
+    // blocks; the hash % 100 < 30 form holds the exact 30% contract
+    val n30 = TextAnalysis.spanCorrupt(docs, maskPct = 30)
+      .agg(sum("n_spans")).as[Long].collect().head
+    val r30 = n30 / blocks
+    assert(r30 > 0.25 && r30 < 0.35, s"mask rate $r30 out of 30% band")
+    // boundaries: 0 masks nothing, 100 masks everything
+    val z = TextAnalysis.spanCorrupt(docs, maskPct = 0)
+      .agg(sum("n_masked")).as[Long].collect().head
+    assert(z == 0L)
+    val full = TextAnalysis.spanCorrupt(docs, maskPct = 100)
+      .select("doc_id", "corrupted", "n_spans").as[(Long, String, Int)]
+      .collect()
+    assert(full.forall { case (_, c, n) =>
+      c.split(" ").filter(_.nonEmpty).toSeq ==
+        (0 until n).map(i => s"<extra_id_$i>") })
+    // out-of-range percentages fail fast instead of div-by-zero
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanCorrupt(docs, maskPct = 101)
+    }
+  }
+
   test("groupPrioritySample returns exactly k per stratum, members of it") {
     val docs = graft.Tables.documents(spark, sf("sf0.01"))
       .withColumn("w", ((col("n_chars") % 100) + 1) / 100.0)
@@ -606,6 +633,40 @@ class PipelineOpsSpec extends SparkSpec {
     val got = spark.table("quota_spec")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got == List((1L, 1L, 0L), (2L, 1L, 0L), (4L, 1L, 1L)))
+  }
+
+  test("quotaGate evicts (user, hour) state once the watermark passes the hour") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tsu(hours: Long): Long = hours * 3600L * 1000000L
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.quotaGate(ms.toDS(), maxPerKey = 2L,
+        lateness = "1 hour")
+      .toDF("event_id", "user_id", "epoch_hour")
+      .writeStream.format("memory").queryName("quota_evict").outputMode("append")
+      .start()
+    // batch 1: two keys in hours 5 and 6 -> 2 state rows (hours > 0:
+    // an event AT the initial watermark epoch would be dropped as late)
+    ms.addData((1L, 5L, 1L, tsu(5)), (2L, 6L, 2L, tsu(6)))
+    q.processAllAvailable()
+    // batch 2: hour 30 -> post-batch watermark = 29h, far past hours 5/6
+    ms.addData((1L, 30L, 3L, tsu(30)))
+    q.processAllAvailable()
+    // batch 3: runs WITH the advanced watermark -> hour-5/6 states time
+    // out and are remove()d; only (1, 30) and (3, 31) survive
+    ms.addData((3L, 31L, 4L, tsu(31)))
+    q.processAllAvailable()
+    val rows = q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty && p.numInputRows > 0 =>
+        p.stateOperators.head.numRowsTotal
+    }
+    q.stop()
+    assert(rows.contains(2L),
+      s"expected the watermark to evict the 2 expired (user, hour) states, state rows = $rows")
+    // every admitted event still came through exactly once
+    val got = spark.table("quota_evict")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L, 5L), (2L, 2L, 6L), (3L, 1L, 30L), (4L, 3L, 31L)))
   }
 
   test("hashFeatureCensus: bucket arithmetic and collision accounting are exact") {

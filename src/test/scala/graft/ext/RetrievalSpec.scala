@@ -276,6 +276,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got == ((2L, 6.9165, 9.3928, 0.7364, 0.5, 0.5833)), got.toString)
   }
 
+  test("rankingEval: a probe set with no relevant docs scores 0, never NaN") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val scored = Seq((1L, 2.0), (2L, 1.0)).toDF("doc_id", "bm25")
+    // no doc contains the probe term -> rel = 0 everywhere -> idcg = 0,
+    // n_rel = 0: the ratios are guarded to the 0 convention (like mrr)
+    val got = Retrieval.rankingEval(scored, docs, Seq("absent"))
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(got == ((0L, 0.0, 0.0, 0.0, 0.0, 0.0)), got.toString)
+    assert(!got.productIterator.exists {
+      case d: Double => d.isNaN
+      case _ => false
+    })
+  }
+
   test("errEval: cascade fold matches the hand computation") {
     import spark.implicits._
     val docs = Seq((1L, "a x"), (2L, "y z"), (3L, "a y")).toDF("doc_id", "text")

@@ -15,8 +15,8 @@ import java.security.MessageDigest
   * algorithm change moves a hash, re-derive it from the Verify dump. */
 class GoldenHashSpec extends SparkSpec {
 
-  private def digest(name: String): (Long, String) = {
-    val df = ExtQueries.entries(name)(spark, sf("sf0.01"))
+  private def digest(name: String, sfTag: String = "sf0.01"): (Long, String) = {
+    val df = ExtQueries.entries(name)(spark, sf(sfTag))
     val cols = df.schema.fieldNames
     val order = cols.indices.sortBy(cols)
     val rows = df.collect()
@@ -49,5 +49,24 @@ class GoldenHashSpec extends SparkSpec {
   test("ext_unigram_encode output pinned at sf0.01") {
     assert(digest("ext_unigram_encode") == ((500L,
       "bcd7022631eee9545ab831c4ffb43d974da7bea3fb09cf3df046061fcba44f33")))
+  }
+
+  // sf0.1 pins for the same three entries: a 10× input catches
+  // scale-dependent drift (accumulation-order, magnitude-sensitive
+  // float paths) that the sf0.01 pin can't see.
+
+  test("ext_compress_ratio output pinned at sf0.1") {
+    assert(digest("ext_compress_ratio", "sf0.1") == ((5000L,
+      "eda0ea8658be72e4b6e772380b44872cbc6ac3548bbde84e933ce18d90ee465f")))
+  }
+
+  test("ext_unigram_vocab output pinned at sf0.1") {
+    assert(digest("ext_unigram_vocab", "sf0.1") == ((55L,
+      "daa606ad8de72cfa5cd5d1954406c509163f02c25315545e573fe2de65ec5846")))
+  }
+
+  test("ext_unigram_encode output pinned at sf0.1") {
+    assert(digest("ext_unigram_encode", "sf0.1") == ((5000L,
+      "1863c15096f4740c39dcbfb084eba3dceeeeafc270e571f1b3f71f1875f2609f")))
   }
 }
