@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.4): image/audio/video as opaque
@@ -168,35 +168,52 @@ object Multimodal {
       .toDF("media_id", "phash")
   }
 
-  /** Perceptual-hash media DEDUP via Hamming-band bucketing — the
-    * image/video twin of [[Dedup.simhashBandedPairs]]: the 60-bit phash
-    * splits into `bands` fixed windows; any pair within `maxHamming`
-    * bits differs in at most `maxHamming` bands, so it must AGREE on at
-    * least one band whenever maxHamming < bands (pigeonhole) — that
-    * precondition is `require`d, along with full bit coverage
-    * (bands·bandBits ≥ 60), because a banding that violates either
-    * silently drops true near-pairs (recall < 1) instead of failing.
-    * Candidates come from band-key equi-joins — never an all-pairs
-    * scan — and the exact `bit_count(xor)` distance verifies each
-    * candidate, so precision is exact and recall is 1 by construction.
-    * Defaults: 10 bands × 6 bits (covers the 60-bit phash, valid for
-    * maxHamming ≤ 9). All integer arithmetic. With the md5 stub codec
-    * only byte-identical payloads collide (avalanche), which is
-    * exactly the re-encoded-duplicate case the fixture plants; a real
-    * pHash makes near-misses land in the same bands the same way. */
-  def phashBandedPairs(phashes: DataFrame, bands: Int = 10,
-      bandBits: Int = 6, maxHamming: Int = 8): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole recall guarantee needs maxHamming < bands; got " +
-        s"maxHamming=$maxHamming, bands=$bands")
-    require(bands * bandBits >= 60 && bands * bandBits <= 63,
-      s"bands*bandBits must cover the 60-bit phash (and fit a long); " +
-        s"got ${bands * bandBits}")
+  /** Perceptual-hash media DEDUP via COMBINATION Hamming-band bucketing
+    * (the multi-index scheme of Manku, Jain & Das Sarma, WWW 2007 §3):
+    * the 60-bit phash splits into `blocks` fixed windows; a pair within
+    * `maxHamming` bits has at most maxHamming dirty blocks, so at least
+    * blocks − maxHamming are clean — whenever
+    * blocks − maxHamming ≥ comboSize (`require`d, with full bit
+    * coverage), SOME comboSize-subset of blocks is entirely clean and
+    * the pair collides on that combination's key. Keying on every
+    * C(blocks, comboSize) combination keeps recall = 1 by pigeonhole
+    * while the key space grows to (2^blockBits)^comboSize — the lever
+    * that controls candidate volume: on worst-case UNIFORM hashes
+    * candidates are ~combos·N²/(2·keySpace), so 2-block 12-bit keys
+    * (45·N²/8192) beat single-block 6-bit keys (10·N²/128) by 64× (the
+    * r9 scaling leg measured the single-block form quadratic at 4×
+    * replication); real pHash near-dups cluster, making the uniform
+    * bound far pessimistic. Raise comboSize (more, longer keys) when
+    * N²/keySpace dominates — every choice the pigeonhole `require`
+    * admits is recall-safe. Candidates come from (combo, key) equi-joins —
+    * never an all-pairs scan — and the exact `bit_count(xor)` distance
+    * verifies each candidate, so precision is exact too.
+    * Defaults: 10 blocks × 6 bits, comboSize 2 → 45 combos of 12-bit
+    * keys, recall-complete for maxHamming ≤ 8. All integer arithmetic.
+    * With the md5 stub codec only byte-identical payloads collide
+    * (avalanche), which is exactly the re-encoded-duplicate case the
+    * fixture plants; a real pHash makes near-misses land in the same
+    * clean blocks the same way. */
+  def phashBandedPairs(phashes: DataFrame, blocks: Int = 10,
+      blockBits: Int = 6, maxHamming: Int = 8,
+      comboSize: Int = 2): DataFrame = {
+    require(comboSize >= 1 && comboSize <= blocks,
+      s"comboSize must be in [1, blocks]; got $comboSize of $blocks")
+    require(blocks - maxHamming >= comboSize,
+      s"pigeonhole recall guarantee needs blocks - maxHamming >= comboSize; " +
+        s"got blocks=$blocks, maxHamming=$maxHamming, comboSize=$comboSize")
+    require(blocks * blockBits >= 60 && blocks * blockBits <= 63,
+      s"blocks*blockBits must cover the 60-bit phash (and fit a long); " +
+        s"got ${blocks * blockBits}")
+    def block(b: Int): Column =
+      expr(s"phash div ${1L << (b * blockBits)}") % lit(1L << blockBits)
+    val combos = (0 until blocks).combinations(comboSize).toSeq
     val banded = phashes.select(col("media_id"), col("phash"),
-      explode(array((0 until bands).map { k =>
-        struct(lit(k).as("band"),
-          (expr(s"phash div ${1L << (k * bandBits)}") % lit(1L << bandBits))
-            .as("key"))
+      explode(array(combos.zipWithIndex.map { case (c, id) =>
+        struct(lit(id).as("band"),
+          c.zipWithIndex.map { case (b, t) =>
+            block(b) * lit(1L << (t * blockBits))
+          }.reduce(_ + _).as("key"))
       }: _*)).as("bk"))
       .select(col("media_id"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

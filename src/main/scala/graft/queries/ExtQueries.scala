@@ -2728,6 +2728,15 @@ object ExtQueries {
   private val embCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
+  /** The 45 two-block combinations (band id, block i, block j) of the
+    * phash combination banding, as a SQL VALUES list — generated so the
+    * oracle keys on EXACTLY the combos `Multimodal.phashBandedPairs`
+    * defaults enumerate. */
+  private val phashComboVals =
+    (0 until 10).combinations(2).toSeq.zipWithIndex
+      .map { case (c, id) => s"(${id}, ${c(0)}, ${c(1)})" }
+      .mkString(", ")
+
   /** WordPiece vocab-mining CTE chain (word histogram → weighted
     * prefix/interior candidates → top-50 per form + char floor), shared
     * by the vocab dump and the recursive-CTE encoder. RECURSIVE is
@@ -5692,20 +5701,23 @@ object ExtQueries {
          |    AS norm_mean
          |FROM ic, nrm""".stripMargin,
 
-    // phash banding over the stub codec (md5-slice hashes): 10 bands of
-    // 6-bit integer windows (pigeonhole-valid for hamming <= 9; mirrors
-    // phashBandedPairs defaults), candidates from band-key joins,
-    // hamming verified by bit_count(xor) — all integers
+    // phash COMBINATION banding over the stub codec (md5-slice hashes):
+    // 10 blocks of 6 bits keyed on every 2-block combination (45 combos
+    // of 12-bit keys — Manku et al. 2007 multi-index; pigeonhole-valid
+    // for hamming <= 8, mirrors phashBandedPairs defaults), candidates
+    // from (combo, key) joins, hamming verified by bit_count(xor)
     "ext_multimodal_dedup" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id AS media_id, md5(text) AS hex FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 7 = 0),
         |p AS (SELECT media_id, CAST('0x' || substr(hex, 1, 15) AS BIGINT) AS phash
         |      FROM m),
+        |k AS (SELECT * FROM (VALUES $phashComboVals) AS t(band, i, j)),
         |b AS (SELECT media_id, phash, k.band,
-        |        (phash // (1::BIGINT << (6 * k.band))) % 64 AS key
-        |      FROM p, (SELECT unnest(range(0, 10)) AS band) k),
+        |        ((phash // (1::BIGINT << (6 * k.i))) % 64)
+        |        + ((phash // (1::BIGINT << (6 * k.j))) % 64) * 64 AS key
+        |      FROM p, k),
         |pr AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
         |         a.phash AS pa, b2.phash AS pb
         |       FROM b a JOIN b b2

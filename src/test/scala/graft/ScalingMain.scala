@@ -765,6 +765,31 @@ object ScalingMain {
       evm.unpersist(blocking = true)
     }
 
+    // round-9 hardening legs: the two LM scorers now ride the SHUFFLE
+    // join for their n-gram type tables (broadcast hints removed — the
+    // leg proves the shuffle path stays linear, not just correct), and
+    // the 10-band phash dedup (2.5× the band rows of the old recall-
+    // broken 4-band form — the leg shows the banding join stays linear).
+    // Replicated docs keep replica vocabs disjoint, so n-gram type
+    // tables grow m× and per-replica pair structure is preserved.
+    println("mult |     docs | stupid_backoff | kneser_ney | phash_banded")
+    sweep("r9") { m =>
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val isTrain = col("doc_id") % 10 < 8
+      val (tSb, _) = time(mat(ext.TextAnalysis.stupidBackoff(docs, isTrain)))
+      val (tKn, _) = time(mat(ext.TextAnalysis.knBigramNll(docs, isTrain)))
+      val (tPh, _) = time {
+        val media = ext.Multimodal.syntheticMedia(spark,
+          docs.withColumn("n_chars", length(col("text")).cast("long")))
+        mat(ext.Multimodal.phashBandedPairs(ext.Multimodal.mediaPhashes(media)))
+      }
+      println(f"$m%4d | $nd%8d | $tSb%14.2f | $tKn%10.2f | $tPh%12.2f")
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

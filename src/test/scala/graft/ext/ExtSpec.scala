@@ -997,11 +997,12 @@ class ExtSpec extends SparkSpec {
     assert(again == pairs)
   }
 
-  test("phashBandedPairs: pigeonhole recall — a Hamming-6 pair spread across bands is found") {
+  test("phashBandedPairs: pigeonhole recall — a Hamming-6 pair spread across blocks is found") {
     // differing bits at 0, 15, 30, 45, 46, 47: under the old 4×15-bit
-    // banding EVERY band differs (bits 0 / 15 / 30 / 45-47 hit bands
-    // 0 / 1 / 2 / 3), so the pre-fix defaults silently dropped this
-    // true near-pair; 10×6-bit banding leaves 6 of 10 bands agreeing
+    // single-block banding EVERY band differs (bits 0 / 15 / 30 / 45-47
+    // hit bands 0 / 1 / 2 / 3), so the pre-fix defaults silently dropped
+    // this true near-pair; with 10 6-bit blocks the dirty blocks are
+    // {0, 2, 5, 7}, leaving 6 clean blocks — some 2-combination is clean
     val near = (1L << 0) | (1L << 15) | (1L << 30) |
       (1L << 45) | (1L << 46) | (1L << 47)
     val phashes = Seq((1L, 0L), (2L, near), (3L, ~0L >>> 4))
@@ -1009,15 +1010,26 @@ class ExtSpec extends SparkSpec {
     val got = Multimodal.phashBandedPairs(phashes)
       .as[(Long, Long, Int)].collect().toList
     assert(got == List((1L, 2L, 6)))
+    // a WORST-CASE pair: maxHamming dirty bits in maxHamming distinct
+    // blocks still leaves blocks-maxHamming = comboSize clean blocks
+    val worst = (0 until 8).map(b => 1L << (b * 6)).reduce(_ | _)
+    val got8 = Multimodal.phashBandedPairs(
+        Seq((1L, 0L), (2L, worst)).toDF("media_id", "phash"))
+      .as[(Long, Long, Int)].collect().toList
+    assert(got8 == List((1L, 2L, 8)))
     // the preconditions the defaults must satisfy are enforced, not
     // silently recall-breaking
     intercept[IllegalArgumentException] {
-      Multimodal.phashBandedPairs(phashes, bands = 4, bandBits = 15,
-        maxHamming = 8)
+      Multimodal.phashBandedPairs(phashes, blocks = 4, blockBits = 15,
+        maxHamming = 8, comboSize = 1) // the old recall-broken defaults
     }
     intercept[IllegalArgumentException] {
-      Multimodal.phashBandedPairs(phashes, bands = 9, bandBits = 6,
-        maxHamming = 8) // 54 bits — doesn't cover the 60-bit phash
+      Multimodal.phashBandedPairs(phashes, blocks = 10, blockBits = 6,
+        maxHamming = 8, comboSize = 3) // only 2 clean blocks guaranteed
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashBandedPairs(phashes, blocks = 9, blockBits = 6,
+        maxHamming = 6, comboSize = 2) // 54 bits — doesn't cover 60
     }
   }
 
