@@ -2269,6 +2269,29 @@ object ExtQueries {
     * — it drops to RDDs). Run to completion, the gate's output must
     * hash-match the batch twin's oracle: the batch-parity claim for
     * live-ingest filtering, checked not asserted. */
+  /** Streaming first-wins near-dup gate run to completion: the gate's
+    * per-bucket (doc_id, band, owner) decisions land in the sink, then
+    * the report rolls them up per doc and left-joins every input doc —
+    * the same (doc_id, dup, dup_of) marking as the batch
+    * ext_neardup_first_wins, hash-checked against the SAME oracle shape
+    * (live/batch parity checked, not asserted). */
+  def streamNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stream = graft.streaming.Streams.parquetStream(
+      s, d + "/documents.parquet", docs.schema)
+    val decisions = runStream(
+      graft.streaming.Streams.nearDupGate(stream)
+        .toDF("doc_id", "band", "owner"),
+      "graft_stream_neardup", "append")
+    val marked = decisions.groupBy("doc_id")
+      .agg(min(col("owner")).as("dup_of0"))
+    docs.select("doc_id").join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of0") < col("doc_id"), 1).otherwise(0).as("dup"),
+        when(col("dup_of0") < col("doc_id"), col("dup_of0")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   def streamBlocklistQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val phrases = Blocklist.minedBigrams(docs, 8)
@@ -2592,6 +2615,7 @@ object ExtQueries {
     "ext_psi_drift" -> psiDriftQ _,
     "ext_jaro_winkler" -> jaroWinklerQ _,
     "ext_stream_blocklist" -> streamBlocklistQ _,
+    "ext_stream_neardup" -> streamNearDupQ _,
     "ext_stream_mad" -> streamMadQ _,
     "ext_kneser_ney" -> knBigramQ _,
     "ext_triangles" -> trianglesQ _,
@@ -5220,6 +5244,19 @@ object ExtQueries {
     // the streaming gate must emit EXACTLY the batch filter's rows —
     // batch parity as a hash check, not an assertion
     "ext_stream_blocklist" -> blocklistOracleSql,
+    // live/batch parity: the streaming gate's rollup must reproduce the
+    // batch first-wins bucket-ownership marking exactly
+    "ext_stream_neardup" ->
+      s"""WITH $minhashBandsCtes,
+         |own AS (SELECT band, key, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2),
+         |mk AS (SELECT b.doc_id, MIN(o.owner) AS dup_of0
+         |       FROM bands b JOIN own o ON b.band = o.band AND b.key = o.key
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN mk.dup_of0 < d.doc_id THEN 1 ELSE 0 END AS dup,
+         |  CASE WHEN mk.dup_of0 < d.doc_id THEN mk.dup_of0 END AS dup_of
+         |FROM documents d LEFT JOIN mk ON mk.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // streaming robust-z gate == the batch outlier filter, row for row
     "ext_stream_mad" ->

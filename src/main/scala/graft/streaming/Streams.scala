@@ -144,6 +144,70 @@ object Streams {
         md5(graft.ext.TextAnalysis.canonicalText(col("text"))).as("h"))
       .dropDuplicates("h")
 
+  /** Streaming first-wins NEAR-dup gate — the live-ingest twin of
+    * [[graft.ext.Dedup.firstWinsNearDup]] (the online crawl-dedup
+    * policy): each arriving doc computes its MinHash LSH band keys
+    * IN-ROW via [[graft.ext.Dedup.minhashSignature]] (no stream-side
+    * shuffle for the signature — the batch explode+groupBy idiom would
+    * be a streaming aggregation), then keyed state per (band, key)
+    * bucket remembers the EARLIEST doc_id seen and the gate emits one
+    * (doc_id, band, owner) decision per bucket touch; owner < doc_id ⇔
+    * an earlier arrival owns the bucket, so rolling the decisions up
+    * per doc (min owner) reproduces the batch dup/dup_of marking
+    * exactly. Rows within a batch process in doc_id order, making the
+    * gate deterministic and batch-equal on any micro-batch slicing.
+    *
+    * State: ONE long per occupied bucket — the minimum any dedup index
+    * can hold; it grows with distinct CONTENT, not with traffic (every
+    * re-crawl lands in an existing bucket). That index IS the product
+    * of an ingest dedup: forgetting a bucket forgets its duplicates, so
+    * there is no watermark to evict by. For deployments with a bounded
+    * retention promise ("dedup within N days"), pass `idleRetention` >
+    * 0 ms and idle buckets are dropped on a processing-time timeout —
+    * the same trade `dropDuplicatesWithinWatermark` makes, chosen
+    * explicitly rather than silently. */
+  def nearDupGate(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+      shingleLen: Int = 3, idleRetentionMs: Long = 0L): Dataset[(Long, Int, Long)] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val timeout =
+      if (idleRetentionMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val banded = docs
+      .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= shingleLen)
+      .select(col("doc_id"),
+        graft.ext.Dedup.minhashSignature(
+          graft.ext.Dedup.shingles(col("ts"), shingleLen), numHashes).as("sig"))
+      .select(col("doc_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until r).map(j => col("sig").getItem(b * r + j)): _*)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, Int, String)]
+    banded.groupByKey(t => (t._2, t._3))
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append, timeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var owner = state.getOption.getOrElse(Long.MaxValue)
+            val out = rows.toSeq.sortBy(_._1).map { t =>
+              if (t._1 < owner) owner = t._1
+              (t._1, t._2, owner)
+            }
+            state.update(owner)
+            if (idleRetentionMs > 0L) state.setTimeoutDuration(idleRetentionMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch of the stream
     * joins the (bounded) dimension frame — stateless, no watermark
     * needed, and with `broadcast` the stream side never shuffles: the

@@ -205,4 +205,34 @@ class RecallSpec extends SparkSpec {
     assert(got._1 > got._2 && got._3 > 1.0, got.toString)
   }
 
+  test("phash combination banding: recall 1.0 on 50 seeded pairs at Hamming 1..8") {
+    import spark.implicits._
+    // the pigeonhole claim, exercised: plant 50 random 60-bit hashes,
+    // each with a partner differing in d ∈ [1, 8] random bit positions
+    // (d cycles so every distance occurs), plus 50 unrelated hashes.
+    // EVERY planted pair must come back with its exact distance —
+    // recall is a theorem here, so the floor is 1.0, not a ratio.
+    val rnd = new scala.util.Random(42)
+    val planted = (0 until 50).map { i =>
+      val base = rnd.nextLong() & ((1L << 60) - 1)
+      val d = i % 8 + 1
+      val bits = rnd.shuffle((0 until 60).toList).take(d)
+      val partner = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+      (i.toLong * 2, base, i.toLong * 2 + 1, partner, d)
+    }
+    val noise = (0 until 50).map(i =>
+      (1000L + i, rnd.nextLong() & ((1L << 60) - 1)))
+    val phashes = (planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4)))
+      ++ noise).toDF("media_id", "phash")
+    val got = Multimodal.phashBandedPairs(phashes)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    planted.foreach { case (ida, _, idb, _, d) =>
+      assert(got.get((ida, idb)).contains(d),
+        s"planted Hamming-$d pair ($ida, $idb) missing or misdistanced: ${got.get((ida, idb))}")
+    }
+    // precision: nothing beyond maxHamming survives the exact verify
+    assert(got.values.forall(_ <= 8))
+  }
+
 }

@@ -166,6 +166,72 @@ class StreamsSpec extends SparkSpec {
     assert(got.size == graft.ext.TextAnalysis.dedupNormalized(all).count())
   }
 
+  test("streaming near-dup gate reproduces the batch first-wins marking across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // docs 1/3 are near-identical (share most 3-shingles -> same minhash
+    // buckets); doc 3 arrives in a LATER micro-batch, so the dup decision
+    // must come from bucket state carried across the boundary. doc 2 is
+    // unrelated; doc 4 has < 3 tokens (no buckets, always kept).
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(Seq((1L, a), (2L, "completely different words in this one here")))
+    ms.addData(Seq((3L, a + " extra"), (4L, "too short")))
+    val decisions = runToCompletion(
+      Streams.nearDupGate(ms.toDS().toDF("doc_id", "text"))
+        .toDF("doc_id", "band", "owner"), "t_neardup")
+    val marked = decisions.groupBy("doc_id").agg(min("owner").as("o"))
+      .as[(Long, Long)].collect().toMap
+    assert(marked(1L) == 1L && marked(2L) == 2L && marked(3L) == 1L)
+    assert(!marked.contains(4L)) // shingle-free: no buckets
+    // parity with the batch operator on the unioned corpus
+    val all = Seq((1L, a), (2L, "completely different words in this one here"),
+      (3L, a + " extra"), (4L, "too short")).toDF("doc_id", "text")
+    val batch = graft.ext.Dedup.firstWinsNearDup(all)
+      .as[(Long, Int, Option[Long])].collect().sortBy(_._1).toList
+    val stream = all.select("doc_id").as[Long].collect().sorted.toList.map { id =>
+      marked.get(id) match {
+        case Some(o) if o < id => (id, 1, Some(o))
+        case _ => (id, 0, None)
+      }
+    }
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
+
+  test("streaming near-dup gate with idleRetention evicts idle bucket state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.nearDupGate(ms.toDS().toDF("doc_id", "text"),
+        idleRetentionMs = 500L)
+      .toDF("doc_id", "band", "owner")
+      .writeStream.format("memory").queryName("t_neardup_ttl")
+      .outputMode("append").start()
+    // NOTE: no processAllAvailable anywhere in this test — it never
+    // wakes under ProcessingTimeTimeout's continuous no-data batches
+    // (see the eventually() helper's doc above)
+    // latest progress may already reflect a timer-batch eviction, so the
+    // "state reached 4" probe scans the full history while the eviction
+    // probe reads only the latest
+    def latestState: Option[Long] = q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty => p.stateOperators.head.numRowsTotal
+    }
+    def everHeld(n: Long): Boolean = q.recentProgress.exists(p =>
+      p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal == n)
+    try {
+      ms.addData(Seq((1L, "the quick brown fox jumps over the lazy dog")))
+      eventually(spark.table("t_neardup_ttl").count() == 4L)
+      eventually(everHeld(4L))
+      // after the idle retention passes, the timer batches fire the
+      // processing-time timeouts and the buckets are remove()d
+      eventually(latestState.contains(0L))
+      // a fresh doc after eviction builds fresh buckets and is admitted
+      // (having forgotten doc 1 — the documented retention trade)
+      ms.addData(Seq((9L, "unrelated fresh content arriving much later now")))
+      eventually(spark.table("t_neardup_ttl").count() == 8L)
+    } finally q.stop()
+  }
+
   test("streaming inference is byte-equal to the batch transform") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
