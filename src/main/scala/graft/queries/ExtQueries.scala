@@ -173,8 +173,20 @@ object ExtQueries {
   /** PQ-ADC approximate inner-product top-25 against query vector 0
     * (4 subspaces × 8 centroids over the 64-dim embeddings). */
   def pqTopkQ(s: SparkSession, d: String): DataFrame =
-    Similarity.pqTopK(Tables.embeddings(s, d))
+    Similarity.pqTopK(Tables.embeddings(s, d), books0 = Some(pqBooks(s, d)))
       .orderBy(col("pq_ip").desc, col("vec_id"))
+
+  /** Shared PQ subspace codebooks: pqTopK and ivfPqTopK train IDENTICAL
+    * books (probe-all parity depends on it), so the battery trains the
+    * m lloyd runs once — pure data (m·k·dim doubles), so keyed by
+    * fixture dir alone, like probeWCache. */
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap[String, Seq[Seq[(Int, Array[Double], Double)]]]()
+  private def pqBooks(s: SparkSession, d: String): Seq[Seq[(Int, Array[Double], Double)]] =
+    pqBooksCache.getOrElseUpdate(d, {
+      graft.CacheLog.built("pqBooksCache")
+      Similarity.pqCodebooks(Tables.embeddings(s, d))
+    })
 
   /** Temperature-α=0.5 mixture allocation of a 100k-token budget across
     * sources — exact Hamilton apportionment (Σ alloc = 100000). */
@@ -252,7 +264,7 @@ object ExtQueries {
     * 2 probes, 4×8 subspace codebooks — the composed production ANN
     * index (FAISS IVFPQ, direct-coding variant). */
   def ivfPqTopkQ(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfPqTopK(Tables.embeddings(s, d))
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), books0 = Some(pqBooks(s, d)))
       .orderBy(col("ivfpq_ip").desc, col("vec_id"))
 
   /** BPE merge table: the first 10 corpus-weighted merges. */
@@ -8475,12 +8487,14 @@ object ExtQueries {
       .mkString("CASE ", " ", " ELSE 6 END")
     s"""WITH v AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
        |  FROM events WHERE value IS NOT NULL),
-       |rep AS (SELECT event_id, vc, CAST(t.bi AS INT) AS bi
-       |        FROM v, unnest(range(1, ${b + 1})) AS t(bi)),
-       |u AS (SELECT bi, vc,
-       |        (CAST('0x' || substr(md5('$salt:' || event_id || ':' || bi),
-       |          1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
-       |      FROM rep),
+       |rep AS (SELECT event_id, vc, CAST(t.di AS INT) AS di,
+       |          md5('$salt:' || event_id || ':' || t.di) AS dg
+       |        FROM v, unnest(range(0, ${(b + 3) / 4})) AS t(di)),
+       |u AS (SELECT di * 4 + CAST(s.slot AS INT) + 1 AS bi, vc,
+       |        (CAST('0x' || substr(dg, CAST(s.slot AS INT) * 8 + 1, 8)
+       |          AS BIGINT) + 0.5) / 4294967296.0 AS u
+       |      FROM rep, unnest(range(0, 4)) AS s(slot)
+       |      WHERE di * 4 + s.slot + 1 <= $b),
        |kk AS (SELECT bi, vc, $caseExpr AS k FROM u),
        |m AS (SELECT bi, CAST(SUM(k * vc) AS BIGINT) AS skv,
        |        CAST(SUM(k) AS BIGINT) AS sk
