@@ -790,6 +790,37 @@ object ScalingMain {
       docs.unpersist(blocking = true)
     }
 
+    // round-9b: the streaming first-wins near-dup gate, run to
+    // completion over the replicated corpus in one AvailableNow pass —
+    // per-doc cost is the in-row signature (fixed) plus one keyed state
+    // touch per band, so wall-clock must track m; state rows equal
+    // occupied buckets (≤ bands·docs, fewer under dup collapse).
+    println("mult |     docs | neardup_gate | decisions | state_rows")
+    sweep("r9b") { m =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val rows = replicated(m).as[(Long, String)].collect().toSeq
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(rows)
+      val name = s"scale_neardup_$m"
+      var states = -1L
+      val (t, nDec) = time {
+        val q = streaming.Streams.nearDupGate(ms.toDS().toDF("doc_id", "text"))
+          .toDF("doc_id", "band", "owner")
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(600000), s"$name did not terminate")
+        states = q.recentProgress.reverse.collectFirst {
+          case p if p.stateOperators.nonEmpty =>
+            p.stateOperators.head.numRowsTotal
+        }.getOrElse(-1L)
+        q.stop()
+        spark.table(name).count()
+      }
+      println(f"$m%4d | ${rows.size}%8d | $t%12.2f | $nDec%9d | $states%10d")
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
