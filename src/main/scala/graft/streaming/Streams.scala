@@ -303,26 +303,44 @@ object Streams {
     * batch operator's nulls: state is kept, the row emits the previous
     * smoothed value (rows before the key's first finite value emit
     * nothing — a tuple stream has no null slot to carry).
+    *
+    * State grows with the KEY POPULATION (one (Boolean, Double) per
+    * entity ever seen) — the inherent working set of a per-entity
+    * running statistic, not a time-growing key space. Deployments that
+    * can forget dormant entities (a returning key restarts its
+    * smoothing from its next value — the retention trade) pass
+    * `idleRetentionMs` > 0 and idle keys drop on a processing-time
+    * timeout, the [[nearDupGate]] convention.
     * Input: (key, orderId, value); output: (key, orderId, ewma ROUND 4). */
   def streamingEwma(events: Dataset[(Long, Long, Double)],
-      alpha: Double = 0.2): Dataset[(Long, Long, Double)] = {
+      alpha: Double = 0.2,
+      idleRetentionMs: Long = 0L): Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (idleRetentionMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)
       .flatMapGroupsWithState[(Boolean, Double), (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: Long, rows: Iterator[(Long, Long, Double)],
             state: GroupState[(Boolean, Double)]) =>
-          var (haveY, y) = state.getOption.getOrElse((false, 0.0))
-          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, x) =>
-            if (java.lang.Double.isFinite(x)) {
-              y = if (!haveY) x else alpha * x + (1 - alpha) * y
-              haveY = true
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (haveY, y) = state.getOption.getOrElse((false, 0.0))
+            val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, x) =>
+              if (java.lang.Double.isFinite(x)) {
+                y = if (!haveY) x else alpha * x + (1 - alpha) * y
+                haveY = true
+              }
+              if (!haveY) None
+              else Some((key, id, graft.functions.StableRound.dbl4(y)))
             }
-            if (!haveY) None
-            else Some((key, id, graft.functions.StableRound.dbl4(y)))
+            state.update((haveY, y))
+            if (idleRetentionMs > 0L) state.setTimeoutDuration(idleRetentionMs)
+            out.iterator
           }
-          state.update((haveY, y))
-          out.iterator
       }
   }
 
