@@ -25,6 +25,24 @@ object GraftSession {
     b
   }
 
+  /** [[builder]] hardened for LARGE streaming state: the default
+    * (HDFS-backed) state store holds every key's state on the executor
+    * HEAP — fine for fixture-scale gates, an OOM once state is the
+    * product (the near-dup gate's dedup index: billions of buckets at
+    * 100 TB). RocksDB keeps state on local disk with bounded memory,
+    * and changelog checkpointing commits per-batch DELTAS instead of
+    * re-uploading full snapshots. State values are byte-identical
+    * across providers (StreamsSpec pins gate-output parity), so this is
+    * a deployment choice, not a semantics one. */
+  def streamingBuilder(appName: String = "graft",
+      shufflePartitions: Option[Int] = None): SparkSession.Builder =
+    builder(appName, shufflePartitions)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+
   /** Build (or reuse) the session and register graft's SQL functions.
     * When no explicit shuffle-partition count is given and the session is
     * fresh, shuffle partitions follow the cluster's default parallelism. */

@@ -821,6 +821,28 @@ object ScalingMain {
       println(f"$m%4d | ${rows.size}%8d | $t%12.2f | $nDec%9d | $states%10d")
     }
 
+    // round-9c: the adamicAdar maxCenterDegree cap, measured — a planted
+    // hub of degree 2000·m over a 1000-node background path. Uncapped,
+    // the hub alone contributes (2000·m)²/2 wedge rows (quadratic in m);
+    // with the cap below the hub degree the wedge join only sees the
+    // path's degree-≤2 centers and must stay flat.
+    println("mult | hub_deg | aa_capped | aa_uncapped")
+    sweep("r9c") { m =>
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      val d = 2000 * m
+      val hub = spark.range(1, d + 1)
+        .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+      val path = spark.range(1, 1000)
+        .select((col("id") + 1000000L).as("doc_a"), (col("id") + 1000001L).as("doc_b"))
+      val edges = hub.unionAll(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      val (tCap, _) = time(mat(ext.Graph.adamicAdar(edges, maxCenterDegree = 1024L)))
+      val (tFull, _) = time(mat(ext.Graph.adamicAdar(edges, maxCenterDegree = Long.MaxValue)))
+      println(f"$m%4d | $d%7d | $tCap%9.2f | $tFull%11.2f")
+      edges.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)

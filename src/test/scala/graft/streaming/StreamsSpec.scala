@@ -198,6 +198,34 @@ class StreamsSpec extends SparkSpec {
     assert(stream == batch, s"stream=$stream batch=$batch")
   }
 
+  test("near-dup gate under the RocksDB state store matches the default provider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the GraftSession.streamingBuilder production config, applied to the
+    // live session: provider choice must be deployment-only — identical
+    // gate output, state held off-heap in RocksDB instead of the heap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(Seq((1L, a), (2L, "completely different words in this one here")))
+      ms.addData(Seq((3L, a + " extra")))
+      val marked = runToCompletion(
+        Streams.nearDupGate(ms.toDS().toDF("doc_id", "text"))
+          .toDF("doc_id", "band", "owner"), "t_neardup_rocks")
+        .groupBy("doc_id").agg(min("owner").as("o"))
+        .as[(Long, Long)].collect().toMap
+      // same marking the default-provider test pins: 3 dups onto 1
+      assert(marked == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), marked.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming near-dup gate with idleRetention evicts idle bucket state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
