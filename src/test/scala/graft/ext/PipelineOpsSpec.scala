@@ -635,6 +635,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == List((1L, 1L, 0L), (2L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("quotaGate quota carries across micro-batch boundaries for the same key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tsu(h: Long, k: Long): Long = h * 3600L * 1000000L + k
+    val ms = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.quotaGate(ms.toDS(), maxPerKey = 2L)
+      .toDF("event_id", "user_id", "epoch_hour")
+      .writeStream.format("memory").queryName("quota_xbatch").outputMode("append")
+      .start()
+    // batch 1: (user 1, hour 5) admits events 1, 2 — quota now full
+    ms.addData((1L, 5L, 1L, tsu(5, 1)), (1L, 5L, 2L, tsu(5, 2)))
+    q.processAllAvailable()
+    // batch 2: two MORE (user 1, hour 5) events — the admitted-count
+    // state must carry over and drop both; a different user still admits
+    ms.addData((1L, 5L, 3L, tsu(5, 3)), (1L, 5L, 4L, tsu(5, 4)),
+      (2L, 5L, 5L, tsu(5, 5)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota_xbatch")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 1L, 5L), (2L, 1L, 5L), (5L, 2L, 5L)), got.toString)
+  }
+
   test("quotaGate evicts (user, hour) state once the watermark passes the hour") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
