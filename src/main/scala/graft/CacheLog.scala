@@ -23,8 +23,16 @@ object CacheLog {
     if (q.nonEmpty) builds.putIfAbsent(cache, q)
   }
 
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def asJson: String =
     builds.toSeq.sortBy(_._1)
-      .map { case (c, q) => "\"" + c + "\":\"" + q + "\"" }
+      .map { case (c, q) => "\"" + esc(c) + "\":\"" + esc(q) + "\"" }
       .mkString("{", ",", "}")
 }

@@ -263,9 +263,11 @@ object Graph {
     * contribution is the smallest and their deg² fan-out the largest —
     * the standard AA truncation): one hub at degree d costs d² wedge
     * rows, so an unbounded default turns a single celebrity node into a
-    * quadratic blowup. The default (65536 ⇒ ≤4.3e9 wedges per center,
-    * truncation documented in the output contract) is far above any
-    * fixture degree, so the battery caps nothing.
+    * quadratic blowup. The default (65536 ⇒ ≤4.3e9 wedges per center)
+    * is far above any fixture degree, so the battery caps nothing; when
+    * the cap DOES fire a WARN log reports how many centers were
+    * excluded, so default-parameter users on hub-heavy graphs can see
+    * that scores were truncated rather than silently differ.
     *
     * Determinism: contributions are grouped by EXACT integer degree and
     * the per-pair sum folds cnt/ln(deg) in ascending-degree order, so
@@ -278,8 +280,18 @@ object Graph {
       .where(col("a") =!= col("b")).distinct()
     val adj = e.select(col("a").as("v"), col("b").as("n"))
       .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
-      .where(col("deg") <= maxCenterDegree)
+    val degAll = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    // the cap SILENTLY changes scores for hub-mediated pairs, so make
+    // the truncation observable: one linear count over the degree table
+    // (tiny next to the wedge join it bounds), warned when it fires
+    val capped = degAll.where(col("deg") > maxCenterDegree).count()
+    if (capped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"adamicAdar: $capped center(s) exceed maxCenterDegree=" +
+          s"$maxCenterDegree and are excluded from wedge mediation; " +
+          "hub-mediated pair scores are truncated (raise the cap to " +
+          "include them at O(deg^2) wedge cost per hub)")
+    val deg = degAll.where(col("deg") <= maxCenterDegree)
     // cap the CENTERS before the self-join: the wedge fan-out is what
     // maxCenterDegree exists to bound, not just the final scoring join
     val adjC = adj.join(deg.select("v"), Seq("v"), "left_semi")

@@ -190,10 +190,45 @@ object Multimodal {
     * verifies each candidate, so precision is exact too.
     * Defaults: 10 blocks × 6 bits, comboSize 2 → 45 combos of 12-bit
     * keys, recall-complete for maxHamming ≤ 8. All integer arithmetic.
+    *
+    * SIZING RULE (worst-case uniform hashes, 10 blocks × 6 bits):
+    * expected candidate pairs ≈ C(blocks,q) · N² / (2 · 2^(q·blockBits)).
+    * {{{
+    *   N        q=1 (10 combos, 2^6 keys)   q=2 (45 combos, 2^12 keys)
+    *   10^4     ~7.8e6  (781/row)           ~5.5e5  (55/row)
+    *   10^5     ~7.8e8                      ~5.5e7  (549/row)
+    *   10^6     ~7.8e10                     ~5.5e9
+    * }}}
+    * q = comboSize is the recall-SAFE lever: any q ≤ blocks − maxHamming
+    * keeps recall 1, so raise q until candidates/row is tolerable.
+    * maxHamming = 8 admits q ≤ 2; to band more than ~10^5 uniform-ish
+    * hashes, trade radius for keys (e.g. maxHamming 4 admits q ≤ 6 →
+    * 210 combos of 2^36 keys: ~1.5e-5 expected candidates TOTAL at
+    * N=10^6). [[recommendedComboSize]] computes this choice.
+    *
     * With the md5 stub codec only byte-identical payloads collide
     * (avalanche), which is exactly the re-encoded-duplicate case the
     * fixture plants; a real pHash makes near-misses land in the same
     * clean blocks the same way. */
+  /** The smallest recall-safe comboSize whose worst-case (uniform-hash)
+    * expected candidate volume stays within `maxCandidatesPerRow`, or —
+    * when no recall-safe q meets the budget — the largest recall-safe q
+    * (the best banding can do at this (blocks, maxHamming); shrink
+    * maxHamming or grow blocks for more headroom). Pure arithmetic on
+    * the sizing rule above: candidates ≈ C(blocks,q)·n²/(2·2^(q·bits)).
+    * Preconditions mirror [[phashBandedPairs]]'s `require`s. */
+  def recommendedComboSize(n: Long, blocks: Int = 10, blockBits: Int = 6,
+      maxHamming: Int = 8, maxCandidatesPerRow: Double = 64.0): Int = {
+    require(n > 0 && blocks - maxHamming >= 1,
+      s"no recall-safe comboSize exists for blocks=$blocks, maxHamming=$maxHamming")
+    def choose(k: Int): Double =
+      (0 until k).map(i => (blocks - i).toDouble / (i + 1)).product
+    def perRow(q: Int): Double =
+      choose(q) * n.toDouble / (2.0 * math.pow(2.0, q.toDouble * blockBits))
+    val qMax = blocks - maxHamming
+    (1 to qMax).find(q => perRow(q) <= maxCandidatesPerRow).getOrElse(qMax)
+  }
+
   def phashBandedPairs(phashes: DataFrame, blocks: Int = 10,
       blockBits: Int = 6, maxHamming: Int = 8,
       comboSize: Int = 2): DataFrame = {

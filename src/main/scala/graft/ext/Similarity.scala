@@ -82,16 +82,23 @@ object Similarity {
   private[ext] val BruteEvalBound = 65536L
 
   /** Fail-fast enforcement of the bounded-eval contract (the
-    * closenessCentrality `require(V <= 16384)` pattern): one cheap
-    * COUNT of the id column, then a hard `require` — an immediate,
-    * named error beats an executor OOM three stages in. Sample or
-    * pre-slice the input above the bound. */
-  private def requireBoundedEval(embeddings: DataFrame, op: String): Unit = {
-    val n = embeddings.select("vec_id").count()
+    * closenessCentrality `require(V <= 16384)` pattern) WITHOUT an
+    * extra upstream scan: persist the prepared eval slice, count the
+    * cached copy (this is the materializing action), and hard-`require`
+    * the bound — an immediate, named error beats an executor OOM three
+    * stages in. The n² join downstream then reads the SAME cached
+    * slice, so the bound check is free rather than a duplicate pass
+    * over the input lineage. The cache is ≤ [[BruteEvalBound]] rows of
+    * (id, label, vector) — tens of MB at worst; left persisted for the
+    * harness's own join sides (both sides of the self-join hit it). */
+  private def boundedEvalSlice(prepared: DataFrame, op: String): DataFrame = {
+    val p = prepared.persist()
+    val n = p.count()
     require(n <= BruteEvalBound,
       s"$op is an exact brute-pairwise eval harness bounded at " +
         s"$BruteEvalBound vectors (got $n); run it on a sampled or " +
         s"pre-sliced eval set, or use the ANN stack for the serving path")
+    p
   }
 
   /** Exact top-k neighbors for each query vector: broadcast the (small)
@@ -737,11 +744,10 @@ object Similarity {
     * stack); per-vector ranking is a vec-keyed window, never global.
     * Output: (label, n, n_correct, acc). */
   def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    requireBoundedEval(embeddings, "knnLabelEval")
-    val e = Dedup.spreadForCompute(
+    val e = boundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e")))
+      .withColumn("nrm", norm(col("e"))), "knnLabelEval")
     val l = e.toDF("a", "la", "ea", "na")
     val top = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")), col("a") =!= col("b"))
       .select(col("a"), col("la"), col("b"), col("lb"),
@@ -774,11 +780,10 @@ object Similarity {
     * Brute pairwise, like [[knnLabelEval]]: the offline eval harness.
     * Output: (label, n, silhouette). */
   def silhouette(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
-    requireBoundedEval(embeddings, "silhouette")
-    val e = Dedup.spreadForCompute(
+    val e = boundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e")))
+      .withColumn("nrm", norm(col("e"))), "silhouette")
     val sizes = e.groupBy(col("lab").as("lb")).agg(count(lit(1)).as("nc"))
     val l = e.toDF("a", "la", "ea", "na")
     val r = e.toDF("b", "lb", "eb", "nb")
@@ -1081,11 +1086,10 @@ object Similarity {
     * for sampled/bounded eval sets, not a corpus-scale pipeline stage;
     * at corpus scale run it on a per-label sample. */
   def dunnIndex(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
-    requireBoundedEval(embeddings, "dunnIndex")
-    val e = Dedup.spreadForCompute(
+    val e = boundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e")))
+      .withColumn("nrm", norm(col("e"))), "dunnIndex")
     val l = e.toDF("a", "la", "ea", "na")
     val d4 = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")),
         col("a") < col("b"))

@@ -398,6 +398,20 @@ object Streams {
     * hour's end and the state is `remove()`d once the watermark
     * (event time minus `lateness`) passes it — live state is only the
     * keys inside the watermark horizon, not the stream's full history.
+    *
+    * LATE-ROW CONTRACT: the same watermark that evicts state also
+    * FILTERS INPUT — a row whose event time is older than
+    * (max event time seen − `lateness`) is dropped by Spark before it
+    * reaches the state function, so it is neither admitted nor counted
+    * against the quota; it simply vanishes from the output. Batch
+    * parity with the row_number() twin therefore holds only for
+    * replays whose event-time disorder stays within `lateness`. If a
+    * replay can be arbitrarily out of order, pass a `lateness` at
+    * least as large as its maximum disorder (the cost is that much
+    * more retained state — still one long per (user, hour) inside the
+    * horizon); there is no "no watermark" mode because EventTimeTimeout
+    * eviction requires one.
+    *
     * Input tuples: (user_id, epoch_hour, event_id, ts_micros). Emits
     * admitted (event_id, user_id, epoch_hour). */
   def quotaGate(events: Dataset[(Long, Long, Long, Long)],

@@ -128,6 +128,12 @@ class TrainPipelineSpec extends SparkSpec {
     val overfull = packed.groupBy("bin").agg(sum("n_toks").as("s"))
       .where(col("s") >= budget + maxDocLen).count()
     assert(overfull == 0L, "a packed bin exceeds budget + one straddling doc")
-    assert(maxBin == (packT - 1) / budget || nBins > 0) // bins span the corpus
+    // bins span the corpus: the last doc STARTS at packT - lastLen, so
+    // maxBin sits between floor((packT - maxDocLen)/budget) and the
+    // index of the final token — real two-sided bounds, not a tautology
+    assert(maxBin <= (packT - 1) / budget, s"maxBin $maxBin past corpus end")
+    assert(maxBin >= (packT - maxDocLen) / budget,
+      s"maxBin $maxBin leaves a tail gap (packT=$packT maxDocLen=$maxDocLen)")
+    assert(nBins <= maxBin + 1, "more distinct bins than bin ids")
   }
 }

@@ -1033,6 +1033,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("recommendedComboSize follows the sizing rule and stays recall-safe") {
+    // the scaladoc table: 10k uniform hashes → q=1 is 781 cands/row,
+    // q=2 is 55/row, so a 64/row budget picks q=2
+    assert(Multimodal.recommendedComboSize(10000L) == 2)
+    // tiny N: q=1 already within budget (10·N/(2·64) ≤ 64 up to N≈820)
+    assert(Multimodal.recommendedComboSize(500L) == 1)
+    // huge N at maxHamming=8: NO recall-safe q meets the budget
+    // (qMax = 2, 45·1e6/8192 ≈ 5493/row) → returns the best safe q, 2
+    assert(Multimodal.recommendedComboSize(1000000L) == 2)
+    // trading radius for keys: maxHamming=4 admits q up to 6; at N=1e6
+    // q=3 (120 combos, 2^18 keys) gives 120·1e6/(2·262144) ≈ 229/row,
+    // q=4 (210 combos, 2^24 keys) ≈ 6.3/row → budget 64 picks q=4
+    assert(Multimodal.recommendedComboSize(1000000L, maxHamming = 4) == 4)
+    // the recommendation always satisfies the pigeonhole precondition
+    for (mh <- 1 to 9; n <- Seq(100L, 100000L, 10000000L)) {
+      val q = Multimodal.recommendedComboSize(n, maxHamming = mh)
+      assert(q >= 1 && q <= 10 - mh, s"mh=$mh n=$n q=$q")
+    }
+    // no recall-safe q at all → named error, not a recall-broken choice
+    intercept[IllegalArgumentException] {
+      Multimodal.recommendedComboSize(1000L, maxHamming = 10)
+    }
+  }
+
   test("zipfFit is invariant to input partitioning") {
     val d = graft.Tables.documents(spark, sf())
     val a = TextAnalysis.zipfFit(d).as[(Long, Double, Double)].collect().head

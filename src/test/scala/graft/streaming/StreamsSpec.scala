@@ -260,6 +260,88 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate TTL mode: batch parity inside retention, re-admission after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog again"
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.nearDupGate(ms.toDS().toDF("doc_id", "text"),
+        idleRetentionMs = 2000L)
+      .toDF("doc_id", "band", "owner")
+      .writeStream.format("memory").queryName("t_neardup_ttl_parity")
+      .outputMode("append").start()
+    def latestState: Option[Long] = q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty => p.stateOperators.head.numRowsTotal
+    }
+    def marked: Map[Long, Long] =
+      spark.table("t_neardup_ttl_parity").groupBy("doc_id")
+        .agg(min("owner").as("o")).as[(Long, Long)].collect().toMap
+    try {
+      // phase 1 — WITHIN retention: micro-batch slicing + the TTL knob
+      // must not change the marking; the oracle is the batch operator
+      ms.addData(Seq((1L, a), (2L, "completely different words in this one")))
+      eventually(spark.table("t_neardup_ttl_parity").count() == 8L)
+      ms.addData(Seq((3L, a + " tail")))
+      eventually(spark.table("t_neardup_ttl_parity").count() == 12L)
+      val batchWant = {
+        import spark.implicits._
+        val docs = Seq((1L, a), (2L, "completely different words in this one"),
+          (3L, a + " tail")).toDF("doc_id", "text")
+        graft.ext.Dedup.firstWinsNearDup(docs)
+          .select(col("doc_id"),
+            coalesce(col("dup_of"), col("doc_id")).as("o"))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(marked == batchWant,
+        s"TTL-mode marking $marked != batch marking $batchWant")
+      // phase 2 — AFTER retention the buckets evict, so a RETURNING
+      // duplicate re-admits as its own owner: the documented trade
+      eventually(latestState.contains(0L))
+      ms.addData(Seq((9L, a)))
+      eventually(spark.table("t_neardup_ttl_parity").count() == 16L)
+      assert(marked(9L) == 9L,
+        s"returning dup after eviction should own itself, got ${marked(9L)}")
+    } finally q.stop()
+  }
+
+  test("streaming EWMA TTL mode: per-segment batch parity, smoothing restart after eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)]
+    val q = Streams.streamingEwma(ms.toDS(), alpha = 0.2, idleRetentionMs = 2000L)
+      .toDF("key", "order_id", "ewma")
+      .writeStream.format("memory").queryName("t_ewma_ttl")
+      .outputMode("append").start()
+    def latestState: Option[Long] = q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty => p.stateOperators.head.numRowsTotal
+    }
+    def got: Map[Long, Double] =
+      spark.table("t_ewma_ttl").select("order_id", "ewma")
+        .as[(Long, Double)].collect().toMap
+    def batchEwma(rows: Seq[(Long, Long, Double)]): Map[Long, Double] = {
+      import spark.implicits._
+      graft.ext.Temporal.ewma(
+          rows.toDF("user_id", "event_id", "value"), alpha = 0.2)
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    }
+    try {
+      // segment 1 (key retained across these micro-batches): the TTL
+      // knob must not perturb the smoothing — oracle is the batch op
+      val seg1 = Seq((1L, 1L, 10.0), (1L, 2L, 20.0))
+      ms.addData(seg1.take(1)); ms.addData(seg1.drop(1))
+      eventually(spark.table("t_ewma_ttl").count() == 2L)
+      assert(got == batchEwma(seg1), s"seg1 ${got} != ${batchEwma(seg1)}")
+      // eviction: the key's (haveY, y) state drops on idle timeout
+      eventually(latestState.contains(0L))
+      // segment 2: the RETURNING key restarts from its next value —
+      // ewma(order 3) = 50.0 exactly, NOT 0.2*50 + 0.8*12 = 17.6
+      ms.addData(Seq((1L, 3L, 50.0)))
+      eventually(spark.table("t_ewma_ttl").count() == 3L)
+      assert(got(3L) == 50.0, s"restarted smoothing should emit 50.0, got ${got(3L)}")
+      assert(got(3L) == batchEwma(Seq((1L, 3L, 50.0)))(3L))
+    } finally q.stop()
+  }
+
   test("streaming inference is byte-equal to the batch transform") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
