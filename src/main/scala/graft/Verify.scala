@@ -7,12 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb applies the GraftSession
+    // streamingBuilder production preset, so the whole battery (and in
+    // particular its 13 streaming entries) can be oracle-swept under the
+    // RocksDB provider — results must be provider-independent
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      b.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev filter: SPARK_GRAFT_QUERIES=a,b restricts the run (driver sets none)

@@ -74,15 +74,26 @@ object SuffixArray {
     // count to the key volume explicitly (~1M keys per partition, capped
     // at the cluster's parallelism) — at battery scale that's 2 tasks,
     // not 32; at 100 TB it grows with the data.
+    // ~1M keys per sort partition; the ceiling is 8× the cluster's
+    // parallelism, NOT the core count — extra partitions just queue,
+    // whereas capping at cores forces per-task sort buffers to grow
+    // with the data (the r10 ×100 leg's failure mode)
     def sortParts(nKeys: Long): Int = {
       val byVolume = math.max(2L, nKeys / 1000000L)
-      math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.min(8L * spark.sparkContext.defaultParallelism,
         byVolume).toInt
     }
-    val subKeys = seeds.select("sub").distinct().as[String].rdd
+    // distinct key sets cache as DATAFRAMES (Tungsten binary columnar,
+    // compressed, disk-spillable), never as RDDs of JVM objects: an RDD
+    // MEMORY_AND_DISK persist stores boxed tuples via
+    // MemoryStore.putIteratorAsValues — ~80 B/row of header+boxing that
+    // OOM'd the r10 ×30 leg — while the same rows cache columnar in a
+    // tenth of that. The .rdd conversion below feeds the range-sort
+    // straight from the columnar cache without materializing objects.
+    val subKeys = seeds.select("sub").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSub = subKeys.count()
-    val subRanks = subKeys
+    val subRanks = subKeys.as[String].rdd
       .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         numPartitions = sortParts(nSub))(
         graft.lda.Corpus.unsignedBytes, implicitly)
@@ -124,13 +135,13 @@ object SuffixArray {
         lead(col("r"), off(1), -1L).over(w).as("r1"),
         lead(col("r"), off(2), -1L).over(w).as("r2"),
         lead(col("r"), off(3), -1L).over(w).as("r3"))
+      // DF-cached like subKeys above (columnar, not boxed objects)
       val keys = paired.select("r", "r1", "r2", "r3").distinct()
-        .as[(Long, Long, Long, Long)].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newDistinct = keys.count()
       converged = newDistinct == distinctRanks
       distinctRanks = newDistinct
-      val pairRanks = keys
+      val pairRanks = keys.as[(Long, Long, Long, Long)].rdd
         .sortBy(identity, numPartitions = sortParts(newDistinct))
         .zipWithIndex()
         .map { case ((a, b, c, d), i) => (a, b, c, d, i) }
@@ -183,31 +194,48 @@ object SuffixArray {
     * pipeline that dumps the suffix array AND mines repeats (as the
     * battery does) builds the expensive prefix-doubling rounds ONCE. */
   def longestRepeatsOn(sa: DataFrame, docs: DataFrame, topK: Int = 10): DataFrame = {
+    // The rank table has ~as many rows as the corpus has CHARACTERS —
+    // hundreds of times the DOC count — so nothing text-bearing may ride
+    // an srank-keyed shuffle: the r10 scaling leg measured the previous
+    // form (full doc text attached to every rank row, then checkpointed
+    // AND self-joined wide on srank) at 16× wall for 10× chars and an
+    // executor OOM at 30×. Shape now: (1) the rank-neighbor self-join
+    // runs on NARROW (srank, doc_id, pos) rows; (2) each side's text
+    // arrives by a doc-keyed join AFTER pairing, projected immediately
+    // to the suffix SLICE substring(text, pos) — so text bytes cross at
+    // most ONE shuffle (the b-side slice riding the doc_a repartition),
+    // and the slice averages half the doc length; (3) the LCP byte-walk
+    // consumes the slices in the same stage — wide rows never persist.
     val reps = sa.groupBy("srank")
       .agg(min(struct(col("doc_id"), col("pos"))).as("rep"),
         count(lit(1)).as("cnt"))
       .select(col("srank"), col("rep.doc_id").as("doc_id"),
         col("rep.pos").as("pos"), col("cnt"))
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("srank"), col("doc_id"), col("pos"), col("cnt"),
-        col("text"), (length(col("text")) - col("pos") + 1).as("slen"))
-      .localCheckpoint() // read twice (both join sides) past an iterative build
-    val a = reps.select(col("srank"), col("doc_id"), col("pos"),
-      col("text").as("ta"), col("pos").as("pa"), col("slen").as("la"))
+      .localCheckpoint() // narrow; read by both join sides + the ties scan
+    val t = docs.select(col("doc_id"), col("text"))
+    val a = reps.select(col("srank"), col("doc_id").as("doc_a"),
+      col("pos").as("pa"))
     val b = reps.select((col("srank") - 1).as("srank"),
-      col("text").as("tb"), col("pos").as("pb"), col("slen").as("lb"))
+      col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val pairs = a.join(b, "srank").select("doc_a", "pa", "doc_b", "pb")
+    val withB = pairs
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("pa"),
+        expr("substring(tb, pb)").as("sb"))
     // LCP by the native zero-allocation byte-walk expression (stays in
     // the whole-stage span); equals the substring-per-position SQL form
     // the oracle uses — LcpSpec pins the equivalence including
     // multi-byte codepoints
-    val adj = a.join(b, "srank")
-      .select(col("doc_id"), col("pos"),
+    val adj = withB
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .select(col("doc_a").as("doc_id"), col("pa").as("pos"),
         graft.functions.SuffixLcp.suffixLcp(
-          col("ta"), col("pa").cast("int"),
-          col("tb"), col("pb").cast("int")).as("len"))
+          col("ta"), col("pa").cast("int"), col("sb"), lit(1)).as("len"))
       .where(col("len") > 0)
     val ties = reps.where(col("cnt") >= 2)
-      .select(col("doc_id"), col("pos"), col("slen").cast("long").as("len"))
+      .join(t, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        (length(col("text")) - col("pos") + 1).cast("long").as("len"))
     adj.union(ties)
       .orderBy(col("len").desc, col("doc_id"), col("pos"))
       .limit(topK)

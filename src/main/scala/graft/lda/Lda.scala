@@ -32,6 +32,13 @@ object LdaTrainer {
       averaged: Array[Double],
       /** pre-sweep corpus log-likelihood per iteration (if requested) */
       likelihoods: Array[Double],
+      /** wall-clock per training iteration, ms (sweep + model recount
+        * treeReduce + accumulate) — the number BASELINE.md's per-iteration
+        * cost model asks to watch at scale */
+      iterMillis: Array[Long],
+      /** driver-side model broadcast time per iteration, ms (the
+        * allreduce-"down" half of the communication profile) */
+      bcastMillis: Array[Long],
       /** final doc states (a view over the persisted generation) */
       docs: Dataset[DocState],
       numWords: Int,
@@ -96,10 +103,14 @@ object LdaTrainer {
     var nAccum = nAccum0
     val lls = Array.newBuilder[Double]
     lls ++= lls0
+    val iterMs = Array.newBuilder[Long]
+    val bcastMs = Array.newBuilder[Long]
 
     var iter = startIter
     while (iter < cfg.totalIterations) {
+      val t0 = System.nanoTime()
       val bc = sc.broadcast(model)
+      val tBc = System.nanoTime()
       if (cfg.computeLikelihood) {
         // fused path: the pre-sweep LL (quirk #6 — reports the previous
         // iteration's model) rides the swept RDD into the countModel
@@ -133,6 +144,8 @@ object LdaTrainer {
         while (i < accum.length) { accum(i) += model(i); i += 1 }
         nAccum += 1
       }
+      iterMs += (System.nanoTime() - t0) / 1000000L
+      bcastMs += (tBc - t0) / 1000000L
       iter += 1
       if (onCheckpoint != null)
         onCheckpoint(iter, spark.createDataset(docs), accum, nAccum, lls.result())
@@ -142,7 +155,8 @@ object LdaTrainer {
       while (i < accum.length) { accum(i) /= nAccum; i += 1 }
     }
     val gen = pinned
-    Result(model, accum, lls.result(), spark.createDataset(docs), numWords,
+    Result(model, accum, lls.result(), iterMs.result(), bcastMs.result(),
+      spark.createDataset(docs), numWords,
       release = () => gen.unpersist(blocking = false))
   }
 }

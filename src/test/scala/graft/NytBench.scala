@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only published-scale LDA benchmark pair (test scope, not shipped).
+  *
+  * The reference's ONLY documented workload (README.md:102-133) is the
+  * UCI NYTimes bag-of-words: 300,000 docs, 102,660-word vocabulary,
+  * ~100,000,000 tokens, trained with K=10, α=0.1, β=0.01. That dataset
+  * isn't in this container (zero egress), so [[NytGen]] synthesizes a
+  * deterministic corpus with the SAME shape — doc count, vocab size,
+  * token total, Zipf-Mandelbrot frequency profile — in the reference's
+  * own text format (`word cnt word cnt …`, lda.cc:56-84), and
+  * [[NytTrain]] times our trainer on it with per-iteration resolution.
+  * The identical file feeds the patched reference `lda` binary, turning
+  * BASELINE.md's "within 2×" bar into a measured single-node ratio.
+  */
+object NytGen {
+  /** p(rank r) ∝ 1/(r + shift): Zipf-Mandelbrot, the empirical shape of
+    * stopword-stripped news vocabulary (pure Zipf puts 8% of all mass on
+    * rank 1 — stopword territory; shifting flattens the head the way
+    * stopword removal does while keeping the long tail Zipfian). */
+  def cumulative(v: Int, shift: Double): Array[Double] = {
+    val cum = new Array[Double](v)
+    var s = 0.0
+    var r = 0
+    while (r < v) { s += 1.0 / (r + shift); cum(r) = s; r += 1 }
+    r = 0
+    while (r < v) { cum(r) /= s; r += 1 }
+    cum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/nyt/corpus")
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(300000L)
+    val vocab = args.lift(2).map(_.toInt).getOrElse(102660)
+    // mean doc length 333 → ~100M tokens over 300k docs (README.md:102)
+    val minLen = 233
+    val lenSpan = 201
+    val seed = 20260815L
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val bcCum = spark.sparkContext.broadcast(cumulative(vocab, 27.0))
+    spark.range(0L, nDocs, 1L, 32).as[Long].mapPartitions { it =>
+      val cum = bcCum.value
+      it.map { docId =>
+        val rng = new graft.lda.SplitMix64(graft.lda.Rng.mix(seed, docId, 0xA11CE5L))
+        val len = minLen + rng.nextInt(lenSpan)
+        val counts = new java.util.TreeMap[Integer, Integer]()
+        var t = 0
+        while (t < len) {
+          val u = rng.nextDouble()
+          // inverse-CDF: first rank whose cumulative mass covers u
+          var lo = 0; var hi = cum.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cum(mid) < u) lo = mid + 1 else hi = mid
+          }
+          counts.merge(lo, 1, (a: Integer, b: Integer) => a + b)
+          t += 1
+        }
+        val sb = new java.lang.StringBuilder(counts.size() * 12)
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (sb.length() > 0) sb.append(' ')
+          sb.append('w').append(kv.getKey.intValue()).append(' ')
+            .append(kv.getValue.intValue())
+        }
+        sb.toString
+      }
+    }.write.mode("overwrite").text(outDir)
+
+    println(s"WROTE $outDir docs=$nDocs vocab=$vocab")
+    spark.stop()
+  }
+}
+
+/** Times [[graft.lda.LdaTrainer]] on a plda-format corpus at the
+  * reference's published config (K=10, α=0.1, β=0.01) and prints one
+  * JSON line: per-iteration wall, broadcast time, steady-state
+  * tokens·iterations/s (iterations 5+, BASELINE.md B1 definition).
+  * Run: sbt "Test/runMain graft.NytTrain /tmp/nyt/corpus 30 /tmp/nyt/b1.json"
+  */
+object NytTrain {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/nyt/corpus")
+    val iters = args.lift(1).map(_.toInt).getOrElse(30)
+    val outJson = args.lift(2).getOrElse("/tmp/nyt/b1.json")
+    val k = args.lift(3).map(_.toInt).getOrElse(10)
+
+    // heap comes from the forked JVM's -Xmx (SPARK_DRIVER_MEM) — a
+    // spark.driver.memory conf here would be ignored in local mode
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val t0 = System.nanoTime()
+    val bowTok = graft.lda.Corpus.readPldaText(spark, path)
+    val vocab = graft.lda.Corpus.sortedVocab(bowTok.select("tok")).cache()
+    val numWords = vocab.count().toInt
+    val bow = bowTok.join(broadcast(vocab), "tok")
+      .select("doc_id", "word_id", "c")
+    val corpus = graft.lda.Corpus.fromBow(bow, k, 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nDocs, nToks) = corpus.rdd
+      .map(d => (1L, d.topics.length.toLong))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val tLoad = (System.nanoTime() - t0) / 1e9
+    println(s"LOADED docs=$nDocs tokens=$nToks vocab=$numWords in ${tLoad}s")
+
+    val cfg = graft.lda.LdaConfig(numTopics = k, alpha = 0.1, beta = 0.01,
+      totalIterations = iters, burnInIterations = math.max(0, iters - 10),
+      computeLikelihood = false, seed = 42L)
+    val tTrain0 = System.nanoTime()
+    val r = graft.lda.LdaTrainer.train(corpus, numWords, cfg)
+    val wall = (System.nanoTime() - tTrain0) / 1e9
+    r.release()
+
+    val iterSec = r.iterMillis.map(_ / 1000.0)
+    val bcastSec = r.bcastMillis.map(_ / 1000.0)
+    val steady = iterSec.drop(5)
+    val steadyMean = steady.sum / steady.length
+    val rate = nToks.toDouble / steadyMean // tokens·iters/s at steady state
+    val json =
+      s"""{"metric":"nyt_b1_train","docs":$nDocs,"tokens":$nToks,""" +
+      s""""vocab":$numWords,"k":$k,"iters":$iters,"load_sec":${f"$tLoad%.1f"},""" +
+      s""""train_wall_sec":${f"$wall%.1f"},""" +
+      s""""iter_sec":[${iterSec.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""bcast_sec":[${bcastSec.map(s => f"$s%.3f").mkString(",")}],""" +
+      s""""steady_iter_sec":${f"$steadyMean%.2f"},""" +
+      s""""tokens_iters_per_sec":${f"$rate%.3e"}}"""
+    println(json)
+    val w = new java.io.PrintWriter(outJson)
+    try w.println(json) finally w.close()
+    spark.stop()
+  }
+}

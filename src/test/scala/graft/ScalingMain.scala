@@ -843,6 +843,37 @@ object ScalingMain {
       edges.unpersist(blocking = true)
     }
 
+    // round-10: the generalized suffix array — the highest-shuffle-count
+    // extension op (log2(maxlen/seedLen) global rank sorts after the
+    // seed ranking) and the last heavy path without a leg. Replication
+    // grows positions m× with per-replica repeat structure intact
+    // (disjoint vocabs), so both the prefix-doubling chain and the
+    // LCP/neighbor stage must track m · log-ish, never blow up in
+    // rounds (the fixpoint stop bounds rounds by content, not size).
+    println("mult |     docs |     chars | suffix_ranks | longest_repeats")
+    sweep("r10") { m =>
+      def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      // shuffle granularity must GROW with the input (the knob a real
+      // cluster sets): with the static 32, each ×100 sort-merge task
+      // sorts ~1.5 GB and 32 of them share one heap — the leg OOM'd.
+      // AQE coalesces the fine-grained start back down at small m, so
+      // this is free where it isn't needed.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(32, m * 8).toString)
+      val docs = replicated(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docs.count()
+      val nc = docs.agg(sum(length(col("text")))).head.getLong(0)
+      val sa = ext.SuffixArray.suffixRanks(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tSa, nSfx) = time(sa.count())
+      require(nSfx == nc, s"suffix count $nSfx != char count $nc")
+      val (tLr, _) = time(mat(ext.SuffixArray.longestRepeatsOn(sa, docs, 10)))
+      println(f"$m%4d | $nd%8d | $nc%9d | $tSa%12.2f | $tLr%15.2f")
+      sa.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
+    }
+
     sweep("lda") { m =>
       val docs = replicated(m)
       val toks = lda.Corpus.tokenize(docs)
