@@ -82,6 +82,35 @@ object NytGen {
   }
 }
 
+/** Times [[graft.apps.InferApp]] end-to-end (read model + corpus,
+  * fold-in inference, write the positional result file) on the same
+  * corpus + model files the reference `infer` binary consumes — the B2
+  * head-to-head. Run:
+  * sbt "Test/runMain graft.NytInfer <corpus> <model> <out>" */
+object NytInfer {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/nyt/nytimes.txt")
+    val model = args.lift(1).getOrElse("/tmp/nyt/ref_model.txt")
+    val out = args.lift(2).getOrElse("/tmp/nyt/graft_infer.txt")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val f = graft.apps.Flags.parse(Array(
+      "--alpha", "0.1", "--beta", "0.01",
+      "--inference_data_file", corpus,
+      "--inference_result_file", out,
+      "--model_file", model,
+      "--total_iterations", "15", "--burn_in_iterations", "10"))
+    val t0 = System.nanoTime()
+    graft.apps.InferApp.run(spark, f)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"nyt_b2_infer","wall_sec":$wall%.1f}""")
+    spark.stop()
+  }
+}
+
 /** Times [[graft.lda.LdaTrainer]] on a plda-format corpus at the
   * reference's published config (K=10, α=0.1, β=0.01) and prints one
   * JSON line: per-iteration wall, broadcast time, steady-state

@@ -860,7 +860,11 @@ object ScalingMain {
       // this is free where it isn't needed.
       spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         math.max(32, m * 8).toString)
-      val docs = replicated(m)
+      // replicated() inherits the base parquet's 1-2 input partitions;
+      // spread BEFORE the 50x-per-char explode or one task shuffle-writes
+      // the entire suffix-seed set solo (observed: a 15-min single-task
+      // stage at x100)
+      val docs = replicated(m).repartition(math.max(32, m))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nd = docs.count()
       val nc = docs.agg(sum(length(col("text")))).head.getLong(0)
