@@ -123,6 +123,7 @@ object NytTrain {
     val iters = args.lift(1).map(_.toInt).getOrElse(30)
     val outJson = args.lift(2).getOrElse("/tmp/nyt/b1.json")
     val k = args.lift(3).map(_.toInt).getOrElse(10)
+    val withLl = args.lift(4).contains("ll")
 
     // heap comes from the forked JVM's -Xmx (SPARK_DRIVER_MEM) — a
     // spark.driver.memory conf here would be ignored in local mode
@@ -149,7 +150,7 @@ object NytTrain {
 
     val cfg = graft.lda.LdaConfig(numTopics = k, alpha = 0.1, beta = 0.01,
       totalIterations = iters, burnInIterations = math.max(0, iters - 10),
-      computeLikelihood = false, seed = 42L)
+      computeLikelihood = withLl, seed = 42L)
     val tTrain0 = System.nanoTime()
     val r = graft.lda.LdaTrainer.train(corpus, numWords, cfg)
     val wall = (System.nanoTime() - tTrain0) / 1e9
@@ -167,7 +168,10 @@ object NytTrain {
       s""""iter_sec":[${iterSec.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""bcast_sec":[${bcastSec.map(s => f"$s%.3f").mkString(",")}],""" +
       s""""steady_iter_sec":${f"$steadyMean%.2f"},""" +
-      s""""tokens_iters_per_sec":${f"$rate%.3e"}}"""
+      s""""tokens_iters_per_sec":${f"$rate%.3e"}""" +
+      (if (withLl)
+        s""","likelihoods":[${r.likelihoods.map(v => f"$v%.6e").mkString(",")}]"""
+       else "") + "}"
     println(json)
     val w = new java.io.PrintWriter(outJson)
     try w.println(json) finally w.close()
