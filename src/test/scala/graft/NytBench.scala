@@ -161,6 +161,16 @@ object NytTrain {
     val steady = iterSec.drop(5)
     val steadyMean = steady.sum / steady.length
     val rate = nToks.toDouble / steadyMean // tokens·iters/s at steady state
+    // optional arg 6: write the burn-in-averaged model in the reference's
+    // own text format (outside the timed window) — lets the reference
+    // `infer` binary consume a graft-trained model, the interop reverse
+    // of NytInfer reading a reference-trained one
+    args.lift(5).foreach { modelOut =>
+      val words = vocab.orderBy("word_id")
+        .select("tok").collect().map(_.getString(0))
+      graft.lda.ModelIO.writeAveraged(r.averaged, k, words, modelOut)
+      println(s"MODEL written to $modelOut")
+    }
     val json =
       s"""{"metric":"nyt_b1_train","docs":$nDocs,"tokens":$nToks,""" +
       s""""vocab":$numWords,"k":$k,"iters":$iters,"load_sec":${f"$tLoad%.1f"},""" +

@@ -20,6 +20,10 @@ object ScalingMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // GRAFT_IO_CODEC=zstd halves shuffle/spill bytes vs lz4 — the knob
+      // that decides whether a spill-bound leg fits this box's one disk
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
