@@ -86,19 +86,29 @@ object Similarity {
     * extra upstream scan: persist the prepared eval slice, count the
     * cached copy (this is the materializing action), and hard-`require`
     * the bound — an immediate, named error beats an executor OOM three
-    * stages in. The n² join downstream then reads the SAME cached
-    * slice, so the bound check is free rather than a duplicate pass
-    * over the input lineage. The cache is ≤ [[BruteEvalBound]] rows of
-    * (id, label, vector) — tens of MB at worst; left persisted for the
-    * harness's own join sides (both sides of the self-join hit it). */
-  private def boundedEvalSlice(prepared: DataFrame, op: String): DataFrame = {
+    * stages in. The n² join `build` constructs then reads the SAME
+    * cached slice (both sides of its self-join hit it), so the bound
+    * check is free rather than a duplicate pass over the input lineage.
+    *
+    * Cache lifecycle is OWNED HERE: eval outputs are label-/scalar-
+    * bounded (a handful of rows), so the built plan is materialized
+    * into a local relation and the slice unpersisted in `finally` —
+    * the harness never leaks its ≤[[BruteEvalBound]]-row cache into
+    * the session, and a failed bound check releases it before the
+    * throw. */
+  private def withBoundedEvalSlice(prepared: DataFrame, op: String)
+      (build: DataFrame => DataFrame): DataFrame = {
     val p = prepared.persist()
-    val n = p.count()
-    require(n <= BruteEvalBound,
-      s"$op is an exact brute-pairwise eval harness bounded at " +
-        s"$BruteEvalBound vectors (got $n); run it on a sampled or " +
-        s"pre-sliced eval set, or use the ANN stack for the serving path")
-    p
+    try {
+      val n = p.count()
+      require(n <= BruteEvalBound,
+        s"$op is an exact brute-pairwise eval harness bounded at " +
+          s"$BruteEvalBound vectors (got $n); run it on a sampled or " +
+          s"pre-sliced eval set, or use the ANN stack for the serving path")
+      val out = build(p)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      out.sparkSession.createDataFrame(rows, out.schema)
+    } finally p.unpersist(blocking = false)
   }
 
   /** Exact top-k neighbors for each query vector: broadcast the (small)
@@ -743,11 +753,11 @@ object Similarity {
     * offline metric over an eval slice — the serving path is the ANN
     * stack); per-vector ranking is a vec-keyed window, never global.
     * Output: (label, n, n_correct, acc). */
-  def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val e = boundedEvalSlice(Dedup.spreadForCompute(
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame =
+    withBoundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e"))), "knnLabelEval")
+      .withColumn("nrm", norm(col("e"))), "knnLabelEval") { e =>
     val l = e.toDF("a", "la", "ea", "na")
     val top = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")), col("a") =!= col("b"))
       .select(col("a"), col("la"), col("b"), col("lb"),
@@ -779,11 +789,11 @@ object Similarity {
     * shuffle-order-proof. Singleton clusters score 0 by convention.
     * Brute pairwise, like [[knnLabelEval]]: the offline eval harness.
     * Output: (label, n, silhouette). */
-  def silhouette(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
-    val e = boundedEvalSlice(Dedup.spreadForCompute(
+  def silhouette(embeddings: DataFrame, labelCol: String = "label"): DataFrame =
+    withBoundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e"))), "silhouette")
+      .withColumn("nrm", norm(col("e"))), "silhouette") { e =>
     val sizes = e.groupBy(col("lab").as("lb")).agg(count(lit(1)).as("nc"))
     val l = e.toDF("a", "la", "ea", "na")
     val r = e.toDF("b", "lb", "eb", "nb")
@@ -1085,11 +1095,11 @@ object Similarity {
     * products, no shuffle beyond the final scalar agg) — an EVAL op
     * for sampled/bounded eval sets, not a corpus-scale pipeline stage;
     * at corpus scale run it on a per-label sample. */
-  def dunnIndex(embeddings: DataFrame, labelCol: String = "label"): DataFrame = {
-    val e = boundedEvalSlice(Dedup.spreadForCompute(
+  def dunnIndex(embeddings: DataFrame, labelCol: String = "label"): DataFrame =
+    withBoundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col(labelCol).as("lab"),
           asDouble(col("embedding")).as("e")))
-      .withColumn("nrm", norm(col("e"))), "dunnIndex")
+      .withColumn("nrm", norm(col("e"))), "dunnIndex") { e =>
     val l = e.toDF("a", "la", "ea", "na")
     val d4 = l.join(broadcast(e.toDF("b", "lb", "eb", "nb")),
         col("a") < col("b"))

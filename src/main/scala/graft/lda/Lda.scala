@@ -50,34 +50,56 @@ object LdaTrainer {
 
   def train(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig): Result =
     trainFrom(corpus, numWords, cfg, startIter = 0,
-      accum0 = None, nAccum0 = 0, lls0 = Array.empty, onCheckpoint = null)
+      accum0 = None, nAccum0 = 0, lls0 = Array.empty,
+      iterMs0 = Array.empty, bcastMs0 = Array.empty, onCheckpoint = null)
+
+  /** Canonical deterministic doc layout: hash-partition on docId into
+    * exactly `p` partitions, sorted within each. A pure function of
+    * (data, p) — independent of the INCOMING partitioning, which is what
+    * a parquet round-trip scrambles (maxPartitionBytes re-splits files).
+    * AD-LDA sweep results depend on which docs share a task replica and
+    * in what order they sweep it, so pinning this layout at the start of
+    * BOTH the fresh and the resumed chain makes resume byte-identical to
+    * an uninterrupted run (spec: TrainSpec "resume ≡ uninterrupted"). */
+  private[lda] def canonicalLayout(docs: Dataset[DocState], p: Int): Dataset[DocState] =
+    docs.repartition(p, col("docId")).sortWithinPartitions("docId")
 
   /** [[train]] with durable checkpoint/resume: every `every` iterations
     * the full training state (doc assignments, burn-in accumulator,
-    * likelihood trace, iteration marker) is written under `dir`; a later
-    * call with the same `dir` resumes from the newest checkpoint instead
-    * of restarting — the preemption-survival story for long runs. The
-    * resumed chain is itself deterministic (same checkpoint → same
-    * result) but not byte-identical to an uninterrupted run: AD-LDA sweep
-    * order depends on partitioning, which a parquet round-trip changes. */
+    * likelihood trace, timing traces, iteration marker, canonical
+    * partition count) is written under `dir`; a later call with the same
+    * `dir` resumes from the newest checkpoint instead of restarting —
+    * the preemption-survival story for long runs. The corpus is pinned
+    * to [[canonicalLayout]] (one extra shuffle at chain start), making
+    * the resumed chain BYTE-IDENTICAL to an uninterrupted run with the
+    * same seed: sweep RNG streams key on (seed, docId, iter), model
+    * recounts are integer treeReduce sums, and the layout — the only
+    * remaining degree of freedom — is now a pure function of
+    * (data, num_parts) on both paths. */
   def trainResumable(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       dir: String, every: Int): Result = {
     require(every >= 1, "checkpoint cadence `every` must be >= 1")
     val spark = corpus.sparkSession
-    val hook = (i: Int, d: Dataset[DocState], a: Array[Double], n: Int, l: Array[Double]) =>
-      if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l)
+    def hook(p: Int) = (i: Int, d: Dataset[DocState], a: Array[Double], n: Int,
+        l: Array[Double], im: Array[Long], bm: Array[Long]) =>
+      if (i % every == 0) TrainCheckpoint.save(dir, d, i, a, n, l, p, im, bm)
     TrainCheckpoint.load(spark, dir, numWords, cfg.numTopics) match {
       case Some(st) =>
-        trainFrom(st.docs, numWords, cfg, st.iter, Some(st.accum), st.nAccum, st.lls, hook)
+        val p = if (st.numParts > 0) st.numParts else st.docs.rdd.getNumPartitions
+        trainFrom(canonicalLayout(st.docs, p), numWords, cfg, st.iter,
+          Some(st.accum), st.nAccum, st.lls, st.iterMs, st.bcastMs, hook(p))
       case None =>
-        trainFrom(corpus, numWords, cfg, 0, None, 0, Array.empty, hook)
+        val p = corpus.rdd.getNumPartitions
+        trainFrom(canonicalLayout(corpus, p), numWords, cfg, 0, None, 0,
+          Array.empty, Array.empty, Array.empty, hook(p))
     }
   }
 
   private def trainFrom(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       startIter: Int, accum0: Option[Array[Double]], nAccum0: Int,
-      lls0: Array[Double],
-      onCheckpoint: (Int, Dataset[DocState], Array[Double], Int, Array[Double]) => Unit): Result = {
+      lls0: Array[Double], iterMs0: Array[Long], bcastMs0: Array[Long],
+      onCheckpoint: (Int, Dataset[DocState], Array[Double], Int, Array[Double],
+        Array[Long], Array[Long]) => Unit): Result = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -103,8 +125,12 @@ object LdaTrainer {
     var nAccum = nAccum0
     val lls = Array.newBuilder[Double]
     lls ++= lls0
+    // restored on resume so the timing traces stay parallel to
+    // `likelihoods` (consumers zip them per-iteration)
     val iterMs = Array.newBuilder[Long]
+    iterMs ++= iterMs0
     val bcastMs = Array.newBuilder[Long]
+    bcastMs ++= bcastMs0
 
     var iter = startIter
     while (iter < cfg.totalIterations) {
@@ -148,7 +174,8 @@ object LdaTrainer {
       bcastMs += (tBc - t0) / 1000000L
       iter += 1
       if (onCheckpoint != null)
-        onCheckpoint(iter, spark.createDataset(docs), accum, nAccum, lls.result())
+        onCheckpoint(iter, spark.createDataset(docs), accum, nAccum,
+          lls.result(), iterMs.result(), bcastMs.result())
     }
     if (nAccum > 0) {
       var i = 0

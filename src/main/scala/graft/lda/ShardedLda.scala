@@ -248,18 +248,24 @@ object ShardedLda {
     * path — quirk #1, the mpi output kind), stored via
     * [[TrainCheckpoint]]'s versioned complete-marked directories every
     * `every` iterations. A later call with the same `dir` resumes from
-    * the newest complete checkpoint. The resumed chain is deterministic
-    * (same checkpoint → same result) but not byte-identical to an
-    * uninterrupted run: AD-LDA sweep order depends on partitioning,
-    * which the parquet round-trip changes. */
+    * the newest complete checkpoint. The corpus is pinned to
+    * [[LdaTrainer.canonicalLayout]] on both the fresh and resumed path
+    * (same contract as [[LdaTrainer.trainResumable]]): sweep RNG streams
+    * key on (seed, docId, iter, shard) and model recounts are integer
+    * sums, so with the layout canonicalized the resumed chain is
+    * byte-identical to an uninterrupted run. */
   def trainResumable(corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       numShards: Int, dir: String, every: Int = 10): Result = {
     val spark = corpus.sparkSession
     TrainCheckpoint.load(spark, dir, numWords, cfg.numTopics) match {
-      case Some(st) => trainFrom(st.docs, numWords, cfg, numShards,
-        startIter = st.iter, lls0 = st.lls, ckptDir = dir, ckptEvery = every)
-      case None => trainFrom(corpus, numWords, cfg, numShards,
-        startIter = 0, lls0 = Array.empty, ckptDir = dir, ckptEvery = every)
+      case Some(st) =>
+        val p = if (st.numParts > 0) st.numParts else st.docs.rdd.getNumPartitions
+        trainFrom(LdaTrainer.canonicalLayout(st.docs, p), numWords, cfg, numShards,
+          startIter = st.iter, lls0 = st.lls, ckptDir = dir, ckptEvery = every)
+      case None =>
+        val p = corpus.rdd.getNumPartitions
+        trainFrom(LdaTrainer.canonicalLayout(corpus, p), numWords, cfg, numShards,
+          startIter = 0, lls0 = Array.empty, ckptDir = dir, ckptEvery = every)
     }
   }
 
@@ -300,7 +306,9 @@ object ShardedLda {
       if (ckptDir != null && ckptEvery > 0 && iter % ckptEvery == 0 &&
           iter < cfg.totalIterations)
         TrainCheckpoint.save(ckptDir, spark.createDataset(docs), iter,
-          Array.emptyDoubleArray, 0, lls.result())
+          Array.emptyDoubleArray, 0, lls.result(),
+          numParts = docs.getNumPartitions,
+          iterMs = Array.empty, bcastMs = Array.empty)
     }
     val (finalDocs, finalModel) = (docs, modelRows)
     Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),

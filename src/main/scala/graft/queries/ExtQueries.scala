@@ -923,6 +923,11 @@ object ExtQueries {
   def closenessQ(s: SparkSession, d: String): DataFrame =
     Graph.closenessCentrality(coActivityEdges(s, d))
 
+  /** Sampled-pivot Eppstein–Wang closeness on the same shared graph —
+    * the unbounded-V scale variant of [[closenessQ]] (64 pivots). */
+  def approxClosenessQ(s: SparkSession, d: String): DataFrame =
+    Graph.approxCloseness(coActivityEdges(s, d))
+
   /** TextRank keyword scores: PageRank over the adjacent-token
     * co-occurrence graph (Mihalcea & Tarau 2004 with window 2). Token
     * node ids come from a row_number over the DISTINCT token table —
@@ -2728,6 +2733,7 @@ object ExtQueries {
     "ext_t_closeness" -> tClosenessQ _,
     "ext_qld" -> queryLikelihoodQ _,
     "ext_closeness" -> closenessQ _,
+    "ext_approx_closeness" -> approxClosenessQ _,
     "ext_calinski" -> chIndexQ _,
     "ext_davies_bouldin" -> dbIndexQ _,
     "ext_vmeasure" -> vMeasureQ _,
@@ -7127,6 +7133,10 @@ object ExtQueries {
     // closeness/harmonic centrality: 8-round unrolled all-pairs BFS
     "ext_closeness" -> closenessSql(8),
 
+    // Eppstein–Wang sampled-pivot closeness: same BFS chain seeded from
+    // the 64 md5-smallest pivots; estimate a ratio of exact longs
+    "ext_approx_closeness" -> approxClosenessSql(8, 64),
+
     // t-closeness: integer common-denominator EMD cumulatives,
     // cross-multiplied threshold decisions
     "ext_t_closeness" ->
@@ -8013,6 +8023,38 @@ object ExtQueries {
        |      / CAST(per.sum_dist AS DOUBLE), 4) END AS closeness,
        |  ROUND(COALESCE(h.harmonic, 0.0), 4) AS harmonic
        |FROM per LEFT JOIN h USING (src) ORDER BY user_id""".stripMargin
+  }
+
+  /** Oracle mirroring [[graft.ext.Graph.approxCloseness]]: the same
+    * unrolled-BFS chain as [[closenessSql]] but seeded from the `k`
+    * md5-smallest pivot nodes (both engines hash the same string, so
+    * the sample is identical); the Eppstein–Wang estimate
+    * r(n−1)/(nS) is one division of exact BIGINT products. */
+  private def approxClosenessSql(rounds: Int, k: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src, v, MIN(d) AS d FROM (
+         |  SELECT src, v, d FROM k${i - 1}
+         |  UNION ALL
+         |  SELECT f.src, adj.n AS v, $i AS d FROM adj
+         |  JOIN k${i - 1} f ON f.v = adj.v AND f.d = ${i - 1})
+         |GROUP BY src, v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActivityCtes,
+       |adj AS (SELECT a AS v, b AS n FROM cand
+       |        UNION ALL SELECT b AS v, a AS n FROM cand),
+       |nodes AS (SELECT DISTINCT v FROM adj),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pv AS (SELECT v FROM nodes
+       |       ORDER BY md5('ccap' || CAST(v AS VARCHAR)), v LIMIT $k),
+       |k0 AS (SELECT v AS src, v, 0 AS d FROM pv),
+       |$chain,
+       |per AS (SELECT v AS user_id, COUNT(*) AS k_reached,
+       |          CAST(SUM(d) AS BIGINT) AS sum_dist
+       |        FROM k$rounds WHERE d > 0 GROUP BY v)
+       |SELECT user_id, k_reached, sum_dist,
+       |  ROUND(CAST(k_reached * (nn.n - 1) AS DOUBLE)
+       |    / CAST(sum_dist * nn.n AS DOUBLE), 4) AS closeness_hat
+       |FROM per, nn ORDER BY user_id""".stripMargin
   }
 
   /** Shared CTE tail for the CH/DB validity oracles: the final-round

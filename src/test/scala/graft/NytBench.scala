@@ -158,7 +158,10 @@ object NytTrain {
 
     val iterSec = r.iterMillis.map(_ / 1000.0)
     val bcastSec = r.bcastMillis.map(_ / 1000.0)
-    val steady = iterSec.drop(5)
+    // steady-state window = post-JIT iterations; with <=5 iterations the
+    // drop would leave an empty window (0/0 = NaN → invalid JSON), so
+    // fall back to the full trace
+    val steady = if (iterSec.length > 5) iterSec.drop(5) else iterSec
     val steadyMean = steady.sum / steady.length
     val rate = nToks.toDouble / steadyMean // tokens·iters/s at steady state
     // optional arg 6: write the burn-in-averaged model in the reference's

@@ -855,7 +855,12 @@ object ScalingMain {
     // LCP/neighbor stage must track m · log-ish, never blow up in
     // rounds (the fixpoint stop bounds rounds by content, not size).
     println("mult |     docs |     chars | suffix_ranks | longest_repeats")
-    sweep("r10") { m =>
+    // the per-leg initialPartitionNum override must not leak into the
+    // subsequent lda sweep (it would shift its measured shuffle
+    // behavior) — capture and restore around the whole r10 sweep
+    val priorInitParts =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    try sweep("r10") { m =>
       def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
       // shuffle granularity must GROW with the input (the knob a real
       // cluster sets): with the static 32, each ×100 sort-merge task
@@ -880,6 +885,11 @@ object ScalingMain {
       println(f"$m%4d | $nd%8d | $nc%9d | $tSa%12.2f | $tLr%15.2f")
       sa.unpersist(blocking = true)
       docs.unpersist(blocking = true)
+    } finally priorInitParts match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+      case None => spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     }
 
     sweep("lda") { m =>

@@ -222,4 +222,60 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("approxCloseness: all-nodes-as-pivots gives the exact EW values") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("doc_a", "doc_b")
+    // numPivots >= V ⇒ every node is a pivot ⇒ ĉ(v) = r(n−1)/(nS)
+    // computed over ALL nodes — hand values with n = 5
+    val got = Graph.approxCloseness(g, numPivots = 16)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 0.5333),  // r=2 (d=1,2), S=3: 2·4/(5·3)
+      (2L, 2L, 2L, 0.8),     // middle of the path: 2·4/(5·2)
+      (3L, 2L, 3L, 0.5333),
+      (9L, 1L, 1L, 0.8),     // island: 1·4/(5·1)
+      (10L, 1L, 1L, 0.8)), got.toString)
+    intercept[IllegalArgumentException] {
+      Graph.approxCloseness(g, maxDepth = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.approxCloseness(g, numPivots = 0)
+    }
+  }
+
+  test("approxCloseness ranking tracks exact closenessCentrality at 64/300 pivots") {
+    import spark.implicits._
+    // deterministic connected graph: a 300-node chain + skip links — a
+    // spread of centralities (middle nodes central, ends peripheral)
+    val n = 300
+    val edges = ((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)) ++
+      (0 until n).map(i => (i.toLong, ((i * 7 + 3) % n).toLong)))
+      .filter { case (a, b) => a != b }
+    val g = edges.toDF("doc_a", "doc_b")
+    val exact = Graph.closenessCentrality(g, maxDepth = 16)
+      .select("user_id", "closeness").as[(Long, Double)].collect().toMap
+    val approx = Graph.approxCloseness(g, numPivots = 64, maxDepth = 16)
+      .select("user_id", "closeness_hat").as[(Long, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // the EW guarantee is per-node estimation error (Hoeffding, O(1/√k)
+    // of the value scale), not rank stability among near-ties — check
+    // the scale-corrected relative error: E[ĉ] = closeness·(n−1)/n on a
+    // connected graph, so est = ĉ·n/(n−1) estimates closeness directly
+    val rel = exact.keySet.toSeq.map { id =>
+      val est = approx(id) * n / (n - 1.0)
+      math.abs(est - exact(id)) / exact(id)
+    }
+    val meanRel = rel.sum / rel.length
+    assert(meanRel < 0.10, s"mean relative error $meanRel at 64/300 pivots")
+    assert(rel.max < 0.40, s"max relative error ${rel.max}")
+    // rank overlap is a WEAK signal on this graph — the skip links make
+    // it small-world, so the top decile is a band of near-ties that
+    // O(1/√k) noise reshuffles freely; the pinned floor (deterministic:
+    // fixed pivot hash) just guards against gross inversions, the real
+    // contract is the relative-error bound above
+    val topE = exact.toSeq.sortBy { case (id, v) => (-v, id) }.take(10).map(_._1).toSet
+    val topA = approx.toSeq.sortBy { case (id, v) => (-v, id) }.take(10).map(_._1).toSet
+    assert((topE & topA).size >= 3, s"top-10 overlap ${(topE & topA).size}")
+  }
+
 }

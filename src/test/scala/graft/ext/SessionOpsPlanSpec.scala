@@ -75,7 +75,8 @@ class SessionOpsPlanSpec extends SparkSpec {
     "ext_brier", "ext_bcubed", "ext_dunn", "ext_cluster_ari",
     "ext_cluster_nmi", "ext_durbin_watson", "ext_mann_kendall",
     "ext_jarque_bera", "ext_brown_forsythe", "ext_t_closeness", "ext_qld",
-    "ext_closeness", "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
+    "ext_closeness", "ext_approx_closeness",
+    "ext_calinski", "ext_davies_bouldin", "ext_vmeasure",
     "ext_dist_distances", "ext_err", "ext_profile_cosine",
     "ext_corr_matrix", "ext_rouge", "ext_holt_winters",
     "ext_energy_distance", "ext_cvm", "ext_token_dispersion",

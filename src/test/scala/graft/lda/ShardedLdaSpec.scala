@@ -191,6 +191,23 @@ class ShardedLdaSpec extends SparkSpec {
     assert(mb.values.map(_.sum).sum == 20 * 9) // resumed totals conserved
   }
 
+  test("sharded resume is byte-identical to an uninterrupted run") {
+    import java.nio.file.Files
+    val ds = corpus(20)
+    val cfg8 = LdaConfig(k, 0.1, 0.01, totalIterations = 8, seed = 7L)
+    val dirA = Files.createTempDirectory("graft-sharded-bi-a").toString
+    val a = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dirA, every = 100)
+    val ma = a.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
+    a.release()
+    val dirB = Files.createTempDirectory("graft-sharded-bi-b").toString
+    ShardedLda.trainResumable(ds, v, cfg8.copy(totalIterations = 4),
+      numShards = 3, dirB, every = 2)
+    val b = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dirB, every = 2)
+    val mb = b.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
+    b.release()
+    assert(ma == mb) // parquet round-trip re-pinned by canonicalLayout
+  }
+
   test("sharded training improves likelihood on a planted-topic corpus") {
     // two disjoint topic vocabularies; docs draw from exactly one
     val docs = (0L until 60L).map { id =>

@@ -157,6 +157,32 @@ class TrainSpec extends SparkSpec {
     assert(b.model.sameElements(c.model))
   }
 
+  test("resume is byte-identical to an uninterrupted run (canonical layout)") {
+    val corpus = { val (c, _) = Corpus.fromDocuments(
+      plantedDocs(40).toDF("doc_id", "text"), 2, 11L); c }
+    val cfg8 = LdaConfig(2, 0.1, 0.01, totalIterations = 8,
+      burnInIterations = 1, computeLikelihood = true, seed = 11L)
+    // uninterrupted: every=100 writes no intermediate checkpoint
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val a = LdaTrainer.trainResumable(corpus, 10, cfg8, dirA, every = 100)
+    // interrupted at iter 4 (simulated by a 4-iteration cfg), then resumed
+    // to 8 from the parquet checkpoint — the round-trip scrambles file
+    // partitioning, which canonicalLayout must re-pin
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    LdaTrainer.trainResumable(corpus, 10, cfg8.copy(totalIterations = 4), dirB, every = 2)
+    val b = LdaTrainer.trainResumable(corpus, 10, cfg8, dirB, every = 2)
+    // byte-equality of every output surface: final counts, burn-in
+    // average (double-exact: same accumulation order), LL trace
+    // (double-exact: same treeReduce shape), and parallel timing arrays
+    assert(a.model.sameElements(b.model))
+    assert(a.averaged.sameElements(b.averaged))
+    assert(a.likelihoods.sameElements(b.likelihoods))
+    assert(a.likelihoods.length == 8)
+    assert(b.iterMillis.length == 8 && b.bcastMillis.length == 8,
+      "resumed timing traces must stay parallel to likelihoods")
+    a.release(); b.release()
+  }
+
   test("averaged model reflects burn-in accumulation (quirk #1 single-node kind)") {
     // averaged counts should be close to final counts in scale (same corpus)
     val totalAvg = fitted.averaged.slice(fitted.numWords * 2, fitted.numWords * 2 + 2).sum
