@@ -102,6 +102,87 @@ object Multimodal {
   }
   /** ======== END STUB ======== */
 
+  /** REAL image decode path — javax.imageio, which ships with the JDK
+    * (PNG/BMP/GIF/JPEG readers), so it needs no dependency this
+    * container lacks: this is the genuine decoder that slots into the
+    * same mapPartitions seam the stub marks. Produces a true 60-bit
+    * AVERAGE-HASH (aHash) perceptual hash over decoded pixels: area-
+    * averaged 8×8 luma grid, each cell thresholded at the grand mean —
+    * robust to re-encoding (two different PNG byte streams of the same
+    * pixels hash identically, where the md5 stub sees unrelated
+    * payloads) and to small pixel noise (few cells cross the mean), so
+    * [[phashBandedPairs]]'s Hamming banding does real near-dup work
+    * over it. 60 bits (top 4 dropped) keeps the non-negative 10×6-bit
+    * block layout the banding expects. The md5 stub remains the
+    * default for the battery entries (DuckDB can mirror md5, not PNG
+    * decoding — the oracle contract), spec'd on actual PNGs in
+    * MultimodalSpec. */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+
+    /** None when no JDK reader recognizes the payload. */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+
+    /** Rec. 601 luma ×1000 of an ARGB pixel — integer-exact. */
+    private def luma1000(argb: Int): Long = {
+      val r = (argb >> 16) & 0xff
+      val g = (argb >> 8) & 0xff
+      val b = argb & 0xff
+      299L * r + 587L * g + 114L * b
+    }
+
+    /** 60-bit average hash: every source pixel contributes to exactly
+      * one of 8×8 cells (area averaging — deterministic integer
+      * bucketing, no interpolation ambiguity), cell means thresholded
+      * at the mean of cell means. */
+    def aHash60(img: BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 8 / w, 7)
+          val c = cy * 8 + cx
+          sums(c) += luma1000(img.getRGB(x, y))
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(64)(c =>
+        if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+      val grand = means.sum / 64.0
+      var bits = 0L
+      var c = 0
+      while (c < 64) { if (means(c) > grand) bits |= (1L << c); c += 1 }
+      bits >>> 4 // 60 non-negative bits, the banding layout's contract
+    }
+
+    /** Real pixels → perceptual hash; None for undecodable payloads. */
+    def phash(payload: Array[Byte]): Option[Long] = decode(payload).map(aHash60)
+
+    /** Real (width, height, channels, mean luma 0–255). */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      decode(payload).map { img =>
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += luma1000(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+          sum.toDouble / (1000.0 * n))
+      }
+  }
+
   /** Decode + feature-extract images: one narrow mapPartitions pass, rows
     * streamed in partition-local batches. */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
@@ -161,10 +242,19 @@ object Multimodal {
   /** (media_id, phash) projection through the decode seam — the narrow
     * mapPartitions where a real perceptual hasher (pHash/dHash over
     * decoded pixels) would slot in; bytes never shuffle. */
-  def mediaPhashes(media: Dataset[MediaRow]): DataFrame = {
+  def mediaPhashes(media: Dataset[MediaRow]): DataFrame =
+    mediaPhashes(media, StubCodec.phash(_))
+
+  /** [[mediaPhashes]] with a pluggable hasher — pass
+    * `p => ImageIoCodec.phash(p).getOrElse(fallback)` (or a JNI/FFI
+    * hasher) to run REAL perceptual hashing through the identical
+    * plumbing; the md5-stub default keeps the DuckDB-oracle battery
+    * entries byte-stable. */
+  def mediaPhashes(media: Dataset[MediaRow],
+      hasher: Array[Byte] => Long): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(m => (m.media_id, StubCodec.phash(m.payload))))
+    media.mapPartitions(_.map(m => (m.media_id, hasher(m.payload))))
       .toDF("media_id", "phash")
   }
 
