@@ -230,6 +230,11 @@ object ShardedLda {
       modelRows: Dataset[WordTopics],
       docs: Dataset[DocState],
       likelihoods: Array[Double],
+      /** wall-clock per training iteration, ms (all S shard passes +
+        * model recount) — the sharded twin of
+        * [[LdaTrainer.Result.iterMillis]], what the broadcast-vs-sharded
+        * crossover measurement reads */
+      iterMillis: Array[Long],
       release: () => Unit)
 
   /** Full training loop on the sharded path. The model is never collected
@@ -286,8 +291,10 @@ object ShardedLda {
     modelRows.count()
     val lls = Array.newBuilder[Double]
     lls ++= lls0
+    val iterMs = Array.newBuilder[Long]
     var iter = startIter
     while (iter < cfg.totalIterations) {
+      val tIter0 = System.nanoTime()
       if (cfg.computeLikelihood)
         lls += shardedLikelihoodRdd(docs, modelRows, numWords, cfg, numShards)
       val prevDocs = docs
@@ -302,6 +309,7 @@ object ShardedLda {
       modelRows.count()
       prevDocs.unpersist(blocking = false)
       prevModel.unpersist(blocking = false)
+      iterMs += (System.nanoTime() - tIter0) / 1000000L
       iter += 1
       if (ckptDir != null && ckptEvery > 0 && iter % ckptEvery == 0 &&
           iter < cfg.totalIterations)
@@ -312,7 +320,7 @@ object ShardedLda {
     }
     val (finalDocs, finalModel) = (docs, modelRows)
     Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),
-      spark.createDataset(docs), lls.result(),
+      spark.createDataset(docs), lls.result(), iterMs.result(),
       release = () => {
         finalDocs.unpersist(blocking = false)
         finalModel.unpersist(blocking = false)

@@ -123,4 +123,25 @@ class CacheLifetimeSpec extends SparkSpec {
     }
     eventuallyFlat(baseline)
   }
+
+  test("r11 self-releasing harnesses (knnLabelEval, silhouette, dunnIndex, adamicAdar): registry flat") {
+    import spark.implicits._
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    // warm once each (these ops own their cache lifecycle internally now:
+    // persist → bounded-output materialize → unpersist in finally)
+    graft.ext.Similarity.knnLabelEval(emb).count()
+    graft.ext.Graph.adamicAdar(pairs).count()
+    val baseline = drainedBaseline()
+    (1 to 5).foreach { _ =>
+      assert(graft.ext.Similarity.knnLabelEval(emb, k = 3).count() == 3L)
+      assert(graft.ext.Similarity.silhouette(emb).count() == 3L)
+      assert(graft.ext.Similarity.dunnIndex(emb).count() == 1L)
+      assert(graft.ext.Graph.adamicAdar(pairs).count() >= 1L)
+    }
+    eventuallyFlat(baseline)
+  }
 }

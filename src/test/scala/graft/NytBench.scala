@@ -191,3 +191,79 @@ object NytTrain {
     spark.stop()
   }
 }
+
+/** Broadcast-vs-sharded crossover measurement on the MODEL-SIZE axis
+  * (BASELINE.md's scaling law is the memory formula V×K×8 bytes,
+  * reference README.md:125 / model.cc:54): trains the SAME corpus at a
+  * given K through BOTH [[graft.lda.LdaTrainer]] (flat broadcast model;
+  * every task clones it — the AD-LDA replica) and
+  * [[graft.lda.ShardedLda]] (S shard-bounded broadcasts per iteration),
+  * printing one JSON line per mode with per-iteration walls. The
+  * measured s/iter pair at K ∈ {10, 100, 1000} is what
+  * `Lda.fit`'s auto-switch threshold encodes.
+  * Run: sbt "Test/runMain graft.NytKsweep /tmp/nyt/corpus <k> <iters>
+  *   <flat|sharded:S> <out.json>"
+  */
+object NytKsweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/nyt/corpus")
+    val k = args.lift(1).map(_.toInt).getOrElse(100)
+    val iters = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("flat")
+    val outJson = args.lift(4).getOrElse(s"/tmp/nyt/ksweep_${mode}_k$k.json")
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val t0 = System.nanoTime()
+    val bowTok = graft.lda.Corpus.readPldaText(spark, path)
+    val vocab = graft.lda.Corpus.sortedVocab(bowTok.select("tok")).cache()
+    val numWords = vocab.count().toInt
+    val bow = bowTok.join(broadcast(vocab), "tok")
+      .select("doc_id", "word_id", "c")
+    val corpus = graft.lda.Corpus.fromBow(bow, k, 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nToks = corpus.rdd.map(_.topics.length.toLong).reduce(_ + _)
+    val tLoad = (System.nanoTime() - t0) / 1e9
+    val modelMb = (numWords + 1).toLong * k * 8 / (1 << 20)
+    println(s"LOADED tokens=$nToks vocab=$numWords k=$k model=${modelMb}MB in ${tLoad}s")
+
+    val cfg = graft.lda.LdaConfig(numTopics = k, alpha = 0.1, beta = 0.01,
+      totalIterations = iters, burnInIterations = math.max(0, iters - 5),
+      computeLikelihood = false, seed = 42L)
+    val tTrain0 = System.nanoTime()
+    val (iterSec, bcastSec, shards) = mode match {
+      case "flat" =>
+        val r = graft.lda.LdaTrainer.train(corpus, numWords, cfg)
+        r.release()
+        (r.iterMillis.map(_ / 1000.0), r.bcastMillis.map(_ / 1000.0), 1)
+      case s if s.startsWith("sharded:") =>
+        val nSh = s.stripPrefix("sharded:").toInt
+        val r = graft.lda.ShardedLda.train(corpus, numWords, cfg, numShards = nSh)
+        r.modelRows.queryExecution.toRdd.count() // materialize before timing stops
+        r.release()
+        (r.iterMillis.map(_ / 1000.0), Array.empty[Double], nSh)
+      case other => sys.error(s"mode must be flat or sharded:S, got $other")
+    }
+    val wall = (System.nanoTime() - tTrain0) / 1e9
+    val steady = if (iterSec.length > 3) iterSec.drop(3) else iterSec
+    val steadyMean = steady.sum / steady.length
+    val json =
+      s"""{"metric":"nyt_ksweep","mode":"$mode","k":$k,"shards":$shards,""" +
+      s""""vocab":$numWords,"tokens":$nToks,"model_mb":$modelMb,""" +
+      s""""iters":$iters,"train_wall_sec":${f"$wall%.1f"},""" +
+      s""""iter_sec":[${iterSec.map(s => f"$s%.2f").mkString(",")}],""" +
+      (if (bcastSec.nonEmpty)
+        s""""bcast_sec":[${bcastSec.map(s => f"$s%.3f").mkString(",")}],"""
+       else "") +
+      s""""steady_iter_sec":${f"$steadyMean%.2f"}}"""
+    println(json)
+    val w = new java.io.PrintWriter(outJson)
+    try w.println(json) finally w.close()
+    spark.stop()
+  }
+}

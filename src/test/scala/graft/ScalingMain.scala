@@ -20,10 +20,12 @@ object ScalingMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // GRAFT_IO_CODEC=zstd halves shuffle/spill bytes vs lz4 — the knob
-      // that decides whether a spill-bound leg fits this box's one disk
+      // zstd cuts shuffle/spill bytes ~35% vs lz4 — the knob that
+      // decides whether a spill-bound leg fits this box's one disk;
+      // the GraftSession default since r11 (GRAFT_IO_CODEC=lz4 to A/B
+      // against the old default)
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
+        sys.env.getOrElse("GRAFT_IO_CODEC", GraftSession.DefaultIoCodec))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
