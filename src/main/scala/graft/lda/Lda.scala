@@ -244,22 +244,88 @@ object LdaInfer {
 /** User-facing estimator/model pair (the north-star surface of SURVEY
   * §2.4): `Lda(cfg).fit(documents)` → [[LdaModel]] → `.transform(docs)` /
   * `.topWords(n)` / `.describeTopics`. */
-final case class Lda(cfg: LdaConfig) {
+final case class Lda(cfg: LdaConfig,
+    /** broadcast-path model-size ceiling; above it [[fit]] trains via
+      * [[ShardedLda]] — see [[Lda.BroadcastModelBytesMax]] for the
+      * measured default and [[Lda.shouldShard]] for the rule. */
+    broadcastBytesMax: Long = Lda.BroadcastModelBytesMax) {
 
-  /** documents: DataFrame(doc_id, text). */
+  /** documents: DataFrame(doc_id, text). Auto-selects the training path
+    * on the model-size axis (the reference's own scaling law — its
+    * memory formula V×K×8, README.md:125 / model.cc:54): the flat
+    * broadcast path below [[broadcastBytesMax]], the word-sharded path
+    * above it. The sharded path's final counts are assembled into the
+    * same driver-side [[LdaModel]] (fit's contract is a local model;
+    * for models too big for ONE driver array, use [[ShardedLda]]
+    * directly and keep the model distributed). Sharded `averaged` is
+    * the raw final counts (the reference's mpi output kind, quirk #1 —
+    * that path has no burn-in accumulator). */
   def fit(documents: DataFrame): LdaModel = {
     val toks = Corpus.tokenize(documents)
     val vocab = Corpus.sortedVocab(toks).cache()
     val numWords = vocab.count().toInt
     val corpus = Corpus.fromTokenIds(toks.join(broadcast(vocab), "tok")
       .select("doc_id", "word_id"), cfg.numTopics, cfg.seed)
-    val result = LdaTrainer.train(corpus, numWords, cfg)
-    // the model arrays are extracted; release the persisted final corpus
-    // generation (via release(), NOT docs.unpersist — docs can be a narrow
-    // view whose unpersist would be a no-op on the backing cache entry)
-    result.release()
-    LdaModel(result.model, result.averaged, result.likelihoods, vocab, numWords, cfg)
+    if (Lda.shouldShard(numWords, cfg.numTopics, broadcastBytesMax)) {
+      val nShards = Lda.recommendedShards(numWords, cfg.numTopics)
+      val result = ShardedLda.train(corpus, numWords, cfg, nShards)
+      val counts = new Array[Long]((numWords + 1) * cfg.numTopics)
+      // V-row collect of the final counts — bounded by the same driver
+      // array LdaModel itself holds, not by executor replica memory
+      result.modelRows.collect().foreach { wt =>
+        System.arraycopy(wt.counts, 0, counts, wt.wordId * cfg.numTopics,
+          cfg.numTopics)
+      }
+      // global topic row n(k) = column sums over the word rows (the
+      // flat layout's row V; the sharded model stores word rows only)
+      val global = numWords * cfg.numTopics
+      var w = 0
+      while (w < numWords) {
+        var k = 0
+        while (k < cfg.numTopics) {
+          counts(global + k) += counts(w * cfg.numTopics + k); k += 1
+        }
+        w += 1
+      }
+      result.release()
+      LdaModel(counts, counts.map(_.toDouble), result.likelihoods, vocab,
+        numWords, cfg)
+    } else {
+      val result = LdaTrainer.train(corpus, numWords, cfg)
+      // the model arrays are extracted; release the persisted final corpus
+      // generation (via release(), NOT docs.unpersist — docs can be a narrow
+      // view whose unpersist would be a no-op on the backing cache entry)
+      result.release()
+      LdaModel(result.model, result.averaged, result.likelihoods, vocab,
+        numWords, cfg)
+    }
   }
+}
+
+object Lda {
+
+  /** Measured broadcast→sharded crossover on the model-size axis
+    * (BENCH.md round 11, NytKsweep on the published-scale corpus):
+    * placeholder until the r11 measurement pins it. */
+  val BroadcastModelBytesMax: Long = 256L << 20
+
+  /** Per-shard broadcast target for the sharded path: big enough to
+    * amortize the per-shard job, small enough that per-task clones stay
+    * trivial next to executor heaps. */
+  val TargetShardBytes: Long = 64L << 20
+
+  /** (V+1)×K×8 — the reference's own memory law (README.md:125). */
+  def modelBytes(numWords: Int, numTopics: Int): Long =
+    (numWords + 1L) * numTopics * 8L
+
+  /** The auto-switch rule [[Lda.fit]] applies. */
+  def shouldShard(numWords: Int, numTopics: Int,
+      thresholdBytes: Long = BroadcastModelBytesMax): Boolean =
+    modelBytes(numWords, numTopics) > thresholdBytes
+
+  def recommendedShards(numWords: Int, numTopics: Int): Int =
+    math.max(2, math.ceil(
+      modelBytes(numWords, numTopics).toDouble / TargetShardBytes).toInt)
 }
 
 final case class LdaModel(

@@ -27,6 +27,39 @@ class TrainSpec extends SparkSpec {
     assert(fitted.averaged.sameElements(m2.averaged))
   }
 
+  test("fit auto-switches to the sharded path above the model-size threshold") {
+    // the rule itself flips exactly at (V+1)·K·8 > threshold
+    assert(!Lda.shouldShard(numWords = 1023, numTopics = 1024,
+      thresholdBytes = 8L * 1024 * 1024))
+    assert(Lda.shouldShard(numWords = 1024, numTopics = 1024,
+      thresholdBytes = 8L * 1024 * 1024))
+    // force the switch on the fixture (threshold 1 byte) and prove the
+    // SHARDED chain ran: fit's counts equal a direct ShardedLda.train on
+    // the identically-built corpus, and differ from the flat chain
+    val docsDf = plantedDocs(60).toDF("doc_id", "text")
+    val sharded = Lda(cfg, broadcastBytesMax = 1L).fit(docsDf)
+    val toks = Corpus.tokenize(docsDf)
+    val vocab = Corpus.sortedVocab(toks).cache()
+    val v = vocab.count().toInt
+    val corpus = Corpus.fromTokenIds(
+      toks.join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+        .select("doc_id", "word_id"), cfg.numTopics, cfg.seed)
+    val direct = ShardedLda.train(corpus, v, cfg, Lda.recommendedShards(v, cfg.numTopics))
+    val expect = new Array[Long]((v + 1) * cfg.numTopics)
+    direct.modelRows.collect().foreach { wt =>
+      System.arraycopy(wt.counts, 0, expect, wt.wordId * cfg.numTopics, cfg.numTopics)
+    }
+    for (w <- 0 until v; t <- 0 until cfg.numTopics)
+      expect(v * cfg.numTopics + t) += expect(w * cfg.numTopics + t)
+    direct.release()
+    assert(sharded.counts.sameElements(expect), "fit did not run the sharded chain")
+    assert(!sharded.counts.sameElements(fitted.counts), "chains should differ")
+    // sharded output kind: averaged = raw final counts (quirk #1 mpi kind)
+    assert(sharded.averaged.sameElements(sharded.counts.map(_.toDouble)))
+    // invariants hold on the auto-switched path too
+    assert((0 until cfg.numTopics).map(t => sharded.counts(v * cfg.numTopics + t)).sum == 60L * 30L)
+  }
+
   test("model invariants hold after training") {
     val k = cfg.numTopics
     val v = fitted.numWords
