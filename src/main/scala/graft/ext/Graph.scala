@@ -612,24 +612,30 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select("v").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one scalar job; the cache feeds selfBits next
-    // k smallest hash values via TakeOrdered (never a global sort), then
-    // a k-bounded collect to index the pivots 0..k-1
-    val pivots = nodes
-      .select(col("v"), md5(concat(lit("ccap"), col("v").cast("string"))).as("h"))
-      .orderBy("h", "v").limit(numPivots)
-      .collect().map(_.getLong(0))
-    val idxDf = spark.createDataset(pivots.toSeq.zipWithIndex)
-      .toDF("src_id", "si")
-    val perV = bitsetBfs(adj, nodes, idxDf, pivots.length, maxDepth)
-      .where(col("dist") > 0) // self rows carry no distance information
-      .groupBy("v").agg(count(lit(1)).as("k_reached"),
-        sum("dist").cast("long").as("sum_dist"))
-    adj.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    perV.select(col("v").as("user_id"), col("k_reached"), col("sum_dist"),
-        round((col("k_reached") * lit(n - 1)).cast("double")
-          / (col("sum_dist") * lit(n)).cast("double"), 4).as("closeness_hat"))
-      .orderBy("user_id")
+    // try/finally: bitsetBfs can throw its maxDepth require and the pivot
+    // collect can fail — without the finally both caches would leak for
+    // the session lifetime (same leak class as the r11 adamicAdar fix)
+    try {
+      val n = nodes.count() // one scalar job; the cache feeds selfBits next
+      // k smallest hash values via TakeOrdered (never a global sort), then
+      // a k-bounded collect to index the pivots 0..k-1
+      val pivots = nodes
+        .select(col("v"), md5(concat(lit("ccap"), col("v").cast("string"))).as("h"))
+        .orderBy("h", "v").limit(numPivots)
+        .collect().map(_.getLong(0))
+      val idxDf = spark.createDataset(pivots.toSeq.zipWithIndex)
+        .toDF("src_id", "si")
+      val perV = bitsetBfs(adj, nodes, idxDf, pivots.length, maxDepth)
+        .where(col("dist") > 0) // self rows carry no distance information
+        .groupBy("v").agg(count(lit(1)).as("k_reached"),
+          sum("dist").cast("long").as("sum_dist"))
+      perV.select(col("v").as("user_id"), col("k_reached"), col("sum_dist"),
+          round((col("k_reached") * lit(n - 1)).cast("double")
+            / (col("sum_dist") * lit(n)).cast("double"), 4).as("closeness_hat"))
+        .orderBy("user_id")
+    } finally {
+      adj.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
   }
 }

@@ -161,7 +161,21 @@ object Multimodal {
       var bits = 0L
       var c = 0
       while (c < 64) { if (means(c) > grand) bits |= (1L << c); c += 1 }
-      bits >>> 4 // 60 non-negative bits, the banding layout's contract
+      // 60 non-negative bits (the banding layout's contract) by dropping
+      // 4 SPATIALLY-SPREAD cells — (0,0), (2,5), (5,2), (7,7) along the
+      // diagonals — not one contiguous corner, so the hash's blind spot
+      // is scattered single cells rather than a systematic image region
+      var out = 0L
+      var k = 0
+      c = 0
+      while (c < 64) {
+        if (c != 0 && c != 21 && c != 42 && c != 63) {
+          if (((bits >>> c) & 1L) == 1L) out |= (1L << k)
+          k += 1
+        }
+        c += 1
+      }
+      out
     }
 
     /** Real pixels → perceptual hash; None for undecodable payloads. */

@@ -123,13 +123,17 @@ object LdaTrainer {
     var model = Gibbs.countModelRdd(docs, numWords, k)
     val accum = accum0.getOrElse(new Array[Double]((numWords + 1) * k))
     var nAccum = nAccum0
-    val lls = Array.newBuilder[Double]
+    // ArrayBuffer, NOT Array.newBuilder: the per-checkpoint snapshots below
+    // call result()/toArray mid-loop, and 2.13's ArrayBuilder.result() steals
+    // the backing array when capacity == size (any power-of-2 length),
+    // NPE-ing the next += — ArrayBuffer.toArray is a pure copy
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
     lls ++= lls0
     // restored on resume so the timing traces stay parallel to
     // `likelihoods` (consumers zip them per-iteration)
-    val iterMs = Array.newBuilder[Long]
+    val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     iterMs ++= iterMs0
-    val bcastMs = Array.newBuilder[Long]
+    val bcastMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     bcastMs ++= bcastMs0
 
     var iter = startIter
@@ -175,14 +179,14 @@ object LdaTrainer {
       iter += 1
       if (onCheckpoint != null)
         onCheckpoint(iter, spark.createDataset(docs), accum, nAccum,
-          lls.result(), iterMs.result(), bcastMs.result())
+          lls.toArray, iterMs.toArray, bcastMs.toArray)
     }
     if (nAccum > 0) {
       var i = 0
       while (i < accum.length) { accum(i) /= nAccum; i += 1 }
     }
     val gen = pinned
-    Result(model, accum, lls.result(), iterMs.result(), bcastMs.result(),
+    Result(model, accum, lls.toArray, iterMs.toArray, bcastMs.toArray,
       spark.createDataset(docs), numWords,
       release = () => gen.unpersist(blocking = false))
   }
@@ -268,6 +272,13 @@ final case class Lda(cfg: LdaConfig,
       .select("doc_id", "word_id"), cfg.numTopics, cfg.seed)
     if (Lda.shouldShard(numWords, cfg.numTopics, broadcastBytesMax)) {
       val nShards = Lda.recommendedShards(numWords, cfg.numTopics)
+      // loud switch: the sharded path changes `averaged` semantics (raw
+      // final counts, no burn-in accumulator — the reference's mpi kind)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Lda.fit: model ${Lda.modelBytes(numWords, cfg.numTopics)} B > " +
+          s"$broadcastBytesMax B — auto-switching to the sharded path " +
+          s"($nShards shards); `averaged` will be the raw final counts " +
+          "(no burn-in averaging)")
       val result = ShardedLda.train(corpus, numWords, cfg, nShards)
       val counts = new Array[Long]((numWords + 1) * cfg.numTopics)
       // V-row collect of the final counts — bounded by the same driver

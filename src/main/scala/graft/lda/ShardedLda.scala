@@ -243,7 +243,7 @@ object ShardedLda {
       corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       numShards: Int): Result =
     trainFrom(corpus, numWords, cfg, numShards, startIter = 0,
-      lls0 = Array.empty, ckptDir = null, ckptEvery = 0)
+      lls0 = Array.empty, iterMs0 = Array.empty, ckptDir = null, ckptEvery = 0)
 
   /** [[train]] with durable checkpoint/resume — the preemption-survival
     * story for the huge-V runs big enough to need sharding (symmetric
@@ -266,18 +266,20 @@ object ShardedLda {
       case Some(st) =>
         val p = if (st.numParts > 0) st.numParts else st.docs.rdd.getNumPartitions
         trainFrom(LdaTrainer.canonicalLayout(st.docs, p), numWords, cfg, numShards,
-          startIter = st.iter, lls0 = st.lls, ckptDir = dir, ckptEvery = every)
+          startIter = st.iter, lls0 = st.lls, iterMs0 = st.iterMs,
+          ckptDir = dir, ckptEvery = every)
       case None =>
         val p = corpus.rdd.getNumPartitions
         trainFrom(LdaTrainer.canonicalLayout(corpus, p), numWords, cfg, numShards,
-          startIter = 0, lls0 = Array.empty, ckptDir = dir, ckptEvery = every)
+          startIter = 0, lls0 = Array.empty, iterMs0 = Array.empty,
+          ckptDir = dir, ckptEvery = every)
     }
   }
 
   private def trainFrom(
       corpus: Dataset[DocState], numWords: Int, cfg: LdaConfig,
       numShards: Int, startIter: Int, lls0: Array[Double],
-      ckptDir: String, ckptEvery: Int): Result = {
+      iterMs0: Array[Long], ckptDir: String, ckptEvery: Int): Result = {
     require(numShards >= 1 && numShards <= numWords, "1 <= numShards <= V")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -289,9 +291,12 @@ object ShardedLda {
     var modelRows = countModelRowsRdd(docs, cfg.numTopics)
       .persist(StorageLevel.MEMORY_AND_DISK)
     modelRows.count()
-    val lls = Array.newBuilder[Double]
+    // ArrayBuffer, not Array.newBuilder: mid-loop snapshots for checkpoint
+    // saves must not disturb the builder (see the matching note in Lda.scala)
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
     lls ++= lls0
-    val iterMs = Array.newBuilder[Long]
+    val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    iterMs ++= iterMs0
     var iter = startIter
     while (iter < cfg.totalIterations) {
       val tIter0 = System.nanoTime()
@@ -314,13 +319,13 @@ object ShardedLda {
       if (ckptDir != null && ckptEvery > 0 && iter % ckptEvery == 0 &&
           iter < cfg.totalIterations)
         TrainCheckpoint.save(ckptDir, spark.createDataset(docs), iter,
-          Array.emptyDoubleArray, 0, lls.result(),
+          Array.emptyDoubleArray, 0, lls.toArray,
           numParts = docs.getNumPartitions,
-          iterMs = Array.empty, bcastMs = Array.empty)
+          iterMs = iterMs.toArray, bcastMs = Array.empty)
     }
     val (finalDocs, finalModel) = (docs, modelRows)
     Result(modelRows.map { case (w, c) => WordTopics(w, c) }.toDS(),
-      spark.createDataset(docs), lls.result(), iterMs.result(),
+      spark.createDataset(docs), lls.toArray, iterMs.toArray,
       release = () => {
         finalDocs.unpersist(blocking = false)
         finalModel.unpersist(blocking = false)

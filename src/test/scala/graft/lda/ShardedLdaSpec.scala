@@ -183,6 +183,9 @@ class ShardedLdaSpec extends SparkSpec {
     copy(new java.io.File(s"$dir/ckpt_4"), new java.io.File(s"$dir2/ckpt_4"))
     val b = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dir2, every = 100)
     val mb = b.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
+    // timing trace restored on resume: 4 checkpointed + 4 live iterations,
+    // parallel to likelihoods (the Result field doc's contract)
+    assert(b.iterMillis.length == 8)
     b.release()
     val c = ShardedLda.trainResumable(ds, v, cfg8, numShards = 3, dir2, every = 100)
     val mc = c.modelRows.collect().map(r => r.wordId -> r.counts.toSeq).toMap
