@@ -9,8 +9,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle/spill codec knob for isolated A/B runs (BENCH_ab protocol).
+    // The bench default stays Spark's lz4: the r12 A/B measured zstd
+    // costing ~[see BENCH.md round 12] on this CPU-bound small-shuffle
+    // battery, while GraftSession's zstd default targets I/O-bound
+    // 100 TB shuffles — the scale-conditional rule documented there.
+    val ioCodec = sys.env.getOrElse("GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.io.compression.codec", ioCodec)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -87,7 +94,8 @@ object Bench {
     // driver run); a caller doing warm A/B re-runs marks them explicitly
     val mode = sys.env.getOrElse("GRAFT_BENCH_MODE", "cold")
     val hostMeta =
-      s""""mode":"$mode","host_cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""mode":"$mode","io_codec":"$ioCodec",""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadEnd)}"""
     try {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))

@@ -482,23 +482,29 @@ object Graph {
       .join(broadcast(idxDf), "si")
       .select(col("src_id").as("src"), col("v"), col("dist"))
     adj.unpersist(blocking = false)
-    val per = known.groupBy("src")
-      .agg((count(lit(1)) - 1).as("n_reached"), max("dist").as("ecc"),
-        sum("dist").cast("long").as("sum_dist"))
-    val hist = known.where(col("dist") > 0)
-      .groupBy("src", "dist").agg(count(lit(1)).as("cnt"))
-      .groupBy("src")
-      .agg(aggregate(sort_array(collect_list(struct(col("dist").as("d"),
-          col("cnt").as("cnt")))), lit(0.0),
-          (a, x) => a + x.getField("cnt").cast("double") / x.getField("d"))
-        .as("harmonic"))
-    per.join(hist, Seq("src"), "left")
+    // ONE pass over the V² emitted rows: collapse to the (src, dist)
+    // histogram first (V·diameter rows), then fold every output measure
+    // off it — n_reached = Σcnt − 1 (the self row), sum_dist = Σ d·cnt,
+    // harmonic folds the sorted histogram in distance order exactly as
+    // before (the d = 0 self entry contributes +0.0 first, which is
+    // float-exact), so values are bit-identical to the former
+    // two-aggregation form at half the scans
+    val byDist = known.groupBy("src", "dist").agg(count(lit(1)).as("cnt"))
+    byDist.groupBy("src")
+      .agg((sum("cnt") - 1).as("n_reached"), max("dist").as("ecc"),
+        sum(col("dist") * col("cnt")).cast("long").as("sum_dist"),
+        aggregate(sort_array(collect_list(struct(col("dist").as("d"),
+            col("cnt").as("cnt")))), lit(0.0),
+            (a, x) => a + when(x.getField("d") > 0,
+              x.getField("cnt").cast("double") / x.getField("d"))
+              .otherwise(lit(0.0)))
+          .as("harmonic"))
       .select(col("src").as("user_id"), col("n_reached"), col("ecc"),
         col("sum_dist"),
         when(col("sum_dist") > 0,
           round(col("n_reached").cast("double")
             / col("sum_dist").cast("double"), 4)).as("closeness"),
-        round(coalesce(col("harmonic"), lit(0.0)), 4).as("harmonic"))
+        round(col("harmonic"), 4).as("harmonic"))
       .orderBy("user_id")
   }
 
@@ -512,15 +518,22 @@ object Graph {
     * to a row exactly ONCE, the round its bit first turns on. State is
     * V·⌈S/64⌉ longs — LINEAR in V for a fixed source count, quadratic
     * only when every node is a source (the caller's guard). Eager:
-    * rounds run as jobs, results ride localCheckpoint blocks. THROWS if
-    * a frontier outlives `maxDepth` (oracles unroll exactly that many
-    * rounds). Returns (si, v, dist). */
+    * rounds run as jobs, results ride localCheckpoint blocks — exactly
+    * ONE checkpoint + one count job per round (gather, new-bit mask,
+    * and seen-merge fused into a single left join over the V-row state;
+    * the r11 form checkpointed frontier, emitted rows, and seen
+    * separately — 4 eager jobs/round; BENCH.md round 12 has the
+    * before/after). Emitted (si, v, dist) rows stay LAZY projections of the
+    * per-round checkpointed state: they are exploded once, at the
+    * single downstream consumption, instead of being materialized per
+    * depth. THROWS if a frontier outlives `maxDepth` (oracles unroll
+    * exactly that many rounds). Returns (si, v, dist). */
   private def bitsetBfs(adj: DataFrame, nodes: DataFrame, idxDf: DataFrame,
       nSources: Int, maxDepth: Int): DataFrame = {
     val W = (nSources + 63) / 64
     // every node carries a bit vector: its own source bit if it IS a
     // source, zeros otherwise (non-source nodes must still be in `seen`
-    // or the inner join below would drop them from expansion)
+    // or the left join below would drop them from expansion)
     val selfBits = nodes
       .join(idxDf.withColumnRenamed("src_id", "v"), Seq("v"), "left")
       .select(col("v"),
@@ -533,46 +546,48 @@ object Graph {
       aggregate(c, array((0 until W).map(_ => lit(0L)): _*),
         (acc, x) => zip_with(acc, x, _ bitwiseOR _))
     // every (source, v) pair becomes a row exactly ONCE — the round its
-    // bit first turns on
-    def emitRows(df: DataFrame, bitsCol: String, depth: Int): DataFrame = df
-      .select(col("v"), posexplode(col(bitsCol)).as(Seq("w", "word")))
+    // bit first turns on; NO checkpoint here (see scaladoc)
+    def emitRows(df: DataFrame, depth: Int): DataFrame = df
+      .select(col("v"), posexplode(col("bits")).as(Seq("w", "word")))
       .where(col("word") =!= 0L)
       .select(col("v"), col("w"),
         explode(expr("filter(sequence(0, 63), b -> ((word >> b) & 1) = 1)"))
           .as("b"))
       .select((col("w") * 64 + col("b")).cast("int").as("si"), col("v"),
         lit(depth).as("dist"))
-      .localCheckpoint()
+    val zeros = expr(s"array_repeat(CAST(0 AS BIGINT), $W)")
     var seen = selfBits
     // only last round's NEW bits expand next round; zero-bit rows have
     // nothing to propagate
     var fresh = selfBits.where(exists(col("bits"), w => w =!= 0L))
     val emitted = scala.collection.mutable.ArrayBuffer[DataFrame](
-      emitRows(fresh, "bits", 0))
+      emitRows(fresh, 0))
     var depth = 0
     var freshN = 1L
+    // the frontier join stays a plain equi-join: AQE (on in graft
+    // sessions) picks broadcast-vs-shuffle per round from the measured
+    // frontier size — an explicit per-round broadcast() hint was tried
+    // and measured SLOWER here (driver collect + rebuild every depth)
     while (freshN > 0 && depth < maxDepth) {
       depth += 1
       val gathered = adj.join(fresh.withColumnRenamed("v", "n"), "n")
         .groupBy("v").agg(orFold(collect_list(col("bits"))).as("obits"))
-      // every gathered node is already in seen (selfBits covers ALL nodes)
-      val nw = gathered.join(seen, "v")
+      // one state row per node: nbits = gathered AND NOT seen (new this
+      // round), bits = seen OR nbits (the merged seen) — non-gathered
+      // nodes keep their bits with an all-zero nbits via the left join
+      val upd = seen.join(gathered, Seq("v"), "left")
+        .select(col("v"), col("bits"),
+          zip_with(coalesce(col("obits"), zeros), col("bits"),
+            (o, s) => o bitwiseAND bitwise_not(s)).as("nbits"))
         .select(col("v"),
-          zip_with(col("obits"), col("bits"),
-            (o, s) => o bitwiseAND bitwise_not(s)).as("nbits"),
-          col("bits").as("obold"))
-        .where(exists(col("nbits"), w => w =!= 0L))
+          zip_with(col("bits"), col("nbits"), _ bitwiseOR _).as("bits"),
+          col("nbits"))
         .localCheckpoint()
-      freshN = nw.count()
-      if (freshN > 0) {
-        emitted += emitRows(nw, "nbits", depth)
-        val merged = nw.select(col("v"),
-          zip_with(col("nbits"), col("obold"), _ bitwiseOR _).as("mb"))
-        seen = seen.join(merged, Seq("v"), "left")
-          .select(col("v"), coalesce(col("mb"), col("bits")).as("bits"))
-          .localCheckpoint()
-        fresh = nw.select(col("v"), col("nbits").as("bits"))
-      }
+      fresh = upd.where(exists(col("nbits"), w => w =!= 0L))
+        .select(col("v"), col("nbits").as("bits"))
+      freshN = fresh.count()
+      if (freshN > 0) emitted += emitRows(fresh, depth)
+      seen = upd.select(col("v"), col("bits"))
     }
     require(freshN == 0,
       s"bitset BFS frontier still expanding at maxDepth=$maxDepth")

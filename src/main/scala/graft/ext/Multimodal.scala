@@ -197,6 +197,78 @@ object Multimodal {
       }
   }
 
+  /** Deterministic planted-PNG media generator for the REAL-decode battery
+    * leg: for each of the `n` smallest doc_ids in `documents`, emits TWO
+    * genuine PNG payloads — a seeded 8×8-block grayscale base image
+    * (media_id = doc_id) and a ±6-gray-level pixel-noised, independently
+    * re-encoded copy (media_id = doc_id + [[PlantedNearDupOffset]]). The
+    * two byte streams differ (so md5-stub hashing sees unrelated
+    * payloads) while their PIXELS stay within aHash's noise floor — the
+    * planted ground truth a real perceptual hasher must recover and the
+    * stub provably cannot. Generation is a narrow mapPartitions over the
+    * doc_id list (encode cost is distributed; bytes never shuffle), and
+    * every byte is a pure function of doc_id, so the planted contract
+    * (exactly one pair per doc, base↔noisy) holds at every scale factor. */
+  val PlantedNearDupOffset = 1000000000L
+
+  def plantedPngMedia(documents: DataFrame, n: Int): Dataset[MediaRow] = {
+    import java.awt.image.BufferedImage
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def blocky(seed: Long, size: Int): BufferedImage = {
+      val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+      val rng = new java.util.Random(seed)
+      val levels = Array.fill(8, 8)(rng.nextInt(256))
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          val v = levels(y * 8 / size)(x * 8 / size)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def noised(img: BufferedImage, seed: Long, amp: Int): BufferedImage = {
+      val out = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_RGB)
+      val rng = new java.util.Random(seed)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v0 = img.getRGB(x, y) & 0xff
+          val v = math.max(0, math.min(255, v0 + rng.nextInt(2 * amp + 1) - amp))
+          out.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    documents.select(col("doc_id").cast("long")).orderBy("doc_id").limit(n)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = blocky(id, 64)
+        // re-encode the noisy copy through a decode round-trip so even a
+        // zero-noise pixel would yield a different byte stream
+        val noisy = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png(noised(base, id + 7L, 6))))
+        Iterator(
+          MediaRow(id, "image", png(base), "image/png", 64, 64, 0L),
+          MediaRow(id + PlantedNearDupOffset, "image", png(noisy),
+            "image/png", 64, 64, 0L))
+      })
+  }
+
   /** Decode + feature-extract images: one narrow mapPartitions pass, rows
     * streamed in partition-local batches. */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {

@@ -1198,6 +1198,22 @@ object ExtQueries {
     Multimodal.phashBandedPairs(Multimodal.mediaPhashes(base.union(re)))
   }
 
+  /** REAL-decoder perceptual dedup (t2 rows-only — DuckDB can't decode
+    * PNG): 200 planted base/noisy-re-encode PNG pairs generated from the
+    * documents fixture flow through `ImageIoCodec` (genuine javax.imageio
+    * pixel decode → 60-bit aHash) and the same Hamming banding the stub
+    * entries use. The planted contract — exactly one pair per doc, each
+    * (id, id + offset), zero cross-pairs — is pinned by
+    * RealPhashDedupSpec; this entry keeps the real decode path TIMED and
+    * swept in every battery run, not only unit-tested. */
+  def realPhashDedupQ(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.plantedPngMedia(Tables.documents(s, d), 200)
+    val hashes = Multimodal.mediaPhashes(media,
+      p => Multimodal.ImageIoCodec.phash(p).getOrElse(
+        sys.error("planted PNG failed to decode")))
+    Multimodal.phashBandedPairs(hashes)
+  }
+
   /** Delete-one-bucket jackknife SE of the mean event value. */
   def jackknifeQ(s: SparkSession, d: String): DataFrame =
     Temporal.jackknifeSe(Tables.events(s, d))
@@ -2672,6 +2688,7 @@ object ExtQueries {
     "ext_session_gap_curve" -> sessionGapCurveQ _,
     "ext_k_anonymity" -> kAnonymityQ _,
     "ext_multimodal_dedup" -> mediaDedupQ _,
+    "ext_real_phash_dedup" -> realPhashDedupQ _,
     "ext_anova_f" -> anovaFQ _,
     "ext_type_hour_mi" -> typeHourMiQ _,
     "ext_isotropy" -> isotropyQ _,

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness compare (FIXTURES.md §D).
 
-Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out [out.json]
+
+With a third argument, also writes a CORRECTNESS-style per-query JSON
+artifact (rows/schema/hash match booleans, row counts, err) so local
+sweeps at non-driver scale factors (e.g. the TwinGen sf1 twin) produce
+the same artifact shape the driver does.
 
 For each query result parquet under outDir and its oracle SQL in
 oracle_sql.json: run the SQL in DuckDB over the sf tables, render both
@@ -71,18 +76,33 @@ def pandas_audit(con, oracle, outdir):
     return bad
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, jsonout=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_ok = n_bad = 0
+    report = {}
+    # rows-only entries (no oracle SQL declared): record row counts so the
+    # artifact carries every battery entry, like the driver's report
+    for res_dir in sorted(glob.glob(os.path.join(outdir, "*"))):
+        name = os.path.basename(res_dir)
+        if not os.path.isdir(res_dir) or name in oracle:
+            continue
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        nrows = pq.read_table(files[0]).num_rows if files else None
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": nrows,
+                        "oracle_rows": None, "err": "no_oracle"}
     for name in sorted(oracle):
         res_dir = os.path.join(outdir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"MISSING  {name}")
             n_bad += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": "missing result"}
             continue
         tbl = pq.read_table(files[0])
         spark_cols = list(tbl.column_names)
@@ -94,8 +114,16 @@ def main(sfdir, outdir):
         except Exception as e:
             print(f"SQL-ERR  {name}: {e}")
             n_bad += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(spark_rows),
+                            "oracle_rows": None, "err": f"oracle SQL: {e}"}
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
+        ent = {"rows_match": len(spark_rows) == len(duck_rows),
+               "schema_match": sorted(spark_cols) == sorted(duck_cols),
+               "hash_match": False, "spark_rows": len(spark_rows),
+               "oracle_rows": len(duck_rows), "err": None}
+        report[name] = ent
+        if not ent["schema_match"]:
             print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
             n_bad += 1
             continue
@@ -103,6 +131,7 @@ def main(sfdir, outdir):
         b = render(duck_cols, duck_rows)
         ha, hb = hashlib.sha256(a.encode()).hexdigest(), hashlib.sha256(b.encode()).hexdigest()
         if ha == hb:
+            ent["hash_match"] = True
             print(f"OK       {name} ({len(spark_rows)} rows)")
             n_ok += 1
         else:
@@ -114,9 +143,14 @@ def main(sfdir, outdir):
                     break
             n_bad += 1
     n_bad += pandas_audit(con, oracle, outdir)
+    if jsonout:
+        with open(jsonout, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {jsonout} ({len(report)} entries)")
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
