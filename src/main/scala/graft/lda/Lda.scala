@@ -315,10 +315,21 @@ final case class Lda(cfg: LdaConfig,
 
 object Lda {
 
-  /** Measured broadcast→sharded crossover on the model-size axis
-    * (BENCH.md round 11, NytKsweep on the published-scale corpus):
-    * placeholder until the r11 measurement pins it. */
-  val BroadcastModelBytesMax: Long = 256L << 20
+  /** MEASURED broadcast→sharded crossover on the model-size axis
+    * (NytKsweep r12, `BENCH_ksweep_r12.json` / BENCH.md round 12: the
+    * published-scale corpus — 300k docs, V = 102,660, ~100M tokens —
+    * trained through BOTH paths at K ∈ {10, 32, 64, 100, 1000}).
+    * Steady s/iter, local[32]: flat wins 1.9× at 8 MB (0.85 vs 1.62)
+    * and 13% at 25 MB (2.02 vs 2.28), the two paths tie at 50 MB
+    * (3.36 vs 3.44), sharded wins from 78 MB (4.53 vs 4.86) out to
+    * 783 MB (44.2 vs 80.4 — where the flat path also needs
+    * `spark.driver.maxResultSize` raised past its 1g default just to
+    * run: treeReduce ships whole-model partials). 64 MB is the
+    * measured indifference point; the flat path's per-task clone and
+    * full-model allreduce grow with V×K while the sharded path's
+    * per-shard broadcasts stay bounded, so above this the sharded
+    * path is both faster and the only default-config-safe choice. */
+  val BroadcastModelBytesMax: Long = 64L << 20
 
   /** Per-shard broadcast target for the sharded path: big enough to
     * amortize the per-shard job, small enough that per-task clones stay

@@ -215,6 +215,12 @@ object NytKsweep {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // default 1g on purpose: the flat path's treeReduce ships
+      // full-model partials, and hitting the stock limit at large K IS
+      // a finding (recorded in BENCH.md round 12); raise explicitly to
+      // measure past the cliff
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_MAX_RESULT", "1g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._

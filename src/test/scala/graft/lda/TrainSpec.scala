@@ -28,6 +28,11 @@ class TrainSpec extends SparkSpec {
   }
 
   test("fit auto-switches to the sharded path above the model-size threshold") {
+    // the default threshold is the r12-MEASURED crossover (NytKsweep,
+    // BENCH_ksweep_r12.json: flat/sharded tie at 50 MB, sharded ahead
+    // from 78 MB) — changing it should mean re-measuring, not drive-by
+    assert(Lda.BroadcastModelBytesMax == (64L << 20),
+      "BroadcastModelBytesMax must track the measured K-sweep crossover")
     // the rule itself flips exactly at (V+1)·K·8 > threshold
     assert(!Lda.shouldShard(numWords = 1023, numTopics = 1024,
       thresholdBytes = 8L * 1024 * 1024))
