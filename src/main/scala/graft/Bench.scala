@@ -10,10 +10,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle/spill codec knob for isolated A/B runs (BENCH_ab protocol).
-    // The bench default stays Spark's lz4: the r12 A/B measured zstd
-    // costing ~[see BENCH.md round 12] on this CPU-bound small-shuffle
-    // battery, while GraftSession's zstd default targets I/O-bound
-    // 100 TB shuffles — the scale-conditional rule documented there.
+    // The bench default stays Spark's lz4 (round-over-round continuity:
+    // every BENCH_r* ran lz4): the r12 interleaved A/B measured zstd at
+    // +2.2% median on this CPU-bound small-shuffle battery
+    // (BENCH_ab_r12.json), while GraftSession's zstd default targets
+    // I/O-bound 100 TB shuffles where it cut spill ~35% (r10).
     val ioCodec = sys.env.getOrElse("GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
