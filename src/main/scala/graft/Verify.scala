@@ -34,20 +34,31 @@ object Verify {
     // the query — in r4/r5 a fixture-schema drift erased 20 green entries
     // from CORRECTNESS with no artifact saying so.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries
+    // Per-entry wall time to stderr AND timings.tsv: at bigger sweep
+    // scales (the sf1 twin) a single magnitude-sensitive entry can
+    // degenerate — without per-entry logs the only diagnostic is a
+    // jstack of a silent JVM (the r12 sf1 sweep learned this)
+    val timings = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       val errMarker = Paths.get(s"$outDir/$name.error.txt")
       Files.deleteIfExists(errMarker)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings.append(f"$name\t$dt%.2f%n")
+        System.err.println(f"[verify] $name ok in $dt%.1fs")
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Files.writeString(errMarker,
           s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/timings.tsv"), timings.toString)
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(",")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1814,13 +1814,24 @@ object Temporal {
     * quantile_cont agree on longs).
     *
     * Scale shape: the pair table is SPAN²-bounded (time grid, never
-    * row count) — hours² per type; for multi-year spans run it on the
-    * daily rollup instead. */
-  def mannKendall(events: DataFrame): DataFrame = {
+    * row count), so the analysis window is EXPLICITLY bounded: each
+    * type's series is the trailing `maxSpanHours` hours up to its last
+    * observed hour (a no-op when the retention fits — every driver
+    * fixture spans ≤ 719 h — and a hard cap when it doesn't). Unbounded,
+    * a 10-year retention is 87k hours → 3.8e9 sign-pairs per type; the
+    * r12 sf1 twin (decade-shifted replicas, 790k-hour span) measured the
+    * unbounded form degenerating into a ~10¹¹-pair single task. For
+    * longer trend horizons run it on the daily rollup instead (the same
+    * window then covers 85 years). */
+  def mannKendall(events: DataFrame, maxSpanHours: Int = 2048): DataFrame = {
+    require(maxSpanHours >= 2 && maxSpanHours <= 16384,
+      s"2 <= maxSpanHours <= 16384 (pair table is span^2-bounded), got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")

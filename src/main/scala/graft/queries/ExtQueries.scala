@@ -55,15 +55,30 @@ object ExtQueries {
   def ewmaQ(s: SparkSession, d: String): DataFrame =
     Temporal.ewma(Tables.events(s, d)).orderBy("event_id")
 
-  /** KLL-style quantile sketch over event values. Capacity 2^17 ≥ n at
-    * every fixture sf, so the summary is exact → DuckDB oracle (the
-    * sub-capacity approximate path is spec-bounded in
-    * QuantileSketchSpec). `requireExact` turns that precondition into a
-    * runtime check: a larger fixture fails loudly here rather than
-    * silently flipping to approximate mode and hash-mismatching. */
-  def quantileSketchQ(s: SparkSession, d: String): DataFrame =
-    Sketches.quantilesOf(Tables.events(s, d), col("value"), 1 << 17,
+  /** KLL-style quantile sketch over event values, run in EXACT mode:
+    * capacity self-sizes to the next power of two ≥ n (one count-
+    * pushdown job), so the summary is exact and the DuckDB oracle holds
+    * at ANY sweep scale — the r12 sf1 twin broke the former fixed 2^17
+    * ("≥ n at every fixture sf" stopped being true one decade up). The
+    * sub-capacity approximate path is the 100 TB story and stays
+    * spec-bounded in QuantileSketchSpec; exact mode is the oracle twin,
+    * and `requireExact` still fails loudly if the sizing is ever
+    * bypassed. */
+  def quantileSketchQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cap = ceilPow2(math.max(1L << 17, ev.count()))
+    Sketches.quantilesOf(ev, col("value"), cap,
       Seq(0.1, 0.5, 0.9, 0.99), requireExact = true).orderBy("q")
+  }
+
+  /** Smallest power of two ≥ n (capacity sizing for exact-mode sketch
+    * entries; n bounded by the Int sketch-capacity domain). */
+  private def ceilPow2(n: Long): Int = {
+    require(n >= 1 && n <= (1L << 30), s"capacity out of range: $n")
+    var c = 1
+    while (c < n) c <<= 1
+    c
+  }
 
   def jaccardTop(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardTopPairs(Tables.documents(s, d), 10)
@@ -1291,16 +1306,28 @@ object ExtQueries {
   def resampleQ(s: SparkSession, d: String): DataFrame =
     Temporal.resampleHourlyFfill(Tables.events(s, d)).orderBy("user_id", "h")
 
-  /** Per-language n_chars quartiles through the graft_quantiles SQL UDAF,
-    * exploded to scalar rows. Uses the `_exact` registration: the
-    * "every group ≤ capacity" precondition the DuckDB exact-rank oracle
-    * depends on is CHECKED per group (a bigger fixture throws instead of
-    * silently going approximate). */
+  /** Per-language n_chars quartiles through the quantile SQL UDAF in
+    * EXACT mode, exploded to scalar rows. The exact-mode capacity
+    * self-sizes to the LARGEST group (one tiny per-lang count first —
+    * L rows), registered under a query-local UDAF name, so the DuckDB
+    * exact-rank oracle holds at any sweep scale; the r12 sf1 twin broke
+    * the former fixed-8192 registration one decade up. The fixed-
+    * capacity `graft_quantiles` registration stays the approximate
+    * scale path (per-group state bounded regardless of group size), and
+    * `requireExact` still throws if the sizing is bypassed. */
   def groupQuantilesQ(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
-    Tables.documents(s, d).createOrReplaceTempView("graft_docs_gq")
+    val docs = Tables.documents(s, d)
+    val maxGrp = docs.groupBy("lang").count()
+      .agg(max("count")).head().getLong(0)
+    val cap = ceilPow2(math.max(8192L, maxGrp))
+    s.udf.register("graft_quantiles_exact_gq",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.QsAggregator(cap,
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99), requireExact = true)))
+    docs.createOrReplaceTempView("graft_docs_gq")
     s.sql("""SELECT lang, p.q AS q, qs[p.pos] AS value
-             FROM (SELECT lang, graft_quantiles_exact(CAST(n_chars AS DOUBLE)) AS qs
+             FROM (SELECT lang, graft_quantiles_exact_gq(CAST(n_chars AS DOUBLE)) AS qs
                    FROM graft_docs_gq GROUP BY lang)
              LATERAL VIEW posexplode(array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D)) p AS pos, q
              ORDER BY lang, q""")
@@ -7227,7 +7254,8 @@ object ExtQueries {
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600 - 2047) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (

@@ -79,7 +79,12 @@ def pandas_audit(con, oracle, outdir):
 def main(sfdir, outdir, jsonout=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver fixtures are single files; Spark-written twins (TwinGen)
+        # are directories of part files
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_ok = n_bad = 0
     report = {}
