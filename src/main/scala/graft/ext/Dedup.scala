@@ -917,7 +917,10 @@ object Dedup {
         graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
       .orderBy(col("raw").desc, col("doc_a"), col("doc_b"))
       .limit(topK)
-      .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
+      // floor-form 4dp quantization — see sortedNeighborhoodPairs for
+      // why round(x, 4) is not cross-engine-safe at .5 boundaries
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("raw") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("jw"))
   }
 
   /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995): rank
@@ -965,7 +968,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.JaroWinkler.jaroWinkler(col("pre_a"), col("pre_b")).as("raw"))
       .where(col("raw") >= minSim)
-      .select(col("doc_a"), col("doc_b"), round(col("raw"), 4).as("jw"))
+      // floor(x·1e4 + 0.5)/1e4, NOT round(x, 4): Spark's round is
+      // decimal-string HALF_UP while DuckDB's is a double multiply —
+      // they disagree when raw·1e4 lands within one multiplication ulp
+      // of a .5 boundary (first hit at sf1: raw = 0.9037499999999999,
+      // whose ·1e4 product rounds to exactly 9037.5). The floor form is
+      // the same IEEE ops on bit-equal doubles in both engines.
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("raw") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("jw"))
       .orderBy(col("jw").desc, col("doc_a"), col("doc_b"))
   }
 

@@ -1700,8 +1700,11 @@ object ExtQueries {
   /** q20's revenue rollup routed through the salted skew join — the
     * result multiset is salt-invariant, so the q20 oracle checks it. */
   def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    // exact 1e-4-dollar integer units, like q20: double sums diverge in
+    // the 11th significant digit at sf1 revenue magnitudes
     val l = Tables.lineitem(s, d).select(col("l_orderkey"),
-      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)" +
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))").as("r"))
     val o = Tables.orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
     ScaleJoins.saltedJoin(l, o, "l_orderkey", saltFactor = 4)
@@ -1709,7 +1712,8 @@ object ExtQueries {
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
-      .groupBy("n_name").agg(round(sum("r"), 4).as("rev"))
+      .groupBy("n_name")
+      .agg(round(sum("r").cast("double") / lit(10000.0), 4).as("rev"))
       .orderBy("n_name")
   }
 
@@ -1719,11 +1723,21 @@ object ExtQueries {
     Incremental.mergePartials(Incremental.dailyPartials(Tables.events(s, d)))
       .orderBy("event_type")
 
-  /** Misra–Gries top-20 tokens at capacity 64 ≥ V — exact, hence
-    * oracle-checkable; the sub-capacity error bound is spec-checked. */
-  def topkSketch(s: SparkSession, d: String): DataFrame =
-    Sketches.heavyHitters(Tables.docsTokenized(s, d), col("tok"),
-      capacity = 64, k = 20).withColumnRenamed("item", "tok")
+  /** Misra–Gries top-20 tokens in EXACT mode: capacity self-sizes to the
+    * distinct token count (one count-distinct job, floor 64) so "no
+    * decrement ever fires" holds at any sweep scale — the former fixed
+    * 64 silently went approximate on the sf1 twin's 10× vocabulary and
+    * hash-mismatched its exact-top-k oracle. The sub-capacity
+    * approximate path (bounded undercount) is the 100 TB story,
+    * spec-checked in SketchesSpec. */
+  def topkSketch(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.docsTokenized(s, d)
+    val v = toks.select("tok").distinct().count()
+    require(v <= (1L << 22), s"exact-mode MG capacity out of range: $v")
+    Sketches.heavyHitters(toks, col("tok"),
+      capacity = math.max(64L, v).toInt, k = 20)
+      .withColumnRenamed("item", "tok")
+  }
 
   /** Z-order layout key over (n_chars, doc_id mod 2^16) + deterministic
     * 8-way file assignment by key rank — via the two-pass [[exactNtile]],
@@ -4550,7 +4564,8 @@ object ExtQueries {
         |    ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS rk FROM k
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(jaro_winkler_similarity(a.pre, b.pre), 4) AS jw
+        |  FLOOR(jaro_winkler_similarity(a.pre, b.pre) * 10000.0 + 0.5)
+        |    / 10000.0 AS jw
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
         |WHERE jaro_winkler_similarity(a.pre, b.pre) >= 0.9
         |ORDER BY jw DESC, doc_a, doc_b""".stripMargin,
@@ -5013,7 +5028,10 @@ object ExtQueries {
 
     // salting is salt-invariant by construction: oracle = q20's rollup
     "ext_salted_revenue" ->
-      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+      """SELECT n.n_name,
+        |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 4) AS rev
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -6661,7 +6679,8 @@ object ExtQueries {
     "ext_jaro_winkler" ->
       """WITH b AS (SELECT doc_id, substr(text, 1, 8) AS bk,
         |                  substr(text, 1, 128) AS pre FROM documents)
-        |SELECT doc_a, doc_b, ROUND(raw, 4) AS jw FROM (
+        |SELECT doc_a, doc_b,
+        |  FLOOR(raw * 10000.0 + 0.5) / 10000.0 AS jw FROM (
         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
         |         jaro_winkler_similarity(l.pre, r.pre) AS raw
         |  FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id

@@ -134,7 +134,10 @@ object OracleSql {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
 
     "q20_multijoin_revenue" ->
-      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+      """SELECT n.n_name,
+        |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 4) AS rev
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -221,7 +224,8 @@ object OracleSql {
 
     "q30_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
-        |  ROUND(SUM(l_extendedprice), 4) AS p
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0, 4) AS p
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 

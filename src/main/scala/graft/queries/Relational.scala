@@ -154,7 +154,14 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      // revenue as EXACT integer 1e-4-dollar units (prices/discounts are
+      // 2dp): a double SUM's accumulation order diverged from DuckDB in
+      // the 11th significant digit once per-nation revenue crossed 1e10
+      // (the r12 sf1 sweep); the integer sum is order-free and the one
+      // final division is engine-identical
+      .agg(round(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"))
+        .cast("double") / lit(10000.0), 4).as("rev"))
       .orderBy("n_name")
   }
 
@@ -263,7 +270,10 @@ object Relational {
   def q30(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("c"), round(sum(col("l_extendedprice")), 4).as("p"))
+      // exact cents sum (same order-free-integer rationale as q20)
+      .agg(count(lit(1)).as("c"),
+        round(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+          .cast("double") / lit(100.0), 4).as("p"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   // Q31 distinct + filtered aggregates in one grouped pass: COUNT(DISTINCT)
