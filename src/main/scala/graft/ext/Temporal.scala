@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Default trailing analysis window (hours) for the hourly-GRID family
+    * ([[resampleHourlyFfill]], [[hourlyAutocorr]], [[durbinWatson]],
+    * [[holtForecast]], [[holtWintersForecast]], [[seasonalDecompose]]):
+    * these ops materialize a contiguous hour grid whose size is the TIME
+    * SPAN, not the row count, so an unbounded grid grows with retention
+    * (the r12 sf1 twin's decade-shifted span was 790k hours). One year of
+    * hourly resolution by default; for longer trend horizons run the op
+    * on the daily rollup instead. Battery oracles interpolate THIS
+    * constant, so engine and oracle cannot drift (TemporalSpanSpec pins
+    * the value). */
+  val GridMaxSpanHours = 8760
+
+  /** Default trailing window for [[mannKendall]] — much tighter than
+    * [[GridMaxSpanHours]] because its pair table is SPAN²-bounded.
+    * The ext_mann_kendall oracle interpolates this constant. */
+  val MannKendallSpanHours = 2048
+
   /** Point-in-time (as-of) join: for each left row, attach `payloadCols`
     * of the LATEST right row with the same `key` and `r.ts <= l.ts`
     * (nulls when no prior right row exists — left-outer semantics).
@@ -413,24 +430,44 @@ object Temporal {
     * bounds aggregate whose `sequence` explode generates the grid
     * IN-ROW (grid size = key's hour span — never a global calendar
     * cross join), a left join back on (key, hour), and one keyed window
-    * for the fill. No timeline ever funnels through a single task. */
+    * for the fill. No timeline ever funnels through a single task.
+    *
+    * The grid is EXPLICITLY span-bounded: each key's output covers the
+    * trailing `maxSpanHours` hours up to its last observed hour (a no-op
+    * when the key's retention fits — every driver fixture spans ≤ 719 h).
+    * Observations BEFORE the window still seed the forward fill: the
+    * key's latest pre-window value carries into the window's unobserved
+    * head hours (observed = 0), so truncation never fabricates nulls the
+    * unbounded form would have filled. */
   def resampleHourlyFfill(events: DataFrame, key: String = "user_id",
       ts: String = "ts", valueCol: String = "value",
-      tiebreak: String = "event_id"): DataFrame = {
+      tiebreak: String = "event_id",
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours >= 1, s"maxSpanHours must be positive, got $maxSpanHours")
     val hb = events.select(col(key), date_trunc("hour", col(ts)).as("h"),
       col(ts), col(tiebreak), col(valueCol))
     val lastv = hb
       .groupBy(col(key), col("h"))
       .agg(max(struct(col(ts), col(tiebreak), col(valueCol))).getField(valueCol).as("v"))
-    val grid = lastv.groupBy(col(key))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col(key),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val bounds = lastv.groupBy(col(key))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
+    val grid = bounds.select(col(key),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    // latest pre-window observation per key: the fill seed at the window
+    // head (empty whenever the span fits maxSpanHours — the common case)
+    val seed = lastv.join(bounds.select(col(key), col("h0")), Seq(key))
+      .where(col("h") < col("h0"))
+      .groupBy(col(key))
+      .agg(max(struct(col("h"), col("v"))).getField("v").as("_seedv"))
     val w = Window.partitionBy(key).orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(lastv, Seq(key, "h"), "left")
+      .join(seed, Seq(key), "left")
       .select(col(key), col("h"),
-        round(last(col("v"), ignoreNulls = true).over(w), 4).as("v"),
+        round(coalesce(last(col("v"), ignoreNulls = true).over(w),
+          col("_seedv")), 4).as("v"),
         when(col("v").isNotNull, 1).otherwise(0).as("observed"))
   }
 
@@ -1315,12 +1352,17 @@ object Temporal {
     * hourly grid, scored by MAE and RMSE on the hours where both lags
     * exist. Counts and error sums are exact integers; the divisions and
     * sqrt are single engine-identical ops. One (type, hour) count
-    * shuffle + one window. */
-  def seasonalNaiveError(events: DataFrame): DataFrame = {
+    * shuffle + one window, over the trailing `maxSpanHours` grid
+    * (default [[GridMaxSpanHours]]). */
+  def seasonalNaiveError(events: DataFrame,
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours >= 25, s"maxSpanHours must be >= 25, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -1368,12 +1410,17 @@ object Temporal {
     * (σ² = (H·Σc² − (Σc)²)/H²) — the alerting primitive behind "which
     * hours actually spiked". Comparisons pit exact integer counts
     * against engine-identical threshold doubles. Shape: one (type,
-    * hour) count shuffle, span-bounded grid explode, one window. */
-  def hourlyPeaks(events: DataFrame): DataFrame = {
+    * hour) count shuffle, trailing-`maxSpanHours`-bounded grid explode
+    * (default [[GridMaxSpanHours]]), one window. */
+  def hourlyPeaks(events: DataFrame,
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours >= 3, s"maxSpanHours must be >= 3, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -1551,12 +1598,18 @@ object Temporal {
     * exact and both engines divide the same numerators) — the
     * Heaps/Zipf deterministic-moment pattern. Shape: one (type, hour)
     * count aggregate, a per-type hour-sequence explode (bounded by the
-    * time span, not the event count), and one window lead per lag. */
-  def hourlyAutocorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    * TRAILING `maxSpanHours` analysis window, not the event count —
+    * the [[mannKendall]] bound treatment; a no-op at fixture spans),
+    * and one window lead per lag. */
+  def hourlyAutocorr(events: DataFrame, maxLag: Int = 3,
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours > maxLag, s"maxSpanHours must exceed maxLag")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -1778,12 +1831,17 @@ object Temporal {
     * should quote. The mean cancels in the differences, so both sums
     * are exact integers (Σd² and n·Σc² − S² over count longs) and the
     * one float stage is the final ratio. Shape: one rollup + one
-    * key-windowed lag on the same shuffle. */
-  def durbinWatson(events: DataFrame): DataFrame = {
+    * key-windowed lag on the same shuffle, over the trailing
+    * `maxSpanHours` grid (the [[GridMaxSpanHours]] bound). */
+  def durbinWatson(events: DataFrame,
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours >= 2, s"maxSpanHours must be >= 2, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -1823,7 +1881,8 @@ object Temporal {
     * unbounded form degenerating into a ~10¹¹-pair single task. For
     * longer trend horizons run it on the daily rollup instead (the same
     * window then covers 85 years). */
-  def mannKendall(events: DataFrame, maxSpanHours: Int = 2048): DataFrame = {
+  def mannKendall(events: DataFrame,
+      maxSpanHours: Int = MannKendallSpanHours): DataFrame = {
     require(maxSpanHours >= 2 && maxSpanHours <= 16384,
       s"2 <= maxSpanHours <= 16384 (pair table is span^2-bounded), got $maxSpanHours")
     val hc = events
@@ -1874,18 +1933,22 @@ object Temporal {
     *
     * The recurrence (l ← αx + (1−α)(l+t); t ← β(l−l_prev) + (1−β)t)
     * is inherently sequential, so it folds IN-ROW over the per-type
-    * hourly array — bounded by the TIME SPAN in hours (a year is 8.8k
-    * doubles), never by the row count; the heavy lifting (the hourly
-    * rollup) is one combine-shuffle. Init l = x₀, t = x₁ − x₀; updates
+    * hourly array — bounded by the trailing `maxSpanHours` analysis
+    * window (default [[GridMaxSpanHours]]: a year is 8.8k doubles),
+    * never by the row count; the heavy lifting (the hourly rollup) is
+    * one combine-shuffle. Init l = x₀, t = x₁ − x₀; updates
     * fold x₁..x_{n−1} in order. Output per type: n_hours, level,
     * trend, fc1..fc3. */
   def holtForecast(events: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
-      horizon: Int = 3): DataFrame = {
+      horizon: Int = 3, maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
     require(horizon >= 1 && horizon <= 24, "horizon out of range")
+    require(maxSpanHours >= 2, s"maxSpanHours must be >= 2, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -1930,12 +1993,16 @@ object Temporal {
     * s_i = x_i − l. Forecast: fc_h = l + h·b + s_{+h}. */
   def holtWintersForecast(events: DataFrame, alpha: Double = 0.5,
       beta: Double = 0.25, gamma: Double = 0.25, period: Int = 24,
-      horizon: Int = 3): DataFrame = {
+      horizon: Int = 3, maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
     require(horizon >= 1 && horizon <= period, "horizon out of range")
+    require(maxSpanHours >= 2 * period,
+      s"maxSpanHours must cover 2 periods, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
@@ -2039,13 +2106,18 @@ object Temporal {
     * engine-visible numbers stay exact until one final division by
     * holding the series 25×-SCALED: trend25 = Σ±12 c (integer),
     * detr25 = 25c − trend25 (integer), seasonal = Σdetr25/(25·n_h).
-    * The windows run over the span-bounded hour grid, partitioned per
-    * type. Output: (event_type, hod, n_h, seasonal). */
-  def seasonalDecompose(events: DataFrame): DataFrame = {
+    * The windows run over the trailing-`maxSpanHours` hour grid
+    * (default [[GridMaxSpanHours]]), partitioned per type.
+    * Output: (event_type, hod, n_h, seasonal). */
+  def seasonalDecompose(events: DataFrame,
+      maxSpanHours: Int = GridMaxSpanHours): DataFrame = {
+    require(maxSpanHours >= 25, s"maxSpanHours must be >= 25, got $maxSpanHours")
     val hc = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-    val span = hc.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+    val span = hc.groupBy("event_type").agg(min("h").as("hmin"), max("h").as("h1"))
+      .withColumn("h0",
+        expr(s"greatest(hmin, h1 - INTERVAL ${maxSpanHours - 1} HOURS)"))
     val grid = span.select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")

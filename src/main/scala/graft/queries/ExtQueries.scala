@@ -3085,28 +3085,40 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // forward fill via the portable gaps-and-islands form (no IGNORE NULLS):
-    // grp = running count of observations, fill = MAX within (key, grp)
+    // grp = running count of observations, fill = MAX within (key, grp);
+    // grid bounded to the trailing GridMaxSpanHours window with the
+    // latest pre-window value as the fill seed (engine contract)
     "ext_resample_ffill" ->
-      """WITH hb AS (
+      s"""WITH hb AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
         |),
         |lastv AS (SELECT user_id, h, value AS v FROM hb WHERE rn = 1),
-        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM lastv GROUP BY user_id),
+        |bounds AS (SELECT user_id,
+        |             GREATEST(MIN(h),
+        |               MAX(h) - INTERVAL ${Temporal.GridMaxSpanHours - 1} HOURS)
+        |               AS h0,
+        |             MAX(h) AS h1
+        |           FROM lastv GROUP BY user_id),
         |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
         |         FROM bounds),
+        |seed AS (SELECT l.user_id, arg_max(l.v, l.h) AS seedv
+        |         FROM lastv l JOIN bounds b USING (user_id)
+        |         WHERE l.h < b.h0 GROUP BY l.user_id),
         |joined AS (
         |  SELECT g.user_id, g.h, l.v,
         |    SUM(CASE WHEN l.v IS NOT NULL THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY g.user_id ORDER BY g.h) AS grp
         |  FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.h = g.h
         |)
-        |SELECT user_id, h,
-        |  ROUND(MAX(v) OVER (PARTITION BY user_id, grp), 4) AS v,
-        |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
-        |FROM joined ORDER BY user_id, h""".stripMargin,
+        |SELECT j.user_id, j.h,
+        |  ROUND(COALESCE(MAX(j.v) OVER (PARTITION BY j.user_id, j.grp),
+        |    sd.seedv), 4) AS v,
+        |  CASE WHEN j.v IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM joined j LEFT JOIN seed sd USING (user_id)
+        |ORDER BY user_id, h""".stripMargin,
 
     // same rank rule as ext_quantile_sketch (value at rank ⌈q·n⌉), per group
     "ext_group_quantiles" ->
@@ -5548,11 +5560,13 @@ object ExtQueries {
     // lag pairing on exact epoch-hour integers, Pearson r from exact
     // integer moment sums (the Heaps/Zipf deterministic-moment pattern)
     "ext_autocorr" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -6203,11 +6217,13 @@ object ExtQueries {
     // seasonal-naive baseline: lag-24 and lag-1 forecasts over the
     // contiguous hour grid; MAE/RMSE from exact integer error sums
     "ext_seasonal_naive" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -6293,11 +6309,13 @@ object ExtQueries {
     // = 0; boundary neighbors coalesce to -1) clearing mean + 2*sd from
     // exact integer moments
     "ext_peaks" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -7237,11 +7255,13 @@ object ExtQueries {
 
     // Durbin–Watson: exact integer Σd² / (nΣc² − S²), one final ratio
     "ext_durbin_watson" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -7269,12 +7289,13 @@ object ExtQueries {
     // Mann–Kendall + Theil–Sen: integer S and 18·Var(S), quantized
     // pairwise slopes, quantile_cont/percentile median pairing
     "ext_mann_kendall" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
         |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
-        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600 - 2047) AS eh0,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.MannKendallSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -7707,11 +7728,13 @@ object ExtQueries {
     // seasonal decomposition: 25×-scaled integer detrending, one final
     // division per (type, hod) cell
     "ext_seasonal_decompose" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -7887,11 +7910,13 @@ object ExtQueries {
     // LIST(DOUBLE) accumulator; α/β exact binary fractions, every cast
     // forced to DOUBLE so the literal arithmetic matches Spark's
     "ext_holt" ->
-      """WITH hc AS (
+      s"""WITH hc AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT event_type,
-        |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+        |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+        |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+        |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
         |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
         |         FROM hc GROUP BY event_type),
         |hours AS MATERIALIZED (
@@ -8633,7 +8658,9 @@ object ExtQueries {
        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
        |  FROM events GROUP BY 1, 2),
        |span AS (SELECT event_type,
-       |           CAST(epoch(MIN(h)) AS BIGINT) // 3600 AS eh0,
+       |           GREATEST(CAST(epoch(MIN(h)) AS BIGINT) // 3600,
+       |                    CAST(epoch(MAX(h)) AS BIGINT) // 3600
+       |                      - ${Temporal.GridMaxSpanHours - 1}) AS eh0,
        |           CAST(epoch(MAX(h)) AS BIGINT) // 3600 AS eh1
        |         FROM hc GROUP BY event_type),
        |hours AS MATERIALIZED (
