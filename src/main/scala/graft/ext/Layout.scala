@@ -57,16 +57,59 @@ object Layout {
       .sortWithinPartitions("zkey")
   }
 
+  /** Volume-derived bucket count for [[writeBucketed]]: the projected
+    * uncompressed byte volume (the [[writePlan]] arithmetic — string
+    * columns by `octet_length`, the rest by their fixed width) divided
+    * into `targetBytes` buckets, clamped to [`minBuckets`, `maxBuckets`]
+    * and rounded UP to a power of two. Why each knob:
+    *   - bucket count bounds the parallelism of EVERY future join on the
+    *     table, so the safe error direction is more buckets, never fewer
+    *     (the floor, default 8, keeps toy tables from degenerating to 1);
+    *   - power-of-two counts keep differently-sized tables join-coalesce
+    *     compatible (Spark's bucket coalescing needs one count to divide
+    *     the other);
+    *   - the default 16 MB of projected bytes per bucket lands bucket
+    *     files in the tens-of-MB parquet range while giving a 100 TB
+    *     fact table ~2^22 buckets' worth of join parallelism headroom
+    *     (`maxBuckets` caps runaway counts from a mis-typed width).
+    * One cheap aggregate pass over the input — the same "measure, then
+    * write" doctrine as [[writePlan]], replacing the hardcoded count the
+    * r12 sf1 sweep caught scaling superlinearly. */
+  def bucketCount(df: DataFrame, strCols: Seq[String], fixedWidth: Long,
+      targetBytes: Long = 16L * 1024 * 1024, minBuckets: Int = 8,
+      maxBuckets: Int = 1 << 22): Int = {
+    require(minBuckets >= 1 && Integer.bitCount(minBuckets) == 1,
+      s"minBuckets must be a power of two, got $minBuckets")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rowBytes = strCols.map(c => octet_length(col(c)).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L)) + lit(fixedWidth)
+    val est = df.agg(coalesce(sum(rowBytes), lit(0L))).head().getLong(0)
+    val need = math.min(maxBuckets.toLong,
+      math.max(minBuckets.toLong, (est + targetBytes - 1) / targetBytes))
+    var p = minBuckets
+    while (p < need) p <<= 1
+    p
+  }
+
   /** Bucketed managed-table write: hash-bucket by `key` into `nBuckets`
     * files, sorted by `key` within each bucket. A scan of the result
     * reports HashPartitioning(key, nBuckets) to the planner, so a join
     * (or aggregation) on `key` between two tables bucketed the SAME way
     * runs with ZERO shuffle exchanges — the co-located join that turns
     * the nightly 100 TB fact⋈fact from a full-network shuffle into a
-    * per-bucket local merge. Write once, join every night for free. */
+    * per-bucket local merge. Write once, join every night for free.
+    *
+    * The input is repartitioned on `key` into `nBuckets` tasks first:
+    * repartition's HashPartitioning is the same murmur3-pmod the bucket
+    * id uses, so each task holds exactly one bucket's rows — the write
+    * runs `nBuckets`-way parallel regardless of input split count (a
+    * raw write runs at SCAN parallelism: one 128 MB-split task can end
+    * up sorting the whole table), and every bucket lands in exactly one
+    * sorted file. Size `nBuckets` with [[bucketCount]]. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key).saveAsTable(table)
 
   /** (Re)create a bucketed table idempotently: drops a stale catalog

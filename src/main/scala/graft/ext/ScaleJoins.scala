@@ -88,8 +88,11 @@ object ScaleJoins {
     * `key` between tables bucketed with the same `n` then plan with NO
     * shuffle exchange (asserted in ScaleJoinsSpec). At 100 TB this is the
     * difference between re-shuffling the fact table per query and never
-    * shuffling it again. */
+    * shuffling it again. Repartitions on `key` first so the write runs
+    * `n`-way parallel (one task = one bucket = one sorted file) instead
+    * of at scan-split parallelism — see [[Layout.writeBucketed]]. */
   def writeBucketed(df: DataFrame, table: String, key: String, n: Int): Unit =
-    df.write.mode("overwrite").bucketBy(n, key).sortBy(key)
+    df.repartition(n, col(key))
+      .write.mode("overwrite").bucketBy(n, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 }

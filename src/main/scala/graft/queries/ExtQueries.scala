@@ -2411,12 +2411,16 @@ object ExtQueries {
     def build(): (String, String) = {
       val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
       val (no, nl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-      Layout.rebuildBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
-        no, "o_orderkey", 8)
-      Layout.rebuildBucketed(
-        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
-        nl, "l_orderkey", 8)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // both sides MUST share one bucket count for the zero-exchange
+      // join, so size it from the larger projection (lineitem: 3×8-byte
+      // columns) — volume-derived, never the hardcoded 8 the r12 sf1
+      // sweep caught capping the whole entry at 8-way parallelism
+      val nb = Layout.bucketCount(l, strCols = Nil, fixedWidth = 24L)
+      Layout.rebuildBucketed(o, no, "o_orderkey", nb)
+      Layout.rebuildBucketed(l, nl, "l_orderkey", nb)
       (no, nl)
     }
     val cached = bucketedReady.getOrElseUpdate(d,

@@ -40,6 +40,39 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 30L, 2L), ("b", 1L, 15L, 1L)), got.toString)
   }
 
+  test("bucketCount sizes from projected volume: floor, ceil-div, pow2 round-up") {
+    // 3 rows × (4 str bytes + 6 fixed) = 30 bytes
+    val d = Seq("aaaa", "bbbb", "cccc").toDF("s")
+    // tiny volume → the floor wins
+    assert(Layout.bucketCount(d, Seq("s"), fixedWidth = 6) == 8)
+    // 30 bytes at 4-byte target → ceil = 8 → already pow2
+    assert(Layout.bucketCount(d, Seq("s"), fixedWidth = 6,
+      targetBytes = 4, minBuckets = 1) == 8)
+    // ceil(30/4)=8 with floor 2 → 8; ceil(30/9)=4 → 4; ceil(30/7)=5 → pow2 → 8
+    assert(Layout.bucketCount(d, Seq("s"), fixedWidth = 6,
+      targetBytes = 9, minBuckets = 2) == 4)
+    assert(Layout.bucketCount(d, Seq("s"), fixedWidth = 6,
+      targetBytes = 7, minBuckets = 2) == 8)
+    // maxBuckets clamps before rounding
+    assert(Layout.bucketCount(d, Seq("s"), fixedWidth = 6,
+      targetBytes = 1, minBuckets = 2, maxBuckets = 16) == 16)
+    // empty input → floor, no NPE (null sum coalesced)
+    assert(Layout.bucketCount(d.limit(0), Seq("s"), fixedWidth = 6) == 8)
+  }
+
+  test("writeBucketed write runs one task per bucket, one sorted file each") {
+    val l = graft.Tables.lineitem(spark, sf()).select("l_orderkey", "l_extendedprice")
+    Layout.rebuildBucketed(l, "graft_test_bkt_files", "l_orderkey", 4)
+    // exactly one data file per bucket: the repartition aligns the write
+    // tasks with the bucket ids (same murmur3-pmod hash)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_test_bkt_files"))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(loc.getPath))
+      .toArray.map(_.toString).filter(f => f.endsWith(".parquet"))
+    assert(files.length == 4, files.mkString("\n"))
+    spark.sql("DROP TABLE IF EXISTS graft_test_bkt_files")
+  }
+
   test("rebuildBucketed is idempotent and the bucketed join matches the plain join") {
     val o = graft.Tables.orders(spark, sf()).select("o_orderkey", "o_orderstatus")
     val l = graft.Tables.lineitem(spark, sf()).select("l_orderkey", "l_extendedprice")
