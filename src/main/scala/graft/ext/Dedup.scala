@@ -439,23 +439,24 @@ object Dedup {
     * DuckDB oracle replays it EXACTLY rather than bounding it; the
     * agreement-with-exact bound is ExtSpec's job.
     *
-    * The per-source k-min here is a rank window (sort-within-source);
-    * the streaming form is a bounded-heap TypedImperativeAggregate — same
-    * result, same single shuffle, O(k) state per source. Pair scoring is
+    * The per-source k-min is the bounded-heap [[graft.functions.KMinAgg]]
+    * typed aggregate: each task reduces its rows into one ≤k-entry
+    * buffer BEFORE the exchange, so the shuffle carries O(k) per
+    * (task, source) and no per-source sort of the value universe ever
+    * runs (the r12 row_number form ranked ALL distinct hashes to keep
+    * 256 — PlanSpec now pins the sort-free plan). Pair scoring is
     * a broadcast self-join over the S-row signature table: in-row array
     * arithmetic, no gram-level join at all (the whole point vs the exact
     * form's shared-shingle join). */
   def sourceOverlapKMV(docs: DataFrame, k: Int = 256, shingleLen: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ds = spreadForCompute(docs)
       .select(col("source"),
         explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("sh"))
       .distinct()
+    val kmin = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KMinAgg(k))
     val sig = ds.select(col("source"), md5(col("sh")).as("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy("h")))
-      .where(col("rk") <= k)
-      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sig"))
+      .groupBy("source").agg(kmin(col("h")).as("sig"))
     val a = sig.select(col("source").as("src_a"), col("sig").as("sa"))
     val b = sig.select(col("source").as("src_b"), col("sig").as("sb"))
     val unionK = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)

@@ -109,5 +109,9 @@ object GraftExtensions {
       org.apache.spark.sql.functions.udaf(
         new QsAggregator(8192, Seq(0.25, 0.5, 0.75, 0.9, 0.99),
           requireExact = true)))
+    // k-minimum-values signature at k = 256 (the sourceOverlapKMV
+    // default): array<string> of the k smallest distinct values
+    spark.udf.register("graft_kmin",
+      org.apache.spark.sql.functions.udaf(new KMinAgg(256)))
   }
 }

@@ -381,6 +381,17 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("SelectedBucketsCount"), finalPlan.take(3000))
   }
 
+  test("kmv signature: bounded-state aggregate, no per-source rank window") {
+    val p = plan("ext_source_overlap_kmv")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the k-min runs as a typed partial+final aggregate (ObjectHashAggregate:
+    // O(k) state per source crosses the wire) — never the r12 row_number
+    // form that sorted every distinct hash per source to keep 256
+    assert(finalPlan.contains("ObjectHashAggregate"), finalPlan.take(3000))
+    assert(!finalPlan.contains("Window"), finalPlan.take(3000))
+    assert(!finalPlan.contains("row_number"), finalPlan.take(3000))
+  }
+
   test("hll registers: one exchange, partial+final max (no distinct, no value shuffle)") {
     val docs = graft.Tables.documents(spark, sf())
     val occ = docs.select(org.apache.spark.sql.functions.col("source"),
