@@ -16,6 +16,11 @@ object Bench {
     // (BENCH_ab_r12.json), while GraftSession's zstd default targets
     // I/O-bound 100 TB shuffles where it cut spill ~35% (r10).
     val ioCodec = sys.env.getOrElse("GRAFT_IO_CODEC", "lz4")
+    // the codec string is interpolated into the hand-built JSON hostMeta
+    // below — restrict to the known codec set up front so a quote or
+    // backslash in the env can never emit an unparseable BENCH artifact
+    require(Set("lz4", "zstd", "snappy", "lzf").contains(ioCodec),
+      s"GRAFT_IO_CODEC must be one of lz4|zstd|snappy|lzf, got '$ioCodec'")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.io.compression.codec", ioCodec)

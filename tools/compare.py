@@ -50,9 +50,12 @@ def pandas_audit(con, oracle, outdir, skip=()):
     """Replicates the DRIVER's pandas path (duckdb .df()), which differs
     from fetchall: HUGEINT -> float64 ('5.0000' vs '5'), arrays -> crash.
     This is exactly the divergence that let round-1's q13_pivot pass the
-    fetchall compare here but fail the driver. Returns #problems."""
+    fetchall compare here but fail the driver. Returns the set of entry
+    names with problems (so the caller can downgrade their report rows —
+    a hash_match=true row that the driver path would fail must not ship
+    as green in the JSON artifact)."""
     import pyarrow as pa
-    bad = 0
+    bad = set()
     for name in sorted(oracle):
         if name in skip:  # trusted from a prior full run (resume path)
             continue
@@ -64,25 +67,25 @@ def pandas_audit(con, oracle, outdir, skip=()):
                if pa.types.is_list(f.type) or pa.types.is_struct(f.type)]
         if arr:
             print(f"PANDAS   {name}: array/struct columns crash the driver sort: {arr}")
-            bad += 1
+            bad.add(name)
         sdf = pq.read_table(files[0]).to_pandas()
         try:
             ddf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"PANDAS   {name}: .df() failed: {e}")
-            bad += 1
+            bad.add(name)
             continue
         for c in sdf.columns:
             if c not in ddf.columns:
                 print(f"PANDAS   {name}.{c}: missing from oracle result "
                       f"(oracle cols: {list(ddf.columns)})")
-                bad += 1
+                bad.add(name)
                 continue
             sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
             if (sk in "iu") != (dk in "iu"):
                 print(f"PANDAS   {name}.{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
                       " (int-vs-float render mismatch; CAST the oracle)")
-                bad += 1
+                bad.add(name)
     return bad
 
 
@@ -115,12 +118,21 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
             if line.strip():
                 name, _, reason = line.rstrip("\n").partition("\t")
                 skips[name] = reason or "oracle skipped"
-    # resume: entries already OK in a prior run's log are trusted
+    # resume: entries already OK in a prior run's log are trusted — but
+    # ONLY if the result parquet predates the log (a result regenerated
+    # by changed code after the log was written was never verified; the
+    # r12-advice failure mode was a fully-green artifact from stale OKs)
     done_ok = set()
     if donelog:
+        log_mtime = os.path.getmtime(donelog)
         for line in open(donelog):
             if line.startswith("OK       "):
-                done_ok.add(line.split()[1])
+                name = line.split()[1]
+                files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+                if files and max(os.path.getmtime(f) for f in files) > log_mtime:
+                    print(f"STALE-OK {name}: result newer than prior log, re-verifying")
+                else:
+                    done_ok.add(name)
     n_ok = n_bad = 0
     report = {}
     # rows-only entries (no oracle SQL declared): record row counts so the
@@ -155,9 +167,12 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
         if name in done_ok:
             print(f"OK       {name} ({tbl.num_rows} rows) [prior run]")
             n_ok += 1
+            # oracle_rows=None + an explicit marker: this row was trusted
+            # from the prior log, NOT re-verified end-to-end in this run —
+            # don't fabricate an oracle row count we never fetched
             report[name] = {"rows_match": True, "schema_match": True,
                             "hash_match": True, "spark_rows": tbl.num_rows,
-                            "oracle_rows": tbl.num_rows, "err": None}
+                            "oracle_rows": None, "err": "trusted_prior_run"}
             continue
         spark_cols = list(tbl.column_names)
         spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
@@ -196,8 +211,16 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
                     print(f"  first diff row {i}:\n    spark: {x}\n    duck : {y}")
                     break
             n_bad += 1
-    n_bad += pandas_audit(con, oracle, outdir,
-                          skip=done_ok | set(skips))
+    audit_bad = pandas_audit(con, oracle, outdir,
+                             skip=done_ok | set(skips))
+    n_bad += len(audit_bad)
+    # downgrade audit failures in the artifact: the fetchall hash may have
+    # matched, but the DRIVER's pandas path would diverge on these — a
+    # green row here would overstate the committed artifact
+    for name in audit_bad:
+        if name in report:
+            report[name]["hash_match"] = False
+            report[name]["err"] = "pandas_audit mismatch"
     if jsonout:
         with open(jsonout, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
