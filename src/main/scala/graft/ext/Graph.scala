@@ -439,6 +439,47 @@ object Graph {
     spark.createDataset(rows).toDF("k", "n_nodes", "n_edges").orderBy("k")
   }
 
+  /** Node budget for [[inducedSlice]] as used by the exact-closeness
+    * battery entry: the largest V whose all-pairs BFS oracle stays
+    * comfortably feasible in DuckDB. The binding quantity is the
+    * chain's tuple EXPANSION — sources × 2·E_slice per unrolled round,
+    * and E_slice shrinks ~quadratically with the node budget on a dense
+    * graph — sized from the sf1
+    * measurements: the r12 unsliced V = 14.5k chain expands
+    * sources x 2E ~ 11e9 tuples (>78 GB of DuckDB spill); the 2048
+    * slice keeps ~7.2k induced edges, an ~30M-tuple chain. (The first
+    * slice attempts appeared to spill at ANY budget — that was the
+    * un-MATERIALIZED slice CTEs being inlined into the expensive
+    * co-activity join several times, not the chain.) 2048 stays a
+    * no-op at the sf0.1 fixture (V ~ 1.4k) and binds above it. The
+    * battery oracle interpolates THIS constant (the GridMaxSpanHours
+    * drift-proofing pattern). */
+  val ClosenessSliceNodes = 2048
+
+  /** Deterministic md5-sampled induced subgraph: keep the `maxNodes`
+    * hash-smallest nodes (order = md5(tag ‖ id) then id — both engines
+    * hash the same string, so the sample is replayable in SQL) and the
+    * edges with BOTH endpoints kept. A no-op when the graph has ≤
+    * `maxNodes` nodes. This is the bounded-analysis companion to the
+    * V-quadratic exact ops ([[closenessCentrality]]'s all-pairs BFS):
+    * the slice pins the exact computation at a fixed V at ANY corpus
+    * scale, while [[approxCloseness]] remains the unbounded-V estimate.
+    * Shape: one distinct over edge endpoints, a maxNodes-row TakeOrdered
+    * (never a global sort materialized), two broadcast semi-joins. */
+  def inducedSlice(pairs: DataFrame, maxNodes: Int = ClosenessSliceNodes,
+      tag: String = "cslice"): DataFrame = {
+    require(maxNodes >= 2, s"maxNodes must be >= 2, got $maxNodes")
+    val nodes = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v"))).distinct()
+    val keep = nodes
+      .orderBy(md5(concat(lit(tag), col("v").cast("string"))), col("v"))
+      .limit(maxNodes)
+    pairs
+      .join(broadcast(keep.select(col("v").as("doc_a"))), Seq("doc_a"), "left_semi")
+      .join(broadcast(keep.select(col("v").as("doc_b"))), Seq("doc_b"), "left_semi")
+      .select(pairs.columns.map(col): _*) // USING-joins moved keys first
+  }
+
   /** Closeness + harmonic centrality per node by ALL-PAIRS BFS — who
     * sits nearest the middle of the co-activity graph (the influence /
     * hub readout next to [[pageRank]]'s flow-based one). Distances are

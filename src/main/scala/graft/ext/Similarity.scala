@@ -779,6 +779,87 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** ANN-candidate variant of [[knnLabelEval]] — the SCALE path for the
+    * label-agreement metric, recall-guarded the [[ext_dedup_eval]] way:
+    * neighbors come from the [[ivfTopK]] routing (deterministic
+    * lowest-id coarse quantizer, nprobe probed lists per vector), so
+    * the candidate join touches ~nprobe/nlist of the corpus per vector
+    * instead of the brute n² scan; the exact top-k is computed ONCE on
+    * the same (bounded) eval slice to score the ANN neighbor sets as
+    * TP/FN per label. At 100 TB only the IVF path runs per-corpus; this
+    * entry is the fixture-scale regression guard that keeps its recall
+    * an oracle-checked number rather than a hope.
+    * Output per label: (label, n, n_correct, acc, tp, fn, recall) —
+    * acc from IVF-majority votes over ALL n vectors of the label
+    * (a vector with no surviving candidate counts as incorrect),
+    * recall = tp/(tp+fn) over the exact top-k pair sets. */
+  def knnLabelEvalIvf(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    withBoundedEvalSlice(Dedup.spreadForCompute(
+        embeddings.select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("e")))
+      .withColumn("nrm", norm(col("e"))), "knnLabelEvalIvf") { e =>
+    import org.apache.spark.sql.expressions.Window
+    val cent: Array[(Int, Array[Double], Double)] = e
+      .where(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("e"), col("nrm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def scoreStructs(ec: Column, n: Column) = cent.map { case (cid, cv, cn) =>
+      struct((dot(ec, array(cv.map(lit): _*)) / (n * lit(cn))).as("s"),
+        lit(-cid).as("negcid"))
+    }
+    val assigned = e.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("e").as("eb"), col("nrm").as("nb"),
+      (-array_max(array(scoreStructs(col("e"), col("nrm")): _*))
+        .getField("negcid")).as("cid"))
+    val probes = e.select(col("vec_id").as("a"), col("label").as("la"),
+        col("e").as("ea"), col("nrm").as("na"),
+        explode(slice(reverse(array_sort(
+          array(scoreStructs(col("e"), col("nrm")): _*))), 1, nprobe)).as("p"))
+      .select(col("a"), col("la"), col("ea"), col("na"),
+        (-col("p.negcid")).as("cid"))
+    def topK(pairs: DataFrame) = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b"))))
+      .where(col("rk") <= k)
+    val annTop = topK(probes.join(assigned, "cid")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("la"), col("b"), col("lb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos")))
+      .localCheckpoint() // consumed twice (votes + recall join)
+    val exactTop = topK(e.toDF("qa", "qla", "qea", "qna")
+      .join(broadcast(e.toDF("cb", "clb", "ceb", "cnb")), col("qa") =!= col("cb"))
+      .select(col("qa").as("a"), col("qla").as("la"), col("cb").as("b"),
+        round(dot(col("qea"), col("ceb")) / (col("qna") * col("cnb")), 4).as("cos")))
+    val votes = annTop.groupBy("a", "la", "lb").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("a", "la").agg(
+      max(struct(col("c"), (-col("lb")).as("nl"))).as("m"))
+      .select(col("a"), col("la"), (-col("m").getField("nl")).as("pred"))
+    val correct = pred.where(col("pred") === col("la"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("n_correct"))
+    val nAll = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val rec = exactTop.select(col("a"), col("la"), col("b"))
+      .join(annTop.select(col("a"), col("b"), lit(1).as("hit")),
+        Seq("a", "b"), "left")
+      .groupBy(col("la").as("label"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("fn"))
+    nAll
+      .join(correct, Seq("label"), "left")
+      .join(rec, Seq("label"), "left")
+      .select(col("label"), col("n"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        round(coalesce(col("n_correct"), lit(0L)).cast("double")
+          / col("n").cast("double"), 4).as("acc"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        when(coalesce(col("tp"), lit(0L)) + coalesce(col("fn"), lit(0L)) > 0,
+          round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 4)).as("recall"))
+      .orderBy("label")
+  }
+
   /** Mean silhouette per cluster over cosine DISTANCE (1 − cos) — the
     * "are these clusters real" readout for [[kmeansAssign]]-style or
     * ground-truth labels. Distances quantize to exact 1e-4 integers

@@ -934,9 +934,20 @@ object ExtQueries {
   def kCoreQ(s: SparkSession, d: String): DataFrame =
     Graph.kCoreSummary(coActivityEdges(s, d))
 
-  /** Closeness/harmonic centrality per user on the same shared graph. */
+  /** Closeness/harmonic centrality per user on the same shared graph,
+    * over the deterministic md5-sampled ≤[[Graph.ClosenessSliceNodes]]
+    * induced subgraph — a no-op at fixture scales (V = 145 / ~1.4k) and
+    * a hard bound above it, so the exact all-pairs computation AND its
+    * V²-per-round SQL twin stay feasible at any sweep scale (the r12
+    * sf1 V = 14.5k run completed in the engine but overflowed DuckDB's
+    * disk — the one declared oracle-skip this slice removes). The
+    * unbounded-V path is [[approxClosenessQ]]. */
   def closenessQ(s: SparkSession, d: String): DataFrame =
-    Graph.closenessCentrality(coActivityEdges(s, d))
+    // maxDepth 16: the sampled slice is SPARSER than the full graph
+    // (longer shortest paths — the sf1 slice outlives depth 8), and the
+    // converged extra rounds are no-ops at fixture scale
+    Graph.closenessCentrality(Graph.inducedSlice(coActivityEdges(s, d)),
+      maxDepth = 16)
 
   /** Sampled-pivot Eppstein–Wang closeness on the same shared graph —
     * the unbounded-V scale variant of [[closenessQ]] (64 pivots). */
@@ -1096,6 +1107,14 @@ object ExtQueries {
   /** k-NN label agreement per label over the embedding table. */
   def knnEvalQ(s: SparkSession, d: String): DataFrame =
     Similarity.knnLabelEval(Tables.embeddings(s, d))
+
+  /** IVF-routed (ANN-candidate) k-NN label agreement with the exact
+    * top-k recall guard — the scale path of [[knnEvalQ]]: only the
+    * IVF join runs per-corpus at 100 TB; the exact comparison here is
+    * the fixture-scale regression that keeps its recall a hash-checked
+    * number (the ext_dedup_eval TP/FN pattern). */
+  def knnEvalIvfQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLabelEvalIvf(Tables.embeddings(s, d))
 
   /** Mean silhouette per ground-truth label over cosine distance. */
   def silhouetteQ(s: SparkSession, d: String): DataFrame =
@@ -1318,8 +1337,11 @@ object ExtQueries {
   def groupQuantilesQ(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     val docs = Tables.documents(s, d)
-    val maxGrp = docs.groupBy("lang").count()
-      .agg(max("count")).head().getLong(0)
+    // max() over zero groups is NULL — read nullably and fall back to the
+    // 8192 floor so an empty documents table sizes instead of NPE-ing
+    val maxGrp = Option(docs.groupBy("lang").count()
+      .agg(max("count")).head().getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(0L)
     val cap = ceilPow2(math.max(8192L, maxGrp))
     s.udf.register("graft_quantiles_exact_gq",
       org.apache.spark.sql.functions.udaf(
@@ -2780,6 +2802,7 @@ object ExtQueries {
     "ext_cohort_ltv" -> cohortLtvQ _,
     "ext_gini_stump" -> giniStumpQ _,
     "ext_knn_eval" -> knnEvalQ _,
+    "ext_knn_eval_ivf" -> knnEvalIvfQ _,
     "ext_silhouette" -> silhouetteQ _,
     "ext_nelson_aalen" -> nelsonAalenQ _,
     "ext_logrank" -> logRankQ _,
@@ -7216,7 +7239,7 @@ object ExtQueries {
     "ext_qld" -> qldSql(Bm25Terms, mu = 2000L),
 
     // closeness/harmonic centrality: 8-round unrolled all-pairs BFS
-    "ext_closeness" -> closenessSql(8),
+    "ext_closeness" -> closenessSql(16),
 
     // Eppstein–Wang sampled-pivot closeness: same BFS chain seeded from
     // the 64 md5-smallest pivots; estimate a ratio of exact longs
@@ -7537,6 +7560,67 @@ object ExtQueries {
         |  ROUND(CAST(SUM(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS acc
         |FROM pr GROUP BY la ORDER BY label""".stripMargin,
+
+    // IVF-routed knn eval + exact-top-k recall guard: raw-cos centroid
+    // ranking (the ext_ivf_topk pattern), ROUND(cos,4) candidate ranking
+    // (the ext_knn_eval pattern), TP/FN per label over the pair sets
+    "ext_knn_eval_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, label, cid FROM (
+         |    SELECT v.vec_id, v.label, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY ${cosRawSql("v.e", "c.ce")} DESC, c.cid) AS arn
+         |    FROM e v, cent c) WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS a, cid FROM (
+         |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY ${cosRawSql("v.e", "c.ce")} DESC, c.cid) AS prn
+         |    FROM e v, cent c) WHERE prn <= 4),
+         |annp AS (
+         |  SELECT p.a, ea.label AS la, s.vec_id AS b, s.label AS lb,
+         |    ${cosSql("ea.e", "eb.e")} AS cos
+         |  FROM probes p
+         |  JOIN assigned s ON s.cid = p.cid AND s.vec_id <> p.a
+         |  JOIN e ea ON ea.vec_id = p.a
+         |  JOIN e eb ON eb.vec_id = s.vec_id),
+         |annt AS (SELECT a, la, b, lb FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
+         |    AS rk FROM annp) WHERE rk <= 5),
+         |exp AS (SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b,
+         |    ${cosSql("a.e", "b.e")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |exk AS (SELECT a, la, b FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
+         |    AS rk FROM exp) WHERE rk <= 5),
+         |v AS (SELECT a, la, lb, COUNT(*) AS c FROM annt GROUP BY 1, 2, 3),
+         |pr AS (SELECT a, la, lb AS pred FROM (SELECT a, la, lb,
+         |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lb) AS r
+         |  FROM v) WHERE r = 1),
+         |cor AS (SELECT la AS label, COUNT(*) AS n_correct FROM pr
+         |        WHERE pred = la GROUP BY 1),
+         |nall AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+         |rec AS (SELECT x.la AS label,
+         |    CAST(SUM(CASE WHEN t.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tp,
+         |    CAST(SUM(CASE WHEN t.b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS fn
+         |  FROM exk x LEFT JOIN annt t ON t.a = x.a AND t.b = x.b
+         |  GROUP BY x.la)
+         |SELECT nall.label, nall.n,
+         |  CAST(COALESCE(cor.n_correct, 0) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(COALESCE(cor.n_correct, 0) AS DOUBLE)
+         |    / CAST(nall.n AS DOUBLE), 4) AS acc,
+         |  CAST(COALESCE(rec.tp, 0) AS BIGINT) AS tp,
+         |  CAST(COALESCE(rec.fn, 0) AS BIGINT) AS fn,
+         |  CASE WHEN COALESCE(rec.tp, 0) + COALESCE(rec.fn, 0) > 0 THEN
+         |    ROUND(CAST(rec.tp AS DOUBLE) / CAST(rec.tp + rec.fn AS DOUBLE), 4)
+         |  END AS recall
+         |FROM nall LEFT JOIN cor USING (label) LEFT JOIN rec USING (label)
+         |ORDER BY label""".stripMargin,
 
     // silhouette: 1e-4-integer distances, identical-double means, s
     // re-quantized through StableRound so the cluster mean is exact
@@ -8083,10 +8167,13 @@ object ExtQueries {
   }
 
   /** Generated all-pairs-BFS closeness oracle mirroring
-    * [[graft.ext.Graph.closenessCentrality]]: the [[bfsSql]] unroll
-    * with a `src` dimension (k0 = every node at distance 0 from
-    * itself), then per-src exact integer distance sums and the
-    * distance-ordered harmonic fold. */
+    * [[graft.ext.Graph.closenessCentrality]] over the
+    * [[graft.ext.Graph.inducedSlice]] subgraph (same md5-smallest node
+    * sample — both engines hash the same string — so the oracle's
+    * V²-per-round chain is bounded at ClosenessSliceNodes² at any sweep
+    * scale): the [[bfsSql]] unroll with a `src` dimension (k0 = every
+    * node at distance 0 from itself), then per-src exact integer
+    * distance sums and the distance-ordered harmonic fold. */
   private def closenessSql(rounds: Int): String = {
     val chain = (1 to rounds).map { i =>
       s"""k$i AS MATERIALIZED (SELECT src, v, MIN(d) AS d FROM (
@@ -8097,8 +8184,17 @@ object ExtQueries {
          |GROUP BY src, v)""".stripMargin
     }.mkString(",\n")
     s"""WITH $coActivityCtes,
-       |adj AS (SELECT a AS v, b AS n FROM cand
-       |        UNION ALL SELECT b AS v, a AS n FROM cand),
+       |cand0 AS MATERIALIZED (SELECT a, b FROM cand),
+       |nodes0 AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT a AS v FROM cand0 UNION ALL SELECT b AS v FROM cand0)),
+       |keep AS MATERIALIZED (SELECT v FROM nodes0
+       |         ORDER BY md5('cslice' || CAST(v AS VARCHAR)), v
+       |         LIMIT ${Graph.ClosenessSliceNodes}),
+       |cand2 AS MATERIALIZED (SELECT a, b FROM cand0
+       |          WHERE a IN (SELECT v FROM keep)
+       |            AND b IN (SELECT v FROM keep)),
+       |adj AS (SELECT a AS v, b AS n FROM cand2
+       |        UNION ALL SELECT b AS v, a AS n FROM cand2),
        |nodes AS (SELECT DISTINCT v FROM adj),
        |k0 AS (SELECT v AS src, v, 0 AS d FROM nodes),
        |$chain,

@@ -222,6 +222,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("inducedSlice: no-op under budget, md5-deterministic keep set above it") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (2L, 5L))
+      .toDF("doc_a", "doc_b")
+    // budget covers the graph → identical edge set back
+    val full = Graph.inducedSlice(g, maxNodes = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (2L, 5L)))
+    // binding budget: keep = the 3 md5('cslice'||id)-smallest ids, edges
+    // require BOTH endpoints kept — recompute the sample independently
+    val keep = Seq(1L, 2L, 3L, 4L, 5L)
+      .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "cslice" + id.toString), id)).take(3).toSet
+    val sliced = Graph.inducedSlice(g, maxNodes = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expect = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (2L, 5L))
+      .filter { case (a, b) => keep(a) && keep(b) }
+    assert(sliced == expect, s"keep=$keep got=$sliced want=$expect")
+    // slice bound pinned: the oracle interpolates this constant, and it
+    // must stay ABOVE the sf0.1 fixture's V (~1.4k) so driver-scale
+    // hashes are slice-invariant
+    assert(Graph.ClosenessSliceNodes == 2048)
+  }
+
   test("approxCloseness: all-nodes-as-pivots gives the exact EW values") {
     import spark.implicits._
     val g = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("doc_a", "doc_b")
