@@ -86,11 +86,17 @@ object ExtQueries {
   def simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashes(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Exact all-pairs entries run on the deterministic md5 eval slice
+    * (no-op ≤ 16384 vectors — sf0.01/sf0.1 fixtures unaffected): the
+    * sf10 sweep caught the unsliced form at 4e10 pairs. The corpus-
+    * scale paths are ext_lsh_pairs_top10 / ext_semdedup. */
   def cosinePairs(s: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairsTopK(Tables.embeddings(s, d), 10)
+    Similarity.cosinePairsTopK(
+      Similarity.evalSlice(Tables.embeddings(s, d)), 10)
 
   def nearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+    Similarity.nearDupPairs(
+      Similarity.evalSlice(Tables.embeddings(s, d)), threshold = 0.45)
 
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -1078,7 +1084,7 @@ object ExtQueries {
 
   /** Dunn index over the ground-truth labels. */
   def dunnQ(s: SparkSession, d: String): DataFrame =
-    Similarity.dunnIndex(Tables.embeddings(s, d))
+    Similarity.dunnIndex(Similarity.evalSlice(Tables.embeddings(s, d)))
 
   /** Durbin–Watson of the hourly count series per event type. */
   def durbinWatsonQ(s: SparkSession, d: String): DataFrame =
@@ -1106,7 +1112,7 @@ object ExtQueries {
 
   /** k-NN label agreement per label over the embedding table. */
   def knnEvalQ(s: SparkSession, d: String): DataFrame =
-    Similarity.knnLabelEval(Tables.embeddings(s, d))
+    Similarity.knnLabelEval(Similarity.evalSlice(Tables.embeddings(s, d)))
 
   /** IVF-routed (ANN-candidate) k-NN label agreement with the exact
     * top-k recall guard — the scale path of [[knnEvalQ]]: only the
@@ -1114,11 +1120,11 @@ object ExtQueries {
     * the fixture-scale regression that keeps its recall a hash-checked
     * number (the ext_dedup_eval TP/FN pattern). */
   def knnEvalIvfQ(s: SparkSession, d: String): DataFrame =
-    Similarity.knnLabelEvalIvf(Tables.embeddings(s, d))
+    Similarity.knnLabelEvalIvf(Similarity.evalSlice(Tables.embeddings(s, d)))
 
   /** Mean silhouette per ground-truth label over cosine distance. */
   def silhouetteQ(s: SparkSession, d: String): DataFrame =
-    Similarity.silhouette(Tables.embeddings(s, d))
+    Similarity.silhouette(Similarity.evalSlice(Tables.embeddings(s, d)))
 
   /** Best Gini decision-stump split of the value bucket vs purchase. */
   def giniStumpQ(s: SparkSession, d: String): DataFrame =
@@ -3693,15 +3699,23 @@ object ExtQueries {
          |ORDER BY pmi DESC, ta, tb LIMIT 20""".stripMargin,
 
     "ext_cosine_pairs_top10" ->
-      s"""WITH $embCte
+      s"""WITH $embCte,
+         |keep AS MATERIALIZED (SELECT vec_id FROM e
+         |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${Similarity.EvalSliceRows}),
+         |es AS MATERIALIZED (SELECT e.vec_id, e.e FROM e JOIN keep USING (vec_id))
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.e", "b.e")} AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM es a JOIN es b ON a.vec_id < b.vec_id
          |ORDER BY cos DESC, vec_a, vec_b LIMIT 10""".stripMargin,
 
     "ext_embedding_neardup" ->
-      s"""WITH $embCte
+      s"""WITH $embCte,
+         |keep AS MATERIALIZED (SELECT vec_id FROM e
+         |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${Similarity.EvalSliceRows}),
+         |es AS MATERIALIZED (SELECT e.vec_id, e.e FROM e JOIN keep USING (vec_id))
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.e", "b.e")} AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM es a JOIN es b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.e", "b.e")} >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
 
@@ -7446,8 +7460,13 @@ object ExtQueries {
 
     // Dunn index: min/max over exact 1e-4-integer distances
     "ext_dunn" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
+        |keep AS MATERIALIZED (SELECT vec_id FROM e0
+        |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT ${Similarity.EvalSliceRows}),
+        |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.e
+        |  FROM e0 JOIN keep USING (vec_id)),
         |d4 AS (SELECT a.label AS la, b.label AS lb,
         |        10000 - CAST(ROUND(ROUND(list_dot_product(a.e, b.e)
         |          / (sqrt(list_dot_product(a.e, a.e))
@@ -7539,8 +7558,13 @@ object ExtQueries {
     // kNN label eval: votes from the rounded-cosine ranking, majority
     // by (count desc, label asc), all rollups exact integers
     "ext_knn_eval" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
+        |keep AS MATERIALIZED (SELECT vec_id FROM e0
+        |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT ${Similarity.EvalSliceRows}),
+        |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.e
+        |  FROM e0 JOIN keep USING (vec_id)),
         |p AS (SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b,
         |        b.label AS lb,
         |        ROUND(list_dot_product(a.e, b.e)
@@ -7565,9 +7589,15 @@ object ExtQueries {
     // ranking (the ext_ivf_topk pattern), ROUND(cos,4) candidate ranking
     // (the ext_knn_eval pattern), TP/FN per label over the pair sets
     "ext_knn_eval_ivf" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 16),
+         |keep AS MATERIALIZED (SELECT vec_id FROM e0
+         |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${Similarity.EvalSliceRows}),
+         |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.e
+         |  FROM e0 JOIN keep USING (vec_id)),
+         |cent AS (SELECT vec_id AS cid, e AS ce FROM e
+         |         ORDER BY vec_id LIMIT 16),
          |assigned AS (
          |  SELECT vec_id, label, cid FROM (
          |    SELECT v.vec_id, v.label, c.cid, ROW_NUMBER() OVER (
@@ -7625,8 +7655,13 @@ object ExtQueries {
     // silhouette: 1e-4-integer distances, identical-double means, s
     // re-quantized through StableRound so the cluster mean is exact
     "ext_silhouette" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
+        |keep AS MATERIALIZED (SELECT vec_id FROM e0
+        |  ORDER BY md5('eslice' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT ${Similarity.EvalSliceRows}),
+        |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.e
+        |  FROM e0 JOIN keep USING (vec_id)),
         |d4 AS (SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
         |        10000 - CAST(ROUND(ROUND(list_dot_product(a.e, b.e)
         |          / (sqrt(list_dot_product(a.e, a.e))
