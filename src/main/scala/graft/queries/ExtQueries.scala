@@ -8165,7 +8165,7 @@ object ExtQueries {
     """ua AS (SELECT DISTINCT user_id,
       |        epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
       |        event_type FROM events),
-      |cand AS (SELECT l.user_id AS a, r.user_id AS b
+      |cand AS MATERIALIZED (SELECT l.user_id AS a, r.user_id AS b
       |         FROM ua l JOIN ua r
       |           ON l.h = r.h AND l.event_type = r.event_type
       |             AND l.user_id < r.user_id
