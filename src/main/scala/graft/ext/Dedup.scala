@@ -449,10 +449,15 @@ object Dedup {
     * arithmetic, no gram-level join at all (the whole point vs the exact
     * form's shared-shingle join). */
   def sourceOverlapKMV(docs: DataFrame, k: Int = 256, shingleLen: Int = 3): DataFrame = {
+    // No (source, sh) distinct: KMinAgg rejects duplicate values itself
+    // (in-heap dup → O(k) membership scan; already-evicted dup → ≥ max,
+    // O(1) reject), so a pre-dedup would only trade map-side O(1) rejects
+    // for a full shuffle of the shingle UNIVERSE — the one exchange left
+    // is the partial→final agg at O(k · tasks · sources) records
+    // (KmvShuffleSpec pins the flat-in-input-size write metric).
     val ds = spreadForCompute(docs)
       .select(col("source"),
         explode(array_distinct(shingles(tokens(col("text")), shingleLen))).as("sh"))
-      .distinct()
     val kmin = org.apache.spark.sql.functions.udaf(
       new graft.functions.KMinAgg(k))
     val sig = ds.select(col("source"), md5(col("sh")).as("h"))

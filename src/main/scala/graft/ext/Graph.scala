@@ -471,6 +471,15 @@ object Graph {
     require(maxNodes >= 2, s"maxNodes must be >= 2, got $maxNodes")
     val nodes = pairs.select(col("doc_a").as("v"))
       .union(pairs.select(col("doc_b").as("v"))).distinct()
+    // Short-circuit when the graph already fits the node budget: the
+    // slice would keep every node (identical output — the oracle's
+    // LIMIT-maxNodes slice is equally a no-op, so hashes can't move),
+    // and skipping it spares every downstream scan the md5 TakeOrdered
+    // + two broadcast semi-joins of preamble. One count over the
+    // already-built distinct endpoint set — the r13 battery measured
+    // that preamble doubling ext_closeness (4.55 → 9.0 s) at exactly
+    // the scales where the slice does nothing.
+    if (nodes.count() <= maxNodes) return pairs
     val keep = nodes
       .orderBy(md5(concat(lit(tag), col("v").cast("string"))), col("v"))
       .limit(maxNodes)

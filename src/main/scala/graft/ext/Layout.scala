@@ -80,15 +80,24 @@ object Layout {
       maxBuckets: Int = 1 << 22): Int = {
     require(minBuckets >= 1 && Integer.bitCount(minBuckets) == 1,
       s"minBuckets must be a power of two, got $minBuckets")
+    require(maxBuckets >= minBuckets && Integer.bitCount(maxBuckets) == 1,
+      s"maxBuckets must be a power of two >= minBuckets, got $maxBuckets")
     require(targetBytes > 0, "targetBytes must be positive")
-    val rowBytes = strCols.map(c => octet_length(col(c)).cast("long"))
+    // Each string term is null-coalesced: a single NULL column would
+    // null the whole per-row sum and `sum` would silently DROP the row
+    // from the volume estimate — shrinking the count, the unsafe error
+    // direction (fewer buckets = less future join parallelism).
+    val rowBytes = strCols
+      .map(c => coalesce(octet_length(col(c)).cast("long"), lit(0L)))
       .reduceOption(_ + _).getOrElse(lit(0L)) + lit(fixedWidth)
     val est = df.agg(coalesce(sum(rowBytes), lit(0L))).head().getLong(0)
-    val need = math.min(maxBuckets.toLong,
-      math.max(minBuckets.toLong, (est + targetBytes - 1) / targetBytes))
+    val need = math.max(minBuckets.toLong, (est + targetBytes - 1) / targetBytes)
+    // Round up to a power of two FIRST, then clamp: maxBuckets is itself
+    // required pow2 above, so the clamp can't un-round the result, and
+    // the loop can't overflow (need is capped before the shift).
     var p = minBuckets
-    while (p < need) p <<= 1
-    p
+    while (p < math.min(need, maxBuckets.toLong)) p <<= 1
+    math.min(p, maxBuckets)
   }
 
   /** Bucketed managed-table write: hash-bucket by `key` into `nBuckets`

@@ -90,6 +90,15 @@ object Similarity {
     * class. */
   val EvalSliceRows = 16384
 
+  /** Shared engine/oracle constants for the k-NN label-agreement evals
+    * ([[knnLabelEval]], [[knnLabelEvalIvf]]): the oracle SQL in
+    * ExtQueries interpolates THESE (the GridMaxSpanHours pattern), so a
+    * parameter change can't silently drift the two sides apart and get
+    * caught only at hash-compare time. */
+  val KnnEvalK = 5
+  val KnnIvfNlist = 16
+  val KnnIvfNprobe = 4
+
   /** Deterministic md5-sampled eval slice for the brute-pairwise eval
     * harnesses — the [[graft.ext.Graph.inducedSlice]] treatment for
     * vector tables: keep the `maxRows` hash-smallest vec_ids
@@ -779,7 +788,7 @@ object Similarity {
     * offline metric over an eval slice — the serving path is the ANN
     * stack); per-vector ranking is a vec-keyed window, never global.
     * Output: (label, n, n_correct, acc). */
-  def knnLabelEval(embeddings: DataFrame, k: Int = 5): DataFrame =
+  def knnLabelEval(embeddings: DataFrame, k: Int = KnnEvalK): DataFrame =
     withBoundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("e")))
@@ -819,8 +828,8 @@ object Similarity {
     * acc from IVF-majority votes over ALL n vectors of the label
     * (a vector with no surviving candidate counts as incorrect),
     * recall = tp/(tp+fn) over the exact top-k pair sets. */
-  def knnLabelEvalIvf(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame =
+  def knnLabelEvalIvf(embeddings: DataFrame, k: Int = KnnEvalK,
+      nlist: Int = KnnIvfNlist, nprobe: Int = KnnIvfNprobe): DataFrame =
     withBoundedEvalSlice(Dedup.spreadForCompute(
         embeddings.select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("e")))

@@ -7573,7 +7573,7 @@ object ExtQueries {
         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
         |t AS (SELECT a, la, lb FROM (SELECT a, la, lb,
         |        row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rk
-        |      FROM p) WHERE rk <= 5),
+        |      FROM p) WHERE rk <= ${Similarity.KnnEvalK}),
         |v AS (SELECT a, la, lb, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
         |pr AS (SELECT a, la, lb AS pred FROM (SELECT a, la, lb,
         |        row_number() OVER (PARTITION BY a ORDER BY c DESC, lb) AS r
@@ -7597,7 +7597,7 @@ object ExtQueries {
          |e AS MATERIALIZED (SELECT e0.vec_id, e0.label, e0.e
          |  FROM e0 JOIN keep USING (vec_id)),
          |cent AS (SELECT vec_id AS cid, e AS ce FROM e
-         |         ORDER BY vec_id LIMIT 16),
+         |         ORDER BY vec_id LIMIT ${Similarity.KnnIvfNlist}),
          |assigned AS (
          |  SELECT vec_id, label, cid FROM (
          |    SELECT v.vec_id, v.label, c.cid, ROW_NUMBER() OVER (
@@ -7609,7 +7609,7 @@ object ExtQueries {
          |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (
          |      PARTITION BY v.vec_id
          |      ORDER BY ${cosRawSql("v.e", "c.ce")} DESC, c.cid) AS prn
-         |    FROM e v, cent c) WHERE prn <= 4),
+         |    FROM e v, cent c) WHERE prn <= ${Similarity.KnnIvfNprobe}),
          |annp AS (
          |  SELECT p.a, ea.label AS la, s.vec_id AS b, s.label AS lb,
          |    ${cosSql("ea.e", "eb.e")} AS cos
@@ -7619,13 +7619,13 @@ object ExtQueries {
          |  JOIN e eb ON eb.vec_id = s.vec_id),
          |annt AS (SELECT a, la, b, lb FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
-         |    AS rk FROM annp) WHERE rk <= 5),
+         |    AS rk FROM annp) WHERE rk <= ${Similarity.KnnEvalK}),
          |exp AS (SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b,
          |    ${cosSql("a.e", "b.e")} AS cos
          |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
          |exk AS (SELECT a, la, b FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
-         |    AS rk FROM exp) WHERE rk <= 5),
+         |    AS rk FROM exp) WHERE rk <= ${Similarity.KnnEvalK}),
          |v AS (SELECT a, la, lb, COUNT(*) AS c FROM annt GROUP BY 1, 2, 3),
          |pr AS (SELECT a, la, lb AS pred FROM (SELECT a, la, lb,
          |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lb) AS r

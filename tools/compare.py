@@ -15,7 +15,11 @@ the same artifact shape the driver does.
 For each query result parquet under outDir and its oracle SQL in
 oracle_sql.json: run the SQL in DuckDB over the sf tables, render both
 result sets as TSV (columns sorted by name, \\N for NULL, doubles %.4f),
-sha256, compare. Dev-only tooling — NOT part of the shipped library.
+sha256, compare. Both sides STREAM (parquet record batches / cursor
+fetchmany) with incremental sha256 — the r13 sf1 compare died in
+pyarrow to_pylist MemoryError materializing a 45M-row result; nothing
+here may hold a full result set again. Dev-only tooling — NOT part of
+the shipped library.
 """
 import sys, os, json, hashlib, glob
 import duckdb
@@ -23,39 +27,103 @@ import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-
-def render(cols, rows):
-    # cols sorted by name; values rendered per FIXTURES D.4
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        cells = []
-        for i in order:
-            v = row[i]
-            if v is None:
-                cells.append("\\N")
-            elif isinstance(v, float):
-                # signed-zero normalization: Spark's BigDecimal HALF_UP
-                # round maps a tiny negative to +0.0 while DuckDB's IEEE
-                # round keeps -0.0 — same value, different "%.4f" render
-                # (first seen on ext_cluster_ari at sf1, ARI ~ -2e-7)
-                cells.append("%.4f" % (abs(v) if v == 0 else v))
-            else:
-                cells.append(str(v))
-        out.append("\t".join(cells))
-    return "\n".join(out)
+BATCH = 65536
+# results larger than this skip the pandas dtype audit (which would
+# materialize the full result twice — pandas + a re-executed .df()).
+# The audit predicts the DRIVER's pandas behavior, and the driver only
+# runs sf0.01 where nothing approaches this; at sf1+ the big entries
+# are long-green relational ones. The schema-only array/struct check
+# still runs for every entry.
+AUDIT_MAX_ROWS = 5_000_000
 
 
-def pandas_audit(con, oracle, outdir, skip=()):
+def render_row(row, order):
+    # values rendered per FIXTURES D.4; one row, no trailing newline
+    cells = []
+    for i in order:
+        v = row[i]
+        if v is None:
+            cells.append("\\N")
+        elif isinstance(v, float):
+            # signed-zero normalization: Spark's BigDecimal HALF_UP
+            # round maps a tiny negative to +0.0 while DuckDB's IEEE
+            # round keeps -0.0 — same value, different "%.4f" render
+            # (first seen on ext_cluster_ari at sf1, ARI ~ -2e-7)
+            cells.append("%.4f" % (abs(v) if v == 0 else v))
+        else:
+            cells.append(str(v))
+    return "\t".join(cells)
+
+
+def spark_rows_iter(path, cols):
+    for batch in pq.ParquetFile(path).iter_batches(batch_size=BATCH):
+        for r in batch.to_pylist():
+            yield tuple(r[c] for c in cols)
+
+
+def duck_rows_iter(cur):
+    while True:
+        rows = cur.fetchmany(BATCH)
+        if not rows:
+            return
+        yield from rows
+
+
+_END = object()
+
+
+def stream_compare(spark_cols, spark_it, duck_cols, duck_it):
+    """One lockstep pass over both row streams: incremental sha256 of the
+    rendered TSV (identical bytes to the former whole-string hash — rows
+    joined by \\n, no trailing newline), row counts, and the first
+    differing row captured for the mismatch report without keeping
+    either result in memory."""
+    oa = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    ob = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    ha, hb = hashlib.sha256(), hashlib.sha256()
+    na = nb = 0
+    first_diff = None
+    while True:
+        ra = next(spark_it, _END)
+        rb = next(duck_it, _END)
+        if ra is _END and rb is _END:
+            break
+        la = lb = None
+        if ra is not _END:
+            la = render_row(ra, oa)
+            if na:
+                ha.update(b"\n")
+            ha.update(la.encode())
+            na += 1
+        if rb is not _END:
+            lb = render_row(rb, ob)
+            if nb:
+                hb.update(b"\n")
+            hb.update(lb.encode())
+            nb += 1
+        if first_diff is None and la != lb:
+            first_diff = (max(na, nb) - 1, la, lb)
+    return ha.hexdigest(), hb.hexdigest(), na, nb, first_diff
+
+
+def parquet_rows(path):
+    # row count from the footer — never read data just to count
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def pandas_audit(con, oracle, outdir, skip=(), oracle_rows=None):
     """Replicates the DRIVER's pandas path (duckdb .df()), which differs
     from fetchall: HUGEINT -> float64 ('5.0000' vs '5'), arrays -> crash.
     This is exactly the divergence that let round-1's q13_pivot pass the
     fetchall compare here but fail the driver. Returns the set of entry
     names with problems (so the caller can downgrade their report rows —
     a hash_match=true row that the driver path would fail must not ship
-    as green in the JSON artifact)."""
+    as green in the JSON artifact). Entries above AUDIT_MAX_ROWS on
+    either side skip the dtype materialization (printed, not silent) —
+    the schema array/struct check still runs."""
     import pyarrow as pa
     bad = set()
+    oracle_rows = oracle_rows or {}
     for name in sorted(oracle):
         if name in skip:  # trusted from a prior full run (resume path)
             continue
@@ -68,6 +136,12 @@ def pandas_audit(con, oracle, outdir, skip=()):
         if arr:
             print(f"PANDAS   {name}: array/struct columns crash the driver sort: {arr}")
             bad.add(name)
+        n_spark = parquet_rows(files[0])
+        n_duck = oracle_rows.get(name)
+        if n_spark > AUDIT_MAX_ROWS or (n_duck or 0) > AUDIT_MAX_ROWS:
+            print(f"AUDIT-SKIP {name}: {n_spark} rows > {AUDIT_MAX_ROWS}, "
+                  "dtype audit skipped (driver runs sf0.01 only)")
+            continue
         sdf = pq.read_table(files[0]).to_pandas()
         try:
             ddf = con.execute(oracle[name]).df()
@@ -86,6 +160,7 @@ def pandas_audit(con, oracle, outdir, skip=()):
                 print(f"PANDAS   {name}.{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
                       " (int-vs-float render mismatch; CAST the oracle)")
                 bad.add(name)
+        del sdf, ddf
     return bad
 
 
@@ -129,12 +204,16 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
             if line.startswith("OK       "):
                 name = line.split()[1]
                 files = glob.glob(os.path.join(outdir, name, "*.parquet"))
-                if files and max(os.path.getmtime(f) for f in files) > log_mtime:
+                # >= : a result regenerated within the same filesystem
+                # timestamp granularity as the log must re-verify, not
+                # be trusted on a tie
+                if files and max(os.path.getmtime(f) for f in files) >= log_mtime:
                     print(f"STALE-OK {name}: result newer than prior log, re-verifying")
                 else:
                     done_ok.add(name)
     n_ok = n_bad = 0
     report = {}
+    duck_counts = {}
     # rows-only entries (no oracle SQL declared): record row counts so the
     # artifact carries every battery entry, like the driver's report
     for res_dir in sorted(glob.glob(os.path.join(outdir, "*"))):
@@ -142,7 +221,7 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
         if not os.path.isdir(res_dir) or name in oracle:
             continue
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
-        nrows = pq.read_table(files[0]).num_rows if files else None
+        nrows = parquet_rows(files[0]) if files else None
         report[name] = {"rows_match": None, "schema_match": None,
                         "hash_match": None, "spark_rows": nrows,
                         "oracle_rows": None, "err": "no_oracle"}
@@ -156,63 +235,64 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
                             "hash_match": False, "spark_rows": None,
                             "oracle_rows": None, "err": "missing result"}
             continue
-        tbl = pq.read_table(files[0])
+        n_spark = parquet_rows(files[0])
         if name in skips:
             print(f"SKIP-ORA {name}: {skips[name]}")
             report[name] = {"rows_match": None, "schema_match": None,
-                            "hash_match": None, "spark_rows": tbl.num_rows,
+                            "hash_match": None, "spark_rows": n_spark,
                             "oracle_rows": None,
                             "err": f"oracle_skipped: {skips[name]}"}
             continue
         if name in done_ok:
-            print(f"OK       {name} ({tbl.num_rows} rows) [prior run]")
+            print(f"OK       {name} ({n_spark} rows) [prior run]")
             n_ok += 1
-            # oracle_rows=None + an explicit marker: this row was trusted
-            # from the prior log, NOT re-verified end-to-end in this run —
-            # don't fabricate an oracle row count we never fetched
+            # verified=False + err=None: this row was trusted from the
+            # prior log, NOT re-verified end-to-end in this run. The
+            # marker lives in its own field so consumers that treat any
+            # non-null err as failure don't misclassify a trusted OK.
             report[name] = {"rows_match": True, "schema_match": True,
-                            "hash_match": True, "spark_rows": tbl.num_rows,
-                            "oracle_rows": None, "err": "trusted_prior_run"}
+                            "hash_match": True, "spark_rows": n_spark,
+                            "oracle_rows": None, "err": None,
+                            "verified": False}
             continue
-        spark_cols = list(tbl.column_names)
-        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        spark_cols = pq.ParquetFile(files[0]).schema_arrow.names
         try:
             cur = con.execute(oracle[name])
             duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
         except Exception as e:
             print(f"SQL-ERR  {name}: {e}")
             n_bad += 1
             report[name] = {"rows_match": False, "schema_match": False,
-                            "hash_match": False, "spark_rows": len(spark_rows),
+                            "hash_match": False, "spark_rows": n_spark,
                             "oracle_rows": None, "err": f"oracle SQL: {e}"}
             continue
-        ent = {"rows_match": len(spark_rows) == len(duck_rows),
-               "schema_match": sorted(spark_cols) == sorted(duck_cols),
-               "hash_match": False, "spark_rows": len(spark_rows),
-               "oracle_rows": len(duck_rows), "err": None}
-        report[name] = ent
-        if not ent["schema_match"]:
+        if sorted(spark_cols) != sorted(duck_cols):
             print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
             n_bad += 1
+            report[name] = {"rows_match": None, "schema_match": False,
+                            "hash_match": False, "spark_rows": n_spark,
+                            "oracle_rows": None, "err": None}
             continue
-        a = render(spark_cols, spark_rows)
-        b = render(duck_cols, duck_rows)
-        ha, hb = hashlib.sha256(a.encode()).hexdigest(), hashlib.sha256(b.encode()).hexdigest()
-        if ha == hb:
-            ent["hash_match"] = True
-            print(f"OK       {name} ({len(spark_rows)} rows)")
+        ha, hb, na, nb, first_diff = stream_compare(
+            spark_cols, spark_rows_iter(files[0], spark_cols),
+            duck_cols, duck_rows_iter(cur))
+        duck_counts[name] = nb
+        ent = {"rows_match": na == nb, "schema_match": True,
+               "hash_match": ha == hb, "spark_rows": na,
+               "oracle_rows": nb, "err": None}
+        report[name] = ent
+        if ent["hash_match"]:
+            print(f"OK       {name} ({na} rows)")
             n_ok += 1
         else:
-            print(f"HASH     {name}: {len(spark_rows)} vs {len(duck_rows)} rows")
-            al, bl = a.split("\n"), b.split("\n")
-            for i, (x, y) in enumerate(zip(al, bl)):
-                if x != y:
-                    print(f"  first diff row {i}:\n    spark: {x}\n    duck : {y}")
-                    break
+            print(f"HASH     {name}: {na} vs {nb} rows")
+            if first_diff:
+                i, x, y = first_diff
+                print(f"  first diff row {i}:\n    spark: {x}\n    duck : {y}")
             n_bad += 1
     audit_bad = pandas_audit(con, oracle, outdir,
-                             skip=done_ok | set(skips))
+                             skip=done_ok | set(skips),
+                             oracle_rows=duck_counts)
     n_bad += len(audit_bad)
     # downgrade audit failures in the artifact: the fetchall hash may have
     # matched, but the DRIVER's pandas path would diverge on these — a
