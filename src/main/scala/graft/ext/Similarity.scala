@@ -99,6 +99,18 @@ object Similarity {
   val KnnIvfNlist = 16
   val KnnIvfNprobe = 4
 
+  /** Query-sample size for [[knnLabelEvalIvf]]'s recall guard. The exact
+    * top-k needed to score ANN recall is the BRUTE pass — computing it
+    * for every slice vector made the ANN-routed entry cost its brute
+    * twin PLUS the ANN work (sf10 probe: 21 s exact + 10 s ANN vs 21 s
+    * brute total). Recall@k is an estimate by nature, so it's scored on
+    * the md5('rslice')-smallest `KnnRecallQueries` query vectors
+    * (deterministic, SQL-replayable, the evalSlice pattern; a no-op when
+    * the slice is smaller): 1024 queries × k  pair checks is a tight
+    * recall estimate at 1/16 the exact-scan FLOPs. Votes/acc still
+    * cover every slice vector. */
+  val KnnRecallQueries = 1024
+
   /** Deterministic md5-sampled eval slice for the brute-pairwise eval
     * harnesses — the [[graft.ext.Graph.inducedSlice]] treatment for
     * vector tables: keep the `maxRows` hash-smallest vec_ids
@@ -827,7 +839,11 @@ object Similarity {
     * Output per label: (label, n, n_correct, acc, tp, fn, recall) —
     * acc from IVF-majority votes over ALL n vectors of the label
     * (a vector with no surviving candidate counts as incorrect),
-    * recall = tp/(tp+fn) over the exact top-k pair sets. */
+    * recall = tp/(tp+fn) over the exact top-k pair sets of the
+    * [[KnnRecallQueries]] md5-sampled query vectors (the exact scan is
+    * the brute pass — sampling it is what keeps this entry cheaper than
+    * its brute twin; recall is NULL for a label with no sampled
+    * queries). */
   def knnLabelEvalIvf(embeddings: DataFrame, k: Int = KnnEvalK,
       nlist: Int = KnnIvfNlist, nprobe: Int = KnnIvfNprobe): DataFrame =
     withBoundedEvalSlice(Dedup.spreadForCompute(
@@ -874,7 +890,15 @@ object Similarity {
       .select(col("a"), col("la"), col("b"), col("lb"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos")))
       .localCheckpoint() // consumed twice (votes + recall join)
-    val exactTop = topK(e.toDF("qa", "qla", "qea", "qna")
+    // recall is scored on the md5-sampled query subset (see
+    // [[KnnRecallQueries]]) — the exact scan runs at sample×slice pairs,
+    // not slice², so the ANN entry no longer embeds its brute twin
+    val recallQ = e.select(col("vec_id"))
+      .orderBy(md5(concat(lit("rslice"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(KnnRecallQueries)
+    val exactTop = topK(e.join(broadcast(recallQ), "vec_id")
+      .toDF("qa", "qla", "qea", "qna")
       .join(broadcast(e.toDF("cb", "clb", "ceb", "cnb")), col("qa") =!= col("cb"))
       .select(col("qa").as("a"), col("qla").as("la"), col("cb").as("b"),
         round(dot(col("qea"), col("ceb")) / (col("qna") * col("cnb")), 4).as("cos")))

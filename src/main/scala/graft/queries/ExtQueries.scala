@@ -7620,9 +7620,13 @@ object ExtQueries {
          |annt AS (SELECT a, la, b, lb FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
          |    AS rk FROM annp) WHERE rk <= ${Similarity.KnnEvalK}),
+         |rkeep AS MATERIALIZED (SELECT vec_id FROM e
+         |  ORDER BY md5('rslice' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${Similarity.KnnRecallQueries}),
          |exp AS (SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b,
          |    ${cosSql("a.e", "b.e")} AS cos
-         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |  FROM e a JOIN rkeep r ON r.vec_id = a.vec_id
+         |  JOIN e b ON a.vec_id <> b.vec_id),
          |exk AS (SELECT a, la, b FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b)
          |    AS rk FROM exp) WHERE rk <= ${Similarity.KnnEvalK}),
