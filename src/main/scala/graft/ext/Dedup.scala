@@ -384,13 +384,27 @@ object Dedup {
   def containmentJoinOn(ordered: DataFrame, t: Double = 0.8): DataFrame = {
     require(t > 0.0 && t <= 1.0, "threshold in (0, 1]")
     val prefixA = ordered.select(col("doc_id").as("doc_a"), col("n").as("na"),
-      explode(slice(col("ts"), lit(1),
-        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("tok"))
+      posexplode(slice(col("ts"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as(Seq("pa", "tok")))
     val allB = ordered.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-      explode(col("ts")).as("tok"))
+      posexplode(col("ts")).as(Seq("pb", "tok")))
+    // Positional filter at pair birth (both sets share the global
+    // frequency order, positions 0-based): matches strictly before a
+    // collision at (pa, pb) number ≤ min(pa, pb), matches at-or-after ≤
+    // min(na−pa, nb−pb), so EVERY collision of a true pair (ov ≥ t·na)
+    // satisfies min(pa,pb) + min(na−pa, nb−pb) ≥ ⌈t·na⌉ — filtering
+    // collision rows by it can never drop a true pair. What it kills is
+    // the asymmetric join's fan-out engine: a FREQUENT token sits at the
+    // tail of B's order (nb−pb small) while pa ≤ (1−t)·na, so its
+    // collisions bound at ~(1−t)·na + small < t·na and die before the
+    // pair-dedup exchange (the r14 sf10 sweep measured the unfiltered
+    // form at 25×/decade; the −1e-9 slack admits-only, as above).
     val cand = prefixA.join(allB, "tok")
       .where(col("doc_a") =!= col("doc_b"))
       .where(col("nb") >= col("na") * lit(t) - lit(1e-9))
+      .where(least(col("pa"), col("pb")) +
+             least(col("na") - col("pa"), col("nb") - col("pb")) >=
+             ceil(col("na") * lit(t) - lit(1e-9)))
       .select("doc_a", "doc_b").distinct()
     val ov = size(array_intersect(col("ta"), col("tb")))
     cand

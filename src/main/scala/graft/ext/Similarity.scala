@@ -205,6 +205,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Volume-derived hyperplane-LSH bit count: the smallest b in
+    * [minBits, maxBits] with n ≤ target·2^b, i.e. expected bucket
+    * occupancy ≤ target. FIXED bits are the classic LSH scale trap —
+    * occupancy grows linearly with the corpus and collision PAIRS
+    * quadratically (the r14 sf10 sweep measured ext_lsh_pairs_top10 at
+    * 33×/decade under nBits=8; 200k vectors in 256 buckets/table =
+    * ~780/bucket = ~300k pairs/bucket). Pure integer comparisons — no
+    * log2 float boundary to disagree across engines — so the DuckDB
+    * oracle derives the SAME b from COUNT(*) (`32·(1<<b) >= n` over a
+    * b-range, the Layout.bucketCount doctrine for hash tables). A no-op
+    * at fixture scales (n ≤ target·2^minBits). */
+  def lshBitsFor(n: Long, target: Long = 32, minBits: Int = 8,
+      maxBits: Int = 24): Int = {
+    require(minBits >= 1 && maxBits >= minBits && maxBits <= 62,
+      s"bits range invalid: [$minBits, $maxBits]")
+    require(target >= 1, s"target occupancy must be >= 1, got $target")
+    var b = minBits
+    while (b < maxBits && (target << b) < n) b += 1
+    b
+  }
+
   /** Deterministic random hyperplanes: nBits × dim sign-random projections
     * in {−1, +1}. Component (i, j) is addressed (not sequential): its sign
     * is the top bit of md5("seed:i:j") — replicable in plain SQL

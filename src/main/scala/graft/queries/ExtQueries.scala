@@ -1365,13 +1365,43 @@ object ExtQueries {
     * sink) and hand back the sink table — the bridge that lets streaming
     * operators join the DuckDB-oracle battery: the stream's final output
     * over the fixture IS a deterministic batch result. */
+  /** Run a finite stream to completion and hand back its result as a
+    * DataFrame. Sink = foreachBatch → parquet, NOT format("memory"): the
+    * memory sink serializes every result row to the DRIVER (the r14 sf10
+    * sweep killed ext_stream_sliding on spark.driver.maxResultSize at
+    * ~10M output rows), while the foreachBatch write stays on the
+    * executors at any scale. Batch semantics per output mode: COMPLETE
+    * rewrites the full result every batch → overwrite (last batch wins);
+    * APPEND emits each finalized row exactly once across batches →
+    * parquet append (watermarked append queries deliver a SECOND
+    * finalization batch under AvailableNow, so single-batch overwrite
+    * would drop rows — dedup/quota/interval_join do exactly that).
+    * No battery stream uses update mode (no upsert story for a file
+    * sink); the require below keeps that explicit. */
   private def runStream(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    require(mode == "complete" || mode == "append",
+      s"runStream supports complete/append output modes, got $mode")
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name-").toString + "/out"
+    @volatile var schema: org.apache.spark.sql.types.StructType = df.schema
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        schema = batch.schema
+        batch.write.mode(writeMode).parquet(dir)
+      }
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try require(q.awaitTermination(180000), s"stream $name did not terminate")
     finally q.stop()
-    s.table(name)
+    val out = new java.io.File(dir)
+    if (out.exists && out.listFiles != null &&
+        out.listFiles.exists(_.getName.endsWith(".parquet")))
+      s.read.parquet(dir)
+    else // zero-row stream: parquet may leave no readable part files
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
   }
 
   /** Streaming form of Q17 (tumbling hourly counts with watermark), run to
@@ -2530,8 +2560,14 @@ object ExtQueries {
       .orderBy("event_type")
 
   // md5-derived stub + hyperplanes make these three SQL-replicable too
-  def lshPairs(s: SparkSession, d: String): DataFrame =
-    Similarity.lshPairsTopK(Tables.embeddings(s, d), 10, nBits = 8, dim = 64, seed = 42L)
+  def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // bits from corpus volume (Similarity.lshBitsFor: occupancy-bounded,
+    // integer-exact) — the oracle derives the identical count from
+    // COUNT(*); nBits=8 at fixture scales, 10 at the sf1 twin, 13 at sf10
+    Similarity.lshPairsTopK(emb, 10,
+      nBits = Similarity.lshBitsFor(emb.count()), dim = 64, seed = 42L)
+  }
 
   def imageFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.imageFeatures(
@@ -4954,6 +4990,11 @@ object ExtQueries {
       s"""WITH $embCte,
          |params AS (SELECT t, 42 + 2654435769 * (t + 1) AS tseed
          |           FROM (SELECT unnest(range(0, 8)) AS t)),
+         |lshb AS (SELECT CAST(MIN(b) AS INT) AS nb
+         |  FROM (SELECT unnest(range(8, 25)) AS b),
+         |       (SELECT COUNT(*) AS n FROM e) cn
+         |  WHERE b = 24
+         |     OR 32 * (CAST(1 AS BIGINT) << CAST(b AS INT)) >= cn.n),
          |planes AS (
          |  SELECT p.t, i.i, j.j,
          |    CASE WHEN substr(md5(CAST(p.tseed AS VARCHAR) || ':' ||
@@ -4961,7 +5002,7 @@ object ExtQueries {
          |                         CAST(j.j AS VARCHAR)), 1, 1) < '8'
          |         THEN 1.0 ELSE -1.0 END AS w
          |  FROM params p,
-         |       (SELECT unnest(range(0, 8)) AS i) i,
+         |       (SELECT unnest(range(0, (SELECT nb FROM lshb))) AS i) i,
          |       (SELECT unnest(range(0, 64)) AS j) j
          |),
          |proj AS (
