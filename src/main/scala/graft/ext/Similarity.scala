@@ -205,6 +205,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Volume-derived k-means cluster count for [[semDedup]]: the smallest
+    * power-of-two k in [minK, maxK] with n ≤ target·k, i.e. mean cluster
+    * size ≤ target. SemDeDup's within-cluster pair join costs Σ|cluster|²
+    * ≈ n²/k — FIXED k makes it quadratic in the corpus (the r14 tier-3
+    * sf10 sweep measured ext_semdedup at 12.6×/decade under k=8; the
+    * paper's k grows with n for exactly this reason). Power-of-two
+    * stepping keeps the oracle's SQL twin a 10-element unnest over the
+    * same integer comparisons (no float boundary). A no-op at fixture
+    * scales (n ≤ target·minK). */
+  def kmeansKFor(n: Long, target: Long = 512, minK: Int = 8,
+      maxK: Int = 4096): Int = {
+    require(minK >= 1 && Integer.bitCount(minK) == 1 &&
+      maxK >= minK && Integer.bitCount(maxK) == 1,
+      s"k range must be powers of two: [$minK, $maxK]")
+    require(target >= 1, s"target cluster size must be >= 1, got $target")
+    var k = minK
+    while (k < maxK && k.toLong * target < n) k <<= 1
+    k
+  }
+
   /** Volume-derived hyperplane-LSH bit count: the smallest b in
     * [minBits, maxBits] with n ≤ target·2^b, i.e. expected bucket
     * occupancy ≤ target. FIXED bits are the classic LSH scale trap —

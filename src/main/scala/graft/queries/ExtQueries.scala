@@ -150,8 +150,16 @@ object ExtQueries {
   def quantizeInt8(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id", "pos")
 
-  def semDedupQ(s: SparkSession, d: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(s, d), k = 8, iters = 1, tau = 0.45)
+  def semDedupQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // k from corpus volume (Similarity.kmeansKFor: mean cluster size ≤
+    // 512, pow2-stepped, integer-exact) — fixed k makes the
+    // within-cluster pair join quadratic in the corpus; the oracle
+    // derives the identical k from COUNT(*). k=8 at fixture scales,
+    // 64 at the sf1 twin, 512 at sf10.
+    Similarity.semDedup(emb, k = Similarity.kmeansKFor(emb.count()),
+      iters = 1, tau = 0.45)
+  }
       .orderBy("vec_id")
 
   /** Fixed probe terms for the BM25 query — drawn from the fixture vocab. */
@@ -5026,9 +5034,16 @@ object ExtQueries {
     "ext_kmeans" -> kmeansOracle(k = 8, iters = 1, dim = 64),
 
     // extends the k-means chain (final assignment = a1 at iters=1) with the
-    // within-cluster rounded-cosine drop rule of Similarity.semDedup
+    // within-cluster rounded-cosine drop rule of Similarity.semDedup;
+    // k is VOLUME-DERIVED (the Similarity.kmeansKFor twin: smallest
+    // pow2 k in [8, 4096] with COUNT(*) <= 512*k — integer-exact, so a
+    // fixed k can't turn the within-cluster pair join quadratic at
+    // sweep scales; identical k=8 at fixture scales)
     "ext_semdedup" ->
-      s"""WITH ${kmeansCtes(k = 8, iters = 1, dim = 64)},
+      s"""WITH ${kmeansCtes(k = 8, iters = 1, dim = 64, kSql = Some(
+           "(SELECT MIN(kk) FROM (SELECT unnest([8,16,32,64,128,256," +
+           "512,1024,2048,4096]) AS kk), (SELECT COUNT(*) AS n FROM e) cn" +
+           " WHERE kk = 4096 OR kk * 512 >= cn.n)"))},
          |drp AS (
          |  SELECT DISTINCT y.vec_id
          |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
@@ -8975,7 +8990,13 @@ object ExtQueries {
        |    OVER (PARTITION BY doc_id ORDER BY p) AS g
        |  FROM lagged)""".stripMargin
 
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  /** `kSql`: optional SQL expression overriding the literal k in the
+    * initial-centroid cut (c0's `vec_id < k`) — ext_semdedup derives k
+    * from COUNT(*) (the volume-derived Similarity.kmeansKFor twin);
+    * every other kmeans-chain oracle keeps its literal. Only c0 ever
+    * mentions k — the rest of the chain is data-driven GROUP BY cid. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+      kSql: Option[String] = None): String = {
     def assign(i: Int) =
       s"""s$i AS (SELECT v.vec_id, c.cid,
          |  list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.ce)
@@ -8996,8 +9017,9 @@ object ExtQueries {
          |c${i + 1} AS (SELECT cid, list(cc ORDER BY j) AS ce FROM m${i + 1} GROUP BY cid),
          |""".stripMargin
     val chain = (0 until iters).map(i => assign(i) + update(i)).mkString
+    val kCut = kSql.getOrElse(k.toString)
     s"""$embCte,
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e WHERE vec_id < $k),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM e WHERE vec_id < $kCut),
        |$chain${assign(iters).stripSuffix(",\n")}""".stripMargin
   }
 
