@@ -413,13 +413,35 @@ object ExtQueries {
   def eventPaths(s: SparkSession, d: String): DataFrame =
     Temporal.topEventPaths(Tables.events(s, d))
 
-  /** Suffix-rank table on a 10% doc slice, built once per fixture dir and
-    * shared by ext_suffix_array AND ext_longest_repeat (the candCache
-    * pattern) — the prefix-doubling rounds are the battery's single most
-    * expensive build, and both entries read the identical table. */
+  /** Suffix-rank table on a volume-derived doc slice, built once per
+    * fixture dir and shared by ext_suffix_array AND ext_longest_repeat
+    * (the candCache pattern) — the prefix-doubling rounds are the
+    * battery's single most expensive build, and both entries read the
+    * identical table.
+    *
+    * The slice modulus is the smallest power of 10 in [10, 100000] that
+    * keeps ≤ 5000 docs (integer comparisons; [[suffixModSql]] is the
+    * oracle's scalar-subquery twin over COUNT(*)). The r14 tier-4 sf10
+    * sweep measured the former FIXED 10% slice at 77×/decade on
+    * ext_suffix_array: the per-CHARACTER output grew linearly with the
+    * corpus and the tail is a single-task ordered write. m = 10 at every
+    * fixture scale AND the sf1 twin (50k docs / 10 = 5000), so committed
+    * artifacts are untouched; sf10's 500k docs step to m = 100. */
   private val saCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  private def suffixSlice(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+  private def suffixSliceMod(nDocs: Long): Long = {
+    var m = 10L
+    while (m < 100000L && nDocs / m > 5000L) m *= 10
+    m
+  }
+  private val suffixModSql =
+    "(SELECT CAST(MIN(m) AS BIGINT) FROM " +
+      "(SELECT unnest([10,100,1000,10000,100000]) AS m), " +
+      "(SELECT COUNT(*) AS n FROM documents) cn " +
+      "WHERE m = 100000 OR cn.n // m <= 5000)"
+  private def suffixSlice(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.where(col("doc_id") % suffixSliceMod(docs.count()) === 0)
+  }
   private def sharedSuffixRanks(s: SparkSession, d: String): DataFrame =
     saCache.getOrElseUpdate(sessionKey(s, d), {
       graft.CacheLog.built("saCache")
@@ -4489,11 +4511,11 @@ object ExtQueries {
     // the O(n²)-materialization form the Spark side never builds: every
     // suffix as a string, dense-ranked under binary order
     "ext_suffix_array" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(1, length(text))) AS pos
         |  FROM documents
-        |  WHERE doc_id % 10 = 0 AND length(text) > 0
+        |  WHERE doc_id % $suffixModSql = 0 AND length(text) > 0
         |)
         |SELECT doc_id, pos,
         |  CAST(dense_rank() OVER (ORDER BY substr(text, CAST(pos AS INT))) AS BIGINT) - 1 AS srank
@@ -4671,10 +4693,10 @@ object ExtQueries {
     // two rank-adjacent suffixes, so top repeats = max LCP over dense-
     // rank neighbors + whole-suffix duplicates (rank classes of size ≥2)
     "ext_longest_repeat" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(1, length(text))) AS pos
-        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) > 0
+        |  FROM documents WHERE doc_id % $suffixModSql = 0 AND length(text) > 0
         |), s AS (
         |  SELECT doc_id, pos, substr(text, CAST(pos AS INT)) AS sfx FROM p
         |), r AS (
