@@ -26,6 +26,16 @@ object Verify {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_DIST_WRITE=1 skips the coalesce(1) below and writes the
+    // result with its natural partitioning. The single-file default is the
+    // DRIVER contract (its compare reads one file per entry) and is free at
+    // sf0.01 — but at sweep scales the big-output entries (pii_redact and
+    // the per-doc text family) pay a single-task ordered parquet write that
+    // the r14 sf10 sweep measured as the WHOLE >10×/decade tail. A global
+    // orderBy's range-partitioned write keeps part-file name order = row
+    // order, and tools/compare.py streams all part files in sorted name
+    // order, so the rendered byte stream (and hash) is identical either way.
+    val distWrite = sys.env.get("SPARK_GRAFT_DIST_WRITE").contains("1")
     // dev filter: SPARK_GRAFT_QUERIES=a,b restricts the run (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     // Failures must be LOUD: a query that throws leaves an explicit
@@ -46,8 +56,9 @@ object Verify {
       Files.deleteIfExists(errMarker)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val res = fn(spark, sfDir)
+        (if (distWrite) res else res.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
         val dt = (System.nanoTime() - t0) / 1e9
         timings.append(f"$name\t$dt%.2f%n")
         System.err.println(f"[verify] $name ok in $dt%.1fs")

@@ -469,24 +469,37 @@ object Graph {
   def inducedSlice(pairs: DataFrame, maxNodes: Int = ClosenessSliceNodes,
       tag: String = "cslice"): DataFrame = {
     require(maxNodes >= 2, s"maxNodes must be >= 2, got $maxNodes")
-    val nodes = pairs.select(col("doc_a").as("v"))
-      .union(pairs.select(col("doc_b").as("v"))).distinct()
+    val spark = pairs.sparkSession
     // Short-circuit when the graph already fits the node budget: the
     // slice would keep every node (identical output — the oracle's
     // LIMIT-maxNodes slice is equally a no-op, so hashes can't move),
     // and skipping it spares every downstream scan the md5 TakeOrdered
     // + two broadcast semi-joins of preamble. One count over the
-    // already-built distinct endpoint set — the r13 battery measured
-    // that preamble doubling ext_closeness (4.55 → 9.0 s) at exactly
-    // the scales where the slice does nothing.
-    if (nodes.count() <= maxNodes) return pairs
-    val keep = nodes
-      .orderBy(md5(concat(lit(tag), col("v").cast("string"))), col("v"))
-      .limit(maxNodes)
-    pairs
-      .join(broadcast(keep.select(col("v").as("doc_a"))), Seq("doc_a"), "left_semi")
-      .join(broadcast(keep.select(col("v").as("doc_b"))), Seq("doc_b"), "left_semi")
-      .select(pairs.columns.map(col): _*) // USING-joins moved keys first
+    // distinct endpoint set — the r13 battery measured that preamble
+    // doubling ext_closeness (4.55 → 9.0 s) at exactly the scales where
+    // the slice does nothing. The endpoint set is PERSISTED around the
+    // count so that when the slice BINDS, the count job and the keep-set
+    // TakeOrdered share one evaluation of the (potentially expensive)
+    // `pairs` plan instead of running it twice; `keep` is then collected
+    // (≤ maxNodes rows — the same bounded-driver-structure class as a
+    // k-means centroid pull) so nothing downstream holds a lineage into
+    // the unpersisted set.
+    val nodes = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (nodes.count() <= maxNodes) return pairs
+      val keepRows = nodes
+        .orderBy(md5(concat(lit(tag), col("v").cast("string"))), col("v"))
+        .limit(maxNodes)
+        .collect()
+      val keep = spark.createDataFrame(
+        java.util.Arrays.asList(keepRows: _*), nodes.schema)
+      pairs
+        .join(broadcast(keep.select(col("v").as("doc_a"))), Seq("doc_a"), "left_semi")
+        .join(broadcast(keep.select(col("v").as("doc_b"))), Seq("doc_b"), "left_semi")
+        .select(pairs.columns.map(col): _*) // USING-joins moved keys first
+    } finally nodes.unpersist()
   }
 
   /** Closeness + harmonic centrality per node by ALL-PAIRS BFS — who

@@ -205,6 +205,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[kmeansKFor]] / [[lshBitsFor]] derivation constants, hoisted and
+    * named so the DuckDB oracle twins INTERPOLATE them instead of
+    * restating them as SQL literals — a changed default that the SQL side
+    * didn't follow would silently desync engine and oracle at exactly the
+    * scales where both derivations stop being no-ops (the fixture-scale
+    * driver compare could never catch it). */
+  val KmeansTargetClusterSize = 512L
+  val KmeansMinK = 8
+  val KmeansMaxK = 4096
+  val LshTargetOccupancy = 32L
+  val LshMinBits = 8
+  val LshMaxBits = 24
+
   /** Volume-derived k-means cluster count for [[semDedup]]: the smallest
     * power-of-two k in [minK, maxK] with n ≤ target·k, i.e. mean cluster
     * size ≤ target. SemDeDup's within-cluster pair join costs Σ|cluster|²
@@ -214,8 +227,8 @@ object Similarity {
     * stepping keeps the oracle's SQL twin a 10-element unnest over the
     * same integer comparisons (no float boundary). A no-op at fixture
     * scales (n ≤ target·minK). */
-  def kmeansKFor(n: Long, target: Long = 512, minK: Int = 8,
-      maxK: Int = 4096): Int = {
+  def kmeansKFor(n: Long, target: Long = KmeansTargetClusterSize,
+      minK: Int = KmeansMinK, maxK: Int = KmeansMaxK): Int = {
     require(minK >= 1 && Integer.bitCount(minK) == 1 &&
       maxK >= minK && Integer.bitCount(maxK) == 1,
       s"k range must be powers of two: [$minK, $maxK]")
@@ -236,8 +249,8 @@ object Similarity {
     * oracle derives the SAME b from COUNT(*) (`32·(1<<b) >= n` over a
     * b-range, the Layout.bucketCount doctrine for hash tables). A no-op
     * at fixture scales (n ≤ target·2^minBits). */
-  def lshBitsFor(n: Long, target: Long = 32, minBits: Int = 8,
-      maxBits: Int = 24): Int = {
+  def lshBitsFor(n: Long, target: Long = LshTargetOccupancy,
+      minBits: Int = LshMinBits, maxBits: Int = LshMaxBits): Int = {
     require(minBits >= 1 && maxBits >= minBits && maxBits <= 62,
       s"bits range invalid: [$minBits, $maxBits]")
     require(target >= 1, s"target occupancy must be >= 1, got $target")

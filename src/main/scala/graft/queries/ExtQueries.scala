@@ -34,6 +34,17 @@ object ExtQueries {
   private def sessionKey(s: SparkSession, d: String): String =
     java.lang.System.identityHashCode(s.sparkContext).toHexString + ":" + d
 
+  /** Fixture-table row count, one count job per (fixture dir, table) per
+    * JVM — every volume-derived knob (kmeansKFor, lshBitsFor,
+    * suffixSliceMod, the exact-sketch capacity) reads the SAME immutable
+    * fixture table, so each repeated `.count()` was a redundant scan
+    * (keyed by dir alone: a plain parquet count survives session
+    * restarts, unlike cached DataFrames). */
+  private val countCache = scala.collection.concurrent.TrieMap[String, Long]()
+  private def tableCount(s: SparkSession, d: String, name: String): Long =
+    countCache.getOrElseUpdate(d + "#" + name,
+      Tables.table(s, d, name).count())
+
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     candidates(s, d).orderBy("doc_a", "doc_b")
 
@@ -66,7 +77,7 @@ object ExtQueries {
     * bypassed. */
   def quantileSketchQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val cap = ceilPow2(math.max(1L << 17, ev.count()))
+    val cap = ceilPow2(math.max(1L << 17, tableCount(s, d, "events")))
     Sketches.quantilesOf(ev, col("value"), cap,
       Seq(0.1, 0.5, 0.9, 0.99), requireExact = true).orderBy("q")
   }
@@ -157,7 +168,8 @@ object ExtQueries {
     // within-cluster pair join quadratic in the corpus; the oracle
     // derives the identical k from COUNT(*). k=8 at fixture scales,
     // 64 at the sf1 twin, 512 at sf10.
-    Similarity.semDedup(emb, k = Similarity.kmeansKFor(emb.count()),
+    Similarity.semDedup(emb,
+      k = Similarity.kmeansKFor(tableCount(s, d, "embeddings")),
       iters = 1, tau = 0.45)
   }
       .orderBy("vec_id")
@@ -428,19 +440,26 @@ object ExtQueries {
     * fixture scale AND the sf1 twin (50k docs / 10 = 5000), so committed
     * artifacts are untouched; sf10's 500k docs step to m = 100. */
   private val saCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  // slice-derivation constants, shared verbatim by suffixSliceMod and its
+  // SQL twin below (interpolated, not restated — a changed bound that only
+  // one side followed would desync exactly at sweep scales)
+  private val SuffixSliceMinMod = 10L
+  private val SuffixSliceMaxMod = 100000L
+  private val SuffixSliceTargetDocs = 5000L
   private def suffixSliceMod(nDocs: Long): Long = {
-    var m = 10L
-    while (m < 100000L && nDocs / m > 5000L) m *= 10
+    var m = SuffixSliceMinMod
+    while (m < SuffixSliceMaxMod && nDocs / m > SuffixSliceTargetDocs) m *= 10
     m
   }
   private val suffixModSql =
     "(SELECT CAST(MIN(m) AS BIGINT) FROM " +
-      "(SELECT unnest([10,100,1000,10000,100000]) AS m), " +
+      "(SELECT unnest([" + Iterator.iterate(SuffixSliceMinMod)(_ * 10)
+        .takeWhile(_ <= SuffixSliceMaxMod).mkString(",") + "]) AS m), " +
       "(SELECT COUNT(*) AS n FROM documents) cn " +
-      "WHERE m = 100000 OR cn.n // m <= 5000)"
+      s"WHERE m = $SuffixSliceMaxMod OR cn.n // m <= $SuffixSliceTargetDocs)"
   private def suffixSlice(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    docs.where(col("doc_id") % suffixSliceMod(docs.count()) === 0)
+    docs.where(col("doc_id") % suffixSliceMod(tableCount(s, d, "documents")) === 0)
   }
   private def sharedSuffixRanks(s: SparkSession, d: String): DataFrame =
     saCache.getOrElseUpdate(sessionKey(s, d), {
@@ -1268,16 +1287,26 @@ object ExtQueries {
     Multimodal.phashBandedPairs(Multimodal.mediaPhashes(base.union(re)))
   }
 
-  /** REAL-decoder perceptual dedup (t2 rows-only — DuckDB can't decode
-    * PNG): 200 planted base/noisy-re-encode PNG pairs generated from the
-    * documents fixture flow through `ImageIoCodec` (genuine javax.imageio
-    * pixel decode → 60-bit aHash) and the same Hamming banding the stub
-    * entries use. The planted contract — exactly one pair per doc, each
+  /** REAL-decoder perceptual dedup: [[PlantedPngCount]] planted
+    * base/noisy-re-encode PNG pairs generated from the documents fixture
+    * flow through `ImageIoCodec` (genuine javax.imageio pixel decode →
+    * 60-bit aHash) and the same Hamming banding the stub entries use.
+    * The planted contract — exactly one pair per doc, each
     * (id, id + offset), zero cross-pairs — is pinned by
     * RealPhashDedupSpec; this entry keeps the real decode path TIMED and
-    * swept in every battery run, not only unit-tested. */
+    * swept in every battery run, not only unit-tested.
+    *
+    * HASH-ORACLE-CHECKED despite DuckDB not decoding PNG: every planted
+    * payload byte is a pure function of doc_id alone (java.util.Random
+    * seeded by id; PNG decode of our own encode is pixel-lossless), and
+    * the n smallest doc_ids are 0..n−1 at every fixture scale — so the
+    * expected pair table is SCALE-INVARIANT and the oracle inlines it as
+    * a decoder-measured golden (one pair per id at its measured Hamming
+    * distance; see the `ext_real_phash_dedup` oracle entry). */
+  private val PlantedPngCount = 200
+
   def realPhashDedupQ(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.plantedPngMedia(Tables.documents(s, d), 200)
+    val media = Multimodal.plantedPngMedia(Tables.documents(s, d), PlantedPngCount)
     val hashes = Multimodal.mediaPhashes(media,
       p => Multimodal.ImageIoCodec.phash(p).getOrElse(
         sys.error("planted PNG failed to decode")))
@@ -1391,12 +1420,11 @@ object ExtQueries {
              ORDER BY lang, q""")
   }
 
-  /** Run a finite streaming query to completion (AvailableNow + memory
-    * sink) and hand back the sink table — the bridge that lets streaming
-    * operators join the DuckDB-oracle battery: the stream's final output
-    * over the fixture IS a deterministic batch result. */
   /** Run a finite stream to completion and hand back its result as a
-    * DataFrame. Sink = foreachBatch → parquet, NOT format("memory"): the
+    * DataFrame — the bridge that lets streaming operators join the
+    * DuckDB-oracle battery: the stream's final output over the fixture
+    * IS a deterministic batch result.
+    * Sink = foreachBatch → parquet, NOT format("memory"): the
     * memory sink serializes every result row to the DRIVER (the r14 sf10
     * sweep killed ext_stream_sliding on spark.driver.maxResultSize at
     * ~10M output rows), while the foreachBatch write stays on the
@@ -1408,12 +1436,35 @@ object ExtQueries {
     * would drop rows — dedup/quota/interval_join do exactly that).
     * No battery stream uses update mode (no upsert story for a file
     * sink); the require below keeps that explicit. */
+  /** One sink dir per (entry, invocation), tracked so it can be cleaned:
+    * a fresh dir per run keeps append-mode reps independent (a reused dir
+    * would accumulate appended batches across Bench reps), while the
+    * replace-on-next-run delete plus the JVM shutdown hook keep repeated
+    * battery sweeps from filling /tmp with multi-GB stream results (the
+    * r14 sf10 sweep left ~10M-row parquet dirs behind per rep). */
+  private val streamDirs =
+    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      streamDirs.values.foreach { p =>
+        try deleteRecursively(p) catch { case _: Throwable => () }
+      }))
+  }
+
   private def runStream(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
     require(mode == "complete" || mode == "append",
       s"runStream supports complete/append output modes, got $mode")
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft-stream-$name-").toString + "/out"
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-stream-$name-")
+    streamDirs.put(name, tmp)
+      .foreach(old => try deleteRecursively(old) catch { case _: Throwable => () })
+    val dir = tmp.toString + "/out"
     @volatile var schema: org.apache.spark.sql.types.StructType = df.schema
     val writeMode = if (mode == "complete") "overwrite" else "append"
     val q = df.writeStream
@@ -2596,7 +2647,8 @@ object ExtQueries {
     // integer-exact) — the oracle derives the identical count from
     // COUNT(*); nBits=8 at fixture scales, 10 at the sf1 twin, 13 at sf10
     Similarity.lshPairsTopK(emb, 10,
-      nBits = Similarity.lshBitsFor(emb.count()), dim = 64, seed = 42L)
+      nBits = Similarity.lshBitsFor(tableCount(s, d, "embeddings")),
+      dim = 64, seed = 42L)
   }
 
   def imageFeatures(s: SparkSession, d: String): DataFrame =
@@ -5013,6 +5065,28 @@ object ExtQueries {
         |WHERE i % 4 = 0
         |ORDER BY media_id, frame_index""".stripMargin,
 
+    // GOLDEN-AS-ORACLE: the planted-PNG payloads are pure functions of
+    // doc_id (not text), the n smallest doc_ids are 0..n−1 at every
+    // fixture scale, and PNG decode of our own encode is pixel-lossless —
+    // so the real-decoder pair table is SCALE-INVARIANT and inlined here
+    // verbatim. Every id pairs with id+offset (RealPhashDedupSpec's
+    // planted contract); the per-id Hamming distances were measured ONCE
+    // through ImageIoCodec (JDK-independent: java.util.Random is
+    // spec-fixed, aHash sees pixels only) and pinned. Regenerate after a
+    // generator/codec change: run the entry at any sf and list the
+    // (id, hamming != 0) rows.
+    "ext_real_phash_dedup" ->
+      s"""WITH nz AS (SELECT * FROM (VALUES
+         |    (13,1),(14,1),(19,1),(29,1),(34,1),(76,1),(77,1),(80,2),
+         |    (97,1),(111,1),(130,1),(141,1),(155,1),(167,1),(176,1),
+         |    (179,2),(197,1),(198,1)) AS v(id, hm)),
+         |ids AS (SELECT unnest(range(0, $PlantedPngCount)) AS i)
+         |SELECT CAST(i AS BIGINT) AS media_a,
+         |  CAST(i + ${Multimodal.PlantedNearDupOffset} AS BIGINT) AS media_b,
+         |  CAST(COALESCE(hm, 0) AS INT) AS hamming
+         |FROM ids LEFT JOIN nz ON nz.id = ids.i
+         |ORDER BY media_a""".stripMargin,
+
     // hyperplane signs come from md5("seed:i:j"), so the whole LSH path —
     // planes, projections, buckets, candidate pairs, exact re-rank — is
     // replicated here end-to-end
@@ -5021,10 +5095,10 @@ object ExtQueries {
          |params AS (SELECT t, 42 + 2654435769 * (t + 1) AS tseed
          |           FROM (SELECT unnest(range(0, 8)) AS t)),
          |lshb AS (SELECT CAST(MIN(b) AS INT) AS nb
-         |  FROM (SELECT unnest(range(8, 25)) AS b),
+         |  FROM (SELECT unnest(range(${Similarity.LshMinBits}, ${Similarity.LshMaxBits + 1})) AS b),
          |       (SELECT COUNT(*) AS n FROM e) cn
-         |  WHERE b = 24
-         |     OR 32 * (CAST(1 AS BIGINT) << CAST(b AS INT)) >= cn.n),
+         |  WHERE b = ${Similarity.LshMaxBits}
+         |     OR ${Similarity.LshTargetOccupancy} * (CAST(1 AS BIGINT) << CAST(b AS INT)) >= cn.n),
          |planes AS (
          |  SELECT p.t, i.i, j.j,
          |    CASE WHEN substr(md5(CAST(p.tseed AS VARCHAR) || ':' ||
@@ -5058,14 +5132,19 @@ object ExtQueries {
     // extends the k-means chain (final assignment = a1 at iters=1) with the
     // within-cluster rounded-cosine drop rule of Similarity.semDedup;
     // k is VOLUME-DERIVED (the Similarity.kmeansKFor twin: smallest
-    // pow2 k in [8, 4096] with COUNT(*) <= 512*k — integer-exact, so a
-    // fixed k can't turn the within-cluster pair join quadratic at
-    // sweep scales; identical k=8 at fixture scales)
+    // pow2 k in [KmeansMinK, KmeansMaxK] with COUNT(*) <= target*k —
+    // integer-exact, so a fixed k can't turn the within-cluster pair join
+    // quadratic at sweep scales; identical k=8 at fixture scales). The
+    // pow2 ladder and bounds are INTERPOLATED from the Scala constants —
+    // never restated as literals (see Similarity.KmeansTargetClusterSize).
     "ext_semdedup" ->
       s"""WITH ${kmeansCtes(k = 8, iters = 1, dim = 64, kSql = Some(
-           "(SELECT MIN(kk) FROM (SELECT unnest([8,16,32,64,128,256," +
-           "512,1024,2048,4096]) AS kk), (SELECT COUNT(*) AS n FROM e) cn" +
-           " WHERE kk = 4096 OR kk * 512 >= cn.n)"))},
+           "(SELECT MIN(kk) FROM (SELECT unnest([" +
+           Iterator.iterate(Similarity.KmeansMinK)(_ * 2)
+             .takeWhile(_ <= Similarity.KmeansMaxK).mkString(",") +
+           "]) AS kk), (SELECT COUNT(*) AS n FROM e) cn" +
+           s" WHERE kk = ${Similarity.KmeansMaxK}" +
+           s" OR kk * ${Similarity.KmeansTargetClusterSize} >= cn.n)"))},
          |drp AS (
          |  SELECT DISTINCT y.vec_id
          |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id

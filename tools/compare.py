@@ -55,10 +55,17 @@ def render_row(row, order):
     return "\t".join(cells)
 
 
-def spark_rows_iter(path, cols):
-    for batch in pq.ParquetFile(path).iter_batches(batch_size=BATCH):
-        for r in batch.to_pylist():
-            yield tuple(r[c] for c in cols)
+def spark_rows_iter(files, cols):
+    # ALL part files in sorted name order: after a global orderBy, Spark's
+    # range-partitioned write puts part-00000 < part-00001 < ... in row
+    # order, so streaming them name-sorted renders the same byte stream a
+    # coalesce(1) single file would. This is what lets Verify's
+    # SPARK_GRAFT_DIST_WRITE=1 mode (no coalesce(1) — the r14-measured
+    # single-task write tail on big-output entries) stay hash-compatible.
+    for path in sorted(files):
+        for batch in pq.ParquetFile(path).iter_batches(batch_size=BATCH):
+            for r in batch.to_pylist():
+                yield tuple(r[c] for c in cols)
 
 
 def duck_rows_iter(cur):
@@ -106,9 +113,9 @@ def stream_compare(spark_cols, spark_it, duck_cols, duck_it):
     return ha.hexdigest(), hb.hexdigest(), na, nb, first_diff
 
 
-def parquet_rows(path):
-    # row count from the footer — never read data just to count
-    return pq.ParquetFile(path).metadata.num_rows
+def parquet_rows(files):
+    # row count from the footers — never read data just to count
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
 
 
 def pandas_audit(con, oracle, outdir, skip=(), oracle_rows=None):
@@ -136,13 +143,13 @@ def pandas_audit(con, oracle, outdir, skip=(), oracle_rows=None):
         if arr:
             print(f"PANDAS   {name}: array/struct columns crash the driver sort: {arr}")
             bad.add(name)
-        n_spark = parquet_rows(files[0])
+        n_spark = parquet_rows(files)
         n_duck = oracle_rows.get(name)
         if n_spark > AUDIT_MAX_ROWS or (n_duck or 0) > AUDIT_MAX_ROWS:
             print(f"AUDIT-SKIP {name}: {n_spark} rows > {AUDIT_MAX_ROWS}, "
                   "dtype audit skipped (driver runs sf0.01 only)")
             continue
-        sdf = pq.read_table(files[0]).to_pandas()
+        sdf = pq.read_table(sorted(files)).to_pandas()
         try:
             ddf = con.execute(oracle[name]).df()
         except Exception as e:
@@ -221,7 +228,7 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
         if not os.path.isdir(res_dir) or name in oracle:
             continue
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
-        nrows = parquet_rows(files[0]) if files else None
+        nrows = parquet_rows(files) if files else None
         report[name] = {"rows_match": None, "schema_match": None,
                         "hash_match": None, "spark_rows": nrows,
                         "oracle_rows": None, "err": "no_oracle"}
@@ -235,7 +242,7 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
                             "hash_match": False, "spark_rows": None,
                             "oracle_rows": None, "err": "missing result"}
             continue
-        n_spark = parquet_rows(files[0])
+        n_spark = parquet_rows(files)
         if name in skips:
             print(f"SKIP-ORA {name}: {skips[name]}")
             report[name] = {"rows_match": None, "schema_match": None,
@@ -274,7 +281,7 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
                             "oracle_rows": None, "err": None}
             continue
         ha, hb, na, nb, first_diff = stream_compare(
-            spark_cols, spark_rows_iter(files[0], spark_cols),
+            spark_cols, spark_rows_iter(files, spark_cols),
             duck_cols, duck_rows_iter(cur))
         duck_counts[name] = nb
         ent = {"rows_match": na == nb, "schema_match": True,
@@ -305,7 +312,13 @@ def main(sfdir, outdir, jsonout=None, skipfile=None, donelog=None):
         with open(jsonout, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
         print(f"wrote {jsonout} ({len(report)} entries)")
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    # trusted-from-prior-log rows are NOT end-to-end verified in this run
+    # (verified:false in the artifact); surface the count loudly so a
+    # resume-stitched artifact can't read as a fully fresh stamp — a final
+    # round artifact should report "0 trusted"
+    n_trusted = sum(1 for e in report.values() if e.get("verified") is False)
+    print(f"\n{n_ok} ok ({n_trusted} trusted from prior log, "
+          f"{n_ok - n_trusted} verified this run), {n_bad} bad")
     return 1 if n_bad else 0
 
 
