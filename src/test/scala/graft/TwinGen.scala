@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   * referenced, not scaled, exactly like TPC-H.
   *
   * Run: sbt "Test/runMain graft.TwinGen /root/testdata/sf0.1 /tmp/sf1 10"
+  * An optional 4th arg restricts output to a comma-list of tables (e.g.
+  * "documents" for the ×1000 single-operator decade probes, where
+  * replicating the 600M-row lineitem would cost tens of GB for nothing).
   */
 object TwinGen {
   val KeyShift = 10000000L
@@ -39,6 +42,7 @@ object TwinGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val m = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").toSet)
 
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,10 +52,11 @@ object TwinGen {
     spark.sparkContext.setLogLevel("ERROR")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"WROTE $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
-    }
+    def write(df: => DataFrame, t: String): Unit =
+      if (only.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"WROTE $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+      }
     /** Replicate m× with a `rep` column for the per-replica rewrites. */
     def rep(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(m).toDF("rep"))
