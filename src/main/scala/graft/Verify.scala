@@ -12,6 +12,18 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MAX_PART_BYTES: scan-split ceiling override for local
+    // sweeps. A production 100 TB table arrives as thousands of splits
+    // and saturates any executor count; a local twin's whole text corpus
+    // can land under ONE 128 MB split (the r15 sweep measured the whole
+    // per-doc family running single-core because of it). Setting e.g.
+    // 4m at sweep scale restores dataset-like scan parallelism without
+    // touching production defaults. openCost drops with it so small
+    // files don't re-pack into one split.
+    sys.env.get("SPARK_GRAFT_MAX_PART_BYTES").foreach { v =>
+      b.config("spark.sql.files.maxPartitionBytes", v)
+      b.config("spark.sql.files.openCostInBytes", "262144")
+    }
     // SPARK_GRAFT_STATE_STORE=rocksdb applies the GraftSession
     // streamingBuilder production preset, so the whole battery (and in
     // particular its 13 streaming entries) can be oracle-swept under the
@@ -36,6 +48,11 @@ object Verify {
     // order, and tools/compare.py streams all part files in sorted name
     // order, so the rendered byte stream (and hash) is identical either way.
     val distWrite = sys.env.get("SPARK_GRAFT_DIST_WRITE").contains("1")
+    // SPARK_GRAFT_NOOP_WRITE=1 sinks results to the noop format instead of
+    // parquet: full computation, zero output I/O. Sweep-only decomposition
+    // knob (operator cost vs harness write cost); produces NO result dirs,
+    // so it is never combined with a compare run.
+    val noopWrite = sys.env.get("SPARK_GRAFT_NOOP_WRITE").contains("1")
     // dev filter: SPARK_GRAFT_QUERIES=a,b restricts the run (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     // Failures must be LOUD: a query that throws leaves an explicit
@@ -57,8 +74,11 @@ object Verify {
       val t0 = System.nanoTime()
       try {
         val res = fn(spark, sfDir)
-        (if (distWrite) res else res.coalesce(1))
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+        if (noopWrite)
+          res.write.format("noop").mode("overwrite").save()
+        else
+          (if (distWrite) res else res.coalesce(1))
+            .write.mode("overwrite").parquet(s"$outDir/$name")
         val dt = (System.nanoTime() - t0) / 1e9
         timings.append(f"$name\t$dt%.2f%n")
         System.err.println(f"[verify] $name ok in $dt%.1fs")

@@ -1474,7 +1474,13 @@ object ExtQueries {
       }
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try require(q.awaitTermination(180000), s"stream $name did not terminate")
+    // The bound exists to fail LOUDLY on a wedged stream instead of
+    // hanging the battery forever — it is a hang detector, not a perf
+    // budget. 180 s was outgrown by linear data growth at the ×100 sweep
+    // scale (ext_stream_neardup: 157 s contended at r14, >180 s quiet at
+    // r15 — the fixed-constant genus, in the harness this time), so the
+    // bound sits one decade above the slowest measured entry.
+    try require(q.awaitTermination(1800000), s"stream $name did not terminate")
     finally q.stop()
     val out = new java.io.File(dir)
     if (out.exists && out.listFiles != null &&

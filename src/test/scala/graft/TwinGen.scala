@@ -52,9 +52,19 @@ object TwinGen {
     spark.sparkContext.setLogLevel("ERROR")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // Multi-file layout, like any real big dataset. The r15 sweep found
+    // that the natural 1-partition write (tiny source scan × broadcast
+    // replica range) produced e.g. ONE 78 MB documents file at ×100 —
+    // under maxPartitionBytes, so every scan-dominated operator "swept at
+    // 100×" on a single core: the r13/r14 per-doc-family sf10 numbers
+    // measured the FIXTURE's file layout, not the engine. A 100 TB table
+    // arrives as thousands of ≤128 MB splits; the twin now does too
+    // (scaled with the replica count so per-file size stays put).
+    val files = math.max(32, m)
     def write(df: => DataFrame, t: String): Unit =
       if (only.forall(_.contains(t))) {
-        df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        df.repartition(files)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
         println(s"WROTE $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
       }
     /** Replicate m× with a `rep` column for the per-replica rewrites. */
