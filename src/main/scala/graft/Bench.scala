@@ -21,14 +21,32 @@ object Bench {
     // backslash in the env can never emit an unparseable BENCH artifact
     require(Set("lz4", "zstd", "snappy", "lzf").contains(ioCodec),
       s"GRAFT_IO_CODEC must be one of lz4|zstd|snappy|lzf, got '$ioCodec'")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.io.compression.codec", ioCodec)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EVENTLOG=<dir>: write the Spark event log so a local
+    // profiling pass can attribute per-query wall time to jobs/stages
+    // (guide §1.1: find where the time actually goes before changing
+    // anything). Off by default — the driver's bench run stays untouched.
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": ad-hoc conf overrides for local
+    // A/B experiments (e.g. AQE coalescing knobs). The driver sets none,
+    // so its bench always runs the committed defaults.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JIT + codegen + parquet footer caches, one touch per fixture
@@ -64,6 +82,9 @@ object Bench {
         // attribute shared-cache builds to the entry whose timing pays
         // them (CacheLog → the cache_builds field below)
         CacheLog.currentQuery = name
+        // label jobs with the entry name (guide §1.5) so the event log /
+        // UI attributes every job to the query that ran it
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
