@@ -40,6 +40,20 @@ object Dedup {
   def spreadForCompute(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Hash-repartition by `cols` PINNED to the cluster's parallelism —
+    * the CPU-dense-exchange guard. AQE coalesces post-shuffle partitions
+    * by BYTES, which misprices stages whose cost is compute per row, not
+    * row width: a candidate-pair table is two longs per row, so at
+    * bench/fixture volumes the whole array_intersect verification stage
+    * collapses to ONE task (measured: ext_containment_join ran its
+    * verify as a single 12.7 s task, >80% of the entry). A
+    * REPARTITION_BY_NUM exchange is exempt from AQE coalescing, and the
+    * count tracks defaultParallelism — cluster-adaptive, not a local
+    * constant; at volumes where bytes alone already buy enough
+    * partitions the extra exchange of narrow key rows is noise. */
+  def pinnedByKey(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+
   /** n-token shingles (contiguous, space-joined). Empty array if the doc
     * has fewer than n tokens. Native codegen'd expression
     * ([[graft.functions.Shingles]]) — one array walk per row; see its
@@ -340,7 +354,10 @@ object Dedup {
              ceil((col("na") + col("nb")) * lit(t / (1 + t)) - lit(1e-9)))
       .select("doc_a", "doc_b").distinct()
     val ov = size(array_intersect(col("ta"), col("tb")))
-    cand
+    // pinnedByKey: the verification below is O(|set|) per pair over rows
+    // of two longs — exactly the byte-cheap/CPU-dense shape AQE coalesces
+    // to one task; pin its parallelism to the cluster
+    pinnedByKey(cand, col("doc_a"))
       .join(ordered.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")), "doc_a")
       .join(ordered.select(col("doc_id").as("doc_b"), col("ts").as("tb"), col("n").as("nb")), "doc_b")
       .where(ov * (1 + t) >= (col("na") + col("nb")) * t)
@@ -407,7 +424,9 @@ object Dedup {
              ceil(col("na") * lit(t) - lit(1e-9)))
       .select("doc_a", "doc_b").distinct()
     val ov = size(array_intersect(col("ta"), col("tb")))
-    cand
+    // pinnedByKey: same CPU-dense verification guard as
+    // [[setSimilarityJoinOn]] (measured there as a single 12.7 s task)
+    pinnedByKey(cand, col("doc_a"))
       .join(ordered.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")), "doc_a")
       .join(ordered.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
       .where(ov >= col("na") * lit(t) - lit(1e-9))

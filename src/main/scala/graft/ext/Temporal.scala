@@ -1759,8 +1759,13 @@ object Temporal {
         s
       }
     }
-    val v = events.where(col("value").isNotNull)
-      .select(col("event_id"), round(col("value") * 100).cast("long").as("vc"))
+    // spreadForCompute: the ×B md5 fan-out below is pure per-row CPU over
+    // a scan whose file count bounds its task count — the whole digest
+    // stage ran as ONE 3.8 s task on the single-file fixture table.
+    // Repartitioning the two-column projection is bytes-cheap at any
+    // scale and lets the fan-out use the cluster.
+    val v = Dedup.spreadForCompute(events.where(col("value").isNotNull)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("vc")))
     val nd = (b + 3) / 4
     val rep = v.select(col("event_id"), col("vc"),
         explode(sequence(lit(0), lit(nd - 1))).as("di"))

@@ -970,11 +970,19 @@ object ExtQueries {
     })
 
   private def buildCoActivityEdges(s: SparkSession, d: String): DataFrame = {
-    val ua = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
-        col("event_type"))
-      .distinct()
+    // pinnedByKey on the cell key: the self-join's per-cell pair fan-out
+    // is the CPU-dense part and its input rows are three longs — AQE's
+    // byte-based coalescing ran the whole expansion as one task at
+    // fixture scale. Both join sides derive from the SAME pinned
+    // exchange, so the (h, t) equi-join is co-partitioned and adds no
+    // further shuffle.
+    val ua = graft.ext.Dedup.pinnedByKey(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+          col("event_type"))
+        .distinct(),
+      col("h"), col("event_type"))
     val l = ua.toDF("ua", "h", "t")
     val r = ua.toDF("ub", "h", "t")
     l.join(r, Seq("h", "t"))
