@@ -302,8 +302,13 @@ object Graph {
             "include them at O(deg^2) wedge cost per hub)")
       val deg = degAll.where(col("deg") <= maxCenterDegree)
       // cap the CENTERS before the self-join: the wedge fan-out is what
-      // maxCenterDegree exists to bound, not just the final scoring join
-      val adjC = adj.join(deg.select("v"), Seq("v"), "left_semi")
+      // maxCenterDegree exists to bound, not just the final scoring join.
+      // pinnedByKey on the center: the deg² wedge expansion is CPU-dense
+      // over three-long rows — AQE's byte-based coalescing squeezed it
+      // to 2 tasks at fixture scale; both self-join sides share the one
+      // pinned exchange, so the z = z2 join stays co-partitioned.
+      val adjC = graft.ext.Dedup.pinnedByKey(
+        adj.join(deg.select("v"), Seq("v"), "left_semi"), col("v"))
       val l = adjC.toDF("z", "x")
       val r = adjC.toDF("z2", "y")
       val wedges = l.join(r, col("z") === col("z2") && col("x") < col("y"))
@@ -357,13 +362,16 @@ object Graph {
     var frontierN = 1L
     while (frontierN > 0 && depth < maxDepth) {
       depth += 1
+      // lazy checkpoints: the count() below materializes `next` (and the
+      // previous round's lazy `known` union riding inside its anti-join)
+      // in the SAME job — one job per round instead of three eager ones
       val next = adj.join(frontier.select(col("v")), Seq("v"), "left_semi")
         .select(col("n").as("v")).distinct()
         .join(known, Seq("v"), "left_anti")
         .select(col("v"), lit(depth).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       frontierN = next.count()
-      known = known.unionAll(next).localCheckpoint()
+      known = known.unionAll(next).localCheckpoint(eager = false)
       frontier = next
     }
     require(frontierN == 0,
@@ -423,7 +431,9 @@ object Graph {
         edges = edges
           .join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
-          .localCheckpoint()
+          // lazy: the count() materializes the checkpoint in the same
+          // job — one job per peeling round instead of two
+          .localCheckpoint(eager = false)
         n = edges.count(); r += 1
       }
       require(n == prev || n == 0,
@@ -589,7 +599,9 @@ object Graph {
     * before/after). Emitted (si, v, dist) rows stay LAZY projections of the
     * per-round checkpointed state: they are exploded once, at the
     * single downstream consumption, instead of being materialized per
-    * depth. THROWS if a frontier outlives `maxDepth` (oracles unroll
+    * depth. r15: the per-round checkpoint is LAZY — the freshN count
+    * materializes it, so a round is ONE job, not checkpoint + count.
+    * THROWS if a frontier outlives `maxDepth` (oracles unroll
     * exactly that many rounds). Returns (si, v, dist). */
   private def bitsetBfs(adj: DataFrame, nodes: DataFrame, idxDf: DataFrame,
       nSources: Int, maxDepth: Int): DataFrame = {
@@ -645,7 +657,10 @@ object Graph {
         .select(col("v"),
           zip_with(col("bits"), col("nbits"), _ bitwiseOR _).as("bits"),
           col("nbits"))
-        .localCheckpoint()
+        // lazy: freshN's count scans every partition of `upd` (the
+        // filter can't prune), so it materializes the checkpoint in the
+        // same job — one job per round instead of two
+        .localCheckpoint(eager = false)
       fresh = upd.where(exists(col("nbits"), w => w =!= 0L))
         .select(col("v"), col("nbits").as("bits"))
       freshN = fresh.count()
