@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   *     (the [[graft.lda.Corpus.sortedVocabLarge]] two-job scheme — no
   *     single-partition window anywhere);
   *   - rank attach = one hash join back.
-  * Rounds stop as soon as ranks are unique (natural text: k ≈ 16–32,
-  * so 4–5 rounds) or k exceeds the longest document; `localCheckpoint`
+  * Rounds stop as soon as ranks are unique (natural text: k ≈ 16–64,
+  * so 2–3 radix-8 rounds) or k exceeds the longest document; `localCheckpoint`
   * truncates the iterative lineage each round, the power-iteration
   * convention of this repo. Skew-free by construction: join keys are
   * (doc_id, pos) and near-unique rank pairs.
@@ -114,45 +114,56 @@ object SuffixArray {
     var distinctRanks = nSub
     subRanks.unpersist(); subKeys.unpersist()
     var converged = false
+    val rCols = (1 to 7).map(m => s"r$m")
     while (!converged && distinctRanks < n && k < maxLen) {
       val tRound = System.nanoTime()
-      // radix-4 doubling: rank the 4-tuple (rank(i), rank(i+k),
-      // rank(i+2k), rank(i+3k)) — order by the first 4k chars in ONE
-      // round. Per-round cost here is job-scheduling overhead, not data
-      // volume, so quartering the round count beats halving per-round
-      // work. Suffix positions are CONTIGUOUS 1..len per doc (seeding
-      // emits every position, nothing filters rows), so rank(i+mk) is
-      // `lead(r, mk)` over the per-doc pos order — all three shifts ride
-      // ONE doc-keyed window shuffle instead of three hash self-joins;
-      // window partition size is bounded by the longest single document,
-      // the same per-doc-task assumption the rest of the engine makes.
-      // An offset past the doc end yields the -1 sentinel either way, so
+      // radix-8 doubling: rank the 8-tuple (rank(i), rank(i+k), ...,
+      // rank(i+7k)) — order by the first 8k chars in ONE round. Per-round
+      // cost here is job-scheduling overhead, not data volume, so cutting
+      // the round count (log₈ vs log₂) beats shrinking per-round work.
+      // Suffix positions are CONTIGUOUS 1..len per doc (seeding emits
+      // every position, nothing filters rows), so rank(i+mk) is
+      // `lead(r, mk)` over the per-doc pos order — all seven shifts ride
+      // ONE doc-keyed window shuffle instead of hash self-joins; window
+      // partition size is bounded by the longest single document, the
+      // same per-doc-task assumption the rest of the engine makes. An
+      // offset past the doc end yields the -1 sentinel either way, so
       // capping at Int.MaxValue (lead takes an Int) loses nothing.
+      // Intermediate tuple ranks differ from the radix-4 form but the
+      // CONVERGED ranks are the same total suffix order (SuffixSpec pins
+      // it against the brute-force oracle).
       def off(m: Long): Int = math.min(m * k, Int.MaxValue.toLong).toInt
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val paired = cur.select(col("doc_id"), col("pos"), col("r"),
-        lead(col("r"), off(1), -1L).over(w).as("r1"),
-        lead(col("r"), off(2), -1L).over(w).as("r2"),
-        lead(col("r"), off(3), -1L).over(w).as("r3"))
-      // DF-cached like subKeys above (columnar, not boxed objects)
-      val keys = paired.select("r", "r1", "r2", "r3").distinct()
+      // persisted (columnar DF cache, like subKeys): the doc-keyed window
+      // feeds BOTH the distinct-key count and the rank-attach join —
+      // uncached it was computed twice per round (measured in the r15
+      // event log: the two heaviest 32-task stages per round were the
+      // same window)
+      val paired = cur.select(
+        Seq(col("doc_id"), col("pos"), col("r")) ++
+          (1 to 7).map(m => lead(col("r"), off(m), -1L).over(w).as(s"r$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keys = paired.select("r", rCols: _*).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newDistinct = keys.count()
       converged = newDistinct == distinctRanks
       distinctRanks = newDistinct
-      val pairRanks = keys.as[(Long, Long, Long, Long)].rdd
+      val pairRanks = keys
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].rdd
         .sortBy(identity, numPartitions = sortParts(newDistinct))
         .zipWithIndex()
-        .map { case ((a, b, c, d), i) => (a, b, c, d, i) }
-        .toDF("r", "r1", "r2", "r3", "nr")
+        .map { case ((a, b, c, d, e, f, g, h), i) =>
+          (a, b, c, d, e, f, g, h, i) }
+        .toDF(("r" +: rCols :+ "nr"): _*)
       val prev = cur
-      cur = paired.join(pairRanks, Seq("r", "r1", "r2", "r3"))
+      cur = paired.join(pairRanks, "r" +: rCols)
         .select(col("doc_id"), col("pos"), col("nr").as("r"))
         .localCheckpoint() // eager: prev's blocks are dead once this returns
       prev.unpersist()
+      paired.unpersist()
       keys.unpersist()
-      k *= 4
+      k *= 8
       if (sys.env.contains("GRAFT_SA_DEBUG"))
         println(f"[sa] k=$k distinct=$distinctRanks / $n converged=$converged " +
           f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")

@@ -1465,6 +1465,50 @@ object ExtQueries {
       }))
   }
 
+  /** State/shuffle partition count for a streaming query, derived from
+    * its file sources' total byte size — one partition per 16 MB of
+    * source input, floor 8, cap 8× the cluster's parallelism. Every
+    * stateful-stream task pays a FIXED deserialization toll: the task
+    * binary carries a `SerializableConfiguration` (a gzip'd full Hadoop
+    * conf) and concurrent tasks convoy on the JDK-global Inflater
+    * cleaner lock (measured: 32 tasks × ~3 s wall at 0.09 s CPU each —
+    * 98 task-seconds for a 2.8-CPU-second microbatch; thread dump shows
+    * 30/32 tasks blocked in PhantomCleanable under
+    * WritableUtils.readCompressedStringArray). So partition count is a
+    * direct per-batch cost and must track the data, not a global
+    * constant: 16 MB/partition keeps state per task bounded at scale
+    * (same volume-derived-knob genus as kmeansKFor/lshBitsFor), and the
+    * cap only binds at bench scale where one executor hosts every state
+    * store. Results are partition-count-invariant (the same queries
+    * hash-match the DuckDB oracle from Verify's 8-partition and Bench's
+    * 32-partition sessions). */
+  private def streamStateParts(s: SparkSession, df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // stateless streams (pure per-row maps, static-broadcast enrichment)
+    // have no state stores: shrinking their partitions only costs
+    // parallelism on the static side — leave them at the session default
+    val stateful = df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate if a.isStreaming => ()
+      case d: Deduplicate if d.isStreaming => ()
+      case d: DeduplicateWithinWatermark if d.isStreaming => ()
+      case f: FlatMapGroupsWithState if f.isStreaming => ()
+      case j: Join if j.left.isStreaming && j.right.isStreaming => ()
+    }.isDefined
+    if (!stateful) return None
+    val bytes = df.queryExecution.logical.collect {
+      case StreamingRelation(ds, _, _) =>
+        ds.options.get("path").map { p =>
+          val f = new java.io.File(p.stripPrefix("file:"))
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+          else f.length
+        }.getOrElse(0L)
+    }.sum
+    val byVolume = math.max(8L, bytes / (16L << 20) + 1)
+    Some(math.min(8L * s.sparkContext.defaultParallelism, byVolume).toInt)
+  }
+
   private def runStream(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession
     require(mode == "complete" || mode == "append",
@@ -1475,6 +1519,13 @@ object ExtQueries {
     val dir = tmp.toString + "/out"
     @volatile var schema: org.apache.spark.sql.types.StructType = df.schema
     val writeMode = if (mode == "complete") "overwrite" else "append"
+    // volume-derived state partitioning: set for the lifetime of THIS
+    // query (the conf is read at microbatch planning on the stream
+    // thread; runStream is synchronous so no other query races it) and
+    // restored after termination
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    streamStateParts(s, df).foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n))
     val q = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         schema = batch.schema
@@ -1489,7 +1540,10 @@ object ExtQueries {
     // r15 — the fixed-constant genus, in the harness this time), so the
     // bound sits one decade above the slowest measured entry.
     try require(q.awaitTermination(1800000), s"stream $name did not terminate")
-    finally q.stop()
+    finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val out = new java.io.File(dir)
     if (out.exists && out.listFiles != null &&
         out.listFiles.exists(_.getName.endsWith(".parquet")))
@@ -2077,7 +2131,13 @@ object ExtQueries {
     * a spec-only assertion. */
   def dedupEvalQ(s: SparkSession, d: String): DataFrame = {
     val cand = candidates(s, d).select("doc_a", "doc_b")
+    // persist the exact-Jaccard ground truth: it feeds BOTH the TP join
+    // and the n_truth count — uncached, the all-pairs verification ran
+    // twice (it is the entry's dominant cost; candidates() is already a
+    // session-cached build)
     val truth = Dedup.jaccardPairsAtLeast(Tables.documents(s, d), 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // three scalar counts on the driver (bounded); ROUND stays a Spark
     // expression so the rendering semantics match every other entry
     val tp = cand.join(truth, Seq("doc_a", "doc_b")).count()
@@ -2095,6 +2155,7 @@ object ExtQueries {
         when(col("n_truth") === 0, lit(null))
           .otherwise(round(col("tp").cast("double") / col("n_truth"), 4))
           .as("recall"))
+    } finally truth.unpersist(blocking = false)
   }
 
   /** Trailing-24h distinct active users per hour — the classic sliding
