@@ -441,7 +441,13 @@ object Multimodal {
 
   def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+    // spreadForCompute: the downstream decode/phash mapPartitions runs at
+    // the SCAN's parallelism (single-row-group fixture files scan as one
+    // task); the narrow 3-column exchange unlocks the cluster and is
+    // noise once the source has real file parallelism
+    graft.ext.Dedup.spreadForCompute(
+        documents.select(col("doc_id"), col("text"), col("n_chars")))
+      .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val kind = (id % 3) match {
           case 0 => "image"

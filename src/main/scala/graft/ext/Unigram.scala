@@ -127,8 +127,14 @@ object Unigram {
     if (vocab.isEmpty) return vocab.select(col("piece"), lit(0.0).as("logp"))
     var it = 0
     while (it < iters) {
-      val total = vocab.agg(sum("n")).head().getLong(0).toDouble
-      val model = Model(vocab.collect()
+      // ONE driver pull per round: the collected rows give the model,
+      // the normalizer AND the prune budget (this loop previously ran a
+      // separate agg(sum) and count() job per round on top of the
+      // collect — 4 driver actions where 1 suffices; the vocab is
+      // seedSize-bounded so the pull is small by construction)
+      val rows = vocab.collect()
+      val total = rows.map(_.getLong(1)).sum.toDouble
+      val model = Model(rows
         .map(r => r.getString(0) -> math.log(r.getLong(1) / total)).toMap)
       val counts = viterbiCounts(spark, words, model, maxLen)
       // coverage floor: alphabet chars survive with count 1 even if the
@@ -139,7 +145,7 @@ object Unigram {
         .groupBy("piece").agg(max(col("n")).as("n"))
       // prune multi-char tail toward vocabSize (chars exempt)
       val keep = math.max(vocabSize,
-        math.ceil(vocab.count() * 0.75).toInt)
+        math.ceil(rows.length * 0.75).toInt)
       import org.apache.spark.sql.expressions.Window
       val pruned = floored.where(length(col("piece")) === 1)
         .unionByName(floored.where(length(col("piece")) > 1)

@@ -1070,6 +1070,12 @@ object ExtQueries {
 
   /** Weighted p50/p90 of event value, weighted by the props-k mass. */
   def weightedQuantileQ(s: SparkSession, d: String): DataFrame =
+    // NOT spread (r15): a spreadForCompute before the JSON parse was
+    // tried and measured WORSE — the w>0 filter references the parsed
+    // column, so predicate pushdown re-materializes get_json_object
+    // below the exchange in the single-task scan stage anyway, and the
+    // operator's two consumers (cumulative + totals) then duplicate the
+    // whole pre-exchange subtree. The parse stays fused in the scan.
     Temporal.weightedQuantiles(
       Tables.events(s, d).select(col("event_type"), col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("w")),
