@@ -317,10 +317,24 @@ object Graph {
         wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
       val byDeg = open.join(deg, open("z") === deg("v"))
         .groupBy("x", "y", "deg").agg(count(lit(1)).as("cnt"))
-      val scored = byDeg.groupBy("x", "y").agg(
-        aggregate(sort_array(collect_list(struct(col("deg"), col("cnt")))),
-          lit(0.0), (acc, s) => acc + s.getField("cnt").cast("double")
-            / log(s.getField("deg").cast("double"))).as("score"))
+      // ascending-degree left fold via a FULL-FRAME window sum: an
+      // UnboundedPreceding..UnboundedFollowing frame accumulates rows
+      // sequentially in sort order, so sum(c) ordered by deg is the
+      // exact IEEE fold the previous collect_list+sort_array+aggregate
+      // form computed (deg is unique per (x,y) group after the rollup,
+      // and every term is > 0 so the 0.0 seed is exact) — but it runs
+      // as a Tungsten sort + linear pass instead of ObjectHashAggregate
+      // building and sorting a per-group object array (the entry's
+      // hottest aggregate in the r15 thread dumps)
+      val wDeg = org.apache.spark.sql.expressions.Window
+        .partitionBy("x", "y").orderBy("deg")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val scored = byDeg
+        .withColumn("score",
+          sum(col("cnt").cast("double") / log(col("deg").cast("double")))
+            .over(wDeg))
+        .groupBy("x", "y").agg(max(col("score")).as("score"))
         .select(col("x").as("doc_a"), col("y").as("doc_b"),
           round(col("score"), 4).as("aa"))
       val top = scored.orderBy(col("aa").desc, col("doc_a"), col("doc_b"))

@@ -83,89 +83,129 @@ object SuffixArray {
       math.min(8L * spark.sparkContext.defaultParallelism,
         byVolume).toInt
     }
-    // distinct key sets cache as DATAFRAMES (Tungsten binary columnar,
-    // compressed, disk-spillable), never as RDDs of JVM objects: an RDD
-    // MEMORY_AND_DISK persist stores boxed tuples via
-    // MemoryStore.putIteratorAsValues — ~80 B/row of header+boxing that
-    // OOM'd the r10 ×30 leg — while the same rows cache columnar in a
-    // tenth of that. The .rdd conversion below feeds the range-sort
-    // straight from the columnar cache without materializing objects.
-    val subKeys = seeds.select("sub").distinct()
+    // SEED: positional GROUP-START ranks — r(p) = number of positions
+    // whose seed key is strictly smaller. Start ranks (vs the previous
+    // dense ranks over DISTINCT keys) leave every rank group a gap equal
+    // to its own size, which is what lets the doubling rounds below
+    // re-rank ONLY tied groups: a split writes new values inside the
+    // group's [r, r+size) range without colliding with any other group.
+    // Sorting all n position rows costs the same as the old distinct
+    // sort on natural text (seeds are ~97% unique at seedLen=16), and
+    // min/count-per-key attach in one key-partitioned window.
+    // Cached sets stay DATAFRAMES (Tungsten binary columnar, compressed,
+    // disk-spillable), never RDDs of boxed objects (the r10 ×30 OOM).
+    val seedsP = seeds
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSub = subKeys.count()
-    val subRanks = subKeys.as[String].rdd
-      .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        numPartitions = sortParts(nSub))(
+    val n = seedsP.count()
+    if (n == 0) { // empty corpus: max(length) below would aggregate to NULL
+      seedsP.unpersist(blocking = false)
+      return seeds.select(col("doc_id"), col("pos"), lit(0L).as("srank"))
+        .limit(0)
+    }
+    val ranked = seedsP.select("sub", "doc_id", "pos")
+      .as[(String, Long, Int)].rdd
+      .sortBy(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        numPartitions = sortParts(n))(
         graft.lda.Corpus.unsignedBytes, implicitly)
-      .zipWithIndex().map { case (c, i) => (c, i) }.toDF("sub", "r")
+      .zipWithIndex()
+      .map { case ((sub, d, p), i) => (sub, d, p, i) }
+      .toDF("sub", "doc_id", "pos", "idx")
+    val wSub = org.apache.spark.sql.expressions.Window.partitionBy("sub")
+    val seeded = ranked.select(col("doc_id"), col("pos"),
+        min("idx").over(wSub).as("r"),
+        count(lit(1)).over(wSub).as("gc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cur = seeds.join(subRanks, "sub")
-      .select(col("doc_id"), col("pos"), col("r"))
+    var cur = seeded.select("doc_id", "pos", "r").localCheckpoint()
+    // the work set: members of rank groups that still hold >1 position.
+    // Splitting only shrinks groups (ranks refine, never merge), so
+    // tied-ness is monotone and the set is maintained incrementally —
+    // rounds never rescan the full table for ties.
+    var tied = seeded.where(col("gc") > 1).select("doc_id", "pos", "r")
       .localCheckpoint()
-
-    val n = cur.count()
-    if (n == 0) // empty corpus: max(length) below would aggregate to NULL
-      return cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    var tiedN = tied.count()
+    var gTied = if (tiedN == 0) 0L
+      else tied.select("r").distinct().count()
+    seedsP.unpersist(blocking = false); seeded.unpersist(blocking = false)
     val maxLen = sfx.agg(max(length(col("text")))).as[Int].head()
     var k = seedLen.toLong
-    // distinct ranks after a round = distinct (r, r2) pairs ranked IN
-    // the round — counted on the persisted pair set, never as a
-    // separate post-join distinct pass
-    var distinctRanks = nSub
-    subRanks.unpersist(); subKeys.unpersist()
-    var converged = false
+    var converged = tiedN == 0
     val rCols = (1 to 7).map(m => s"r$m")
-    while (!converged && distinctRanks < n && k < maxLen) {
+    // TIE-SPLITTING radix-8 doubling: each round refines ONLY the tied
+    // groups. Successor ranks rank(p+mk), m=1..7 (order by the first 8k
+    // chars per round) are gathered by an INNER equi-join of the full
+    // rank table against the tied rows' exploded successor positions —
+    // the tied side is broadcast while small, so the gather is ONE
+    // map-side pass over cur with no shuffle and no sort (the previous
+    // form window-sorted and re-ranked ALL n positions every round to
+    // resolve a tie tail that is ~3% of positions after the seed).
+    // Within a group the new rank is r + rank(tuple) − 1 (RANK = 1 +
+    // strictly-smaller members, so equal tuples keep sharing a value and
+    // new values stay inside the group's gap). A missing successor (past
+    // the doc end) is the −1 sentinel, below every real rank — binary
+    // order's shorter-prefix-first rule. Convergence: a round that
+    // splits no group proves ranks final (the standard partition-
+    // refinement argument — frozen groups cannot change, and the tied
+    // set is exactly the non-singleton groups).
+    val bcastRowsMax = 1000000L
+    while (!converged && k < maxLen) {
       val tRound = System.nanoTime()
-      // radix-8 doubling: rank the 8-tuple (rank(i), rank(i+k), ...,
-      // rank(i+7k)) — order by the first 8k chars in ONE round. Per-round
-      // cost here is job-scheduling overhead, not data volume, so cutting
-      // the round count (log₈ vs log₂) beats shrinking per-round work.
-      // Suffix positions are CONTIGUOUS 1..len per doc (seeding emits
-      // every position, nothing filters rows), so rank(i+mk) is
-      // `lead(r, mk)` over the per-doc pos order — all seven shifts ride
-      // ONE doc-keyed window shuffle instead of hash self-joins; window
-      // partition size is bounded by the longest single document, the
-      // same per-doc-task assumption the rest of the engine makes. An
-      // offset past the doc end yields the -1 sentinel either way, so
-      // capping at Int.MaxValue (lead takes an Int) loses nothing.
-      // Intermediate tuple ranks differ from the radix-4 form but the
-      // CONVERGED ranks are the same total suffix order (SuffixSpec pins
-      // it against the brute-force oracle).
-      def off(m: Long): Int = math.min(m * k, Int.MaxValue.toLong).toInt
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      // persisted (columnar DF cache, like subKeys): the doc-keyed window
-      // feeds BOTH the distinct-key count and the rank-attach join —
-      // uncached it was computed twice per round (measured in the r15
-      // event log: the two heaviest 32-task stages per round were the
-      // same window)
-      val paired = cur.select(
-        Seq(col("doc_id"), col("pos"), col("r")) ++
-          (1 to 7).map(m => lead(col("r"), off(m), -1L).over(w).as(s"r$m")): _*)
+      val withM = tied
+        .select(col("doc_id"), col("pos"), col("r"),
+          explode(expr("sequence(1, 7)")).as("m"))
+        .select(col("doc_id"), col("pos"), col("r"), col("m"),
+          (col("pos").cast("long") + col("m").cast("long") * lit(k)).as("spos"))
+      val probe = if (tiedN * 7 <= bcastRowsMax) broadcast(withM) else withM
+      val hits = cur
+        .select(col("doc_id"), col("pos").cast("long").as("spos"),
+          col("r").as("sr"))
+        .join(probe, Seq("doc_id", "spos")) // inner: missing m → no row
+        .groupBy(col("doc_id"), col("pos"), col("r"))
+        .agg(max(when(col("m") === 1, col("sr"))).as("r1"),
+          (2 to 7).map(m =>
+            max(when(col("m") === m, col("sr"))).as(s"r$m")): _*)
+      // tied rows whose successors ALL fall past the doc end produce no
+      // hit row — restore them with all-sentinel tuples via the left join
+      val tuples = tied.join(hits, Seq("doc_id", "pos", "r"), "left")
+        .select(Seq(col("doc_id"), col("pos"), col("r")) ++
+          rCols.map(c => coalesce(col(c), lit(-1L)).as(c)): _*)
+      val wGrp = org.apache.spark.sql.expressions.Window
+        .partitionBy("r").orderBy(rCols.map(col): _*)
+      val reR = tuples
+        .select(col("doc_id"), col("pos"), col("r"),
+          (col("r") + rank().over(wGrp) - 1).as("nr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val keys = paired.select("r", rCols: _*).distinct()
+      // ONE driver action per round: the group-size rollup yields the new
+      // class count (convergence), the surviving tied-row count AND the
+      // surviving group count together
+      val grp = reR.groupBy("nr").agg(count(lit(1)).as("gc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newDistinct = keys.count()
-      converged = newDistinct == distinctRanks
-      distinctRanks = newDistinct
-      val pairRanks = keys
-        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].rdd
-        .sortBy(identity, numPartitions = sortParts(newDistinct))
-        .zipWithIndex()
-        .map { case ((a, b, c, d, e, f, g, h), i) =>
-          (a, b, c, d, e, f, g, h, i) }
-        .toDF(("r" +: rCols :+ "nr"): _*)
-      val prev = cur
-      cur = paired.join(pairRanks, "r" +: rCols)
-        .select(col("doc_id"), col("pos"), col("nr").as("r"))
-        .localCheckpoint() // eager: prev's blocks are dead once this returns
-      prev.unpersist()
-      paired.unpersist()
-      keys.unpersist()
+      val stats = grp.agg(count(lit(1)),
+        coalesce(sum(when(col("gc") > 1, col("gc"))), lit(0L)),
+        coalesce(sum(when(col("gc") > 1, lit(1L))), lit(0L))).head()
+      val gNew = stats.getLong(0)
+      converged = gNew == gTied
+      if (!converged) {
+        val updates = reR.where(col("nr") =!= col("r"))
+          .select(col("doc_id"), col("pos"), col("nr"))
+        val upd = if (tiedN <= bcastRowsMax) broadcast(updates) else updates
+        val prev = cur
+        cur = cur.join(upd, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("nr"), col("r")).as("r"))
+          .localCheckpoint() // eager: one linear patch pass over cur
+        prev.unpersist(blocking = false)
+        tied = reR
+          .join(grp.where(col("gc") > 1).select("nr"), Seq("nr"), "left_semi")
+          .select(col("doc_id"), col("pos"), col("nr").as("r"))
+          .localCheckpoint()
+        tiedN = stats.getLong(1)
+        gTied = stats.getLong(2)
+        converged = tiedN == 0
+      }
+      reR.unpersist(blocking = false); grp.unpersist(blocking = false)
       k *= 8
       if (sys.env.contains("GRAFT_SA_DEBUG"))
-        println(f"[sa] k=$k distinct=$distinctRanks / $n converged=$converged " +
+        println(f"[sa] k=$k tied=$tiedN groups=$gTied converged=$converged " +
           f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     // ranks are order-preserving but not dense once ties collapse mid-
@@ -173,7 +213,7 @@ object SuffixArray {
     // ranks sort in suffix order, tied suffixes share a value) gives
     // DENSE_RANK()-1 parity.
     val dense = cur.select("r").distinct().as[Long].rdd
-      .sortBy(identity, numPartitions = sortParts(distinctRanks))
+      .sortBy(identity, numPartitions = sortParts(n))
       .zipWithIndex()
       .map { case (r, i) => (r, i) }.toDF("r", "srank")
     cur.join(dense, "r").select("doc_id", "pos", "srank")
