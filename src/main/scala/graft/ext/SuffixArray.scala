@@ -18,26 +18,34 @@ import org.apache.spark.sql.functions._
   * - 1`, which is what the oracle checks, without ever materializing
   * the O(n²) suffix strings that form would need.
   *
-  * Why prefix doubling distributes: round k knows each suffix's rank
-  * by its first k chars; sorting the pairs (rank_k(i), rank_k(i+k))
-  * yields ranks by the first 2k chars. Every step is rows of three
-  * longs — the TEXT is only touched once, at seeding. Per round:
-  *   - successor lookup = lead(r, k) over the per-doc pos window
-  *     (positions are contiguous, so the +k row IS the +k suffix; one
-  *     doc-keyed shuffle serves all radix shifts);
-  *   - pair ranking = sortBy + zipWithIndex on the DISTINCT pair set
-  *     (the [[graft.lda.Corpus.sortedVocabLarge]] two-job scheme — no
-  *     single-partition window anywhere);
-  *   - rank attach = one hash join back.
-  * Rounds stop as soon as ranks are unique (natural text: k ≈ 16–64,
-  * so 2–3 radix-8 rounds) or k exceeds the longest document; `localCheckpoint`
-  * truncates the iterative lineage each round, the power-iteration
-  * convention of this repo. Skew-free by construction: join keys are
-  * (doc_id, pos) and near-unique rank pairs.
-  *
+  * Construction: one global sort of the `seedLen`-char windows gives
+  * every position a GROUP-START rank (positions strictly smaller by
+  * first-seedLen-chars). On natural text that already separates ~97%
+  * of positions; only the TIED remainder needs order past seedLen
+  * chars:
+  *   - tied volume within [[suffixRanks!.localTieBudgetBytes]]: the
+  *     tied rows' remaining-suffix slices are pulled to the driver
+  *     (a BOUNDED pull, decided by a measured byte aggregate — the
+  *     centroid-collect genus of this repo) and resolved in one local
+  *     byte-order sort per group. UTF-8 is a prefix code, so
+  *     bytes(seed) ++ bytes(remainder) = bytes(suffix): seed-rank
+  *     order refined by remainder-byte order IS whole-suffix binary
+  *     order, shorter-prefix-first included (an exhausted remainder is
+  *     the empty byte string, below every extension).
+  *   - above the budget (the 100 TB regime): tie-splitting radix-8
+  *     prefix doubling — round k gathers successor ranks rank(p+mk),
+  *     m=1..7 for TIED rows only (an equi-join against the full rank
+  *     table; the tied side broadcast while small) and re-ranks inside
+  *     each tied group; group-start ranks leave every group a gap of
+  *     its own size, so splits write into [r, r+size) without
+  *     colliding. Rounds stop at the refinement fixpoint or k ≥ the
+  *     longest document.
   * Suffixes never compare past their document's end: a missing
-  * successor ranks as -1, below every real rank, which is exactly
-  * binary order's shorter-prefix-first rule.
+  * successor ranks as -1, below every real rank — binary order's
+  * shorter-prefix-first rule. Seeding is skew-safe: group-start ranks
+  * come from a map-side partial aggregation hash-joined back, never a
+  * per-key window (a high-frequency seed — whitespace/boilerplate
+  * 16-grams in web corpora — would serialize one task otherwise).
   */
 object SuffixArray {
 
@@ -47,13 +55,19 @@ object SuffixArray {
     * `seedLen`: the doubling chain starts from ranks of the first
     * `seedLen` chars (one distinct-substring ranking pass) instead of
     * single characters — log2(seedLen) fewer join rounds for the price
-    * of ranking strings once. The loop also stops at the refinement
+    * of ranking strings once.
+    *
+    * `localTieBudgetBytes` bounds the driver pull of the local tie-
+    * resolution path (remainder bytes + per-row overhead, measured by
+    * an aggregate BEFORE collecting); above it the distributed
+    * doubling loop runs. The loop also stops at the refinement
     * FIXPOINT: a round that creates no new rank class proves ranks
     * final even when genuine duplicate suffixes keep them short of
     * all-unique (if rank_k classes == rank_2k classes, agreement on
     * the first k chars extends to 2k, hence by induction to every
     * suffix end — the standard partition-refinement argument). */
-  def suffixRanks(docs: DataFrame, seedLen: Int = 16): DataFrame = {
+  def suffixRanks(docs: DataFrame, seedLen: Int = 16,
+      localTieBudgetBytes: Long = 64L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(seedLen >= 1, "seedLen >= 1")
@@ -86,12 +100,14 @@ object SuffixArray {
     // SEED: positional GROUP-START ranks — r(p) = number of positions
     // whose seed key is strictly smaller. Start ranks (vs the previous
     // dense ranks over DISTINCT keys) leave every rank group a gap equal
-    // to its own size, which is what lets the doubling rounds below
-    // re-rank ONLY tied groups: a split writes new values inside the
-    // group's [r, r+size) range without colliding with any other group.
+    // to its own size, which is what lets the refinement below re-rank
+    // ONLY tied groups: a split writes new values inside the group's
+    // [r, r+size) range without colliding with any other group.
     // Sorting all n position rows costs the same as the old distinct
-    // sort on natural text (seeds are ~97% unique at seedLen=16), and
-    // min/count-per-key attach in one key-partitioned window.
+    // sort on natural text (seeds are ~97% unique at seedLen=16);
+    // min/count per key via map-side partial aggregation + hash join
+    // back — NOT a per-key window, which would put every position of a
+    // hot seed (boilerplate 16-grams) into one task.
     // Cached sets stay DATAFRAMES (Tungsten binary columnar, compressed,
     // disk-spillable), never RDDs of boxed objects (the r10 ×30 OOM).
     val seedsP = seeds
@@ -110,103 +126,162 @@ object SuffixArray {
       .zipWithIndex()
       .map { case ((sub, d, p), i) => (sub, d, p, i) }
       .toDF("sub", "doc_id", "pos", "idx")
-    val wSub = org.apache.spark.sql.expressions.Window.partitionBy("sub")
-    val seeded = ranked.select(col("doc_id"), col("pos"),
-        min("idx").over(wSub).as("r"),
-        count(lit(1)).over(wSub).as("gc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cur = seeded.select("doc_id", "pos", "r").localCheckpoint()
-    // the work set: members of rank groups that still hold >1 position.
-    // Splitting only shrinks groups (ranks refine, never merge), so
-    // tied-ness is monotone and the set is maintained incrementally —
-    // rounds never rescan the full table for ties.
-    var tied = seeded.where(col("gc") > 1).select("doc_id", "pos", "r")
-      .localCheckpoint()
-    var tiedN = tied.count()
-    var gTied = if (tiedN == 0) 0L
-      else tied.select("r").distinct().count()
-    seedsP.unpersist(blocking = false); seeded.unpersist(blocking = false)
-    val maxLen = sfx.agg(max(length(col("text")))).as[Int].head()
-    var k = seedLen.toLong
-    var converged = tiedN == 0
-    val rCols = (1 to 7).map(m => s"r$m")
-    // TIE-SPLITTING radix-8 doubling: each round refines ONLY the tied
-    // groups. Successor ranks rank(p+mk), m=1..7 (order by the first 8k
-    // chars per round) are gathered by an INNER equi-join of the full
-    // rank table against the tied rows' exploded successor positions —
-    // the tied side is broadcast while small, so the gather is ONE
-    // map-side pass over cur with no shuffle and no sort (the previous
-    // form window-sorted and re-ranked ALL n positions every round to
-    // resolve a tie tail that is ~3% of positions after the seed).
-    // Within a group the new rank is r + rank(tuple) − 1 (RANK = 1 +
-    // strictly-smaller members, so equal tuples keep sharing a value and
-    // new values stay inside the group's gap). A missing successor (past
-    // the doc end) is the −1 sentinel, below every real rank — binary
-    // order's shorter-prefix-first rule. Convergence: a round that
-    // splits no group proves ranks final (the standard partition-
-    // refinement argument — frozen groups cannot change, and the tied
-    // set is exactly the non-singleton groups).
-    val bcastRowsMax = 1000000L
-    while (!converged && k < maxLen) {
-      val tRound = System.nanoTime()
-      val withM = tied
-        .select(col("doc_id"), col("pos"), col("r"),
-          explode(expr("sequence(1, 7)")).as("m"))
-        .select(col("doc_id"), col("pos"), col("r"), col("m"),
-          (col("pos").cast("long") + col("m").cast("long") * lit(k)).as("spos"))
-      val probe = if (tiedN * 7 <= bcastRowsMax) broadcast(withM) else withM
-      val hits = cur
-        .select(col("doc_id"), col("pos").cast("long").as("spos"),
-          col("r").as("sr"))
-        .join(probe, Seq("doc_id", "spos")) // inner: missing m → no row
-        .groupBy(col("doc_id"), col("pos"), col("r"))
-        .agg(max(when(col("m") === 1, col("sr"))).as("r1"),
-          (2 to 7).map(m =>
-            max(when(col("m") === m, col("sr"))).as(s"r$m")): _*)
-      // tied rows whose successors ALL fall past the doc end produce no
-      // hit row — restore them with all-sentinel tuples via the left join
-      val tuples = tied.join(hits, Seq("doc_id", "pos", "r"), "left")
-        .select(Seq(col("doc_id"), col("pos"), col("r")) ++
-          rCols.map(c => coalesce(col(c), lit(-1L)).as(c)): _*)
-      val wGrp = org.apache.spark.sql.expressions.Window
-        .partitionBy("r").orderBy(rCols.map(col): _*)
-      val reR = tuples
-        .select(col("doc_id"), col("pos"), col("r"),
-          (col("r") + rank().over(wGrp) - 1).as("nr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ONE driver action per round: the group-size rollup yields the new
-      // class count (convergence), the surviving tied-row count AND the
-      // surviving group count together
-      val grp = reR.groupBy("nr").agg(count(lit(1)).as("gc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = grp.agg(count(lit(1)),
-        coalesce(sum(when(col("gc") > 1, col("gc"))), lit(0L)),
-        coalesce(sum(when(col("gc") > 1, lit(1L))), lit(0L))).head()
-      val gNew = stats.getLong(0)
-      converged = gNew == gTied
-      if (!converged) {
-        val updates = reR.where(col("nr") =!= col("r"))
-          .select(col("doc_id"), col("pos"), col("nr"))
-        val upd = if (tiedN <= bcastRowsMax) broadcast(updates) else updates
-        val prev = cur
-        cur = cur.join(upd, Seq("doc_id", "pos"), "left")
-          .select(col("doc_id"), col("pos"),
-            coalesce(col("nr"), col("r")).as("r"))
-          .localCheckpoint() // eager: one linear patch pass over cur
-        prev.unpersist(blocking = false)
-        tied = reR
-          .join(grp.where(col("gc") > 1).select("nr"), Seq("nr"), "left_semi")
-          .select(col("doc_id"), col("pos"), col("nr").as("r"))
-          .localCheckpoint()
-        tiedN = stats.getLong(1)
-        gTied = stats.getLong(2)
-        converged = tiedN == 0
+    val grp = ranked.groupBy("sub")
+      .agg(min("idx").as("r"), count(lit(1)).as("gc"))
+    val seeded = ranked.join(grp, "sub")
+      .select(col("doc_id"), col("pos"), col("r"), col("gc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE action sizes the tied remainder (and materializes the seeded
+    // cache): row count + remaining-suffix bytes past the seed window.
+    val sfxT = sfx.select(col("doc_id"), col("text"))
+    val rem = expr(s"substring(text, pos + $seedLen)")
+    val sized = seeded.where(col("gc") > 1)
+      .join(sfxT, "doc_id")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(octet_length(rem)), lit(0L)).as("bytes"))
+      .head()
+    val tiedN0 = sized.getLong(0)
+    val tiedBytes = sized.getLong(1) + 64L * tiedN0 // per-row overhead
+    seedsP.unpersist(blocking = false)
+    ranked.unpersist(blocking = false)
+
+    var cur: DataFrame = null
+    if (tiedN0 == 0L) {
+      cur = seeded.select("doc_id", "pos", "r").localCheckpoint()
+      seeded.unpersist(blocking = false)
+    } else if (tiedBytes <= localTieBudgetBytes) {
+      // LOCAL tie resolution: the tied rows' remaining suffixes fit the
+      // driver budget — resolve every group in one pass instead of
+      // paying the doubling loop's per-round job fan (the battery's
+      // event log showed ~30 sub-second jobs per entry, >half the wall,
+      // for a tied set of a few thousand rows). Exact, not approximate:
+      // remainder-byte order refines seed order into whole-suffix
+      // binary order (see the class doc), the same converged ranks the
+      // loop reaches.
+      val tiedRem = seeded.where(col("gc") > 1)
+        .join(sfxT, "doc_id")
+        .select(col("doc_id"), col("pos"), col("r"), rem.as("rem"))
+        .as[(Long, Int, Long, String)].collect()
+      val updates = tiedRem.groupBy(_._3).iterator.flatMap { case (r, ms) =>
+        val sorted = ms
+          .map(m => (m, m._4.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .sortBy(_._2)(graft.lda.Corpus.unsignedBytes)
+        val out = Array.newBuilder[(Long, Int, Long)]
+        var nr = r
+        var prev: Array[Byte] = null
+        var i = 0
+        while (i < sorted.length) {
+          val ((d, p, _, _), b) = sorted(i)
+          if (i > 0 && !java.util.Arrays.equals(b, prev)) nr = r + i
+          if (nr != r) out += ((d, p, nr))
+          prev = b
+          i += 1
+        }
+        out.result()
+      }.toSeq
+      val base = seeded.select("doc_id", "pos", "r")
+      cur =
+        (if (updates.isEmpty) base
+         else base.join(
+             broadcast(updates.toDF("doc_id", "pos", "nr")),
+             Seq("doc_id", "pos"), "left")
+           .select(col("doc_id"), col("pos"),
+             coalesce(col("nr"), col("r")).as("r")))
+        .localCheckpoint() // one linear pass; seed lineage ends here
+      seeded.unpersist(blocking = false)
+    } else {
+      // DISTRIBUTED tie-splitting radix-8 doubling (the at-scale path):
+      // each round refines ONLY the tied groups. Successor ranks
+      // rank(p+mk), m=1..7 (order by the first 8k chars per round) are
+      // gathered by an INNER equi-join of the full rank table against
+      // the tied rows' exploded successor positions — the tied side is
+      // broadcast while small, so the gather is ONE map-side pass over
+      // cur with no shuffle and no sort. Within a group the new rank is
+      // r + rank(tuple) − 1 (RANK = 1 + strictly-smaller members, so
+      // equal tuples keep sharing a value and new values stay inside
+      // the group's gap). A missing successor (past the doc end) is the
+      // −1 sentinel, below every real rank — binary order's
+      // shorter-prefix-first rule. Convergence: a round that splits no
+      // group proves ranks final (partition refinement — frozen groups
+      // cannot change, and the tied set is exactly the non-singleton
+      // groups). Degenerate-corpus bound: the per-round re-rank window
+      // sorts each tied GROUP in one task, so a corpus that keeps ~n
+      // positions in a single rank group for many rounds (e.g. one
+      // repeated character) serializes the loop — natural text leaves
+      // ~3% tied after seeding and splits geometrically.
+      cur = seeded.select("doc_id", "pos", "r").localCheckpoint()
+      var tied = seeded.where(col("gc") > 1).select("doc_id", "pos", "r")
+        .localCheckpoint()
+      var tiedN = tiedN0
+      var gTied = tied.select("r").distinct().count()
+      seeded.unpersist(blocking = false)
+      val maxLen = sfx.agg(max(length(col("text")))).as[Int].head()
+      var k = seedLen.toLong
+      var converged = false
+      val rCols = (1 to 7).map(m => s"r$m")
+      val bcastRowsMax = 1000000L
+      while (!converged && k < maxLen) {
+        val tRound = System.nanoTime()
+        val withM = tied
+          .select(col("doc_id"), col("pos"), col("r"),
+            explode(expr("sequence(1, 7)")).as("m"))
+          .select(col("doc_id"), col("pos"), col("r"), col("m"),
+            (col("pos").cast("long") + col("m").cast("long") * lit(k)).as("spos"))
+        val probe = if (tiedN * 7 <= bcastRowsMax) broadcast(withM) else withM
+        val hits = cur
+          .select(col("doc_id"), col("pos").cast("long").as("spos"),
+            col("r").as("sr"))
+          .join(probe, Seq("doc_id", "spos")) // inner: missing m → no row
+          .groupBy(col("doc_id"), col("pos"), col("r"))
+          .agg(max(when(col("m") === 1, col("sr"))).as("r1"),
+            (2 to 7).map(m =>
+              max(when(col("m") === m, col("sr"))).as(s"r$m")): _*)
+        // tied rows whose successors ALL fall past the doc end produce no
+        // hit row — restore them with all-sentinel tuples via the left join
+        val tuples = tied.join(hits, Seq("doc_id", "pos", "r"), "left")
+          .select(Seq(col("doc_id"), col("pos"), col("r")) ++
+            rCols.map(c => coalesce(col(c), lit(-1L)).as(c)): _*)
+        val wGrp = org.apache.spark.sql.expressions.Window
+          .partitionBy("r").orderBy(rCols.map(col): _*)
+        val reR = tuples
+          .select(col("doc_id"), col("pos"), col("r"),
+            (col("r") + rank().over(wGrp) - 1).as("nr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ONE driver action per round: the group-size rollup yields the new
+        // class count (convergence), the surviving tied-row count AND the
+        // surviving group count together
+        val grpR = reR.groupBy("nr").agg(count(lit(1)).as("gc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = grpR.agg(count(lit(1)),
+          coalesce(sum(when(col("gc") > 1, col("gc"))), lit(0L)),
+          coalesce(sum(when(col("gc") > 1, lit(1L))), lit(0L))).head()
+        val gNew = stats.getLong(0)
+        converged = gNew == gTied
+        if (!converged) {
+          val updates = reR.where(col("nr") =!= col("r"))
+            .select(col("doc_id"), col("pos"), col("nr"))
+          val upd = if (tiedN <= bcastRowsMax) broadcast(updates) else updates
+          val prev = cur
+          cur = cur.join(upd, Seq("doc_id", "pos"), "left")
+            .select(col("doc_id"), col("pos"),
+              coalesce(col("nr"), col("r")).as("r"))
+            .localCheckpoint() // eager: one linear patch pass over cur
+          prev.unpersist(blocking = false)
+          tied = reR
+            .join(grpR.where(col("gc") > 1).select("nr"), Seq("nr"), "left_semi")
+            .select(col("doc_id"), col("pos"), col("nr").as("r"))
+            .localCheckpoint()
+          tiedN = stats.getLong(1)
+          gTied = stats.getLong(2)
+          converged = tiedN == 0
+        }
+        reR.unpersist(blocking = false); grpR.unpersist(blocking = false)
+        k *= 8
+        if (sys.env.contains("GRAFT_SA_DEBUG"))
+          println(f"[sa] k=$k tied=$tiedN groups=$gTied converged=$converged " +
+            f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
-      reR.unpersist(blocking = false); grp.unpersist(blocking = false)
-      k *= 8
-      if (sys.env.contains("GRAFT_SA_DEBUG"))
-        println(f"[sa] k=$k tied=$tiedN groups=$gTied converged=$converged " +
-          f"round=${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     // ranks are order-preserving but not dense once ties collapse mid-
     // round; final dense re-rank over the DISTINCT rank values (unique

@@ -98,6 +98,19 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("local tie resolution and the distributed doubling loop agree") {
+    // budget 0 forces the at-scale distributed path; the default budget
+    // takes the bounded local path on this corpus — both must produce
+    // the same dense ranks (the planted dupes guarantee real ties)
+    val docs = graft.Tables.documents(spark, sf())
+      .where(col("doc_id") % 3 === 0)
+    val local = SuffixArray.suffixRanks(docs)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dist = SuffixArray.suffixRanks(docs, localTieBudgetBytes = 0L)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(local == dist)
+  }
+
   test("suffix ranks are invariant to input partitioning") {
     val docs = graft.Tables.documents(spark, sf()).limit(60)
     val a = SuffixArray.suffixRanks(docs)
