@@ -39,13 +39,20 @@ object Bench {
     }
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": ad-hoc conf overrides for local
     // A/B experiments (e.g. AQE coalescing knobs). The driver sets none,
-    // so its bench always runs the committed defaults.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
-      _.split(";").filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
+    // so its bench always runs the committed defaults. The parsed pairs
+    // are echoed into the emitted JSON (extra_conf) so an override run —
+    // including one that changes spark.io.compression.codec past the
+    // GRAFT_IO_CODEC allowlist — can never masquerade as a defaults run;
+    // note ';' is the pair separator, so values containing ';' cannot be
+    // passed through this knob (the echo shows what was actually set).
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap {
+        _.split(";").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          (k.trim, v.trim)
+        }
       }
-    }
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -120,10 +127,22 @@ object Bench {
     // cold = fresh JVM over a fresh fixture read (the default for a
     // driver run); a caller doing warm A/B re-runs marks them explicitly
     val mode = sys.env.getOrElse("GRAFT_BENCH_MODE", "cold")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val extraConfJson =
+      if (extraConf.isEmpty) ""
+      else extraConf.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","extra_conf":{""", ",", "}")
     val hostMeta =
       s""""mode":"$mode","io_codec":"$ioCodec",""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadEnd)}"""
+      s""""load_avg_start":${f(loadStart)},"load_avg_end":${f(loadEnd)}""" +
+      extraConfJson
     try {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fullPath))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),

@@ -1504,16 +1504,27 @@ object ExtQueries {
     if (!stateful) return None
     val bytes = df.queryExecution.logical.collect {
       case StreamingRelation(ds, _, _) =>
-        ds.options.get("path").map { p =>
-          val f = new java.io.File(p.stripPrefix("file:"))
-          if (f.isDirectory)
-            Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
-          else f.length
-        }.getOrElse(0L)
+        ds.options.get("path").map(sourceBytes(s, _)).getOrElse(0L)
     }.sum
+    if (bytes == 0L) return None // unsized source: keep the session default
     val byVolume = math.max(8L, bytes / (16L << 20) + 1)
     Some(math.min(8L * s.sparkContext.defaultParallelism, byVolume).toInt)
   }
+
+  /** Recursive byte size of a stream source path via the Hadoop
+    * FileSystem API — NOT java.io.File, which returns 0 on HDFS/S3 (the
+    * 100 TB deployment) and misses nested partition directories, both
+    * of which would silently floor every stateful stream at 8 state
+    * partitions. globStatus expands glob metacharacters and
+    * getContentSummary recurses; any failure sizes as 0 (= caller keeps
+    * the session default, never a wrong positive). */
+  private[graft] def sourceBytes(s: SparkSession, p: String): Long =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(hp)).getOrElse(Array.empty)
+        .map(st => fs.getContentSummary(st.getPath).getLength).sum
+    } catch { case _: Throwable => 0L }
 
   private def runStream(df: DataFrame, name: String, mode: String): DataFrame = {
     val s = df.sparkSession

@@ -433,4 +433,38 @@ class StreamsSpec extends SparkSpec {
     val byType = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     census.foreach { case (t, c) => assert(byType.getOrElse(t, 0L) == c) }
   }
+
+  test("stream source sizing is recursive, glob-aware and storage-agnostic") {
+    // Hadoop FileSystem sizing: nested partition directories count (the
+    // old java.io.File listFiles was non-recursive and returned 0 on any
+    // non-local scheme, flooring stateful streams to 8 state partitions)
+    val root = java.nio.file.Files.createTempDirectory("graft-srcbytes-")
+    try {
+      val nested = root.resolve("day=1/hour=2")
+      java.nio.file.Files.createDirectories(nested)
+      java.nio.file.Files.write(nested.resolve("a.parquet"),
+        Array.fill[Byte](1000)(1))
+      java.nio.file.Files.write(root.resolve("b.parquet"),
+        Array.fill[Byte](500)(2))
+      val sb = graft.queries.ExtQueries.sourceBytes(spark, root.toString)
+      assert(sb == 1500L, s"recursive size, got $sb")
+      // the file: scheme (what a distributed deployment passes, modulo
+      // scheme) resolves through the same FileSystem API
+      assert(graft.queries.ExtQueries.sourceBytes(
+        spark, "file:" + root.toString) == 1500L)
+      // glob metacharacters expand instead of sizing as 0
+      assert(graft.queries.ExtQueries.sourceBytes(
+        spark, root.toString + "/day=*") == 1000L)
+      // nonexistent path sizes as 0 (caller keeps the session default)
+      assert(graft.queries.ExtQueries.sourceBytes(
+        spark, root.toString + "/nope") == 0L)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
 }
