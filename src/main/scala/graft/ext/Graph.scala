@@ -9,6 +9,24 @@ import org.apache.spark.sql.functions._
   * its nodes. */
 object Graph {
 
+  /** Round-state partition count for the iterative loops (k-core
+    * peeling, BFS frontiers, bitset-BFS state), derived from the
+    * state's own MEASURED row volume — ~500k narrow rows per partition,
+    * floor 1, cap 8× the cluster's parallelism. The loops checkpoint
+    * their state every round, and a checkpoint's partition count is
+    * inherited by every downstream map stage of every later round: left
+    * at the session's shuffle default, a ~39k-edge fixture graph ran
+    * 32–64 tasks per round at ~0.1 CPU-s of FIXED per-task cost each
+    * (r16 evlog: kcore spent 54 CPU-s on <1 MB of state, and 8 cores
+    * beat 32 across the whole family — PERF_r15 scaling ratios 0.41 to
+    * 0.58). Volume-derived, so at 100 TB frontiers the count grows with
+    * the data instead of strangling it; `coalesce` (narrow) never adds
+    * an exchange and never increases a smaller existing count. */
+  private def stateParts(spark: org.apache.spark.sql.SparkSession,
+      rows: Long): Int =
+    math.max(1L, math.min(rows / 500000L + 1,
+      8L * spark.sparkContext.defaultParallelism)).toInt
+
   /** PageRank over an undirected edge list (doc_a, doc_b), `iters` exact
     * synchronous iterations with damping `d`:
     *   r_0(n)    = 1/N
@@ -278,8 +296,17 @@ object Graph {
         least(col("doc_a"), col("doc_b")).cast("long").as("a"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val adj = e.select(col("a").as("v"), col("b").as("n"))
-      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    // ONE pinned exchange on v serves the whole head of the op: the
+    // degree rollup aggregates in place on it (hash(v) satisfies the
+    // groupBy's clustering), the center semi-join is co-partitioned
+    // against the degree table derived from the same exchange, and the
+    // wedge self-join below reads the co-partitioned semi output — the
+    // r16 evlog showed the previous form paying a separate agg exchange
+    // plus a re-pin after the semi join, each its own AQE stage job.
+    val adj = graft.ext.Dedup.pinnedByKey(
+      e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n"))),
+      col("v"))
     // the degree table feeds the cap-truncation count, the center
     // filter AND the scoring join — persist it so the adj aggregation
     // runs once, not once per consumer; the op's output is topK-BOUNDED,
@@ -303,19 +330,26 @@ object Graph {
       val deg = degAll.where(col("deg") <= maxCenterDegree)
       // cap the CENTERS before the self-join: the wedge fan-out is what
       // maxCenterDegree exists to bound, not just the final scoring join.
-      // pinnedByKey on the center: the deg² wedge expansion is CPU-dense
-      // over three-long rows — AQE's byte-based coalescing squeezed it
-      // to 2 tasks at fixture scale; both self-join sides share the one
-      // pinned exchange, so the z = z2 join stays co-partitioned.
-      val adjC = graft.ext.Dedup.pinnedByKey(
-        adj.join(deg.select("v"), Seq("v"), "left_semi"), col("v"))
+      // adj is already pinned on v and deg derives from that same
+      // exchange, so the semi join and the z = z2 wedge self-join are
+      // both co-partitioned on it — the CPU-dense deg² expansion keeps
+      // the pinned parallelism with no further shuffle.
+      val adjC = adj.join(deg.select("v"), Seq("v"), "left_semi")
       val l = adjC.toDF("z", "x")
       val r = adjC.toDF("z2", "y")
       val wedges = l.join(r, col("z") === col("z2") && col("x") < col("y"))
         .select(col("x"), col("y"), col("z"))
       val open = wedges.join(e,
         wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
+      // ONE pair-keyed exchange serves the whole scoring tail: hash(x, y)
+      // clusters (x, y, deg) for the rollup, the deg-ordered window AND
+      // the final per-pair max — the previous form exchanged on
+      // (x, y, deg) for the rollup and again on (x, y) for the window
+      // (evlog: 23 + 27 MB shuffles, each its own AQE stage job), and the
+      // rollup barely reduced anyway (2.18 M wedges → 2.15 M groups).
       val byDeg = open.join(deg, open("z") === deg("v"))
+        .select(col("x"), col("y"), col("deg"))
+        .repartition(col("x"), col("y"))
         .groupBy("x", "y", "deg").agg(count(lit(1)).as("cnt"))
       // ascending-degree left fold via a FULL-FRAME window sum: an
       // UnboundedPreceding..UnboundedFollowing frame accumulates rows
@@ -368,7 +402,16 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select("v").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val src = source.getOrElse(nodes.agg(min("v")).as[Long].head())
+    // one job yields the default source AND the node count that sizes
+    // the per-round frontier/known state (both sets hold ≤ V rows)
+    val head = nodes.agg(min("v"), count(lit(1))).head()
+    val src = source.getOrElse(head.getLong(0))
+    val vParts = stateParts(spark, head.getLong(1))
+    // the cached adjacency feeds every round's frontier join from its
+    // build-time partition count (AQE cannot re-partition a cached
+    // plan), so coalesce ON TOP of the cache by its measured volume —
+    // the count is one sub-task job over already-materialized blocks
+    val adjC = adj.coalesce(stateParts(spark, adj.count()))
     var known = spark.createDataset(Seq((src, 0)))
       .toDF("v", "dist").localCheckpoint()
     var frontier = known
@@ -379,10 +422,11 @@ object Graph {
       // lazy checkpoints: the count() below materializes `next` (and the
       // previous round's lazy `known` union riding inside its anti-join)
       // in the SAME job — one job per round instead of three eager ones
-      val next = adj.join(frontier.select(col("v")), Seq("v"), "left_semi")
+      val next = adjC.join(frontier.select(col("v")), Seq("v"), "left_semi")
         .select(col("n").as("v")).distinct()
         .join(known, Seq("v"), "left_anti")
         .select(col("v"), lit(depth).as("dist"))
+        .coalesce(vParts)
         .localCheckpoint(eager = false)
       frontierN = next.count()
       known = known.unionAll(next).localCheckpoint(eager = false)
@@ -426,11 +470,14 @@ object Graph {
         greatest(col("doc_a"), col("doc_b")).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e0.count()
+    val n0 = e0.count()
     // k-cores are nested (k-core ⊆ (k−1)-core), so each k peels from the
     // PREVIOUS core's edges instead of the full graph — same fixpoint,
-    // far fewer rounds/jobs for the higher ks
-    var start = e0
+    // far fewer rounds/jobs for the higher ks. Coalesce ON TOP of the
+    // cache by its measured volume: the cached plan's build-time
+    // partition count (AQE cannot change it) otherwise sets every
+    // round's map-side task count — see [[stateParts]].
+    var start: DataFrame = e0.coalesce(stateParts(spark, n0))
     val rows = ks.sorted.map { k =>
       var edges = start
       var prev = -1L
@@ -445,6 +492,9 @@ object Graph {
         edges = edges
           .join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
+          // round state sized by its own row count (prev = the edge
+          // count entering the round bounds the survivors)
+          .coalesce(stateParts(spark, prev))
           // lazy: the count() materializes the checkpoint in the same
           // job — one job per peeling round instead of two
           .localCheckpoint(eager = false)

@@ -973,16 +973,18 @@ object ExtQueries {
     // pinnedByKey on the cell key: the self-join's per-cell pair fan-out
     // is the CPU-dense part and its input rows are three longs — AQE's
     // byte-based coalescing ran the whole expansion as one task at
-    // fixture scale. Both join sides derive from the SAME pinned
-    // exchange, so the (h, t) equi-join is co-partitioned and adds no
-    // further shuffle.
+    // fixture scale. The pin goes UNDER the distinct: hash(h, t)
+    // clusters every (user, h, t) triple, so the distinct aggregates in
+    // place on the pinned exchange (one shuffle, not distinct's own
+    // hash(user, h, t) exchange followed by the pin — r16 evlog showed
+    // both), and both self-join sides still share that one exchange.
     val ua = graft.ext.Dedup.pinnedByKey(
-      Tables.events(s, d)
-        .select(col("user_id"),
-          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
-          col("event_type"))
-        .distinct(),
-      col("h"), col("event_type"))
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
+            col("event_type")),
+        col("h"), col("event_type"))
+      .distinct()
     val l = ua.toDF("ua", "h", "t")
     val r = ua.toDF("ub", "h", "t")
     l.join(r, Seq("h", "t"))
