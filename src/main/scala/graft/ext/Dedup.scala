@@ -707,22 +707,34 @@ object Dedup {
     *
     * Plan: explode each doc into its stride-1 (position, gram) slide —
     * exactness is the point; the reference scheme's suffix array becomes a
-    * gram-keyed shuffle. The occurrence list rides THROUGH that single
-    * hash-agg shuffle (`collect_list(doc_id, p)` per gram — list size =
-    * gram frequency, overwhelmingly 1–3), "occurs in ≥2 distinct docs"
-    * filters as `min(doc_id) ≠ max(doc_id)`, and the survivors explode
-    * back to positions. One shuffle of the gram table, no sort — measured
-    * 4× over the countDistinct-groupBy + join-back form at 10× (two pos
-    * shuffles) and strictly better than a gram-partitioned window (whose
-    * per-partition sort spills at 100×). A pathologically hot gram (one
+    * gram-keyed shuffle, in TWO passes that together move a fraction of
+    * the one-pass form's bytes (guide §8: shuffle a lightweight proxy,
+    * reattach the payload):
+    *   1. the full slide shuffles only (xxhash64(gram), doc_id, p) —
+    *      fixed-width 8-byte keys instead of l-char strings (~2.5×
+    *      fewer bytes, 8-byte instead of l-byte group compares). The
+    *      occurrence list rides through the hash-agg
+    *      (`collect_list(doc_id, p)` per hash — list size = hash
+    *      frequency, overwhelmingly 1–3) and "occurs in ≥2 distinct
+    *      docs" filters as `min(doc_id) ≠ max(doc_id)`. Equal grams
+    *      always share a hash, so surviving positions are a SUPERSET of
+    *      the duplicated ones (a 64-bit collision can only add
+    *      candidates, never hide one);
+    *   2. the survivors — a few % of positions at natural dup rates —
+    *      re-derive their raw grams via a doc-keyed join back to the
+    *      text and re-group EXACTLY on the gram, so the output is
+    *      identical to one-pass raw-gram grouping (and to the oracle,
+    *      which still groups raw grams) even under hash collisions.
+    * The one-pass raw-gram form measured 4× over the
+    * countDistinct-groupBy + join-back form at 10× (two pos shuffles)
+    * and strictly better than a gram-partitioned window (whose
+    * per-partition sort spills at 100×); the hashed phase-1 then cut it
+    * 202 → 118 s at the ×100 sweep. A pathologically hot gram (one
     * 40-char string in millions of docs) would fatten its one list row —
     * the standard heavy-key caveat; at that density the span is the whole
     * corpus and pre-capping list length would be the production guard.
     * A per-doc (keyed, never global) window then merges positions into
-    * spans. At 100 TB you would additionally hash grams to 8-byte keys
-    * (xxhash64) so the shuffle moves fixed-width keys instead of l-char
-    * strings; raw grams are kept here for engine-portable oracle
-    * grouping.
+    * spans.
     *
     * Output: (doc_id, span_start, span_end) — 1-based inclusive character
     * offsets of every maximal cross-doc-duplicated span. */
@@ -734,13 +746,20 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(l - 1))).as("p"))
       .select(col("doc_id"), col("p"),
         col("text").substr(col("p"), lit(l)).as("gram"))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    pos.groupBy("gram")
+    def crossDocOcc(df: DataFrame, key: Column): DataFrame = df
+      .groupBy(key.as("k"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
         collect_list(struct(col("doc_id"), col("p"))).as("occ"))
       .where(col("mn") =!= col("mx"))
       .select(explode(col("occ")).as("o"))
       .select(col("o.doc_id").as("doc_id"), col("o.p").as("p"))
+    val cand = crossDocOcc(pos.select(col("doc_id"), col("p"),
+      xxhash64(col("gram")).as("h")), col("h"))
+    val surv = cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p"), lit(l)).as("gram"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    crossDocOcc(surv, col("gram"))
       .withColumn("prev", lag(col("p"), 1).over(w))
       .withColumn("fresh",
         when(col("prev").isNull || col("p") - col("prev") > l, 1).otherwise(0))

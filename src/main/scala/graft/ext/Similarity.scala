@@ -581,11 +581,28 @@ object Similarity {
   private def trainPqBooks(full: DataFrame, dim: Int, m: Int, k: Int,
       iters: Int): Seq[Seq[(Int, Array[Double], Double)]] = {
     val d0 = dim / m
-    (0 until m).map { s =>
-      val sub = full.select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
-        .withColumn("n2", dot(col("e"), col("e")))
-      lloyd(sub, k, iters)
-    }
+    // the m per-subspace lloyd runs are INDEPENDENT jobs (each is its
+    // own init-collect + cell-agg actions over the shared cached input)
+    // — submit them from a small thread pool so each run's scheduling
+    // tail back-fills the others' (guide §2.6 overlap); per-subspace
+    // results are computed and returned in subspace order, so the books
+    // are bit-identical to the sequential form
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val runs = (0 until m).map { s =>
+        scala.concurrent.Future {
+          val sub = full
+            .select(col("vec_id"), slice(col("e"), s * d0 + 1, d0).as("e"))
+            .withColumn("n2", dot(col("e"), col("e")))
+          lloyd(sub, k, iters)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(runs),
+        scala.concurrent.duration.Duration(600, "s"))
+    } finally pool.shutdown()
   }
 
   /** Train the shared PQ codebooks standalone (see [[trainPqBooks]]) —
